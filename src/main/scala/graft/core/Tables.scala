@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Table loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * Mirrors the reference's schema-on-read discipline
+  * (reference: data-raw/run_prepare_Scenarios_AnalysisInput.R:36-49 reads every
+  * CSV with explicit per-column types) — parquet carries its own schema, so the
+  * discipline here is *projection*: callers select the columns they need and
+  * Catalyst prunes the scan (`ReadSchema` in explain output).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true it
+    * arrives as a nanos long — convert via integer division (a double
+    * division of an epoch-nanos int64 would lose precision past 2^53).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

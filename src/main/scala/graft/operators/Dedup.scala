@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: every variant turns the O(N²) pair problem into
+  * (1) a per-row signature (narrow, codegen'd),
+  * (2) a bucket join that only shuffles candidate pairs,
+  * (3) exact verification on the candidates only.
+  * That is the shape that survives 100 TB — the only shuffle keys are
+  * bucket ids, and skewed buckets (boilerplate text) can be salted or
+  * capped without touching the rest of the plan.
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-text hash: every row keeps its content hash
+    * and the canonical (minimum) id of its duplicate class.
+    */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame = {
+    val h = md5(lower(trim(col(text))))
+    val w = Window.partitionBy(col("text_hash"))
+    df.withColumn("text_hash", h)
+      .withColumn("canonical_id", min(col(id)).over(w))
+      .withColumn("is_dup", col(id) =!= col("canonical_id"))
+  }
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard.
+    *
+    * signature -> split into `bands` bands of `numHashes/bands` rows ->
+    * explode (band, bucketHash) -> self-join on equality -> distinct pairs.
+    * Two docs surface iff they agree on at least one full band; with
+    * (H=64, b=8) the match curve has its sweet spot near j ≈ 0.77.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val rowsPerBand = numHashes / bands
+    val base = df
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__sig", TextFns.minhashSignature(col("__toks"), shingleSize, numHashes))
+      .select(col(id), col("__sig"))
+    val banded = base
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket",
+        xxhash64(col("band"), slice(col("__sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+    val a = banded.select(col(id).as("id_a"), col("__sig").as("sig_a"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id_b"), col("__sig").as("sig_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFns.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      // est_jaccard identical for every band a pair collides in — max == the value
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** SimHash per document (banded) plus candidate pairs sharing >= 1 band
+    * (Hamming distance <= 48 of 64 bits guaranteed for surfaced pairs;
+    * verify with exact distance downstream if tighter radius needed).
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val sig = df
+      .select(col(id), col(text))
+      .withColumn("__bands", TextFns.simhashBands(TextFns.tokens(col(text))))
+      .select(col(id), col("__bands"))
+    val banded = sig
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val", element_at(col("__bands"), col("band") + 1))
+    val a = banded.select(col(id).as("id_a"), col("band"), col("band_val"))
+    val b = banded.select(col(id).as("id_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs (candidates from LSH;
+    * exact verification only touches the candidate set).
+    */
+  def ngramJaccardVerify(
+      df: DataFrame,
+      pairs: DataFrame,
+      id: String,
+      text: String,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(id),
+      array_distinct(TextFns.wordShingles(TextFns.tokens(col(text)), shingleSize)).as("__sh"))
+    val a = sh.select(col(id).as("id_a"), col("__sh").as("sh_a"))
+    val b = sh.select(col(id).as("id_b"), col("__sh").as("sh_b"))
+    pairs
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", TextFns.exactJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs: sign-bit LSH blocks, then exact cosine
+    * inside each block — never an all-pairs crossJoin.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      minCosine: Double = 0.95,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = Similarity.randomPlanes(nPlanes, dim, seed)
+    val withBucket = df.select(col(id), col(vec))
+      .withColumn("bucket", VectorFns.hyperplaneBucket(col(vec), planes))
+    val a = withBucket.select(col(id).as("id_a"), col(vec).as("vec_a"), col("bucket"))
+    val b = withBucket.select(col(id).as("id_b"), col(vec).as("vec_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFns.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata.
+  *
+  * The Spark-side contract (schema, partition-friendly batch shape,
+  * deterministic feature derivation) is real and tested; the actual codec
+  * call is STUBBED — this container has no image/audio libraries, so
+  * [[decodeStub]] derives deterministic fake features from the bytes. A
+  * production deployment replaces exactly the body of `fakeDecode` with a
+  * JNI/library call; nothing else changes.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: Long)
+
+  /** Wrap any table with a string column into the media schema (test rig:
+    * document text bytes stand in for image payloads).
+    */
+  def asMedia(df: DataFrame, id: String, payloadStr: String, modality: String): DataFrame =
+    df.select(
+      col(id).cast("long").as("media_id"),
+      lit(modality).as("modality"),
+      col(payloadStr).cast("binary").as("payload"))
+
+  /** Pure-expression feature derivation (no decode needed): byte length and
+    * shape/frame plumbing derived from it. Deterministic, codegen'd, and
+    * oracle-verifiable — this is the part that must be right at scale
+    * (schema + partitioning), independent of any codec.
+    */
+  def payloadFeatures(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("width", col("n_bytes") % 640)
+      .withColumn("height", floor(col("n_bytes") / 640).cast("int") % 480)
+      .withColumn("n_frames", (floor(col("n_bytes") / 1024) + 1).cast("int"))
+      .drop("payload")
+
+  /** Batch "decode": mapPartitions over the typed Dataset, one partition =
+    * one decoder context (exactly how a real codec would amortize init).
+    * STUB — `fakeDecode` is a deterministic stand-in for the real library.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // real impl: val decoder = ImageCodec.open() once per partition
+      rows.map { r =>
+        val bytes = r.payload
+        fakeDecode(r.media_id, r.modality, bytes)
+      }
+    }
+  }
+
+  /** STUB decode: deterministic features from raw bytes. Replace with a
+    * real codec call in production; signature and batch shape stay fixed.
+    */
+  private def fakeDecode(id: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
+    var h = 1125899906842597L // deterministic FNV-ish rolling checksum
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    MediaFeatures(
+      media_id = id,
+      modality = modality,
+      n_bytes = bytes.length,
+      width = bytes.length % 640,
+      height = (bytes.length / 640) % 480,
+      n_frames = bytes.length / 1024 + 1,
+      checksum = h)
+  }
+
+  /** Frame sampling plumbing: for video-like payloads, emit one row per
+    * sampled frame offset (explode of a sequence — a generator, no UDTF).
+    */
+  def sampleFrames(media: DataFrame, everyNBytes: Int): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("frame_offset",
+        explode(sequence(lit(0), greatest(col("n_bytes") - 1, lit(0)), lit(everyNBytes))))
+      .select(col("media_id"), col("modality"), col("frame_offset"))
+}

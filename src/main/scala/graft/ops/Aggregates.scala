@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY §2.4). All compose built-in hash aggregates
+  * — map-side partial aggregation is free, no UDAFs in the hot path.
+  */
+object Aggregates {
+
+  /** A6: sum skipping nulls, but null (not 0) when *all* inputs are null —
+    * R's sum(x, na.rm=TRUE) guarded by all(is.na(x)) (reference
+    * R/prepare_abcd_stress_test_input.R:1-14,39-46,246-259).
+    */
+  def sumOrAllNull(c: Column): Column =
+    when(count(c) === 0, lit(null)).otherwise(sum(c))
+
+  /** A7: group is "empty" when production is all-null or sums to zero
+    * (reference R/prepare_abcd_stress_test_input.R:216-237).
+    */
+  def allNullOrZero(c: Column): Column =
+    (count(c) === 0) || (sum(c) === 0)
+
+  /** A3: exact linear-interpolated median, matching R's stats::median default
+    * (reference R/prepare_prewrangled_financial_data_stress_test.R:61-108
+    * aggregates financial indicators by median for outlier robustness).
+    * `percentile` is Spark's exact implementation — same interpolation as
+    * DuckDB quantile_cont. For 100 TB one would swap in approx_percentile
+    * with a tight accuracy knob; the reference semantics require exact.
+    */
+  def median(c: Column): Column = percentile(c, lit(0.5))
+
+  /** A10: per-column null counts — the reference's NA profiler
+    * (R/helpers.R:11-25) as one aggregate pass.
+    */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      df.columns.toSeq.map(c => sum(col(c).isNull.cast("long")).as(s"na_$c")): _*
+    )
+
+  /** A11: duplicate key combos (reference R/helpers.R:36-52,
+    * data-raw/prep_datalake.R:45-50).
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count")) // distinct name: keys may contain "n"
+      .filter(col("dup_count") > 1)
+
+  /** A12: missing combinations — cross product of per-column distinct values,
+    * minus observed (reference R/helpers.R:68-84 tidyr::expand + anti_join).
+    * Scale note: the cross product is of *distinct dimension values* (small);
+    * the anti-join against the fact table is the only shuffle.
+    */
+  def missingCombos(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val expanded = cols
+      .map(c => df.select(col(c)).distinct())
+      .reduce((a, b) => a.crossJoin(b))
+    expanded.join(df.select(cols.map(col): _*).distinct(), cols, "left_anti")
+  }
+}

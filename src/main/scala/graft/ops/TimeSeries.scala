@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-group time-series operators (SURVEY §2.5 W3/W4/W8, §2.8 R4/R5).
+  *
+  * These are the load-bearing custom ops of the reference: every pipeline
+  * runs a complete-grid -> interpolate -> fill chain on a year axis
+  * (reference: R/prepare_scenario_data.R:11-20, R/prepare_prewrangled_
+  * capacity_factors.R:113-135, R/prepare_price_data_long.R:199-222,
+  * R/prepare_abcd_stress_test_input.R:267-295, R/prepare_ngfs_carbon_price.R:
+  * 102-166).
+  *
+  * All are pure Catalyst expressions over window frames — zero UDFs, fully
+  * codegen'd, and they shuffle exactly once per distinct partitioning: chains
+  * of calls with the same `keys` reuse the exchange (Spark ReuseExchange),
+  * which is the scale story at 100 TB — partition once on the group prefix,
+  * run the whole W4/W3/W1 chain within that exchange.
+  */
+object TimeSeries {
+
+  private def w(keys: Seq[String], x: String) =
+    Window.partitionBy(keys.map(col): _*).orderBy(col(x))
+
+  /** R4: complete the integer grid [lo, hi] for every distinct key combo,
+    * left-joining original values (missing rows get null value columns).
+    * reference: tidyr::complete, R/prepare_abcd_stress_test_input.R:95-106.
+    *
+    * Scale note: the distinct-keys side is tiny relative to the fact table
+    * and the join key includes the full group key, so this is a co-partitioned
+    * shuffle join on the same keys later window ops use.
+    */
+  def completeGrid(df: DataFrame, keys: Seq[String], x: String, lo: Int, hi: Int): DataFrame = {
+    val grid = df
+      .select(keys.map(col): _*)
+      .distinct()
+      .withColumn(x, explode(sequence(lit(lo), lit(hi))))
+    grid.join(df, keys :+ x, "left")
+  }
+
+  /** R4 variant: per-group full_seq(min(x)..max(x)) like tidyr::full_seq
+    * (reference R/prepare_scenario_data.R:13-14).
+    */
+  def completeGridLocal(df: DataFrame, keys: Seq[String], x: String): DataFrame = {
+    val grid = df
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(x)).as("__lo"), max(col(x)).as("__hi"))
+      .withColumn(x, explode(sequence(col("__lo"), col("__hi"))))
+      .drop("__lo", "__hi")
+    grid.join(df, keys :+ x, "left")
+  }
+
+  /** W4: zoo::na.approx with na.rm=FALSE semantics — linear interpolation of
+    * interior nulls along `x` within each key group; leading/trailing nulls
+    * stay null (reference R/prepare_scenario_data.R:11-20 uses na.rm=FALSE;
+    * R/prepare_prewrangled_capacity_factors.R:125-135 runs it on a completed
+    * dense grid).
+    *
+    * Implementation: previous/next non-null observation via ignore-null
+    * last/first over running frames, then the two-point line. Pure window
+    * exprs, single shuffle on `keys`.
+    */
+  def naApprox(df: DataFrame, keys: Seq[String], x: String, v: String, out: String): DataFrame = {
+    val back = w(keys, x).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd  = w(keys, x).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val xObs = when(col(v).isNotNull, col(x).cast("double"))
+    val px = last(xObs, ignoreNulls = true).over(back)
+    val pv = last(col(v), ignoreNulls = true).over(back)
+    val nx = first(xObs, ignoreNulls = true).over(fwd)
+    val nv = first(col(v), ignoreNulls = true).over(fwd)
+    df.withColumn(
+      out,
+      coalesce(
+        col(v),
+        when(px.isNotNull && nx.isNotNull && nx =!= px,
+          pv + (nv - pv) * (col(x).cast("double") - px) / (nx - px))
+      )
+    )
+  }
+
+  /** W3: fill-down / LOCF (reference tidyr::fill(.direction="down"),
+    * R/prepare_price_data_long.R:159-169; R/prepare_abcd_stress_test_input.R:
+    * 286-288).
+    */
+  def fillDown(df: DataFrame, keys: Seq[String], x: String, v: String, out: String): DataFrame =
+    df.withColumn(
+      out,
+      coalesce(
+        col(v),
+        last(col(v), ignoreNulls = true)
+          .over(w(keys, x).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+
+  /** Fill-up (NOCB), the .direction="up" counterpart. */
+  def fillUp(df: DataFrame, keys: Seq[String], x: String, v: String, out: String): DataFrame =
+    df.withColumn(
+      out,
+      coalesce(
+        col(v),
+        first(col(v), ignoreNulls = true)
+          .over(w(keys, x).rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    )
+
+  /** W8: nulls *after the last non-null observation* become 0; earlier nulls
+    * untouched (reference R/prepare_scenario_data.R:977-995:
+    * last_value_year = max(year[!is.na(value)]), 0 beyond it).
+    */
+  def zeroAfterLastObs(df: DataFrame, keys: Seq[String], x: String, v: String, out: String): DataFrame = {
+    val lastObsX = max(when(col(v).isNotNull, col(x)))
+      .over(Window.partitionBy(keys.map(col): _*))
+    df.withColumn(
+      out,
+      when(col(v).isNull && (lastObsX.isNull || col(x) > lastObsX), lit(0.0))
+        .otherwise(col(v)))
+  }
+}

@@ -1,0 +1,885 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Num.{davg, dsum, dsumOver}
+import graft.core.Tables._
+import graft.ops._
+
+/** SURVEY §2 relational operator inventory as verifiable queries over the
+  * TPC-H-ish fixtures. Each query exercises one inventory row (S/P/J/A/W/O/
+  * U/R/F) re-expressed Spark-first; the oracle is independent DuckDB SQL.
+  */
+object Relational {
+
+  private val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** Derived frame with injected nulls — the fixtures are null-free, but the
+    * reference's semantics are dominated by NA handling (SURVEY §1.2), so
+    * null-sensitive operators run on this deterministic projection.
+    * (l_orderkey, l_linenumber) is NOT unique in the fixture, so the base
+    * aggregates to one row per (g, x) first — window-frame ties would
+    * otherwise make ordered-frame results engine-dependent.
+    */
+  private def nulled(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey").as("g"), col("l_linenumber").as("x"))
+      .agg(max(col("l_quantity")).as("__q"), max(col("l_partkey")).as("__pk"))
+      .select(col("g"), col("x"),
+        when(col("__pk") % 3 === 0, lit(null)).otherwise(col("__q")).as("v"))
+
+  private val nulledSql =
+    """SELECT g, x, CASE WHEN pk % 3 = 0 THEN NULL ELSE q END AS v
+      |FROM (SELECT l_orderkey AS g, l_linenumber AS x,
+      |             MAX(l_quantity) AS q, MAX(l_partkey) AS pk
+      |      FROM lineitem GROUP BY l_orderkey, l_linenumber)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    // ---- S: scans / sources (SURVEY §2.1) ------------------------------
+    Q("s1_scan_prune",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey") { (s, d) =>
+      // S1: schema-on-read + projection pruning; explain shows ReadSchema
+      // with only these two columns (reference cols_only,
+      // run_prepare_Scenarios_AnalysisInput.R:36-49).
+      orders(s, d).select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+    Q("s3_parquet_scan",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
+      region(s, d).select("r_regionkey", "r_name").orderBy("r_regionkey")
+    },
+    Q("s7_literal_table",
+      """SELECT t.code, t.label, r.r_name
+        |FROM (VALUES (0,'zero'),(1,'one'),(2,'two')) t(code, label)
+        |LEFT JOIN region r ON r.r_regionkey = t.code
+        |ORDER BY t.code""".stripMargin) { (s, d) =>
+      // S7: in-code literal table (reference tibble::tribble, R/lookup.R:4-33)
+      // joined broadcast-style against a real table.
+      import s.implicits._
+      val lit0 = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("code", "label")
+      lit0.join(broadcast(region(s, d)), lit0("code") === col("r_regionkey"), "left")
+        .select("code", "label", "r_name").orderBy("code")
+    },
+
+    // ---- P: projections / filters / row transforms (SURVEY §2.2) -------
+    Q("p1_select",
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey") { (s, d) =>
+      part(s, d).select("p_partkey", "p_name", "p_retailprice").orderBy("p_partkey")
+    },
+    Q("p2_rename",
+      "SELECT r_regionkey AS region_id, r_name AS region_name FROM region ORDER BY region_id") { (s, d) =>
+      region(s, d).withColumnRenamed("r_regionkey", "region_id")
+        .withColumnRenamed("r_name", "region_name").orderBy("region_id")
+    },
+    Q("p3_filter_in",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_name IN ('CHINA','FRANCE','KENYA') ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      nation(s, d).filter(col("n_name").isin("CHINA", "FRANCE", "KENYA"))
+        .select("n_nationkey", "n_name").orderBy("n_nationkey")
+    },
+    Q("p4_filter_regex",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '^(red|blue) ') ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).filter(col("p_name").rlike("^(red|blue) "))
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    },
+    Q("p5_filter_bool",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE (l_quantity > 45 AND l_discount < 0.05) OR NOT (l_returnflag <> 'R')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter((col("l_quantity") > 45 && col("l_discount") < 0.05) || !(col("l_returnflag") =!= "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    },
+    Q("p6_filter_any_null",
+      s"""WITH b AS ($nulledSql)
+         |SELECT g, x, v FROM b WHERE g IS NULL OR x IS NULL OR v IS NULL
+         |ORDER BY g, x""".stripMargin) { (s, d) =>
+      // P6: filter_all(any_vars(is.na(.))) (R/prepare_scenario_data.R:238)
+      val b = nulled(s, d)
+      b.filter(b.columns.map(col(_).isNull).reduce(_ || _)).orderBy("g", "x")
+    },
+    Q("p7_filter_notnull",
+      s"""WITH b AS ($nulledSql)
+         |SELECT g, x, v FROM b WHERE v IS NOT NULL ORDER BY g, x""".stripMargin) { (s, d) =>
+      nulled(s, d).filter(col("v").isNotNull).orderBy("g", "x")
+    },
+    Q("p8_derive",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue,
+        |       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .withColumn("charged", col("revenue") * (lit(1.0) + col("l_tax")))
+        .select("l_orderkey", "l_linenumber", "revenue", "charged")
+        .orderBy("l_orderkey", "l_linenumber", "revenue")
+    },
+    Q("p9_conditional",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'F' THEN 'done' ELSE 'open' END AS status_label
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .withColumn("status_label", when(col("o_orderstatus") === "F", "done").otherwise("open"))
+        .select("o_orderkey", "status_label").orderBy("o_orderkey")
+    },
+    Q("p10_case_when",
+      """SELECT c_custkey,
+        |       CASE WHEN c_acctbal < 0 THEN 'debt'
+        |            WHEN c_acctbal < 1000 THEN 'low'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // P10: case_when ladder (R/prepare_scenario_data.R:440-485)
+      customer(s, d).withColumn("tier",
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 1000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .select("c_custkey", "tier").orderBy("c_custkey")
+    },
+    Q("p11_distinct_all",
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+      orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    Q("p12_dedup_keys",
+      """WITH r AS (SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |                       ORDER BY l_linenumber, l_quantity) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM r WHERE rn = 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin) { (s, d) =>
+      // P12: dropDuplicates keeps an *arbitrary* row — at scale and for
+      // reproducibility the survivor must be pinned (SURVEY §7.4 pt 4).
+      // (l_orderkey, l_partkey, l_linenumber) still has dup rows in the
+      // fixture, hence the l_quantity tiebreak for a total order.
+      Joins.dedupKeepFirst(
+          lineitem(s, d).select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
+          Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber"), col("l_quantity")))
+        .orderBy("l_orderkey", "l_partkey")
+    },
+    Q("p13_rowwise_sum",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_quantity + l_discount + l_tax AS row_total
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, row_total""".stripMargin) { (s, d) =>
+      // P13: horizontal sum across a column set (reference rowwise+c_across,
+      // R/prepare_prewrangled_financial_data_stress_test.R:484-500) — a pure
+      // expression reduce, never a UDF.
+      val cols = Seq("l_quantity", "l_discount", "l_tax")
+      lineitem(s, d).withColumn("row_total", cols.map(col).reduce(_ + _))
+        .select("l_orderkey", "l_linenumber", "row_total")
+        .orderBy("l_orderkey", "l_linenumber", "row_total")
+    },
+    Q("p14_recode_dict",
+      """SELECT r_regionkey,
+        |       CASE WHEN r_name = 'AMERICA' THEN 'AMERICAS'
+        |            WHEN r_name = 'ASIA' THEN 'APAC'
+        |            ELSE r_name END AS r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+      Reshape.recodeValues(region(s, d), "r_name", Map("AMERICA" -> "AMERICAS", "ASIA" -> "APAC"))
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")
+    },
+    Q("p15_count_action",
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem") { (s, d) =>
+      lineitem(s, d).agg(count(lit(1)).as("n"))
+    },
+    Q("p16_cast",
+      """SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS qty_int,
+        |       CAST(l_orderkey AS VARCHAR) AS key_str
+        |FROM lineitem ORDER BY l_orderkey, qty_int""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity").cast("int").as("qty_int"),
+          col("l_orderkey").cast("string").as("key_str"))
+        .orderBy("l_orderkey", "qty_int")
+    },
+
+    // ---- J: joins (SURVEY §2.3) ----------------------------------------
+    Q("j1_inner_join",
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      // J1: the one genuinely large shuffle join — sort-merge under AQE.
+      lineitem(s, d).join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderstatus")
+    },
+    Q("j2_left_join",
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      nation(s, d).join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"), "left")
+        .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
+    },
+    Q("j3_right_join",
+      """SELECT n_nationkey, n_name, s_suppkey, s_name
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_nationkey, s_suppkey NULLS FIRST""".stripMargin) { (s, d) =>
+      supplier(s, d).join(nation(s, d), col("s_nationkey") === col("n_nationkey"), "right")
+        .select("n_nationkey", "n_name", "s_suppkey", "s_name")
+        .orderBy(col("n_nationkey"), col("s_suppkey"))
+    },
+    Q("j4_full_outer",
+      """WITH r AS (SELECT l_partkey, SUM(l_quantity) AS qty_r FROM lineitem
+        |           WHERE l_returnflag = 'R' GROUP BY l_partkey),
+        |     a AS (SELECT l_partkey, SUM(l_quantity) AS qty_a FROM lineitem
+        |           WHERE l_returnflag = 'A' GROUP BY l_partkey)
+        |SELECT COALESCE(r.l_partkey, a.l_partkey) AS l_partkey, r.qty_r, a.qty_a
+        |FROM r FULL OUTER JOIN a ON r.l_partkey = a.l_partkey
+        |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      // J4: activities ⟗ emissions analog (R/prepare_abcd_stress_test_input.
+      // R:67-80). l_quantity is integral-valued -> plain double sum is exact.
+      val li = lineitem(s, d)
+      val r = li.filter(col("l_returnflag") === "R").groupBy("l_partkey")
+        .agg(sum("l_quantity").as("qty_r"))
+      val a = li.filter(col("l_returnflag") === "A").groupBy("l_partkey")
+        .agg(sum("l_quantity").as("qty_a"))
+      r.join(a, Seq("l_partkey"), "outer").select("l_partkey", "qty_r", "qty_a")
+        .orderBy("l_partkey")
+    },
+    Q("j5_union_dedup",
+      """SELECT nk, seg FROM (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg FROM customer WHERE c_acctbal > 0
+        |  UNION
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY nk, seg""".stripMargin) { (s, d) =>
+      // J5: dplyr full_join with no `by` == union+dedup (SURVEY J5).
+      val c = customer(s, d)
+      Joins.unionDedup(Seq(
+          c.filter(col("c_acctbal") > 0).select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg")),
+          c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))))
+        .orderBy("nk", "seg")
+    },
+    Q("j6_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    Q("j7_semi_join",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).join(lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    },
+    Q("j8_cross_join",
+      """SELECT r_name, st FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders)
+        |ORDER BY r_name, st""".stripMargin) { (s, d) =>
+      region(s, d).crossJoin(orders(s, d).select(col("o_orderstatus").as("st")).distinct())
+        .select("r_name", "st").orderBy("r_name", "st")
+    },
+    Q("j9_set_overlap",
+      """WITH s AS (SELECT DISTINCT s_nationkey AS g, s_suppkey % 7 AS item FROM supplier),
+        |cnt AS (SELECT g, COUNT(*) AS n FROM s GROUP BY g),
+        |inter AS (SELECT a.g AS g_x, b.g AS g_y, COUNT(*) AS c
+        |          FROM s a JOIN s b ON a.item = b.item AND a.g <> b.g
+        |          GROUP BY a.g, b.g),
+        |pairs AS (SELECT i.g_x, i.g_y, CAST(i.c AS DOUBLE) / cx.n AS overlap
+        |          FROM inter i JOIN cnt cx ON i.g_x = cx.g
+        |          WHERE CAST(i.c AS DOUBLE) / cx.n >= 0.5),
+        |dedup AS (SELECT *, row_number() OVER (
+        |            PARTITION BY LEAST(g_x,g_y), GREATEST(g_x,g_y)
+        |            ORDER BY g_x, g_y) AS rn FROM pairs)
+        |SELECT g_x, g_y, overlap FROM dedup WHERE rn = 1
+        |ORDER BY g_x, g_y""".stripMargin) { (s, d) =>
+      // J9: geography set-overlap grouping (R/rename_geographies.R:51-107):
+      // items here are supplier-key buckets per nation so overlaps are
+      // nontrivial. Spark path goes through collect_set + array_intersect.
+      Joins.setOverlapPairs(
+          supplier(s, d).select(col("s_nationkey").as("g"), (col("s_suppkey") % 7).as("item")),
+          "g", "item", 0.5)
+        .orderBy("g_x", "g_y")
+    },
+    Q("j10_closest_parent",
+      """WITH e AS (SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS parent_suppkey,
+        |                           l_linenumber AS lvl FROM lineitem),
+        |r AS (SELECT *, rank() OVER (PARTITION BY p_partkey ORDER BY lvl) AS rk FROM e),
+        |c AS (SELECT p_partkey, parent_suppkey, lvl FROM r WHERE rk = 1)
+        |SELECT p.p_partkey, p.p_name, c.parent_suppkey, c.lvl, s.s_acctbal
+        |FROM part p LEFT JOIN c ON p.p_partkey = c.p_partkey
+        |LEFT JOIN supplier s ON c.parent_suppkey = s.s_suppkey
+        |ORDER BY p.p_partkey, c.parent_suppkey NULLS FIRST""".stripMargin) { (s, d) =>
+      // J10: closest-parent hierarchy join (R/prepare_prewrangled_financial_
+      // data_stress_test.R:172-217) — min level per child, ties kept (rank).
+      val edges = lineitem(s, d)
+        .select(col("l_partkey").as("p_partkey"), col("l_suppkey").as("parent_suppkey"),
+          col("l_linenumber").as("lvl")).distinct()
+      val attrs = supplier(s, d).select(col("s_suppkey").as("parent_suppkey"), col("s_acctbal"))
+      Joins.closestParentJoin(part(s, d).select("p_partkey", "p_name"), edges,
+          "p_partkey", "parent_suppkey", "lvl", attrs)
+        .select("p_partkey", "p_name", "parent_suppkey", "lvl", "s_acctbal")
+        .orderBy(col("p_partkey"), col("parent_suppkey"))
+    },
+    Q("j11_key_rename_join",
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // J11: join with key renaming, by = c("k1"="k2") (SURVEY J11).
+      val o = orders(s, d); val c = customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name").orderBy("o_orderkey")
+    },
+    Q("j12_bind_one_row",
+      """SELECT n_nationkey, n_name, g.global_avg_acctbal
+        |FROM nation CROSS JOIN (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal)
+        |         AS global_avg_acctbal FROM customer) g
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      // J12: bind_cols of a 1-row global-averages frame (R/prepare_
+      // prewrangled_financial_data_stress_test.R:319-322) — broadcast.
+      val one = customer(s, d).agg(davg(col("c_acctbal")).as("global_avg_acctbal"))
+      Joins.bindOneRow(nation(s, d), one)
+        .select("n_nationkey", "n_name", "global_avg_acctbal").orderBy("n_nationkey")
+    },
+
+    // ---- A: aggregations (SURVEY §2.4) ---------------------------------
+    Q("a1_grouped_sum",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Q("a2_grouped_mean",
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      // A2: regional->global mean (R/prepare_price_data_long.R:78-92).
+      customer(s, d).groupBy("c_mktsegment").agg(davg(col("c_acctbal")).as("avg_acctbal"))
+        .orderBy("c_mktsegment")
+    },
+    Q("a3_grouped_median",
+      """WITH r AS (SELECT c_nationkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |       SUM(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN c_acctbal END) /
+        |       COUNT(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN 1 END) AS median_acctbal
+        |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      // A3: exact median, R stats::median semantics (R/prepare_prewrangled_
+      // financial_data_stress_test.R:61-108). Spelled as mean-of-middle-two
+      // on both sides: fp addition of <=2 values is commutative, so this is
+      // engine-order-proof where percentile interpolation formulas may
+      // differ in the last ulp. Library API: graft.ops.Aggregates.median.
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+      val wn = Window.partitionBy(col("c_nationkey"))
+      customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("mid", when(col("rn") === floor((col("n") + 1) / 2) ||
+          col("rn") === floor((col("n") + 2) / 2), col("c_acctbal")))
+        .groupBy("c_nationkey")
+        .agg((sum(col("mid")) / count(col("mid"))).as("median_acctbal"))
+        .orderBy("c_nationkey")
+    },
+    Q("a4_group_size_ratio",
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM customer GROUP BY c_mktsegment, c_nationkey)
+        |SELECT c_mktsegment, c_nationkey, n,
+        |       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY c_mktsegment) AS ratio
+        |FROM g ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+      // A4: subgroup/sample-size ratio gating (R/prepare_prewrangled_
+      // financial_data_stress_test.R:66-91). Integer window sum is exact.
+      val g = customer(s, d).groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("n"))
+      g.withColumn("ratio",
+          col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("c_mktsegment"))))
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+    Q("a5_multi_col_agg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS l_quantity,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS l_extendedprice,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS l_discount,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(30,6))) AS DOUBLE) AS l_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // A5: summarise(across(dynamic column set)) (R/prepare_prewrangled_
+      // capacity_factors.R:56-66) — the measure list is data-driven.
+      val li = lineitem(s, d)
+      val measures = li.schema.fields
+        .filter(f => f.dataType.typeName == "double").map(_.name).toSeq
+      li.groupBy("l_returnflag")
+        .agg(dsum(col(measures.head)).as(measures.head),
+          measures.tail.map(c => dsum(col(c)).as(c)): _*)
+        .orderBy("l_returnflag")
+    },
+    Q("a6_sum_or_all_null",
+      s"""WITH b AS ($nulledSql)
+         |SELECT g, CASE WHEN COUNT(v) = 0 THEN NULL ELSE SUM(v) END AS v_sum
+         |FROM b GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+      // A6: sum-or-all-NA (R/prepare_abcd_stress_test_input.R:1-14).
+      nulled(s, d).groupBy("g").agg(Aggregates.sumOrAllNull(col("v")).as("v_sum")).orderBy("g")
+    },
+    Q("a7_all_null_or_zero",
+      s"""WITH b AS ($nulledSql)
+         |SELECT g, (COUNT(v) = 0 OR SUM(v) = 0) AS is_empty
+         |FROM b GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+      nulled(s, d).groupBy("g").agg(Aggregates.allNullOrZero(col("v")).as("is_empty")).orderBy("g")
+    },
+    Q("a8_first_non_null",
+      s"""WITH b AS ($nulledSql),
+         |a AS (SELECT g, MIN(CASE WHEN v IS NOT NULL THEN x END) AS first_obs_x,
+         |             MAX(CASE WHEN v IS NOT NULL THEN x END) AS last_obs_x
+         |      FROM b GROUP BY g)
+         |SELECT a.g, a.first_obs_x, a.last_obs_x, b.v AS first_val
+         |FROM a LEFT JOIN b ON a.g = b.g AND a.first_obs_x = b.x
+         |ORDER BY a.g""".stripMargin) { (s, d) =>
+      // A8: first(value[!is.na(value)]) / max(year[!is.na(value)])
+      // (R/prepare_prewrangled_capacity_factors.R:869-873) — done via
+      // min/max-of-observed-x + join-back, which is deterministic where
+      // agg first() is not.
+      val b = nulled(s, d)
+      val a = b.groupBy("g").agg(
+        min(when(col("v").isNotNull, col("x"))).as("first_obs_x"),
+        max(when(col("v").isNotNull, col("x"))).as("last_obs_x"))
+      val bb = b.select(col("g").as("g2"), col("x").as("x2"), col("v").as("first_val"))
+      a.join(bb, a("g") === bb("g2") && a("first_obs_x") === bb("x2"), "left")
+        .select(a("g"), col("first_obs_x"), col("last_obs_x"), col("first_val"))
+        .orderBy("g")
+    },
+    Q("a9_pivot_count",
+      s"""SELECT c_nationkey,
+         |  CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS "AUTOMOBILE",
+         |  CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS BIGINT) AS "BUILDING",
+         |  CAST(COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS BIGINT) AS "FURNITURE",
+         |  CAST(COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS BIGINT) AS "HOUSEHOLD",
+         |  CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT) AS "MACHINERY"
+         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      // A9: dummy-encode + grouped count == pivot-count (R/prepare_
+      // prewrangled_financial_data_stress_test.R:144-161). Labels pinned so
+      // the plan is static (no label-discovery job at scale).
+      val p = customer(s, d).groupBy("c_nationkey").pivot("c_mktsegment", segs).count()
+      p.select(col("c_nationkey") +: segs.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("c_nationkey")
+    },
+    Q("a10_null_profile",
+      s"""WITH b AS ($nulledSql)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CASE WHEN g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na_g,
+         |       CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na_x,
+         |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na_v
+         |FROM b""".stripMargin) { (s, d) =>
+      Aggregates.nullProfile(nulled(s, d))
+    },
+    Q("a11_duplicate_keys",
+      """SELECT l_orderkey, l_partkey, CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM lineitem GROUP BY l_orderkey, l_partkey HAVING COUNT(*) > 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin) { (s, d) =>
+      Aggregates.duplicateKeys(lineitem(s, d), Seq("l_orderkey", "l_partkey"))
+        .orderBy("l_orderkey", "l_partkey")
+    },
+    Q("a12_missing_combos",
+      """SELECT nk.c_nationkey, sg.c_mktsegment
+        |FROM (SELECT DISTINCT c_nationkey FROM customer) nk
+        |CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) sg
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_nationkey = nk.c_nationkey AND c.c_mktsegment = sg.c_mktsegment)
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+      // A12: tidyr::expand + anti_join missing-combination probe
+      // (R/helpers.R:68-84).
+      Aggregates.missingCombos(customer(s, d), Seq("c_nationkey", "c_mktsegment"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // ---- W: window / ordered-group (SURVEY §2.5) -----------------------
+    Q("w1_first_in_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base_price,
+        |  (o_totalprice - first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) /
+        |   NULLIF(first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS tmsr
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      // W1: TMSR base-year ratio (R/prepare_scenario_data.R:22-29).
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = first(col("o_totalprice")).over(w)
+      orders(s, d)
+        .withColumn("base_price", base)
+        .withColumn("tmsr",
+          when(base =!= 0, (col("o_totalprice") - base) / base))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "base_price", "tmsr")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Q("w2_group_share",
+      """WITH nt AS (SELECT c_nationkey,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS nation_total
+        |  FROM customer GROUP BY c_nationkey),
+        |j AS (SELECT n.n_nationkey, n.n_regionkey, nt.nation_total
+        |      FROM nation n JOIN nt ON n.n_nationkey = nt.c_nationkey)
+        |SELECT n_nationkey, nation_total,
+        |  nation_total / NULLIF(CAST(SUM(CAST(nation_total AS DECIMAL(30,6)))
+        |    OVER (PARTITION BY n_regionkey) AS DOUBLE), 0) AS region_share
+        |FROM j ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      // W2: group total as analytic column, SMSP-style share
+      // (R/prepare_scenario_data.R:31-44).
+      val nt = customer(s, d).groupBy("c_nationkey").agg(dsum(col("c_acctbal")).as("nation_total"))
+      val j = nation(s, d).join(nt, col("n_nationkey") === col("c_nationkey"))
+      val regionTotal = dsumOver(col("nation_total"), Window.partitionBy(col("n_regionkey")))
+      j.withColumn("region_share",
+          when(regionTotal =!= 0, col("nation_total") / regionTotal))
+        .select("n_nationkey", "nation_total", "region_share").orderBy("n_nationkey")
+    },
+    Q("w3_fill_down",
+      s"""WITH b AS ($nulledSql)
+         |SELECT g, x, v,
+         |  COALESCE(v, last_value(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_filled
+         |FROM b ORDER BY g, x""".stripMargin) { (s, d) =>
+      TimeSeries.fillDown(nulled(s, d), Seq("g"), "x", "v", "v_filled").orderBy("g", "x")
+    },
+    Q("w4_na_approx",
+      s"""WITH b AS ($nulledSql),
+         |w AS (SELECT g, x, v,
+         |  last_value(CASE WHEN v IS NOT NULL THEN CAST(x AS DOUBLE) END IGNORE NULLS)
+         |    OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+         |  last_value(v IGNORE NULLS)
+         |    OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN CAST(x AS DOUBLE) END IGNORE NULLS)
+         |    OVER (PARTITION BY g ORDER BY x ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx,
+         |  first_value(v IGNORE NULLS)
+         |    OVER (PARTITION BY g ORDER BY x ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+         |  FROM b)
+         |SELECT g, x, v,
+         |  COALESCE(v, CASE WHEN px IS NOT NULL AND nx IS NOT NULL AND nx <> px
+         |    THEN pv + (nv - pv) * (CAST(x AS DOUBLE) - px) / (nx - px) END) AS v_interp
+         |FROM w ORDER BY g, x""".stripMargin) { (s, d) =>
+      // W4: zoo::na.approx — THE load-bearing custom operator (SURVEY §7.4).
+      TimeSeries.naApprox(nulled(s, d), Seq("g"), "x", "v", "v_interp").orderBy("g", "x")
+    },
+    Q("w5_row_number_id",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) || '_' || CAST(row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS asset_id
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      // W5: synthesized asset_id (R/prepare_abcd_stress_test_input.R:309-320)
+      // with a pinned deterministic order (SURVEY §7.4 pt 4).
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("asset_id",
+          concat_ws("_", col("o_custkey").cast("string"), row_number().over(w).cast("string")))
+        .select("o_custkey", "o_orderkey", "asset_id").orderBy("o_custkey", "o_orderkey")
+    },
+    Q("w6_slice_min_ties",
+      """WITH r AS (SELECT p_brand, p_partkey, p_retailprice,
+        |    rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS rk FROM part)
+        |SELECT p_brand, p_partkey, p_retailprice FROM r WHERE rk = 1
+        |ORDER BY p_brand, p_partkey""".stripMargin) { (s, d) =>
+      // W6: slice_min keeps ties -> rank, not row_number (SURVEY W6).
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+      part(s, d).withColumn("rk", rank().over(w)).filter(col("rk") === 1)
+        .select("p_brand", "p_partkey", "p_retailprice").orderBy("p_brand", "p_partkey")
+    },
+    Q("w7_group_max_ratio",
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_quantity / MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS qty_ratio
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, d) =>
+      // W7: capacity = max production per asset (run_workflow.R:149-158).
+      lineitem(s, d)
+        .withColumn("qty_ratio",
+          col("l_quantity") / max(col("l_quantity")).over(Window.partitionBy(col("l_orderkey"))))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "qty_ratio")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+    Q("w8_zero_after_last",
+      s"""WITH b AS ($nulledSql),
+         |m AS (SELECT g, x, v, MAX(CASE WHEN v IS NOT NULL THEN x END)
+         |        OVER (PARTITION BY g) AS lx FROM b)
+         |SELECT g, x, v,
+         |  CASE WHEN v IS NULL AND (lx IS NULL OR x > lx) THEN 0.0 ELSE v END AS v_zeroed
+         |FROM m ORDER BY g, x""".stripMargin) { (s, d) =>
+      // W8: trailing NA -> 0 after last observation
+      // (R/prepare_scenario_data.R:977-995).
+      TimeSeries.zeroAfterLastObs(nulled(s, d), Seq("g"), "x", "v", "v_zeroed").orderBy("g", "x")
+    },
+    Q("w9_ols_extrapolate",
+      """WITH b AS (SELECT event_type, CAST(day(ts) AS INTEGER) AS x, value FROM events),
+        |f AS (SELECT event_type,
+        |  CAST(COUNT(value) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(CAST(x AS DOUBLE) * value AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+        |  FROM b WHERE x BETWEEN 1 AND 31 AND value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+        |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+      // W9: per-group lm(y ~ x) closed form (R/prepare_price_data_long.R:
+      // 725-734) — decimal-exact sums make the fit order-independent.
+      Regression.olsFit(
+          events(s, d).withColumn("x", dayofmonth(col("ts"))),
+          Seq("event_type"), "x", "value", 1, 31)
+        .orderBy("event_type")
+    },
+    Q("w10_lag_lead",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- O: sorts / limits / top-k (SURVEY §2.6) -----------------------
+    Q("o1_multi_sort",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, d) =>
+      lineitem(s, d).select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    },
+    Q("o3_top_k_ties",
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice FROM r WHERE rk <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+      orders(s, d).withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Q("o4_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      // O4: limit over a total order (ties broken by key -> deterministic).
+      orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    // ---- U: set operations (SURVEY §2.7) -------------------------------
+    Q("u1_union_by_name",
+      """SELECT id, price, bal FROM (
+        |  SELECT o_orderkey AS id, o_totalprice AS price, NULL::DOUBLE AS bal FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey AS id, NULL::DOUBLE AS price, c_acctbal AS bal FROM customer)
+        |ORDER BY id, price NULLS FIRST, bal NULLS FIRST""".stripMargin) { (s, d) =>
+      // U1: bind_rows fills unmatched columns with NA (SURVEY U1).
+      orders(s, d).select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+        .unionByName(
+          customer(s, d).select(col("c_custkey").as("id"), col("c_acctbal").as("bal")),
+          allowMissingColumns = true)
+        .orderBy("id", "price", "bal")
+    },
+    Q("u3_except",
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      orders(s, d).select(col("o_custkey").as("custkey"))
+        .except(customer(s, d).filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    Q("u4_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+    Q("u5_relabel_slice",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'PENDING_COPY' AS o_orderstatus FROM orders WHERE o_orderstatus = 'P')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      // U5: duplicate-slice-under-new-label (R/prepare_prewrangled_
+      // capacity_factors.R:225-237, SDS cloned as NZE2050).
+      Reshape.relabelSlice(orders(s, d).select("o_orderstatus"),
+          col("o_orderstatus") === "P", "o_orderstatus", "PENDING_COPY")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n")).orderBy("o_orderstatus")
+    },
+
+    // ---- R: reshaping (SURVEY §2.8) ------------------------------------
+    Q("r1_unpivot",
+      """WITH wide AS (SELECT c_nationkey,
+        |    CAST(COUNT(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 END) AS BIGINT) AS "AUTOMOBILE",
+        |    CAST(COUNT(CASE WHEN c_mktsegment='BUILDING' THEN 1 END) AS BIGINT) AS "BUILDING",
+        |    CAST(COUNT(CASE WHEN c_mktsegment='FURNITURE' THEN 1 END) AS BIGINT) AS "FURNITURE",
+        |    CAST(COUNT(CASE WHEN c_mktsegment='HOUSEHOLD' THEN 1 END) AS BIGINT) AS "HOUSEHOLD",
+        |    CAST(COUNT(CASE WHEN c_mktsegment='MACHINERY' THEN 1 END) AS BIGINT) AS "MACHINERY"
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, segment, n FROM wide
+        |UNPIVOT (n FOR segment IN ("AUTOMOBILE","BUILDING","FURNITURE","HOUSEHOLD","MACHINERY"))
+        |ORDER BY c_nationkey, segment""".stripMargin) { (s, d) =>
+      // R1: unpivot wide -> long (R/prepare_abcd_stress_test_input.R:17-32).
+      val wide = customer(s, d).groupBy("c_nationkey").pivot("c_mktsegment", segs).count()
+      val filled = wide.select(col("c_nationkey") +: segs.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      filled.unpivot(Array(col("c_nationkey")), segs.map(col).toArray, "segment", "n")
+        .orderBy("c_nationkey", "segment")
+    },
+    Q("r2_pivot_wide",
+      """WITH l AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal) AS v
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT c_nationkey,
+        |  MAX(CASE WHEN c_mktsegment='AUTOMOBILE' THEN v END) AS "AUTOMOBILE",
+        |  MAX(CASE WHEN c_mktsegment='BUILDING' THEN v END) AS "BUILDING",
+        |  MAX(CASE WHEN c_mktsegment='FURNITURE' THEN v END) AS "FURNITURE",
+        |  MAX(CASE WHEN c_mktsegment='HOUSEHOLD' THEN v END) AS "HOUSEHOLD",
+        |  MAX(CASE WHEN c_mktsegment='MACHINERY' THEN v END) AS "MACHINERY"
+        |FROM l GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      // R2: pivot_wider with first-per-cell (R/prepare_prewrangled_capacity_
+      // factors.R:450-464): aggregate long first, then a static-label pivot.
+      val l = customer(s, d).groupBy("c_nationkey", "c_mktsegment")
+        .agg(davg(col("c_acctbal")).as("v"))
+      Reshape.pivotWide(l, Seq("c_nationkey"), "c_mktsegment", col("v"), segs)
+        .orderBy("c_nationkey")
+    },
+    Q("r4_complete_grid",
+      """SELECT k.g AS g, CAST(gs.x AS INTEGER) AS x, b.v AS v
+        |FROM (SELECT DISTINCT g FROM (SELECT g, x,
+        |        CASE WHEN pk % 3 = 0 THEN NULL ELSE q END AS v
+        |      FROM (SELECT l_orderkey AS g, l_linenumber AS x,
+        |            MAX(l_quantity) AS q, MAX(l_partkey) AS pk
+        |            FROM lineitem GROUP BY l_orderkey, l_linenumber))) k
+        |CROSS JOIN generate_series(1, 7) gs(x)
+        |LEFT JOIN (SELECT g, x, CASE WHEN pk % 3 = 0 THEN NULL ELSE q END AS v
+        |      FROM (SELECT l_orderkey AS g, l_linenumber AS x,
+        |            MAX(l_quantity) AS q, MAX(l_partkey) AS pk
+        |            FROM lineitem GROUP BY l_orderkey, l_linenumber)) b
+        |  ON b.g = k.g AND b.x = CAST(gs.x AS INTEGER)
+        |ORDER BY k.g, CAST(gs.x AS INTEGER)""".stripMargin) { (s, d) =>
+      // R4: tidyr::complete year grid (R/prepare_abcd_stress_test_input.R:
+      // 95-106) — distinct keys x sequence, left join back. Runs on the
+      // unique-keyed nulled base so completed rows are well-defined.
+      TimeSeries.completeGrid(nulled(s, d), Seq("g"), "x", 1, 7)
+        .orderBy("g", "x")
+    },
+    Q("r6_concat_cols",
+      """SELECT p_partkey, p_brand || '_' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // R6: tidyr::unite (R/prepare_prewrangled_capacity_factors.R:490-493).
+      part(s, d).withColumn("brand_type", concat_ws("_", col("p_brand"), col("p_type")))
+        .select("p_partkey", "brand_type").orderBy("p_partkey")
+    },
+    Q("r7_split_col",
+      """SELECT p_partkey, split_part(p_name, ' ', 1) AS adjective,
+        |       split_part(p_name, ' ', 2) AS noun
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // R7: tidyr::separate (R/prepare_scenario_data.R:842-843).
+      val parts = split(col("p_name"), " ")
+      part(s, d)
+        .withColumn("adjective", parts.getItem(0)).withColumn("noun", parts.getItem(1))
+        .select("p_partkey", "adjective", "noun").orderBy("p_partkey")
+    },
+    Q("r8_explode",
+      """SELECT DISTINCT c_nationkey, c_mktsegment AS segment FROM customer
+        |ORDER BY c_nationkey, segment""".stripMargin) { (s, d) =>
+      // R8: collect to list-column then unnest/explode round-trip
+      // (R/rename_geographies.R:54-57 + unnest_longer in fixtures).
+      customer(s, d).groupBy("c_nationkey").agg(collect_set(col("c_mktsegment")).as("segs"))
+        .select(col("c_nationkey"), explode(col("segs")).as("segment"))
+        .distinct().orderBy("c_nationkey", "segment")
+    },
+    Q("r9_label_fanout",
+      """SELECT r_name, model FROM region
+        |CROSS JOIN (VALUES ('GCAM'),('REMIND'),('MESSAGE')) m(model)
+        |ORDER BY r_name, model""".stripMargin) { (s, d) =>
+      // R9: scenario fan-out by label cross join
+      // (R/prepare_LCOE_adjusted_price_data.R:225-246).
+      import s.implicits._
+      region(s, d).crossJoin(Seq("GCAM", "REMIND", "MESSAGE").toDF("model"))
+        .select("r_name", "model").orderBy("r_name", "model")
+    },
+
+    // ---- F: scalar function surface (SURVEY §2.9) ----------------------
+    Q("f1_string_funcs",
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^[a-z]+') AS first_word,
+        |  upper(p_brand) AS brand_uc,
+        |  substring(p_type, 1, 3) AS type3,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS snake
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_type"), 1, 3).as("type3"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"))
+        .orderBy("p_partkey")
+    },
+    Q("f2_null_funcs",
+      s"""WITH b AS ($nulledSql)
+         |SELECT g, x, COALESCE(v, -1.0) AS v_or_default,
+         |       (v IS NULL) AS was_null
+         |FROM b ORDER BY g, x""".stripMargin) { (s, d) =>
+      nulled(s, d)
+        .withColumn("v_or_default", coalesce(col("v"), lit(-1.0)))
+        .withColumn("was_null", col("v").isNull)
+        .select("g", "x", "v_or_default", "was_null").orderBy("g", "x")
+    },
+    Q("f3_math_funcs",
+      """SELECT s_suppkey, abs(s_acctbal) AS abs_bal,
+        |  least(s_acctbal, 0.0) AS neg_part, greatest(s_acctbal, 0.0) AS pos_part,
+        |  CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+        |  CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
+        |  (s_acctbal BETWEEN 0 AND 5000) AS mid_range
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      supplier(s, d).select(
+          col("s_suppkey"), abs(col("s_acctbal")).as("abs_bal"),
+          least(col("s_acctbal"), lit(0.0)).as("neg_part"),
+          greatest(col("s_acctbal"), lit(0.0)).as("pos_part"),
+          floor(col("s_acctbal")).as("bal_floor"), ceil(col("s_acctbal")).as("bal_ceil"),
+          col("s_acctbal").between(0, 5000).as("mid_range"))
+        .orderBy("s_suppkey")
+    },
+    Q("f4_array_funcs",
+      """SELECT p_partkey, string_split(p_name, ' ') AS words,
+        |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+        |  list_contains(string_split(p_name, ' '), 'red') AS has_red
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val words = split(col("p_name"), " ")
+      part(s, d).select(
+          col("p_partkey"), words.as("words"), size(words).as("n_words"),
+          array_contains(words, "red").as("has_red"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- events: batch twin of the streaming pipeline ------------------
+    Q("ev_hourly_agg",
+      """SELECT event_type,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, hour_epoch
+        |ORDER BY event_type, hour_epoch""".stripMargin) { (s, d) =>
+      // Batch twin of graft.streaming.Events.hourlyAgg — identical logical
+      // transform applied to readStream in the streaming module.
+      events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hour_epoch"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "hour_epoch")
+    }
+  )
+}

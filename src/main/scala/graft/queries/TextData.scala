@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (builder north star: dedup, similarity search, multimodal, text
+  * analysis). Hash-sketch ops (xxhash64-based) have no DuckDB twin ->
+  * declared without oracle; the driver records a rows-only check and
+  * OpsSpec covers their semantics with planted fixtures.
+  */
+object TextData {
+
+  val queries: Seq[Q] = Seq(
+    // ---- deduplication -------------------------------------------------
+    Q("dd_exact_dedup",
+      """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents)
+        |SELECT doc_id, text_hash,
+        |  min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+        |  (doc_id <> min(doc_id) OVER (PARTITION BY text_hash)) AS is_dup
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exactDedup(documents(s, d), "doc_id", "text")
+        .select("doc_id", "text_hash", "canonical_id", "is_dup")
+        .orderBy("doc_id")
+    },
+    Q.noOracle("dd_minhash_lsh") { (s, d) =>
+      // MinHash(64) + 8-band LSH candidate pairs; xxhash64 sketches have no
+      // SQL twin. Planted near-dup coverage lives in OpsSpec.
+      Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    Q.noOracle("dd_simhash") { (s, d) =>
+      Dedup.simhashPairs(documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    Q.noOracle("dd_ngram_jaccard") { (s, d) =>
+      // exact 3-gram Jaccard verification over the LSH candidate set —
+      // the verify stage only ever touches candidates, not N².
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id_a", "id_b")
+      Dedup.ngramJaccardVerify(docs, pairs, "doc_id", "text", minJaccard = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    Q.noOracle("dd_embed_cosine") { (s, d) =>
+      Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding", minCosine = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ---------------------------------------------
+    Q.noOracle("ann_bruteforce") { (s, d) =>
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
+    },
+    Q.noOracle("ann_lsh") { (s, d) =>
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.lshTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
+    },
+
+    // ---- text analysis -------------------------------------------------
+    Q("tx_token_count",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |  CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.bpeTokenEstimate(col("n_chars")).as("est_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Q("tx_quality",
+      s"""WITH t AS (SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS nt,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |        x -> list_contains(${TextData.sqlList(TextFns.stopEn)}, x))) AS hits,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(nt AS INTEGER) AS n_tokens,
+         |    CASE WHEN nt > 0 THEN CAST(hits AS DOUBLE) / nt END AS stop_ratio,
+         |    CASE WHEN nt > 0 THEN CAST(nonws AS DOUBLE) / nt END AS avg_tok_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stop_ratio, avg_tok_len,
+         |  LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
+         |  LEAST(1.0, stop_ratio * 5.0) * 0.3 +
+         |  (CASE WHEN avg_tok_len >= 2.0 AND avg_tok_len <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+         |    AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TextFns.tokens(col("text"))
+      val nt = size(toks)
+      val hits = TextFns.dictHits(toks, TextFns.stopEn)
+      val nonws = length(regexp_replace(col("text"), "\\s", ""))
+      documents(s, d)
+        .withColumn("n_tokens", nt)
+        .withColumn("stop_ratio", when(nt > 0, hits.cast("double") / nt))
+        .withColumn("avg_tok_len", when(nt > 0, nonws.cast("double") / nt))
+        .withColumn("quality_score",
+          TextFns.qualityScore(col("n_tokens"), col("stop_ratio"), col("avg_tok_len")))
+        .select("doc_id", "n_tokens", "stop_ratio", "avg_tok_len", "quality_score")
+        .orderBy("doc_id")
+    },
+    Q("tx_langid",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, cjk,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopEn)}, x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopDe)}, x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopEs)}, x))) AS s_es,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopFr)}, x))) AS s_fr
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN cjk THEN 'zh'
+         |       WHEN s_en >= GREATEST(s_de, s_es, s_fr) THEN 'en'
+         |       WHEN s_de >= GREATEST(s_es, s_fr) THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Q.noOracle("tx_fingerprint") { (s, d) =>
+      graft.plans.Sketches.ensureRegistered(s)
+      documents(s, d)
+        .select(col("doc_id"), TextFns.fingerprint64(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal plumbing -------------------------------------------
+    Q("mm_decode_stub",
+      """WITH b AS (SELECT doc_id AS media_id, 'image' AS modality,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes FROM documents)
+        |SELECT media_id, modality, n_bytes,
+        |  n_bytes % 640 AS width,
+        |  CAST(FLOOR(n_bytes / 640.0) AS INTEGER) % 480 AS height,
+        |  CAST(FLOOR(n_bytes / 1024.0) + 1 AS INTEGER) AS n_frames
+        |FROM b ORDER BY media_id""".stripMargin) { (s, d) =>
+      // binary-column plumbing with document bytes standing in for image
+      // payloads; codec itself is stubbed (see graft.operators.Multimodal).
+      Multimodal.payloadFeatures(
+          Multimodal.asMedia(documents(s, d), "doc_id", "text", "image"))
+        .select("media_id", "modality", "n_bytes", "width", "height", "n_frames")
+        .orderBy("media_id")
+    }
+  )
+
+  /** Render a Scala string list as a DuckDB list literal. */
+  def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY §2.10)
+  * — this module is the beyond-reference extension over the `events` table:
+  * the same logical transforms run in batch (oracle-verified via the
+  * ev_hourly_agg query) and as a streaming query (watermark + windowed agg,
+  * exercised in EventsSpec with a file source).
+  */
+object Events {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet (new files are
+    * discovered per micro-batch — the local twin of a Kafka source).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window aggregation with a watermark: the streaming version
+    * of the batch ev_hourly_agg query. Late data beyond 2 hours is dropped
+    * and state for closed windows is evicted — bounded state at any scale.
+    */
+  def hourlyAggStream(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state: per-user running totals via mapGroupsWithState — the
+    * KeyValueGroupedDataset state API (SURVEY §2.10 / builder north star).
+    * State is one small record per user; timeout-based eviction would be
+    * added for unbounded key spaces.
+    */
+  def userRunningTotals(spark: SparkSession, stream: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  // appended token: shingle jaccard = 14/15 ≈ 0.93, well above the
+  // (H=64, b=8) LSH sweet spot of ~0.77 -> collision is near-certain
+  private val nearDup = base + " again"
+  private val distinct1 = "completely different content about spark query engines and shuffles"
+
+  test("exactDedup groups identical normalized text (case/whitespace-insensitive)") {
+    val df = Seq((1L, base), (2L, "  " + base.toUpperCase + " "), (3L, distinct1))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .orderBy("doc_id").select("canonical_id", "is_dup").as[(Long, Boolean)].collect()
+    assert(out.toSeq == Seq((1L, false), (1L, true), (3L, false)))
+  }
+
+  test("minhashLshPairs surfaces planted near-duplicates with high est_jaccard") {
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinct1), (4L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0) // identical text
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.6)  // near dup
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L))) // unrelated never collides fully
+  }
+
+  test("ngramJaccardVerify computes exact jaccard on candidates only") {
+    val df = Seq((1L, base), (2L, base), (3L, distinct1)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccardVerify(df, pairs, "doc_id", "text", minJaccard = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhashPairs: identical docs always share all bands") {
+    val df = Seq((1L, base), (2L, base), (3L, distinct1)).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(df, "doc_id", "text").as[(Long, Long)].collect()
+    assert(out.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup finds planted duplicate vector, cosine exact") {
+    val v = Array.tabulate(64)(i => (i + 1).toFloat / 64f)
+    val w = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f) // orthogonal-ish
+    val df = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, w.toSeq)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", minCosine = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L)
+    assert(math.abs(out.head._3 - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine and excludes the query row") {
+    val mk = (s: Double) => Array.tabulate(64)(i => (s * (i + 1)).toFloat)
+    val df = Seq((0L, mk(1.0).toSeq), (1L, mk(2.0).toSeq), // parallel -> cosine 1
+      (2L, Array.tabulate(64)(i => if (i == 0) 1f else 0f).toSeq)).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 0L, 2)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(math.abs(out.head._2 - 1.0) < 1e-12)
+  }
+
+  test("lshTopK returns the true neighbor for an identical vector") {
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((0L, v.toSeq), (1L, v.toSeq), (2L, far.toSeq)).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val out = Similarity.lshTopK(df, "vec_id", "embedding", q, 0L, 1)
+      .as[(Long, Double)].collect()
+    assert(out.length == 1 && out.head._1 == 1L && math.abs(out.head._2 - 1.0) < 1e-9)
+  }
+
+  test("langId: CJK short-circuit and stopword argmax") {
+    val df = Seq("the cat is on the mat", "der hund ist nicht da", "这是中文文本").toDF("text")
+    val out = df.select(TextFns.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "zh"))
+  }
+
+  test("fingerprint64 is stable and edit-sensitive") {
+    graft.plans.Sketches.ensureRegistered(spark)
+    val df = Seq((1L, base), (2L, base), (3L, distinct1)).toDF("id", "text")
+    val fps = df.select(TextFns.fingerprint64(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-contract smoke: entry returns rows; every catalog query runs at
+  * sf0.001 and (cheap sanity) returns a schema with at least one column.
+  */
+class EntrySpec extends SparkTestBase {
+
+  test("entry returns rows with region shares summing to 1") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val shares = df.groupBy("r_name").agg(sum("region_share").as("s"))
+      .select("s").collect().map(_.getDouble(0))
+    assert(shares.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("every catalog query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.asMedia(
+      Seq((1L, "x" * 700), (2L, "abc")).toDF("doc_id", "text"), "doc_id", "text", "image")
+
+  test("payloadFeatures derives shape plumbing from byte length") {
+    val out = Multimodal.payloadFeatures(media).orderBy("media_id")
+      .select("n_bytes", "width", "height", "n_frames").as[(Int, Int, Int, Int)].collect()
+    assert(out(0) == ((700, 60, 1, 1)))
+    assert(out(1) == ((3, 3, 0, 1)))
+  }
+
+  test("decodeStub is deterministic and keeps ids/modality") {
+    val a = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(a.forall(_.modality == "image"))
+    assert(a(0).n_bytes == 700 && a(1).n_bytes == 3)
+  }
+
+  test("sampleFrames emits one row per stride offset") {
+    val out = Multimodal.sampleFrames(media.filter(col("media_id") === 1), everyNBytes = 100)
+    assert(out.count() == 7) // offsets 0,100,...,600
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{DataChecks, Num}
+import graft.ops._
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sumOrAllNull: null only when every input is null (A6)") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", None), ("b", None), ("c", None), ("c", Some(0.0)))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(Aggregates.sumOrAllNull(col("v")).as("s"))
+      .orderBy("k").select("s").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(3.0), None, Some(0.0)))
+  }
+
+  test("allNullOrZero flags empty groups (A7)") {
+    val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(0.0))).toDF("k", "v")
+    val out = df.groupBy("k").agg(Aggregates.allNullOrZero(col("v")).as("e"))
+      .orderBy("k").select("e").as[Boolean].collect()
+    assert(out.toSeq == Seq(false, true, true))
+  }
+
+  test("median matches R stats::median (A3): odd and even group sizes") {
+    val df = Seq(("odd", 1.0), ("odd", 9.0), ("odd", 2.0),
+      ("even", 1.0), ("even", 2.0), ("even", 30.0), ("even", 4.0)).toDF("k", "v")
+    val out = df.groupBy("k").agg(Aggregates.median(col("v")).as("m"))
+      .orderBy("k").select("m").as[Double].collect()
+    assert(out.toSeq == Seq(3.0, 2.0)) // even: (2+4)/2 ; odd: middle=2
+  }
+
+  test("missingCombos finds absent key combinations (A12)") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("k", "n")
+    val out = Aggregates.missingCombos(df, Seq("k", "n")).as[(String, Int)].collect()
+    assert(out.toSeq == Seq(("b", 2)))
+  }
+
+  test("duplicateKeys reports only duplicated combos (A11)") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "n")
+    val out = Aggregates.duplicateKeys(df, Seq("k", "n")).select("k").as[String].collect()
+    assert(out.toSeq == Seq("a"))
+  }
+
+  test("marketShares: tmsr/smsp against hand-computed values (W1+W2)") {
+    // one scenario, one sector, two techs over two years
+    val df = Seq(
+      ("s", "sec", "t1", 2020, 10.0), ("s", "sec", "t1", 2021, 15.0),
+      ("s", "sec", "t2", 2020, 30.0), ("s", "sec", "t2", 2021, 25.0)).toDF("sc", "sec", "tech", "year", "v")
+    val out = Shares.addMarketShares(df, Seq("sc", "sec", "tech"), Seq("sc", "sec"), "year", "v")
+      .orderBy("tech", "year")
+      .select("tmsr", "smsp").as[(Double, Double)].collect()
+    // t1: base 10, sector base total 40 -> 2021: tmsr 0.5, smsp 5/40
+    assert(out(1) == ((0.5, 0.125)))
+    // t2: base 30 -> 2021: tmsr -5/30, smsp -5/40
+    assert(math.abs(out(3)._1 - (-5.0 / 30)) < 1e-12 && out(3)._2 == -0.125)
+  }
+
+  test("olsExtrapolate predicts missing years from the fit window (W9)") {
+    val df = Seq(("g", 1, Some(2.0)), ("g", 2, Some(4.0)), ("g", 3, Some(6.0)),
+      ("g", 4, None), ("g", 5, None)).toDF("k", "x", "y")
+    val out = Regression.olsExtrapolate(df, Seq("k"), "x", "y", 1, 3, 4, 5)
+      .orderBy("x").select("y").as[Double].collect()
+    assert(out.toSeq == Seq(2.0, 4.0, 6.0, 8.0, 10.0))
+  }
+
+  test("recodeValues maps listed values, passes others through (P14)") {
+    val df = Seq("AMERICA", "ASIA", "EUROPE").toDF("r")
+    val out = Reshape.recodeValues(df, "r", Map("AMERICA" -> "AMERICAS"))
+      .orderBy("r").as[String].collect()
+    assert(out.toSeq == Seq("AMERICAS", "ASIA", "EUROPE"))
+  }
+
+  test("unionDedup == dplyr full_join with no by (J5)") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    assert(Joins.unionDedup(Seq(a, b)).count() == 2)
+  }
+
+  test("setOverlapPairs keeps one orientation per unordered pair (J9)") {
+    val df = Seq(("g1", "i1"), ("g1", "i2"), ("g2", "i1"), ("g2", "i2"), ("g3", "i9"))
+      .toDF("g", "item")
+    val out = Joins.setOverlapPairs(df, "g", "item", 0.5)
+      .as[(String, String, Double)].collect()
+    assert(out.toSeq == Seq(("g1", "g2", 1.0)))
+  }
+
+  test("closestParentJoin: min level wins, ties kept (J10)") {
+    val child = Seq(("c1", "n1"), ("c2", "n2")).toDF("ck", "name")
+    val edges = Seq(("c1", "p1", 1), ("c1", "p2", 2), ("c2", "p3", 1), ("c2", "p4", 1))
+      .toDF("ck", "pk", "lvl")
+    val attrs = Seq(("p1", 10.0), ("p2", 20.0), ("p3", 30.0), ("p4", 40.0)).toDF("pk", "bal")
+    val out = Joins.closestParentJoin(child, edges, "ck", "pk", "lvl", attrs)
+      .orderBy("ck", "pk").select("ck", "pk", "bal").as[(String, String, Double)].collect()
+    assert(out.toSeq == Seq(("c1", "p1", 10.0), ("c2", "p3", 30.0), ("c2", "p4", 40.0)))
+  }
+
+  test("dedupKeepFirst pins the survivor deterministically (P12)") {
+    val df = Seq(("k", 2, "late"), ("k", 1, "early")).toDF("k", "ord", "tag")
+    val out = Joins.dedupKeepFirst(df, Seq("k"), Seq(col("ord"))).select("tag").as[String].collect()
+    assert(out.toSeq == Seq("early"))
+  }
+
+  test("unpivotYears extracts year ints from wide column names (R1)") {
+    val df = Seq(("c1", 1.0, 2.0)).toDF("id", "Equity Ownership 2022", "Equity Ownership 2023")
+    val out = Reshape.unpivotYears(df, Seq("id"))
+      .orderBy("year").select("year", "value").as[(Int, Double)].collect()
+    assert(out.toSeq == Seq((2022, 1.0), (2023, 2.0)))
+  }
+
+  test("relabelSlice clones the matching slice under the new label (U5)") {
+    val df = Seq(("SDS", 1.0), ("APS", 2.0)).toDF("scenario", "v")
+    val out = Reshape.relabelSlice(df, col("scenario") === "SDS", "scenario", "NZE2050")
+    assert(out.count() == 3)
+    assert(out.filter(col("scenario") === "NZE2050").count() == 1)
+  }
+
+  test("DataChecks: bounds + uniqueness + no-null fail fast") {
+    val ok = Seq((1, 0.5), (2, 0.9)).toDF("id", "cf")
+    DataChecks.assertBetween(ok, "cf", 0, 1)
+    DataChecks.assertUniqueKeys(ok, Seq("id"))
+    DataChecks.assertNoNull(ok, Seq("cf"))
+    val bad = Seq((1, 1.5)).toDF("id", "cf")
+    intercept[DataChecks.CheckFailed] { DataChecks.assertBetween(bad, "cf", 0, 1) }
+    val dup = Seq((1, 0.1), (1, 0.2)).toDF("id", "cf")
+    intercept[DataChecks.CheckFailed] { DataChecks.assertUniqueKeys(dup, Seq("id")) }
+  }
+
+  test("Num.dsum is exact for decimal-representable inputs") {
+    val df = Seq(0.1, 0.2, 0.3).toDF("v")
+    val out = df.agg(Num.dsum(col("v"))).as[Double].head()
+    assert(out == 0.6) // plain double sum would give 0.6000000000000001
+  }
+}

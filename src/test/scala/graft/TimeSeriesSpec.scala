@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+
+/** W4/W3/R4/W8 edge cases from SURVEY §7.4: leading/trailing nulls stay
+  * null (na.rm=FALSE), single observation, exact-year hits, grid
+  * completion.
+  */
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(rows: (String, Int, java.lang.Double)*) =
+    rows.toDF("k", "x", "v")
+
+  test("naApprox interpolates interior nulls linearly") {
+    val df = ts(("a", 2020, 10.0), ("a", 2021, null), ("a", 2022, null), ("a", 2023, 40.0))
+    val out = TimeSeries.naApprox(df, Seq("k"), "x", "v", "vi")
+      .orderBy("x").select("vi").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0)))
+  }
+
+  test("naApprox leaves leading/trailing nulls (na.rm=FALSE semantics)") {
+    val df = ts(("a", 1, null), ("a", 2, 4.0), ("a", 3, null), ("a", 4, 8.0), ("a", 5, null))
+    val out = TimeSeries.naApprox(df, Seq("k"), "x", "v", "vi")
+      .orderBy("x").select("vi").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, Some(4.0), Some(6.0), Some(8.0), None))
+  }
+
+  test("naApprox with a single observation keeps it and fills nothing") {
+    val df = ts(("a", 1, null), ("a", 2, 5.0), ("a", 3, null))
+    val out = TimeSeries.naApprox(df, Seq("k"), "x", "v", "vi")
+      .orderBy("x").select("vi").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, Some(5.0), None))
+  }
+
+  test("naApprox does not leak across groups") {
+    val df = ts(("a", 1, 1.0), ("a", 2, null), ("a", 3, 3.0),
+      ("b", 1, 100.0), ("b", 2, null), ("b", 3, 300.0))
+    val out = TimeSeries.naApprox(df, Seq("k"), "x", "v", "vi")
+      .orderBy("k", "x").select("vi").as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 2.0, 3.0, 100.0, 200.0, 300.0))
+  }
+
+  test("fillDown carries last observation forward, fillUp backward") {
+    val df = ts(("a", 1, null), ("a", 2, 7.0), ("a", 3, null), ("a", 4, null))
+    val down = TimeSeries.fillDown(df, Seq("k"), "x", "v", "o")
+      .orderBy("x").select("o").as[Option[Double]].collect()
+    assert(down.toSeq == Seq(None, Some(7.0), Some(7.0), Some(7.0)))
+    val up = TimeSeries.fillUp(df, Seq("k"), "x", "v", "o")
+      .orderBy("x").select("o").as[Option[Double]].collect()
+    assert(up.toSeq == Seq(Some(7.0), Some(7.0), None, None))
+  }
+
+  test("completeGrid adds missing grid rows with null values") {
+    val df = ts(("a", 2020, 1.0), ("a", 2023, 4.0))
+    val out = TimeSeries.completeGrid(df.select("k", "x", "v"), Seq("k"), "x", 2020, 2023)
+    assert(out.count() == 4)
+    assert(out.filter(col("v").isNull).count() == 2)
+  }
+
+  test("completeGridLocal completes per-group min..max (full_seq)") {
+    val df = ts(("a", 1, 1.0), ("a", 3, 3.0), ("b", 10, 1.0), ("b", 11, 2.0))
+    val out = TimeSeries.completeGridLocal(df.select("k", "x", "v"), Seq("k"), "x")
+    assert(out.count() == 5) // a: 1,2,3 ; b: 10,11
+  }
+
+  test("zeroAfterLastObs zeroes only trailing nulls") {
+    val df = ts(("a", 1, null), ("a", 2, 5.0), ("a", 3, null), ("a", 4, null))
+    val out = TimeSeries.zeroAfterLastObs(df, Seq("k"), "x", "v", "o")
+      .orderBy("x").select("o").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, Some(5.0), Some(0.0), Some(0.0)))
+  }
+
+  test("interpolation pipeline: completeGrid then naApprox (the reference chain)") {
+    // reference chain R4 -> W4 (R/prepare_prewrangled_capacity_factors.R:113-135)
+    val df = ts(("a", 2020, 10.0), ("a", 2022, 30.0))
+    val out = TimeSeries.naApprox(
+        TimeSeries.completeGrid(df.select("k", "x", "v"), Seq("k"), "x", 2020, 2022),
+        Seq("k"), "x", "v", "vi")
+      .orderBy("x").select("vi").as[Double].collect()
+    assert(out.toSeq == Seq(10.0, 20.0, 30.0))
+  }
+}
