@@ -754,6 +754,29 @@ object Relational {
       Reshape.pivotWide(l, Seq("c_nationkey"), "c_mktsegment", col("v"), segs)
         .orderBy("c_nationkey")
     },
+    Q("r3_choose_best_value",
+      """WITH sa AS (SELECT c_mktsegment,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey,
+        |  COALESCE(CASE WHEN c_acctbal > 0 THEN c_acctbal END, sa.avg_bal) AS final_bal,
+        |  CASE WHEN c_acctbal > 0 THEN 'eikon' ELSE 'segment_avg' END AS provenance
+        |FROM customer JOIN sa ON customer.c_mktsegment = sa.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // R3: the reference pivots eikon/avg columns long, picks the best,
+      // and pivots back (R/prepare_prewrangled_financial_data_stress_test.
+      // R:348-441, 94 LoC); in Spark the same result is one coalesce plus
+      // a provenance label — no reshape, no shuffle beyond the tiny
+      // broadcast of the averages.
+      val c = customer(s, d)
+      val segAvg = c.groupBy("c_mktsegment").agg(davg(col("c_acctbal")).as("avg_bal"))
+      val eikon = when(col("c_acctbal") > 0, col("c_acctbal"))
+      c.join(broadcast(segAvg), "c_mktsegment")
+        .withColumn("final_bal", coalesce(eikon, col("avg_bal")))
+        .withColumn("provenance", when(eikon.isNotNull, "eikon").otherwise("segment_avg"))
+        .select("c_custkey", "final_bal", "provenance")
+        .orderBy("c_custkey")
+    },
     Q("r4_complete_grid",
       """SELECT k.g AS g, CAST(gs.x AS INTEGER) AS x, b.v AS v
         |FROM (SELECT DISTINCT g FROM (SELECT g, x,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.TimeSeries
+
+/** Physical-plan audits: these encode the at-scale requirements (filter
+  * pushdown reaching the parquet scan, column pruning, broadcast joins for
+  * dims, exchange reuse across window chains) so a regression that would
+  * only show up as a 100 TB slowdown fails a unit test instead.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("projection is pruned to the parquet ReadSchema (S1)") {
+    val p = plan(SparkEntry.queries("s1_scan_prune")(spark, sfDir))
+    assert(p.contains("ReadSchema"))
+    assert(p.contains("o_orderkey") && p.contains("o_totalprice"))
+    assert(!p.contains("o_orderdate"), "unused columns must not be read")
+  }
+
+  test("filters are pushed down to the scan (P5)") {
+    val df = Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 45)
+      .select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"expected pushed filter in:\n$p")
+  }
+
+  test("dimension joins broadcast (J2 / entry)") {
+    assert(plan(SparkEntry.queries("j2_left_join")(spark, sfDir)).contains("BroadcastHashJoin"))
+    assert(plan(SparkEntry.entry(spark)).contains("BroadcastHashJoin"))
+  }
+
+  test("window chain over one partitioning shuffles once (W4)") {
+    // naApprox uses two frames (backward + forward) over the same keys —
+    // must not introduce a second exchange for the second frame.
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("g"), col("l_linenumber").as("x"), col("l_quantity").as("v"))
+    val p = plan(TimeSeries.naApprox(base, Seq("g"), "x", "v", "vi"))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected a single shuffle, got $exchanges in:\n$p")
+  }
+
+  test("fillDown after naApprox reuses the same exchange (pipeline chain)") {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("g"), col("l_linenumber").as("x"), col("l_quantity").as("v"))
+    val chained = TimeSeries.fillDown(
+      TimeSeries.naApprox(base, Seq("g"), "x", "v", "vi"), Seq("g"), "x", "vi", "vf")
+    val exchanges = "Exchange".r.findAllIn(plan(chained)).size
+    assert(exchanges == 1, s"W4 -> W3 chain must share one shuffle, got $exchanges")
+  }
+
+  test("completeGrid join is co-partitioned on the window keys (R4)") {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("g"), col("l_linenumber").as("x"), col("l_quantity").as("v"))
+    val completed = TimeSeries.completeGrid(base, Seq("g"), "x", 1, 7)
+    // grid join output feeds naApprox without an extra shuffle on g
+    val p = plan(TimeSeries.naApprox(completed, Seq("g"), "x", "v", "vi"))
+    assert(p.contains("Window"), p)
+  }
+}
