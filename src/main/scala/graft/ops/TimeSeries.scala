@@ -37,7 +37,9 @@ object TimeSeries {
       .select(keys.map(col): _*)
       .distinct()
       .withColumn(x, explode(sequence(lit(lo), lit(hi))))
-    grid.join(df, keys :+ x, "left")
+    // full outer, like tidyr::complete: grid rows fill with nulls AND
+    // original rows outside [lo, hi] survive
+    grid.join(df, keys :+ x, "outer")
   }
 
   /** R4 variant: per-group full_seq(min(x)..max(x)) like tidyr::full_seq
