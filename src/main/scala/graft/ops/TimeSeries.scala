@@ -54,6 +54,20 @@ object TimeSeries {
     grid.join(df, keys :+ x, "left")
   }
 
+  /** R4 variant: complete every key combo over the GLOBAL [min(x), max(x)]
+    * range (reference tidyr::complete(year = seq(min_year, max_year), ...),
+    * R/prepare_price_data_long.R:197-210). The range is a lazy 1-row
+    * aggregate broadcast onto the distinct keys — no driver collect.
+    */
+  def completeGridGlobalRange(df: DataFrame, keys: Seq[String], x: String): DataFrame = {
+    val mm = df.agg(min(col(x)).as("__lo"), max(col(x)).as("__hi"))
+    val grid = df.select(keys.map(col): _*).distinct()
+      .crossJoin(broadcast(mm))
+      .withColumn(x, explode(sequence(col("__lo"), col("__hi"))))
+      .drop("__lo", "__hi")
+    grid.join(df, keys :+ x, "outer")
+  }
+
   /** W4: zoo::na.approx with na.rm=FALSE semantics — linear interpolation of
     * interior nulls along `x` within each key group; leading/trailing nulls
     * stay null (reference R/prepare_scenario_data.R:11-20 uses na.rm=FALSE;
