@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // R-parity: IEEE division (0/0 -> NaN, x/0 -> Inf) like the reference,
+      // not ANSI errors (Spark 4 defaults ANSI on)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

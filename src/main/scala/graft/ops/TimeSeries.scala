@@ -39,7 +39,22 @@ object TimeSeries {
       .withColumn(x, explode(sequence(lit(lo), lit(hi))))
     // full outer, like tidyr::complete: grid rows fill with nulls AND
     // original rows outside [lo, hi] survive
-    grid.join(df, keys :+ x, "outer")
+    joinGridNullSafe(grid, df, keys :+ x)
+  }
+
+  /** tidyr::complete matches NA grouping keys to each other (R NA == NA in
+    * joins by default); Spark's equi-join drops null keys, which would
+    * duplicate every null-keyed group (one grid row + one unmatched
+    * original). Null-safe equality restores the reference semantics.
+    */
+  private def joinGridNullSafe(grid: DataFrame, df: DataFrame, keys: Seq[String]): DataFrame = {
+    // rename the grid side: grid derives from df, so joining on df(k) vs
+    // grid(k) directly would be an ambiguous self-join
+    val g = keys.foldLeft(grid)((d, k) => d.withColumnRenamed(k, s"__g_$k"))
+    val cond = keys.map(k => col(s"__g_$k") <=> col(k)).reduce(_ && _)
+    val keyCols = keys.map(k => coalesce(col(s"__g_$k"), col(k)).as(k))
+    val valueCols = df.columns.filterNot(keys.contains).map(col)
+    g.join(df, cond, "outer").select(keyCols ++ valueCols: _*)
   }
 
   /** R4 variant: per-group full_seq(min(x)..max(x)) like tidyr::full_seq
@@ -51,7 +66,7 @@ object TimeSeries {
       .agg(min(col(x)).as("__lo"), max(col(x)).as("__hi"))
       .withColumn(x, explode(sequence(col("__lo"), col("__hi"))))
       .drop("__lo", "__hi")
-    grid.join(df, keys :+ x, "left")
+    joinGridNullSafe(grid, df, keys :+ x)
   }
 
   /** R4 variant: complete every key combo over the GLOBAL [min(x), max(x)]
@@ -65,7 +80,7 @@ object TimeSeries {
       .crossJoin(broadcast(mm))
       .withColumn(x, explode(sequence(col("__lo"), col("__hi"))))
       .drop("__lo", "__hi")
-    grid.join(df, keys :+ x, "outer")
+    joinGridNullSafe(grid, df, keys :+ x)
   }
 
   /** W4: zoo::na.approx with na.rm=FALSE semantics — linear interpolation of

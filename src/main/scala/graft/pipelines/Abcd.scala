@@ -121,9 +121,8 @@ object Abcd {
     val emptyKeys = groupAllExcept(abcd, Seq("year", "ald_production", "emissions_factor"))(
       Seq(Aggregates.allNullOrZero(col("ald_production")).as("__empty")))
       .filter(col("__empty")).drop("__empty")
-    abcd = abcd.join(emptyKeys,
-      abcd.columns.filterNot(Seq("year", "ald_production", "emissions_factor").contains).toSeq,
-      "left_anti")
+    abcd = graft.ops.Joins.antiJoinNullSafe(abcd, emptyKeys,
+      abcd.columns.filterNot(Seq("year", "ald_production", "emissions_factor").contains).toSeq)
 
     abcd = abcd
       .withColumnRenamed("ald_production", "plan_tech_prod")

@@ -1,7 +1,8 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.DataChecks
 import graft.ops.{Shares, TimeSeries}
 
 /** Scenario-data helpers — Spark re-expression of the exported reference
@@ -30,5 +31,129 @@ object ScenarioData {
       techKeys = fsGroups :+ "technology",
       sectorKeys = fsGroups,
       x = "year", v = "value")
+  }
+
+  /** The P4I/P4B sector-technology lookup (reference R/lookup.R:4-33) —
+    * an in-code literal table (S7), broadcast wherever joined.
+    */
+  def sectorTechnologyLookup(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("automotive", "electric", "Automotive", "Electric"),
+      ("automotive", "hybrid", "Automotive", "Hybrid"),
+      ("automotive", "ice", "Automotive", "ICE"),
+      ("coal", "coal", "Coal", "Coal"),
+      ("oil and gas", "gas", "Oil&Gas", "Gas"),
+      ("oil and gas", "oil", "Oil&Gas", "Oil"),
+      ("power", "coalcap", "Power", "CoalCap"),
+      ("power", "gascap", "Power", "GasCap"),
+      ("power", "hydrocap", "Power", "HydroCap"),
+      ("power", "nuclearcap", "Power", "NuclearCap"),
+      ("power", "oilcap", "Power", "OilCap"),
+      ("power", "renewablescap", "Power", "RenewablesCap"),
+      ("aviation", "freight", "Aviation", "Freight"),
+      ("aviation", "passenger", "Aviation", "Passenger"),
+      ("cement", "grinding", "Cement", "Grinding"),
+      ("cement", "integrated facility", "Cement", "Integrated facility"),
+      ("steel", "ac-electric arc furnace", "Steel", "Ac-Electric Arc Furnace"),
+      ("steel", "bof shop", "Steel", "Bof Shop"),
+      ("steel", "dc-electric arc furnace", "Steel", "Dc-Electric Arc Furnace"),
+      ("steel", "open hearth meltshop", "Steel", "Open Hearth Meltshop")
+    ).toDF("sector_p4b", "technology_p4b", "sector_p4i", "technology_p4i")
+  }
+
+  /** reference R/helpers.R:110-155 remove_incomplete_sectors: within each
+    * (scenario, scenario_geography), a sector is kept only when EVERY
+    * technology the lookup expects for it is present. The reference loops
+    * group-by-group on the driver; here it is one aggregation + anti-join.
+    */
+  def removeIncompleteSectors(data: DataFrame): DataFrame = {
+    val lookup = sectorTechnologyLookup(data.sparkSession)
+    val expected = lookup.groupBy(col("sector_p4i").as("ald_sector"))
+      .agg(countDistinct(col("technology_p4i")).as("__n_expected"))
+    val present = data.select("scenario", "scenario_geography", "ald_sector", "technology")
+      .distinct()
+      .join(broadcast(lookup),
+        col("ald_sector") === col("sector_p4i") && col("technology") === col("technology_p4i"),
+        "left_semi")
+      .groupBy("scenario", "scenario_geography", "ald_sector")
+      .agg(countDistinct(col("technology")).as("__n_present"))
+    val incomplete = data.select("scenario", "scenario_geography", "ald_sector").distinct()
+      .join(broadcast(expected), Seq("ald_sector"), "left")
+      .join(present, Seq("scenario", "scenario_geography", "ald_sector"), "left")
+      .filter(col("__n_expected").isNotNull &&
+        coalesce(col("__n_present"), lit(0L)) < col("__n_expected"))
+      .select("scenario", "scenario_geography", "ald_sector")
+    data.join(incomplete, Seq("scenario", "scenario_geography", "ald_sector"), "left_anti")
+  }
+
+  /** reference R/prepare_scenario_data.R:123-163 format_p4i: directions
+    * from the green-tech list, fair-share percentage = tmsr for declining,
+    * smsp for increasing technologies.
+    */
+  def formatP4i(data: DataFrame, greenTechs: Seq[String]): DataFrame = {
+    DataChecks.requireColumns(data, Seq("source", "scenario", "scenario_geography", "sector",
+      "technology", "indicator", "units", "year", "tmsr", "smsp"))
+    data
+      .withColumn("Sub_Technology", lit(null).cast("string"))
+      .withColumn("Direction",
+        when(col("technology").isin(greenTechs: _*), "increasing").otherwise("declining"))
+      .withColumn("FairSharePerc",
+        when(col("Direction") === "declining", col("tmsr")).otherwise(col("smsp")))
+      .select(
+        col("source").as("Source"), col("scenario_geography").as("ScenarioGeography"),
+        col("scenario").as("Scenario"), col("sector").as("Sector"),
+        col("technology").as("Technology"), col("Sub_Technology"),
+        col("indicator").as("Indicator"), col("units").as("Units"), col("year").as("Year"),
+        col("value").as("scenario_pathway"), col("tmsr").as("techFSRatio"),
+        col("smsp").as("mktFSRatio"), col("Direction"), col("FairSharePerc"))
+  }
+
+  /** reference R/prepare_scenario_data.R:173-256 prepare_scenario_data:
+    * per-source indicator filters, renewables sub-technology rule, renames,
+    * scenario prefixing, NA-perimeter removal, sector completeness.
+    */
+  def prepareScenarioData(data: DataFrame): DataFrame = {
+    DataChecks.requireColumns(data, Seq("Source", "Technology", "ScenarioGeography", "Sector",
+      "Units", "Indicator", "Scenario", "Sub_Technology", "Year", "Direction", "mktFSRatio",
+      "techFSRatio", "FairSharePerc"))
+    var d = data
+      .filter(
+        (col("Source").rlike("WEO2021") &&
+          col("Indicator").isin("Capacity", "Energy Supply", "Production", "Sales")) ||
+        (col("Source").rlike("GECO2021") &&
+          col("Indicator").isin("Capacity", "Production", "Sales")))
+      .filter(!(col("Source").rlike("GECO2021") && col("Sector") =!= "Automotive"))
+      .filter(!(col("Technology") === "RenewablesCap" && col("Sub_Technology").isNotNull))
+      .drop("Sub_Technology", "Indicator", "mktFSRatio", "techFSRatio")
+      .withColumnRenamed("Source", "scenario_source")
+      .withColumnRenamed("ScenarioGeography", "scenario_geography")
+      .withColumnRenamed("Scenario", "scenario")
+      .withColumnRenamed("Sector", "ald_sector")
+      .withColumnRenamed("Units", "units")
+      .withColumnRenamed("Technology", "technology")
+      .withColumnRenamed("Year", "year")
+      .withColumnRenamed("Direction", "direction")
+      .withColumnRenamed("FairSharePerc", "fair_share_perc")
+      .withColumn("scenario", concat_ws("_", col("scenario_source"), col("scenario")))
+      .distinct()
+
+    // reference :227-242 — drop (source, geography, sector) perimeters with
+    // NA in any column for the operative scenarios
+    val operative = Seq("WEO2021_STEPS", "WEO2021_SDS", "WEO2021_NZE_2050", "WEO2021_APS",
+      "WEO2020_SPS", "GECO2021_CurPol", "GECO2021_1.5C-Unif", "GECO2021_NDC-LTS")
+    val naGeos = d
+      .filter(col("scenario").isin(operative: _*))
+      .filter(d.columns.map(col(_).isNull).reduce(_ || _))
+      .select("scenario_source", "scenario_geography", "ald_sector")
+      .distinct()
+    d = d.join(naGeos, Seq("scenario_source", "scenario_geography", "ald_sector"), "left_anti")
+
+    // reference :246-252 — supported sectors only, then completeness
+    val supportedSectors = sectorTechnologyLookup(d.sparkSession)
+      .select(col("sector_p4i").as("ald_sector")).distinct()
+    d = d.join(broadcast(supportedSectors), Seq("ald_sector"), "left_semi")
+    d = removeIncompleteSectors(d)
+    d.drop("scenario_source")
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.ScenarioData
+
+class ScenarioSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("formatP4i: direction from green techs, fair share = tmsr/smsp by direction") {
+    val df = Seq(
+      ("WEO2021", "SDS", "Global", "Power", "RenewablesCap", "Capacity", "GW", 2025, 5.0, 0.5, 0.1),
+      ("WEO2021", "SDS", "Global", "Power", "CoalCap", "Capacity", "GW", 2025, 3.0, -0.3, -0.05))
+      .toDF("source", "scenario", "scenario_geography", "sector", "technology", "indicator",
+        "units", "year", "value", "tmsr", "smsp")
+    val out = ScenarioData.formatP4i(df, greenTechs = Seq("RenewablesCap", "HydroCap"))
+      .orderBy("Technology").collect()
+    assert(out(0).getAs[String]("Direction") == "declining") // CoalCap
+    assert(out(0).getAs[Double]("FairSharePerc") == -0.3)    // tmsr
+    assert(out(1).getAs[String]("Direction") == "increasing")
+    assert(out(1).getAs[Double]("FairSharePerc") == 0.1)     // smsp
+    assert(out(0).getAs[Double]("scenario_pathway") == 3.0)
+  }
+
+  private def p4iRow(source: String, scenario: String, geo: String, sector: String,
+      tech: String, indicator: String, year: Int, fsp: java.lang.Double) =
+    (source, geo, scenario, sector, tech, null: String, indicator, "GW", year,
+      1.0, 0.1, 0.2, "increasing", fsp)
+
+  private val powerTechs = Seq("CoalCap", "GasCap", "HydroCap", "NuclearCap", "OilCap", "RenewablesCap")
+
+  test("prepareScenarioData: indicator filters, prefixing, NA perimeter removal, completeness") {
+    val complete = powerTechs.map(t =>
+      p4iRow("WEO2021", "SDS", "Global", "Power", t, "Capacity", 2025, 0.5))
+    // geography with an NA fair share on an operative scenario -> dropped
+    val naGeo = powerTechs.map(t =>
+      p4iRow("WEO2021", "SDS", "EU", "Power", t, "Capacity", 2025, null))
+    // incomplete sector: only one of six power technologies
+    val incomplete = Seq(p4iRow("WEO2021", "SDS", "Asia", "Power", "CoalCap", "Capacity", 2025, 0.5))
+    // wrong indicator for WEO -> filtered
+    val wrongInd = Seq(p4iRow("WEO2021", "SDS", "Global", "Power", "CoalCap", "Emissions", 2025, 0.5))
+    val df = (complete ++ naGeo ++ incomplete ++ wrongInd)
+      .toDF("Source", "ScenarioGeography", "Scenario", "Sector", "Technology", "Sub_Technology",
+        "Indicator", "Units", "Year", "value", "techFSRatio", "mktFSRatio", "Direction",
+        "FairSharePerc")
+    val out = ScenarioData.prepareScenarioData(df)
+    val geos = out.select("scenario_geography").distinct().as[String].collect().toSet
+    assert(geos == Set("Global"))
+    assert(out.count() == 6)
+    assert(out.select("scenario").distinct().as[String].head() == "WEO2021_SDS")
+    assert(!out.columns.contains("scenario_source"))
+  }
+
+  test("removeIncompleteSectors keeps only fully-covered sectors per perimeter") {
+    val rows = powerTechs.map(t => ("S1", "Global", "Power", t)) ++
+      Seq(("S1", "EU", "Power", "CoalCap"), // incomplete power
+        ("S1", "Global", "Coal", "Coal"))   // complete (1 tech expected)
+    val df = rows.toDF("scenario", "scenario_geography", "ald_sector", "technology")
+    val out = ScenarioData.removeIncompleteSectors(df)
+    assert(out.filter(col("scenario_geography") === "EU").count() == 0)
+    assert(out.filter(col("ald_sector") === "Coal").count() == 1)
+    assert(out.filter(col("scenario_geography") === "Global" && col("ald_sector") === "Power")
+      .count() == 6)
+  }
+}

@@ -19,6 +19,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // R-parity: IEEE division (0/0 -> NaN, x/0 -> Inf) like the reference,
+      // not ANSI errors (Spark 4 defaults ANSI on)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
