@@ -127,6 +127,18 @@ object Financial {
     all
   }
 
+  /** run_prepare_prewrangled_financial_data_stress_test.R:11-18 — attach
+    * company ids to per-ISIN eikon rows (inner join: unmatched ISINs drop).
+    */
+  def attachCompanyIds(eikon: DataFrame, ids: DataFrame): DataFrame =
+    eikon.join(ids.select("isin", "company_id").distinct(), Seq("isin"))
+
+  /** run script :56-58 — keep only companies present in the abcd output
+    * (J7 semi join).
+    */
+  def restrictToAbcdCompanies(financial: DataFrame, abcd: DataFrame): DataFrame =
+    financial.join(abcd.select("company_id").distinct(), Seq("company_id"), "left_semi")
+
   def prepareFinancialData(
       spark: SparkSession,
       financialData: DataFrame,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.RunWorkflow
+
+/** Whole-workflow smoke on synthetic + fixture inputs: all five outputs
+  * materialize and satisfy their contracts in one run.
+  */
+class RunWorkflowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ngfsWide = {
+    val base = Seq(("NGFS", "NZ2050", "World", "Price|Carbon", "US$2010/t CO2"))
+      .toDF("Model", "Scenario", "Region", "Variable", "Unit")
+    (2015 to 2100 by 5).zipWithIndex.foldLeft(base) { case (d, (y, i)) =>
+      d.withColumn(y.toString, lit(5.0 * i))
+    }
+  }
+
+  private def weoWide = Seq(
+    ("WEO2020", "Capacity", "Power", "GW", "SDS", "World", "Coal", null: String, 100.0, 100.0),
+    ("WEO2020", "Generation", "Power", "TWh", "SDS", "World", "Coal", null: String, 438.0, 613.2))
+    .toDF("Source", "Indicator", "Sector", "Units", "Scenario", "ScenarioGeography",
+      "Technology", "Sub_Technology", "2021", "2040")
+
+  private def fossilWide = Seq(
+    ("WEO2021", "Crude oil", "usd/barrel", "Global", "SDS", 100.0, 50.0))
+    .toDF("source", "sector", "unit", "scenario_geography", "scenario", "2020", "2030")
+
+  private def powerWide = Seq(
+    ("WEO2021", "SDS", "EU", "Gas CCGT", "LCOE", "usd/MWh", 70.0, 50.0))
+    .toDF("source", "scenario", "region", "technology", "indicator", "unit", "2020", "2030")
+
+  test("run: all five outputs materialize with their invariants") {
+    val activities = SyntheticData.companyActivities(spark, nCompanies = 20)
+    val out = RunWorkflow.run(spark, RunWorkflow.Inputs(
+      ngfsCarbonPriceWide = ngfsWide,
+      weoCapacityFactorsWide = weoWide,
+      fossilFuelPricesWide = fossilWide,
+      powerLcoeWide = powerWide,
+      companyActivities = activities,
+      companyEmissions = SyntheticData.companyEmissions(spark, nCompanies = 20),
+      eikonFinancials = SyntheticData.eikonFinancials(spark, nCompanies = 20),
+      companyIds = None,
+      ownershipTree = Some(SyntheticData.ownershipTree(spark, nCompanies = 20)),
+      startYear = 2022, timeHorizon = 5))
+
+    assert(out.carbonPrice.count() > 0)
+    assert(out.capacityFactors.filter(col("capacity_factor") < 0 ||
+      col("capacity_factor") > 1).count() == 0)
+    assert(out.prices.filter(col("price").isNull || col("price") < 0).count() == 0)
+    assert(out.abcd.count() > 0)
+    // financial output restricted to abcd companies, nothing null
+    val abcdCompanies = out.abcd.select("company_id").distinct().count()
+    assert(out.financial.count() == abcdCompanies)
+    assert(out.financial.filter(col("pd").isNull).count() == 0)
+  }
+}
