@@ -96,8 +96,13 @@ object Dedup {
       text: String,
       shingleSize: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select(col(id),
-      array_distinct(TextFns.wordShingles(TextFns.tokens(col(text)), shingleSize)).as("__sh"))
+    // compute shingle arrays only for docs that appear in a candidate pair
+    // — the expensive HOF projection runs on the candidate subset, not N
+    val candidateIds = pairs.select(col("id_a").as(id))
+      .union(pairs.select(col("id_b").as(id))).distinct()
+    val sh = df.join(candidateIds, Seq(id), "left_semi")
+      .select(col(id),
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col(text)), shingleSize)).as("__sh"))
     val a = sh.select(col(id).as("id_a"), col("__sh").as("sh_a"))
     val b = sh.select(col(id).as("id_b"), col("__sh").as("sh_b"))
     pairs
