@@ -112,6 +112,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Collapse candidate duplicate PAIRS into clusters: every document gets
+    * the minimum reachable id as `canonical_id` (connected components by
+    * label propagation). Bounded iterative joins with localCheckpoint to
+    * cut lineage — the standard scale pattern when GraphX is unavailable
+    * or overkill; duplicate chains in web corpora are shallow, so
+    * `maxIter` label hops converge in practice (convergence is checked,
+    * not assumed).
+    */
+  def canonicalize(
+      ids: DataFrame,
+      pairs: DataFrame,
+      id: String,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col(id), col(id).as("canonical_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed(id, "src")
+          .withColumnRenamed("canonical_id", "neighbor_label"), Seq("src"))
+        .select(col("dst").as(id), col("neighbor_label").as("canonical_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col(id)).agg(min(col("canonical_id")).as("canonical_id"))
+        .localCheckpoint()
+      val changed = next.withColumnRenamed("canonical_id", "new_label")
+        .join(labels, Seq(id))
+        .filter(col("new_label") =!= col("canonical_id")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumn("is_dup", col(id) =!= col("canonical_id"))
+  }
+
   /** Embedding near-duplicate pairs: sign-bit LSH blocks, then exact cosine
     * inside each block — never an all-pairs crossJoin.
     */

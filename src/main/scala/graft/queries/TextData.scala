@@ -43,6 +43,15 @@ object TextData {
       Dedup.ngramJaccardVerify(docs, pairs, "doc_id", "text", minJaccard = 0.3)
         .orderBy("id_a", "id_b")
     },
+    Q.noOracle("dd_canonicalize") { (s, d) =>
+      // full dedup decision: LSH candidates filtered by estimated jaccard,
+      // then connected-component canonical ids over the whole corpus
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.7)
+      Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id")
+        .orderBy("doc_id")
+    },
     Q.noOracle("dd_embed_cosine") { (s, d) =>
       Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding", minCosine = 0.9)
         .orderBy("id_a", "id_b")

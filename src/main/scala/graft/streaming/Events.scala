@@ -41,6 +41,60 @@ object Events {
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, totalValue: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Sessionization with flatMapGroupsWithState + event-time timeout:
+    * events closer than `gapMinutes` belong to one session; a session
+    * closes when a larger gap arrives in-batch or when the watermark
+    * passes last_event + gap (timeout path). State is one small record
+    * per open session; eviction is driven by the watermark, so state
+    * stays bounded under any key cardinality.
+    */
+  def sessionize(spark: SparkSession, stream: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    stream
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState): Session =
+            Session(uid, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+              s.n, s.totalValue)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  current = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed += toSession(s)
+                  current = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Custom state: per-user running totals via mapGroupsWithState — the
     * KeyValueGroupedDataset state API (SURVEY §2.10 / builder north star).

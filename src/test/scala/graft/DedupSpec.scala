@@ -45,6 +45,16 @@ class DedupSpec extends SparkTestBase {
     assert(out.contains((1L, 2L)))
   }
 
+  test("canonicalize propagates min id across duplicate chains") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // chain 1-2, 2-3 and isolated pair 4-5: clusters {1,2,3} and {4,5}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(ids, pairs, "doc_id")
+      .orderBy("doc_id").select("canonical_id", "is_dup").as[(Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 1L, 1L, 4L, 4L))
+    assert(out.map(_._2).toSeq == Seq(false, true, true, false, true))
+  }
+
   test("embedding near-dup finds planted duplicate vector, cosine exact") {
     val v = Array.tabulate(64)(i => (i + 1).toFloat / 64f)
     val w = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f) // orthogonal-ish

@@ -32,6 +32,52 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.join(batch, Seq("h", "event_type", "n"), "left_anti").count() == 0)
   }
 
+  test("sessionize closes sessions at gaps and matches a batch recomputation") {
+    import org.apache.spark.sql.expressions.Window
+    val stream = Events.readEventStream(spark, eventsDir)
+    val q = Events.sessionize(spark, stream, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sessions_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions_out")
+    assert(got.count() > 0)
+    // batch twin: sessions from gap > 30min per user (window lag), minus the
+    // final (still-open) session per user which streaming holds in state
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessions = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800).cast("long"))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"))
+    // still-held sessions: the last per user, unless the final watermark
+    // (max ts - 1h) already passed session_end + 30min (then the timeout
+    // path emitted them too)
+    val maxTs = ev.agg(max(col("ts")).cast("long")).head().getLong(0)
+    val lastPerUser = sessions.groupBy("user_id").agg(max("session_no").as("last_no"))
+    val held = sessions.join(lastPerUser,
+        sessions("user_id") === lastPerUser("user_id") &&
+          sessions("session_no") === lastPerUser("last_no"), "left_semi")
+      .filter(col("session_end").cast("long") + 1800 >= maxTs - 3600)
+    val closedBatch = sessions.join(held,
+      sessions("user_id") === held("user_id") &&
+        sessions("session_no") === held("session_no"), "left_anti")
+    assert(got.count() == closedBatch.count())
+    // event counts per closed session agree (session_end compared at
+    // second precision: the state API goes through java.sql.Timestamp
+    // millis while the batch side keeps parquet micros)
+    val mismatch = got.select(col("user_id"),
+        col("session_end").cast("long").as("end_s"), col("n_events"))
+      .join(closedBatch.select(col("user_id").as("u2"),
+        col("session_end").cast("long").as("e2"), col("n_events").as("n2")),
+        col("user_id") === col("u2") && col("end_s") === col("e2") &&
+          col("n_events") === col("n2"), "left_anti").count()
+    assert(mismatch == 0)
+  }
+
   test("userRunningTotals keeps per-user state across a micro-batch") {
     val stream = Events.readEventStream(spark, eventsDir)
     val q = Events.userRunningTotals(spark, stream)
