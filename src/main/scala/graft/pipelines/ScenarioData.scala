@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.DataChecks
 import graft.ops.{Shares, TimeSeries}
@@ -108,6 +109,74 @@ object ScenarioData {
         col("value").as("scenario_pathway"), col("tmsr").as("techFSRatio"),
         col("smsp").as("mktFSRatio"), col("Direction"), col("FairSharePerc"))
   }
+
+  /** reference R/prepare_scenario_data.R:435-503
+    * preprepare_ngfs_scenario_data (NGFS Phase IV): scenario/model/sector/
+    * technology recodes, renewables re-aggregation (grouped window sum +
+    * dedup), model x scenario unite with the NGFS2023 prefix.
+    */
+  def preprepareNgfsScenarioData(data: DataFrame, startYear: Int): DataFrame = {
+    val scenarioRecode = Map(
+      "Nationally Determined Contributions (NDCs)" -> "NDC", "Below 2 C" -> "B2DS",
+      "Delayed transition" -> "DT", "Current Policies" -> "CP",
+      "Divergent Net Zero" -> "DN0", "Net Zero 2050" -> "NZ2050",
+      "Fragmented World" -> "FW", "Low demand" -> "LD")
+    val modelRecode = Map(
+      "GCAM 6.0 NGFS" -> "GCAM", "REMIND-MAgPIE 3.2-4.6" -> "REMIND",
+      "MESSAGEix-GLOBIOM 1.1-M-R12" -> "MESSAGE")
+    val elecTech = Map(
+      "Coal" -> "CoalCap", "Gas" -> "GasCap", "Hydro" -> "HydroCap", "Nuclear" -> "NuclearCap",
+      "Oil" -> "OilCap", "Solar" -> "RenewablesCap", "Geothermal" -> "RenewablesCap",
+      "Biomass" -> "RenewablesCap", "Wind" -> "RenewablesCap")
+    var d = data
+      .withColumn("scenario",
+        coalesce(element_at(typedLit(scenarioRecode), col("Scenario")), col("Scenario")))
+      .withColumn("scenario_geography",
+        when(col("Region") === "World", "Global").otherwise(col("Region")))
+      .withColumn("sector",
+        when(col("category_b").isin("Oil", "Gas"), "Oil&Gas")
+          .when(col("category_b") === "Coal", "Coal")
+          .otherwise("Power"))
+      .withColumn("technology",
+        when(col("category_b").isin("Oil", "Gas", "Coal"), col("category_b"))
+          .when(col("category_b") === "Electricity",
+            coalesce(element_at(typedLit(elecTech), col("category_c")), col("category_c")))
+          .otherwise(col("category_c")))
+      .withColumn("indicator",
+        when(col("sector") === "Power", "Capacity").otherwise("Production"))
+      .withColumn("source", lit(s"NGFS$startYear"))
+      .withColumn("model_name",
+        coalesce(element_at(typedLit(modelRecode), col("Model")), col("Model")))
+      // explicit select: drop() is case-insensitive and "Model"/"model"
+      // would collide
+      .select(col("source"), col("scenario"), col("scenario_geography"), col("sector"),
+        col("technology"), col("indicator"), col("Unit").as("units"), col("year"),
+        col("value"), col("model_name").as("model"))
+    // reference :493-499 — re-aggregate the renewables sub-technologies
+    // (grouped mutate(sum) + unique == window sum + distinct, SURVEY A1)
+    val w = Window.partitionBy(
+      col("year"), col("technology"), col("scenario_geography"), col("model"), col("scenario"))
+    val renew = d.filter(col("technology") === "RenewablesCap")
+      .withColumn("value", sum(col("value")).over(w)).distinct()
+    val rest = d.filter(col("technology") =!= "RenewablesCap")
+    // full_join with no `by` == union-dedup (J5)
+    renew.unionByName(rest).distinct()
+      .withColumn("scenario", concat_ws("_", col("model"), col("scenario"))).drop("model")
+      .withColumn("scenario", concat(lit("NGFS2023"), col("scenario")))
+  }
+
+  /** reference R/prepare_scenario_data.R:506-525 style_ngfs. */
+  def styleNgfs(data: DataFrame): DataFrame =
+    data
+      .drop("Sub_Technology", "Indicator", "mktFSRatio", "techFSRatio", "Source")
+      .withColumnRenamed("ScenarioGeography", "scenario_geography")
+      .withColumnRenamed("Scenario", "scenario")
+      .withColumnRenamed("Sector", "ald_sector")
+      .withColumnRenamed("Units", "units")
+      .withColumnRenamed("Technology", "technology")
+      .withColumnRenamed("Year", "year")
+      .withColumnRenamed("Direction", "direction")
+      .withColumnRenamed("FairSharePerc", "fair_share_perc")
 
   /** reference R/prepare_scenario_data.R:173-256 prepare_scenario_data:
     * per-source indicator filters, renewables sub-technology rule, renames,

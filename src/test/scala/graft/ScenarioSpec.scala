@@ -50,6 +50,28 @@ class ScenarioSpec extends SparkTestBase {
     assert(!out.columns.contains("scenario_source"))
   }
 
+  test("preprepareNgfsScenarioData: recodes, renewables aggregation, scenario unite") {
+    val df = Seq(
+      ("GCAM 6.0 NGFS", "Net Zero 2050", "World", "V", "a", "Electricity", "Solar", "EJ", 2030, 1.5),
+      ("GCAM 6.0 NGFS", "Net Zero 2050", "World", "V", "a", "Electricity", "Wind", "EJ", 2030, 2.5),
+      ("GCAM 6.0 NGFS", "Net Zero 2050", "World", "V", "a", "Electricity", "Coal", "EJ", 2030, 3.0),
+      ("GCAM 6.0 NGFS", "Net Zero 2050", "World", "V", "a", "Oil", "Oil", "EJ", 2030, 4.0))
+      .toDF("Model", "Scenario", "Region", "Variable", "category_a", "category_b",
+        "category_c", "Unit", "year", "value")
+    val out = ScenarioData.preprepareNgfsScenarioData(df, startYear = 2023)
+    assert(out.select("scenario").distinct().as[String].head() == "NGFS2023GCAM_NZ2050")
+    // solar+wind combined into one RenewablesCap row with summed value
+    val renew = out.filter(col("technology") === "RenewablesCap")
+    assert(renew.count() == 1)
+    assert(renew.select("value").as[Double].head() == 4.0)
+    val oil = out.filter(col("technology") === "Oil").collect().head
+    assert(oil.getAs[String]("sector") == "Oil&Gas")
+    assert(oil.getAs[String]("indicator") == "Production")
+    assert(out.filter(col("technology") === "CoalCap")
+      .select("indicator").as[String].head() == "Capacity")
+    assert(out.select("scenario_geography").distinct().as[String].head() == "Global")
+  }
+
   test("removeIncompleteSectors keeps only fully-covered sectors per perimeter") {
     val rows = powerTechs.map(t => ("S1", "Global", "Power", t)) ++
       Seq(("S1", "EU", "Power", "CoalCap"), // incomplete power
