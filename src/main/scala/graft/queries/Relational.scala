@@ -44,9 +44,33 @@ object Relational {
       // run_prepare_Scenarios_AnalysisInput.R:36-49).
       orders(s, d).select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     },
+    Q("s2_delim_scan",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      // S2: `;`-delimited scan (reference readr::read_delim(delim=";"),
+      // data-raw/run_prepare_price_data_long.R:310-322). The fixture is
+      // parquet, so the query round-trips through a `;` CSV export first;
+      // the operator under test is the delimited schema-on-read.
+      val base = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s2_${math.abs(d.hashCode)}"
+      base.coalesce(1).sortWithinPartitions("n_nationkey")
+        .write.mode("overwrite").option("header", "true").option("delimiter", ";").csv(path)
+      graft.sources.TypedCsv.read(s, path, base.schema, delimiter = ";")
+        .orderBy("n_nationkey")
+    },
     Q("s3_parquet_scan",
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
       region(s, d).select("r_regionkey", "r_name").orderBy("r_regionkey")
+    },
+    Q("s4_csv_sink",
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // S4: deterministic single-file CSV sink (reference readr::write_csv
+      // of sorted goldens, run_workflow.R:264-272) — count-valued so the
+      // text round-trip is exact; read back through the declared schema.
+      val agg = lineitem(s, d).groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s4_${math.abs(d.hashCode)}"
+      graft.sources.TypedCsv.writeGolden(agg, Seq("l_returnflag"), path)
+      graft.sources.TypedCsv.read(s, path, agg.schema).orderBy("l_returnflag")
     },
     Q("s7_literal_table",
       """SELECT t.code, t.label, r.r_name
@@ -654,6 +678,20 @@ object Relational {
       lineitem(s, d).select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
     },
+    Q("o2_grouped_sort",
+      s"""WITH b AS ($nulledSql)
+         |SELECT g, x, v,
+         |  CAST(SUM(CAST(v AS DECIMAL(30,6))) OVER (PARTITION BY g ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_v
+         |FROM b ORDER BY g, x""".stripMargin) { (s, d) =>
+      // O2: grouped sort (reference arrange(year, .by_group=TRUE),
+      // R/prepare_scenario_data.R:26) — order is semantic only inside the
+      // group frame, so it compiles to a window sort, not a global sort;
+      // shown here driving a running total.
+      val w = Window.partitionBy("g").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nulled(s, d).withColumn("running_v", dsumOver(col("v"), w)).orderBy("g", "x")
+    },
     Q("o3_top_k_ties",
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rk
@@ -796,6 +834,22 @@ object Relational {
       // unique-keyed nulled base so completed rows are well-defined.
       TimeSeries.completeGrid(nulled(s, d), Seq("g"), "x", 1, 7)
         .orderBy("g", "x")
+    },
+    Q("r5_year_expand",
+      s"""WITH b AS ($nulledSql),
+         |mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM b),
+         |k AS (SELECT DISTINCT g FROM b),
+         |grid AS (SELECT k.g AS g,
+         |         CAST(unnest(generate_series(mm.lo, mm.hi)) AS INTEGER) AS x
+         |         FROM k, mm)
+         |SELECT grid.g AS g, grid.x AS x, b.v AS v
+         |FROM grid LEFT JOIN b ON b.g = grid.g AND b.x = grid.x
+         |ORDER BY g, x""".stripMargin) { (s, d) =>
+      // R5: hand-rolled year-appending loops (reference add_years,
+      // R/prepare_prewrangled_capacity_factors.R:779-808) — the quadratic
+      // rbind becomes distinct keys x global [min,max] sequence + one grid
+      // join; the range is a lazy 1-row broadcast, no driver collect.
+      TimeSeries.completeGridGlobalRange(nulled(s, d), Seq("g"), "x").orderBy("g", "x")
     },
     Q("r6_concat_cols",
       """SELECT p_partkey, p_brand || '_' || p_type AS brand_type
