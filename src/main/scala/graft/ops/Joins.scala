@@ -22,6 +22,33 @@ object Joins {
   def bindOneRow(df: DataFrame, oneRow: DataFrame): DataFrame =
     df.crossJoin(broadcast(oneRow))
 
+  /** Skew-resistant equi-join (scale extension beyond the reference, which
+    * never meets skew at tibble sizes — SURVEY §4.2 flags `Global` geography
+    * rows as the skewed key at scale). AQE's skew-join split is the first
+    * line of defence; this operator is the explicit fallback for joins where
+    * one key dominates so heavily that even split shuffle blocks spill: the
+    * fact side gets a deterministic salt in [0, buckets), the dim side is
+    * replicated once per salt value, and the join key becomes (keys..., salt)
+    * so the hot key spreads over `buckets` reducers.
+    *
+    * Result is row-identical to `facts.join(dim, keys, "inner"|"left")`.
+    * The salt derives from a hash of the whole fact row (not rand()), so
+    * retries/recomputations of a lost partition produce identical output.
+    */
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salt = "__salt"
+    val salted = facts.withColumn(
+      salt, pmod(xxhash64(facts.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
+    val replicated = dim.withColumn(salt, explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ salt, joinType).drop(salt)
+  }
+
   /** J10: closest-parent lookup over a pre-flattened hierarchy edge list
     * (reference R/prepare_prewrangled_financial_data_stress_test.R:172-217:
     * left-join subsidiaries to parents, keep min ownership_level per child —

@@ -363,6 +363,28 @@ object Relational {
         .select("n_nationkey", "n_name", "global_avg_acctbal").orderBy("n_nationkey")
     },
 
+    Q("j13_salted_skew_join",
+      """SELECT l.l_orderkey, l.l_quantity, n.n_name
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY l.l_orderkey, l.l_quantity, n.n_name""".stripMargin) { (s, d) =>
+      // Scale extension: explicit salt-spread join for pathological key skew
+      // (SURVEY §4.2 — the reference's `Global` geography key). The oracle
+      // is the PLAIN join: salting must be row-identical to it.
+      val facts = lineitem(s, d)
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("c_nationkey").as("n_nationkey"))
+      Joins.saltedJoin(facts, nation(s, d).select("n_nationkey", "n_name"),
+          Seq("n_nationkey"), buckets = 8)
+        .select("l_orderkey", "l_quantity", "n_name")
+        .orderBy("l_orderkey", "l_quantity", "n_name")
+    },
+
     // ---- A: aggregations (SURVEY §2.4) ---------------------------------
     Q("a1_grouped_sum",
       """SELECT l_returnflag, l_linestatus,

@@ -95,6 +95,20 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("c1", "p1", 10.0), ("c2", "p3", 30.0), ("c2", "p4", 40.0)))
   }
 
+  test("saltedJoin is row-identical to the plain join, inner and left") {
+    // skewed facts: one hot key (90%), plus a key missing from the dim
+    val facts = ((1 to 90).map(i => ("hot", i)) ++ Seq(("cold", 91), ("orphan", 92)))
+      .toDF("k", "n")
+    val dim = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "label")
+    for (jt <- Seq("inner", "left")) {
+      val plain = facts.join(dim, Seq("k"), jt)
+      val salted = Joins.saltedJoin(facts, dim, Seq("k"), buckets = 4, joinType = jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"$jt salted join must equal plain join")
+    }
+  }
+
   test("dedupKeepFirst pins the survivor deterministically (P12)") {
     val df = Seq(("k", 2, "late"), ("k", 1, "early")).toDF("k", "ord", "tag")
     val out = Joins.dedupKeepFirst(df, Seq("k"), Seq(col("ord"))).select("tag").as[String].collect()
