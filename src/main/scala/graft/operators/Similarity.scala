@@ -42,6 +42,54 @@ object Similarity {
       .orderBy(col("cosine").desc, col(id))
       .limit(k)
 
+  /** Score a vector against every centroid and return the `nProbe` cell
+    * ids with the highest cosine — pure array-of-struct expressions
+    * (array_sort orders by the leading cos field; slice(-n) keeps the top).
+    */
+  private def nearestCells(v: Column, cents: Seq[(Int, Seq[Double])], nProbe: Int): Column = {
+    val scored = array(cents.map { case (c, arr) =>
+      struct(VectorFns.cosine(v, typedLit(arr)).as("cos"), lit(c).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), -nProbe, nProbe), s => s.getField("cell"))
+  }
+
+  /** IVF-style ANN: coarse-quantize each vector to its nearest of `nCells`
+    * centroids (an inverted file), probe the `nProbe` cells nearest the
+    * query, and exact-cosine re-rank inside probed cells only.
+    *
+    * The codebook is a deterministic corpus sample (lowest `nCells` ids)
+    * standing in for a trained k-means codebook — the assignment/probe
+    * plumbing is identical and the codebook source is swappable. Collecting
+    * it is an index-build action over nCells rows, done once; the search
+    * itself stays one lazy plan. At cluster scale the assigned table is
+    * written partitioned by `cell`, so a probe scans ~nProbe/nCells of the
+    * data instead of broadcasting the query against everything.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      query: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents: Seq[(Int, Seq[Double])] = df
+      .select(col(id), col(vec)).orderBy(col(id)).limit(nCells)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble) }
+    val assigned = df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+    val q = query.withColumn("qcells", nearestCells(col("qvec"), cents, nProbe))
+    assigned
+      .crossJoin(broadcast(q))
+      .filter(col(id) =!= queryId)
+      .filter(array_contains(col("qcells"), col("cell")))
+      .withColumn("cosine", VectorFns.cosine(col(vec), col("qvec")))
+      .select(col(id), col("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+
   /** LSH-filtered ANN: restrict to rows whose bucket is within `radius`
     * Hamming bits of the query bucket, then exact cosine re-rank.
     */

@@ -68,6 +68,11 @@ object TextData {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.lshTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
     },
+    Q.noOracle("ann_ivf") { (s, d) =>
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
+    },
 
     // ---- text analysis -------------------------------------------------
     Q("tx_token_count",
