@@ -22,6 +22,8 @@ object Bench {
     "dd_minhash_lsh",     // sketch + LSH self-join
     "dd_embed_cosine",    // vector LSH blocks + cosine
     "ann_bruteforce",     // brute-force top-k
+    "ann_ivf",            // IVF cell-probe top-k
+    "j13_salted_skew_join", // salt-spread skew join
     "tx_quality",         // text HOF expressions
     "ev_hourly_agg"       // timestamp agg
   )
