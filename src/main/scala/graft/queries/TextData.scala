@@ -58,7 +58,14 @@ object TextData {
     },
 
     // ---- similarity search ---------------------------------------------
-    Q.noOracle("ann_bruteforce") { (s, d) =>
+    Q("ann_bruteforce",
+      // DOUBLE[] cast makes DuckDB accumulate in double like the Spark HOF
+      // dot product (both fold in array order) -> bit-exact cosines
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS cosine
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.bruteForceTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
