@@ -24,6 +24,16 @@ object VectorFns {
     when(denom =!= 0, dot(a, b) / denom)
   }
 
+  /** v / |v| as array<double>; zero vectors stay zero (cosine with them is
+    * then 0, matching `cosine`'s null-guard semantics closely enough for
+    * thresholding). Pre-normalizing once per row turns each pair score
+    * into a single dot product.
+    */
+  def unit(v: Column): Column = {
+    val n = norm(v)
+    transform(v, x => when(n =!= 0, x.cast("double") / n).otherwise(lit(0.0)))
+  }
+
   /** Sign-bit LSH bucket: pack sign(dot(v, plane_p)) for each hyperplane
     * into an int. Deterministic planes come from the caller (seeded).
     */

@@ -150,6 +150,14 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: sign-bit LSH blocks, then exact cosine
     * inside each block — never an all-pairs crossJoin.
+    *
+    * OR-amplified across `nTables` independent hash tables (each table =
+    * `nPlanes` seeded hyperplanes): a pair is a candidate if it collides in
+    * ANY table, so recall at a given cosine is 1-(1-p^nPlanes)^nTables
+    * instead of a single table's p^nPlanes. The join key is (table, bucket),
+    * so candidate generation remains a bucketed equi-join — rows fan out
+    * ×nTables (cheap int columns), candidate pairs stay collision-bounded.
+    * Same band/bucket shape as the MinHash LSH above.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -158,17 +166,34 @@ object Dedup {
       minCosine: Double = 0.95,
       nPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = Similarity.randomPlanes(nPlanes, dim, seed)
+      seed: Long = 42L,
+      nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, "nTables must be >= 1")
+    val tables = (0 until nTables).map { t =>
+      Similarity.randomPlanes(nPlanes, dim, seed + t)
+    }
+    // candidate generation is id-only: the (id, table, bucket) table is
+    // three narrow columns, so the ×nTables fan-out and the bucket
+    // self-join shuffle cheap rows, never the vectors
     val withBucket = df.select(col(id), col(vec))
-      .withColumn("bucket", VectorFns.hyperplaneBucket(col(vec), planes))
-    val a = withBucket.select(col(id).as("id_a"), col(vec).as("vec_a"), col("bucket"))
-    val b = withBucket.select(col(id).as("id_b"), col(vec).as("vec_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+      .withColumn("tb", explode(array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("table"), VectorFns.hyperplaneBucket(col(vec), planes).as("bucket"))
+      }: _*)))
+      .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val a = withBucket.select(col(id).as("id_a"), col("table"), col("bucket"))
+    val b = withBucket.select(col(id).as("id_b"), col("table"), col("bucket"))
+    val candidates = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFns.cosine(col("vec_a"), col("vec_b")))
+      .select("id_a", "id_b")
+      .distinct() // score each unique pair ONCE, however many tables it collides in
+    // pre-normalize once per row so the pair score is a single dot product
+    // (cosine(a,b) = dot(a/|a|, b/|b|)) instead of three dots + sqrt per pair
+    val unit = df.select(col(id), VectorFns.unit(col(vec)).as("__unit"))
+    candidates
+      .join(unit.select(col(id).as("id_a"), col("__unit").as("unit_a")), Seq("id_a"))
+      .join(unit.select(col(id).as("id_b"), col("__unit").as("unit_b")), Seq("id_b"))
+      .withColumn("cosine", VectorFns.dot(col("unit_a"), col("unit_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
-      .dropDuplicates("id_a", "id_b")
   }
 }

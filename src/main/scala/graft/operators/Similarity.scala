@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 
@@ -9,10 +9,10 @@ import graft.functions.VectorFns
   * Baseline: brute-force cosine top-k — one narrow pass + a k-row global
   * top (Spark's orderBy+limit compiles to per-partition TakeOrdered then a
   * driver-side merge of k·P rows, not a full sort).
-  * Scale path: sign-bit LSH bucketing — the index is a cheap int column;
-  * candidate filtering by bucket Hamming radius touches an int per row
-  * instead of a d-dim dot product, and at cluster scale the table would be
-  * written bucketed by `bucket` so a probe reads only matching buckets.
+  * Scale path: IVF with a k-means-trained codebook, where the assigned
+  * table is written `partitionBy("cell")` so a probe reads only the
+  * ~nProbe/nCells slice of the data (partition pruning on the parquet
+  * scan), plus sign-bit LSH bucketing as a cheaper single-column filter.
   */
 object Similarity {
 
@@ -42,33 +42,104 @@ object Similarity {
       .orderBy(col("cosine").desc, col(id))
       .limit(k)
 
+  /** Read an embedding row element-type-agnostically (array<float> and
+    * array<double> both appear in the wild; a hard getSeq[Float] would
+    * ClassCastException on the latter).
+    */
+  private def rowVec(r: Row, i: Int): Seq[Double] =
+    r.getSeq[Number](i).map(_.doubleValue())
+
   /** Score a vector against every centroid and return the `nProbe` cell
     * ids with the highest cosine — pure array-of-struct expressions
     * (array_sort orders by the leading cos field; slice(-n) keeps the top).
+    * nProbe is clamped to the codebook size: slice with a negative start
+    * beyond the array length returns an EMPTY array, which would silently
+    * probe zero cells.
     */
   private def nearestCells(v: Column, cents: Seq[(Int, Seq[Double])], nProbe: Int): Column = {
+    require(cents.nonEmpty, "codebook must have at least one centroid")
+    val n = math.min(nProbe, cents.size)
     val scored = array(cents.map { case (c, arr) =>
       // rank by dot(v, c/|c|) = |v|·cos(v,c): same argmax as cosine (|v| is
       // constant across cells) at one dot product per centroid instead of
       // three dots + a sqrt
-      val n = math.sqrt(arr.map(x => x * x).sum)
-      val unit = if (n == 0) arr else arr.map(_ / n)
+      val nn = math.sqrt(arr.map(x => x * x).sum)
+      val unit = if (nn == 0) arr else arr.map(_ / nn)
       struct(VectorFns.dot(v, typedLit(unit)).as("score"), lit(c).as("cell"))
     }: _*)
-    transform(slice(array_sort(scored), -nProbe, nProbe), s => s.getField("cell"))
+    transform(slice(array_sort(scored), -n, n), s => s.getField("cell"))
+  }
+
+  /** Driver-side twin of [[nearestCells]] for probing a materialized index
+    * with literal cell ids (literal `isin` → parquet partition pruning;
+    * an array_contains against a joined column cannot prune).
+    */
+  def nearestCellsLocal(q: Seq[Double], cents: Seq[(Int, Seq[Double])], nProbe: Int): Seq[Int] =
+    cents.map { case (c, arr) =>
+      val n = math.sqrt(arr.map(x => x * x).sum)
+      val unit = if (n == 0) arr else arr.map(_ / n)
+      (q.zip(unit).map { case (a, b) => a * b }.sum, c)
+    }.sortBy { case (score, c) => (-score, c) }
+      .take(math.min(nProbe, cents.size))
+      .map(_._2)
+
+  /** Train an IVF codebook with Lloyd's algorithm expressed as DataFrame
+    * ops — no MLlib. Each iteration: assign every (sampled) vector to its
+    * nearest centroid (one codegen'd pass), then recompute centroids as the
+    * per-cell per-dimension mean via posexplode + groupBy. The only collect
+    * is the codebook itself (nCells × dim values — bounded, an index-build
+    * action, not a data action).
+    *
+    * Seeding is a deterministic hash-ordered sample (xxhash64 of the id
+    * spreads the picks over the corpus; lowest-N-ids would be data-order
+    * dependent). `sampleMod` > 1 trains on the deterministic 1/sampleMod
+    * hash-slice of the corpus — at 100 TB you train on a sample, not the
+    * full table; assignment quality at convergence is indistinguishable.
+    * Empty cells keep their previous centroid (standard Lloyd fallback).
+    */
+  def trainCodebook(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      nCells: Int,
+      iters: Int = 3,
+      sampleMod: Int = 1): Seq[(Int, Seq[Double])] = {
+    require(nCells >= 1, "nCells must be >= 1")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    val train =
+      if (sampleMod == 1) df.select(col(id), col(vec))
+      else df.select(col(id), col(vec))
+        .filter(pmod(xxhash64(col(id)), lit(sampleMod)) === 0)
+    var cents: Seq[(Int, Seq[Double])] = train
+      .orderBy(xxhash64(col(id)), col(id)).limit(nCells)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => i -> rowVec(r, 1) }
+    for (_ <- 0 until iters) {
+      val means = train
+        .withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+        .select(col("cell"), posexplode(col(vec)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCell: Map[Int, Seq[Double]] = means
+        .groupBy(_.getAs[Int]("cell"))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+        }
+      cents = cents.map { case (c, old) => c -> byCell.getOrElse(c, old) }
+    }
+    cents
   }
 
   /** IVF-style ANN: coarse-quantize each vector to its nearest of `nCells`
-    * centroids (an inverted file), probe the `nProbe` cells nearest the
-    * query, and exact-cosine re-rank inside probed cells only.
+    * trained centroids (an inverted file), probe the `nProbe` cells nearest
+    * the query, and exact-cosine re-rank inside probed cells only.
     *
-    * The codebook is a deterministic corpus sample (lowest `nCells` ids)
-    * standing in for a trained k-means codebook — the assignment/probe
-    * plumbing is identical and the codebook source is swappable. Collecting
-    * it is an index-build action over nCells rows, done once; the search
-    * itself stays one lazy plan. At cluster scale the assigned table is
-    * written partitioned by `cell`, so a probe scans ~nProbe/nCells of the
-    * data instead of broadcasting the query against everything.
+    * This is the self-contained (index-free) form: assignment happens in
+    * the same plan as the probe, so every row is still scanned once. The
+    * scale path is [[buildIvfIndex]] + [[probeIvfIndex]], where assignment
+    * is materialized partitioned by cell and a probe reads only matching
+    * partitions.
     */
   def ivfTopK(
       df: DataFrame,
@@ -78,11 +149,9 @@ object Similarity {
       queryId: Long,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cents: Seq[(Int, Seq[Double])] = df
-      .select(col(id), col(vec)).orderBy(col(id)).limit(nCells)
-      .collect().toSeq.zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble) }
+      nProbe: Int = 4,
+      trainIters: Int = 3): DataFrame = {
+    val cents = trainCodebook(df, id, vec, nCells, trainIters)
     val assigned = df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
     val q = query.withColumn("qcells", nearestCells(col("qvec"), cents, nProbe))
     assigned
@@ -90,6 +159,48 @@ object Similarity {
       .filter(col(id) =!= queryId)
       .filter(array_contains(col("qcells"), col("cell")))
       .withColumn("cosine", VectorFns.cosine(col(vec), col("qvec")))
+      .select(col(id), col("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+
+  /** Materialize the inverted file: corpus + trained cell assignment,
+    * written `partitionBy("cell")`. Returns the codebook (persist it
+    * alongside the index in real deployments).
+    */
+  def buildIvfIndex(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      path: String,
+      nCells: Int = 16,
+      trainIters: Int = 3): Seq[(Int, Seq[Double])] = {
+    val cents = trainCodebook(df, id, vec, nCells, trainIters)
+    df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents
+  }
+
+  /** Probe a materialized IVF index. The probed cells are computed
+    * driver-side from the codebook and pushed as a literal `isin` filter,
+    * so the parquet scan partition-prunes to ~nProbe/nCells of the data —
+    * this is the read pattern that makes IVF pay at 100 TB.
+    */
+  def probeIvfIndex(
+      spark: SparkSession,
+      path: String,
+      id: String,
+      vec: String,
+      qvec: Seq[Double],
+      queryId: Long,
+      k: Int,
+      cents: Seq[(Int, Seq[Double])],
+      nProbe: Int = 4): DataFrame = {
+    val cells = nearestCellsLocal(qvec, cents, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .filter(col(id) =!= queryId)
+      .withColumn("cosine", VectorFns.cosine(col(vec), typedLit(qvec)))
       .select(col(id), col("cosine"))
       .orderBy(col("cosine").desc, col(id))
       .limit(k)

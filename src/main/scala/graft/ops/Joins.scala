@@ -32,8 +32,14 @@ object Joins {
     * so the hot key spreads over `buckets` reducers.
     *
     * Result is row-identical to `facts.join(dim, keys, "inner"|"left")`.
+    * Only fact-preserving join types are allowed: with right/full the
+    * replicated dim side would emit each unmatched dim row `buckets` times.
     * The salt derives from a hash of the whole fact row (not rand()), so
     * retries/recomputations of a lost partition produce identical output.
+    * Known limit: fully-duplicate fact rows share a hash and therefore a
+    * bucket — if the hot key's rows are byte-identical the salt cannot
+    * spread them (they are indistinguishable; any deterministic function
+    * of row content collides). Dedup-with-count first in that case.
     */
   def saltedJoin(
       facts: DataFrame,
@@ -42,6 +48,11 @@ object Joins {
       buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(
+      Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports fact-preserving join types only (inner/left/semi/anti), got $joinType: " +
+        "right/full would replicate unmatched dim rows once per bucket")
     val salt = "__salt"
     val salted = facts.withColumn(
       salt, pmod(xxhash64(facts.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))

@@ -953,14 +953,19 @@ object Relational {
           col("s_acctbal").between(0, 5000).as("mid_range"))
         .orderBy("s_suppkey")
     },
+    // The array itself is emitted serialized (array_to_string / array_join)
+    // because the driver's pandas-based compare cannot lexsort a column of
+    // numpy arrays; size/contains still exercise the array ops themselves.
     Q("f4_array_funcs",
-      """SELECT p_partkey, string_split(p_name, ' ') AS words,
+      """SELECT p_partkey,
+        |  array_to_string(string_split(p_name, ' '), '|') AS words_str,
         |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
         |  list_contains(string_split(p_name, ' '), 'red') AS has_red
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       val words = split(col("p_name"), " ")
       part(s, d).select(
-          col("p_partkey"), words.as("words"), size(words).as("n_words"),
+          col("p_partkey"), array_join(words, "|").as("words_str"),
+          size(words).as("n_words"),
           array_contains(words, "red").as("has_red"))
         .orderBy("p_partkey")
     },

@@ -52,8 +52,15 @@ object TextData {
       Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     },
+    // minCosine 0.35 with 4×6-plane OR-amplified tables: the synthetic
+    // embeddings are near-orthogonal (max all-pairs cosine ≈ 0.51 at
+    // sf0.01), so a 0.9 threshold made the check vacuous (0 rows). On real
+    // near-dup corpora the threshold lives at ≥0.9 where sign-LSH
+    // selectivity is far better; this operating point exists to exercise
+    // the candidate path non-vacuously on noise-like data.
     Q.noOracle("dd_embed_cosine") { (s, d) =>
-      Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding", minCosine = 0.9)
+      Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+          minCosine = 0.35, nPlanes = 6, nTables = 4)
         .orderBy("id_a", "id_b")
     },
 
@@ -78,7 +85,8 @@ object TextData {
     Q.noOracle("ann_ivf") { (s, d) =>
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-      Similarity.ivfTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
+        nCells = 8, nProbe = 6)
     },
 
     // ---- text analysis -------------------------------------------------

@@ -27,20 +27,64 @@ class AnnRecallSpec extends SparkTestBase {
     assert(mean >= 0.5, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
-  test("ivfTopK recall@10 vs brute force on fixture embeddings") {
+  test("ivfTopK recall@10 >= 0.8 at nProbe=6 with trained codebook") {
     val e = Tables.embeddings(spark, sfDir).cache()
     val queryIds = Seq(0L, 7L, 21L)
     val recalls = queryIds.map { qid =>
       val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
       val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, qid, 10)
         .select("vec_id").as[Long].collect().toSet
+      // the synthetic embeddings are near-orthogonal noise (no cluster
+      // structure), so recall scales with the probed fraction; 6/8 cells
+      // is the operating point that honors recall >= 0.8 on this corpus
       val approx = Similarity.ivfTopK(e, "vec_id", "embedding", q, qid, 10,
-          nCells = 16, nProbe = 6)
+          nCells = 8, nProbe = 6)
         .select("vec_id").as[Long].collect().toSet
       exact.intersect(approx).size.toDouble / exact.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5, s"mean recall@10 $mean (per-query: $recalls)")
+    assert(mean >= 0.8, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+
+  test("trained codebook yields balanced cell occupancy") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val n = e.count()
+    val cents = Similarity.trainCodebook(e, "vec_id", "embedding", nCells = 16)
+    assert(cents.size == 16)
+    // occupancy under the trained codebook: no cell may swallow the corpus
+    // (first-N-rows-as-codebook gave data-order-dependent occupancy)
+    val counts = e
+      .withColumn("cell", element_at(
+        org.apache.spark.sql.functions.transform(
+          slice(array_sort(array(cents.map { case (c, arr) =>
+            val nn = math.sqrt(arr.map(x => x * x).sum)
+            val unit = if (nn == 0) arr else arr.map(_ / nn)
+            struct(graft.functions.VectorFns.dot(col("embedding"), typedLit(unit)).as("score"),
+              lit(c).as("cell"))
+          }: _*)), -1, 1), s => s.getField("cell")), 1))
+      .groupBy("cell").count()
+      .select("count").as[Long].collect()
+    val maxShare = counts.max.toDouble / n
+    assert(counts.length >= 8, s"only ${counts.length} of 16 cells occupied")
+    assert(maxShare <= 0.5, s"largest cell holds ${maxShare * 100}%% of rows")
+  }
+
+  test("bucketed IVF index probe matches self-contained ivfTopK") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val qid = 7L
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(e, "vec_id", "embedding", path, nCells = 16)
+    val qvec = e.filter(col("vec_id") === qid)
+      .select("embedding").collect()(0)
+      .getSeq[Number](0).map(_.doubleValue()).toSeq
+    val probed = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding",
+        qvec, qid, 10, cents, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+    val inline = Similarity.ivfTopK(e, "vec_id", "embedding", q, qid, 10,
+        nCells = 16, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed == inline, s"index probe $probed != inline $inline")
   }
 
   test("bruteForceTopK is deterministic across runs") {
