@@ -83,6 +83,21 @@ object TimeSeries {
     joinGridNullSafe(grid, df, keys :+ x)
   }
 
+  /** R4 variant: tidyr::complete(a, b, x = lo:hi) — CROSS the per-key
+    * distinct value sets (not the observed key combos, unlike completeGrid)
+    * with the fixed [lo, hi] axis, keeping original rows outside the range
+    * (reference R/prepare_scenario_data.R:949-955: steel scenarios ×
+    * technologies × years). Each distinct set is a tiny aggregate; the
+    * cross of K small sets stays lazy — no driver collect.
+    */
+  def completeCross(df: DataFrame, keys: Seq[String], x: String, lo: Int, hi: Int): DataFrame = {
+    val grid = keys
+      .map(k => df.select(col(k)).distinct())
+      .reduce(_.crossJoin(_))
+      .withColumn(x, explode(sequence(lit(lo), lit(hi))))
+    joinGridNullSafe(grid, df, keys :+ x)
+  }
+
   /** W4: zoo::na.approx with na.rm=FALSE semantics — linear interpolation of
     * interior nulls along `x` within each key group; leading/trailing nulls
     * stay null (reference R/prepare_scenario_data.R:11-20 uses na.rm=FALSE;

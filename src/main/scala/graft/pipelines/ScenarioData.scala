@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.DataChecks
@@ -224,5 +224,356 @@ object ScenarioData {
     d = d.join(broadcast(supportedSectors), Seq("ald_sector"), "left_semi")
     d = removeIncompleteSectors(d)
     d.drop("scenario_source")
+  }
+
+  /** Shared P4I rename block (reference repeats it verbatim in weo23,
+    * geco2023 and the IPR automotive baseline): Source→scenario_source …
+    * FairSharePerc→fair_share_perc, then scenario = source_scenario and a
+    * full dedup.
+    */
+  private def renameP4iAndPrefix(d: DataFrame): DataFrame =
+    d.withColumnRenamed("Source", "scenario_source")
+      .withColumnRenamed("ScenarioGeography", "scenario_geography")
+      .withColumnRenamed("Scenario", "scenario")
+      .withColumnRenamed("Sector", "ald_sector")
+      .withColumnRenamed("Units", "units")
+      .withColumnRenamed("Technology", "technology")
+      .withColumnRenamed("Year", "year")
+      .withColumnRenamed("Direction", "direction")
+      .withColumnRenamed("FairSharePerc", "fair_share_perc")
+      .withColumn("scenario", concat_ws("_", col("scenario_source"), col("scenario")))
+      .distinct()
+
+  /** reference R/prepare_scenario_data.R:318-434 prepare_scenario_data_weo23
+    * (the LIVE definition — the file defines the function twice and R keeps
+    * the second; the shadowed first variant at :262-310 additionally
+    * filtered Source/Indicator). Keeps `scenario_pathway`, applies the
+    * standard rename/prefix, then supported-sector + completeness pruning.
+    */
+  def prepareScenarioDataWeo23(data: DataFrame): DataFrame = {
+    DataChecks.requireColumns(data, Seq("Source", "Technology", "ScenarioGeography", "Sector",
+      "Units", "scenario_pathway", "Indicator", "Scenario", "Sub_Technology", "Year",
+      "Direction", "mktFSRatio", "techFSRatio", "FairSharePerc"))
+    var d = data
+      .filter(!(col("Technology") === "RenewablesCap" && col("Sub_Technology").isNotNull))
+      .drop("Sub_Technology", "Indicator", "mktFSRatio", "techFSRatio")
+    d = renameP4iAndPrefix(d)
+    val supported = sectorTechnologyLookup(d.sparkSession)
+      .select(col("sector_p4i").as("ald_sector")).distinct()
+    d = d.join(broadcast(supported), Seq("ald_sector"), "left_semi")
+    d = removeIncompleteSectors(d)
+    d.drop("scenario_source")
+  }
+
+  /** reference R/prepare_scenario_data.R:386-434 prepare_geco2023:
+    * standard rename/prefix, then World→Global. No sector pruning.
+    */
+  def prepareGeco2023(data: DataFrame): DataFrame =
+    renameP4iAndPrefix(
+      data.drop("Sub_Technology", "Indicator", "mktFSRatio", "techFSRatio"))
+      .drop("scenario_source")
+      .withColumn("scenario_geography",
+        when(col("scenario_geography") === "World", "Global")
+          .otherwise(col("scenario_geography")))
+
+  private val ngfsScenarioRecode = Map(
+    "Nationally Determined Contributions (NDCs)" -> "NDC", "Below 2 C" -> "B2DS",
+    "Delayed transition" -> "DT", "Current Policies" -> "CP",
+    "Divergent Net Zero" -> "DN0", "Net Zero 2050" -> "NZ2050",
+    "Fragmented World" -> "FW", "Low demand" -> "LD")
+
+  private val ngfsElecTech = Map(
+    "Coal" -> "CoalCap", "Gas" -> "GasCap", "Hydro" -> "HydroCap", "Nuclear" -> "NuclearCap",
+    "Oil" -> "OilCap", "Solar" -> "RenewablesCap", "Geothermal" -> "RenewablesCap",
+    "Biomass" -> "RenewablesCap", "Wind" -> "RenewablesCap")
+
+  /** reference R/prepare_scenario_data.R:529-611
+    * preprepare_ngfs_scenario_data_v5 (NGFS Phase V, vintage 2024):
+    * capacity trajectory selected by dropping `Secondary Energy|Electricity|`
+    * variables, Phase-V model recodes, indicator from the Variable prefix,
+    * renewables re-aggregation, model×scenario unite with NGFS2024 prefix.
+    */
+  def preprepareNgfsScenarioDataV5(data: DataFrame): DataFrame = {
+    val vintage = 2024
+    val modelRecode = Map(
+      "GCAM 6.0 NGFS" -> "GCAM", "REMIND-MAgPIE 3.3-4.8" -> "REMIND",
+      "MESSAGEix-GLOBIOM 2.0-M-R12-NGFS" -> "MESSAGE")
+    val d = data
+      .filter(!col("Variable").startsWith("Secondary Energy|Electricity|"))
+      .withColumn("scenario",
+        coalesce(element_at(typedLit(ngfsScenarioRecode), col("Scenario")), col("Scenario")))
+      .withColumn("scenario_geography",
+        when(col("Region") === "World", "Global").otherwise(col("Region")))
+      .withColumn("sector",
+        when(col("category_b").isin("Oil", "Gas"), "Oil&Gas")
+          .when(col("category_b") === "Coal", "Coal")
+          .otherwise("Power"))
+      .withColumn("technology",
+        when(col("category_b").isin("Oil", "Gas", "Coal"), col("category_b"))
+          .when(col("category_b") === "Electricity",
+            coalesce(element_at(typedLit(ngfsElecTech), col("category_c")), col("category_c")))
+          .otherwise(col("category_c")))
+      // reference :580-583 — Production everywhere except explicit
+      // Capacity|Electricity| variables in Power
+      .withColumn("indicator",
+        when(col("sector") === "Power" && col("Variable").startsWith("Capacity|Electricity|"),
+          "Capacity").otherwise("Production"))
+      .withColumn("source", lit(s"NGFS$vintage"))
+      .withColumn("model_name",
+        coalesce(element_at(typedLit(modelRecode), col("Model")), col("Model")))
+      .select(col("source"), col("scenario"), col("scenario_geography"), col("sector"),
+        col("technology"), col("indicator"), col("Unit").as("units"), col("year"),
+        col("value"), col("model_name").as("model"))
+    val w = Window.partitionBy(
+      col("year"), col("technology"), col("scenario_geography"), col("model"), col("scenario"))
+    val renew = d.filter(col("technology") === "RenewablesCap")
+      .withColumn("value", sum(col("value")).over(w)).distinct()
+    val rest = d.filter(col("technology") =!= "RenewablesCap")
+    renew.unionByName(rest).distinct()
+      .withColumn("scenario", concat_ws("_", col("model"), col("scenario"))).drop("model")
+      .withColumn("scenario", concat(lit("NGFS2024"), col("scenario")))
+  }
+
+  /** Extended fair-share groups used by IPR/OXF (units participates in the
+    * group key, unlike common_fs_groups): tmsr/smsp per
+    * (geography, scenario, ald_sector, units[, technology]).
+    */
+  private def addSharesWithUnits(d: DataFrame): DataFrame =
+    Shares.addMarketShares(d,
+      techKeys = Seq("scenario_geography", "scenario", "ald_sector", "units", "technology"),
+      sectorKeys = Seq("scenario_geography", "scenario", "ald_sector", "units"),
+      x = "year", v = "value")
+
+  /** reference R/prepare_scenario_data.R:612-835
+    * prepare_IPR_scenario_data2023: technology synthesis from the variable
+    * class hierarchy, strict recode (unmatched → null → dropped),
+    * scenario split by Automotive, renewables re-aggregation, tmsr/smsp
+    * over units-extended groups, green-tech direction, 2042 automotive
+    * horizon cap.
+    */
+  def prepareIprScenarioData2023(data: DataFrame, startYear: Int): DataFrame = {
+    val techRecode = Map(
+      "Oil" -> "Oil", "Coal" -> "Coal", "Natural gas" -> "Gas",
+      "Coal_Power" -> "CoalCap", "Natural gas_Power" -> "GasCap", "Oil_Power" -> "OilCap",
+      "Nuclear_Power" -> "NuclearCap", "Hydro_Power" -> "HydroCap",
+      "Biomass_Power" -> "BiomassCap", "Offshore wind_Power" -> "OffWindCap",
+      "Onshore wind_Power" -> "OnWindCap", "Solar_Power" -> "SolarCap",
+      "BEV" -> "Electric", "PHEV" -> "Hybrid", "H2" -> "FuelCell", "ICE" -> "ICE")
+    val sectorFromTech = Map(
+      "Oil" -> "Oil&Gas", "Gas" -> "Oil&Gas", "Coal" -> "Coal",
+      "CoalCap" -> "Power", "GasCap" -> "Power", "OilCap" -> "Power", "NuclearCap" -> "Power",
+      "HydroCap" -> "Power", "BiomassCap" -> "Power", "OffWindCap" -> "Power",
+      "OnWindCap" -> "Power", "SolarCap" -> "Power",
+      "ICE" -> "Automotive", "Electric" -> "Automotive", "Hybrid" -> "Automotive",
+      "FuelCell" -> "Automotive")
+    // :616-621 — technology source column depends on the Sector level
+    val rawTech =
+      when(col("Sector") === "Power", concat_ws("_", col("Sub_variable_class_2"), col("Sector")))
+        .when(col("Sector") === "Transport", col("Sub_variable_class_2"))
+        .otherwise(col("Sub_variable_class_1"))
+    // explicit select at the end: drop() resolves case-insensitively, so
+    // dropping "Scenario" would also take the derived "scenario" with it
+    var d = data
+      .withColumn("technology", element_at(typedLit(techRecode), rawTech))
+      .withColumn("ald_sector", element_at(typedLit(sectorFromTech), col("technology")))
+      .withColumn("__scenario",
+        when(col("Scenario") === "RPS", "IPR2023_RPS")
+          .when(col("Scenario") === "FPS" && col("ald_sector") =!= "Automotive", "IPR2023_FPS")
+          .when(col("Scenario") === "FPS" && col("ald_sector") === "Automotive",
+            "IPR2023Automotive_FPS"))
+      .withColumn("scenario_geography",
+        when(col("Region") === "WORLD", "Global").otherwise(col("Region")))
+      // :683 — unmatched technologies (hydrogen, CCS…) leave ald_sector null
+      .filter(col("ald_sector").isNotNull)
+      .select(col("__scenario").as("scenario"), col("scenario_geography"),
+        col("ald_sector"), col("technology"), col("Units").as("units"),
+        col("year"), col("value"))
+    // :699-715 — RenewablesCap = sum of the four renewable capacity techs
+    val renewSrc = Seq("OffWindCap", "OnWindCap", "SolarCap", "BiomassCap")
+    val renew = d.filter(col("technology").isin(renewSrc: _*))
+      .groupBy("scenario_geography", "scenario", "ald_sector", "units", "year")
+      .agg(sum(col("value")).as("value"))
+      .withColumn("technology", lit("RenewablesCap"))
+    d = d.unionByName(renew, allowMissingColumns = false)
+      .filter(!col("technology").isin(renewSrc: _*))
+    // :719-744 — tmsr/smsp over units-extended groups from startYear
+    d = d.withColumn("year", col("year").cast("int")).filter(col("year") >= startYear)
+    d = addSharesWithUnits(d)
+    val greenTechs = Seq("RenewablesCap", "HydroCap", "NuclearCap", "SolarCap", "OffWindCap",
+      "OnWindCap", "BiomassCap", "Electric", "FuelCell")
+    d.withColumn("direction",
+        when(col("technology").isin(greenTechs: _*), "increasing").otherwise("declining"))
+      .withColumn("fair_share_perc",
+        when(col("direction") === "declining", col("tmsr")).otherwise(col("smsp")))
+      .select(col("scenario_geography"), col("scenario"), col("ald_sector"), col("technology"),
+        col("units"), col("year"), col("direction"), col("fair_share_perc"),
+        col("value").as("scenario_pathway"))
+      // :816 — IPR automotive capped at the GECO2021 horizon
+      .filter(!(col("ald_sector") === "Automotive" && col("year") >= 2042))
+  }
+
+  /** reference :766-775 prepare_IPR_baseline_scenario: the WEO2021 STEPS
+    * pathway re-labelled as the IPR baseline.
+    */
+  def prepareIprBaselineScenario(data: DataFrame): DataFrame =
+    data.filter(col("scenario") === "WEO2021_STEPS")
+      .withColumn("scenario", lit("IPR2023_baseline"))
+
+  /** reference :779-833 prepare_IPR_baseline_scenario_automotive: the
+    * GECO2021 CurPol automotive pathway re-labelled as the IPR automotive
+    * baseline.
+    */
+  def prepareIprBaselineScenarioAutomotive(data: DataFrame): DataFrame = {
+    DataChecks.requireColumns(data, Seq("Source", "Technology", "ScenarioGeography", "Sector",
+      "Units", "Indicator", "Scenario", "Sub_Technology", "Year", "Direction", "mktFSRatio",
+      "techFSRatio", "FairSharePerc"))
+    val d = data
+      .filter(!(col("Source").rlike("GECO2021") && col("Sector") =!= "Automotive"))
+      .filter(!(col("Technology") === "RenewablesCap" && col("Sub_Technology").isNotNull))
+      .drop("Sub_Technology", "Indicator", "mktFSRatio", "techFSRatio")
+    renameP4iAndPrefix(d)
+      .drop("scenario_source")
+      .filter(col("scenario") === "GECO2021_CurPol")
+      .withColumn("scenario", lit("IPR2023Automotive_baseline"))
+  }
+
+  /** reference R/prepare_scenario_data.R:836-937 prepare_OXF_scenario_data:
+    * `Annual energy` split into technology/sector, the sequential recode
+    * cascade, renewables re-aggregation, tmsr/smsp, then OilCap cloned from
+    * GasCap AFTER the share computation (the clone inherits GasCap ratios).
+    */
+  def prepareOxfScenarioData(data: DataFrame, startYear: Int): DataFrame = {
+    var d = data
+      .filter(!col("Annual energy").isin(
+        "batteries_ST_transport", "batteries_ST_electricity", "batteries_LT_electricity",
+        "hydrogen"))
+      .withColumn("technology", element_at(split(col("Annual energy"), "_"), 1))
+      .withColumn("ald_sector", element_at(split(col("Annual energy"), "_"), 2))
+      .drop("Annual energy")
+    // :846-861 — the reference reassigns the two columns in sequence; each
+    // line sees the previous line's result, so the order is semantic
+    d = d
+      .withColumn("ald_sector",
+        when(col("ald_sector") === "electricity", "Power").otherwise(col("ald_sector")))
+      .withColumn("ald_sector",
+        when(col("technology") === "coal" && col("ald_sector") === "final", "Coal")
+          .otherwise(col("ald_sector")))
+      .withColumn("ald_sector",
+        when(col("technology") === "gas" && col("ald_sector") === "final", "Oil&Gas")
+          .otherwise(col("ald_sector")))
+      .withColumn("ald_sector",
+        when(col("technology") === "oil" && col("ald_sector") === "final", "Oil&Gas")
+          .otherwise(col("ald_sector")))
+      .withColumn("technology",
+        when(col("technology") === "coal" && col("ald_sector") === "Power", "CoalCap")
+          .otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "gas" && col("ald_sector") === "Power", "GasCap")
+          .otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "oil" && col("ald_sector") === "Power", "OilCap")
+          .otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "coal" && col("ald_sector") === "Coal", "Coal")
+          .otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "gas" && col("ald_sector") === "Oil&Gas", "Gas")
+          .otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "oil" && col("ald_sector") === "Oil&Gas", "Oil")
+          .otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "solar", "SolarCap").otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "wind", "WindCap").otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "nuclear", "NuclearCap").otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "hydro", "HydroCap").otherwise(col("technology")))
+      .withColumn("technology",
+        when(col("technology") === "bioenergy", "BiomassCap").otherwise(col("technology")))
+    val renewSrc = Seq("WindCap", "SolarCap", "BiomassCap")
+    val renew = d.filter(col("technology").isin(renewSrc: _*))
+      .groupBy("scenario_geography", "scenario", "ald_sector", "units", "year")
+      .agg(sum(col("value")).as("value"))
+      .withColumn("technology", lit("RenewablesCap"))
+    d = d.unionByName(renew, allowMissingColumns = false)
+      .filter(!col("technology").isin(renewSrc: _*))
+    d = d.withColumn("year", col("year").cast("int")).filter(col("year") >= startYear)
+    d = addSharesWithUnits(d)
+    // :912-917 — OilCap mirrors GasCap including its tmsr/smsp
+    val oilCap = d.filter(col("technology") === "GasCap")
+      .withColumn("technology", lit("OilCap"))
+    d = oilCap.unionByName(d)
+    val greenTechs =
+      Seq("RenewablesCap", "HydroCap", "NuclearCap", "SolarCap", "WindCap", "BiomassCap")
+    d.withColumn("direction",
+        when(col("technology").isin(greenTechs: _*), "increasing").otherwise("declining"))
+      .withColumn("fair_share_perc",
+        when(col("direction") === "declining", col("tmsr")).otherwise(col("smsp")))
+      .select(col("scenario_geography"), col("scenario"), col("ald_sector"), col("technology"),
+        col("units"), col("year"), col("direction"), col("fair_share_perc"), col("value"))
+  }
+
+  /** reference R/prepare_scenario_data.R:938-1065 prepare_steel_scenario_data:
+    * cross-complete the scenario×technology×year grid, technology fan-outs
+    * (EAF→BF-EAF, BF-BOF→BOF/BF-OHF), trailing nulls→0, DRI-BOF leading
+    * nulls anchored to the 2026 value, tmsr-only fair shares.
+    */
+  def prepareSteelScenarioData(
+      data: DataFrame,
+      startYear: Int,
+      maxYear: Int = 2050): DataFrame = {
+    var d = data
+      .withColumnRenamed("Production (Mt)", "value")
+      .filter(col("technology").isin("Avg BF-BOF", "DRI-Melt-BOF", "EAF", "DRI-EAF"))
+      .filter(col("scenario").isin("Baseline", "Carbon Cost"))
+      .withColumn("year", col("year").cast("int"))
+    // :949-955 — tidyr::complete crosses DISTINCT scenarios × technologies
+    // × the fixed year axis (not just observed combos)
+    d = TimeSeries.completeCross(d, Seq("scenario", "technology"), "year", startYear, maxYear)
+      .withColumn("scenario_geography", lit("Global"))
+      .withColumn("sector", lit("Steel"))
+      .withColumn("technology",
+        when(col("technology") === "Avg BF-BOF", "BF-BOF")
+          .when(col("technology") === "DRI-Melt-BOF", "DRI-BOF")
+          .otherwise(col("technology")))
+    // :969-975 — EAF duplicated as BF-EAF
+    d = d.unionByName(
+      d.filter(col("technology") === "EAF").withColumn("technology", lit("BF-EAF")))
+    // :983-1001 — trailing nulls (after the last observation) become 0;
+    // R's max(year[!is.na]) over an all-NA group is -Inf, so all-null
+    // groups zero out entirely — zeroAfterLastObs matches both branches
+    d = TimeSeries.zeroAfterLastObs(d, Seq("scenario", "technology"), "year", "value", "value")
+    // :1010-1022 — DRI-BOF leading nulls anchored to the scenario's 2026
+    // value (a 1-row-per-scenario broadcastable lookup)
+    val anchor = d
+      .filter(col("year") === 2026 && col("technology") === "DRI-BOF")
+      .select(col("scenario"), col("value").as("__value_2026"))
+      .distinct()
+    d = d.join(broadcast(anchor), Seq("scenario"), "left")
+      .withColumn("value",
+        when(col("technology") === "DRI-BOF" && col("value").isNull &&
+          col("__value_2026").isNotNull, col("__value_2026"))
+          .otherwise(col("value")))
+      .drop("__value_2026")
+    // :1026-1038 — BF-BOF duplicated as BOF and BF-OHF
+    val bfBof = d.filter(col("technology") === "BF-BOF")
+    d = d
+      .unionByName(bfBof.withColumn("technology", lit("BOF")))
+      .unionByName(bfBof.withColumn("technology", lit("BF-OHF")))
+    // :1044-1046 — common fair-share groups (scenario, sector, geography)
+    d = addMarketShareColumns(d.filter(col("year") >= startYear), startYear)
+    d.withColumn("direction", lit("declining"))
+      .withColumn("units", lit("Mt/yr"))
+      .withColumn("fair_share_perc", col("tmsr"))
+      .withColumnRenamed("sector", "ald_sector")
+      .select(col("scenario_geography"), col("scenario"), col("ald_sector"), col("technology"),
+        col("units"), col("year"), col("direction"), col("fair_share_perc"),
+        col("value").as("scenario_pathway"))
+      .withColumn("scenario",
+        when(col("scenario") === "Baseline", "Steel_baseline")
+          .when(col("scenario") === "Carbon Cost", "Steel_NZ")
+          .otherwise(col("scenario")))
   }
 }

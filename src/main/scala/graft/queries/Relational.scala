@@ -873,6 +873,48 @@ object Relational {
       // join; the range is a lazy 1-row broadcast, no driver collect.
       TimeSeries.completeGridGlobalRange(nulled(s, d), Seq("g"), "x").orderBy("g", "x")
     },
+    Q("r10_cross_grid",
+      """WITH b AS (SELECT l_returnflag AS f, l_linestatus AS st,
+        |  CAST(l_linenumber AS INTEGER) AS x,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS v
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |g AS (SELECT ff.f, ss.st, CAST(gs.x AS INTEGER) AS x
+        |      FROM (SELECT DISTINCT f FROM b) ff
+        |      CROSS JOIN (SELECT DISTINCT st FROM b) ss
+        |      CROSS JOIN generate_series(1, 7) gs(x))
+        |SELECT g.f AS l_returnflag, g.st AS l_linestatus, g.x AS l_linenumber, b.v AS v
+        |FROM g LEFT JOIN b ON b.f = g.f AND b.st = g.st AND b.x = g.x
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      // R10 (scale extension): tidyr::complete(a, b, x = lo:hi) — CROSS of
+      // the per-key distinct sets × the axis, not just observed combos
+      // (reference steel grid, R/prepare_scenario_data.R:949-955). Combos
+      // never observed together materialize with null values.
+      val base = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_linenumber").cast("int").as("l_linenumber"))
+        .agg(dsum(col("l_quantity")).as("v"))
+      TimeSeries.completeCross(base, Seq("l_returnflag", "l_linestatus"), "l_linenumber", 1, 7)
+        .orderBy("l_returnflag", "l_linestatus", "l_linenumber")
+    },
+    Q("w11_anchor_backfill",
+      s"""WITH b AS ($nulledSql),
+         |a AS (SELECT g, v AS av FROM b WHERE x = 4)
+         |SELECT b.g AS g, b.x AS x, b.v AS v,
+         |  CASE WHEN b.v IS NULL AND a.av IS NOT NULL THEN a.av ELSE b.v END AS v_filled
+         |FROM b LEFT JOIN a ON a.g = b.g
+         |ORDER BY g, x""".stripMargin) { (s, d) =>
+      // W11 (scale extension): anchor-year backfill — nulls take the
+      // group's value at a pinned axis point (reference steel DRI-BOF 2026
+      // anchor, R/prepare_scenario_data.R:1010-1022). The anchor is a
+      // 1-row-per-group lookup, broadcast onto the facts.
+      val base = nulled(s, d)
+      val anchor = base.filter(col("x") === 4).select(col("g"), col("v").as("__av"))
+      base.join(broadcast(anchor), Seq("g"), "left")
+        .withColumn("v_filled",
+          when(col("v").isNull && col("__av").isNotNull, col("__av")).otherwise(col("v")))
+        .drop("__av")
+        .orderBy("g", "x")
+    },
     Q("r6_concat_cols",
       """SELECT p_partkey, p_brand || '_' || p_type AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
