@@ -2,6 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.DataChecks
 import graft.ops.Joins
 
 /** Geography grouping/renaming — Spark re-expression of
@@ -53,4 +54,129 @@ object Geographies {
     df.join(broadcast(mapping), df(geoCol) === mapping("shortest_name"), "left")
       .withColumn(geoCol, coalesce(col("longest_name"), col(geoCol)))
       .drop("shortest_name", "longest_name")
+
+  /** reference R/rename_geographies.R:36-42 get_all_unique_geographies:
+    * the distinct, sorted union of scenario_geography across input frames.
+    */
+  def getAllUniqueGeographies(dfs: Seq[DataFrame]): DataFrame =
+    dfs.map(_.select(col("scenario_geography")))
+      .reduce(_.unionByName(_))
+      .distinct()
+      .orderBy("scenario_geography")
+
+  /** The country remaps for names countrycode cannot resolve (reference
+    * data-raw/run_rename_geographies.R:34-104 `remap_countries` — the
+    * curated wrangling rule list, reproduced as an in-code literal table).
+    */
+  def countryRemaps(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      "Myanmar" -> "MM", "Plurinational State of Bolivia" -> "BO",
+      "Curaçao/Netherlands Antilles" -> "CW", "Trinidad and Tobago" -> "TT",
+      "Bolivarian Republic of Venezuela" -> "VE", "Antigua And Barbuda" -> "AG",
+      "Bosnia and Herzegovina" -> "BA", "Brunei Darussalam" -> "BN", "Curacao" -> "CW",
+      "Democratic People's Republic of Korea" -> "KP",
+      "Democratic Republic of the Congo" -> "CD", "GuineaBissau" -> "GW",
+      "Hong Kong Special Administrative Region of China" -> "HK",
+      "Iran (Islamic Republic of Iran)" -> "IR", "Islamic Republic of Mauritania" -> "MR",
+      "Ivory Coast" -> "CI", "Lao People's Democratic Republic" -> "LA",
+      "Libyan Arab Jamahiriya" -> "LY",
+      "Macau Special Administrative Region of China" -> "MO", "Republic of Congo" -> "CG",
+      "Republic of Korea" -> "KP", "Republic of Macedonia" -> "MK",
+      "Republic of Moldova" -> "MD", "Reunion" -> "RE", "Russian Federation" -> "RU",
+      "Syrian Arab Republic" -> "SY", "TimorLeste" -> "TL",
+      "United Republic Of Tanzania" -> "TZ", "Congo Republic" -> "CG",
+      "KuwaitSaudi Arabia Partitioned Neutral Zone" -> "KW", "Congo" -> "CG",
+      "Iran,  Islamic Republic of" -> "IR", "Korea,  Democratic People's Republic of" -> "KP",
+      "Macedonia, the Former Yugoslav Republic of" -> "MK", "Moldova, Republic of" -> "MD",
+      "Palestine, State of" -> "PS", "Taiwan, Province of China" -> "TW",
+      "Viet Nam" -> "VN", "Wallis and Futuna" -> "WF"
+    ).toDF("country", "country_iso")
+  }
+
+  /** reference data-raw/run_rename_geographies.R:5-173
+    * cleaning_bench_regions: drop the ambiguous EU pseudo-country, attach
+    * new geographies resolving their countries to iso2 via the codelist
+    * with the curated remap fallback, rewrite Namibia's "NA" iso, dedup
+    * (geography, country) pairs, recount, and replace country spellings
+    * with the canonical codelist names.
+    *
+    * @param benchRegions  (scenario_geography, country, country_iso)
+    * @param newGeos       (scenario_geography, country) additions
+    * @param countryToIso  (country, country_iso) canonical codelist slice —
+    *                      the countrycode package's data, supplied as input
+    */
+  def cleanBenchRegions(
+      benchRegions: DataFrame,
+      newGeos: DataFrame,
+      countryToIso: DataFrame): DataFrame = {
+    val spark = benchRegions.sparkSession
+    var bench = benchRegions.filter(col("country_iso") =!= "EU")
+    // :28-110 — resolve new geographies: codelist first, curated remap next
+    val inCodes = newGeos.join(broadcast(countryToIso), Seq("country"))
+    val viaRemap = newGeos
+      .join(broadcast(countryToIso.select("country")), Seq("country"), "left_anti")
+      .join(broadcast(countryRemaps(spark)), Seq("country"))
+    bench = bench.unionByName(inCodes.unionByName(viaRemap), allowMissingColumns = true)
+    // :121-123 — Namibia's iso2 is the literal string "NA"
+    bench = bench.withColumn("country_iso",
+      when(col("country_iso").isNull, "NA").otherwise(col("country_iso")))
+    // :125-147 — dedup (geography, country_iso); survivor pinned by country
+    // name for determinism (the reference keeps file order; the kept name is
+    // immediately replaced by the codelist spelling below, so any survivor
+    // yields the same final frame)
+    bench = Joins.dedupKeepFirst(bench, Seq("scenario_geography", "country_iso"),
+      Seq(col("country")))
+    // :149-152 — per-geography country count
+    bench = bench.withColumn("reg_count",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("scenario_geography"))))
+    // :155-171 — canonical country spelling from the codelist
+    bench.drop("country")
+      .join(broadcast(countryToIso), Seq("country_iso"), "left")
+  }
+
+  /** reference R/rename_geographies.R:186-207 rename_stress_test_inputs:
+    * the distinct (old, new) geography mapping from bench_regions applied
+    * to every input frame's scenario_geography.
+    */
+  def renameStressTestInputs(benchRegions: DataFrame, dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val mapping = benchRegions
+      .select(col("scenario_geography").as("shortest_name"),
+        col("scenario_geography_newname").as("longest_name"))
+      .distinct()
+    dfs.map(applyGeographyMapping(_, "scenario_geography", mapping))
+  }
+
+  /** reference R/rename_geographies.R:216-268 regroup_and_rename_geographies
+    * — the full stage: unique-pair precondition, identical-geography
+    * grouping, name standardization, rename across every input frame, and
+    * the closing containment check (every geography surfacing in the inputs
+    * must exist in the renamed bench set).
+    *
+    * Returns (bench_regions with scenario_geography_newname, renamed inputs).
+    */
+  def regroupAndRenameGeographies(
+      benchRegions: DataFrame,
+      triskInputs: Seq[DataFrame],
+      matchingTol: Double = 1.0): (DataFrame, Seq[DataFrame]) = {
+    DataChecks.assertUniqueKeys(benchRegions, Seq("scenario_geography", "country_iso"))
+    var bench = benchRegions
+      .withColumn("scenario_geography_newname", col("scenario_geography"))
+    val mapper = groupIdenticalGeographies(benchRegions, matchingTol)
+    bench = applyGeographyMapping(bench, "scenario_geography_newname", mapper)
+    bench = bench.withColumn("scenario_geography_newname",
+      standardizeGeographyName(col("scenario_geography_newname")))
+    val renamed = renameStressTestInputs(bench, triskInputs)
+    // closing containment check (:264-265)
+    val known = bench.select(col("scenario_geography_newname").as("scenario_geography"))
+      .distinct()
+    val unknown = getAllUniqueGeographies(renamed)
+      .join(known, Seq("scenario_geography"), "left_anti")
+      .count()
+    if (unknown > 0)
+      throw DataChecks.CheckFailed(
+        s"$unknown input geographies missing from renamed bench_regions")
+    (bench, renamed)
+  }
 }
