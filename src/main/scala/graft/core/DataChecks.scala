@@ -51,4 +51,70 @@ object DataChecks {
     if (dups > 0) throw CheckFailed(s"$dups duplicated key combos on ${keys.mkString(",")}")
     df
   }
+
+  /** Named row-level predicates for the batched checks below. */
+  def notNullCheck(cols: Seq[String]): (String, Column) =
+    s"no_null_${cols.mkString("_")}" -> cols.map(col(_).isNotNull).reduce(_ && _)
+
+  def betweenCheck(c: String, lo: Double, hi: Double): (String, Column) =
+    s"${c}_between" -> (col(c).isNotNull && col(c) >= lo && col(c) <= hi)
+
+  /** Run N row-level checks in ONE aggregate pass (N separate assert*
+    * calls would re-execute the upstream plan N times — at 100 TB a
+    * pipeline with three checks runs ~4×). Throws listing every failing
+    * check at once.
+    */
+  def assertAll(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "assertAll needs at least one check")
+    val aggs = checks.map { case (name, pred) =>
+      sum((!coalesce(pred, lit(false))).cast("long")).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val failed = checks.zipWithIndex.collect {
+      case ((name, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$name (${row.getLong(i)} rows)"
+    }
+    if (failed.nonEmpty) throw CheckFailed(s"checks failed: ${failed.mkString("; ")}")
+    df
+  }
+
+  /** Handle returned by [[observeChecks]]: call [[assertClean]] AFTER the
+    * frame's terminal action to throw on violations.
+    */
+  final class ObservedChecks(val df: DataFrame,
+      observation: org.apache.spark.sql.Observation,
+      names: Seq[String]) {
+    /** Blocks until the observed action completes (Observation.get), then
+      * throws [[CheckFailed]] listing every violated check.
+      */
+    def assertClean(): Unit = {
+      val metrics = observation.get
+      val failed = names.flatMap { n =>
+        metrics.get(n) match {
+          case Some(v: Long) if v > 0 => Some(s"$n ($v rows)")
+          case _ => None
+        }
+      }
+      if (failed.nonEmpty) throw CheckFailed(s"checks failed: ${failed.mkString("; ")}")
+    }
+  }
+
+  /** Zero-extra-pass checks: violation counters ride the frame's OWN
+    * terminal action via Dataset.observe — no additional job at all
+    * (assertAll still costs one extra aggregate job; this costs none).
+    * Usage:
+    * {{{
+    * val oc = DataChecks.observeChecks(out, Seq(DataChecks.betweenCheck("cf", 0, 1)))
+    * oc.df.write.parquet(path)   // the pipeline's real action
+    * oc.assertClean()            // throws if any check saw violations
+    * }}}
+    */
+  def observeChecks(df: DataFrame, checks: Seq[(String, Column)]): ObservedChecks = {
+    require(checks.nonEmpty, "observeChecks needs at least one check")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = checks.map { case (name, pred) =>
+      sum((!coalesce(pred, lit(false))).cast("long")).as(name)
+    }
+    new ObservedChecks(df.observe(obs, aggs.head, aggs.tail: _*), obs, checks.map(_._1))
+  }
 }

@@ -147,7 +147,9 @@ object Abcd {
       .withColumn("scenario_geography", lit("Global"))
       .withColumnRenamed("ald_location", "country_iso2")
 
-    // reference :423 — result must have no duplicate rows
+    // reference :423 — result must have no duplicate rows; cached so the
+    // uniqueness action materializes the frame the caller consumes
+    abcd = abcd.cache()
     DataChecks.assertUniqueKeys(abcd, abcd.columns.toSeq)
     abcd
   }

@@ -189,8 +189,11 @@ object Financial {
     val all = financial.unionByName(missing.select(financial.columns.map(col): _*),
         allowMissingColumns = true)
       .filter(col("company_id").isNotNull)
-    val withAvg = attachAverages(all, srAvg, sAvg, gAvg)
-    DataChecks.assertNoNull(withAvg, indicators.map(i => s"avg_$i"))
+    // cache before the mid-pipeline check: the assertion action populates
+    // the cache the downstream plan then reads, so the subtree executes
+    // once instead of once per consumer (DataChecks scaladoc pattern)
+    val withAvg = attachAverages(all, srAvg, sAvg, gAvg).cache()
+    DataChecks.assertAll(withAvg, Seq(DataChecks.notNullCheck(indicators.map(i => s"avg_$i"))))
 
     // reference :348-441 select_final_financial_value_using_averages,
     // re-expressed as coalesce + provenance (no pivot round-trip)
@@ -226,8 +229,10 @@ object Financial {
       out = out.drop(averageTypes.map(t => s"indicator_type_${ff}_$t"): _*)
     }
 
-    // reference :600-603 — nothing may be null
-    DataChecks.assertNoNull(out, out.columns.toSeq)
+    // reference :600-603 — nothing may be null; cached so the assertion
+    // action materializes the frame the caller consumes
+    out = out.cache()
+    DataChecks.assertAll(out, Seq(DataChecks.notNullCheck(out.columns.toSeq)))
     out
   }
 }

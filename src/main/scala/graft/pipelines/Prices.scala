@@ -56,8 +56,11 @@ object Prices {
     data = TimeSeries.completeGridGlobalRange(data, keyCols, "year")
     data = TimeSeries.naApprox(data, keyCols, "year", "price", "price")
 
-    DataChecks.assertNoNull(data, Seq("price"))
-    DataChecks.assertBetween(data, "price", 0.0, Double.MaxValue)
+    // one aggregate pass for both checks (separate assert* calls would
+    // re-execute the upstream plan once per check)
+    DataChecks.assertAll(data, Seq(
+      DataChecks.notNullCheck(Seq("price")),
+      DataChecks.betweenCheck("price", 0.0, Double.MaxValue)))
     data.select((keyCols :+ "year" :+ "price").map(col): _*)
   }
 
@@ -106,8 +109,11 @@ object Prices {
     var data = powerLcoeLong(powerWide, firstYear = 2020)
     data = TimeSeries.completeGridGlobalRange(data, keyCols, "year")
     data = TimeSeries.naApprox(data, keyCols, "year", "price", "price")
-    DataChecks.assertNoNull(data, Seq("price"))
-    DataChecks.assertBetween(data, "price", 0.0, Double.MaxValue)
+    // one aggregate pass for both checks (separate assert* calls would
+    // re-execute the upstream plan once per check)
+    DataChecks.assertAll(data, Seq(
+      DataChecks.notNullCheck(Seq("price")),
+      DataChecks.betweenCheck("price", 0.0, Double.MaxValue)))
     data.select((keyCols :+ "year" :+ "price").map(col): _*)
   }
 

@@ -21,6 +21,7 @@ object RunWorkflow {
       eikonFinancials: DataFrame,
       companyIds: Option[DataFrame],
       ownershipTree: Option[DataFrame],
+      scenarios: Option[ScenarioData.ScenarioInputs] = None,
       startYear: Int = 2021,
       timeHorizon: Int = 5,
       sectorList: Seq[String] = Seq("Automotive", "Power", "Oil&Gas", "Coal"))
@@ -30,17 +31,58 @@ object RunWorkflow {
       capacityFactors: DataFrame,
       prices: DataFrame,
       abcd: DataFrame,
-      financial: DataFrame)
+      financial: DataFrame,
+      scenariosAnalysisInput: Option[DataFrame] = None)
+
+  /** The st_inputs column convention: every runner renames
+    * technology→ald_business_unit (and the price runner sector→ald_sector)
+    * before writing (data-raw/run_prepare_price_data_long.R:357-358,
+    * run_prepare_prewrangled_capacity_factors.R:187).
+    */
+  private def toStInputNames(df: DataFrame): DataFrame = {
+    val renamed = df.withColumnRenamed("technology", "ald_business_unit")
+    if (renamed.columns.contains("sector")) renamed.withColumnRenamed("sector", "ald_sector")
+    else renamed
+  }
 
   def run(spark: SparkSession, in: Inputs): Outputs = {
-    // stages 2-4 of run_workflow.R (scenario stage needs per-vintage raw
-    // CSVs; its building blocks live in ScenarioData)
+    // stage 1 of run_workflow.R: the multi-vintage scenario merge
+    // (data-raw/run_prepare_Scenarios_AnalysisInput.R) when the per-vintage
+    // raw frames are supplied
+    val scenariosAnalysisInput = in.scenarios.map(s =>
+      ScenarioData.prepareScenariosAnalysisInput(s, in.startYear))
+
+    // stages 2-4 of run_workflow.R
     val carbonPrice = CarbonPrice.prepareNgfsCarbonPrice(
       spark, in.ngfsCarbonPriceWide, in.startYear)
     val capacityFactors = CapacityFactors.prepareCapacityFactorsWeo2021(
       in.weoCapacityFactorsWide, in.startYear)
-    val prices = Prices.preparePriceDataLongWeo2021(
+    var prices = Prices.preparePriceDataLongWeo2021(
       in.fossilFuelPricesWide, in.powerLcoeWide)
+    // run_workflow.R price stage appends dummy automotive prices wherever
+    // the merged scenario set has automotive rows (create_automotive_prices)
+    for (scen <- scenariosAnalysisInput) {
+      val auto = Prices.createAutomotivePrices(scen)
+        .withColumn("source", lit("synthetic"))
+        .withColumn("year", col("year").cast("int"))
+        .withColumn("price", col("price").cast("double"))
+      prices = prices.unionByName(auto.select(prices.columns.map(col): _*))
+    }
+
+    // stages 5-6 of run_workflow.R (:28-72): align the scenario, price and
+    // capacity-factor frames to the perimeter complete across all three —
+    // rewrite-as-new-frames, never in place (a lazy plan must not read a
+    // path being overwritten)
+    var capacityFactorsOut = capacityFactors
+    var pricesOut = prices
+    var scenariosOut = scenariosAnalysisInput
+    for (scen <- scenariosAnalysisInput) {
+      val (alignedScen, alignedPrices, alignedCf) = Workflow.alignDatasets(
+        scen, toStInputNames(prices), toStInputNames(capacityFactors))
+      scenariosOut = Some(alignedScen)
+      pricesOut = alignedPrices
+      capacityFactorsOut = alignedCf
+    }
 
     // stage 7: abcd — consumed by the financial stage too -> cache
     val abcd = Abcd.prepareAbcdData(in.companyActivities, in.companyEmissions,
@@ -57,6 +99,6 @@ object RunWorkflow {
       allowedRangeNpm = (Double.NegativeInfinity, Double.PositiveInfinity))
     financial = Financial.restrictToAbcdCompanies(financial, abcd)
 
-    Outputs(carbonPrice, capacityFactors, prices, abcd, financial)
+    Outputs(carbonPrice, capacityFactorsOut, pricesOut, abcd, financial, scenariosOut)
   }
 }

@@ -576,4 +576,142 @@ object ScenarioData {
           .when(col("scenario") === "Carbon Cost", "Steel_NZ")
           .otherwise(col("scenario")))
   }
+
+  // ---- full scenario stage (data-raw/run_prepare_Scenarios_AnalysisInput.R)
+
+  /** data-raw/run_prepare_Scenarios_AnalysisInput.R:5-15. */
+  val greenTechs: Seq[String] = Seq("FuelCell", "Electric", "Hybrid", "RenewablesCap",
+    "HydroCap", "NuclearCap", "FuelCell_HDV", "Electric_HDV", "Hybrid_HDV")
+
+  /** :211-212 — IPR's green list adds the renewable components. */
+  val greenTechsIpr: Seq[String] = Seq("RenewablesCap", "HydroCap", "NuclearCap", "SolarCap",
+    "OffWindCap", "OnWindCap", "BiomassCap", "Electric", "FuelCell")
+
+  /** :18-26. */
+  val interpolationGroups: Seq[String] = Seq("source", "scenario", "sector", "technology",
+    "scenario_geography", "indicator", "units")
+
+  /** The interpolate → filter → market-shares → format_p4i chain the runner
+    * applies to every long vintage (:83-88 and repeats).
+    */
+  private def interpolateSharesFormat(
+      d: DataFrame, startYear: Int, greens: Seq[String]): DataFrame =
+    formatP4i(
+      addMarketShareColumns(
+        interpolateYearly(d, interpolationGroups).filter(col("year") >= startYear),
+        startYear),
+      greens)
+
+  /** :357-384 baseline scenario labels. */
+  val baselineScenarios: Seq[String] = Seq(
+    "WEO2021_STEPS", "WEO2023_STEPS", "GECO2021_CurPol", "GECO2023_CurPol", "WEO2021_APS",
+    "NGFS2023GCAM_CP", "NGFS2023MESSAGE_CP", "NGFS2023REMIND_CP",
+    "NGFS2023MESSAGE_FW", "NGFS2023REMIND_FW", "NGFS2023GCAM_FW",
+    "NGFS2023MESSAGE_NDC", "NGFS2023REMIND_NDC", "NGFS2023GCAM_NDC",
+    "NGFS2024GCAM_CP", "NGFS2024MESSAGE_CP", "NGFS2024REMIND_CP",
+    "NGFS2024MESSAGE_FW", "NGFS2024REMIND_FW", "NGFS2024GCAM_FW",
+    "NGFS2024MESSAGE_NDC", "NGFS2024REMIND_NDC", "NGFS2024GCAM_NDC",
+    "IPR2023_baseline", "IPR2023Automotive_baseline", "Oxford2021_base", "Steel_baseline")
+
+  /** :385-426 shock scenario labels. */
+  val shockScenarios: Seq[String] = Seq(
+    "WEO2021_SDS", "WEO2021_NZE_2050", "WEO2023_APS", "WEO2023_NZE_2050",
+    "GECO2021_1.5C-Unif", "GECO2021_NDC-LTS", "GECO2023_1.5C", "GECO2023_NDC-LTS",
+    "NGFS2023GCAM_B2DS", "NGFS2023MESSAGE_B2DS", "NGFS2023REMIND_B2DS",
+    "NGFS2023GCAM_LD", "NGFS2023MESSAGE_LD", "NGFS2023REMIND_LD",
+    "NGFS2023GCAM_DT", "NGFS2023MESSAGE_DT", "NGFS2023REMIND_DT",
+    "NGFS2023GCAM_NZ2050", "NGFS2023MESSAGE_NZ2050", "NGFS2023REMIND_NZ2050",
+    "NGFS2024GCAM_B2DS", "NGFS2024MESSAGE_B2DS", "NGFS2024REMIND_B2DS",
+    "NGFS2024GCAM_LD", "NGFS2024MESSAGE_LD", "NGFS2024REMIND_LD",
+    "NGFS2024GCAM_DT", "NGFS2024MESSAGE_DT", "NGFS2024REMIND_DT",
+    "NGFS2024GCAM_NZ2050", "NGFS2024MESSAGE_NZ2050", "NGFS2024REMIND_NZ2050",
+    "IPR2023_FPS", "IPR2023Automotive_FPS", "Oxford2021_fast", "Steel_NZ")
+
+  /** Per-vintage raw frames for the full scenario stage. Long P4I-style
+    * frames (weoGeco, geco2021, weo23, geco2023) carry (source, scenario,
+    * scenario_geography, sector, technology, units, indicator, year,
+    * value); the others are each vintage's raw shape. Any input may be
+    * None — its branch is skipped (the reference script would simply not
+    * source that CSV).
+    */
+  final case class ScenarioInputs(
+      weoGeco: Option[DataFrame] = None,
+      geco2021: Option[DataFrame] = None,
+      weo23: Option[DataFrame] = None,
+      geco2023: Option[DataFrame] = None,
+      ngfsPhase4: Option[DataFrame] = None,
+      ngfsV5: Option[DataFrame] = None,
+      ipr: Option[DataFrame] = None,
+      oxf: Option[DataFrame] = None,
+      steel: Option[DataFrame] = None)
+
+  /** The full scenario stage (data-raw/run_prepare_Scenarios_AnalysisInput
+    * .R:1-441): every vintage wrangled through its own pipeline, merged via
+    * union-dedup (R full_join with no keys), scenario_type assigned from
+    * the baseline/shock lists with the reference's no-orphan assertion,
+    * technology renamed to ald_business_unit.
+    */
+  def prepareScenariosAnalysisInput(in: ScenarioInputs, startYear: Int): DataFrame = {
+    // :83-90 — WEO2021+GECO2021
+    val preparedData = in.weoGeco.map(d =>
+      prepareScenarioData(interpolateSharesFormat(d, startYear, greenTechs)))
+    // :94-124 — WEO2023
+    val preparedWeo23 = in.weo23.map(d =>
+      prepareScenarioDataWeo23(interpolateSharesFormat(d, startYear, greenTechs)))
+    // :126-156 — GECO2023
+    val preparedGeco23 = in.geco2023.map(d =>
+      prepareGeco2023(interpolateSharesFormat(d, startYear, greenTechs)))
+    // :158-192 — NGFS Phase IV (degree-sign cleanup upstream of recodes)
+    val preparedNgfs = in.ngfsPhase4.map { d =>
+      val pre = preprepareNgfsScenarioData(
+        d.withColumn("Scenario", regexp_replace(col("Scenario"), "°", " ")), startYear)
+      styleNgfs(interpolateSharesFormat(pre, startYear, greenTechs))
+    }
+    // :195-232 — NGFS Phase V, then fair_share_perc nulls -> 0
+    val preparedNgfsV5 = in.ngfsV5.map { d =>
+      val pre = preprepareNgfsScenarioDataV5(
+        d.withColumn("Scenario", regexp_replace(col("Scenario"), "°", " ")))
+      styleNgfs(interpolateSharesFormat(pre, startYear, greenTechs))
+        .withColumn("fair_share_perc", coalesce(col("fair_share_perc"), lit(0.0)))
+    }
+    // :236-304 — IPR: main + WEO baseline + GECO automotive baseline,
+    // unioned, fair_share_perc nulls -> 0
+    val preparedIpr = in.ipr.map { d =>
+      var ipr = prepareIprScenarioData2023(d, startYear)
+      for (p <- preparedData)
+        ipr = graft.ops.Joins.unionDedup(Seq(
+          ipr, prepareIprBaselineScenario(p).select(ipr.columns.map(col): _*)))
+      for (g <- in.geco2021) {
+        val auto = prepareIprBaselineScenarioAutomotive(
+          interpolateSharesFormat(g, startYear, greenTechsIpr))
+        ipr = ipr.unionByName(auto, allowMissingColumns = true).distinct()
+      }
+      ipr.withColumn("fair_share_perc", coalesce(col("fair_share_perc"), lit(0.0)))
+    }
+    // :306-327 — Oxford (value renamed to scenario_pathway by the runner)
+    val preparedOxf = in.oxf.map(d =>
+      prepareOxfScenarioData(d, startYear).withColumnRenamed("value", "scenario_pathway"))
+    // :330-348 — steel
+    val preparedSteel = in.steel.map(d => prepareSteelScenarioData(d, startYear))
+
+    // :350-356 — merge all vintages (full_join with no keys = union-dedup)
+    val frames = Seq(preparedData, preparedNgfs, preparedIpr, preparedOxf,
+      preparedGeco23, preparedSteel, preparedWeo23, preparedNgfsV5).flatten
+    require(frames.nonEmpty, "at least one scenario vintage input is required")
+    val combined = frames
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .distinct()
+
+    // :428-437 — scenario_type with the reference's no-orphan verify
+    val typed = combined.withColumn("scenario_type",
+      when(col("scenario").isin(baselineScenarios: _*), "baseline")
+        .when(col("scenario").isin(shockScenarios: _*), "shock"))
+    val orphans = typed.filter(col("scenario_type").isNull)
+      .select("scenario").distinct().limit(20).collect().map(_.getString(0))
+    if (orphans.nonEmpty)
+      throw graft.core.DataChecks.CheckFailed(
+        s"scenarios with no baseline/shock classification: ${orphans.mkString(", ")}")
+    // :438-441
+    typed.withColumnRenamed("technology", "ald_business_unit")
+  }
 }

@@ -61,4 +61,18 @@ class PlanSpec extends SparkTestBase {
     val p = plan(TimeSeries.naApprox(completed, Seq("g"), "x", "v", "vi"))
     assert(p.contains("Window"), p)
   }
+
+  test("anchor backfill broadcasts the 1-row-per-group anchor (W11)") {
+    val p = plan(SparkEntry.queries("w11_anchor_backfill")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"anchor lookup must broadcast, not shuffle the facts:\n$p")
+  }
+
+  test("cross-complete grid builds from broadcast distinct sets (R10)") {
+    val p = plan(SparkEntry.queries("r10_cross_grid")(spark, sfDir))
+    // the distinct-set cross product must be broadcast-shaped (tiny sides),
+    // never a shuffled cartesian of the fact table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"distinct-set cross must broadcast:\n$p")
+  }
 }

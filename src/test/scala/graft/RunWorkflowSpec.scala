@@ -31,7 +31,15 @@ class RunWorkflowSpec extends SparkTestBase {
     ("WEO2021", "SDS", "EU", "Gas CCGT", "LCOE", "usd/MWh", 70.0, 50.0))
     .toDF("source", "scenario", "region", "technology", "indicator", "unit", "2020", "2030")
 
-  test("run: all five outputs materialize with their invariants") {
+  private def gecoAutomotive = Seq(
+    ("GECO2021", "CurPol", "World", "Automotive", "Electric", "# vehicles", "Sales", 2022, 1.0),
+    ("GECO2021", "CurPol", "World", "Automotive", "Electric", "# vehicles", "Sales", 2024, 3.0),
+    ("GECO2021", "CurPol", "World", "Automotive", "ICE", "# vehicles", "Sales", 2022, 9.0),
+    ("GECO2021", "CurPol", "World", "Automotive", "ICE", "# vehicles", "Sales", 2024, 7.0))
+    .toDF("source", "scenario", "scenario_geography", "sector", "technology",
+      "units", "indicator", "year", "value")
+
+  test("run: all outputs materialize with their invariants") {
     val activities = SyntheticData.companyActivities(spark, nCompanies = 20)
     val out = RunWorkflow.run(spark, RunWorkflow.Inputs(
       ngfsCarbonPriceWide = ngfsWide,
@@ -43,6 +51,9 @@ class RunWorkflowSpec extends SparkTestBase {
       eikonFinancials = SyntheticData.eikonFinancials(spark, nCompanies = 20),
       companyIds = None,
       ownershipTree = Some(SyntheticData.ownershipTree(spark, nCompanies = 20)),
+      scenarios = Some(graft.pipelines.ScenarioData.ScenarioInputs(
+        geco2023 = Some(gecoAutomotive
+          .withColumn("source", lit("GECO2023")))) ),
       startYear = 2022, timeHorizon = 5))
 
     assert(out.carbonPrice.count() > 0)
@@ -54,5 +65,10 @@ class RunWorkflowSpec extends SparkTestBase {
     val abcdCompanies = out.abcd.select("company_id").distinct().count()
     assert(out.financial.count() == abcdCompanies)
     assert(out.financial.filter(col("pd").isNull).count() == 0)
+    // stage 1 merged scenario set present, and its automotive perimeter
+    // surfaced as dummy unit prices in the price output
+    val scen = out.scenariosAnalysisInput.get
+    assert(scen.filter(col("scenario") === "GECO2023_CurPol").count() > 0)
+    assert(out.prices.filter(col("unit") === "dummy" && col("price") === 1.0).count() > 0)
   }
 }
