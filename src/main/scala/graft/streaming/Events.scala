@@ -38,6 +38,19 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id with a bounded state horizon:
+    * `dropDuplicatesWithinWatermark` keeps an id only as long as the
+    * watermark can still admit a duplicate, then evicts it — state stays
+    * proportional to the dedup window, not the stream's lifetime (a plain
+    * dropDuplicates on a stream grows state forever, the classic
+    * unbounded-state bug). The training-data counterpart of dd_exact_dedup
+    * for continuous ingestion.
+    */
+  def dedupStream(stream: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

@@ -32,6 +32,19 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.join(batch, Seq("h", "event_type", "n"), "left_anti").count() == 0)
   }
 
+  test("dedupStream drops within-watermark duplicates, state bounded") {
+    // duplicate every event once in the source; the deduped stream must
+    // agree with the batch distinct-on-id count
+    val dir = Files.createTempDirectory("graft-events-dup").toString
+    val base = graft.core.Tables.events(spark, sfDir)
+    base.unionByName(base).write.mode("overwrite").parquet(dir)
+    val q = Events.dedupStream(Events.readEventStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out").count()
+    assert(streamed == base.select("event_id").distinct().count())
+  }
+
   test("sessionize closes sessions at gaps and matches a batch recomputation") {
     import org.apache.spark.sql.expressions.Window
     val stream = Events.readEventStream(spark, eventsDir)
