@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here derives from a hash of a stable key — never `rand()`:
+  * a non-deterministic sample changes under retries, recomputation and
+  * resume (Spark may re-execute any partition at any time), which silently
+  * leaks val/test rows into train at scale. The hash is MD5 (standard
+  * across engines, so the DuckDB oracle can reproduce the exact split —
+  * xxhash64 is Spark-private) taken over the key's string form; the first
+  * 8 hex chars give 32 uniform bits, folded into [0, buckets).
+  *
+  * All operators are narrow (no shuffle) except capPerGroup (one window
+  * shuffle on the group key) — sampling 100 TB costs one scan.
+  */
+object Sampling {
+
+  val DefaultBuckets = 10000
+
+  /** Uniform bucket in [0, buckets) from the key — engine-portable. */
+  def md5Bucket(key: Column, buckets: Int = DefaultBuckets): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
+  /** Label every row with a split name by cumulative weight — the
+    * deterministic train/val/test assignment. Weights need not sum to 1;
+    * they are normalized. A given key always lands in the same split, on
+    * any cluster, any retry, any engine.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      key: Column,
+      weights: Seq[(String, Double)],
+      out: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = md5Bucket(key)
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val expr = weights.zip(cuts).foldLeft(when(lit(false), null)) {
+      case (acc, ((label, _), cut)) =>
+        acc.when(bucket < math.round(cut * DefaultBuckets), label)
+    }
+    // the last cut rounds to exactly DefaultBuckets, so the final when
+    // already covers every bucket; otherwise(last) guards rounding
+    df.withColumn(out, coalesce(expr, lit(weights.last._1)))
+  }
+
+  /** Keep a per-stratum deterministic fraction of rows (e.g. downsample
+    * overrepresented languages/domains in a corpus). Unlisted strata are
+    * dropped; fraction 1.0 keeps the stratum whole. Narrow — the filter
+    * pushes into the scan, no shuffle.
+    */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      stratum: Column,
+      key: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val bucket = md5Bucket(key)
+    val threshold = element_at(typedLit(fractions.map { case (k, f) =>
+      k -> math.round(f * DefaultBuckets)
+    }), stratum)
+    df.filter(threshold.isNotNull && bucket < threshold)
+  }
+
+  /** Cap each group at `k` rows with a pinned survivor order (e.g. at most
+    * N documents per domain). One shuffle on the group key; ties broken by
+    * the explicit order, so output is retry-stable.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], k: Int, order: Seq[Column]): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+}

@@ -176,6 +176,55 @@ object TextData {
           Multimodal.asMedia(documents(s, d), "doc_id", "text", "image"))
         .select("media_id", "modality", "n_bytes", "width", "height", "n_frames")
         .orderBy("media_id")
+    },
+
+    // ---- deterministic sampling / splits -------------------------------
+    // MD5-bucketed (engine-portable, unlike xxhash64), so the oracle
+    // reproduces the EXACT split — a sampling op whose correctness is
+    // hash-verified, not just row-counted.
+    Q("sm_hash_split",
+      """WITH b AS (SELECT o_orderkey,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 10000 AS INTEGER) AS bucket FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.deterministicSplit(
+          orders(s, d).select("o_orderkey"), col("o_orderkey"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("o_orderkey")
+    },
+    Q("sm_stratified",
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 10000 AS INTEGER) AS bucket FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_returnflag FROM b
+        |WHERE (l_returnflag = 'A' AND bucket < 1000)
+        |   OR (l_returnflag = 'N' AND bucket < 500)
+        |   OR (l_returnflag = 'R' AND bucket < 2000)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin) { (s, d) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+      // — the returnflag tie-break makes the sort total (Catalog rule)
+      graft.operators.Sampling.stratifiedSampleByHash(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_returnflag"),
+          col("l_returnflag"),
+          col("l_orderkey") * 10 + col("l_linenumber"),
+          Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.2))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+    },
+    Q("sm_cap_group",
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.capPerGroup(
+          orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate"),
+          Seq("o_custkey"), 3, Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 

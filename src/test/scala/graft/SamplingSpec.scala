@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Sampling
+
+/** Deterministic sampling/split operators: stability across runs (the
+  * anti-rand() contract), proportion sanity, and group caps.
+  */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("deterministicSplit: stable across runs, proportions near weights, total preserved") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey")
+    val split = Sampling.deterministicSplit(orders, col("o_orderkey"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = orders.count().toDouble
+    assert(counts.values.sum == n.toLong) // exhaustive, no dropped rows
+    assert(math.abs(counts("train") / n - 0.8) < 0.02, s"train share ${counts("train") / n}")
+    assert(math.abs(counts("val") / n - 0.1) < 0.02)
+    assert(math.abs(counts("test") / n - 0.1) < 0.02)
+    // rerun is identical row-for-row (hash, not rand)
+    val again = Sampling.deterministicSplit(orders, col("o_orderkey"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).count() == 0)
+  }
+
+  test("stratifiedSampleByHash: per-stratum fractions honored, unlisted strata dropped") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    val out = Sampling.stratifiedSampleByHash(li, col("l_returnflag"),
+      col("l_orderkey") * 10 + col("l_linenumber"),
+      Map("A" -> 0.1, "R" -> 0.5)).cache()
+    assert(out.filter(col("l_returnflag") === "N").count() == 0) // unlisted
+    val aBase = li.filter(col("l_returnflag") === "A").count().toDouble
+    val aKept = out.filter(col("l_returnflag") === "A").count()
+    assert(math.abs(aKept / aBase - 0.1) < 0.02, s"A fraction ${aKept / aBase}")
+    val rBase = li.filter(col("l_returnflag") === "R").count().toDouble
+    val rKept = out.filter(col("l_returnflag") === "R").count()
+    assert(math.abs(rKept / rBase - 0.5) < 0.02, s"R fraction ${rKept / rBase}")
+  }
+
+  test("capPerGroup: at most k rows per group, pinned survivors") {
+    val df = Seq(
+      ("d1", 1, "2020-01-01"), ("d1", 2, "2020-01-02"), ("d1", 3, "2020-01-03"),
+      ("d1", 4, "2020-01-04"), ("d2", 5, "2020-01-01"))
+      .toDF("domain", "id", "date")
+    val out = Sampling.capPerGroup(df, Seq("domain"), 2, Seq(col("date"), col("id")))
+    assert(out.groupBy("domain").count().select("count").as[Long].collect().forall(_ <= 2))
+    // earliest two by date survive
+    assert(out.filter(col("domain") === "d1").select("id").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("split is narrow: no shuffle in the plan") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey")
+    val p = Sampling.deterministicSplit(orders, col("o_orderkey"), Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+}
