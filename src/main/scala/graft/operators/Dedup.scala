@@ -148,6 +148,28 @@ object Dedup {
     labels.withColumn("is_dup", col(id) =!= col("canonical_id"))
   }
 
+  /** End-to-end near-duplicate removal — the composite a corpus owner
+    * actually runs: MinHash+LSH candidates → exact n-gram Jaccard verify
+    * (candidates only) → connected-component canonicalization → keep one
+    * document per cluster (the canonical id). Every stage is the
+    * collision-bounded formulation above, so the whole chain never
+    * materializes O(N²) work; output is the deduplicated corpus with the
+    * original columns.
+    */
+  def dedupCorpus(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      minJaccard: Double = 0.7): DataFrame = {
+    val candidates = minhashLshPairs(df, id, text, shingleSize, numHashes, bands)
+    val verified = ngramJaccardVerify(df, candidates, id, text, shingleSize, minJaccard)
+    val labels = canonicalize(df.select(id), verified, id)
+    df.join(labels.filter(!col("is_dup")).select(id), Seq(id), "left_semi")
+  }
+
   /** Embedding near-duplicate pairs: sign-bit LSH blocks, then exact cosine
     * inside each block — never an all-pairs crossJoin.
     *

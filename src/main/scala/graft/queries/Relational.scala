@@ -1012,6 +1012,42 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // §2.9 date family — unused by the reference (its `year` axis is
+    // integer), provided for surface completeness
+    Q("f5_date_funcs",
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+        |    AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val od = col("o_orderdate").cast("date")
+      orders(s, d).select(
+          col("o_orderkey"), od.as("od"),
+          year(od).as("y"), month(od).as("m"), dayofmonth(od).as("dom"),
+          date_add(od, 30).as("plus30"),
+          date_trunc("month", od).cast("date").as("month_start"),
+          last_day(od).as("month_end"),
+          datediff(od, lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy("o_orderkey")
+    },
+    // §2.9 JSON family — events.props carries a JSON payload
+    Q("f6_json_funcs",
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  (CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50) AS k_high
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k")
+      events(s, d).select(
+          col("event_id"), k.as("k_str"), k.cast("int").as("k_int"),
+          (k.cast("int") >= 50).as("k_high"))
+        .orderBy("event_id")
+    },
+
     // ---- events: batch twin of the streaming pipeline ------------------
     Q("ev_hourly_agg",
       """SELECT event_type,

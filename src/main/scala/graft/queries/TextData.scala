@@ -52,6 +52,13 @@ object TextData {
       Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     },
+    Q.noOracle("dd_corpus_dedup") { (s, d) =>
+      // the end-to-end composite: LSH candidates -> exact verify ->
+      // canonicalize -> keep canonical docs (hash sketches: no SQL twin)
+      Dedup.dedupCorpus(documents(s, d), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
     // minCosine 0.35 with 4×6-plane OR-amplified tables: the synthetic
     // embeddings are near-orthogonal (max all-pairs cosine ≈ 0.51 at
     // sf0.01), so a 0.9 threshold made the check vacuous (0 rows). On real

@@ -45,6 +45,17 @@ class DedupSpec extends SparkTestBase {
     assert(out.contains((1L, 2L)))
   }
 
+  test("dedupCorpus end-to-end: keeps one doc per near-dup cluster, unrelated intact") {
+    val df = Seq(
+      (1L, base), (2L, nearDup), (3L, base),   // cluster {1,2,3} -> keep 1
+      (4L, distinct1),                          // untouched
+      (5L, "another unrelated document about watermarks and stateful streaming"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupCorpus(df, "doc_id", "text")
+    assert(out.columns.toSeq == df.columns.toSeq) // original shape preserved
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 5L))
+  }
+
   test("canonicalize propagates min id across duplicate chains") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // chain 1-2, 2-3 and isolated pair 4-5: clusters {1,2,3} and {4,5}
