@@ -5,15 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Dense-vector expression library over `Array[Float]` embedding columns.
   *
-  * Pure higher-order-function expressions (`zip_with`/`aggregate`) — the
-  * fold order is the array order, so results are deterministic. For the
-  * absolute hot path a custom Catalyst Expression with `doGenCode` over
-  * primitive arrays would shave the boxing; these are already codegen'd
-  * and adequate until profiling says otherwise.
+  * The dot product — the hot inner loop of every dedup/ANN operator — is
+  * the custom `graft_dot` Catalyst expression (one primitive loop per row;
+  * the HOF `aggregate(zip_with(...))` formulation evaluated interpreted
+  * lambdas per element and dominated the embedding profiles, the same
+  * failure mode the MinHash sketch had). Callers must run
+  * `graft.plans.Sketches.ensureRegistered(spark)` once per session — every
+  * `graft.operators` entry point does. `hofDot` remains as the registry-free
+  * portable fallback.
   */
 object VectorFns {
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Registry-free composed-builtins formulation (deterministic fold in
+    * array order); used where no session is in scope to register the
+    * custom expression.
+    */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

@@ -191,6 +191,7 @@ object Dedup {
       seed: Long = 42L,
       nTables: Int = 1): DataFrame = {
     require(nTables >= 1, "nTables must be >= 1")
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val tables = (0 until nTables).map { t =>
       Similarity.randomPlanes(nPlanes, dim, seed + t)
     }

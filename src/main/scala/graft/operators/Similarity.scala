@@ -34,13 +34,15 @@ object Similarity {
       vec: String,
       query: DataFrame,
       queryId: Long,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
     df.crossJoin(broadcast(query))
       .filter(col(id) =!= queryId)
       .withColumn("cosine", VectorFns.cosine(col(vec), col("qvec")))
       .select(col(id), col("cosine"))
       .orderBy(col("cosine").desc, col(id))
       .limit(k)
+  }
 
   /** Read an embedding row element-type-agnostically (array<float> and
     * array<double> both appear in the wild; a hard getSeq[Float] would
@@ -106,6 +108,7 @@ object Similarity {
       sampleMod: Int = 1): Seq[(Int, Seq[Double])] = {
     require(nCells >= 1, "nCells must be >= 1")
     require(sampleMod >= 1, "sampleMod must be >= 1")
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val train =
       if (sampleMod == 1) df.select(col(id), col(vec))
       else df.select(col(id), col(vec))
@@ -151,6 +154,7 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       trainIters: Int = 3): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val cents = trainCodebook(df, id, vec, nCells, trainIters)
     val assigned = df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
     val q = query.withColumn("qcells", nearestCells(col("qvec"), cents, nProbe))
@@ -175,6 +179,7 @@ object Similarity {
       path: String,
       nCells: Int = 16,
       trainIters: Int = 3): Seq[(Int, Seq[Double])] = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val cents = trainCodebook(df, id, vec, nCells, trainIters)
     df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -196,6 +201,7 @@ object Similarity {
       k: Int,
       cents: Seq[(Int, Seq[Double])],
       nProbe: Int = 4): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(spark)
     val cells = nearestCellsLocal(qvec, cents, nProbe)
     spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*))
@@ -220,6 +226,7 @@ object Similarity {
       dim: Int = 64,
       radius: Int = 2,
       seed: Long = 42L): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val planes = randomPlanes(nPlanes, dim, seed)
     val withBucket = df.withColumn("bucket", VectorFns.hyperplaneBucket(col(vec), planes))
     val q = query.withColumn("qbucket", VectorFns.hyperplaneBucket(col("qvec"), planes))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -145,6 +145,41 @@ object Sketches {
     override def prettyName: String = "graft_fingerprint64"
   }
 
+  /** Dense dot product over two numeric arrays (float or double elements)
+    * in a single primitive loop. The HOF formulation
+    * (aggregate(zip_with(a, b, _*_), 0.0, _+_)) allocates a zipped array
+    * and evaluates interpreted lambdas per element — it dominates the
+    * embedding dedup/ANN profiles the same way the HOF MinHash did.
+    * Matches zip_with semantics for the well-formed case (equal lengths,
+    * no null elements); a null element nulls the result, like the HOF.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private lazy val leftFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val rightFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        s += x * y
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot"
+  }
+
   /** Register the sketch expressions in a session's function registry so
     * they are callable via functions.call_function (idempotent).
     */
@@ -157,5 +192,7 @@ object Sketches {
       es => SimHashBands(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint64",
       es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => DotProduct(es.head, es(1)), "built-in")
   }
 }
