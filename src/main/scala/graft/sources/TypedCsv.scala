@@ -33,6 +33,29 @@ object TypedCsv {
     if (wanted.isEmpty) df else df.select(wanted.map(col): _*)
   }
 
+  /** S1 lenient variant for untrusted feeds: PERMISSIVE mode with the
+    * raw malformed line captured in `_corrupt_record` instead of the
+    * default null-out (or a FAILFAST abort). At 100 TB a single mangled
+    * row must neither kill the job nor vanish silently — the caller splits
+    * on `_corrupt_record IS NULL` and routes the rejects to a quarantine
+    * sink. (The rejects filter requires a non-pruned scan of the corrupt
+    * column, which Spark handles via the cache-free PERMISSIVE path.)
+    */
+  def readLenient(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      delimiter: String = ","): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** S4: deterministic single-file CSV sink — sort by the table's unique
     * index, then coalesce(1). Only for golden/export tables (the reference
     * writes result CSVs of at most ~10^6 rows); large outputs stay

@@ -31,6 +31,19 @@ class TypedCsvSpec extends SparkTestBase {
     assert(back.as[(String, Int, Double)].collect().toSeq == Seq(("IPR", 2030, 3.25)))
   }
 
+  test("lenient scan quarantines malformed rows instead of nulling or failing") {
+    val dir = Files.createTempDirectory("graft-lenient").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "d.csv"),
+      "scenario,year,value\nWEO,2021,1.5\nBROKEN,notayear,xx\nNZE,2020,2.5\n")
+    val back = TypedCsv.readLenient(spark, s"$dir/d.csv", schema).cache()
+    val good = back.filter(col("_corrupt_record").isNull)
+    val bad = back.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    // the reject carries the raw line for quarantine, not a nulled ghost
+    assert(bad.select("_corrupt_record").as[String].head().startsWith("BROKEN"))
+  }
+
   test("golden sink output is deterministically ordered") {
     val dir = Files.createTempDirectory("graft-golden").toString
     val df = Seq(("b", 2, 1.0), ("a", 1, 2.0), ("a", 2, 3.0)).toDF("scenario", "year", "value")
