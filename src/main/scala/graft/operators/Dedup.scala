@@ -35,13 +35,22 @@ object Dedup {
     * Two docs surface iff they agree on at least one full band; with
     * (H=64, b=8) the match curve has its sweet spot near j ≈ 0.77.
     */
+  /** @param maxBucketSize when > 0, (band, bucket) groups larger than this
+    *        are dropped before the self-join. A bucket of size s yields
+    *        s²/2 candidate pairs — one boilerplate bucket (repeated
+    *        headers, license blocks) can dominate the whole join at corpus
+    *        scale. Oversized buckets are near-certain boilerplate clusters;
+    *        the exact-dedup pass already catches their identical members,
+    *        and capping bounds the worst reducer at cap²/2 pairs.
+    */
   def minhashLshPairs(
       df: DataFrame,
       id: String,
       text: String,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val rowsPerBand = numHashes / bands
@@ -50,10 +59,17 @@ object Dedup {
       .filter(size(col("__toks")) > 0)
       .withColumn("__sig", TextFns.minhashSignature(col("__toks"), shingleSize, numHashes))
       .select(col(id), col("__sig"))
-    val banded = base
+    var banded = base
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
         xxhash64(col("band"), slice(col("__sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+    if (maxBucketSize > 0) {
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      banded = banded
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    }
     val a = banded.select(col(id).as("id_a"), col("__sig").as("sig_a"), col("band"), col("bucket"))
     val b = banded.select(col(id).as("id_b"), col("__sig").as("sig_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

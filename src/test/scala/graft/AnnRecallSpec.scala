@@ -85,6 +85,13 @@ class AnnRecallSpec extends SparkTestBase {
         nCells = 16, nProbe = 6)
       .select("vec_id").as[Long].collect().toSeq
     assert(probed == inline, s"index probe $probed != inline $inline")
+    // the probe's literal isin on the partition column must PRUNE the scan
+    // — that is the read pattern that makes the index pay at 100 TB
+    val probePlan = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding",
+        qvec, qid, 10, cents, nProbe = 6)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") && probePlan.contains("cell"),
+      s"probe must partition-prune on cell:\n$probePlan")
   }
 
   test("bruteForceTopK is deterministic across runs") {

@@ -31,6 +31,21 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L))) // unrelated never collides fully
   }
 
+  test("minhashLshPairs maxBucketSize drops boilerplate buckets, keeps normal pairs") {
+    // 1,2 are a small near-dup pair; 10..19 are ten IDENTICAL boilerplate
+    // docs whose buckets all have size 10 — capped at 5 they vanish
+    val df = (Seq((1L, base), (2L, nearDup)) ++ (10L to 19L).map(i => (i, distinct1)))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count { case (a, b) => a >= 10L && b >= 10L } == 45) // 10 choose 2
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text", maxBucketSize = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))             // normal pair untouched
+    assert(!capped.exists { case (a, b) => a >= 10L || b >= 10L }) // boilerplate gone
+  }
+
   test("ngramJaccardVerify computes exact jaccard on candidates only") {
     val df = Seq((1L, base), (2L, base), (3L, distinct1)).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
