@@ -52,6 +52,16 @@ object DataChecks {
     df
   }
 
+  /** reference R/helpers.R:97-108 report_diff_rows: assert a stage kept
+    * the row count it started with (merge/join fan-out guard).
+    */
+  def assertRowCountUnchanged(df: DataFrame, initialNRows: Long, cause: String = ""): DataFrame = {
+    val n = df.count()
+    if (n != initialNRows)
+      throw CheckFailed(s"row count changed $initialNRows -> $n${if (cause.isEmpty) "" else s" ($cause)"}")
+    df
+  }
+
   /** Named row-level predicates for the batched checks below. */
   def notNullCheck(cols: Seq[String]): (String, Column) =
     s"no_null_${cols.mkString("_")}" -> cols.map(col(_).isNotNull).reduce(_ && _)

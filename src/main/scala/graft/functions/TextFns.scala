@@ -74,6 +74,15 @@ object TextFns {
   def simhashBands(toks: Column): Column =
     call_function("graft_simhash_bands", toks)
 
+  /** Intra-document repetition ratio over word n-gram shingles:
+    * 1 - distinct/total — the Gopher-style quality signal (repeated
+    * boilerplate lines/templates score high). Pure HOF projection, narrow.
+    */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val sh = wordShingles(tokens(text), n)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
+
   /** Exact Jaccard of two shingle arrays (arrays treated as sets). */
   def exactJaccard(aShingles: Column, bShingles: Column): Column = {
     val inter = size(array_intersect(aShingles, bShingles)).cast("double")

@@ -161,6 +161,27 @@ object TextData {
         .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
+    Q("tx_repetition",
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+        |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t)
+        |SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+        |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Gopher-style intra-doc repetition over word bigrams; only shingle
+      // COUNTS cross engines (distinct may reorder), so the compare is exact
+      val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
+      documents(s, d).select(
+          col("doc_id"),
+          size(sh).as("n_shingles"),
+          size(array_distinct(sh)).as("n_distinct"),
+          TextFns.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
     Q.noOracle("tx_fingerprint") { (s, d) =>
       graft.plans.Sketches.ensureRegistered(s)
       documents(s, d)

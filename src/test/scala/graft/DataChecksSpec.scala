@@ -67,6 +67,15 @@ class DataChecksSpec extends SparkTestBase {
     assert(jobs == 1, s"checked pipeline must execute its plan exactly once, saw $jobs jobs")
   }
 
+  test("assertRowCountUnchanged guards stage fan-out") {
+    val df = Seq(1, 2, 3).toDF("x")
+    DataChecks.assertRowCountUnchanged(df, 3)
+    val err = intercept[DataChecks.CheckFailed] {
+      DataChecks.assertRowCountUnchanged(df, 2, "join fan-out")
+    }
+    assert(err.getMessage.contains("2 -> 3") && err.getMessage.contains("join fan-out"))
+  }
+
   test("observeChecks: violations surface after the action") {
     val df = Seq(0.5, 1.7).toDF("cf")
     val oc = DataChecks.observeChecks(df, Seq(DataChecks.betweenCheck("cf", 0.0, 1.0)))
