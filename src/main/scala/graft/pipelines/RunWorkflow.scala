@@ -72,13 +72,15 @@ object RunWorkflow {
     // stages 5-6 of run_workflow.R (:28-72): align the scenario, price and
     // capacity-factor frames to the perimeter complete across all three —
     // rewrite-as-new-frames, never in place (a lazy plan must not read a
-    // path being overwritten)
-    var capacityFactorsOut = capacityFactors
-    var pricesOut = prices
+    // path being overwritten). The st_inputs renames apply UNCONDITIONALLY
+    // (the reference runners always rename before writing), so Outputs
+    // carries one schema regardless of whether the scenario stage ran.
+    var capacityFactorsOut = toStInputNames(capacityFactors)
+    var pricesOut = toStInputNames(prices)
     var scenariosOut = scenariosAnalysisInput
     for (scen <- scenariosAnalysisInput) {
       val (alignedScen, alignedPrices, alignedCf) = Workflow.alignDatasets(
-        scen, toStInputNames(prices), toStInputNames(capacityFactors))
+        scen, pricesOut, capacityFactorsOut)
       scenariosOut = Some(alignedScen)
       pricesOut = alignedPrices
       capacityFactorsOut = alignedCf

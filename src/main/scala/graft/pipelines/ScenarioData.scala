@@ -702,10 +702,17 @@ object ScenarioData {
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .distinct()
 
-    // :428-437 — scenario_type with the reference's no-orphan verify
+    // :428-437 — scenario_type with the reference's no-orphan verify.
+    // NOTE (faithful gap): the reference's own lists omit NGFS*_DN0
+    // ("Divergent Net Zero", which both NGFS recode maps produce) — a
+    // DN0-bearing input trips this check in R exactly as it does here.
+    // Cached BEFORE the eager orphan collect so the 8-vintage union is
+    // materialized once for the check AND for every downstream consumer
+    // (automotive prices, alignment, writes).
     val typed = combined.withColumn("scenario_type",
       when(col("scenario").isin(baselineScenarios: _*), "baseline")
         .when(col("scenario").isin(shockScenarios: _*), "shock"))
+      .cache()
     val orphans = typed.filter(col("scenario_type").isNull)
       .select("scenario").distinct().limit(20).collect().map(_.getString(0))
     if (orphans.nonEmpty)
