@@ -52,6 +52,11 @@ object Dedup {
       bands: Int = 8,
       maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the id column survives into the banded working frame alongside the
+    // fixed internal names — an id actually called one of them would be
+    // silently clobbered by withColumn
+    require(!Set("__toks", "__sig", "__bsz", "band", "bucket").contains(id),
+      s"id column '$id' collides with an internal working column name")
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val rowsPerBand = numHashes / bands
     val base = df

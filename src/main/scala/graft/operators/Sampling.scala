@@ -74,6 +74,9 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCols: Seq[String], k: Int, order: Seq[Column]): DataFrame = {
     require(k > 0, "k must be positive")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    // collision-free temp name: an input that already carries "__rn" must
+    // not be silently overwritten and dropped
+    val rn = graft.core.Cols.fresh(df, "__rn")
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k).drop(rn)
   }
 }

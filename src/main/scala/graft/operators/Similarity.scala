@@ -81,7 +81,11 @@ object Similarity {
       val n = math.sqrt(arr.map(x => x * x).sum)
       val unit = if (n == 0) arr else arr.map(_ / n)
       (q.zip(unit).map { case (a, b) => a * b }.sum, c)
-    }.sortBy { case (score, c) => (-score, c) }
+    // tie-break must mirror nearestCells: array_sort orders (score asc, cell
+    // asc) and slice(-n) keeps the tail, so equal scores resolve to the
+    // HIGHER cell id — with duplicated centroids (empty-cell Lloyd fallback)
+    // a (score, cell-asc) local order would probe the unpopulated twin
+    }.sortBy { case (score, c) => (-score, -c) }
       .take(math.min(nProbe, cents.size))
       .map(_._2)
 

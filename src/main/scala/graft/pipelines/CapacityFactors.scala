@@ -103,10 +103,11 @@ object CapacityFactors {
 
   /** The NGFS capacity-factor guard cascade (reference
     * R/prepare_prewrangled_capacity_factors.R:475-496 = :595-613): cf > 1
-    * clamps to 1, capacity 0 with generation > 0 → 0, 0/0 (NaN) → 0. The
-    * clamp runs first, exactly as in the reference — Spark orders NaN above
-    * all doubles so 0/0 momentarily clamps to 1 before the 0/0 rule lands,
-    * which matches R's end state for every branch.
+    * clamps to 1, capacity 0 with generation > 0 → 0, capacity 0 with
+    * generation 0 → 0. Note Spark's non-ANSI double 0/0 yields NULL (R's
+    * yields NaN), so the `> 1` clamp never fires for a 0/0 ratio — the
+    * NULL falls through `when` untouched and the two capacity===0 branches
+    * below produce the reference's end state for every case.
     */
   private def boundCapacityFactor(d: DataFrame): DataFrame =
     d.withColumn("capacity_factor",

@@ -150,8 +150,10 @@ object Sketches {
     * (aggregate(zip_with(a, b, _*_), 0.0, _+_)) allocates a zipped array
     * and evaluates interpreted lambdas per element — it dominates the
     * embedding dedup/ANN profiles the same way the HOF MinHash did.
-    * Matches zip_with semantics for the well-formed case (equal lengths,
-    * no null elements); a null element nulls the result, like the HOF.
+    * Matches zip_with semantics: a null element nulls the result, and a
+    * length mismatch nulls the result too (zip_with pads the shorter side
+    * with nulls, poisoning the sum) — a partial dot over min(len) would let
+    * a dimension-mismatch bug upstream produce plausible-looking scores.
     */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -163,7 +165,8 @@ object Sketches {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
       var s = 0.0
       var i = 0
       while (i < n) {

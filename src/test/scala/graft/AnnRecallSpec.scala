@@ -94,6 +94,33 @@ class AnnRecallSpec extends SparkTestBase {
       s"probe must partition-prune on cell:\n$probePlan")
   }
 
+  test("nearestCellsLocal tie-break matches the expression side on duplicated centroids") {
+    // two identical centroids (the empty-cell Lloyd fallback can produce
+    // this): expression side resolves score ties to the HIGHER cell id, so
+    // the local probe list must too, or a probe at small nProbe misses the
+    // populated twin
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(1.0, 0.0), 2 -> Seq(0.0, 1.0))
+    val local = Similarity.nearestCellsLocal(Seq(1.0, 0.0), cents, 1)
+    val exprSide = spark.range(1)
+      .select(org.apache.spark.sql.functions.transform(
+        slice(array_sort(array(cents.map { case (c, arr) =>
+          struct(graft.functions.VectorFns.dot(typedLit(Seq(1.0, 0.0)), typedLit(arr)).as("score"),
+            lit(c).as("cell"))
+        }: _*)), -1, 1), s => s.getField("cell")))
+      .as[Seq[Int]].collect()(0)
+    assert(local == exprSide, s"local $local != expression $exprSide")
+  }
+
+  test("graft_dot nulls out on mismatched array lengths") {
+    // zip_with parity: a dimension-mismatch upstream must surface as null,
+    // not a plausible partial dot over min(len)
+    val out = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFns.dot(col("a"), col("b")).as("d"))
+      .collect()(0)
+    assert(out.isNullAt(0), s"expected null, got ${out.get(0)}")
+  }
+
   test("bruteForceTopK is deterministic across runs") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))

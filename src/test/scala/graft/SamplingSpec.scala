@@ -52,6 +52,14 @@ class SamplingSpec extends SparkTestBase {
     assert(out.filter(col("domain") === "d1").select("id").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("capPerGroup: pre-existing __rn column survives untouched") {
+    val df = Seq(("d1", 1, 99), ("d1", 2, 98), ("d1", 3, 97))
+      .toDF("domain", "id", "__rn")
+    val out = Sampling.capPerGroup(df, Seq("domain"), 2, Seq(col("id")))
+    assert(out.columns.contains("__rn"))
+    assert(out.select("id", "__rn").as[(Int, Int)].collect().toSet == Set((1, 99), (2, 98)))
+  }
+
   test("split is narrow: no shuffle in the plan") {
     val orders = Tables.orders(spark, sfDir).select("o_orderkey")
     val p = Sampling.deterministicSplit(orders, col("o_orderkey"), Seq("a" -> 0.5, "b" -> 0.5))
