@@ -72,6 +72,30 @@ object Relational {
       graft.sources.TypedCsv.writeGolden(agg, Seq("l_returnflag"), path)
       graft.sources.TypedCsv.read(s, path, agg.schema).orderBy("l_returnflag")
     },
+    Q("s5_xlsx_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      // S5: in-engine Excel scan (reference readxl::read_xlsx of the AR
+      // workbook, R/prepare_asset_impact_data.R:7-41) — export nation to a
+      // workbook, then scan it back through the binaryFile-distributed
+      // SpreadsheetML parser (sources/Xlsx.scala); the operator under test
+      // is the xlsx scan, the oracle is the parquet original.
+      val base = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s5_${math.abs(d.hashCode)}/nation.xlsx"
+      graft.sources.Xlsx.write(base, path, "nation", Seq("n_nationkey"))
+      graft.sources.Xlsx.read(s, path, "nation", base.schema).orderBy("n_nationkey")
+    },
+    Q("s6_rds_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      // S6: in-engine RDS scan (reference readr::read_rds(bench_regions),
+      // data-raw/run_workflow.R:107) — serialize nation as an R data.frame
+      // and scan it back through the XDR parser (sources/Rds.scala); the
+      // operator under test is the rds scan, the oracle the parquet
+      // original.
+      val base = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s6_${math.abs(d.hashCode)}/nation.rds"
+      graft.sources.Rds.write(base, path, Seq("n_nationkey"))
+      graft.sources.Rds.read(s, path, base.schema).orderBy("n_nationkey")
+    },
     Q("s7_literal_table",
       """SELECT t.code, t.label, r.r_name
         |FROM (VALUES (0,'zero'),(1,'one'),(2,'two')) t(code, label)
