@@ -129,4 +129,87 @@ object TextFns {
     val shapeSignal = when(avgTokLen >= 2.0 && avgTokLen <= 12.0, 1.0).otherwise(0.3)
     lenSignal * 0.4 + stopSignal * 0.3 + shapeSignal * 0.3
   }
+
+  // --- Gopher-style document quality gates ------------------------------
+  // The published Gopher/MassiveText filter thresholds (Rae et al. 2021,
+  // §A1.1): word count in [minWords, maxWords], mean word length in
+  // [3, 10], and at least `minStopwords` stopword occurrences. All pure
+  // integer/double arithmetic over whitespace tokens — oracle-exact.
+
+  def meanWordLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("double") / size(toks)
+
+  /** The keep/drop decision plus its component metrics (returned together
+    * so a pipeline can both filter and audit why documents dropped).
+    */
+  def gopherKeep(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val mwl = meanWordLen(toks)
+    val stops = dictHits(toks, stopwords)
+    struct(
+      n.as("n_words"),
+      mwl.as("mean_word_len"),
+      stops.as("n_stopwords"),
+      (n >= minWords && n <= maxWords &&
+        mwl >= 3.0 && mwl <= 10.0 && stops >= minStopwords).as("keep"))
+  }
+
+  // --- C4-style line rules ----------------------------------------------
+  // C4's line-level cleanup (Raffel et al. 2020, §2.2): keep lines that
+  // end in terminal punctuation and have at least `minLineWords` words;
+  // drop the document if it has fewer than `minLines` retained lines or
+  // mentions code/boilerplate markers. Line-granular, so only meaningful
+  // for corpora with newline structure — planted-fixture specs cover it
+  // (the synthetic catalog corpus is single-line).
+
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  def c4KeptLines(text: Column, minLineWords: Int = 3): Column =
+    filter(lines(text), l =>
+      l.rlike("[.!?\"']$") && size(filter(split(l, "\\s+"), t => t =!= "")) >= minLineWords)
+
+  /** Document-level C4 decision: retained text + audit counts. */
+  def c4LineFilter(text: Column, minLineWords: Int = 3, minLines: Int = 3): Column = {
+    val kept = c4KeptLines(text, minLineWords)
+    val bad = lower(text).contains("lorem ipsum") || text.contains("{")
+    struct(
+      concat_ws("\n", kept).as("kept_text"),
+      size(lines(text)).as("n_lines"),
+      size(kept).as("n_lines_kept"),
+      (!bad && size(kept) >= minLines).as("keep"))
+  }
+
+  // --- PII redaction ----------------------------------------------------
+  // Publishable-corpus hygiene: replace emails, IPv4 addresses and
+  // NANP-style phone numbers with typed placeholder tokens. The patterns
+  // are deliberately RE2-compatible (no lookarounds, no backrefs) so the
+  // same regex runs in Spark (java.util.regex), DuckDB/RE2 oracles, and
+  // stream processors.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact in fixed order (emails first: an address contains dots that
+    * the IP pattern must not see half-redacted).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(EmailRe)).as("n_emails"),
+      regexp_count(text, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(text, lit(PhoneRe)).as("n_phones"))
 }

@@ -52,6 +52,71 @@ object TextData {
       Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     },
+    Q("dd_jaccard_exact",
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(w[i:i+2], ' ')))
+        |      ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(a.s || b.s)) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE abs(a.n_chars - b.n_chars) <= 20
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(a.s || b.s)) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // EXACT-oracle anchor for the n-gram Jaccard math (the LSH-candidate
+      // variant above has no SQL twin because of the hash sketch). The
+      // blocking key is document length: near-dups at jaccard >= 0.2 can't
+      // differ by more than a few edits, so each doc only meets docs within
+      // +/-20 chars. Spark side expresses the length band as a BUCKETED
+      // EQUI-JOIN (one side explodes to its 3 adjacent buckets) — shuffle
+      // hash/sort-merge on the bucket key, never a nested-loop theta join;
+      // the oracle states the same band as a plain inequality.
+      val sh = documents(s, d).select(col("doc_id"), col("n_chars"),
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("s"))
+      val bkt = floor(col("n_chars") / 20).cast("long")
+      val a = sh.select(col("doc_id").as("id_a"), col("n_chars").as("nc_a"),
+          col("s").as("sa"), bkt.as("b0"))
+        .withColumn("bkt", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+        .drop("b0")
+      val b = sh.select(col("doc_id").as("id_b"), col("n_chars").as("nc_b"),
+        col("s").as("sb"), bkt.as("bkt"))
+      a.join(b, "bkt")
+        .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 20)
+        .withColumn("jaccard", TextFns.exactJaccard(col("sa"), col("sb")))
+        .filter(col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    Q("dd_cc_chain",
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, doc_id - rn) AS canonical_id
+        |FROM (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // EXACT-oracle anchor for connected-component canonicalization: edges
+      // connect consecutive doc ids sharing a language, so components are
+      // maximal same-lang runs — chains, the WORST case for min-label
+      // propagation (one hop per iteration) — and the oracle can state the
+      // same components as a gaps-and-islands window query. Longest run is
+      // 8 at sf0.1; maxIter 15 gives slack while still bounding the loop.
+      val docs = documents(s, d).select("doc_id", "lang")
+      val x = docs.select(col("doc_id").as("id_a"), col("lang"))
+      val y = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"))
+      val pairs = x.join(y, col("id_a") + 1 === col("id_b") && col("lang") === col("lang_b"))
+        .select("id_a", "id_b")
+      Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id", maxIter = 15)
+        .select("doc_id", "canonical_id")
+        .orderBy("doc_id")
+    },
     Q.noOracle("dd_corpus_dedup") { (s, d) =>
       // the end-to-end composite: LSH candidates -> exact verify ->
       // canonicalize -> keep canonical docs (hash sketches: no SQL twin)
@@ -180,6 +245,72 @@ object TextData {
           size(sh).as("n_shingles"),
           size(array_distinct(sh)).as("n_distinct"),
           TextFns.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+    Q("tx_gopher_quality",
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_word_len,
+        |  CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'and'
+        |    OR x = 'of' OR x = 'to' OR x = 'in')) AS INTEGER) AS n_stopwords,
+        |  (len(w) BETWEEN 50 AND 100000
+        |    AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+        |      BETWEEN 3.0 AND 10.0
+        |    AND len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'and'
+        |      OR x = 'of' OR x = 'to' OR x = 'in')) >= 2) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Gopher/MassiveText document gates (Rae et al. 2021 §A1.1): word
+      // count band, mean-word-length band, minimum stopword evidence —
+      // decision plus audit metrics, oracle-exact integer/double math.
+      val g = TextFns.gopherKeep(col("text"))
+      documents(s, d).select(
+          col("doc_id"),
+          g.getField("n_words").as("n_words"),
+          g.getField("mean_word_len").as("mean_word_len"),
+          g.getField("n_stopwords").as("n_stopwords"),
+          g.getField("keep").as("keep"))
+        .orderBy("doc_id")
+    },
+    Q("tx_pii_redact",
+      """WITH f AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com at 10.0.'
+        |    || (doc_id % 256) || '.7 or 555-01'
+        |    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS full_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(full_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(full_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(full_text,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(full_text,
+        |    '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phones
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // PII redaction for publishable corpora (emails / IPv4 / NANP phone
+      // fragments -> typed placeholders). The synthetic corpus carries no
+      // PII, so each doc gets a deterministic doc_id-derived injection —
+      // the operator under test is the RE2-compatible redaction chain and
+      // its audit counts, hash-matched against DuckDB end-to-end (which
+      // also proves zero false positives over the real corpus text).
+      val injected = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      val c = TextFns.piiCounts(col("full_text"))
+      documents(s, d)
+        .withColumn("full_text", injected)
+        .select(
+          col("doc_id"),
+          TextFns.redactPii(col("full_text")).as("redacted"),
+          c.getField("n_emails").as("n_emails"),
+          c.getField("n_ips").as("n_ips"),
+          c.getField("n_phones").as("n_phones"))
         .orderBy("doc_id")
     },
     Q.noOracle("tx_fingerprint") { (s, d) =>
