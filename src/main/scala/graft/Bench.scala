@@ -74,15 +74,32 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // second pass: steady-state timings. First-run cost is ~40-50% one-time
+    // Catalyst analysis + whole-stage codegen + JIT per plan — real for an
+    // ad-hoc query, amortized to nothing over a 100 TB run. Reporting both
+    // keeps the headline comparable to BASELINE (cold) while exposing
+    // engine throughput (steady).
+    val steady: Map[String, Double] = names.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    }.toMap
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsSteady = results.collect { case (k, _, None) if steady.contains(k) =>
+      s"\"" + k + "\":" + steady(k)
+    }.mkString("{", ",", "}")
     // a failed query must not masquerade as a fast one: surface it in an
     // "errors" map and exclude its time-to-failure from the total
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val totalSteady = steady.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_steady":$totalSteady,"queries_steady":$qsSteady,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
