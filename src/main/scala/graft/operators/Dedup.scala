@@ -191,6 +191,33 @@ object Dedup {
     df.join(labels.filter(!col("is_dup")).select(id), Seq(id), "left_semi")
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * `n`-gram with a benchmark/eval set (the standard pre-training hygiene
+    * check — eval questions leaking into training data inflate scores).
+    *
+    * Shape: explode both sides to (id, shingle) pairs and equi-join on the
+    * shingle string, so only shingle keys shuffle — never document text —
+    * and the benchmark side (tiny by construction) broadcasts. Returns
+    * (id, n_hits) for contaminated documents only; anti-join the corpus
+    * against it to clean.
+    */
+  def contaminationFlags(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 8): DataFrame = {
+    val docSh = docs.select(col(id),
+      explode(array_distinct(TextFns.wordShingles(TextFns.tokens(col(text)), n))).as("__sh"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(TextFns.wordShingles(TextFns.tokens(col(text)), n))).as("__sh"))
+      .distinct()
+    docSh.join(broadcast(benchSh), Seq("__sh"))
+      .groupBy(col(id))
+      // shingles are distinct per doc, so a plain count is the hit count
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Embedding near-duplicate pairs: sign-bit LSH blocks, then exact cosine
     * inside each block — never an all-pairs crossJoin.
     *

@@ -67,6 +67,34 @@ object Sampling {
     df.filter(threshold.isNotNull && bucket < threshold)
   }
 
+  /** Pack rows into fixed-token-budget training shards: within each
+    * partition (e.g. split × source), rows are laid out in the pinned
+    * `order` and a document lands in shard `floor(tokens_before_it /
+    * budget)` — greedy packing where a document that straddles a boundary
+    * stays in the shard it started in (so shards can exceed the budget by
+    * at most one document; standard for LLM shard manifests, where the
+    * budget is a target, not a hard cap).
+    *
+    * One window shuffle on the partition keys. Deterministic: same input →
+    * same shard ids on any cluster/retry (the order must be a total order
+    * within each partition — include a unique id).
+    */
+  def packShards(
+      df: DataFrame,
+      tokens: Column,
+      partitionCols: Seq[String],
+      order: Seq[Column],
+      budgetTokens: Long,
+      out: String = "shard"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(tokens.cast("long")).over(w), lit(0L))
+    // values are non-negative, so cast-truncation of the double division
+    // is exactly floor
+    df.withColumn(out, (before / budgetTokens).cast("long"))
+  }
+
   /** Cap each group at `k` rows with a pinned survivor order (e.g. at most
     * N documents per domain). One shuffle on the group key; ties broken by
     * the explicit order, so output is retry-stable.

@@ -188,6 +188,11 @@ object Sketches {
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // skip if already present: createOrReplaceTempFunction logs a WARN per
+    // replacement, which floods bench/verify output when every catalog
+    // query re-ensures registration on the same session
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      return
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int]), "built-in")

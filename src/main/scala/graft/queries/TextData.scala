@@ -117,6 +117,28 @@ object TextData {
         .select("doc_id", "canonical_id")
         .orderBy("doc_id")
     },
+    Q("dd_contamination",
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(w) >= 8
+        |  THEN list_distinct(list_transform(range(1, len(w) - 6),
+        |         i -> array_to_string(w[i:i+7], ' ')))
+        |  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
+        |bench AS (SELECT DISTINCT sh FROM (SELECT unnest(s) AS sh FROM sh WHERE doc_id < 50)),
+        |docsh AS (SELECT doc_id, unnest(s) AS sh FROM sh WHERE doc_id >= 50)
+        |SELECT d.doc_id, COUNT(*) AS n_hits
+        |FROM docsh d JOIN bench b ON d.sh = b.sh
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      // benchmark decontamination: flag corpus docs sharing any word 8-gram
+      // with an eval set (here: docs 0-49 stand in as the benchmark).
+      // Only shingle join keys shuffle; the benchmark side broadcasts.
+      val docs = documents(s, d)
+      Dedup.contaminationFlags(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
     Q.noOracle("dd_corpus_dedup") { (s, d) =>
       // the end-to-end composite: LSH candidates -> exact verify ->
       // canonicalize -> keep canonical docs (hash sketches: no SQL twin)
@@ -384,6 +406,25 @@ object TextData {
           Seq("o_custkey"), 3, Seq(col("o_orderdate"), col("o_orderkey")))
         .select("o_custkey", "o_orderkey")
         .orderBy("o_custkey", "o_orderkey")
+    },
+    Q("sm_pack_shards",
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '')) AS INTEGER) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS DOUBLE) / 300) AS BIGINT) AS shard
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // greedy shard packing for training manifests: per source, documents
+      // in pinned doc_id order land in shard floor(tokens_before / budget).
+      // One window shuffle; deterministic on any cluster/retry.
+      val t = documents(s, d).select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.packShards(t, col("n_tokens"),
+          Seq("source"), Seq(col("doc_id")), 300L)
+        .orderBy("doc_id")
     }
   )
 

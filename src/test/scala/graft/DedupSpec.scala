@@ -71,6 +71,18 @@ class DedupSpec extends SparkTestBase {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 5L))
   }
 
+  test("contaminationFlags: only docs sharing an 8-gram with the benchmark flag") {
+    val benchDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val leaked = "intro words here " + benchDoc + " plus a tail" // contains bench 8-grams
+    val clean = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((10L, leaked), (11L, clean)).toDF("doc_id", "text")
+    val bench = Seq((1L, benchDoc)).toDF("doc_id", "text")
+    val out = Dedup.contaminationFlags(docs, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(10L))
+    assert(out(10L) == 3L) // 10-token bench doc has 3 distinct 8-grams, all present
+  }
+
   test("canonicalize propagates min id across duplicate chains") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // chain 1-2, 2-3 and isolated pair 4-5: clusters {1,2,3} and {4,5}

@@ -60,6 +60,17 @@ class SamplingSpec extends SparkTestBase {
     assert(out.select("id", "__rn").as[(Int, Int)].collect().toSet == Set((1, 99), (2, 98)))
   }
 
+  test("packShards: greedy budget packing, boundary doc stays in its starting shard") {
+    val df = Seq(
+      ("s1", 1, 900), ("s1", 2, 900), ("s1", 3, 900), // doc3 starts at 1800 < 2000 -> shard 0
+      ("s1", 4, 100),                                 // starts at 2700 -> shard 1
+      ("s2", 5, 2500), ("s2", 6, 1)                   // oversized doc alone in shard 0; next starts at 2500 -> shard 1
+    ).toDF("source", "id", "n_tokens")
+    val out = Sampling.packShards(df, col("n_tokens"), Seq("source"), Seq(col("id")), 2000L)
+      .select("id", "shard").as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 0L, 2 -> 0L, 3 -> 0L, 4 -> 1L, 5 -> 0L, 6 -> 1L))
+  }
+
   test("split is narrow: no shuffle in the plan") {
     val orders = Tables.orders(spark, sfDir).select("o_orderkey")
     val p = Sampling.deterministicSplit(orders, col("o_orderkey"), Seq("a" -> 0.5, "b" -> 0.5))
