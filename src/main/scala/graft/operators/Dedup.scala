@@ -191,6 +191,19 @@ object Dedup {
     df.join(labels.filter(!col("is_dup")).select(id), Seq(id), "left_semi")
   }
 
+  /** One survivor per duplicate cluster by an explicit quality policy:
+    * highest `score` wins, ties resolved by `tie` ascending — the
+    * production alternative to min-id survivors when duplicate copies
+    * differ in quality (boilerplate-stripped vs raw, truncated vs full).
+    * One window shuffle on the cluster key.
+    */
+  def keepBest(df: DataFrame, cluster: Seq[String], score: Column, tie: Seq[Column]): DataFrame = {
+    val rn = graft.core.Cols.fresh(df, "__rn")
+    val w = Window.partitionBy(cluster.map(col): _*)
+      .orderBy((score.desc +: tie.map(_.asc)): _*)
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * `n`-gram with a benchmark/eval set (the standard pre-training hygiene
     * check — eval questions leaking into training data inflate scores).

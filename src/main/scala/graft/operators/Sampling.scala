@@ -67,6 +67,41 @@ object Sampling {
     df.filter(threshold.isNotNull && bucket < threshold)
   }
 
+  /** Rebalance a corpus to a target domain mixture by deterministic
+    * downsampling: with target proportions p_i per stratum and observed
+    * counts n_i, the largest achievable total is T = min_i(n_i / p_i);
+    * keep exactly floor(p_i · T) rows per stratum, chosen by hash rank
+    * (retry-stable, engine-portable). Strata not in `targetWeights` are
+    * dropped; weights are normalized. Never upsamples — repetition-based
+    * upweighting is a manifest policy, not an engine op.
+    *
+    * Cost: one tiny per-stratum count agg (broadcast back as quotas) plus
+    * one window shuffle on the stratum key. Proportions are relative to
+    * the strata actually present (an absent stratum can't constrain T).
+    */
+  def rebalanceToMixture(
+      df: DataFrame,
+      stratum: Column,
+      key: Column,
+      targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "target weights must be positive")
+    val total = targetWeights.values.sum
+    val norm = targetWeights.map { case (k, w) => k -> w / total }
+    val counts = df.groupBy(stratum.as("__st")).agg(count(lit(1)).as("__n"))
+      .withColumn("__p", element_at(typedLit(norm), col("__st")))
+      .filter(col("__p").isNotNull)
+    val tFrame = counts.agg(min(col("__n") / col("__p")).as("__t"))
+    val quota = counts.crossJoin(tFrame)
+      .select(col("__st"), floor(col("__p") * col("__t")).cast("long").as("__q"))
+    val rk = graft.core.Cols.fresh(df, "__rk")
+    val w = Window.partitionBy(stratum).orderBy(md5Bucket(key), key)
+    df.join(broadcast(quota), stratum === col("__st"))
+      .withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= col("__q"))
+      .drop("__st", "__q", rk)
+  }
+
   /** Pack rows into fixed-token-budget training shards: within each
     * partition (e.g. split × source), rows are laid out in the pinned
     * `order` and a document lands in shard `floor(tokens_before_it /

@@ -216,6 +216,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact all-pairs cosine similarity join: every (id_a < id_b) pair with
+    * cosine >= minCosine. O(N²) by construction — this is the correctness
+    * anchor for the LSH-blocked near-dup path
+    * ([[graft.operators.Dedup.embeddingNearDupPairs]]), not a scale path:
+    * bound the input (id slice or hash sample) before calling.
+    */
+  def exactCosinePairs(df: DataFrame, id: String, vec: String, minCosine: Double): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val a = df.select(col(id).as("id_a"), col(vec).as("__va"))
+    val b = df.select(col(id).as("id_b"), col(vec).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFns.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** LSH-filtered ANN: restrict to rows whose bucket is within `radius`
     * Hamming bits of the query bucket, then exact cosine re-rank.
     */

@@ -96,6 +96,18 @@ object Relational {
       graft.sources.Rds.write(base, path, Seq("n_nationkey"))
       graft.sources.Rds.read(s, path, base.schema).orderBy("n_nationkey")
     },
+    Q("s8_jsonl_roundtrip",
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id") { (s, d) =>
+      // S8 (beyond-reference): gzip JSONL sink + scan — the de-facto LLM
+      // corpus interchange format. Read back with the explicit schema (no
+      // inference: a sampling inference pass doubles the read at 100 TB);
+      // the oracle is the parquet original, so the text/unicode round-trip
+      // must be lossless.
+      val base = documents(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s8_${math.abs(d.hashCode)}"
+      base.write.mode("overwrite").option("compression", "gzip").json(path)
+      s.read.schema(base.schema).json(path).orderBy("doc_id")
+    },
     Q("s7_literal_table",
       """SELECT t.code, t.label, r.r_name
         |FROM (VALUES (0,'zero'),(1,'one'),(2,'two')) t(code, label)

@@ -117,6 +117,33 @@ object TextData {
         .select("doc_id", "canonical_id")
         .orderBy("doc_id")
     },
+    Q("dd_keep_best",
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    MIN(doc_id) OVER (PARTITION BY lang, doc_id - rn) AS canonical_id
+        |  FROM (SELECT doc_id, n_chars, lang,
+        |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |        FROM documents))
+        |SELECT doc_id, canonical_id, n_chars FROM (
+        |  SELECT doc_id, canonical_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY canonical_id
+        |      ORDER BY n_chars DESC, doc_id) AS k
+        |  FROM c) WHERE k = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // survivor policy over duplicate clusters: keep the highest-quality
+      // copy (longest here), not the min-id one. Clusters = the dd_cc_chain
+      // components (same-lang consecutive-id runs), so the full composite —
+      // label propagation + survivor choice — has an exact SQL twin.
+      val docs = documents(s, d).select("doc_id", "lang", "n_chars")
+      val x = docs.select(col("doc_id").as("id_a"), col("lang"))
+      val y = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"))
+      val pairs = x.join(y, col("id_a") + 1 === col("id_b") && col("lang") === col("lang_b"))
+        .select("id_a", "id_b")
+      val clusters = Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id", maxIter = 15)
+        .select("doc_id", "canonical_id")
+      val withQ = clusters.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      Dedup.keepBest(withQ, Seq("canonical_id"), col("n_chars"), Seq(col("doc_id")))
+        .select("doc_id", "canonical_id", "n_chars")
+        .orderBy("doc_id")
+    },
     Q("dd_contamination",
       """WITH toks AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
@@ -145,6 +172,24 @@ object TextData {
       Dedup.dedupCorpus(documents(s, d), "doc_id", "text")
         .select("doc_id")
         .orderBy("doc_id")
+    },
+    Q("dd_cosine_exact",
+      // DOUBLE[] cast = double accumulation in array order, matching the
+      // Spark-side cosine fold -> bit-exact (same trick as ann_bruteforce)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       list_cosine_similarity(a.v, b.v) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // EXACT-oracle anchor for the embedding-cosine math: all-pairs over a
+      // bounded id slice (constant work at any SF). The scale path is the
+      // LSH-blocked dd_embed_cosine; this pins the similarity scores it
+      // must reproduce inside blocks.
+      Similarity.exactCosinePairs(
+          embeddings(s, d).filter(col("vec_id") < 200), "vec_id", "embedding", 0.3)
+        .orderBy("id_a", "id_b")
     },
     // minCosine 0.35 with 4×6-plane OR-amplified tables: the synthetic
     // embeddings are near-orthogonal (max all-pairs cosine ≈ 0.51 at
@@ -406,6 +451,30 @@ object TextData {
           Seq("o_custkey"), 3, Seq(col("o_orderdate"), col("o_orderkey")))
         .select("o_custkey", "o_orderkey")
         .orderBy("o_custkey", "o_orderkey")
+    },
+    Q("sm_domain_mix",
+      """WITH counts AS (SELECT source AS st, COUNT(*) AS n FROM documents
+        |                WHERE source IN ('src0','src1','src2') GROUP BY source),
+        |w AS (SELECT st, n, CAST(CASE st WHEN 'src0' THEN 0.5
+        |                              WHEN 'src1' THEN 0.25
+        |                              ELSE 0.25 END AS DOUBLE) AS p FROM counts),
+        |q AS (SELECT st, CAST(FLOOR(p * (SELECT MIN(n / p) FROM w)) AS BIGINT) AS qq FROM w),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |          CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            % 10000 AS INTEGER),
+        |          doc_id) AS rk
+        |      FROM documents WHERE source IN ('src0','src1','src2'))
+        |SELECT r.doc_id, r.source FROM r JOIN q ON r.source = q.st WHERE r.rk <= q.qq
+        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      // domain-mix rebalancing: downsample three sources to a 50/25/25
+      // target mixture — quota per stratum from the global min(n_i/p_i),
+      // survivors picked by MD5-hash rank (deterministic, engine-portable;
+      // the oracle reproduces the exact same row set).
+      graft.operators.Sampling.rebalanceToMixture(
+          documents(s, d).select("doc_id", "source"), col("source"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .orderBy("doc_id")
     },
     Q("sm_pack_shards",
       """WITH t AS (SELECT doc_id, source,
