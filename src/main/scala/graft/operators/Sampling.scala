@@ -88,18 +88,23 @@ object Sampling {
       "target weights must be positive")
     val total = targetWeights.values.sum
     val norm = targetWeights.map { case (k, w) => k -> w / total }
-    val counts = df.groupBy(stratum.as("__st")).agg(count(lit(1)).as("__n"))
-      .withColumn("__p", element_at(typedLit(norm), col("__st")))
+    // collision-free temp names: only __st/__q survive into the join with
+    // the caller's frame (__n/__p/__t live inside the tiny quota aggregate,
+    // whose projection is fixed by the groupBy/agg regardless of df's names)
+    val st = graft.core.Cols.fresh(df, "__st")
+    val q = graft.core.Cols.fresh(df, "__q")
+    val counts = df.groupBy(stratum.as(st)).agg(count(lit(1)).as("__n"))
+      .withColumn("__p", element_at(typedLit(norm), col(st)))
       .filter(col("__p").isNotNull)
     val tFrame = counts.agg(min(col("__n") / col("__p")).as("__t"))
     val quota = counts.crossJoin(tFrame)
-      .select(col("__st"), floor(col("__p") * col("__t")).cast("long").as("__q"))
+      .select(col(st), floor(col("__p") * col("__t")).cast("long").as(q))
     val rk = graft.core.Cols.fresh(df, "__rk")
     val w = Window.partitionBy(stratum).orderBy(md5Bucket(key), key)
-    df.join(broadcast(quota), stratum === col("__st"))
+    df.join(broadcast(quota), stratum === col(st))
       .withColumn(rk, row_number().over(w))
-      .filter(col(rk) <= col("__q"))
-      .drop("__st", "__q", rk)
+      .filter(col(rk) <= col(q))
+      .drop(st, q, rk)
   }
 
   /** Pack rows into fixed-token-budget training shards: within each

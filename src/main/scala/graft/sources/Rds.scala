@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   * Coverage: format versions 2 and 3, plain or gzip streams, and the SEXP
   * types a data.frame/tibble of atomic columns uses — VECSXP, STRSXP,
   * INTSXP, REALSXP, LGLSXP, CHARSXP, pairlist attributes, symbols and
-  * back-references. Factors (INTSXP + levels attribute) decode to their
-  * level strings, matching how readr/dplyr present them. R's typed
+  * back-references, plus the ALTREP compact forms R >= 3.5 emits for such
+  * columns (compact_intseq/compact_realseq expanded, wrap_* unwrapped;
+  * other ALTREP classes fail with a self-explaining error). Factors
+  * (INTSXP + levels attribute) decode to their level strings, matching how
+  * readr/dplyr present them. R's typed
   * missing values map to SQL NULL: NA_integer_/NA (INT_MIN sentinel) and
   * NA_real_ (the 0x7FF00000000007A2 NaN payload R uses).
   *
@@ -198,27 +201,81 @@ object Rds {
           val n = in.readInt()
           val vs = IndexedSeq.fill(n)(readItem())
           RVec(vs, readAttrs(hasAttr))
+        case 238 => // ALTREP_SXP: class info, serialized state, attributes
+          val info = readItem()
+          val state = readItem()
+          val attrs = pairlistToMap(readItem())
+          expandAltrep(info, state, attrs)
         case other =>
           throw new IllegalArgumentException(
             s"unsupported SEXP type $other (RDS scan covers data.frames of atomic columns)")
       }
     }
 
+    // ALTREP payloads (R >= 3.5): expand the compact representations a
+    // data.frame column can arrive as. Class info is a tagless pairlist
+    // (class symbol, package symbol, base type).
+    def expandAltrep(info: RObj, state: RObj, attrs: Map[String, RObj]): RObj = {
+      val className = info match {
+        case RVec(IndexedSeq(_, _, RSym(nm), _), _) => nm
+        case _ => "<unknown>"
+      }
+      className match {
+        case "compact_intseq" => state match {
+          // state = REALSXP c(n, start, step)
+          case RDoubles(IndexedSeq(n, start, step), _) if n != null && start != null && step != null =>
+            RInts((0 until n.toInt).map(i =>
+              Integer.valueOf((start.doubleValue + i * step.doubleValue).toInt)), attrs)
+          case other => throw new IllegalArgumentException(
+            s"malformed compact_intseq state: $other")
+        }
+        case "compact_realseq" => state match {
+          case RDoubles(IndexedSeq(n, start, step), _) if n != null && start != null && step != null =>
+            RDoubles((0 until n.toInt).map(i =>
+              java.lang.Double.valueOf(start.doubleValue + i * step.doubleValue)), attrs)
+          case other => throw new IllegalArgumentException(
+            s"malformed compact_realseq state: $other")
+        }
+        // attribute-wrapper classes: state = CONS(wrapped vector, metadata)
+        case "wrap_integer" | "wrap_real" | "wrap_logical" | "wrap_string" => state match {
+          case RVec(IndexedSeq(_, _, wrapped, _), _) => withAttrs(wrapped, attrs)
+          case other => throw new IllegalArgumentException(
+            s"malformed $className state: $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"unsupported ALTREP class '$other' (RDS scan expands compact_intseq, " +
+            "compact_realseq and wrap_* wrappers; re-save with " +
+            "saveRDS(as.data.frame(lapply(df, as.vector))) to materialize)")
+      }
+    }
+
+    def withAttrs(o: RObj, a: Map[String, RObj]): RObj =
+      if (a.isEmpty) o else o match {
+        case RStrings(vs, a0) => RStrings(vs, a0 ++ a)
+        case RInts(vs, a0)    => RInts(vs, a0 ++ a)
+        case RDoubles(vs, a0) => RDoubles(vs, a0 ++ a)
+        case RBools(vs, a0)   => RBools(vs, a0 ++ a)
+        case RVec(vs, a0)     => RVec(vs, a0 ++ a)
+        case other            => other
+      }
+
+    def pairlistToMap(node0: RObj): Map[String, RObj] = {
+      val out = Map.newBuilder[String, RObj]
+      var node = node0
+      while (node != RNull()) node match {
+        case RVec(IndexedSeq(_, RSym(nm), car, cdr), _) =>
+          out += (nm -> car)
+          node = cdr
+        case other =>
+          throw new IllegalArgumentException(s"malformed attribute pairlist: $other")
+      }
+      out.result()
+    }
+
     // attributes arrive as a pairlist after the payload
     def readAttrs(has: Boolean): Map[String, RObj] =
       if (!has) Map.empty
-      else {
-        val out = Map.newBuilder[String, RObj]
-        var node = readItem()
-        while (node != RNull()) node match {
-          case RVec(IndexedSeq(_, RSym(nm), car, cdr), _) =>
-            out += (nm -> car)
-            node = cdr
-          case other =>
-            throw new IllegalArgumentException(s"malformed attribute pairlist: $other")
-        }
-        out.result()
-      }
+      else pairlistToMap(readItem())
 
     val res = readItem()
     in.close()

@@ -45,7 +45,11 @@ object Xlsx {
       schema: StructType): DataFrame = {
     val raw = StructType(schema.fields.map(f => StructField(f.name, StringType, nullable = true)))
     val wanted = schema.fieldNames.toSeq
-    val bin = spark.read.format("binaryFile").load(path)
+    val bin = spark.read.format("binaryFile")
+      // a directory may hold sibling non-workbook files (README, .csv twins);
+      // loading them would fail the zip parse on an executor
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
       .select(col("content"))
     val rows = bin.flatMap { r =>
       val bytes = r.getAs[Array[Byte]](0)
@@ -192,8 +196,11 @@ object Xlsx {
         val txt = sb.toString
         val v = cellType match {
           case "s" =>
-            val i = txt.trim.toInt
-            if (i >= 0 && i < shared.length) shared(i) else null
+            // a styled empty cell can serialize as <c t="s"/> with no <v>
+            txt.trim.toIntOption match {
+              case Some(i) if i >= 0 && i < shared.length => shared(i)
+              case _ => null
+            }
           case "b" => if (txt.trim == "1") "true" else "false"
           case _   => txt // n, str, inlineStr already materialized in sb
         }
@@ -283,8 +290,9 @@ object Xlsx {
   /** Deterministic single-workbook sink: sort by `sortKeys`, then write one
     * sheet with a header row. Strings are written inline (`t="inlineStr"`,
     * no sharedStrings indirection), numerics as number cells via toString
-    * (Double.toString round-trips bit-exactly through parseDouble), booleans
-    * as `t="b"`, nulls as absent cells.
+    * (Double.toString round-trips bit-exactly through parseDouble; NaN and
+    * ±Infinity are not representable in SpreadsheetML and are written as
+    * absent cells), booleans as `t="b"`, nulls as absent cells.
     */
   def write(df: DataFrame, path: String, sheet: String = "Sheet1",
       sortKeys: Seq[String] = Nil): Unit = {
@@ -343,7 +351,15 @@ object Xlsx {
             case BooleanType =>
               sb.append(s"""<c r="$ref" t="b"><v>${if (row.getBoolean(ci)) 1 else 0}</v></c>""")
             case _: NumericType =>
-              sb.append(s"""<c r="$ref"><v>${row.get(ci)}</v></c>""")
+              // NaN/Infinity are not valid SpreadsheetML numbers (Excel would
+              // flag the workbook corrupt) — emit an absent cell, like null
+              val v = row.get(ci)
+              val finite = v match {
+                case d: java.lang.Double => !d.isNaN && !d.isInfinite
+                case f: java.lang.Float  => !f.isNaN && !f.isInfinite
+                case _                   => true
+              }
+              if (finite) sb.append(s"""<c r="$ref"><v>$v</v></c>""")
             case other =>
               throw new IllegalArgumentException(
                 s"xlsx sink supports string/boolean/numeric columns; ${f.name} is $other")

@@ -96,6 +96,61 @@ class RdsSpec extends SparkTestBase {
     assert(cols.head == IndexedSeq("b", "a", null))
   }
 
+  test("ALTREP compact_intseq column (R >= 3.5 serialized 1:n) expands") {
+    // hand-build df with one ALTREP column: serialize what R writes for
+    // data.frame(x = 1:4) — ALTREP_SXP(info=(sym,sym,int), state=c(n,start,step))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write('X'); out.write('\n')
+    out.writeInt(2); out.writeInt(0x040300); out.writeInt(0x020300)
+    def char(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); out.writeInt(9 | (8 << 12)); out.writeInt(b.length); out.write(b)
+    }
+    def sym(s: String): Unit = { out.writeInt(1); char(s) }
+    def strs(vs: Seq[String]): Unit = { out.writeInt(16); out.writeInt(vs.length); vs.foreach(char) }
+    def attr(n: String)(v: => Unit): Unit = {
+      out.writeInt(2 | (1 << 10)); sym(n); v
+    }
+    out.writeInt(19 | (1 << 8) | (1 << 9)); out.writeInt(1) // VECSXP, 1 col
+    out.writeInt(238)                                       // ALTREP_SXP
+    out.writeInt(2); sym("compact_intseq")                  // info pairlist
+    out.writeInt(2); sym("base")
+    out.writeInt(2); out.writeInt(13); out.writeInt(1); out.writeInt(13) // INTSXP scalar 13
+    out.writeInt(254)                                       // end info
+    out.writeInt(14); out.writeInt(3)                       // state: REALSXP c(4, 1, 1)
+    Seq(4.0, 1.0, 1.0).foreach(d => out.writeLong(java.lang.Double.doubleToRawLongBits(d)))
+    out.writeInt(254)                                       // no attributes on the column
+    attr("names")(strs(Seq("x")))
+    attr("row.names") { out.writeInt(13); out.writeInt(2); out.writeInt(Int.MinValue); out.writeInt(-4) }
+    attr("class")(strs(Seq("data.frame")))
+    out.writeInt(254)
+    out.close()
+    val (names, cols) = Rds.parseDataFrame(bos.toByteArray)
+    assert(names == Seq("x"))
+    assert(cols.head == IndexedSeq("1", "2", "3", "4"))
+  }
+
+  test("unknown ALTREP class fails naming the class") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write('X'); out.write('\n')
+    out.writeInt(2); out.writeInt(0x040300); out.writeInt(0x020300)
+    def char(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); out.writeInt(9 | (8 << 12)); out.writeInt(b.length); out.write(b)
+    }
+    def sym(s: String): Unit = { out.writeInt(1); char(s) }
+    out.writeInt(238)
+    out.writeInt(2); sym("deferred_string")
+    out.writeInt(2); sym("base")
+    out.writeInt(2); out.writeInt(13); out.writeInt(1); out.writeInt(16)
+    out.writeInt(254)
+    out.writeInt(254) // state (shape irrelevant — class is rejected first)
+    out.writeInt(254)
+    out.close()
+    val e = intercept[IllegalArgumentException](Rds.parseDataFrame(bos.toByteArray))
+    assert(e.getMessage.contains("deferred_string"))
+  }
+
   test("unsupported compression fails with a clear message") {
     val e = intercept[Exception] {
       Rds.parseDataFrame("A\nnot rds".getBytes)

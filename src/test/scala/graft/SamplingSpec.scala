@@ -71,6 +71,20 @@ class SamplingSpec extends SparkTestBase {
     assert(out == Map(1 -> 0L, 2 -> 0L, 3 -> 0L, 4 -> 1L, 5 -> 0L, 6 -> 1L))
   }
 
+  test("rebalanceToMixture: pre-existing __st/__q columns survive untouched") {
+    val df = Seq(
+      ("web", 1, "keep-st", 7), ("web", 2, "keep-st", 7), ("web", 3, "keep-st", 7),
+      ("web", 4, "keep-st", 7), ("code", 5, "keep-st", 7), ("code", 6, "keep-st", 7))
+      .toDF("domain", "id", "__st", "__q")
+    val out = Sampling.rebalanceToMixture(df, col("domain"), col("id"),
+      Map("web" -> 0.5, "code" -> 0.5))
+    assert(out.columns.count(_ == "__st") == 1 && out.columns.count(_ == "__q") == 1)
+    // T = min(4/.5, 2/.5) = 4 -> 2 per domain; user columns untouched
+    assert(out.count() == 4)
+    assert(out.select("__st").distinct().as[String].collect().toSeq == Seq("keep-st"))
+    assert(out.select("__q").distinct().as[Int].collect().toSeq == Seq(7))
+  }
+
   test("split is narrow: no shuffle in the plan") {
     val orders = Tables.orders(spark, sfDir).select("o_orderkey")
     val p = Sampling.deterministicSplit(orders, col("o_orderkey"), Seq("a" -> 0.5, "b" -> 0.5))
