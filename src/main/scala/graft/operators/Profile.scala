@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column profiling for corpus/table QA (training-data pipeline extension,
+  * SURVEY §2.11) — the "know your data before you train on it" pass every
+  * large pipeline runs after ingest and after each transform stage.
+  *
+  * Two tiers, same output shape (one row per profiled column):
+  *
+  *  - [[numericProfile]] — EXACT counts/extremes/sums. One aggregate job;
+  *    count(DISTINCT) over multiple columns makes Catalyst plan a single
+  *    expand + two-phase hash aggregate, so the cost is one scan plus a
+  *    shuffle of partial aggregates per column — no driver-side loop over
+  *    columns, no second scan. Oracle-checkable (pf_profile): every metric
+  *    is deterministic, with sums through the fixed-scale decimal cast
+  *    (graft.core.Num rationale).
+  *  - [[approxProfile]] — the 100 TB tier: HyperLogLog++ distinct counts
+  *    (`approx_count_distinct`) and quantile sketches
+  *    (`approx_percentile`), both bounded-memory mergeable sketches, no
+  *    expand (single scan, one tiny shuffle of sketch buffers). Sketch
+  *    internals are engine-specific so there is no cross-engine oracle;
+  *    ProfileSpec pins each estimate against the exact tier at fixture
+  *    scale instead.
+  */
+object Profile {
+
+  private val Dec = DecimalType(30, 6)
+
+  /** Exact profile of numeric columns: one output row per column —
+    * (column, n_rows, n_nulls, n_distinct, min_v, max_v, sum_v, mean_v),
+    * ordered by column name. Values are cast to double for a uniform
+    * shape; sums are decimal-exact before the final cast.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        sum(col(c).cast(Dec)).as(s"__sum_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // stack the wide single row into one row per column; all branches are
+    // plain column refs, so this is a zero-shuffle projection + explode
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_v"),
+        col(s"__max_$c").as("max_v"),
+        col(s"__sum_$c").cast("double").as("sum_v"),
+        (col(s"__sum_$c").cast("double") / col(s"__nn_$c")).as("mean_v"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("column")
+  }
+
+  /** Sketch-based profile for scales where exact distinct counts are not
+    * worth an expand: (column, n_rows, n_nulls, approx_distinct, p50, p95,
+    * min_v, max_v), ordered by column name. `rsd` is the HLL++ relative
+    * standard deviation (default 5%).
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+        percentile_approx(col(c), lit(0.5), lit(10000)).cast("double").as(s"__p50_$c"),
+        percentile_approx(col(c), lit(0.95), lit(10000)).cast("double").as(s"__p95_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("approx_distinct"),
+        col(s"__p50_$c").as("p50"),
+        col(s"__p95_$c").as("p95"),
+        col(s"__min_$c").as("min_v"),
+        col(s"__max_$c").as("max_v"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("column")
+  }
+}

@@ -139,4 +139,108 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** J14: as-of join (time-series lookup join) — for each left row, attach
+    * `rightVals` from the right row with the same `keys` whose `rightTime`
+    * is the latest <= `leftTime` (direction "backward", the default) or the
+    * earliest >= `leftTime` ("forward"). Equal times match. Left rows with
+    * no qualifying right row keep null values (left-join semantics); left
+    * rows with a null time never match.
+    *
+    * Spark has no ASOF JOIN operator; the naive spellings do not survive
+    * scale (a range join devolves to a broadcast-nested-loop or an
+    * O(|L|·|R|) per-key explosion). This is the scalable formulation: tag
+    * and UNION both sides, then one window per key ordered by (time, side)
+    * carries the last non-null right value onto each left row — exactly one
+    * shuffle + one sort over |L|+|R| rows, the plan a native as-of
+    * physical operator would produce.
+    *
+    * Right rows should be unique per (keys, rightTime); with duplicates the
+    * union-side tiebreak is the right frame's row order, which is not
+    * deterministic under retries — pre-aggregate the right side first
+    * (e.g. `dedupKeepFirst`).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward")(direction), s"direction backward|forward, got $direction")
+    val clash = rightVals.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"rightVals collide with left columns: ${clash.mkString(", ")}")
+    // at equal times the right row must be visible from the left row's
+    // frame: backward ([preceding, current]) wants right BEFORE left in the
+    // sort; forward ([current, following]) wants right AFTER left
+    val (sideRight, sideLeft) = if (direction == "backward") (0, 1) else (1, 0)
+    val t = graft.core.Cols.fresh(left, "__asof_t")
+    val side = graft.core.Cols.fresh(left, "__asof_side")
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn(t, col(leftTime))
+      .withColumn(side, lit(sideLeft))
+      .select((leftCols.map(col) ++ rightVals.map(v => lit(null).as(v)) :+ col(t) :+ col(side)): _*)
+    val rTagged = right
+      .filter(col(rightTime).isNotNull)
+      .withColumn(t, col(rightTime))
+      .withColumn(side, lit(sideRight))
+      .select((leftCols.map(c => (if (keys.contains(c)) col(c) else lit(null).as(c)): Column)
+        ++ rightVals.map(col) :+ col(t) :+ col(side)): _*)
+    val w0 = Window.partitionBy(keys.map(col): _*).orderBy(col(t), col(side))
+    val filled = rightVals.map { v =>
+      val c =
+        if (direction == "backward")
+          last(col(v), ignoreNulls = true)
+            .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        else
+          first(col(v), ignoreNulls = true)
+            .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      when(col(t).isNotNull, c).as(v)
+    }
+    lTagged.unionByName(rTagged)
+      .select((leftCols.map(col) ++ filled :+ col(side)): _*)
+      .filter(col(side) === sideLeft)
+      .drop(side)
+  }
+
+  /** J15: interval-containment range join — pair every point with every
+    * interval `[loCol, hiCol]` (inclusive) that contains it, optionally
+    * under additional equi `keys`.
+    *
+    * Spark plans a bare `lo <= p AND p <= hi` predicate as a
+    * broadcast-nested-loop (or a full cartesian when neither side fits) —
+    * O(|P|·|I|) comparisons. Bucketing restores an equi-join: intervals
+    * explode to the fixed-width buckets they overlap, points hash to their
+    * single bucket, and the shuffle joins on (keys..., bucket) with the
+    * exact predicate as a post-filter. Each (interval, bucket) pair is
+    * unique and each point has one bucket, so no dedup is needed.
+    *
+    * `bucketSize` trades replication for selectivity: intervals are
+    * replicated ceil(span/bucketSize)+1 times — pick it near the median
+    * interval span so replication stays O(1) per interval. Intervals with
+    * null or inverted bounds match nothing.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketSize: Double,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val clash = intervals.columns.toSet.intersect(points.columns.toSet) -- keys
+    require(clash.isEmpty, s"interval columns collide with point columns: ${clash.mkString(", ")}")
+    val b = graft.core.Cols.fresh(points, "__bucket")
+    def bucketOf(c: Column): Column = floor(c / bucketSize).cast("long")
+    val p = points.filter(col(pointCol).isNotNull).withColumn(b, bucketOf(col(pointCol)))
+    val i = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+      .withColumn(b, explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    p.join(i, keys :+ b)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop(b)
+  }
 }

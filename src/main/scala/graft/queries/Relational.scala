@@ -420,6 +420,67 @@ object Relational {
         .select("l_orderkey", "l_quantity", "n_name")
         .orderBy("l_orderkey", "l_quantity", "n_name")
     },
+    Q("j14_asof_join",
+      """SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, r.value AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      // Scale extension: backward as-of join — each purchase gets the
+      // user's most recent click at-or-before it. The Spark side is the
+      // union+window formulation (one shuffle over |L|+|R|); the oracle is
+      // DuckDB's native ASOF JOIN, so the semantics (inclusive bound,
+      // left-join nulls) are checked against an independent implementation.
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      Joins.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts",
+          rightVals = Seq("click_ts", "click_value"))
+        .orderBy("event_id")
+    },
+    Q("j15_range_join",
+      """SELECT p.p_partkey, p.p_retailprice, b.band_brand, b.lo, b.hi
+        |FROM part p
+        |JOIN (SELECT p_brand AS band_brand,
+        |             MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+        |      FROM part GROUP BY p_brand) b
+        |  ON p.p_retailprice BETWEEN b.lo AND b.hi
+        |ORDER BY p.p_partkey, b.band_brand""".stripMargin) { (s, d) =>
+      // Scale extension: unkeyed interval-containment join. Spark would
+      // plan the bare BETWEEN predicate as a nested-loop; rangeJoin's
+      // bucket explosion turns it into an equi-join (J15). The oracle is
+      // DuckDB's inequality join over the same bands.
+      val bands = part(s, d).groupBy(col("p_brand").as("band_brand"))
+        .agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"))
+      Joins.rangeJoin(part(s, d).select("p_partkey", "p_retailprice"), "p_retailprice",
+          bands, "lo", "hi", bucketSize = 10.0)
+        .select("p_partkey", "p_retailprice", "band_brand", "lo", "hi")
+        .orderBy("p_partkey", "band_brand")
+    },
+    Q("pf_profile",
+      s"""WITH base AS ($nulledSql),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(g) AS BIGINT) AS nn_g, CAST(COUNT(DISTINCT g) AS BIGINT) AS nd_g,
+        |    CAST(MIN(g) AS DOUBLE) AS min_g, CAST(MAX(g) AS DOUBLE) AS max_g,
+        |    CAST(SUM(CAST(g AS DECIMAL(30,6))) AS DOUBLE) AS sum_g,
+        |  CAST(COUNT(v) AS BIGINT) AS nn_v, CAST(COUNT(DISTINCT v) AS BIGINT) AS nd_v,
+        |    CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v,
+        |    CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+        |  FROM base)
+        |SELECT 'g' AS "column", n AS n_rows, n - nn_g AS n_nulls, nd_g AS n_distinct,
+        |       min_g AS min_v, max_g AS max_v, sum_g AS sum_v, sum_g / nn_g AS mean_v FROM m
+        |UNION ALL
+        |SELECT 'v', n, n - nn_v, nd_v, min_v, max_v, sum_v, sum_v / nn_v FROM m
+        |ORDER BY "column"""".stripMargin) { (s, d) =>
+      // §2.11 profiling: exact one-pass numeric column profile (the corpus
+      // QA op). The approx/sketch tier is pinned against this in
+      // ProfileSpec — sketches have no cross-engine oracle.
+      graft.operators.Profile.numericProfile(nulled(s, d), Seq("g", "v"))
+    },
 
     // ---- A: aggregations (SURVEY §2.4) ---------------------------------
     Q("a1_grouped_sum",

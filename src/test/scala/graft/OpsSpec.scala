@@ -7,6 +7,76 @@ import graft.ops._
 class OpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("asofJoin backward: latest right <= left time, inclusive; no match -> nulls (J14)") {
+    val left = Seq(("u1", 10, "a"), ("u1", 20, "b"), ("u1", 5, "c"), ("u2", 10, "d"))
+      .toDF("k", "t", "payload")
+    val right = Seq(("u1", 7, 70.0), ("u1", 10, 100.0), ("u1", 15, 150.0), ("u3", 1, 1.0))
+      .toDF("k", "qt", "qv")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "qt", Seq("qt", "qv"))
+      .select("k", "t", "payload", "qt", "qv")
+      .as[(String, Int, String, Option[Int], Option[Double])].collect().toSet
+    assert(out == Set(
+      ("u1", 10, "a", Some(10), Some(100.0)), // equal time matches
+      ("u1", 20, "b", Some(15), Some(150.0)), // latest <= 20
+      ("u1", 5, "c", None, None),             // nothing at or before 5
+      ("u2", 10, "d", None, None)))           // key absent from right
+  }
+
+  test("asofJoin forward: earliest right >= left time, inclusive (J14)") {
+    val left = Seq(("u1", 10), ("u1", 16), ("u1", 99)).toDF("k", "t")
+    val right = Seq(("u1", 10, 100.0), ("u1", 15, 150.0), ("u1", 20, 200.0)).toDF("k", "qt", "qv")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "qt", Seq("qv"), direction = "forward")
+      .select("t", "qv").as[(Int, Option[Double])].collect().toSet
+    assert(out == Set((10, Some(100.0)), (16, Some(200.0)), (99, None)))
+  }
+
+  test("asofJoin: null left times never match; null right times ignored (J14)") {
+    val left = Seq(("u1", Some(10)), ("u1", None)).toDF("k", "t")
+    val right = Seq(("u1", Some(5), 50.0), ("u1", None, 999.0)).toDF("k", "qt", "qv")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "qt", Seq("qv"))
+      .select("t", "qv").as[(Option[Int], Option[Double])].collect().toSet
+    assert(out == Set((Some(10), Some(50.0)), (None, None)))
+  }
+
+  test("asofJoin plans one shuffle: union sides co-partition on the key (J14)") {
+    val left = Seq(("u1", 10)).toDF("k", "t")
+    val right = Seq(("u1", 5, 1.0)).toDF("k", "qt", "qv")
+    val plan = Joins.asofJoin(left, right, Seq("k"), "t", "qt", Seq("qv"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("rangeJoin: containment matches, inclusive bounds, degenerate intervals drop (J15)") {
+    val points = Seq((1, 5.0), (2, 10.0), (3, 27.5), (4, 100.0)).toDF("id", "v")
+    val intervals = Seq(
+      ("a", Some(0.0), Some(10.0)),  // matches 5.0 and 10.0 (inclusive hi)
+      ("b", Some(10.0), Some(30.0)), // matches 10.0 (inclusive lo) and 27.5
+      ("c", Some(50.0), Some(40.0)), // inverted -> matches nothing
+      ("d", None, Some(99.0))        // null lo -> matches nothing
+    ).toDF("name", "lo", "hi")
+    val out = Joins.rangeJoin(points, "v", intervals, "lo", "hi", bucketSize = 7.0)
+      .select("id", "name").as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a"), (2, "a"), (2, "b"), (3, "b")))
+  }
+
+  test("rangeJoin with equi keys restricts pairs to the key (J15)") {
+    val points = Seq(("x", 5.0), ("y", 5.0)).toDF("g", "v")
+    val intervals = Seq(("x", "only-x", 0.0, 10.0)).toDF("g", "name", "lo", "hi")
+    val out = Joins.rangeJoin(points, "v", intervals, "lo", "hi", 5.0, keys = Seq("g"))
+      .select("g", "name").as[(String, String)].collect().toSet
+    assert(out == Set(("x", "only-x")))
+  }
+
+  test("rangeJoin plans an equi-join on the bucket, not a nested loop (J15)") {
+    val points = Seq((1, 5.0)).toDF("id", "v")
+    val intervals = Seq(("a", 0.0, 10.0)).toDF("name", "lo", "hi")
+    val plan = Joins.rangeJoin(points, "v", intervals, "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must not plan a nested loop:\n$plan")
+  }
+
   test("sumOrAllNull: null only when every input is null (A6)") {
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", None), ("b", None), ("c", None), ("c", Some(0.0)))
       .toDF("k", "v")

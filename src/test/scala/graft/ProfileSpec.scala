@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Profile
+
+/** Column profiling (§2.11): the exact tier is oracled (pf_profile); here
+  * the sketch tier is pinned against the exact tier at fixture scale, and
+  * shapes/edge cases are covered.
+  */
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("numericProfile: exact metrics on a small frame with nulls") {
+    val df = Seq(
+      (1, Some(10.0)), (2, Some(20.0)), (3, None), (4, Some(20.0)))
+      .toDF("id", "v")
+    val rows = Profile.numericProfile(df, Seq("id", "v"))
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("id", "v")) // ordered by column
+    val Array(id, v) = rows
+    assert(id == (("id", 4L, 0L, 4L, 1.0, 4.0, 10.0, 2.5)))
+    assert(v == (("v", 4L, 1L, 2L, 10.0, 20.0, 50.0, 50.0 / 3)))
+  }
+
+  test("approxProfile tracks the exact tier on the lineitem fixture") {
+    val li = Tables.lineitem(spark, sfDir).select("l_quantity", "l_extendedprice")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val exact = Profile.numericProfile(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profile.approxProfile(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (c <- cols) {
+      val e = exact(c); val a = approx(c)
+      assert(a.getLong(1) == e.getLong(1)) // n_rows exact
+      assert(a.getLong(2) == e.getLong(2)) // n_nulls exact
+      val nd = e.getLong(3).toDouble
+      val nda = a.getLong(3).toDouble
+      assert(math.abs(nda - nd) / nd < 0.15, s"$c approx_distinct $nda vs exact $nd")
+      // p50 within the column's range and between min/max of exact tier
+      assert(a.getDouble(4) >= e.getDouble(4) && a.getDouble(4) <= e.getDouble(5),
+        s"$c p50 ${a.getDouble(4)} outside [${e.getDouble(4)}, ${e.getDouble(5)}]")
+      assert(a.getDouble(6) == e.getDouble(4) && a.getDouble(7) == e.getDouble(5)) // min/max exact
+    }
+  }
+
+  test("profile is one aggregate job: a single pair of hash-aggregate stages") {
+    val li = Tables.lineitem(spark, sfDir).select("l_quantity", "l_discount")
+    val plan = Profile.numericProfile(li, Seq("l_quantity", "l_discount"))
+      .queryExecution.executedPlan.toString
+    // count(distinct) over 2 columns -> one Expand, not one scan per column
+    assert("Scan parquet".r.findAllIn(plan).length == 1, s"profile must scan once:\n$plan")
+  }
+}
