@@ -39,6 +39,16 @@ object TextFns {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
 
+  /** Like [[wordShingles]] but docs shorter than `n` words contribute no
+    * shingles (no whole-doc fallback) — the right shape for n-gram
+    * frequency statistics, where a 1-word "bigram" would pollute counts.
+    */
+  def strictWordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Character n-gram shingles over the raw string. */
   def charShingles(c: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),

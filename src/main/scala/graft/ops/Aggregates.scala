@@ -58,4 +58,43 @@ object Aggregates {
       .reduce((a, b) => a.crossJoin(b))
     expanded.join(df.select(cols.map(col): _*).distinct(), cols, "left_anti")
   }
+
+  /** Per-group winsorization (outlier clamping, §2.11 data-cleaning): clamp
+    * `v` to the group's [pLo, pHi] order-statistic bounds. The bound is the
+    * value at rank max(ceil(p·n), 1) in ascending `v` order — a pure order
+    * statistic (discrete, no interpolation), so it is engine-exact and
+    * oracle-checkable where interpolated quantiles drift by formula.
+    *
+    * Shape: one window shuffle to rank, a tiny per-group bounds aggregate,
+    * and a co-partitioned join back (the bounds side is group-cardinality —
+    * broadcastable). Ties in `v` do not affect the bound value, so no
+    * tiebreak column is needed for determinism of the OUTPUT (the ranked
+    * row picked among tied values differs, its value does not).
+    *
+    * Output: input columns + `<v>_lo`, `<v>_hi`, `<v>_clamped`.
+    */
+  def winsorize(
+      df: DataFrame,
+      keys: Seq[String],
+      v: String,
+      pLo: Double,
+      pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(v))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val rn = graft.core.Cols.fresh(df, "__rn")
+    val n = graft.core.Cols.fresh(df, "__n")
+    val ranked = df
+      .withColumn(rn, row_number().over(w))
+      .withColumn(n, count(lit(1)).over(wn))
+    def bound(p: Double): Column = greatest(ceil(lit(p) * col(n)).cast("long"), lit(1L))
+    val bounds = ranked
+      .filter(col(rn) === bound(pLo) || col(rn) === bound(pHi))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(v)).as(s"${v}_lo"), max(col(v)).as(s"${v}_hi"))
+    ranked.drop(rn, n)
+      .join(bounds, keys)
+      .withColumn(s"${v}_clamped", greatest(col(s"${v}_lo"), least(col(s"${v}_hi"), col(v))))
+  }
 }

@@ -1159,6 +1159,61 @@ object Relational {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hour_epoch"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("event_type", "hour_epoch")
+    },
+    Q("ev_attribution",
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |       c.event_id AS click_id, c.ts AS c_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      // Batch twin of graft.streaming.Events.attributionStream: every click
+      // within the hour before a purchase by the same user. The equi key
+      // (user_id) carries the join; the interval predicate is a post-filter
+      // on the hash join, NOT a nested loop. The streaming version adds
+      // watermarks for bounded state (StreamingSpec).
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("__cu"),
+          col("ts").as("c_ts"), col("value").as("click_value"))
+      p.join(c, col("user_id") === col("__cu") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts", "click_value")
+        .orderBy("purchase_id", "click_id")
+    },
+    Q("qt_winsorize",
+      """WITH r AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |b AS (SELECT l_returnflag,
+        |    MIN(CASE WHEN rn = GREATEST(CAST(CEIL(0.05 * n) AS BIGINT), 1)
+        |             OR rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+        |        THEN l_extendedprice END) AS l_extendedprice_lo,
+        |    MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.05 * n) AS BIGINT), 1)
+        |             OR rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+        |        THEN l_extendedprice END) AS l_extendedprice_hi
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT r.l_returnflag, r.l_orderkey, r.l_linenumber, r.l_extendedprice,
+        |       b.l_extendedprice_lo, b.l_extendedprice_hi,
+        |       GREATEST(b.l_extendedprice_lo,
+        |                LEAST(b.l_extendedprice_hi, r.l_extendedprice)) AS l_extendedprice_clamped
+        |FROM r JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_returnflag""".stripMargin) { (s, d) =>
+      // §2.11 data cleaning: per-group winsorization at the [p05, p95]
+      // order statistics — discrete rank bounds, so both engines agree
+      // exactly (interpolated quantile formulas drift across engines).
+      Aggregates.winsorize(
+          lineitem(s, d).select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_extendedprice_lo", "l_extendedprice_hi", "l_extendedprice_clamped")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
     }
   )
 }

@@ -386,6 +386,37 @@ object TextData {
         .select(col("doc_id"), TextFns.fingerprint64(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     },
+    Q("tx_top_ngrams",
+      """WITH t AS (SELECT lang,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT lang, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        |  WHERE len(ws) >= 2),
+        |c AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY lang, bigram),
+        |r AS (SELECT lang, bigram, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS INTEGER) AS rk
+        |  FROM c)
+        |SELECT lang, bigram, cnt, rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      // Corpus heavy hitters: top-10 word bigrams per language —
+      // vocabulary/boilerplate analysis over a corpus. Explode is linear in
+      // corpus token count; the count shuffles ONLY (lang, bigram) partial
+      // counts (map-side combine), and the final top-k windows the
+      // (small) distinct-bigram aggregate, not the corpus. Deterministic
+      // ties: count desc, then bigram asc.
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextFns.tokens(col("text"))
+      val counts = documents(s, d)
+        .select(col("lang"), explode(TextFns.strictWordShingles(toks, 2)).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))))
+        .filter(col("rk") <= 10)
+        .orderBy("lang", "rk")
+    },
 
     // ---- multimodal plumbing -------------------------------------------
     Q("mm_decode_stub",

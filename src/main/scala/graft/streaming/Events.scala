@@ -51,6 +51,31 @@ object Events {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join: every click within `lookbackHours`
+    * before a purchase by the same user (the batch twin is oracle-verified
+    * as ev_attribution). A watermark on BOTH sides plus the time-interval
+    * join condition lets Spark compute how long a click can still match a
+    * future purchase, so buffered join state is evicted as the watermark
+    * advances — bounded state on unbounded streams. Without the interval
+    * condition the engine must buffer both sides forever.
+    */
+  def attributionStream(events: DataFrame, lookbackHours: Int = 1,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("__cu"),
+        col("ts").as("c_ts"), col("value").as("click_value"))
+      .withWatermark("c_ts", watermarkDelay)
+    purchases.join(clicks,
+        col("user_id") === col("__cu") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackHours HOURS"))
+      .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts", "click_value")
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

@@ -77,6 +77,22 @@ class OpsSpec extends SparkTestBase {
       s"range join must not plan a nested loop:\n$plan")
   }
 
+  test("winsorize clamps to per-group order-statistic bounds") {
+    // group a: 20 values 1..20 -> p05 rank = ceil(1.0)=1 -> lo=1;
+    // p95 rank = ceil(19.0)=19 -> hi=19; 20 clamps to 19
+    // group b: 3 values -> lo rank max(ceil(.15),1)=1, hi rank ceil(2.85)=3
+    val df = ((1 to 20).map(i => ("a", i.toDouble)) ++ Seq(("b", 5.0), ("b", 7.0), ("b", 100.0)))
+      .toDF("g", "v")
+    val out = Aggregates.winsorize(df, Seq("g"), "v", 0.05, 0.95)
+    val a = out.filter(col("g") === "a")
+    assert(a.select("v_lo").distinct().as[Double].head() == 1.0)
+    assert(a.select("v_hi").distinct().as[Double].head() == 19.0)
+    assert(a.filter(col("v") === 20.0).select("v_clamped").as[Double].head() == 19.0)
+    assert(a.filter(col("v") === 10.0).select("v_clamped").as[Double].head() == 10.0)
+    val b = out.filter(col("g") === "b")
+    assert(b.select("v_lo", "v_hi").distinct().as[(Double, Double)].head() == ((5.0, 100.0)))
+  }
+
   test("sumOrAllNull: null only when every input is null (A6)") {
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", None), ("b", None), ("c", None), ("c", Some(0.0)))
       .toDF("k", "v")

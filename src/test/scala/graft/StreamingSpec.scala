@@ -32,6 +32,18 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.join(batch, Seq("h", "event_type", "n"), "left_anti").count() == 0)
   }
 
+  test("stream-stream attribution join equals the batch twin") {
+    val stream = Events.readEventStream(spark, eventsDir)
+    val q = Events.attributionStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attr_out")
+    val batch = graft.SparkEntry.queries("ev_attribution")(spark, sfDir)
+      .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts", "click_value")
+    assert(streamed.count() == batch.count(), "pair counts differ")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("dedupStream drops within-watermark duplicates, state bounded") {
     // duplicate every event once in the source; the deduped stream must
     // agree with the batch distinct-on-id count
