@@ -43,14 +43,18 @@ object Dedup {
     *        the exact-dedup pass already catches their identical members,
     *        and capping bounds the worst reducer at cap²/2 pairs.
     */
-  def minhashLshPairs(
+  /** Banded MinHash working frame (id, __sig, band, bucket) — the shared
+    * index shape for self-join dedup ([[minhashLshPairs]]) and cross-table
+    * incremental dedup ([[incrementalNearDupPairs]]).
+    */
+  private def bandedMinhash(
       df: DataFrame,
       id: String,
       text: String,
-      shingleSize: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 8,
-      maxBucketSize: Int = 0): DataFrame = {
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // the id column survives into the banded working frame alongside the
     // fixed internal names — an id actually called one of them would be
@@ -75,6 +79,18 @@ object Dedup {
         .filter(col("__bsz") <= maxBucketSize)
         .drop("__bsz")
     }
+    banded
+  }
+
+  def minhashLshPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      maxBucketSize: Int = 0): DataFrame = {
+    val banded = bandedMinhash(df, id, text, shingleSize, numHashes, bands, maxBucketSize)
     val a = banded.select(col(id).as("id_a"), col("__sig").as("sig_a"), col("band"), col("bucket"))
     val b = banded.select(col(id).as("id_b"), col("__sig").as("sig_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -229,6 +245,81 @@ object Dedup {
       .groupBy(col(id))
       // shingles are distinct per doc, so a plain count is the hit count
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  // ---- incremental (batch-vs-corpus) dedup ------------------------------
+  // Continuous-ingest hygiene: a new batch must be checked against the
+  // EXISTING corpus, not just against itself. Both paths below are
+  // index-shaped — build the index over the corpus once (persist it in
+  // production; it is append-only under ingestion), then every batch joins
+  // against it, so per-batch cost scales with the batch, not the corpus.
+
+  /** Exact-dedup index over a corpus: one row per distinct normalized-text
+    * hash with the canonical (minimum) id holding it.
+    */
+  def exactIndex(corpus: DataFrame, id: String, text: String): DataFrame =
+    corpus
+      .select(md5(lower(trim(col(text)))).as("text_hash"), col(id))
+      .groupBy("text_hash")
+      .agg(min(col(id)).as("corpus_id"))
+
+  /** Flag batch documents whose normalized text already exists in the
+    * corpus index ([[exactIndex]]): batch columns + `exact_dup_of` (the
+    * corpus canonical id, null when novel) + `is_known`. One equi-join on
+    * the 16-byte hash; the index side is (distinct-hash × 2 columns), which
+    * broadcasts for any reasonably sized dictionary and otherwise
+    * shuffle-joins on the hash.
+    */
+  def incrementalExactFlags(
+      batch: DataFrame,
+      index: DataFrame,
+      id: String,
+      text: String): DataFrame =
+    batch
+      .withColumn("text_hash", md5(lower(trim(col(text)))))
+      .join(index, Seq("text_hash"), "left")
+      .withColumnRenamed("corpus_id", "exact_dup_of")
+      .withColumn("is_known", col("exact_dup_of").isNotNull)
+      .drop("text_hash")
+
+  /** Banded-MinHash index over a corpus, reusable across batches:
+    * (corpus_id, sig_c, band, bucket). Persist/bucket by (band, bucket) in
+    * production so batch probes co-locate.
+    */
+  def minhashIndex(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      maxBucketSize: Int = 0): DataFrame =
+    bandedMinhash(corpus, id, text, shingleSize, numHashes, bands, maxBucketSize)
+      .select(col(id).as("corpus_id"), col("__sig").as("sig_c"), col("band"), col("bucket"))
+
+  /** Near-duplicate candidates of a new batch AGAINST a corpus index
+    * ([[minhashIndex]]): (batch_id, corpus_id, est_jaccard). Cross-table
+    * analogue of [[minhashLshPairs]] — the equi-join key is (band, bucket),
+    * so only colliding buckets shuffle; batch rows never compare to the
+    * corpus at large. Verify survivors with [[ngramJaccardVerify]]-style
+    * exact Jaccard if the estimate is not enough.
+    */
+  def incrementalNearDupPairs(
+      batch: DataFrame,
+      index: DataFrame,
+      id: String,
+      text: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      maxBucketSize: Int = 0): DataFrame = {
+    val b = bandedMinhash(batch, id, text, shingleSize, numHashes, bands, maxBucketSize)
+      .select(col(id).as("batch_id"), col("__sig").as("sig_b"), col("band"), col("bucket"))
+    b.join(index, Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"),
+        TextFns.minhashJaccard(col("sig_b"), col("sig_c")).as("est_jaccard"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Embedding near-duplicate pairs: sign-bit LSH blocks, then exact cosine

@@ -61,6 +61,29 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("column")
   }
 
+  /** Key-skew diagnostic: the `topN` hottest key combinations with their
+    * row count, share of all rows, and multiple-of-mean-key-load — the
+    * numbers that decide whether a join/aggregation on `keys` needs AQE
+    * skew handling or an explicit salted join (ops/Joins.saltedJoin).
+    *
+    * Shape: one hash aggregate on the keys, a 1-row global aggregate
+    * broadcast back, and a TakeOrdered for the top-N — no global sort, no
+    * window, output bounded at `topN` regardless of key cardinality.
+    */
+  def keySkew(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    require(keys.nonEmpty && topN > 0, "need keys and positive topN")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).cast("double").as("__total"),
+      count(lit(1)).cast("double").as("__n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share", col("cnt") / col("__total"))
+      .withColumn("x_mean", col("cnt") * col("__n_keys") / col("__total"))
+      .drop("__total", "__n_keys")
+      .orderBy(col("cnt").desc +: keys.map(col): _*)
+      .limit(topN)
+  }
+
   /** Sketch-based profile for scales where exact distinct counts are not
     * worth an expand: (column, n_rows, n_nulls, approx_distinct, p50, p95,
     * min_v, max_v), ordered by column name. `rsd` is the HLL++ relative

@@ -481,6 +481,21 @@ object Relational {
       // ProfileSpec — sketches have no cross-engine oracle.
       graft.operators.Profile.numericProfile(nulled(s, d), Seq("g", "v"))
     },
+    Q("pf_key_skew",
+      """WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+        |             CAST(COUNT(*) AS DOUBLE) AS n_keys FROM c)
+        |SELECT c.l_suppkey, c.cnt, c.cnt / t.total AS share,
+        |       c.cnt * t.n_keys / t.total AS x_mean
+        |FROM c, t ORDER BY c.cnt DESC, c.l_suppkey LIMIT 20""".stripMargin) { (s, d) =>
+      // §2.11 ops diagnostic: hottest join/agg keys with share and
+      // multiple-of-mean load — the decision input for AQE skew handling
+      // vs an explicit salted join (J13). TakeOrdered top-N: no global
+      // sort, no window, bounded output at any key cardinality.
+      graft.operators.Profile.keySkew(
+        lineitem(s, d).select("l_suppkey"), Seq("l_suppkey"), topN = 20)
+    },
 
     // ---- A: aggregations (SURVEY §2.4) ---------------------------------
     Q("a1_grouped_sum",

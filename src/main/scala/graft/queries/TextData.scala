@@ -202,6 +202,48 @@ object TextData {
           minCosine = 0.35, nPlanes = 6, nTables = 4)
         .orderBy("id_a", "id_b")
     },
+    Q("dd_incr_exact",
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id,
+        |         text || ' fresh tail ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 1),
+        |idx AS (SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS corpus_id
+        |  FROM corpus GROUP BY 1)
+        |SELECT b.doc_id, i.corpus_id AS exact_dup_of, i.corpus_id IS NOT NULL AS is_known
+        |FROM (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM batch) b
+        |LEFT JOIN idx i USING (text_hash)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Incremental ingest hygiene: flag new-batch docs already present in
+      // the corpus. The fixture has no exact duplicates, so the batch is
+      // planted deterministically — re-keyed copies (every 7th doc,
+      // simulating a re-crawl) must flag as known; tail-modified docs must
+      // come through novel. Both directions non-vacuous by construction.
+      val docs = documents(s, d).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" fresh tail "), col("doc_id").cast("string")).as("text")))
+      Dedup.incrementalExactFlags(batch, Dedup.exactIndex(docs, "doc_id", "text"),
+          "doc_id", "text")
+        .select("doc_id", "exact_dup_of", "is_known")
+        .orderBy("doc_id")
+    },
+    Q.noOracle("dd_incr_near") { (s, d) =>
+      // Near-dup candidates of a re-crawled batch against the corpus
+      // MinHash index (cross-table LSH — xxhash64 sketches, no SQL twin;
+      // planted-fixture coverage in DedupSpec). Copies collide on every
+      // band, so candidate count >= batch size by construction.
+      val docs = documents(s, d).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.incrementalNearDupPairs(batch,
+          Dedup.minhashIndex(docs, "doc_id", "text"), "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    },
 
     // ---- similarity search ---------------------------------------------
     Q("ann_bruteforce",
@@ -385,6 +427,45 @@ object TextData {
       documents(s, d)
         .select(col("doc_id"), TextFns.fingerprint64(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    },
+    Q("tx_tfidf",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (SELECT dt.doc_id, dt.term, dt.tf, dfreq.df,
+        |    dt.tf * n.n_docs / dfreq.df AS score
+        |  FROM dt JOIN dfreq USING (term), n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      // Document keyword extraction: top-5 terms per doc by tf·N/df — the
+      // LINEAR rarity weight, deliberately log-free: ln() is not guaranteed
+      // identically rounded across engines, which would break the bit-exact
+      // oracle, and the per-doc RANKING it induces is identical to
+      // tf·log(N/df) wherever df differs. Two map-side-combined aggregates
+      // (doc-term tf, term df) + a term-keyed join + a per-doc top-k
+      // window: every shuffle key is (doc,term), term, or doc — never text.
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val dt = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      dt.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * col("n_docs") / col("df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
     },
     Q("tx_top_ngrams",
       """WITH t AS (SELECT lang,

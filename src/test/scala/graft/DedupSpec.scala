@@ -83,6 +83,30 @@ class DedupSpec extends SparkTestBase {
     assert(out(10L) == 3L) // 10-token bench doc has 3 distinct 8-grams, all present
   }
 
+  test("incremental exact flags: known copies flagged with corpus id, novel pass through") {
+    val corpus = Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  " + base.toUpperCase + " "), // normalized copy of corpus doc 1
+      (11L, "entirely new document text")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactFlags(
+        batch, Dedup.exactIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "exact_dup_of", "is_known")
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(out.toSeq == Seq((10L, Some(1L), true), (11L, None, false)))
+  }
+
+  test("incremental near-dup candidates: batch near-copy collides with corpus index") {
+    val corpus = Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text")
+    val batch = Seq((10L, nearDup), (11L, "unrelated fresh words nobody wrote before today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupPairs(
+        batch, Dedup.minhashIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((10L, 1L)), s"got ${out.toSeq}")
+    assert(out.head._3 > 0.7, s"est_jaccard ${out.head._3} too low for a near-copy")
+  }
+
   test("canonicalize propagates min id across duplicate chains") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // chain 1-2, 2-3 and isolated pair 4-5: clusters {1,2,3} and {4,5}

@@ -44,6 +44,23 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("keySkew: hot keys first with share and multiple-of-mean, bounded at topN") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("warm") ++ Seq("cold", "cool")).toDF("k")
+    val out = Profile.keySkew(df, Seq("k"), topN = 3)
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.length == 3)
+    assert(out(0) == (("hot", 6L, 0.6, 2.4)))  // 6/10 rows, 2.4x the mean key load of 2.5
+    assert(out(1) == (("warm", 2L, 0.2, 0.8)))
+    assert(out(2)._1 == "cold") // tie between cold/cool broken by key asc
+  }
+
+  test("keySkew plans a TakeOrdered, not a global sort or window") {
+    val li = Tables.lineitem(spark, sfDir).select("l_suppkey")
+    val plan = Profile.keySkew(li, Seq("l_suppkey")).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"), s"keySkew must not window:\n$plan")
+  }
+
   test("profile is one aggregate job: a single pair of hash-aggregate stages") {
     val li = Tables.lineitem(spark, sfDir).select("l_quantity", "l_discount")
     val plan = Profile.numericProfile(li, Seq("l_quantity", "l_discount"))
