@@ -458,6 +458,10 @@ object TextData {
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      // scale note: the term-keyed join is skewed by construction (a
+      // stopword's df row matches one dt row per document containing it).
+      // AQE's skew-join split handles it; for pathological vocabularies
+      // Joins.saltedJoin(dt, dfreq, Seq("term"), buckets) is row-identical
       dt.join(dfreq, "term")
         .crossJoin(broadcast(nDocs))
         .withColumn("score", col("tf") * col("n_docs") / col("df"))

@@ -57,6 +57,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == base.select("event_id").distinct().count())
   }
 
+  test("streaming novelty filter drops corpus-known docs, passes novel ones") {
+    import graft.operators.Dedup
+    import graft.streaming.Ingest
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    // corpus = even doc_ids; the stream replays ALL docs -> only odd pass
+    val index = Dedup.exactIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val q = Ingest.noveltyFilter(Ingest.readDocStream(spark, dir), index)
+      .writeStream.outputMode("append").format("memory").queryName("novel_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("novel_out").select("doc_id").as[Long].collect().toSet
+    val expected = docs.filter(col("doc_id") % 2 === 1).select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+  }
+
   test("sessionize closes sessions at gaps and matches a batch recomputation") {
     import org.apache.spark.sql.expressions.Window
     val stream = Events.readEventStream(spark, eventsDir)
