@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggregates, Joins}
+
+/** Differential testing: each scalable formulation is compared against an
+  * independent brute-force reference (plain Scala over the same rows) on
+  * seeded random inputs — ties, duplicates, nulls, empty keys and boundary
+  * collisions arise by construction rather than by hand-picking.
+  * Deterministic seeds keep failures reproducible.
+  */
+class DifferentialSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Trials = 8
+
+  test("asofJoin (backward/forward) matches a brute-force reference on random inputs") {
+    for (trial <- 0 until Trials; direction <- Seq("backward", "forward")) {
+      val rnd = new scala.util.Random(1000 + trial)
+      def key() = s"k${rnd.nextInt(4)}"
+      def time(): Option[Int] = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(15))
+      val leftRows = (0 until 30).map(i => (i.toLong, key(), time()))
+      // right times unique per key (the operator's documented contract)
+      val rightRows = (for {
+        k <- 0 until 4; t <- 0 until 15 if rnd.nextBoolean()
+      } yield (s"k$k", t, rnd.nextDouble())).toVector
+      val left = leftRows.toDF("lid", "k", "t")
+      val right = rightRows.toDF("k", "qt", "qv")
+
+      val got = Joins.asofJoin(left, right, Seq("k"), "t", "qt", Seq("qt", "qv"), direction)
+        .select("lid", "qt", "qv")
+        .as[(Long, Option[Int], Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+      val byKey = rightRows.groupBy(_._1)
+      val expected = leftRows.map { case (lid, k, t) =>
+        val m = t.flatMap { lt =>
+          val cands = byKey.getOrElse(k, Vector.empty)
+          val qualifying =
+            if (direction == "backward") cands.filter(_._2 <= lt)
+            else cands.filter(_._2 >= lt)
+          if (qualifying.isEmpty) None
+          else Some(
+            if (direction == "backward") qualifying.maxBy(_._2)
+            else qualifying.minBy(_._2))
+        }
+        lid -> ((m.map(_._2), m.map(_._3)))
+      }.toMap
+      assert(got == expected, s"trial=$trial direction=$direction")
+    }
+  }
+
+  test("rangeJoin matches a brute-force BETWEEN filter on random inputs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(2000 + trial)
+      val pointRows = (0 until 40).map(i => (i.toLong, rnd.nextDouble() * 100))
+      val intervalRows = (0 until 12).map { i =>
+        val a = rnd.nextDouble() * 100
+        val b = a + (rnd.nextDouble() - 0.2) * 30 // ~20% inverted intervals
+        (s"i$i", a, b)
+      }
+      val bucketSize = Seq(1.0, 7.3, 50.0, 500.0)(trial % 4) // incl. degenerate sizes
+      val got = Joins.rangeJoin(
+          pointRows.toDF("pid", "v"), "v",
+          intervalRows.toDF("name", "lo", "hi"), "lo", "hi", bucketSize)
+        .select("pid", "name").as[(Long, String)].collect().toSet
+      val expected = (for {
+        (pid, v) <- pointRows
+        (n, lo, hi) <- intervalRows
+        if lo <= v && v <= hi
+      } yield (pid, n)).toSet
+      assert(got == expected, s"trial=$trial bucketSize=$bucketSize")
+    }
+  }
+
+  test("winsorize bounds match brute-force order statistics on random inputs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(3000 + trial)
+      // duplicate-heavy values force rank ties
+      val rows = (0 until 60).map(i => (s"g${rnd.nextInt(3)}", rnd.nextInt(10).toDouble))
+      val (pLo, pHi) = (0.1, 0.9)
+      val got = Aggregates.winsorize(rows.toDF("g", "v"), Seq("g"), "v", pLo, pHi)
+        .select("g", "v_lo", "v_hi").distinct()
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val expected = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        def at(p: Double) = sorted(math.max(math.ceil(p * sorted.length).toLong, 1L).toInt - 1)
+        g -> ((at(pLo), at(pHi)))
+      }
+      assert(got == expected, s"trial=$trial")
+    }
+  }
+}
