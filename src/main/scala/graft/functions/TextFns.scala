@@ -49,6 +49,26 @@ object TextFns {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Overlapping fixed-size word chunks — the context-window preprocessing
+    * step before training-shard packing: chunk k starts at word
+    * 1 + k·(chunkSize - overlap) and takes `chunkSize` words (the final
+    * chunks run short rather than padding). Returns an array of structs
+    * (chunk_id, n_tokens, chunk_text); empty docs chunk to an empty array.
+    * Pure HOF expression — O(words) per row, codegen'd, no shuffle.
+    */
+  def wordChunks(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    when(size(toks) > 0,
+      transform(sequence(lit(1), size(toks), lit(stride)), (start, i) =>
+        struct(
+          i.cast("int").as("chunk_id"),
+          size(slice(toks, start, lit(chunkSize))).as("n_tokens"),
+          concat_ws(" ", slice(toks, start, lit(chunkSize))).as("chunk_text"))))
+      .otherwise(array().cast("array<struct<chunk_id:int,n_tokens:int,chunk_text:string>>"))
+  }
+
   /** Character n-gram shingles over the raw string. */
   def charShingles(c: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),

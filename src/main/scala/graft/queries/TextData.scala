@@ -428,6 +428,28 @@ object TextData {
         .select(col("doc_id"), TextFns.fingerprint64(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     },
+    Q("tx_chunk",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST((u.start - 1) // 40 AS INTEGER) AS chunk_id,
+        |    CAST(len(list_slice(ws, u.start, u.start + 49)) AS INTEGER) AS n_tokens,
+        |    array_to_string(list_slice(ws, u.start, u.start + 49), ' ') AS chunk_text
+        |  FROM t, unnest(generate_series(1, len(ws), 40)) AS u(start)
+        |  WHERE len(ws) > 0)
+        |SELECT doc_id, chunk_id, n_tokens, chunk_text FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      // Context-window chunking: 50-word chunks, 10-word overlap (stride
+      // 40) — the preprocessing step feeding sm_pack_shards. The chunk
+      // fan-out is a narrow HOF + explode (no shuffle); DuckDB's 1-based
+      // inclusive list_slice mirrors Spark's slice(arr, start, length).
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.wordChunks(TextFns.tokens(col("text")), 50, 10)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.n_tokens"), col("c.chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
     Q("tx_tfidf",
       """WITH toks AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term

@@ -11,6 +11,24 @@ import graft.functions.TextFns
 class TextQualitySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("wordChunks: overlap continuity, short tail, sub-chunk and empty docs") {
+    def chunks(text: String, size: Int, overlap: Int): Seq[(Int, Int, String)] =
+      Seq(text).toDF("t")
+        .select(explode(TextFns.wordChunks(TextFns.tokens(col("t")), size, overlap)).as("c"))
+        .select("c.chunk_id", "c.n_tokens", "c.chunk_text")
+        .as[(Int, Int, String)].collect().toSeq
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // size 4, overlap 1 -> stride 3: starts 1,4,7,10
+    assert(chunks(ten, 4, 1) == Seq(
+      (0, 4, "w1 w2 w3 w4"), (1, 4, "w4 w5 w6 w7"), (2, 4, "w7 w8 w9 w10"), (3, 1, "w10")))
+    // doc shorter than one chunk -> single short chunk
+    assert(chunks("a b", 5, 2) == Seq((0, 2, "a b")))
+    // exact multiple, no overlap -> clean partition of the words
+    assert(chunks(ten, 5, 0) == Seq((0, 5, "w1 w2 w3 w4 w5"), (1, 5, "w6 w7 w8 w9 w10")))
+    // empty/whitespace doc -> no chunks
+    assert(chunks("   ", 5, 1).isEmpty)
+  }
+
   private def c4(text: String) = {
     val r = Seq(text).toDF("t")
       .select(TextFns.c4LineFilter(col("t")).as("c"))
