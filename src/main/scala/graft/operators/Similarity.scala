@@ -232,6 +232,43 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic near-duplicate pairs via clustering (the SemDeDup shape,
+    * Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the embeddings
+    * with the trained codebook, then compute exact cosine ONLY within each
+    * cluster — pair work drops from O(N²) to O(Σ cell²), bounded when
+    * cells are balanced (train on a hash sample at scale: `sampleMod`).
+    * Identical/near-identical vectors always share a nearest centroid, so
+    * true near-dups cannot be split across cells; the miss mode is pairs
+    * near a cell boundary, the documented trade of every clustering-blocked
+    * dedup. Complementary to the LSH blocking of
+    * [[graft.operators.Dedup.embeddingNearDupPairs]] (OR-amplified tables
+    * recover boundary pairs; clusters give interpretable blocks and reuse
+    * the IVF codebook).
+    *
+    * Vectors are pre-normalized once so each pair costs a single dot.
+    */
+  def semanticDedupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      minCosine: Double = 0.95,
+      nCells: Int = 16,
+      trainIters: Int = 3,
+      sampleMod: Int = 1): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val cents = trainCodebook(df, id, vec, nCells, trainIters, sampleMod)
+    val unit = df
+      .withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+      .select(col(id), col("cell"), VectorFns.unit(col(vec)).as("__u"))
+    val a = unit.select(col(id).as("id_a"), col("cell"), col("__u").as("__ua"))
+    val b = unit.select(col(id).as("id_b"), col("cell"), col("__u").as("__ub"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFns.dot(col("__ua"), col("__ub")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cell", "cosine")
+  }
+
   /** LSH-filtered ANN: restrict to rows whose bucket is within `radius`
     * Hamming bits of the query bucket, then exact cosine re-rank.
     */

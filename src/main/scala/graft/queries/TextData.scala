@@ -202,6 +202,15 @@ object TextData {
           minCosine = 0.35, nPlanes = 6, nTables = 4)
         .orderBy("id_a", "id_b")
     },
+    Q.noOracle("dd_semantic") { (s, d) =>
+      // SemDeDup-shape semantic near-dup: kmeans cells from the trained
+      // codebook, exact cosine within cells only. No SQL twin (kmeans);
+      // DedupSpec pins planted-duplicate recall and the subset relation
+      // against exact all-pairs.
+      Similarity.semanticDedupPairs(embeddings(s, d), "vec_id", "embedding",
+          minCosine = 0.35, nCells = 8)
+        .orderBy("id_a", "id_b")
+    },
     Q("dd_incr_exact",
       """WITH corpus AS (SELECT doc_id, text FROM documents),
         |batch AS (

@@ -117,6 +117,21 @@ class DedupSpec extends SparkTestBase {
     assert(out.map(_._2).toSeq == Seq(false, true, true, false, true))
   }
 
+  test("semanticDedupPairs: planted duplicate always pairs; output subset of exact all-pairs") {
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    // plant an exact duplicate of vector 3 as id 100
+    val df = (vecs :+ (100L, vecs(3)._2.clone())).toDF("vec_id", "embedding")
+    val sem = Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+        minCosine = 0.3, nCells = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.contains((3L, 100L)), s"planted duplicate missing from $sem")
+    val exact = Similarity.exactCosinePairs(df, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), s"semantic pairs not a subset of exact: ${sem diff exact}")
+  }
+
   test("embedding near-dup finds planted duplicate vector, cosine exact") {
     val v = Array.tabulate(64)(i => (i + 1).toFloat / 64f)
     val w = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f) // orthogonal-ish
