@@ -1175,6 +1175,29 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("event_type", "hour_epoch")
     },
+    Q("ev_sliding_agg",
+      """WITH w AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS s0,
+        |                  event_type, value FROM events),
+        |e AS (SELECT s0 AS win_start, event_type, value FROM w
+        |      UNION ALL
+        |      SELECT s0 - 3600, event_type, value FROM w)
+        |SELECT event_type, win_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY event_type, win_start
+        |ORDER BY event_type, win_start""".stripMargin) { (s, d) =>
+      // Sliding event-time windows (2h length, 1h slide): each event lands
+      // in two windows. Completes the window-type coverage — tumbling is
+      // ev_hourly_agg, session windows are pinned by StreamingSpec's
+      // sessionize. The oracle spells the window fan-out as the two
+      // hour-aligned starts each event belongs to.
+      events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("event_type"), col("window.start").cast("long").as("win_start"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "win_start")
+    },
     Q("ev_attribution",
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
         |       c.event_id AS click_id, c.ts AS c_ts, c.value AS click_value
