@@ -59,6 +59,32 @@ object Aggregates {
     expanded.join(df.select(cols.map(col): _*).distinct(), cols, "left_anti")
   }
 
+  /** Per-group z-score normalization (§2.11 feature scaling): attach the
+    * group mean, sample standard deviation and `(v - mean) / std` to every
+    * row. Moments are computed with decimal-exact sums (graft.core.Num
+    * rationale) and the variance is spelled as the textbook
+    * `(Σv² − n·mean²) / (n−1)` in BOTH engines — sqrt is IEEE
+    * correctly-rounded, so the whole thing is bit-stable cross-engine
+    * (unlike ln/exp). Groups of one row or zero variance get a null z.
+    * One aggregate + a broadcastable join back on the group keys.
+    */
+  def zscore(df: DataFrame, keys: Seq[String], v: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      count(col(v)).as("__n"),
+      sum(col(v).cast(dec)).cast("double").as("__s"),
+      sum((col(v) * col(v)).cast(dec)).cast("double").as("__ss"))
+    val mean = col("__s") / col("__n")
+    val variance = (col("__ss") - col("__n") * mean * mean) / (col("__n") - 1)
+    val bounds = stats.select(
+      keys.map(col) :+
+        mean.as(s"${v}_mean") :+
+        when(col("__n") > 1, sqrt(variance)).as(s"${v}_std"): _*)
+    df.join(bounds, keys)
+      .withColumn(s"${v}_z",
+        when(col(s"${v}_std") > 0, (col(v) - col(s"${v}_mean")) / col(s"${v}_std")))
+  }
+
   /** Per-group winsorization (outlier clamping, §2.11 data-cleaning): clamp
     * `v` to the group's [pLo, pHi] order-statistic bounds. The bound is the
     * value at rank max(ceil(p·n), 1) in ascending `v` order — a pure order

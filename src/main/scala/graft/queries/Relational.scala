@@ -1224,6 +1224,32 @@ object Relational {
         .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts", "click_value")
         .orderBy("purchase_id", "click_id")
     },
+    Q("qt_zscore",
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(COUNT(l_quantity) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS ssv
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (SELECT l_returnflag, sv / n AS l_quantity_mean,
+        |    CASE WHEN n > 1 THEN sqrt((ssv - n * (sv/n) * (sv/n)) / (n - 1)) END AS l_quantity_std
+        |  FROM s)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+        |  b.l_quantity_mean, b.l_quantity_std,
+        |  CASE WHEN b.l_quantity_std > 0
+        |       THEN (l.l_quantity - b.l_quantity_mean) / b.l_quantity_std END AS l_quantity_z
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin) { (s, d) =>
+      // §2.11 feature scaling: per-group z-score with decimal-exact moments
+      // and the identical textbook variance spelling on both sides — sqrt
+      // is IEEE correctly-rounded, so the result is bit-stable (the reason
+      // tx_tfidf avoids ln, and this op need not avoid sqrt).
+      Aggregates.zscore(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), "l_quantity")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_quantity_mean", "l_quantity_std", "l_quantity_z")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
     Q("qt_winsorize",
       """WITH r AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,

@@ -93,6 +93,22 @@ class OpsSpec extends SparkTestBase {
     assert(b.select("v_lo", "v_hi").distinct().as[(Double, Double)].head() == ((5.0, 100.0)))
   }
 
+  test("zscore: textbook moments per group; singleton and constant groups get null z") {
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 5.0), ("c", 7.0), ("c", 7.0))
+      .toDF("g", "v")
+    val out = Aggregates.zscore(df, Seq("g"), "v")
+      .select("g", "v", "v_mean", "v_std", "v_z")
+      .as[(String, Double, Double, Option[Double], Option[Double])].collect()
+      .sortBy(r => (r._1, r._2))
+    // group a: mean 4, sample std 2 -> z = -1, 0, 1
+    assert(out.filter(_._1 == "a").map(_._5.get).toSeq == Seq(-1.0, 0.0, 1.0))
+    assert(out.filter(_._1 == "a").forall(r => r._3 == 4.0 && r._4.contains(2.0)))
+    // singleton group: std undefined -> null z
+    assert(out.filter(_._1 == "b").head._4.isEmpty)
+    // constant group: std 0 -> null z (not Inf/NaN)
+    assert(out.filter(_._1 == "c").forall(r => r._4.contains(0.0) && r._5.isEmpty))
+  }
+
   test("sumOrAllNull: null only when every input is null (A6)") {
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", None), ("b", None), ("c", None), ("c", Some(0.0)))
       .toDF("k", "v")
