@@ -297,6 +297,42 @@ object Dedup {
     bandedMinhash(corpus, id, text, shingleSize, numHashes, bands, maxBucketSize)
       .select(col(id).as("corpus_id"), col("__sig").as("sig_c"), col("band"), col("bucket"))
 
+  /** Persist [[minhashIndex]] as a BUCKETED table on the join key
+    * (band, bucket) — the production form of "persist the index". A
+    * bucketed save pre-shuffles once at build time; every later probe
+    * joins WITHOUT re-shuffling the corpus side (Spark aligns the batch
+    * side to the table's bucketing instead), so per-batch cost is
+    * shuffle(batch) + read(index), never shuffle(corpus). Pinned by
+    * DedupSpec: the probe plan has exactly one Exchange, on the batch side.
+    */
+  def saveMinhashIndexBucketed(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      table: String,
+      numBuckets: Int = 64,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8): Unit =
+    minhashIndex(corpus, id, text, shingleSize, numHashes, bands)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Probe a bucketed index table saved by [[saveMinhashIndexBucketed]]. */
+  def probeMinhashIndexBucketed(
+      batch: DataFrame,
+      table: String,
+      id: String,
+      text: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8): DataFrame =
+    incrementalNearDupPairs(batch, batch.sparkSession.table(table),
+      id, text, shingleSize, numHashes, bands)
+
   /** Near-duplicate candidates of a new batch AGAINST a corpus index
     * ([[minhashIndex]]): (batch_id, corpus_id, est_jaccard). Cross-table
     * analogue of [[minhashLshPairs]] — the equi-join key is (band, bucket),

@@ -245,12 +245,16 @@ object TextData {
       // Near-dup candidates of a re-crawled batch against the corpus
       // MinHash index (cross-table LSH — xxhash64 sketches, no SQL twin;
       // planted-fixture coverage in DedupSpec). Copies collide on every
-      // band, so candidate count >= batch size by construction.
+      // band, so candidate count >= batch size by construction. Runs the
+      // PRODUCTION index shape: the index is persisted as a bucketed table
+      // on (band, bucket), so the probe re-shuffles only the batch side
+      // (shuffle-elision pinned in DedupSpec).
       val docs = documents(s, d).select("doc_id", "text")
       val batch = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-      Dedup.incrementalNearDupPairs(batch,
-          Dedup.minhashIndex(docs, "doc_id", "text"), "doc_id", "text")
+      val table = s"graft_mh_idx_${math.abs(d.hashCode)}"
+      Dedup.saveMinhashIndexBucketed(docs, "doc_id", "text", table, numBuckets = 32)
+      Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
         .orderBy("batch_id", "corpus_id")
     },
 

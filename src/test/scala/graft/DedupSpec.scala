@@ -107,6 +107,34 @@ class DedupSpec extends SparkTestBase {
     assert(out.head._3 > 0.7, s"est_jaccard ${out.head._3} too low for a near-copy")
   }
 
+  test("bucketed minhash index: probe joins without re-shuffling the corpus side") {
+    val corpus = (0L until 30L).map(i => (i, s"$base unique tail token$i")).toDF("doc_id", "text")
+    val batch = Seq((100L, base + " unique tail token7"), (101L, distinct1)).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS graft_test_mh_idx")
+    Dedup.saveMinhashIndexBucketed(corpus, "doc_id", "text", "graft_test_mh_idx", numBuckets = 8)
+    // force shuffle joins: at fixture size broadcast would mask the
+    // bucketing (at corpus scale the index never broadcasts)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Dedup.probeMinhashIndexBucketed(batch, "graft_test_mh_idx", "doc_id", "text")
+      val plain = Dedup.incrementalNearDupPairs(batch,
+        Dedup.minhashIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      // candidate-identical to the unbucketed probe
+      val got = bucketed.select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val want = plain.select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty, s"bucketed=$got plain=$want")
+      // the bucketed save pre-shuffled the corpus at build time: the probe
+      // plan must carry exactly one fewer Exchange than the unbucketed one
+      val exB = "Exchange".r.findAllIn(bucketed.queryExecution.executedPlan.toString).size
+      val exP = "Exchange".r.findAllIn(plain.queryExecution.executedPlan.toString).size
+      assert(exB == exP - 1, s"bucketed probe has $exB exchanges vs $exP unbucketed")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_test_mh_idx")
+    }
+  }
+
   test("canonicalize propagates min id across duplicate chains") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // chain 1-2, 2-3 and isolated pair 4-5: clusters {1,2,3} and {4,5}
