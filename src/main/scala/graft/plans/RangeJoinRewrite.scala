@@ -5,14 +5,16 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampType}
 
 /** Optimizer rule: rewrite interval-containment joins into bucketed
   * equi-joins.
   *
-  * Spark plans an inner join whose only condition is `lo <= p AND p <= hi`
-  * (no equi key) as a broadcast-nested-loop — O(|points|·|intervals|)
-  * comparisons, the classic range-join scale cliff. The DataFrame-level
+  * Spark plans an inner join whose condition is `lo <= p AND p <= hi`
+  * (no equi key; any further non-equi conjuncts ride along) as a
+  * broadcast-nested-loop — O(|points|·|intervals|) comparisons, the
+  * classic range-join scale cliff. Timestamp ranges qualify too
+  * (bucketed via their epoch-seconds cast; `bucketSize` is then seconds). The DataFrame-level
   * escape hatch is `graft.ops.Joins.rangeJoin`; this rule applies the SAME
   * bucket-explosion rewrite transparently to any matching logical join, so
   * `points.join(intervals, $"p" between ($"lo", $"hi"))` — or the
@@ -75,25 +77,30 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     (a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
       (a.references.subsetOf(j.right.outputSet) && b.references.subsetOf(j.left.outputSet))
 
+  /** Find ANY sandwich pair (lo ≤ p, p ≤ hi) among the conjuncts; the rest
+    * of the condition rides along into the rewritten join unchanged (it is
+    * re-applied on the bucket-join output, same as the range predicate).
+    */
   private def rewrite(j: Join, size: Double): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
-    if (conjuncts.length != 2) return None
-    val Seq(c1, c2) = conjuncts
-    (asBound(c1), asBound(c2)) match {
-      case (Some((lo1, p1)), Some((p2, hi2))) if p1.semanticEquals(p2) =>
-        build(j, p1, lo1, hi2, size)
-      case (Some((p1, hi1)), Some((lo2, p2))) if p1.semanticEquals(p2) =>
-        build(j, p1, lo2, hi1, size)
-      case _ => None
-    }
+    val bounds = conjuncts.flatMap(asBound)
+    val sandwiches = for {
+      (lo, p1) <- bounds
+      (p2, hi) <- bounds
+      if p1.semanticEquals(p2) && !(lo.semanticEquals(p2) && p1.semanticEquals(hi))
+    } yield (p1, lo, hi)
+    sandwiches.view.flatMap { case (p, lo, hi) => build(j, p, lo, hi, size) }.headOption
   }
 
   private def build(
       j: Join, p: Expression, lo: Expression, hi: Expression, size: Double): Option[LogicalPlan] = {
     def from(side: LogicalPlan)(e: Expression): Boolean =
       e.references.nonEmpty && e.references.subsetOf(side.outputSet)
-    def numeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
-    if (!Seq(p, lo, hi).forall(numeric)) return None
+    // timestamps bucket via their epoch-seconds double cast (validity
+    // intervals and event-time ranges are the common case at scale)
+    def bucketable(e: Expression): Boolean =
+      e.dataType.isInstanceOf[NumericType] || e.dataType.isInstanceOf[TimestampType]
+    if (!Seq(p, lo, hi).forall(bucketable)) return None
 
     // point on the left and bounds on the right, or the mirror image
     val oriented: Option[(LogicalPlan, LogicalPlan, Boolean)] =

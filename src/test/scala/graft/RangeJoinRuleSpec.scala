@@ -62,6 +62,34 @@ class RangeJoinRuleSpec extends SparkTestBase {
     assert(got == Set((1, "a"), (2, "a"), (2, "b"), (3, "b")))
   }
 
+  test("extra non-equi conjuncts ride along; sandwich still found and rewritten") {
+    val got = withRule(10.0) {
+      val joined = points.join(intervals,
+        col("v") >= col("lo") && col("name") =!= "a" && col("v") <= col("hi"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+      joined.select("id", "name").as[(Int, String)].collect().toSet
+    }
+    assert(got == Set((2, "b"), (3, "b")))
+  }
+
+  test("timestamp ranges rewrite with bucketSize in seconds") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq((1L, ts("2024-01-01 10:30:00")), (2L, ts("2024-01-01 13:00:00")))
+      .toDF("eid", "t")
+    val windows = Seq(
+      ("morning", ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00")),
+      ("evening", ts("2024-01-01 18:00:00"), ts("2024-01-01 22:00:00")))
+      .toDF("w", "t_lo", "t_hi")
+    val got = withRule(3600.0) {
+      val joined = events.join(windows, col("t") >= col("t_lo") && col("t") <= col("t_hi"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+      joined.select("eid", "w").as[(Long, String)].collect().toSet
+    }
+    assert(got == Set((1L, "morning")))
+  }
+
   test("equi-keyed joins and disabled conf are left untouched") {
     // equi key present -> hash join already; rule must not touch it
     withRule(10.0) {
