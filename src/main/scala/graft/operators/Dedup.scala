@@ -274,13 +274,18 @@ object Dedup {
       batch: DataFrame,
       index: DataFrame,
       id: String,
-      text: String): DataFrame =
+      text: String): DataFrame = {
+    val reserved = Set("text_hash", "corpus_id", "exact_dup_of", "is_known")
+      .intersect(batch.columns.toSet)
+    require(reserved.isEmpty,
+      s"batch columns collide with the output contract: ${reserved.mkString(", ")}")
     batch
       .withColumn("text_hash", md5(lower(trim(col(text)))))
       .join(index, Seq("text_hash"), "left")
       .withColumnRenamed("corpus_id", "exact_dup_of")
       .withColumn("is_known", col("exact_dup_of").isNotNull)
       .drop("text_hash")
+  }
 
   /** Banded-MinHash index over a corpus, reusable across batches:
     * (corpus_id, sig_c, band, bucket). Persist/bucket by (band, bucket) in

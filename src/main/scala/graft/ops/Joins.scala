@@ -169,6 +169,11 @@ object Joins {
       rightVals: Seq[String],
       direction: String = "backward"): DataFrame = {
     require(Set("backward", "forward")(direction), s"direction backward|forward, got $direction")
+    // an empty key list would silently plan a single-partition global
+    // window — the one shape that cannot scale. A global as-of is still
+    // expressible (add a constant key to both sides), but must be explicit.
+    require(keys.nonEmpty,
+      "asofJoin needs at least one key; for a global as-of add a constant key to both sides")
     val clash = rightVals.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"rightVals collide with left columns: ${clash.mkString(", ")}")
     // at equal times the right row must be visible from the left row's

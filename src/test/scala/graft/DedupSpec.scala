@@ -96,6 +96,16 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, Some(1L), true), (11L, None, false)))
   }
 
+  test("incremental exact flags refuse reserved output-contract column names") {
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq((10L, base, "user-owned")).toDF("doc_id", "text", "is_known")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalExactFlags(batch, Dedup.exactIndex(corpus, "doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("is_known"))
+  }
+
   test("incremental near-dup candidates: batch near-copy collides with corpus index") {
     val corpus = Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text")
     val batch = Seq((10L, nearDup), (11L, "unrelated fresh words nobody wrote before today"))

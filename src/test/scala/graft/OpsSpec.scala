@@ -38,6 +38,15 @@ class OpsSpec extends SparkTestBase {
     assert(out == Set((Some(10), Some(50.0)), (None, None)))
   }
 
+  test("asofJoin refuses empty keys (silent global window) with a clear message") {
+    val left = Seq(("u1", 10)).toDF("k", "t")
+    val right = Seq(("u1", 5, 1.0)).toDF("k", "qt", "qv")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq(), "t", "qt", Seq("qv"))
+    }
+    assert(e.getMessage.contains("constant key"))
+  }
+
   test("asofJoin plans one shuffle: union sides co-partition on the key (J14)") {
     val left = Seq(("u1", 10)).toDF("k", "t")
     val right = Seq(("u1", 5, 1.0)).toDF("k", "qt", "qv")
