@@ -61,6 +61,37 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("column")
   }
 
+  /** Exact profile of string columns: one row per column —
+    * (column, n_rows, n_nulls, n_distinct, n_empty, min_len, max_len,
+    * avg_len), ordered by column name. Same one-aggregate shape as
+    * [[numericProfile]].
+    */
+  def stringProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        sum((col(c) === "").cast("long")).as(s"__ne_$c"),
+        min(length(col(c))).as(s"__minl_$c"),
+        max(length(col(c))).as(s"__maxl_$c"),
+        sum(length(col(c)).cast("long")).as(s"__suml_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        coalesce(col(s"__ne_$c"), lit(0L)).as("n_empty"),
+        col(s"__minl_$c").as("min_len"),
+        col(s"__maxl_$c").as("max_len"),
+        (col(s"__suml_$c").cast("double") / col(s"__nn_$c")).as("avg_len"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("column")
+  }
+
   /** Key-skew diagnostic: the `topN` hottest key combinations with their
     * row count, share of all rows, and multiple-of-mean-key-load — the
     * numbers that decide whether a join/aggregation on `keys` needs AQE

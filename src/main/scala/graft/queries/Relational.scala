@@ -481,6 +481,34 @@ object Relational {
       // ProfileSpec — sketches have no cross-engine oracle.
       graft.operators.Profile.numericProfile(nulled(s, d), Seq("g", "v"))
     },
+    Q("pf_profile_str",
+      """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_s,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ne_s,
+        |    CAST(MIN(LENGTH(o_orderstatus)) AS INTEGER) AS minl_s,
+        |    CAST(MAX(LENGTH(o_orderstatus)) AS INTEGER) AS maxl_s,
+        |    CAST(SUM(LENGTH(o_orderstatus)) AS BIGINT) AS suml_s,
+        |  CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_p,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_p,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ne_p,
+        |    CAST(MIN(LENGTH(o_orderpriority)) AS INTEGER) AS minl_p,
+        |    CAST(MAX(LENGTH(o_orderpriority)) AS INTEGER) AS maxl_p,
+        |    CAST(SUM(LENGTH(o_orderpriority)) AS BIGINT) AS suml_p
+        |  FROM orders)
+        |SELECT 'o_orderpriority' AS "column", n AS n_rows, n - nn_p AS n_nulls,
+        |       nd_p AS n_distinct, ne_p AS n_empty, minl_p AS min_len, maxl_p AS max_len,
+        |       CAST(suml_p AS DOUBLE) / nn_p AS avg_len FROM m
+        |UNION ALL
+        |SELECT 'o_orderstatus', n, n - nn_s, nd_s, ne_s, minl_s, maxl_s,
+        |       CAST(suml_s AS DOUBLE) / nn_s FROM m
+        |ORDER BY "column"""".stripMargin) { (s, d) =>
+      // §2.11 profiling, string tier: null/empty/distinct/length stats in
+      // the same one-aggregate shape as pf_profile.
+      graft.operators.Profile.stringProfile(
+        orders(s, d).select("o_orderstatus", "o_orderpriority"),
+        Seq("o_orderstatus", "o_orderpriority"))
+    },
     Q("pf_key_skew",
       """WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM lineitem GROUP BY l_suppkey),

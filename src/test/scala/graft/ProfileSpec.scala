@@ -44,6 +44,13 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("stringProfile: nulls, empties, and length stats") {
+    val df = Seq(Some("abc"), Some(""), None, Some("de")).toDF("s")
+    val r = Profile.stringProfile(df, Seq("s"))
+      .as[(String, Long, Long, Long, Long, Int, Int, Double)].head()
+    assert(r == (("s", 4L, 1L, 3L, 1L, 0, 3, 5.0 / 3)))
+  }
+
   test("keySkew: hot keys first with share and multiple-of-mean, bounded at topN") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("warm") ++ Seq("cold", "cool")).toDF("k")
     val out = Profile.keySkew(df, Seq("k"), topN = 3)
