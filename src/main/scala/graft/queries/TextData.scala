@@ -56,7 +56,7 @@ object TextData {
       """WITH toks AS (
         |  SELECT doc_id, n_chars,
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 500),
         |sh AS (
         |  SELECT doc_id, n_chars,
         |    CASE WHEN len(w) >= 3
@@ -79,9 +79,14 @@ object TextData {
       // +/-20 chars. Spark side expresses the length band as a BUCKETED
       // EQUI-JOIN (one side explodes to its 3 adjacent buckets) — shuffle
       // hash/sort-merge on the bucket key, never a nested-loop theta join;
-      // the oracle states the same band as a plain inequality.
-      val sh = documents(s, d).select(col("doc_id"), col("n_chars"),
-        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("s"))
+      // the oracle states the same band as a plain inequality. Like
+      // dd_cosine_exact, the anchor runs on a bounded id slice: the
+      // synthetic docs cluster in length, so band size grows with SF and
+      // an unbounded anchor is quadratic-in-band — the SCALE path is the
+      // LSH candidates (dd_minhash_lsh), this query only pins the math.
+      val sh = documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("n_chars"),
+          array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("s"))
       val bkt = floor(col("n_chars") / 20).cast("long")
       val a = sh.select(col("doc_id").as("id_a"), col("n_chars").as("nc_a"),
           col("s").as("sa"), bkt.as("b0"))
