@@ -73,6 +73,44 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("zscore matches brute-force moments on random inputs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(4000 + trial)
+      val rows = (0 until 50).map(i => (s"g${rnd.nextInt(4)}", (rnd.nextInt(200) / 4.0)))
+      val got = graft.ops.Aggregates.zscore(rows.toDF("g", "v"), Seq("g"), "v")
+        .select("g", "v", "v_z").as[(String, Double, Option[Double])].collect()
+      val stats = rows.groupBy(_._1).map { case (g, vs) =>
+        val xs = vs.map(_._2)
+        val n = xs.length
+        val mean = xs.sum / n
+        val std =
+          if (n > 1) math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)) else 0.0
+        g -> ((mean, std))
+      }
+      got.foreach { case (g, v, z) =>
+        val (mean, std) = stats(g)
+        if (std > 0) assert(math.abs(z.get - (v - mean) / std) < 1e-9, s"trial=$trial g=$g v=$v")
+        else assert(z.isEmpty, s"trial=$trial zero-variance group $g must have null z")
+      }
+    }
+  }
+
+  test("keySkew matches brute-force counts/shares on random inputs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(5000 + trial)
+      val rows = (0 until 80).map(_ => s"k${rnd.nextInt(1 + rnd.nextInt(12))}") // skewed keys
+      val topN = 5
+      val got = graft.operators.Profile.keySkew(rows.toDF("k"), Seq("k"), topN)
+        .as[(String, Long, Double, Double)].collect().toSeq
+      val counts = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val nKeys = counts.size.toDouble
+      val total = rows.size.toDouble
+      val expected = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(topN)
+        .map { case (k, c) => (k, c, c / total, c * nKeys / total) }
+      assert(got == expected, s"trial=$trial got=$got expected=$expected")
+    }
+  }
+
   test("winsorize bounds match brute-force order statistics on random inputs") {
     for (trial <- 0 until Trials) {
       val rnd = new scala.util.Random(3000 + trial)
