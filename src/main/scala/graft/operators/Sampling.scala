@@ -135,6 +135,32 @@ object Sampling {
     df.withColumn(out, (before / budgetTokens).cast("long"))
   }
 
+  /** Deterministic curriculum interleaving: assign every row a global
+    * training position such that sources appear in proportion to their
+    * weight throughout the schedule (source s's k-th row lands at position
+    * k / weight(s) — a weight-2 source appears twice as often early and
+    * stays interleaved 2:1 for as long as it lasts). Sources without a
+    * weight are dropped. Downstream consumes `ORDER BY (pos, source,
+    * order-keys)`; the ordering key is computed per-row, so the only
+    * shuffles are the per-source window and the final range-partitioned
+    * sort — no driver-side scheduling.
+    *
+    * Output: input columns + `src_rank` (1-based rank within source) +
+    * `pos` (the interleave position).
+    */
+  def interleaveBySource(
+      df: DataFrame,
+      source: Column,
+      order: Seq[Column],
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val w = Window.partitionBy(source).orderBy(order: _*)
+    val wt = element_at(typedLit(weights), source)
+    df.filter(wt.isNotNull)
+      .withColumn("src_rank", row_number().over(w))
+      .withColumn("pos", col("src_rank") / wt)
+  }
+
   /** Cap each group at `k` rows with a pinned survivor order (e.g. at most
     * N documents per domain). One shuffle on the group key; ties broken by
     * the explicit order, so output is retry-stable.

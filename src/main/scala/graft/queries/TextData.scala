@@ -632,6 +632,25 @@ object TextData {
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .orderBy("doc_id")
     },
+    Q("sm_interleave",
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS src_rank
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |w AS (SELECT * FROM (VALUES ('src0', 3.0), ('src1', 1.0), ('src2', 0.5)) AS t(source, wt))
+        |SELECT r.doc_id, r.source, r.src_rank, r.src_rank / w.wt AS pos
+        |FROM r JOIN w USING (source)
+        |ORDER BY pos, source, doc_id""".stripMargin) { (s, d) =>
+      // Curriculum interleaving: global training order with sources
+      // appearing in proportion to their weights (src0 3x as often as
+      // src1, src2 half as often). Position is computed per-row; the only
+      // shuffles are the per-source window and the output sort.
+      graft.operators.Sampling.interleaveBySource(
+          documents(s, d).select("doc_id", "source"),
+          col("source"), Seq(col("doc_id")),
+          Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 0.5))
+        .select("doc_id", "source", "src_rank", "pos")
+        .orderBy("pos", "source", "doc_id")
+    },
     Q("sm_pack_shards",
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -85,6 +85,19 @@ class SamplingSpec extends SparkTestBase {
     assert(out.select("__q").distinct().as[Int].collect().toSeq == Seq(7))
   }
 
+  test("interleaveBySource: weighted round-robin order, unlisted sources dropped") {
+    val df = (Seq.tabulate(6)(i => ("heavy", i)) ++ Seq.tabulate(3)(i => ("light", i)) ++
+      Seq(("unlisted", 0))).toDF("src", "id")
+    val out = Sampling.interleaveBySource(df, col("src"), Seq(col("id")),
+        Map("heavy" -> 2.0, "light" -> 1.0))
+      .orderBy("pos", "src", "id")
+      .select("src", "id").as[(String, Int)].collect().toSeq
+    // heavy's k-th row at k/2, light's at k: h1(.5) h2(1) l1(1) h3(1.5) h4(2) l2(2) ...
+    assert(out == Seq(
+      ("heavy", 0), ("heavy", 1), ("light", 0), ("heavy", 2), ("heavy", 3), ("light", 1),
+      ("heavy", 4), ("heavy", 5), ("light", 2)))
+  }
+
   test("split is narrow: no shuffle in the plan") {
     val orders = Tables.orders(spark, sfDir).select("o_orderkey")
     val p = Sampling.deterministicSplit(orders, col("o_orderkey"), Seq("a" -> 0.5, "b" -> 0.5))
