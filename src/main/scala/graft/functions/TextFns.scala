@@ -242,4 +242,26 @@ object TextFns {
       regexp_count(text, lit(EmailRe)).as("n_emails"),
       regexp_count(text, lit(Ipv4Re)).as("n_ips"),
       regexp_count(text, lit(PhoneRe)).as("n_phones"))
+
+  // --- URL canonicalization ---------------------------------------------
+
+  /** Crawl-dedup URL identity: lowercase scheme and host, strip a default
+    * :80 port, strip trailing slashes from the path, sort query parameters
+    * and drop the fragment — so cosmetic variants of one resource hash to
+    * one canonical string. Pure string/array expressions (regexp_extract /
+    * sort_array), RE2-compatible patterns, codegen'd, no shuffle; the
+    * downstream dedup is a plain groupBy(canonical).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)), ":80$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val sortedQuery = array_join(
+      sort_array(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"), p => p =!= "")),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(sortedQuery =!= "", concat(lit("?"), sortedQuery)).otherwise(lit("")))
+  }
 }

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Num.dsum
+import graft.core.Tables._
+import graft.functions.TextFns
+
+/** Round-4 catalog extensions: OLAP subtotal aggregation (rollup/cube),
+  * batch sessionization, integer-exact histogram profiling, BM25 corpus
+  * ranking, URL canonicalization dedup, and the remaining scalar/window
+  * function families (bitwise, percent_rank/cume_dist, ntile).
+  *
+  * All oracles follow the catalog parity rules (see [[Q]]): order-dependent
+  * double reductions go through fixed-scale decimals; float expressions are
+  * written with IDENTICAL parenthesization on both sides (each IEEE op is
+  * correctly rounded, so identical evaluation order => identical bits); and
+  * scores that must be summed across rows are floored to integer
+  * micro-units first, making the sum order-independent and exact.
+  */
+object Analytics {
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- subtotal aggregation (rollup / cube) --------------------------
+    Q("a14_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      // Hierarchical subtotals in ONE pass: Spark expands rollup to
+      // grouping sets inside a single hash aggregate (Expand + partial agg
+      // — no extra shuffle vs a plain groupBy). The reference computes
+      // subtotal tiers as separate summarise+bind passes
+      // (R/prepare_scenario_data.R:435-470 global+sector tiers); grouping
+      // sets express that in one scan at any scale.
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Q("a15_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      // Full cross-classified subtotals (adds the per-linestatus slice and
+      // the grand total to a14's hierarchy) — same single-pass Expand plan.
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- batch sessionization (gaps-and-islands) -----------------------
+    Q("ev_sessions",
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, event_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM o)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      // Batch twin of streaming sessionize (streaming/Events.scala): a
+      // 30-minute inactivity gap closes a session. Gaps-and-islands with
+      // ONE shuffle: both windows and the final groupBy key on user_id, so
+      // the sort/exchange is reused across the lag, the running sum and
+      // the aggregate (micros are integers — no float in the gap compare).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("is_new",
+          when(lag(col("us"), 1).over(w).isNull ||
+               col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // ---- profiling: integer-exact equi-width histogram -----------------
+    Q("pf_histogram",
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |m AS (SELECT MIN(cents) AS minc, MAX(cents) AS maxc FROM c)
+        |SELECT CAST(((c.cents - m.minc) * 16) // (m.maxc - m.minc + 1) AS INTEGER) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(c.cents) AS min_cents, MAX(c.cents) AS max_cents
+        |FROM c, m
+        |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      // 16-bucket equi-width histogram with ALL arithmetic in integers
+      // (cents), so bucket boundaries are engine-exact — the float-free
+      // twin of width_bucket. Two passes over one column: a min/max
+      // aggregate broadcast back (no shuffle of the fact side; bucket
+      // assignment is a map-side expression feeding one hash agg).
+      val c = lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val m = c.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"))
+      c.crossJoin(broadcast(m))
+        .select(
+          expr("((cents - minc) * 16) DIV (maxc - minc + 1)").cast("int").as("bucket"),
+          col("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy("bucket")
+    },
+
+    // ---- BM25 corpus ranking (log-free, integer-exact sum) -------------
+    Q("tx_bm25",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'spark', 'window') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
+        |scored AS (SELECT dt.doc_id,
+        |    CAST(floor(((CAST(stats.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+        |      * ((CAST(dt.tf AS DOUBLE) * 2.2) / (CAST(dt.tf AS DOUBLE)
+        |          + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS micro
+        |  FROM dt JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, SUM(micro) AS bm25_micro
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      // BM25 (Robertson/Spärck Jones probabilistic ranking, k1=1.2,
+      // b=0.75) for a fixed query over the corpus, LOG-FREE: the raw
+      // idf ratio (N-df+0.5)/(df+0.5) replaces ln(...) — ln is not
+      // guaranteed identically rounded across engines (the tx_tfidf
+      // precedent) — and each per-term score is floored to integer
+      // micro-units BEFORE the per-doc sum, so the sum is
+      // order-independent and the oracle bit-exact. Scale shape: tf/df/dl
+      // are map-side-combined aggregates, the scoring join is keyed on
+      // (doc_id, term) with df and corpus stats broadcast, and the final
+      // top-20 is TakeOrdered — no global sort/window materializes.
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val dt = toks
+        .filter(col("term").isin("hash", "join", "spark", "window"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val tfPart = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))
+      dt.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), floor(idf * tfPart * lit(1000000.0)).as("micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("bm25_micro"))
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ---- URL canonicalization dedup ------------------------------------
+    Q("dd_url_canon",
+      """WITH u AS (SELECT o_orderkey,
+        |    (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+        |    (CASE WHEN o_orderkey % 3 = 0 THEN 'Shop.Example.COM:80' ELSE 'shop.example.com' END) ||
+        |    '/cat/' || o_orderstatus ||
+        |    (CASE WHEN o_orderkey % 5 = 0 THEN '/' ELSE '' END) ||
+        |    '?b=' || CAST(o_custkey % 7 AS VARCHAR) || '&a=' || CAST(o_orderkey % 13 AS VARCHAR) ||
+        |    (CASE WHEN o_orderkey % 4 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM orders),
+        |c AS (SELECT o_orderkey,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':80$', '') ||
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') ||
+        |    (CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), x -> x <> '')), '&') <> ''
+        |          THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), x -> x <> '')), '&')
+        |          ELSE '' END) AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  MIN(o_orderkey) AS canonical_id
+        |FROM c GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin) { (s, d) =>
+      // Crawl-style URL dedup: scheme/host case, default :80 port,
+      // trailing slashes, query-param order and fragments must not split a
+      // URL's identity. The synthetic variants are derived from orders
+      // columns (deterministic on both sides); canonicalization is
+      // TextFns.canonicalizeUrl — pure string/array expressions, narrow,
+      // codegen'd. The only shuffle is the final groupBy(canonical_url).
+      val url = concat(
+        when(col("o_orderkey") % 2 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
+        when(col("o_orderkey") % 3 === 0, lit("Shop.Example.COM:80"))
+          .otherwise(lit("shop.example.com")),
+        lit("/cat/"), col("o_orderstatus"),
+        when(col("o_orderkey") % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?b="), (col("o_custkey") % 7).cast("string"),
+        lit("&a="), (col("o_orderkey") % 13).cast("string"),
+        when(col("o_orderkey") % 4 === 0, lit("#sec")).otherwise(lit("")))
+      orders(s, d)
+        .select(col("o_orderkey"), TextFns.canonicalizeUrl(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"), min(col("o_orderkey")).as("canonical_id"))
+        .orderBy("canonical_url")
+    },
+
+    // ---- scalar function family: bitwise -------------------------------
+    Q("f7_bitwise_funcs",
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 4096 AS k_or,
+        |  xor(o_orderkey, o_custkey) AS k_xor,
+        |  o_orderkey << 2 AS k_shl,
+        |  o_orderkey >> 3 AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS k_pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // §2.9 bitwise family — hash bucketing / bloom-filter / flag-word
+      // arithmetic building blocks. Pure codegen'd expressions, no shuffle.
+      orders(s, d).select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+          shiftleft(col("o_orderkey"), 2).as("k_shl"),
+          shiftright(col("o_orderkey"), 3).as("k_shr"),
+          bit_count(col("o_orderkey")).as("k_pop"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- window family: relative rank ----------------------------------
+    Q("w12_pct_rank",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr,
+        |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin) { (s, d) =>
+      // percent_rank = (rank-1)/(N-1) and cume_dist = peers/N: a single
+      // correctly-rounded division of exact integers, so bit-stable
+      // across engines with no decimal detour. Tie handling is rank-based
+      // — independent of the physical order within peers.
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    },
+
+    // ---- quantile bucketing --------------------------------------------
+    Q("qt_ntile",
+      """WITH t AS (SELECT l_returnflag, l_quantity,
+        |    CAST(ntile(4) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS INTEGER) AS tile
+        |  FROM lineitem)
+        |SELECT l_returnflag, tile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+        |FROM t GROUP BY l_returnflag, tile
+        |ORDER BY l_returnflag, tile""".stripMargin) { (s, d) =>
+      // Quartile bucketing: ntile's SQL-standard fill rule (first
+      // n_rows % n_tiles buckets take the extra row) is deterministic
+      // under a total order, so the tie-break includes the row key. The
+      // summary per (group, tile) keeps the catalog row-count bounded.
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"))
+        .withColumn("tile", ntile(4).over(w))
+        .groupBy("l_returnflag", "tile")
+        .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("lo"),
+          max(col("l_quantity")).as("hi"))
+        .orderBy("l_returnflag", "tile")
+    }
+  )
+}

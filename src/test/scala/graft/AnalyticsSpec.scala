@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Unit fixtures for the round-4 catalog extensions (queries/Analytics.scala):
+  * URL canonicalization, gaps-and-islands sessionization, and the BM25
+  * micro-unit scoring contract. The bit-exact oracle check runs driver-side;
+  * these pin the operator SEMANTICS on planted inputs.
+  */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- canonicalizeUrl ----------------------------------------------------
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(TextFns.canonicalizeUrl(col("u"))).as[String].head()
+
+  test("canonicalizeUrl: scheme+host lowercased, path case preserved") {
+    assert(canon("HTTP://Example.COM/Cat/A") == "http://example.com/Cat/A")
+  }
+
+  test("canonicalizeUrl: default :80 port stripped, other ports kept") {
+    assert(canon("http://example.com:80/x") == "http://example.com/x")
+    assert(canon("http://example.com:8080/x") == "http://example.com:8080/x")
+  }
+
+  test("canonicalizeUrl: trailing slashes stripped, root path collapses") {
+    assert(canon("http://example.com/a/b///") == "http://example.com/a/b")
+    assert(canon("http://example.com/") == "http://example.com")
+  }
+
+  test("canonicalizeUrl: query params sorted, fragment dropped, empty query dropped") {
+    assert(canon("http://example.com/x?b=2&a=1#frag") == "http://example.com/x?a=1&b=2")
+    assert(canon("http://example.com/x?#frag") == "http://example.com/x")
+    assert(canon("http://example.com/x#frag") == "http://example.com/x")
+  }
+
+  test("canonicalizeUrl: cosmetic variants of one resource collapse to one key") {
+    val variants = Seq(
+      "HTTP://Shop.Example.COM:80/cat/O/?b=3&a=7#sec",
+      "http://shop.example.com/cat/O?a=7&b=3",
+      "http://Shop.example.com/cat/O/?a=7&b=3")
+    val canons = variants.toDF("u").select(TextFns.canonicalizeUrl(col("u")))
+      .as[String].collect().toSet
+    assert(canons == Set("http://shop.example.com/cat/O?a=7&b=3"))
+  }
+
+  // --- sessionization (ev_sessions shape) ----------------------------------
+
+  test("sessionization: 30-min gap splits sessions; boundary gap does not") {
+    // user 1: events at 0s, 1000s (same session: gap <= 1800s), 3000s (new:
+    // gap 2000s > 1800s), then exactly 1800s later (same: boundary is NOT
+    // greater-than), user 2: one event.
+    val events = Seq(
+      (1L, 101L, 0L), (1L, 102L, 1000L * 1000000), (1L, 103L, 3000L * 1000000),
+      (1L, 104L, 4800L * 1000000), (2L, 201L, 50L * 1000000))
+      .toDF("user_id", "event_id", "us")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val out = events
+      .withColumn("is_new",
+        when(lag(col("us"), 1).over(w).isNull ||
+             col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n"), min("us").as("s"), max("us").as("e"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 2L, 0L, 1000000000L),                        // events 101+102
+      (1L, 2L, 2L, 3000000000L, 4800000000L),               // 103 + boundary 104
+      (2L, 1L, 1L, 50000000L, 50000000L)))
+  }
+
+  // --- BM25 micro-unit scoring ---------------------------------------------
+
+  test("bm25 catalog entry: rarer query terms outrank common ones") {
+    // 'spark' is the corpus-rarest of the four query terms in the driver
+    // fixture at sf0.001; a doc with it should beat an equal-length doc
+    // with only a ubiquitous term. Run the actual catalog entry end-to-end
+    // on the smallest fixture (also pins schema + limit).
+    val q = graft.queries.Analytics.queries.find(_.name == "tx_bm25").get
+    val out = q.fn(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(out.columns.toSeq == Seq("doc_id", "n_terms", "bm25_micro"))
+    // scores are positive integers, sorted descending
+    val scores = rows.map(_.getAs[Long]("bm25_micro"))
+    assert(scores.forall(_ > 0) && scores.sameElements(scores.sortBy(-_)))
+  }
+
+  test("rollup vs cube: cube adds the linestatus-only slice, same leaf rows") {
+    val roll = graft.queries.Analytics.queries.find(_.name == "a14_rollup").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    val cube = graft.queries.Analytics.queries.find(_.name == "a15_cube").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    val rollKeys = roll.map(r => (r.getString(0), r.getString(1))).toSet
+    val cubeKeys = cube.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rollKeys.subsetOf(cubeKeys))
+    // the extra cube rows are exactly the ALL-by-linestatus slice
+    assert((cubeKeys -- rollKeys).forall { case (rf, ls) => rf == "ALL" && ls != "ALL" })
+    // grand total row agrees between the two
+    val rollTotal = roll.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    val cubeTotal = cube.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(rollTotal.getLong(2) == cubeTotal.getLong(2))
+    assert(rollTotal.getDouble(3) == cubeTotal.getDouble(3))
+  }
+
+  test("pf_histogram: buckets cover all rows, bounds nest inside bucket ranges") {
+    val q = graft.queries.Analytics.queries.find(_.name == "pf_histogram").get
+    val rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Int]("bucket")).forall(b => b >= 0 && b <= 15))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nLineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    assert(total == nLineitem)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents"))
+    }
+  }
+}
