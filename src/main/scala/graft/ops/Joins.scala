@@ -22,6 +22,27 @@ object Joins {
   def bindOneRow(df: DataFrame, oneRow: DataFrame): DataFrame =
     df.crossJoin(broadcast(oneRow))
 
+  /** Dimension upsert — MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *: a source row replaces the target row sharing
+    * its key; unmatched target rows survive; unmatched source rows insert.
+    * (The reference's vintage-refresh twin: data-raw/prep_datalake.R
+    * merge of new-eikon over old-eikon rows by isin, :168-179.)
+    *
+    * Scale shape: ONE anti-join shuffle on the keys (the source side is
+    * projected to its key columns before the join, so the shuffled build
+    * side is narrow) + a union — no full-outer wide rows, no window.
+    * Source must be unique on the keys (else the "update" inserts both
+    * rows); callers with multi-version batches dedup first (P12).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"upsert requires conformable schemas: target ${target.columns.mkString(",")} " +
+        s"vs source ${source.columns.mkString(",")}")
+    source.unionByName(
+      target.join(source.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
   /** Skew-resistant equi-join (scale extension beyond the reference, which
     * never meets skew at tibble sizes — SURVEY §4.2 flags `Global` geography
     * rows as the skewed key at scale). AQE's skew-join split is the first

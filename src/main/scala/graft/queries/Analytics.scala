@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Num.dsum
 import graft.core.Tables._
 import graft.functions.TextFns
+import graft.ops.Joins
 
 /** Round-4 catalog extensions: OLAP subtotal aggregation (rollup/cube),
   * batch sessionization, integer-exact histogram profiling, BM25 corpus
@@ -293,6 +294,90 @@ object Analytics {
         .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("lo"),
           max(col("l_quantity")).as("hi"))
         .orderBy("l_returnflag", "tile")
+    },
+
+    // ---- sources: ORC + hive-partitioned sink --------------------------
+    Q("s9_orc_roundtrip",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // S9 (beyond-reference): ORC sink + scan — the other columnar
+      // interchange format Spark ships natively (vectorized reader,
+      // predicate pushdown, zlib). Read back with the explicit schema;
+      // the oracle is the parquet original, so the roundtrip must be
+      // lossless including the timestamp column.
+      val base = orders(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s9_${math.abs(d.hashCode)}"
+      base.write.mode("overwrite").orc(path)
+      s.read.schema(base.schema).orc(path).orderBy("o_orderkey")
+    },
+    Q("s10_partitioned_scan",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // S10 (beyond-reference): hive-style partitioned sink + partition-
+      // pruned scan — THE layout decision at 100 TB: a filter on the
+      // partition column prunes directories at planning time (zero I/O for
+      // other partitions; AnalyticsSpec pins PartitionFilters in the plan).
+      // Partition by the low-cardinality status column; read back filtered.
+      val base = orders(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s10_${math.abs(d.hashCode)}"
+      base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+          "o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- dimension maintenance: MERGE upsert + SCD2 history ------------
+    Q("u6_upsert",
+      """WITH src AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM src
+        |UNION ALL
+        |SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+        |FROM customer t ANTI JOIN src s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // MERGE semantics (update matched, insert new) over the customer
+      // dimension: the batch updates every 10th customer's balance and
+      // inserts re-keyed copies of every 97th as new rows. Joins.upsert =
+      // one narrow anti-join shuffle + union (no full-outer wide rows).
+      val target = customer(s, d)
+      val updates = target.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+      val inserts = target.filter(col("c_custkey") % 97 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      Joins.upsert(target, updates.unionByName(inserts), Seq("c_custkey"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Q("u7_scd2_history",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, d) =>
+      // Slowly-changing-dimension (type 2) history build from a change
+      // log: each order opens a validity interval on its customer, closed
+      // by the next change (lead), open-ended on the latest. One window,
+      // partitioned by the dimension key — scales by customer, and the
+      // downstream as-of join (J14) is the point-in-time lookup twin.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+          lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
     }
   )
 }

@@ -107,6 +107,61 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rollTotal.getDouble(3) == cubeTotal.getDouble(3))
   }
 
+  // --- upsert (MERGE) -------------------------------------------------------
+
+  test("upsert: source wins on key, unmatched target survives, new keys insert") {
+    val target = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "name", "v")
+    val source = Seq((2, "b2", 99.0), (9, "new", 1.0)).toDF("k", "name", "v")
+    val out = graft.ops.Joins.upsert(target, source, Seq("k"))
+      .as[(Int, String, Double)].collect().toSet
+    assert(out == Set((1, "a", 10.0), (2, "b2", 99.0), (3, "c", 30.0), (9, "new", 1.0)))
+  }
+
+  test("upsert refuses non-conformable schemas and empty keys") {
+    val t = Seq((1, "a")).toDF("k", "x")
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.Joins.upsert(t, Seq((1, "a", 2.0)).toDF("k", "x", "y"), Seq("k"))
+    }.getMessage.contains("conformable"))
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.Joins.upsert(t, t, Seq())
+    }.getMessage.contains("key"))
+  }
+
+  // --- partitioned sink: pruning is planned, not filtered -------------------
+
+  test("s10: filter on the partition column becomes PartitionFilters (zero scan of other partitions)") {
+    val q = graft.queries.Analytics.queries.find(_.name == "s10_partitioned_scan").get
+    val df = q.fn(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"expected partition pruning in plan:\n$plan")
+    // the pruned filter must NOT reappear as a post-scan data filter
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("(o_orderstatus"), scanLine)
+  }
+
+  test("u7 scd2: intervals chain per key — valid_to equals next valid_from, one open row") {
+    val q = graft.queries.Analytics.queries.find(_.name == "u7_scd2_history").get
+    val rows = q.fn(spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "valid_from", "valid_to", "is_current", "o_orderkey").collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (_, rs) =>
+      // exactly one open-ended current row per key
+      assert(rs.count(_.getBoolean(3)) == 1)
+      // closed intervals chain onto the next row's start, in window order
+      // (valid_from, o_orderkey — the tie-break the query itself pins).
+      // o_orderdate is TIMESTAMP_NTZ -> java.time.LocalDateTime in Rows.
+      def t(r: org.apache.spark.sql.Row, i: Int) = r.getAs[java.time.LocalDateTime](i)
+      val sorted = rs.sortBy(r => (t(r, 1), r.getLong(4)))(
+        Ordering.Tuple2(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _), Ordering.Long))
+      sorted.sliding(2).foreach {
+        case Array(a, b) if !a.getBoolean(3) =>
+          assert(t(a, 2) == t(b, 1))
+        case _ =>
+      }
+    }
+  }
+
   test("pf_histogram: buckets cover all rows, bounds nest inside bucket ranges") {
     val q = graft.queries.Analytics.queries.find(_.name == "pf_histogram").get
     val rows = q.fn(spark, "/root/testdata/sf0.001").collect()
