@@ -269,6 +269,79 @@ object Similarity {
       .select("id_a", "id_b", "cell", "cosine")
   }
 
+  // --- SQ8 scalar quantization -----------------------------------------
+
+  /** Per-dimension [lo, hi] ranges of the corpus — the SQ8 "codebook"
+    * (one posexplode + min/max aggregate; the collect is dim-bounded,
+    * an index-build action). Degenerate dimensions (hi == lo) get span 1
+    * so decode returns lo exactly.
+    */
+  def sq8Stats(df: DataFrame, vec: String): Seq[(Double, Double)] =
+    df.select(posexplode(col(vec)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .collect()
+      .sortBy(_.getAs[Int]("pos"))
+      .map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .toSeq
+
+  private def spans(stats: Seq[(Double, Double)]): Seq[Double] =
+    stats.map { case (lo, hi) => if (hi > lo) hi - lo else 1.0 }
+
+  /** Encode the embedding column as one uint8 code per dimension against
+    * the per-dimension ranges — 4× smaller than float32 at rest, in cache
+    * and in shuffle, which is what makes billion-vector search fit memory
+    * budgets at 100 TB. Pure HOF expression (transform with index), no
+    * shuffle; codes clamp to [0, 255] so out-of-range query-time vectors
+    * cannot wrap.
+    */
+  def sq8Encode(
+      df: DataFrame,
+      vec: String,
+      stats: Seq[(Double, Double)],
+      out: String = "codes"): DataFrame = {
+    val los = typedLit(stats.map(_._1))
+    val sps = typedLit(spans(stats))
+    df.withColumn(out,
+      transform(col(vec), (x, i) =>
+        least(lit(255), greatest(lit(0),
+          round((x.cast("double") - element_at(los, i + 1)) * 255.0 /
+            element_at(sps, i + 1)).cast("int")))))
+  }
+
+  /** Decode SQ8 codes back to (approximate) doubles. */
+  def sq8Decode(codes: Column, stats: Seq[(Double, Double)]): Column = {
+    val los = typedLit(stats.map(_._1))
+    val sps = typedLit(spans(stats))
+    transform(codes, (c, i) =>
+      element_at(los, i + 1) + c.cast("double") * element_at(sps, i + 1) / 255.0)
+  }
+
+  /** ANN over the QUANTIZED corpus: score = cosine of the decoded codes
+    * against the exact query (asymmetric distance — the query stays
+    * full-precision, only the corpus is compressed). Same TakeOrdered
+    * top-k shape as [[bruteForceTopK]]; recall loss is the quantization
+    * error only (AnnRecallSpec pins it). Composes with IVF: encode inside
+    * each cell and probe decodes ~nProbe/nCells of the codes.
+    */
+  def sq8TopK(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      stats: Seq[(Double, Double)],
+      query: DataFrame,
+      queryId: Long,
+      k: Int): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    sq8Encode(df, vec, stats)
+      .crossJoin(broadcast(query))
+      .filter(col(id) =!= queryId)
+      .withColumn("cosine", VectorFns.cosine(sq8Decode(col("codes"), stats), col("qvec")))
+      .select(col(id), col("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+
   /** LSH-filtered ANN: restrict to rows whose bucket is within `radius`
     * Hamming bits of the query bucket, then exact cosine re-rank.
     */

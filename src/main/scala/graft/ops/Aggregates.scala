@@ -30,6 +30,23 @@ object Aggregates {
     */
   def median(c: Column): Column = percentile(c, lit(0.5))
 
+  /** Incremental aggregate maintenance (A16, beyond-reference): merge
+    * previously materialized aggregate partials with a delta batch's
+    * partials by re-aggregating their union on the same keys. Sound for
+    * any commutative monoid — counts and decimal-exact sums here (counts
+    * merge by summing); averages derive at read time as sum/count. At
+    * 100 TB this is the difference between touching a day's delta and
+    * rescanning the history: the merged result is bit-identical to a full
+    * recompute (the a16 oracle asserts exactly that equivalence).
+    */
+  def mergePartialAggs(parts: Seq[DataFrame], keys: Seq[String], mergeCols: Seq[String]): DataFrame = {
+    require(parts.nonEmpty && mergeCols.nonEmpty, "need at least one partial and one column")
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(mergeCols.head)).as(mergeCols.head),
+        mergeCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
   /** A10: per-column null counts — the reference's NA profiler
     * (R/helpers.R:11-25) as one aggregate pass.
     */

@@ -378,6 +378,68 @@ object Analytics {
           lead(col("o_orderdate"), 1).over(w).as("valid_to"),
           lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
         .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+
+    // ---- incremental aggregate maintenance (materialized-view merge) ---
+    Q("a16_incremental_agg",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // The oracle is the FULL recompute; the Spark side answers it
+      // incrementally — history partials (shipdate < 1995) merged with the
+      // delta batch's partials (>= 1995) via Aggregates.mergePartialAggs.
+      // A hash match proves the materialized-view maintenance identity:
+      // merge(partial(A), partial(B)) == agg(A ∪ B), exactly (decimal
+      // sums; counts merge by summing; avg derives at read time).
+      val li = lineitem(s, d)
+      val cut = lit("1995-01-01").cast("timestamp_ntz")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,6)")).as("sq"))
+      val history = partial(li.filter(col("l_shipdate") < cut))
+      val delta = partial(li.filter(col("l_shipdate") >= cut))
+      graft.ops.Aggregates.mergePartialAggs(Seq(history, delta),
+          Seq("l_returnflag"), Seq("n", "sq"))
+        .select(col("l_returnflag"), col("n"),
+          col("sq").cast("double").as("sum_qty"),
+          (col("sq").cast("double") / col("n")).as("avg_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Z-order layout key --------------------------------------------
+    Q("o5_zorder_key",
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |    o_custkey & 65535 AS x0, o_orderkey & 65535 AS y0 FROM orders),
+        |sx AS (SELECT o_orderkey, o_custkey, y0,
+        |    ((x0 | (x0 << 8)) & 16711935) AS x1 FROM b),
+        |sx2 AS (SELECT o_orderkey, o_custkey, y0,
+        |    ((x1 | (x1 << 4)) & 252645135) AS x2 FROM sx),
+        |sx3 AS (SELECT o_orderkey, o_custkey, y0,
+        |    ((x2 | (x2 << 2)) & 858993459) AS x3 FROM sx2),
+        |sx4 AS (SELECT o_orderkey, o_custkey, y0,
+        |    ((x3 | (x3 << 1)) & 1431655765) AS xs FROM sx3),
+        |sy AS (SELECT o_orderkey, o_custkey, xs,
+        |    ((y0 | (y0 << 8)) & 16711935) AS y1 FROM sx4),
+        |sy2 AS (SELECT o_orderkey, o_custkey, xs,
+        |    ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sy),
+        |sy3 AS (SELECT o_orderkey, o_custkey, xs,
+        |    ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sy2),
+        |sy4 AS (SELECT o_orderkey, o_custkey, xs,
+        |    ((y3 | (y3 << 1)) & 1431655765) AS ys FROM sy3)
+        |SELECT o_orderkey, o_custkey, (xs | (ys << 1)) AS z
+        |FROM sy4 ORDER BY z, o_orderkey, o_custkey LIMIT 1000""".stripMargin) { (s, d) =>
+      // Morton z-value over (custkey, orderkey): the write-time clustering
+      // key for two-dimensional data skipping — range-partition + sort by
+      // z before the sink and parquet row-group min/max stats prune scans
+      // filtered on EITHER column. The oracle spells the same mask-shift
+      // doubling network; top-1000 by z is TakeOrdered.
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.functions.Layout.zValue(col("o_custkey"), col("o_orderkey")).as("z"))
+        .orderBy("z", "o_orderkey", "o_custkey")
+        .limit(1000)
     }
   )
 }

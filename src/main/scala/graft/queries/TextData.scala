@@ -287,6 +287,32 @@ object TextData {
       Similarity.ivfTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
         nCells = 8, nProbe = 6)
     },
+    Q("ann_sq8",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT vec_id, emb[u.pos] AS val, u.pos
+        |  FROM e, unnest(generate_series(1, len(emb))) AS u(pos)),
+        |st AS (SELECT pos, MIN(val) AS lo,
+        |    CASE WHEN MAX(val) > MIN(val) THEN MAX(val) - MIN(val) ELSE 1.0 END AS span
+        |  FROM x GROUP BY pos),
+        |dec AS (SELECT x.vec_id,
+        |    list(st.lo + LEAST(255, GREATEST(0, round((x.val - st.lo) * 255.0 / st.span)))
+        |         * st.span / 255.0 ORDER BY x.pos) AS dvec
+        |  FROM x JOIN st USING (pos) GROUP BY x.vec_id),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT d.vec_id, list_cosine_similarity(d.dvec, q.qvec) AS cosine
+        |FROM dec d, q WHERE d.vec_id <> 0
+        |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      // SQ8 scalar quantization: the corpus is stored as one uint8 code
+      // per dimension (4x smaller than float32 — the memory/IO knob for
+      // billion-vector search); scoring is asymmetric (full-precision
+      // query vs decoded codes). The oracle replays the same quantize →
+      // decode → cosine arithmetic in SQL, so the top-10 is bit-exact —
+      // quantization is deterministic arithmetic, not approximation noise.
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val stats = Similarity.sq8Stats(e, "embedding")
+      Similarity.sq8TopK(e, "vec_id", "embedding", stats, q, queryId = 0L, k = 10)
+    },
 
     // ---- text analysis -------------------------------------------------
     Q("tx_token_count",

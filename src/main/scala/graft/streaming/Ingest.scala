@@ -39,4 +39,62 @@ object Ingest {
       .withColumn("text_hash", md5(lower(trim(col(text)))))
       .join(index.select("text_hash"), Seq("text_hash"), "left_anti")
       .drop("text_hash")
+
+  /** Apply one micro-batch of dimension updates to a parquet target with
+    * MERGE semantics (ops.Joins.upsert). The batch is first collapsed to
+    * one row per key — HIGHEST `versionCol` wins, deterministically
+    * (Joins.dedupKeepFirst, not dropDuplicates) — so replayed or
+    * out-of-order updates within a batch converge to the same target.
+    *
+    * Write protocol: merge into a staging dir, then swap (delete + rename).
+    * The staging write fully materializes the merge BEFORE the old target
+    * is touched, so a crash leaves either the old or the new target, never
+    * a partial one. (A transactional table format does this with metadata
+    * pointers instead of a rename; on a plain object store this is the
+    * honest primitive, and the rename is per-batch — not per-row.)
+    */
+  def applyUpsertBatch(
+      batch: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      versionCol: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new Path(targetPath)
+    val stage = new Path(targetPath + "__staging")
+    // survivor order: highest version, then every payload column — total,
+    // so two same-key same-version rows still dedup deterministically
+    val payloadCols = batch.columns.filterNot(keys.contains).filterNot(_ == versionCol)
+      .sorted.map(col(_).asc)
+    val latest = graft.ops.Joins.dedupKeepFirst(batch, keys,
+      Seq(col(versionCol).desc) ++ payloadCols)
+    val merged =
+      if (fs.exists(tgt))
+        graft.ops.Joins.upsert(spark.read.parquet(targetPath), latest, keys)
+      else latest
+    merged.write.mode("overwrite").parquet(stage.toString)
+    fs.delete(tgt, true)
+    fs.rename(stage, tgt)
+  }
+
+  /** Continuous dimension maintenance: every arriving micro-batch of
+    * updates is MERGEd into the parquet target — the streaming twin of the
+    * batch u6_upsert. foreachBatch gives exactly-once-per-batch semantics
+    * through the checkpoint (a replayed batch re-merges idempotently:
+    * upsert of the same rows is a no-op on the merged state).
+    */
+  def upsertSink(
+      updates: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      versionCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyUpsertBatch(batch, targetPath, keys, versionCol)
+      }
 }

@@ -162,6 +162,50 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  // --- Z-order layout key ---------------------------------------------------
+
+  test("Layout.zValue matches a reference Morton interleave, truncating to 16 bits") {
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 70000L), (65536L, 1L))
+    val out = pts.toDF("x", "y")
+      .select(graft.functions.Layout.zValue(col("x"), col("y")))
+      .as[Long].collect()
+    pts.map { case (x, y) => ref(x & 0xFFFFL, y & 0xFFFFL) }
+      .zip(out).foreach { case (e, a) => assert(e == a) }
+    // the three smallest z-values are the unit steps of the curve
+    assert(out.take(3).sameElements(Array(0L, 1L, 2L)))
+  }
+
+  // --- incremental aggregate maintenance ------------------------------------
+
+  test("mergePartialAggs(partial(A), partial(B)) == aggregate(A union B), exactly") {
+    val data = Seq(("a", 1.25), ("a", 2.5), ("b", 3.125), ("a", 4.0), ("b", 0.5))
+      .toDF("k", "v")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(30,6)")).as("sv"))
+    val merged = graft.ops.Aggregates.mergePartialAggs(
+        Seq(partial(data.filter(col("v") < 3)), partial(data.filter(col("v") >= 3))),
+        Seq("k"), Seq("n", "sv"))
+      .select(col("k"), col("n"), col("sv").cast("double").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    val full = partial(data)
+      .select(col("k"), col("n"), col("sv").cast("double").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(merged == full)
+    assert(merged == Set(("a", 3L, 7.75), ("b", 2L, 3.625)))
+  }
+
   test("pf_histogram: buckets cover all rows, bounds nest inside bucket ranges") {
     val q = graft.queries.Analytics.queries.find(_.name == "pf_histogram").get
     val rows = q.fn(spark, "/root/testdata/sf0.001").collect()

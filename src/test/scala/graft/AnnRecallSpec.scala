@@ -121,6 +121,37 @@ class AnnRecallSpec extends SparkTestBase {
     assert(out.isNullAt(0), s"expected null, got ${out.get(0)}")
   }
 
+  test("sq8: decode(encode(v)) is within half a quantization step per dimension") {
+    val e = Tables.embeddings(spark, sfDir)
+    val stats = Similarity.sq8Stats(e, "embedding")
+    assert(stats.size == 64 && stats.forall { case (lo, hi) => hi >= lo })
+    val maxErr = Similarity.sq8Encode(e, "embedding", stats)
+      .select(explode(
+        zip_with(col("embedding").cast("array<double>"),
+          Similarity.sq8Decode(col("codes"), stats),
+          (a, b) => abs(a - b))).as("err"))
+      .agg(max("err")).as[Double].head()
+    val halfStep = stats.map { case (lo, hi) => math.max(hi - lo, 1.0) / 255.0 / 2.0 }.max
+    // half a step plus float32->double representation slack
+    assert(maxErr <= halfStep * 1.001, s"max abs error $maxErr > half-step $halfStep")
+  }
+
+  test("sq8TopK recall@10 >= 0.8 vs brute force at 4x compression") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val stats = Similarity.sq8Stats(e, "embedding")
+    val queryIds = Seq(0L, 7L, 21L)
+    val recalls = queryIds.map { qid =>
+      val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = Similarity.sq8TopK(e, "vec_id", "embedding", stats, q, qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+
   test("bruteForceTopK is deterministic across runs") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))

@@ -120,6 +120,34 @@ class StreamingSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("upsertSink maintains a parquet dimension across micro-batches (MERGE per batch)") {
+    import graft.streaming.Ingest
+    import org.apache.spark.sql.types._
+    val updDir = Files.createTempDirectory("graft-upd").toString
+    val target = Files.createTempDirectory("graft-dim").toString + "/dim"
+    val ckpt = Files.createTempDirectory("graft-upd-ckpt").toString
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("version", LongType)))
+    // batch 1: inserts, including two versions of k=2 in ONE batch — the
+    // in-batch collapse must keep the higher version
+    Seq((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L), (3L, "c", 1L))
+      .toDF("k", "v", "version").write.mode("append").parquet(updDir)
+    val q = Ingest.upsertSink(
+      spark.readStream.schema(schema).parquet(updDir),
+      target, ckpt, Seq("k"), "version").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(target).as[(Long, String, Long)].collect().toSet
+      assert(after1 == Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 1L)))
+      // batch 2 (arrives after batch 1 is fully applied): update + insert
+      Seq((2L, "b3", 3L), (4L, "d", 1L))
+        .toDF("k", "v", "version").write.mode("append").parquet(updDir)
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(target).as[(Long, String, Long)].collect().toSet
+      assert(after2 == Set((1L, "a", 1L), (2L, "b3", 3L), (3L, "c", 1L), (4L, "d", 1L)))
+    } finally q.stop()
+  }
+
   test("userRunningTotals keeps per-user state across a micro-batch") {
     val stream = Events.readEventStream(spark, eventsDir)
     val q = Events.userRunningTotals(spark, stream)
