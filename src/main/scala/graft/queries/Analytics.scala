@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Num.dsum
 import graft.core.Tables._
 import graft.functions.TextFns
-import graft.ops.Joins
+import graft.ops.{Funnel, Joins}
 
 /** Round-4 catalog extensions: OLAP subtotal aggregation (rollup/cube),
   * batch sessionization, integer-exact histogram profiling, BM25 corpus
@@ -440,6 +440,76 @@ object Analytics {
           graft.functions.Layout.zValue(col("o_custkey"), col("o_orderkey")).as("z"))
         .orderBy("z", "o_orderkey", "o_custkey")
         .limit(1000)
+    },
+
+    // ---- ordered funnel analysis ---------------------------------------
+    Q("ev_funnel",
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS step, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      // view -> click -> purchase conversion funnel with strict ordering:
+      // each stage anchors on the user's earliest completion of the
+      // previous one (ops/Funnel.scala). Times compare as integer micros.
+      Funnel.counts(
+          events(s, d).select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us")),
+          "user_id", "us",
+          Seq("view" -> (col("event_type") === "view"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")))
+        .orderBy("stage")
+    },
+
+    // ---- distribution drift between two slices -------------------------
+    Q("pf_drift",
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    (l_shipdate < TIMESTAMP '1995-01-01') AS is_a
+        |  FROM lineitem),
+        |m AS (SELECT MIN(cents) AS minc, MAX(cents) AS maxc FROM c),
+        |b AS (SELECT CAST(((c.cents - m.minc) * 16) // (m.maxc - m.minc + 1) AS INTEGER) AS bucket,
+        |    CAST(SUM(CASE WHEN c.is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN c.is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM c, m GROUP BY bucket),
+        |t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM b)
+        |SELECT t.ta AS n_a, t.tb AS n_b,
+        |  SUM(abs(b.n_a * t.tb - b.n_b * t.ta)) AS l1_num,
+        |  CAST(SUM(abs(b.n_a * t.tb - b.n_b * t.ta)) AS DOUBLE) / (t.ta * t.tb) AS l1_drift
+        |FROM b, t GROUP BY t.ta, t.tb""".stripMargin) { (s, d) =>
+      // Distribution drift check between two slices of a table (the data-
+      // quality gate before promoting a new ingest vintage): L1 distance
+      // between the slices' 16-bucket histograms. All comparisons stay in
+      // integers — |n_a·T_b − n_b·T_a| summed exactly as BIGINT, ONE double
+      // division at the end — so the drift score is engine-exact (the PSI
+      // twin would need ln). l1_drift ∈ [0, 2]: 0 identical shapes, 2
+      // disjoint supports.
+      val c = lineitem(s, d).select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        (col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz")).as("is_a"))
+      val m = c.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"))
+      val b = c.crossJoin(broadcast(m))
+        .select(
+          expr("((cents - minc) * 16) DIV (maxc - minc + 1)").cast("int").as("bucket"),
+          col("is_a"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_a"), 1).otherwise(0)).as("n_a"),
+          sum(when(col("is_a"), 0).otherwise(1)).as("n_b"))
+      val t = b.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      b.crossJoin(broadcast(t))
+        .groupBy("ta", "tb")
+        .agg(sum(abs(col("n_a") * col("tb") - col("n_b") * col("ta"))).as("l1_num"))
+        .select(col("ta").as("n_a"), col("tb").as("n_b"), col("l1_num"),
+          (col("l1_num").cast("double") / (col("ta") * col("tb"))).as("l1_drift"))
     }
   )
 }

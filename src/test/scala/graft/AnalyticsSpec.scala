@@ -162,6 +162,39 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  // --- ordered funnel -------------------------------------------------------
+
+  test("funnel: strict ordering — a click before any view does not convert") {
+    val ev = Seq(
+      // u1 completes view(10) -> click(20) -> purchase(30)
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2 clicks BEFORE its first view: reaches stage 1 only
+      (2L, "click", 5L), (2L, "view", 10L),
+      // u3 views and clicks at the SAME time: strict > excludes the click
+      (3L, "view", 10L), (3L, "click", 10L),
+      // u4 views then clicks; purchase precedes the click -> stage 2
+      (4L, "view", 1L), (4L, "purchase", 2L), (4L, "click", 3L))
+      .toDF("user_id", "event_type", "us")
+    val out = graft.ops.Funnel.counts(ev, "user_id", "us",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+      .orderBy("stage")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel stages anchor on the EARLIEST completion of the previous step") {
+    // u1 has two views (5, 100); the click at 10 must anchor on view@5
+    val ev = Seq((1L, "view", 5L), (1L, "view", 100L), (1L, "click", 10L))
+      .toDF("user_id", "event_type", "us")
+    val out = graft.ops.Funnel.counts(ev, "user_id", "us",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click")))
+      .orderBy("stage").as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "view", 1L), (2, "click", 1L)))
+  }
+
   // --- Z-order layout key ---------------------------------------------------
 
   test("Layout.zValue matches a reference Morton interleave, truncating to 16 bits") {
