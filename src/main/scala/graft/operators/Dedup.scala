@@ -318,13 +318,25 @@ object Dedup {
       numBuckets: Int = 64,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 8): Unit =
+      bands: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    // a managed-table location can survive a previous JVM whose catalog is
+    // gone (fresh in-memory catalog, stale warehouse dir) — overwrite mode
+    // cannot recover from that (LOCATION_ALREADY_EXISTS), so clear the
+    // orphaned directory first when the catalog does not know the table
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     minhashIndex(corpus, id, text, shingleSize, numHashes, bands)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "band", "bucket")
       .sortBy("band", "bucket")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Probe a bucketed index table saved by [[saveMinhashIndexBucketed]]. */
   def probeMinhashIndexBucketed(

@@ -471,6 +471,69 @@ object Analytics {
         .orderBy("stage")
     },
 
+    // ---- time-series resampling (OHLC bars) -----------------------------
+    Q("ev_ohlc",
+      """WITH x AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    epoch_us(ts) AS us, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY epoch_us(ts), event_id) AS rna,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnd
+        |  FROM events)
+        |SELECT event_type, h AS hour_epoch,
+        |  MIN(CASE WHEN rna = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MIN(CASE WHEN rnd = 1 THEN value END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM x GROUP BY event_type, h
+        |ORDER BY event_type, hour_epoch""".stripMargin) { (s, d) =>
+      // Downsample the event stream to hourly OHLC bars — the canonical
+      // time-series resample. Open/close are pinned by a total order
+      // (time, event_id), not first()-in-arrival-order, so the bars are
+      // deterministic under any partitioning; high/low/count are plain
+      // aggregates. One shuffle: both windows and the groupBy share the
+      // (event_type, hour) key.
+      val w = Window.partitionBy(col("event_type"), col("h"))
+      val x = events(s, d).select(
+          col("event_type"),
+          date_trunc("hour", col("ts")).cast("long").as("h"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+        .withColumn("rna", row_number().over(w.orderBy(col("us"), col("event_id"))))
+        .withColumn("rnd", row_number().over(w.orderBy(col("us").desc, col("event_id").desc)))
+      x.groupBy(col("event_type"), col("h").as("hour_epoch"))
+        .agg(min(when(col("rna") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          min(when(col("rnd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "hour_epoch")
+    },
+
+    // ---- cohort retention ------------------------------------------------
+    Q("ev_retention",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT f.cohort_day, d.day - f.cohort_day AS offset_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY f.cohort_day, offset_days
+        |ORDER BY cohort_day, offset_days""".stripMargin) { (s, d) =>
+      // Cohort retention matrix: users grouped by first-active day, counted
+      // on each later active day. distinct (user, day) -> per-user min ->
+      // self-join on user -> count: every shuffle keys on user_id or the
+      // (cohort, offset) pair; day arithmetic is integer (micros DIV
+      // 86400e6), so counts are engine-exact.
+      val dd = events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+      val f = dd.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      dd.join(f, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    },
+
     // ---- distribution drift between two slices -------------------------
     Q("pf_drift",
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
