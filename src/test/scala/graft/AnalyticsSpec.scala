@@ -162,6 +162,41 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  // --- plan pins (at-scale requirements as unit tests) ----------------------
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("ev_sessions plans ONE exchange: lag window, running sum and groupBy share the user_id partitioning") {
+    val q = graft.queries.Analytics.queries.find(_.name == "ev_sessions").get
+    val p = plan(q.fn(spark, "/root/testdata/sf0.001"))
+    // drop the final presentation orderBy's range exchange from the count
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected one hash exchange, got $shuffles in:\n$p")
+  }
+
+  test("ev_ohlc plans ONE hash exchange: both windows and the aggregate share (event_type, hour)") {
+    val q = graft.queries.Analytics.queries.find(_.name == "ev_ohlc").get
+    val p = plan(q.fn(spark, "/root/testdata/sf0.001"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected one hash exchange, got $shuffles in:\n$p")
+  }
+
+  test("tx_bm25 broadcasts df and corpus stats; top-20 is TakeOrdered, not a global sort") {
+    val q = graft.queries.Analytics.queries.find(_.name == "tx_bm25").get
+    val p = plan(q.fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastExchange"), s"df/stats sides must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+  }
+
+  test("pf_histogram / pf_drift broadcast the min-max row back (no fact-side shuffle for bounds)") {
+    for (name <- Seq("pf_histogram", "pf_drift")) {
+      val q = graft.queries.Analytics.queries.find(_.name == name).get
+      assert(plan(q.fn(spark, "/root/testdata/sf0.001")).contains("BroadcastNestedLoopJoin"),
+        s"$name must attach bounds via broadcast")
+    }
+  }
+
   // --- ordered funnel -------------------------------------------------------
 
   test("funnel: strict ordering — a click before any view does not convert") {
