@@ -61,9 +61,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     }
-    val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
-      else headline.filter(SparkEntry.queries.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      // dev loop: time a named subset (comma-separated)
+      case Some(only) => only.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+          SparkEntry.queries.keys.toSeq.sorted
+        else headline.filter(SparkEntry.queries.contains)
+    }
     val results: Seq[(String, Double, Option[String])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

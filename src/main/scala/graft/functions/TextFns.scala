@@ -108,23 +108,17 @@ object TextFns {
     * 1 - distinct/total — the Gopher-style quality signal (repeated
     * boilerplate lines/templates score high). Pure HOF projection, narrow.
     */
-  /** Count of distinct elements of a string array in O(len·log len): sort,
-    * then count group boundaries. `array_distinct` on non-primitive
-    * element types degrades to quadratic pairwise scans — on sf0.1
-    * documents that made tx_repetition the slowest catalog query (7.5 s;
-    * this spelling measures ~3x faster). Only equality is consumed, so
-    * binary sort order cannot change the count.
+  /** Row-level repetition ratio. Note for corpus-scale scans: this spells
+    * `array_distinct` on a string array, which is a quadratic pairwise
+    * scan per row — fine as a per-row gate on bounded docs, but a corpus
+    * profiling pass should use the relational spelling instead (explode →
+    * per-(doc, shingle) count → per-doc count, see the tx_repetition
+    * catalog entry): two map-side-combined hash aggregates, linear work,
+    * and it parallelizes across the cluster instead of within a row.
     */
-  def sortedDistinctCount(arr: Column): Column = {
-    val sorted = array_sort(arr)
-    when(size(arr) <= 1, size(arr)).otherwise(
-      size(filter(sequence(lit(1), size(sorted)), i =>
-        (i === 1) || element_at(sorted, i) =!= element_at(sorted, i - 1))))
-  }
-
   def repetitionRatio(text: Column, n: Int = 2): Column = {
     val sh = wordShingles(tokens(text), n)
-    lit(1.0) - sortedDistinctCount(sh).cast("double") / size(sh)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
   }
 
   /** Exact Jaccard of two shingle arrays (arrays treated as sets). */

@@ -172,8 +172,24 @@ object Dedup {
         .join(labels.withColumnRenamed(id, "src")
           .withColumnRenamed("canonical_id", "neighbor_label"), Seq("src"))
         .select(col("dst").as(id), col("neighbor_label").as("canonical_id"))
-      val next = labels.union(viaNeighbors)
+      // checkpoint the neighbor-min phase: the doubling join below reads
+      // it twice (probe + hop side) — without materialization the union+
+      // aggregate would execute twice per iteration
+      val next0 = labels.union(viaNeighbors)
         .groupBy(col(id)).agg(min(col("canonical_id")).as("canonical_id"))
+        .localCheckpoint()
+      // pointer doubling: also adopt the label OF my label (path halving).
+      // Neighbor-min alone needs O(diameter) rounds — a 100-doc id chain
+      // (the dd_cc_chain worst case) took the full iteration budget; with
+      // the label-of-label hop the frontier doubles per round, so chains
+      // converge in O(log diameter). Labels only ever decrease toward the
+      // same min-reachable fixpoint, so the result is unchanged.
+      val hop = next0.select(col(id).as("__l_id"), col("canonical_id").as("__l_lbl"))
+      val next = next0
+        .join(hop, next0("canonical_id") === hop("__l_id"), "left")
+        .select(next0(id),
+          least(next0("canonical_id"), coalesce(col("__l_lbl"), next0("canonical_id")))
+            .as("canonical_id"))
         .localCheckpoint()
       val changed = next.withColumnRenamed("canonical_id", "new_label")
         .join(labels, Seq(id))

