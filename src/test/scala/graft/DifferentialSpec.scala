@@ -129,4 +129,77 @@ class DifferentialSpec extends SparkTestBase {
       assert(got == expected, s"trial=$trial")
     }
   }
+
+  test("Funnel.reach matches a brute-force ordered scan on random event logs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(5000 + trial)
+      val types = Vector("view", "click", "purchase")
+      // duplicate timestamps arise by construction (15 slots, ~40 events)
+      val events = (0 until 40).map(i =>
+        (rnd.nextInt(6).toLong, types(rnd.nextInt(3)), rnd.nextInt(15).toLong, i.toLong))
+      val df = events.toDF("u", "et", "t", "eid")
+      val steps = Seq(col("et") === "view", col("et") === "click", col("et") === "purchase")
+      val got = graft.ops.Funnel.reach(df, "u", "t", steps)
+        .select("u", "__t").as[(Long, Long)].collect().toMap
+
+      // brute force: earliest chain per user with strict ordering
+      val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+        def earliestAfter(tpe: String, after: Option[Long]): Option[Long] = {
+          val c = evs.filter(e => e._2 == tpe && after.forall(a => e._3 > a)).map(_._3)
+          // after=None -> first step: earliest overall
+          if (c.isEmpty) None else Some(c.min)
+        }
+        for {
+          t1 <- earliestAfter("view", None)
+          t2 <- earliestAfter("click", Some(t1))
+          t3 <- earliestAfter("purchase", Some(t2))
+        } yield u -> t3
+      }
+      assert(got == expected, s"trial=$trial")
+    }
+  }
+
+  test("Joins.upsert matches set semantics on random target/source pairs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(6000 + trial)
+      val target = (0 until 20).map(i => (i.toLong, s"t$i", rnd.nextInt(100)))
+      // source: unique keys, overlapping [10, 30)
+      val source = rnd.shuffle((10 until 30).toVector).take(12)
+        .map(k => (k.toLong, s"s$k", rnd.nextInt(100)))
+      val got = Joins.upsert(target.toDF("k", "tag", "v"), source.toDF("k", "tag", "v"), Seq("k"))
+        .as[(Long, String, Int)].collect().toSet
+      val srcKeys = source.map(_._1).toSet
+      val expected = source.toSet ++ target.filterNot(r => srcKeys(r._1))
+      assert(got == expected, s"trial=$trial")
+    }
+  }
+
+  test("canonicalize (path-halving) matches brute-force connected components on random graphs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(7000 + trial)
+      val n = 30
+      val ids = (0L until n).toVector
+      // sparse random edges + one long chain segment (the doubling worst case)
+      val edges = (0 until 12).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++
+        (5L until 15L).map(i => (i - 1, i))
+      val got = graft.operators.Dedup.canonicalize(
+          ids.toDF("doc_id"),
+          edges.toDF("id_a", "id_b"), "doc_id", maxIter = 10)
+        .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+
+      // brute-force union-find
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map { i =>
+        // canonical = min id of the component
+        val root = find(i)
+        i -> ids.filter(j => find(j) == root).min
+      }.toMap
+      assert(got == expected, s"trial=$trial edges=$edges")
+    }
+  }
 }
