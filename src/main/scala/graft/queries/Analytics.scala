@@ -534,6 +534,49 @@ object Analytics {
         .orderBy("cohort_day", "offset_days")
     },
 
+    // ---- graph: fixed-point PageRank ------------------------------------
+    Q("g1_pagerank",
+      """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+        |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
+        |nodes AS (SELECT CAST(range AS BIGINT) AS v FROM range(0, 50)),
+        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, od.d FROM e JOIN od USING (src)),
+        |r0 AS (SELECT v, CAST((1000000000000 // 50) AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT ed.dst AS v, SUM(r0.r // ed.d) AS s
+        |  FROM ed JOIN r0 ON r0.v = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT nodes.v,
+        |    CAST(((1000000000000 - ((85 * 1000000000000) // 100)) // 50)
+        |      + ((85 * COALESCE(c1.s, 0)) // 100) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c1 USING (v)),
+        |c2 AS (SELECT ed.dst AS v, SUM(r1.r // ed.d) AS s
+        |  FROM ed JOIN r1 ON r1.v = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT nodes.v,
+        |    CAST(((1000000000000 - ((85 * 1000000000000) // 100)) // 50)
+        |      + ((85 * COALESCE(c2.s, 0)) // 100) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c2 USING (v)),
+        |c3 AS (SELECT ed.dst AS v, SUM(r2.r // ed.d) AS s
+        |  FROM ed JOIN r2 ON r2.v = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT nodes.v,
+        |    CAST(((1000000000000 - ((85 * 1000000000000) // 100)) // 50)
+        |      + ((85 * COALESCE(c3.s, 0)) // 100) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c3 USING (v))
+        |SELECT v, r AS rank_fp, CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+        |FROM r3 ORDER BY v""".stripMargin) { (s, d) =>
+      // Fixed-point PageRank (3 damped iterations, d=0.85) over the
+      // synthetic 50-node link graph derived from orders. All arithmetic
+      // is BIGINT micro-units (operators/Graph.scala), so the iterative
+      // computation is bit-identical across engines and partitionings —
+      // the oracle unrolls the same three rounds as plain CTEs. Use case:
+      // link-centrality quality scoring of a crawl corpus.
+      val nodes = s.range(0, 50).select(col("id").as("v"))
+      val edges = orders(s, d)
+        .select((col("o_custkey") % 50).as("src"), (col("o_orderkey") % 50).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.operators.Graph.pageRankFixedPoint(nodes, edges, iters = 3)
+        .orderBy("v")
+    },
+
     // ---- distribution drift between two slices -------------------------
     Q("pf_drift",
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,

@@ -254,6 +254,38 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.take(3).sameElements(Array(0L, 1L, 2L)))
   }
 
+  // --- fixed-point PageRank -------------------------------------------------
+
+  test("pageRank star graph: closed-form center rank, leaves at teleport floor") {
+    // 4 leaves all pointing at node 0; after one iteration:
+    // center = teleport + 0.85 * 4 * (S/5)   (each leaf's whole rank)
+    // leaves = teleport                      (no in-edges)
+    val S = graft.operators.Graph.Scale
+    val nodes = spark.range(0, 5).select(col("id").as("v"))
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
+    val r = graft.operators.Graph.pageRankFixedPoint(nodes, edges, iters = 1)
+      .select("v", "rank_fp").as[(Long, Long)].collect().toMap
+    val teleport = (S - 85 * S / 100) / 5
+    assert(r(0L) == teleport + 85 * (4 * (S / 5)) / 100)
+    Seq(1L, 2L, 3L, 4L).foreach(v => assert(r(v) == teleport))
+  }
+
+  test("pageRank is bit-identical under different partitionings and conserves mass") {
+    val nodes = spark.range(0, 30).select(col("id").as("v"))
+    val rnd = new scala.util.Random(99)
+    val edges = (0 until 80).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val a = graft.operators.Graph.pageRankFixedPoint(nodes, edges.repartition(1), 3)
+      .select("v", "rank_fp").as[(Long, Long)].collect().toMap
+    val b = graft.operators.Graph.pageRankFixedPoint(nodes, edges.repartition(17), 3)
+      .select("v", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(a == b, "fixed-point ranks must not depend on partitioning")
+    // truncating divisions only ever LOSE mass: sum <= Scale, but stays close
+    val total = a.values.sum
+    assert(total <= graft.operators.Graph.Scale)
+    assert(total > graft.operators.Graph.Scale * 9 / 10)
+  }
+
   // --- incremental aggregate maintenance ------------------------------------
 
   test("mergePartialAggs(partial(A), partial(B)) == aggregate(A union B), exactly") {
