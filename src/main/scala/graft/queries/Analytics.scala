@@ -534,6 +534,36 @@ object Analytics {
         .orderBy("cohort_day", "offset_days")
     },
 
+    // ---- RANGE-frame moving window --------------------------------------
+    Q("w13_moving_window",
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS trail_sum,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin) { (s, d) =>
+      // Trailing 7-day moving window per customer — the RANGE frame
+      // (value-based bounds over an integer day axis), completing window-
+      // frame coverage next to ROWS frames (W1/W3) and unbounded analytics
+      // (W2/W7). RANGE includes ALL peers of the current day, so same-day
+      // ties are deterministic without a tie-break; the sum is decimal-
+      // exact per the catalog rule.
+      import graft.core.Num
+      val o = orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+          Num.dsumOver(col("o_totalprice"), w).as("trail_sum"),
+          count(lit(1)).over(w).as("trail_n"))
+        .orderBy("o_custkey", "day", "o_orderkey")
+    },
+
     // ---- graph: fixed-point PageRank ------------------------------------
     Q("g1_pagerank",
       """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst

@@ -197,6 +197,23 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("AQE replans a sort-merge join to broadcast when the filtered side turns out tiny") {
+    // runtime statistics, not estimates, drive the strategy: a selective
+    // filter on one join side is only KNOWN to be broadcastable after the
+    // exchange materializes — AQE's DynamicJoinSelection must flip SMJ to
+    // BHJ. This is the at-scale behavior that saves the big-side shuffle
+    // sort whenever a dimension filter is selective.
+    val big = graft.core.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val small = graft.core.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 1000 === 0) // ~0.1% survives
+      .select("o_orderkey", "o_orderstatus")
+    val joined = big.join(small, big("l_orderkey") === small("o_orderkey"))
+    joined.write.format("noop").mode("overwrite").save()
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE should have replanned to broadcast:\n$finalPlan")
+  }
+
   // --- ordered funnel -------------------------------------------------------
 
   test("funnel: strict ordering — a click before any view does not convert") {
