@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance operators (beyond-reference). At lake scale the
+  * write path degrades silently: every incremental append (streaming
+  * micro-batches, per-task output, over-partitioned shuffles) leaves
+  * small files, and a 100 TB table fragmented into KB-scale files spends
+  * its scan time on open/seek/footer overhead instead of column IO.
+  * Periodic compaction is the standing fix.
+  */
+object Maintenance {
+
+  final case class CompactionReport(
+      filesBefore: Long,
+      filesAfter: Long,
+      bytes: Long,
+      targetFileBytes: Long)
+
+  private def parquetFiles(spark: SparkSession, dir: Path): Seq[Path] = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(dir, true)
+    val out = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.toSeq
+  }
+
+  /** Rewrite the parquet table at `path` into ceil(bytes / targetFileBytes)
+    * files (size-based, not count-based: the right file count follows from
+    * the data volume, so the same call is correct at any scale). The
+    * rewrite fully materializes into a staging dir BEFORE the old files
+    * are replaced (same crash-safe swap protocol as the streaming upsert
+    * sink); content is bit-identical, only the layout changes.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long): CompactionReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = parquetFiles(spark, dir)
+    val bytes = before.map(p => fs.getFileStatus(p).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val stage = new Path(path + "__compacting")
+    spark.read.parquet(path)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(stage.toString)
+    fs.delete(dir, true)
+    fs.rename(stage, dir)
+    CompactionReport(before.size.toLong, parquetFiles(spark, dir).size.toLong,
+      bytes, targetFileBytes)
+  }
+}

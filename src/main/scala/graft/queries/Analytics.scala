@@ -534,6 +534,56 @@ object Analytics {
         .orderBy("cohort_day", "offset_days")
     },
 
+    // ---- interval-overlap join ------------------------------------------
+    Q("j16_interval_overlap",
+      """WITH a AS (SELECT o_orderkey AS id_a, o_custkey % 1000 AS a_lo,
+        |    o_custkey % 1000 + o_orderkey % 7 AS a_hi
+        |  FROM orders WHERE o_orderkey % 20 = 0),
+        |b AS (SELECT c_custkey AS id_b, (c_custkey * 3) % 1000 AS b_lo,
+        |    (c_custkey * 3) % 1000 + c_custkey % 11 AS b_hi
+        |  FROM customer)
+        |SELECT b.id_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        |  MAX(LEAST(a.a_hi, b.b_hi) - GREATEST(a.a_lo, b.b_lo)) AS max_olap
+        |FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+        |GROUP BY b.id_b ORDER BY id_b""".stripMargin) { (s, d) =>
+      // Interval-overlap join (temporal/genomic shape) via fixed-width
+      // axis buckets: both sides replicate to the buckets they span, the
+      // join is a bucket equi-join, and each pair emits exactly once in
+      // the bucket holding the overlap start — no dedup shuffle. The
+      // oracle is the naive quadratic predicate join; identical pairs.
+      val a = orders(s, d).filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey").as("id_a"),
+          (col("o_custkey") % 1000).as("a_lo"),
+          (col("o_custkey") % 1000 + col("o_orderkey") % 7).as("a_hi"))
+      val b = customer(s, d)
+        .select(col("c_custkey").as("id_b"),
+          (col("c_custkey") * 3 % 1000).as("b_lo"),
+          (col("c_custkey") * 3 % 1000 + col("c_custkey") % 11).as("b_hi"))
+      Joins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 8)
+        .groupBy("id_b")
+        .agg(count(lit(1)).as("n_overlaps"),
+          max(least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+            .as("max_olap"))
+        .orderBy("id_b")
+    },
+
+    // ---- table maintenance: small-file compaction ------------------------
+    Q("s11_compaction",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // Small-files compaction: fragment orders into 64 files, compact to
+      // size-targeted files (Maintenance.compactParquet — staging-swap,
+      // content-identical), read back. The oracle is the original table:
+      // a hash match proves the rewrite changed LAYOUT only. The file-
+      // count assertions live in AnalyticsSpec.
+      val base = orders(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s11_${math.abs(d.hashCode)}"
+      base.repartition(64).write.mode("overwrite").parquet(path)
+      graft.operators.Maintenance.compactParquet(s, path, targetFileBytes = 64L * 1024 * 1024)
+      s.read.schema(base.schema).parquet(path).orderBy("o_orderkey")
+    },
+
     // ---- RANGE-frame moving window --------------------------------------
     Q("w13_moving_window",
       """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -271,6 +271,42 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.take(3).sameElements(Array(0L, 1L, 2L)))
   }
 
+  // --- interval-overlap join ------------------------------------------------
+
+  test("intervalOverlapJoin matches brute force; each pair exactly once; inverted/null drop") {
+    val rnd = new scala.util.Random(321)
+    val aRows = (0 until 25).map { i =>
+      val lo = rnd.nextInt(50).toLong; (i.toLong, lo, lo + rnd.nextInt(12))
+    } :+ ((99L, 10L, 5L)) // inverted — must drop
+    val bRows = (0 until 18).map { i =>
+      val lo = rnd.nextInt(50).toLong; (i.toLong, lo, lo + rnd.nextInt(9))
+    }
+    val got = graft.ops.Joins.intervalOverlapJoin(
+        aRows.toDF("id_a", "a_lo", "a_hi"), bRows.toDF("id_b", "b_lo", "b_hi"),
+        "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val expected = for {
+      (ia, alo, ahi) <- aRows if alo <= ahi
+      (ib, blo, bhi) <- bRows if alo <= bhi && blo <= ahi
+    } yield (ia, ib)
+    assert(got.sorted == expected.sorted, "pair sets (with multiplicity) must match")
+    assert(got.distinct.size == got.size, "no duplicate pair emissions")
+  }
+
+  // --- compaction -----------------------------------------------------------
+
+  test("compactParquet shrinks file count, preserves content, reports sizes") {
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val data = spark.range(0, 10000).select(col("id"), (col("id") % 7).as("g"))
+    data.repartition(40).write.mode("overwrite").parquet(path)
+    val report = graft.operators.Maintenance.compactParquet(spark, path, 512L * 1024 * 1024)
+    assert(report.filesBefore == 40 && report.filesAfter == 1, report.toString)
+    assert(report.bytes > 0)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 10000)
+    assert(back.agg(sum("id")).as[Long].head() == (0L until 10000L).sum)
+  }
+
   // --- fixed-point PageRank -------------------------------------------------
 
   test("pageRank star graph: closed-form center rank, leaves at teleport floor") {
