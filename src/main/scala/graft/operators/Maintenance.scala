@@ -35,11 +35,19 @@ object Maintenance {
     * rewrite fully materializes into a staging dir BEFORE the old files
     * are replaced (same crash-safe swap protocol as the streaming upsert
     * sink); content is bit-identical, only the layout changes.
+    *
+    * For a hive-partitioned table pass its `partitionCols`: the rewrite
+    * preserves the directory layout (and S10's pruning), repartitioning
+    * by the partition columns so each output directory is written by the
+    * tasks holding its rows — without it a partitioned table would
+    * silently compact into a FLAT table and every partition-pruned read
+    * would full-scan.
     */
   def compactParquet(
       spark: SparkSession,
       path: String,
-      targetFileBytes: Long): CompactionReport = {
+      targetFileBytes: Long,
+      partitionCols: Seq[String] = Nil): CompactionReport = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,9 +55,13 @@ object Maintenance {
     val bytes = before.map(p => fs.getFileStatus(p).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val stage = new Path(path + "__compacting")
-    spark.read.parquet(path)
-      .repartition(nOut)
-      .write.mode("overwrite").parquet(stage.toString)
+    val data = spark.read.parquet(path)
+    val writer =
+      if (partitionCols.isEmpty) data.repartition(nOut).write
+      else data
+        .repartition(nOut, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partitionCols: _*)
+    writer.mode("overwrite").parquet(stage.toString)
     fs.delete(dir, true)
     fs.rename(stage, dir)
     CompactionReport(before.size.toLong, parquetFiles(spark, dir).size.toLong,

@@ -307,6 +307,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(back.agg(sum("id")).as[Long].head() == (0L until 10000L).sum)
   }
 
+  test("compactParquet preserves hive partitioning when told the partition columns") {
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-p").toString + "/t"
+    spark.range(0, 2000).select(col("id"), (col("id") % 3).cast("string").as("part"))
+      .repartition(20).write.mode("overwrite").partitionBy("part").parquet(path)
+    graft.operators.Maintenance.compactParquet(spark, path, 512L * 1024 * 1024, Seq("part"))
+    // layout survives: partition dirs still exist and pruning still plans
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("part=0", "part=1", "part=2"), dirs.mkString(","))
+    val pruned = spark.read.parquet(path).filter(col("part") === "1")
+    assert(pruned.count() == 2000 / 3 + (if (2000 % 3 >= 2) 1 else 0))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   // --- fixed-point PageRank -------------------------------------------------
 
   test("pageRank star graph: closed-form center rank, leaves at teleport floor") {
