@@ -63,7 +63,10 @@ object Maintenance {
         .write.partitionBy(partitionCols: _*)
     writer.mode("overwrite").parquet(stage.toString)
     fs.delete(dir, true)
-    fs.rename(stage, dir)
+    // rename reports failure via its return value (Hadoop FS contract)
+    require(fs.rename(stage, dir),
+      s"staging swap failed: could not rename $stage to $dir (old layout already deleted; " +
+        s"recover from $stage)")
     CompactionReport(before.size.toLong, parquetFiles(spark, dir).size.toLong,
       bytes, targetFileBytes)
   }

@@ -76,7 +76,12 @@ object Ingest {
       else latest
     merged.write.mode("overwrite").parquet(stage.toString)
     fs.delete(tgt, true)
-    fs.rename(stage, tgt)
+    // rename signals failure by RETURN VALUE, not exception — unchecked,
+    // a cross-filesystem or permission failure after the delete would
+    // silently lose the target
+    require(fs.rename(stage, tgt),
+      s"staging swap failed: could not rename $stage to $tgt (old target already deleted; " +
+        s"recover from $stage)")
   }
 
   /** Continuous dimension maintenance: every arriving micro-batch of
