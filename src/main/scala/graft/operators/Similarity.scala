@@ -342,6 +342,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF × SQ8 composition: coarse-quantize rows to trained cells AND
+    * store only uint8 codes — the index the probe touches is 4× smaller
+    * than float32 and the scan is limited to ~nProbe/nCells of it. This
+    * is the memory-bound operating point for billion-vector corpora:
+    * cell pruning bounds IO, scalar quantization bounds bytes-per-vector,
+    * and the query side stays full precision (asymmetric scoring).
+    * Compound recall (cell miss ∪ quantization error) is pinned in
+    * AnnRecallSpec.
+    */
+  def ivfSq8TopK(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      query: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      trainIters: Int = 3): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val cents = trainCodebook(df, id, vec, nCells, trainIters)
+    val stats = sq8Stats(df, vec)
+    val index = sq8Encode(
+        df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1)),
+        vec, stats)
+      .drop(vec) // codes-only index: the probe never reads float32 vectors
+    val q = query.withColumn("qcells", nearestCells(col("qvec"), cents, nProbe))
+    index
+      .crossJoin(broadcast(q))
+      .filter(col(id) =!= queryId)
+      .filter(array_contains(col("qcells"), col("cell")))
+      .withColumn("cosine", VectorFns.cosine(sq8Decode(col("codes"), stats), col("qvec")))
+      .select(col(id), col("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+
   /** LSH-filtered ANN: restrict to rows whose bucket is within `radius`
     * Hamming bits of the query bucket, then exact cosine re-rank.
     */

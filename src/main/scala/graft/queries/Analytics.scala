@@ -67,6 +67,27 @@ object Analytics {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ---- distinct aggregation -------------------------------------------
+    Q("a17_count_distinct",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Exact multi-column distinct aggregation — Spark plans TWO distinct
+      // columns in one pass via Expand (each row fans out per distinct
+      // set, then two-phase agg), not via self-joins. The approximate
+      // counterpart (HLL++) is pinned against this exact tier in
+      // ProfileSpec; at 100 TB you choose per use: exact for billing-grade
+      // counts, sketch for profiling.
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- batch sessionization (gaps-and-islands) -----------------------
     Q("ev_sessions",
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -314,6 +314,17 @@ object TextData {
       Similarity.sq8TopK(e, "vec_id", "embedding", stats, q, queryId = 0L, k = 10)
     },
 
+    Q.noOracle("ann_ivf_sq8") { (s, d) =>
+      // IVF cell pruning × SQ8 codes-only index: bounded IO AND bounded
+      // bytes-per-vector (the billion-vector operating point). Hash
+      // sketches in the cell assignment -> rows-only driver check;
+      // compound recall pinned in AnnRecallSpec.
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.ivfSq8TopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
+        nCells = 8, nProbe = 6)
+    },
+
     // ---- text analysis -------------------------------------------------
     Q("tx_token_count",
       """SELECT doc_id,

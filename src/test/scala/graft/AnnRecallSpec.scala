@@ -152,6 +152,22 @@ class AnnRecallSpec extends SparkTestBase {
     assert(mean >= 0.8, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("ivfSq8TopK (codes-only probe) recall@10 >= 0.7 — compound cell+quantization error") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val queryIds = Seq(0L, 7L, 21L)
+    val recalls = queryIds.map { qid =>
+      val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = Similarity.ivfSq8TopK(e, "vec_id", "embedding", q, qid, 10,
+          nCells = 8, nProbe = 6)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+
   test("bruteForceTopK is deterministic across runs") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
