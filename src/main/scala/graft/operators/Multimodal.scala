@@ -79,6 +79,33 @@ object Multimodal {
       checksum = h)
   }
 
+  /** Resize plumbing (STUB codec, real contract): target geometry is
+    * computed declaratively — aspect-preserving fit into (maxW, maxH)
+    * from the decoded source geometry, in pure integer expressions — and
+    * the "resized" payload is a deterministic stand-in sized
+    * proportionally to the target pixel count. A production deployment
+    * replaces only the payload expression with the codec call inside the
+    * same mapPartitions batch shape as [[decodeStub]]; the geometry math,
+    * schema and partitioning are the tested, codec-independent part.
+    * Zero-area sources pass through with null target geometry (no
+    * division by zero, no silent 0×0 "resize").
+    */
+  def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, "target box must be positive")
+    // scale = min(maxW/w, maxH/h) in exact rational form:
+    // fit by width iff maxW*h <= maxH*w (cross-multiplied, no floats)
+    val byWidth = lit(maxW) * col("height") <= lit(maxH) * col("width")
+    features
+      .withColumn("target_width",
+        when(col("width") > 0 && col("height") > 0,
+          when(byWidth, lit(maxW))
+            .otherwise(expr(s"(${maxH}L * width) DIV height").cast("int"))))
+      .withColumn("target_height",
+        when(col("width") > 0 && col("height") > 0,
+          when(byWidth, expr(s"(${maxW}L * height) DIV width").cast("int"))
+            .otherwise(lit(maxH))))
+  }
+
   /** Frame sampling plumbing: for video-like payloads, emit one row per
     * sampled frame offset (explode of a sequence — a generator, no UDTF).
     */

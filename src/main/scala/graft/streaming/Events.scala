@@ -38,6 +38,25 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming OHLC resampling: the micro-batch twin of the batch ev_ohlc
+    * query. open/close are `min_by`/`max_by` on the total (time, event_id)
+    * order — declarative aggregates that compose with watermarked windows
+    * (no per-key arbitrary state), so closed bars evict exactly like
+    * hourlyAggStream's counts. high/low/n are plain aggregates.
+    */
+  def ohlcStream(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Streaming exact dedup on event_id with a bounded state horizon:
     * `dropDuplicatesWithinWatermark` keeps an id only as long as the
     * watermark can still admit a duplicate, then evicts it — state stays

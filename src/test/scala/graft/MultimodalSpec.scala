@@ -30,4 +30,20 @@ class MultimodalSpec extends SparkTestBase {
     val out = Multimodal.sampleFrames(media.filter(col("media_id") === 1), everyNBytes = 100)
     assert(out.count() == 7) // offsets 0,100,...,600
   }
+
+  test("resizePlan: aspect-preserving fit, integer math, zero-area passthrough") {
+    val feats = Seq(
+      (1L, 1920, 1080),  // wide: fits by width into 640x480 -> 640x360
+      (2L, 1080, 1920),  // tall: fits by height -> 270x480
+      (3L, 100, 100),    // square into rectangle: height binds -> 480x480
+      (4L, 0, 50))       // zero-area: no target geometry
+      .toDF("media_id", "width", "height")
+    val out = Multimodal.resizePlan(feats, maxW = 640, maxH = 480)
+      .orderBy("media_id")
+      .select("target_width", "target_height")
+      .as[(Option[Int], Option[Int])].collect().toSeq
+    assert(out == Seq(
+      (Some(640), Some(360)), (Some(270), Some(480)),
+      (Some(480), Some(480)), (None, None)))
+  }
 }

@@ -120,6 +120,22 @@ class StreamingSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("streaming OHLC bars equal the batch ev_ohlc twin") {
+    val stream = Events.readEventStream(spark, eventsDir)
+    val q = Events.ohlcStream(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("ohlc_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ohlc_out")
+      .select(col("hour_start").cast("long").as("h"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+    val batch = graft.queries.Analytics.queries.find(_.name == "ev_ohlc").get
+      .fn(spark, sfDir)
+      .select(col("hour_epoch").as("h"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("upsertSink maintains a parquet dimension across micro-batches (MERGE per batch)") {
     import graft.streaming.Ingest
     import org.apache.spark.sql.types._
