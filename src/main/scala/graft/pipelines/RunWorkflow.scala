@@ -49,8 +49,12 @@ object RunWorkflow {
     // stage 1 of run_workflow.R: the multi-vintage scenario merge
     // (data-raw/run_prepare_Scenarios_AnalysisInput.R) when the per-vintage
     // raw frames are supplied
+    // consumed by the automotive-price fan-out, the alignment rewrite AND
+    // the caller's write — cache, or each consumer re-runs the full
+    // multi-vintage merge (SURVEY §4.1: branch reuse is free in eager R,
+    // recomputes the subtree in lazy Spark)
     val scenariosAnalysisInput = in.scenarios.map(s =>
-      ScenarioData.prepareScenariosAnalysisInput(s, in.startYear))
+      ScenarioData.prepareScenariosAnalysisInput(s, in.startYear).cache())
 
     // stages 2-4 of run_workflow.R
     val carbonPrice = CarbonPrice.prepareNgfsCarbonPrice(
