@@ -67,6 +67,20 @@ object Sampling {
     df.filter(threshold.isNotNull && bucket < threshold)
   }
 
+  /** Per-row weighted Bernoulli sampling, deterministic: keep a row iff
+    * its MD5 bucket falls under floor(weight · buckets) — rows with
+    * weight 1 always survive, weight 0 never, everything between
+    * proportionally, and the SAME rows survive on every engine, retry
+    * and re-run (no rand()). The training-data use: sample documents
+    * proportional to a quality score instead of uniformly. Weights are
+    * clamped to [0, 1]; null weights drop (no silent keep).
+    */
+  def weightedSampleByHash(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val w = least(lit(1.0), greatest(lit(0.0), weight))
+    df.filter(weight.isNotNull &&
+      md5Bucket(key) < floor(w * DefaultBuckets).cast("long"))
+  }
+
   /** Rebalance a corpus to a target domain mixture by deterministic
     * downsampling: with target proportions p_i per stratum and observed
     * counts n_i, the largest achievable total is T = min_i(n_i / p_i);

@@ -623,6 +623,68 @@ object TextData {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("o_orderkey")
     },
+    Q("sm_weighted",
+      """WITH w AS (SELECT doc_id, n_chars,
+        |    LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS wt FROM documents),
+        |b AS (SELECT doc_id, n_chars, wt,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 AS BIGINT) AS bucket
+        |  FROM w)
+        |SELECT doc_id, n_chars, wt FROM b
+        |WHERE bucket < CAST(floor(wt * 10000) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Per-row weighted Bernoulli sampling: survival probability equals a
+      // per-document weight (here length-proportional, the "don't flood
+      // the mix with fragments" heuristic) — deterministic MD5 buckets, so
+      // the oracle reproduces the EXACT survivor set and a re-crawl keeps
+      // the same docs. Quality-proportional sampling is this with wt =
+      // quality_score (tx_quality).
+      val docs = documents(s, d)
+        .withColumn("wt", least(lit(1.0), col("n_chars").cast("double") / 2000.0))
+      graft.operators.Sampling.weightedSampleByHash(docs, col("doc_id"), col("wt"))
+        .select("doc_id", "n_chars", "wt")
+        .orderBy("doc_id")
+    },
+    Q("tx_lm_score",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+        |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        |  WHERE len(ws) >= 2),
+        |dt AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, b),
+        |cf AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS cnt FROM dt GROUP BY b),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cf),
+        |s AS (SELECT dt.doc_id,
+        |    SUM(dt.tf * CAST(floor(1000000.0 * CAST(n.total AS DOUBLE) / CAST(cf.cnt AS DOUBLE)) AS BIGINT)) AS rarity_micro,
+        |    CAST(SUM(dt.tf) AS BIGINT) AS n_bigrams
+        |  FROM dt JOIN cf USING (b), n GROUP BY dt.doc_id)
+        |SELECT doc_id, n_bigrams, rarity_micro,
+        |  CAST(rarity_micro AS DOUBLE) / n_bigrams AS mean_rarity_micro
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Corpus-LM quality proxy (the CCNet-style filtering signal, log-
+      // free): a document's mean bigram rarity under the corpus's own
+      // bigram distribution — high = unusual text, low = boilerplate.
+      // Per-bigram rarity total/cnt floors to integer micro-units before
+      // the per-doc sum (tx_bm25 discipline), so the oracle is bit-exact.
+      // Shape: two map-side-combined aggregates + a bigram-keyed join
+      // (AQE handles the stopword-bigram skew) + one per-doc aggregate.
+      val docs = documents(s, d)
+      val bg = docs.select(col("doc_id"),
+        explode(TextFns.strictWordShingles(TextFns.tokens(col("text")), 2)).as("b"))
+      val dt = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      val cf = dt.groupBy("b").agg(sum(col("tf")).as("cnt"))
+      val n = cf.agg(sum(col("cnt")).as("total"))
+      dt.join(cf, "b")
+        .crossJoin(broadcast(n))
+        .withColumn("r", col("tf") *
+          floor(lit(1000000.0) * col("total").cast("double") / col("cnt").cast("double")))
+        .groupBy("doc_id")
+        .agg(sum(col("r")).as("rarity_micro"), sum(col("tf")).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("rarity_micro"),
+          (col("rarity_micro").cast("double") / col("n_bigrams")).as("mean_rarity_micro"))
+        .orderBy("doc_id")
+    },
     Q("sm_stratified",
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CAST(CAST(concat('0x', substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -104,4 +104,35 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
+
+  test("weightedSampleByHash: weight 1 always survives, 0 and null never, out-of-range clamps") {
+    val rows = (0L until 200L).map { i =>
+      val w: Option[Double] = (i % 5) match {
+        case 0 => Some(1.0)
+        case 1 => Some(0.0)
+        case 2 => None
+        case 3 => Some(7.5)   // clamps to 1 -> always kept
+        case _ => Some(-2.0)  // clamps to 0 -> never kept
+      }
+      (i, w)
+    }
+    val kept = Sampling.weightedSampleByHash(rows.toDF("k", "w"), col("k"), col("w"))
+      .select("k").as[Long].collect().toSet
+    rows.foreach { case (k, w) =>
+      val expect = w match {
+        case Some(x) if x >= 1.0 => true
+        case Some(x) if x <= 0.0 => false
+        case None => false
+        case _ => kept(k) // fractional handled below
+      }
+      assert(kept(k) == expect, s"k=$k w=$w")
+    }
+    // fractional weights keep roughly the weighted share deterministically
+    val frac = (0L until 2000L).map(i => (i, Some(0.3): Option[Double]))
+    val fracKept = Sampling.weightedSampleByHash(frac.toDF("k", "w"), col("k"), col("w")).count()
+    assert(fracKept > 2000 * 0.2 && fracKept < 2000 * 0.4, s"kept $fracKept of 2000 at w=0.3")
+    // and identically on a second run
+    val again = Sampling.weightedSampleByHash(frac.toDF("k", "w"), col("k"), col("w")).count()
+    assert(again == fracKept)
+  }
 }
