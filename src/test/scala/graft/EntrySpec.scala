@@ -29,4 +29,22 @@ class EntrySpec extends SparkTestBase {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("representative oracled queries are run-to-run deterministic including row order") {
+    // the driver's hash compare covers values; this net catches
+    // nondeterminism regressions (arbitrary survivors, unstable sorts,
+    // rand()) across the operator families without re-running DuckDB.
+    val sample = Seq(
+      "p12_dedup_keys", "a3_grouped_median", "w5_row_number_id", "o3_top_k_ties",
+      "j13_salted_skew_join", "dd_exact_dedup", "sm_hash_split", "sm_weighted",
+      "tx_bm25", "tx_lm_score", "ev_sessions", "ev_ohlc", "qt_ntile",
+      "g1_pagerank", "o5_zorder_key", "a14_rollup")
+    val failures = sample.filter(SparkEntry.queries.contains).flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sfDir).collect().toSeq
+      val b = fn(spark, sfDir).collect().toSeq
+      if (a == b) None else Some(name)
+    }
+    assert(failures.isEmpty, s"row-order nondeterminism in: $failures")
+  }
 }
