@@ -99,6 +99,8 @@ object Events {
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
   final case class SessionState(startMs: Long, lastMs: Long, n: Long, totalValue: Double)
+  final case class FunnelState(anchors: List[Long])
+  final case class FunnelProgress(user_id: Long, stage: Int, anchor_ms: Long)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
@@ -150,6 +152,44 @@ object Events {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming ordered funnel: per-user state machine over
+    * mapGroupsWithState — the continuous twin of the batch
+    * [[graft.ops.Funnel]]. State is the earliest anchor time of each
+    * COMPLETED stage (a few longs per user, bounded); each micro-batch
+    * sorts its user's events by (time, id) and greedily advances: stage
+    * k+1 completes at the first event of its type strictly after the
+    * stage-k anchor — exactly the batch semantics when events arrive
+    * per-user in order (the partition-by-user deployment). Honesty note:
+    * an out-of-order LATER batch with an earlier qualifying event cannot
+    * retroactively lower an anchor (bounded state keeps anchors, not
+    * history) — the batch Funnel is the authoritative recompute; add an
+    * event-time timeout in production to expire abandoned journeys.
+    */
+  def funnelStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      steps: Seq[String]): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var anchors = state.getOption.map(_.anchors).getOrElse(List.empty[Long])
+          for (e <- sorted) {
+            if (anchors.size < steps.size && e.event_type == steps(anchors.size) &&
+                (anchors.isEmpty || e.ts.getTime > anchors.last))
+              anchors = anchors :+ e.ts.getTime
+          }
+          state.update(FunnelState(anchors))
+          FunnelProgress(uid, anchors.size,
+            if (anchors.isEmpty) -1L else anchors.last)
       }
   }
 

@@ -120,6 +120,28 @@ class StreamingSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("streaming funnel stage counts equal the batch Funnel on in-order replay") {
+    val stream = Events.readEventStream(spark, eventsDir)
+    val q = Events.funnelStream(spark, stream, Seq("view", "click", "purchase"))
+      .writeStream.outputMode("update").format("memory").queryName("funnel_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // latest state per user (update mode re-emits on change)
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .filter(col("stage") >= 1)
+    val streamedByStage = (1 to 3).map(k => streamed.filter(col("stage") >= k).count())
+    val batch = graft.ops.Funnel.counts(
+        graft.core.Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")),
+        "user_id", "us",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+      .orderBy("stage").select("n_users").as[Long].collect().toSeq
+    assert(streamedByStage == batch,
+      s"streaming $streamedByStage vs batch $batch")
+  }
+
   test("streaming OHLC bars equal the batch ev_ohlc twin") {
     val stream = Events.readEventStream(spark, eventsDir)
     val q = Events.ohlcStream(stream)
