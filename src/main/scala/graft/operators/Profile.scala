@@ -101,6 +101,43 @@ object Profile {
     * broadcast back, and a TakeOrdered for the top-N — no global sort, no
     * window, output bounded at `topN` regardless of key cardinality.
     */
+  /** One-pass pairwise Pearson correlation per group: ALL moments (per-
+    * column decimal-exact sums and sums of squares, per-pair sums of
+    * products) come from a single hash aggregate, then the textbook
+    * formula runs in a handful of IEEE double ops with identical
+    * parenthesization to the SQL twin — so the matrix is bit-stable
+    * cross-engine (the qt_zscore discipline; sqrt is correctly rounded).
+    * Zero-variance columns yield null (no 0/0). Built-in `corr` is a
+    * streaming co-moment whose update order varies per run — unusable
+    * under the determinism contract.
+    *
+    * Magnitude note: exactness of the final decimal→double cast needs the
+    * scaled sums under 2^53 (core.Num rationale) — profile bounded-range
+    * columns (rates, quantities), not raw revenue products.
+    */
+  def pearsonMatrix(df: DataFrame, keys: Seq[String], cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (cols(i), cols(j))
+    val moments =
+      Seq(count(lit(1)).cast("double").as("__n")) ++
+        cols.flatMap(c => Seq(
+          sum(col(c).cast(Dec)).cast("double").as(s"__s_$c"),
+          sum((col(c) * col(c)).cast(Dec)).cast("double").as(s"__ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(Dec)).cast("double").as(s"__sp_${a}_$b") }
+    val agg =
+      if (keys.isEmpty) df.agg(moments.head, moments.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(moments.head, moments.tail: _*)
+    val corrCols = pairs.map { case (a, b) =>
+      val n = col("__n")
+      val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      val vx = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vy = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as(s"corr_${a}_$b")
+    }
+    agg.select(keys.map(col) ++ Seq(col("__n").cast("long").as("n")) ++ corrCols: _*)
+  }
+
   def keySkew(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
     require(keys.nonEmpty && topN > 0, "need keys and positive topN")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))

@@ -678,6 +678,46 @@ object Analytics {
         .orderBy("v")
     },
 
+    // ---- profiling: one-pass correlation matrix -------------------------
+    Q("pf_corr",
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS ss_q,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS s_d,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS ss_d,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(30,6))) AS DOUBLE) AS s_t,
+        |    CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(30,6))) AS DOUBLE) AS ss_t,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sp_qd,
+        |    CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(30,6))) AS DOUBLE) AS sp_qt,
+        |    CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(30,6))) AS DOUBLE) AS sp_dt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n * ss_q - s_q * s_q) > 0 AND (n * ss_d - s_d * s_d) > 0
+        |       THEN (n * sp_qd - s_q * s_d)
+        |            / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_d - s_d * s_d)) END
+        |    AS corr_l_quantity_l_discount,
+        |  CASE WHEN (n * ss_q - s_q * s_q) > 0 AND (n * ss_t - s_t * s_t) > 0
+        |       THEN (n * sp_qt - s_q * s_t)
+        |            / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_t - s_t * s_t)) END
+        |    AS corr_l_quantity_l_tax,
+        |  CASE WHEN (n * ss_d - s_d * s_d) > 0 AND (n * ss_t - s_t * s_t) > 0
+        |       THEN (n * sp_dt - s_d * s_t)
+        |            / (sqrt(n * ss_d - s_d * s_d) * sqrt(n * ss_t - s_t * s_t)) END
+        |    AS corr_l_discount_l_tax
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // One-pass pairwise correlation per group (Profile.pearsonMatrix):
+      // all moments from a single hash aggregate through decimal-exact
+      // sums, then the textbook formula in identically-parenthesized IEEE
+      // ops — bit-stable where the built-in streaming `corr` is
+      // update-order-dependent. The profiling step that decides which
+      // features are redundant before training.
+      graft.operators.Profile.pearsonMatrix(
+          lineitem(s, d).select("l_returnflag", "l_quantity", "l_discount", "l_tax"),
+          Seq("l_returnflag"), Seq("l_quantity", "l_discount", "l_tax"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- distribution drift between two slices -------------------------
     Q("pf_drift",
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,

@@ -271,6 +271,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.take(3).sameElements(Array(0L, 1L, 2L)))
   }
 
+  // --- one-pass correlation matrix ------------------------------------------
+
+  test("pearsonMatrix: perfect, anti and zero correlation; constant column nulls") {
+    val data = (1 to 40).map { i =>
+      (i.toDouble, 2.0 * i + 3, -0.5 * i + 10, 7.0)
+    }.toDF("x", "lin", "anti", "const")
+    val r = graft.operators.Profile.pearsonMatrix(
+        data, Nil, Seq("x", "lin", "anti", "const"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 40)
+    assert(math.abs(r.getAs[Double]("corr_x_lin") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("corr_x_anti") + 1.0) < 1e-12)
+    assert(r.isNullAt(r.fieldIndex("corr_x_const")), "zero variance must yield null")
+  }
+
   // --- interval-overlap join ------------------------------------------------
 
   test("intervalOverlapJoin matches brute force; each pair exactly once; inverted/null drop") {
