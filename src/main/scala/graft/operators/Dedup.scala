@@ -440,4 +440,57 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Asymmetric containment pairs (|A ∩ B| / |A| >= minContainment) for
+    * "query" documents with at most `maxQueryShingles` distinct shingles —
+    * the quote/subset detector Jaccard misses, with EXACT prefix
+    * filtering (the PPJoin family's position filter, rarest-first global
+    * order): if |A∩B| >= t then A's first |A|−t+1 shingles in
+    * (corpus-frequency asc, shingle asc) order must intersect B —
+    * pigeonhole, so only those PREFIX shingles seed the inverted-index
+    * probe, and common-shingle candidate explosion disappears without
+    * changing the result set. Verification then counts FULL matches for
+    * candidate pairs only via a (doc, shingle)-keyed join. All counts are
+    * integers + one final division: oracle-exact.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int = 3,
+      maxQueryShingles: Int = 40,
+      minContainment: Double = 0.5): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1, "minContainment in (0, 1]")
+    // the shingle index is read by SIX consumers (sizes, frequencies,
+    // ranking, candidate probe, both verify sides) — materialize it once
+    // (index build), or each consumer re-tokenizes the corpus
+    val sh = df.select(col(id),
+      explode(array_distinct(TextFns.strictWordShingles(TextFns.tokens(col(text)), shingleN)))
+        .as("s"))
+      .localCheckpoint()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("__f"))
+    // query side: short docs, shingles ranked rarest-first
+    val qSh = sh.join(sizes.filter(col("n_sh") <= maxQueryShingles), id)
+      .join(freq, "s")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("__f"), col("s"))))
+    // t = ceil(minC·|A|): matches >= t  <=>  containment >= minC (integer matches)
+    val prefix = qSh.filter(
+      col("__rk") <= col("n_sh") - ceil(lit(minContainment) * col("n_sh")).cast("long") + 1)
+    val cand = prefix.select(col(id).as("id_a"), col("s"))
+      .join(sh.select(col(id).as("id_b"), col("s")), "s")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates only: fan A's shingles onto each pair, probe B's
+    // index by (id_b, s) — bounded by |cand| × maxQueryShingles
+    cand
+      .join(sh.select(col(id).as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col(id).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("matches"))
+      .join(sizes.select(col(id).as("id_a"), col("n_sh")), "id_a")
+      .withColumn("containment", col("matches").cast("double") / col("n_sh"))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "matches", "containment")
+  }
 }

@@ -47,6 +47,21 @@ object Aggregates {
         mergeCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
 
+  /** Per-group min-max scaling to [0, 1] (qt_minmax) — the bounded-range
+    * companion of zscore/winsorize in the feature-scaling family. Exact
+    * group extremes broadcast back; a single IEEE division per row, so
+    * bit-stable cross-engine; constant groups yield null (no 0/0).
+    */
+  def minmaxScale(df: DataFrame, keys: Seq[String], v: String): DataFrame = {
+    val mn = s"${v}_min"
+    val mx = s"${v}_max"
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(min(col(v)).as(mn), max(col(v)).as(mx))
+    df.join(broadcast(stats), keys)
+      .withColumn(s"${v}_scaled",
+        when(col(mx) > col(mn), (col(v) - col(mn)) / (col(mx) - col(mn))))
+  }
+
   /** A10: per-column null counts — the reference's NA profiler
     * (R/helpers.R:11-25) as one aggregate pass.
     */

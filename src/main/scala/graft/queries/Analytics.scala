@@ -635,6 +635,29 @@ object Analytics {
         .orderBy("o_custkey", "day", "o_orderkey")
     },
 
+    // ---- feature scaling: min-max ---------------------------------------
+    Q("qt_minmax",
+      """WITH s AS (SELECT l_returnflag, MIN(l_quantity) AS l_quantity_min,
+        |    MAX(l_quantity) AS l_quantity_max
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+        |  s.l_quantity_min, s.l_quantity_max,
+        |  CASE WHEN s.l_quantity_max > s.l_quantity_min
+        |       THEN (l.l_quantity - s.l_quantity_min)
+        |            / (s.l_quantity_max - s.l_quantity_min) END AS l_quantity_scaled
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin) { (s, d) =>
+      // Min-max scaling to [0,1] per group — completes the feature-scaling
+      // family (qt_zscore standardizes, qt_winsorize clips, this bounds).
+      // Exact extremes broadcast back; one division per row, bit-stable.
+      graft.ops.Aggregates.minmaxScale(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), "l_quantity")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_quantity_min", "l_quantity_max", "l_quantity_scaled")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+
     // ---- graph: fixed-point PageRank ------------------------------------
     Q("g1_pagerank",
       """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
