@@ -168,7 +168,7 @@ object Analytics {
         |          + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))))
         |      * 1000000.0) AS BIGINT) AS micro
         |  FROM dt JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, SUM(micro) AS bm25_micro
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(micro) AS BIGINT) AS bm25_micro
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       // BM25 (Robertson/Spärck Jones probabilistic ranking, k1=1.2,
@@ -751,9 +751,9 @@ object Analytics {
         |    CAST(SUM(CASE WHEN c.is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |    CAST(SUM(CASE WHEN c.is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
         |  FROM c, m GROUP BY bucket),
-        |t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM b)
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM b)
         |SELECT t.ta AS n_a, t.tb AS n_b,
-        |  SUM(abs(b.n_a * t.tb - b.n_b * t.ta)) AS l1_num,
+        |  CAST(SUM(abs(b.n_a * t.tb - b.n_b * t.ta)) AS BIGINT) AS l1_num,
         |  CAST(SUM(abs(b.n_a * t.tb - b.n_b * t.ta)) AS DOUBLE) / (t.ta * t.tb) AS l1_drift
         |FROM b, t GROUP BY t.ta, t.tb""".stripMargin) { (s, d) =>
       // Distribution drift check between two slices of a table (the data-

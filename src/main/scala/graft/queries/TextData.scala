@@ -692,7 +692,7 @@ object TextData {
         |cf AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS cnt FROM dt GROUP BY b),
         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cf),
         |s AS (SELECT dt.doc_id,
-        |    SUM(dt.tf * CAST(floor(1000000.0 * CAST(n.total AS DOUBLE) / CAST(cf.cnt AS DOUBLE)) AS BIGINT)) AS rarity_micro,
+        |    CAST(SUM(dt.tf * CAST(floor(1000000.0 * CAST(n.total AS DOUBLE) / CAST(cf.cnt AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rarity_micro,
         |    CAST(SUM(dt.tf) AS BIGINT) AS n_bigrams
         |  FROM dt JOIN cf USING (b), n GROUP BY dt.doc_id)
         |SELECT doc_id, n_bigrams, rarity_micro,
