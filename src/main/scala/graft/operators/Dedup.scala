@@ -336,6 +336,15 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 8): Unit = {
     val spark = corpus.sparkSession
+    // the orphan cleanup below derives the managed-table path as
+    // warehouse/<name>; a qualified name (db.tbl) or a non-default current
+    // database would make that point at the WRONG directory and delete
+    // unrelated data — refuse those outright rather than guess
+    require(!table.contains("."),
+      s"saveMinhashIndexBucketed takes an unqualified table name; got '$table'")
+    require(spark.catalog.currentDatabase == "default",
+      s"saveMinhashIndexBucketed persists to the default database; current is " +
+        s"'${spark.catalog.currentDatabase}'")
     // a managed-table location can survive a previous JVM whose catalog is
     // gone (fresh in-memory catalog, stale warehouse dir) — overwrite mode
     // cannot recover from that (LOCATION_ALREADY_EXISTS), so clear the

@@ -51,22 +51,20 @@ object Maintenance {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // repair any interrupted prior swap before reading the layout
+    graft.core.StagedSwap.recover(spark, path)
     val before = parquetFiles(spark, dir)
     val bytes = before.map(p => fs.getFileStatus(p).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val stage = new Path(path + "__compacting")
     val data = spark.read.parquet(path)
-    val writer =
-      if (partitionCols.isEmpty) data.repartition(nOut).write
-      else data
-        .repartition(nOut, partitionCols.map(org.apache.spark.sql.functions.col): _*)
-        .write.partitionBy(partitionCols: _*)
-    writer.mode("overwrite").parquet(stage.toString)
-    fs.delete(dir, true)
-    // rename reports failure via its return value (Hadoop FS contract)
-    require(fs.rename(stage, dir),
-      s"staging swap failed: could not rename $stage to $dir (old layout already deleted; " +
-        s"recover from $stage)")
+    graft.core.StagedSwap.replace(spark, path) { stage =>
+      val writer =
+        if (partitionCols.isEmpty) data.repartition(nOut).write
+        else data
+          .repartition(nOut, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(partitionCols: _*)
+      writer.mode("overwrite").parquet(stage)
+    }
     CompactionReport(before.size.toLong, parquetFiles(spark, dir).size.toLong,
       bytes, targetFileBytes)
   }

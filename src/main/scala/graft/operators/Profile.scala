@@ -117,25 +117,34 @@ object Profile {
     */
   def pearsonMatrix(df: DataFrame, keys: Seq[String], cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns to correlate")
-    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (cols(i), cols(j))
+    // moment aliases are POSITIONAL (__s_0, __sp_0_1), never name-derived:
+    // name-derived aliases are ambiguous under underscores (('a','b_c') and
+    // ('a_b','c') would both alias __sp_a_b_c) and collide with user columns
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (i, j)
     val moments =
       Seq(count(lit(1)).cast("double").as("__n")) ++
-        cols.flatMap(c => Seq(
-          sum(col(c).cast(Dec)).cast("double").as(s"__s_$c"),
-          sum((col(c) * col(c)).cast(Dec)).cast("double").as(s"__ss_$c"))) ++
-        pairs.map { case (a, b) =>
-          sum((col(a) * col(b)).cast(Dec)).cast("double").as(s"__sp_${a}_$b") }
+        cols.indices.flatMap(i => Seq(
+          sum(col(cols(i)).cast(Dec)).cast("double").as(s"__s_$i"),
+          sum((col(cols(i)) * col(cols(i))).cast(Dec)).cast("double").as(s"__ss_$i"))) ++
+        pairs.map { case (i, j) =>
+          sum((col(cols(i)) * col(cols(j))).cast(Dec)).cast("double").as(s"__sp_${i}_$j") }
     val agg =
       if (keys.isEmpty) df.agg(moments.head, moments.tail: _*)
       else df.groupBy(keys.map(col): _*).agg(moments.head, moments.tail: _*)
-    val corrCols = pairs.map { case (a, b) =>
+    // output aliases can collide the same way (corr_a_b_c from both
+    // ('a','b_c') and ('a_b','c')) — keep every emitted name unique
+    val nOut = graft.core.Cols.fresh(keys, "n")
+    val used = scala.collection.mutable.Set(keys: _*) += nOut
+    val corrCols = pairs.map { case (i, j) =>
       val n = col("__n")
-      val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
-      val vx = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
-      val vy = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
-      when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as(s"corr_${a}_$b")
+      val cov = n * col(s"__sp_${i}_$j") - col(s"__s_$i") * col(s"__s_$j")
+      val vx = n * col(s"__ss_$i") - col(s"__s_$i") * col(s"__s_$i")
+      val vy = n * col(s"__ss_$j") - col(s"__s_$j") * col(s"__s_$j")
+      val name = graft.core.Cols.fresh(used, s"corr_${cols(i)}_${cols(j)}")
+      used += name
+      when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as(name)
     }
-    agg.select(keys.map(col) ++ Seq(col("__n").cast("long").as("n")) ++ corrCols: _*)
+    agg.select(keys.map(col) ++ Seq(col("__n").cast("long").as(nOut)) ++ corrCols: _*)
   }
 
   def keySkew(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {

@@ -297,7 +297,9 @@ object Joins {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val clash = a.columns.toSet.intersect(b.columns.toSet) -- keys
     require(clash.isEmpty, s"side columns collide: ${clash.mkString(", ")}")
-    val bk = graft.core.Cols.fresh(a, "__bucket")
+    // fresh against BOTH sides: a b-side __bucket would otherwise be
+    // silently overwritten by spanned(b, ...) and dropped from the result
+    val bk = graft.core.Cols.fresh(a.columns ++ b.columns, "__bucket")
     def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
     def spanned(df: DataFrame, lo: String, hi: String): DataFrame = df
       .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))

@@ -63,7 +63,10 @@ object Ingest {
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tgt = new Path(targetPath)
-    val stage = new Path(targetPath + "__staging")
+    // repair any interrupted prior swap BEFORE the existence check below:
+    // a target missing only because a swap crashed mid-rename must not be
+    // mistaken for an empty table (that overwrite would lose the corpus)
+    graft.core.StagedSwap.recover(spark, targetPath)
     // survivor order: highest version, then every payload column — total,
     // so two same-key same-version rows still dedup deterministically
     val payloadCols = batch.columns.filterNot(keys.contains).filterNot(_ == versionCol)
@@ -74,14 +77,9 @@ object Ingest {
       if (fs.exists(tgt))
         graft.ops.Joins.upsert(spark.read.parquet(targetPath), latest, keys)
       else latest
-    merged.write.mode("overwrite").parquet(stage.toString)
-    fs.delete(tgt, true)
-    // rename signals failure by RETURN VALUE, not exception — unchecked,
-    // a cross-filesystem or permission failure after the delete would
-    // silently lose the target
-    require(fs.rename(stage, tgt),
-      s"staging swap failed: could not rename $stage to $tgt (old target already deleted; " +
-        s"recover from $stage)")
+    graft.core.StagedSwap.replace(spark, targetPath) { stage =>
+      merged.write.mode("overwrite").parquet(stage)
+    }
   }
 
   /** Continuous dimension maintenance: every arriving micro-batch of

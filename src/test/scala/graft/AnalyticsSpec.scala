@@ -286,6 +286,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("corr_x_const")), "zero variance must yield null")
   }
 
+  test("pearsonMatrix: underscore-ambiguous column names and a key named n") {
+    // ('a','b_c') and ('a_b','c') would both alias __sp_a_b_c under
+    // name-derived moment aliases; positional aliases must keep them apart
+    val data = (1 to 30).map { i =>
+      ("g", i.toDouble, 2.0 * i, -1.0 * i, 3.0 * i + 1)
+    }.toDF("n", "a", "b_c", "a_b", "c")
+    val r = graft.operators.Profile.pearsonMatrix(
+      data, Seq("n"), Seq("a", "b_c", "a_b", "c")).collect()(0)
+    assert(r.getAs[String]("n") == "g", "key column must survive untouched")
+    assert(r.getAs[Long]("n_0") == 30, "count alias must dodge the key named n")
+    assert(math.abs(r.getAs[Double]("corr_a_b_c") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("corr_a_b_c_0") + 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("corr_b_c_a_b") + 1.0) < 1e-12)
+  }
+
   // --- interval-overlap join ------------------------------------------------
 
   test("intervalOverlapJoin matches brute force; each pair exactly once; inverted/null drop") {
@@ -306,6 +321,16 @@ class AnalyticsSpec extends SparkTestBase {
     } yield (ia, ib)
     assert(got.sorted == expected.sorted, "pair sets (with multiplicity) must match")
     assert(got.distinct.size == got.size, "no duplicate pair emissions")
+  }
+
+  test("intervalOverlapJoin keeps a b-side column named __bucket") {
+    val a = Seq((1L, 0L, 10L)).toDF("id_a", "a_lo", "a_hi")
+    val b = Seq((2L, 5L, 8L, "keep")).toDF("id_b", "b_lo", "b_hi", "__bucket")
+    val out = graft.ops.Joins.intervalOverlapJoin(
+      a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 4)
+    assert(out.columns.count(_ == "__bucket") == 1)
+    assert(out.select("__bucket").as[String].collect().toSeq == Seq("keep"),
+      "the internal bucket temp must not overwrite b's data column")
   }
 
   // --- compaction -----------------------------------------------------------

@@ -117,6 +117,16 @@ class DedupSpec extends SparkTestBase {
     assert(out.head._3 > 0.7, s"est_jaccard ${out.head._3} too low for a near-copy")
   }
 
+  test("bucketed minhash index: qualified table names are refused") {
+    // the orphan cleanup derives warehouse/<name>; db.tbl would make it
+    // point at (and delete) the wrong directory
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.saveMinhashIndexBucketed(corpus, "doc_id", "text", "somedb.graft_test_mh_q")
+    }
+    assert(e.getMessage.contains("unqualified"))
+  }
+
   test("bucketed minhash index: probe joins without re-shuffling the corpus side") {
     val corpus = (0L until 30L).map(i => (i, s"$base unique tail token$i")).toDF("doc_id", "text")
     val batch = Seq((100L, base + " unique tail token7"), (101L, distinct1)).toDF("doc_id", "text")
