@@ -11,6 +11,34 @@ import org.apache.spark.sql.functions._
   */
 object RunWorkflow {
 
+  /** Optional per-vintage raw frames. `None` = vintage not supplied (its
+    * rows are simply absent from the union, like a missing CSV would be in
+    * the reference scripts). WEO2021 is NOT here — it is the mandatory
+    * base vintage carried by [[Inputs]] itself.
+    */
+  final case class VintageInputs(
+      // capacity factors (data-raw/run_prepare_prewrangled_capacity_factors.R)
+      weo2023CapacityFactors: Option[DataFrame] = None,
+      ngfs2023CapacityFactors: Option[DataFrame] = None,
+      ngfs2024CapacityFactors: Option[DataFrame] = None,
+      ipr2023CapacityFactors: Option[DataFrame] = None,
+      gemSteelCapacityFactors: Option[DataFrame] = None,
+      // OXF2021 derives from the prepared WEO2021 frame (:151), so it needs
+      // no raw input — just the reference's unconditional inclusion
+      includeOxf2021CapacityFactors: Boolean = true,
+      // prices (data-raw/run_prepare_price_data_long.R)
+      weo2023FossilFuelPrices: Option[DataFrame] = None,
+      weo2023PowerLcoe: Option[DataFrame] = None,
+      ngfs2023FossilPrices: Option[DataFrame] = None,
+      ngfs2024FossilPrices: Option[DataFrame] = None,
+      // raw_Oxford_LCOE_wrangled.csv — shared by BOTH NGFS price fan-outs
+      oxfordLcoe: Option[DataFrame] = None,
+      ipr2023FossilPrices: Option[DataFrame] = None,
+      oxf2021FossilPrices: Option[DataFrame] = None,
+      steelLevelizedCost: Option[DataFrame] = None,
+      averageNpmPower: Double = 0.115,      // run_prepare_price_data_long.R:5
+      steelNpm: Double = 0.06866203)        // :330
+
   final case class Inputs(
       ngfsCarbonPriceWide: DataFrame,
       weoCapacityFactorsWide: DataFrame,
@@ -22,9 +50,22 @@ object RunWorkflow {
       companyIds: Option[DataFrame],
       ownershipTree: Option[DataFrame],
       scenarios: Option[ScenarioData.ScenarioInputs] = None,
+      vintages: Option[VintageInputs] = None,
+      // bench_regions (scenario_geography, country_iso, ...) — enables the
+      // stage-5 geography regroup/rename and the TRISK-v2 reshape
+      benchRegions: Option[DataFrame] = None,
       startYear: Int = 2021,
       timeHorizon: Int = 5,
       sectorList: Seq[String] = Seq("Automotive", "Power", "Oil&Gas", "Coal"))
+
+  /** run_workflow.R:98-272 — the v2 input frames (assets.csv,
+    * scenarios.csv, financial_features.csv, ngfs_carbon_price.csv).
+    */
+  final case class TriskV2(
+      assets: DataFrame,
+      scenarios: DataFrame,
+      financialFeatures: DataFrame,
+      ngfsCarbonPrice: DataFrame)
 
   final case class Outputs(
       carbonPrice: DataFrame,
@@ -32,7 +73,11 @@ object RunWorkflow {
       prices: DataFrame,
       abcd: DataFrame,
       financial: DataFrame,
-      scenariosAnalysisInput: Option[DataFrame] = None)
+      scenariosAnalysisInput: Option[DataFrame] = None,
+      // bench_regions with scenario_geography_newname (the reference's
+      // usethis::use_data(scenarios_geographies) at run_rename_geographies.R:203)
+      scenariosGeographies: Option[DataFrame] = None,
+      triskV2: Option[TriskV2] = None)
 
   /** The st_inputs column convention: every runner renames
     * technology→ald_business_unit (and the price runner sector→ald_sector)
@@ -43,6 +88,96 @@ object RunWorkflow {
     val renamed = df.withColumnRenamed("technology", "ald_business_unit")
     if (renamed.columns.contains("sector")) renamed.withColumnRenamed("sector", "ald_sector")
     else renamed
+  }
+
+  /** bind_rows semantics: column union, absent columns null-filled. */
+  private def bindRows(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Multi-vintage capacity-factor merge in the reference's combine order
+    * (run_prepare_prewrangled_capacity_factors.R:175-183: WEO2021, NGFS2023,
+    * NGFS2024, IPR2023+baseline, OXF2021, GEM steel, WEO2023).
+    */
+  private def mergeCapacityFactorVintages(
+      cfWeo2021: DataFrame, v: VintageInputs, startYear: Int): DataFrame = {
+    val ipr = v.ipr2023CapacityFactors.map { raw =>
+      val p = CapacityFactors.prepareCapacityFactorsIpr2023(raw, startYear)
+        .filter(col("scenario_geography") =!= "IND") // :143 duplicated India geography
+      // :146 full_join(prepared, baseline) — a natural full join of
+      // equal-schema frames with disjoint scenario labels = union-dedup (J5)
+      p.unionByName(CapacityFactors.prepareCapacityFactorsIpr2023Baseline(p)).distinct()
+    }
+    bindRows(Seq(
+      Some(cfWeo2021),
+      v.ngfs2023CapacityFactors.map(CapacityFactors.prepareCapacityFactorsNgfs2023(_, startYear)),
+      v.ngfs2024CapacityFactors.map(CapacityFactors.prepareCapacityFactorsNgfs2024(_, startYear)),
+      ipr,
+      if (v.includeOxf2021CapacityFactors)
+        Some(CapacityFactors.prepareCapacityFactorsOxf2021(cfWeo2021)) else None,
+      // :168-172 — GEM steel values are forced to 1 (placeholder) by the
+      // runner before the prepare
+      v.gemSteelCapacityFactors.map(s => CapacityFactors.prepareCapacityFactorsGemSteel(
+        s.withColumn("value", lit(1.0)), startYear)),
+      v.weo2023CapacityFactors.map(CapacityFactors.prepareCapacityFactorsWeo2023(_, startYear))
+    ).flatten)
+  }
+
+  /** WEO price chain (run_prepare_price_data_long.R:52-123): long wrangle,
+    * LCOE-implied price adjustment, vintage scenario prefix, source drop.
+    */
+  private def adjustedWeoPrices(
+      fossilWide: DataFrame, powerWide: DataFrame,
+      vintage: String, npm: Double, startYear: Int): DataFrame =
+    Prices.lcoeAdjustedPrices(
+        Prices.preparePriceDataLongWeo2021(fossilWide, powerWide), npm, startYear)
+      .withColumn("scenario", concat(lit(vintage + "_"), col("scenario")))
+      .drop("source")
+
+  /** Multi-vintage price merge (run_prepare_price_data_long.R:345-361):
+    * WEO2021, WEO2023, NGFS2023(+Oxford LCOE), NGFS2024(+Oxford LCOE),
+    * IPR2023(+WEO power LCOE + WEO2021 baseline), OXF2021, MP steel; the
+    * reference filters to Global at write time (price data carries no
+    * geography resolution).
+    */
+  private def mergePriceVintages(
+      in: Inputs, v: VintageInputs): DataFrame = {
+    val adjWeo2021 = adjustedWeoPrices(
+      in.fossilFuelPricesWide, in.powerLcoeWide, "WEO2021", v.averageNpmPower, in.startYear)
+    def ngfs(raw: Option[DataFrame], prep: (DataFrame, Int) => DataFrame, vintage: String) =
+      raw.map { r =>
+        val base = prep(r, in.startYear)
+        v.oxfordLcoe.map(lcoe => bindRows(Seq(base,
+            Prices.prepareLcoeAdjustedPriceDataOxford2022(
+              lcoe, v.averageNpmPower, in.startYear, vintage))))
+          .getOrElse(base)
+      }
+    val ipr = v.ipr2023FossilPrices.map { raw =>
+      bindRows(Seq(
+        Prices.preparePriceDataLongIpr2023(raw, in.startYear),
+        // :263-270 — IPR power prices reuse the WEO2021 power LCOE input
+        Prices.prepareLcoeAdjustedPriceDataIpr2023(
+          Prices.preparePriceDataLongPowerIpr2023(in.powerLcoeWide),
+          v.averageNpmPower, in.startYear).drop("source"),
+        // :274 — IPR baseline clones the adjusted WEO2021 STEPS path
+        Prices.preparePriceDataLongIpr2023Baseline(adjWeo2021)))
+    }
+    val weo2023 = (v.weo2023FossilFuelPrices, v.weo2023PowerLcoe) match {
+      case (Some(f), Some(p)) =>
+        Some(adjustedWeoPrices(f, p, "WEO2023", v.averageNpmPower, in.startYear))
+      case _ => None
+    }
+    bindRows(Seq(
+      Some(adjWeo2021),
+      weo2023,
+      ngfs(v.ngfs2023FossilPrices, Prices.preparePriceDataLongNgfs2023, "2023"),
+      ngfs(v.ngfs2024FossilPrices, Prices.preparePriceDataLongNgfs2024, "2024"),
+      ipr,
+      v.oxf2021FossilPrices.map(Prices.preparePriceDataLongOxf2021(_, in.startYear)),
+      v.steelLevelizedCost.map(raw => Prices.prepareLcAdjustedPriceDataSteel(
+        Prices.mpLcSteelWrangling(raw), v.steelNpm, in.startYear))
+    ).flatten)
+      // :360 — price data is written Global-only
+      .filter(col("scenario_geography") === "Global")
   }
 
   def run(spark: SparkSession, in: Inputs): Outputs = {
@@ -56,13 +191,17 @@ object RunWorkflow {
     val scenariosAnalysisInput = in.scenarios.map(s =>
       ScenarioData.prepareScenariosAnalysisInput(s, in.startYear).cache())
 
-    // stages 2-4 of run_workflow.R
+    // stages 2-4 of run_workflow.R: carbon price, capacity factors, prices
     val carbonPrice = CarbonPrice.prepareNgfsCarbonPrice(
       spark, in.ngfsCarbonPriceWide, in.startYear)
-    val capacityFactors = CapacityFactors.prepareCapacityFactorsWeo2021(
+    val cfWeo2021 = CapacityFactors.prepareCapacityFactorsWeo2021(
       in.weoCapacityFactorsWide, in.startYear)
-    var prices = Prices.preparePriceDataLongWeo2021(
-      in.fossilFuelPricesWide, in.powerLcoeWide)
+    val capacityFactors = in.vintages
+      .map(mergeCapacityFactorVintages(cfWeo2021, _, in.startYear))
+      .getOrElse(cfWeo2021)
+    var prices = in.vintages
+      .map(mergePriceVintages(in, _))
+      .getOrElse(Prices.preparePriceDataLongWeo2021(in.fossilFuelPricesWide, in.powerLcoeWide))
     // run_workflow.R price stage appends dummy automotive prices wherever
     // the merged scenario set has automotive rows (create_automotive_prices)
     for (scen <- scenariosAnalysisInput) {
@@ -70,19 +209,35 @@ object RunWorkflow {
         .withColumn("source", lit("synthetic"))
         .withColumn("year", col("year").cast("int"))
         .withColumn("price", col("price").cast("double"))
-      prices = prices.unionByName(auto.select(prices.columns.map(col): _*))
+      prices = prices.unionByName(auto, allowMissingColumns = true)
     }
 
-    // stages 5-6 of run_workflow.R (:28-72): align the scenario, price and
-    // capacity-factor frames to the perimeter complete across all three —
-    // rewrite-as-new-frames, never in place (a lazy plan must not read a
-    // path being overwritten). The st_inputs renames apply UNCONDITIONALLY
-    // (the reference runners always rename before writing), so Outputs
-    // carries one schema regardless of whether the scenario stage ran.
+    // the st_inputs renames apply UNCONDITIONALLY (the reference runners
+    // always rename before writing), so Outputs carries one schema
+    // regardless of which optional stages ran
     var capacityFactorsOut = toStInputNames(capacityFactors)
     var pricesOut = toStInputNames(prices)
     var scenariosOut = scenariosAnalysisInput
-    for (scen <- scenariosAnalysisInput) {
+    var carbonPriceOut = carbonPrice
+
+    // stage 5 of run_workflow.R (:24-25, run_rename_geographies.R:190-207):
+    // regroup identical bench geographies, standardize the names, and
+    // rewrite scenario_geography across ALL FOUR st_inputs frames
+    val scenariosGeographies = in.benchRegions.map { bench =>
+      val frames = Seq(capacityFactorsOut, pricesOut, carbonPriceOut) ++ scenariosOut.toSeq
+      val (benchOut, renamed) = Geographies.regroupAndRenameGeographies(bench, frames)
+      capacityFactorsOut = renamed(0)
+      pricesOut = renamed(1)
+      carbonPriceOut = renamed(2)
+      if (scenariosOut.isDefined) scenariosOut = Some(renamed(3))
+      benchOut.cache() // consumed by the v2 reshape below and the caller's write
+    }
+
+    // stage 6 of run_workflow.R (:39-72): align the scenario, price and
+    // capacity-factor frames to the perimeter complete across all three —
+    // rewrite-as-new-frames, never in place (a lazy plan must not read a
+    // path being overwritten)
+    for (scen <- scenariosOut) {
       val (alignedScen, alignedPrices, alignedCf) = Workflow.alignDatasets(
         scen, pricesOut, capacityFactorsOut)
       scenariosOut = Some(alignedScen)
@@ -90,7 +245,8 @@ object RunWorkflow {
       capacityFactorsOut = alignedCf
     }
 
-    // stage 7: abcd — consumed by the financial stage too -> cache
+    // stage 7: abcd — consumed by the financial stage AND the v2 assets
+    // reshape -> cache
     val abcd = Abcd.prepareAbcdData(in.companyActivities, in.companyEmissions,
       in.startYear, in.timeHorizon, Nil, in.sectorList).cache()
 
@@ -105,6 +261,19 @@ object RunWorkflow {
       allowedRangeNpm = (Double.NegativeInfinity, Double.PositiveInfinity))
     financial = Financial.restrictToAbcdCompanies(financial, abcd)
 
-    Outputs(carbonPrice, capacityFactorsOut, pricesOut, abcd, financial, scenariosOut)
+    // stage 9 of run_workflow.R (:98-272): reshape the aligned st_inputs
+    // into the TRISK-v2 frames; needs the scenario set (join spine) and the
+    // renamed bench regions (country lists per geography)
+    val triskV2 = for {
+      scen <- scenariosOut
+      benchOut <- scenariosGeographies
+    } yield TriskV2(
+      assets = Workflow.triskV2Assets(abcd),
+      scenarios = Workflow.triskV2Scenarios(scen, capacityFactorsOut, pricesOut, benchOut),
+      financialFeatures = Workflow.triskV2FinancialFeatures(financial),
+      ngfsCarbonPrice = carbonPriceOut)
+
+    Outputs(carbonPriceOut, capacityFactorsOut, pricesOut, abcd, financial,
+      scenariosOut, scenariosGeographies, triskV2)
   }
 }
