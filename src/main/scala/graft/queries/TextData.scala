@@ -37,19 +37,77 @@ object TextData {
     },
     Q.noOracle("dd_ngram_jaccard") { (s, d) =>
       // exact 3-gram Jaccard verification over the LSH candidate set —
-      // the verify stage only ever touches candidates, not N².
+      // the verify stage only ever touches candidates, not N². The
+      // candidate SET is hash-dependent (no SQL twin), but the VALUES are
+      // not: a differential anchor recomputes each bounded-slice pair's
+      // jaccard directly from the shingle sets and raises if any verified
+      // value diverges — a silent corruption of the verify join fails the
+      // driver run, not just sbt.
       val docs = documents(s, d)
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id_a", "id_b")
-      Dedup.ngramJaccardVerify(docs, pairs, "doc_id", "text", minJaccard = 0.3)
-        .orderBy("id_a", "id_b")
+      val verified = Dedup.ngramJaccardVerify(docs, pairs, "doc_id", "text", minJaccard = 0.3)
+      val sh = docs.filter(col("doc_id") < 500).select(col("doc_id"),
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("s"))
+      val recomputed = verified.filter(col("id_a") < 500 && col("id_b") < 500)
+        .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+        .withColumn("__j2", TextFns.exactJaccard(col("sa"), col("sb")))
+      val check = recomputed
+        .agg(sum(when(col("jaccard") =!= col("__j2"), 1).otherwise(0)).as("__bad"))
+        .select(assert_true(coalesce(col("__bad"), lit(0)) === 0,
+          lit("LSH-verified jaccard diverged from direct recomputation")).as("__anchor_ok"))
+      verified.crossJoin(broadcast(check)).orderBy("id_a", "id_b")
     },
-    Q.noOracle("dd_canonicalize") { (s, d) =>
-      // full dedup decision: LSH candidates filtered by estimated jaccard,
-      // then connected-component canonical ids over the whole corpus
-      val docs = documents(s, d)
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
-        .filter(col("est_jaccard") >= 0.7)
-      Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id")
+    Q("dd_canonicalize",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(w[i:i+2], ' ')))
+        |      ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks),
+        |e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE abs(a.n_chars - b.n_chars) <= 20
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)) >= 0.35),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+        |        UNION ALL SELECT id_b, id_a FROM e),
+        |reach(doc_id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM sh
+        |  UNION
+        |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.doc_id)
+        |SELECT doc_id, MIN(lbl) AS canonical_id
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // full dedup decision on a DETERMINISTIC duplicate graph: edges =
+      // exact banded 3-gram Jaccard >= 0.35 (the dd_jaccard_exact
+      // construction), components = min-label propagation. The oracle
+      // states the same fixpoint as a recursive CTE (every reachable label
+      // per node, then MIN), so the component structure — not just a chain
+      // special case like dd_cc_chain — is hash-checked end to end. The
+      // LSH-candidate composite (hash-dependent edges) stays covered by
+      // dd_corpus_dedup + DedupSpec.
+      val sh = documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("n_chars"),
+          array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("s"))
+      val bkt = floor(col("n_chars") / 20).cast("long")
+      val a = sh.select(col("doc_id").as("id_a"), col("n_chars").as("nc_a"),
+          col("s").as("sa"), bkt.as("b0"))
+        .withColumn("bkt", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+        .drop("b0")
+      val b = sh.select(col("doc_id").as("id_b"), col("n_chars").as("nc_b"),
+        col("s").as("sb"), bkt.as("bkt"))
+      val pairs = a.join(b, "bkt")
+        .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 20)
+        .filter(TextFns.exactJaccard(col("sa"), col("sb")) >= 0.35)
+        .select("id_a", "id_b")
+      Dedup.canonicalize(sh.select("doc_id"), pairs, "doc_id", maxIter = 20)
+        .select("doc_id", "canonical_id")
         .orderBy("doc_id")
     },
     Q("dd_jaccard_exact",
@@ -247,10 +305,24 @@ object TextData {
       // SemDeDup-shape semantic near-dup: kmeans cells from the trained
       // codebook, exact cosine within cells only. No SQL twin (kmeans);
       // DedupSpec pins planted-duplicate recall and the subset relation
-      // against exact all-pairs.
-      Similarity.semanticDedupPairs(embeddings(s, d), "vec_id", "embedding",
-          minCosine = 0.35, nCells = 8)
-        .orderBy("id_a", "id_b")
+      // against exact all-pairs. The query ALSO carries its own recall
+      // floor: exact copies planted over every 11th vector share their
+      // source's nearest centroid and cosine 1, so each must pair with
+      // its source — a silent recall collapse raises in the driver run,
+      // not just sbt.
+      val e = embeddings(s, d)
+      val planted = e.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val pairs = Similarity.semanticDedupPairs(
+        e.select("vec_id", "embedding").unionByName(planted),
+        "vec_id", "embedding", minCosine = 0.35, nCells = 8)
+      val want = e.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 100000).as("id_b"))
+      val check = want.join(pairs, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("__missed"))
+        .select(assert_true(col("__missed") === 0,
+          lit("planted semantic-dup recall collapsed")).as("__recall_ok"))
+      pairs.crossJoin(broadcast(check)).orderBy("id_a", "id_b")
     },
     Q("dd_incr_exact",
       """WITH corpus AS (SELECT doc_id, text FROM documents),
@@ -290,13 +362,25 @@ object TextData {
       // PRODUCTION index shape: the index is persisted as a bucketed table
       // on (band, bucket), so the probe re-shuffles only the batch side
       // (shuffle-elision pinned in DedupSpec).
+      // Embedded recall floor: every batch doc is an exact copy, so its
+      // (batch_id, batch_id - 10000) pair MUST surface with est_jaccard
+      // exactly 1.0 (identical signatures collide on every band) — a
+      // silent recall collapse raises in the driver run, not just sbt.
       val docs = documents(s, d).select("doc_id", "text")
       val batch = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
       val table = s"graft_mh_idx_${math.abs(d.hashCode)}"
       Dedup.saveMinhashIndexBucketed(docs, "doc_id", "text", table, numBuckets = 32)
-      Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
-        .orderBy("batch_id", "corpus_id")
+      val probe = Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
+      val want = batch.select(col("doc_id").as("batch_id"),
+        (col("doc_id") - 10000).as("corpus_id"))
+      val check = want
+        .join(probe.filter(col("est_jaccard") === 1.0),
+          Seq("batch_id", "corpus_id"), "left_anti")
+        .agg(count(lit(1)).as("__missed"))
+        .select(assert_true(col("__missed") === 0,
+          lit("exact-copy probe recall collapsed")).as("__recall_ok"))
+      probe.crossJoin(broadcast(check)).orderBy("batch_id", "corpus_id")
     },
 
     // ---- similarity search ---------------------------------------------
@@ -322,6 +406,23 @@ object TextData {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.ivfTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
         nCells = 8, nProbe = 6)
+    },
+    Q.noOracle("ann_ivf_indexed") { (s, d) =>
+      // PRODUCTION index shape: the inverted file is materialized ONCE
+      // (partitionBy("cell"), codebook memoized per JVM), and each probe
+      // computes its nProbe cells driver-side and partition-prunes the
+      // scan to ~nProbe/nCells of the corpus (pruning plan-pinned in
+      // AnnRecallSpec). The self-contained ann_ivf twin re-scans the whole
+      // corpus per query — correct at fixture scale, not the 100-TB shape;
+      // the bench's steady pass over THIS entry times the pruned probe.
+      val e = embeddings(s, d)
+      val (path, cents) = Similarity.ensureIvfIndex(
+        e, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val qvec = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0)
+        .getSeq[Number](0).map(_.doubleValue()).toSeq
+      Similarity.probeIvfIndex(s, path, "vec_id", "embedding",
+        qvec, queryId = 0L, k = 10, cents, nProbe = 6)
     },
     Q("ann_sq8",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

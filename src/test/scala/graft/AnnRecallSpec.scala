@@ -90,7 +90,9 @@ class AnnRecallSpec extends SparkTestBase {
     val probePlan = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding",
         qvec, qid, 10, cents, nProbe = 6)
       .queryExecution.executedPlan.toString
-    assert(probePlan.contains("PartitionFilters") && probePlan.contains("cell"),
+    // the filter must be non-empty and name the partition column — a plan
+    // with "PartitionFilters: []" reads every cell and must fail here
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(probePlan).isDefined,
       s"probe must partition-prune on cell:\n$probePlan")
   }
 
