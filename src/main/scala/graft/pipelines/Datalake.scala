@@ -16,6 +16,105 @@ object Datalake {
   val eikonIndicators: Seq[String] =
     Seq("pd", "net_profit_margin", "debt_equity_ratio", "volatility", "asset_drift")
 
+  /** prep_datalake.R:27-65 — the archived-vintage eikon wrangle: the
+    * net-profit-margin repair ladder (the "smart ratios" figure is trusted
+    * only inside [0,1]; outside it the plain LTM figure substitutes when
+    * itself plausible, else clamps to the violated bound), indicator
+    * renames/casts, and the not-null-isin filter. R case_when semantics on
+    * NA conditions (skip to the default) match Spark's when().
+    */
+  def wrangleEikonOld(raw: DataFrame): DataFrame = {
+    val csr = col("credit_smart_ratios_net_profit_margin_percent_ltm_s_avg")
+    val ltm = col("net_profit_margin_percent_0d_ltm_1_s_avg")
+    raw
+      .withColumn("net_profit_margin",
+        when(csr < 0 && ltm.between(0, 1), ltm)
+          .when(csr < 0 && ltm < 0, lit(0.0))
+          .when(csr < 0 && ltm > 1, lit(0.0))
+          .when(csr > 1 && ltm.between(0, 1), ltm)
+          .when(csr > 1 && ltm > 1, lit(1.0))
+          .when(csr > 1 && ltm < 0, lit(1.0))
+          .otherwise(csr))
+      .withColumn("pd", col("x4").cast("double"))
+      .withColumn("debt_equity_ratio", col("leverage_s_avg").cast("double"))
+      .withColumn("volatility", col("asset_volatility_s_avg").cast("double"))
+      .withColumn("asset_drift", col("asset_drift_s_avg").cast("double"))
+      .withColumn("ticker_symbol", col("identifier_ric"))
+      .withColumn("trbc_industry_name", col("gics_sub_industry_name"))
+      .select(col("isin"), col("structural"), col("ticker_symbol"), col("pd"),
+        col("net_profit_margin"), col("debt_equity_ratio"), col("volatility"),
+        col("asset_drift"), col("trbc_industry_name"))
+      .filter(col("isin").isNotNull)
+  }
+
+  /** prep_datalake.R:67-95 — the current-feed eikon wrangle: renames plus
+    * percent→fraction scaling on pd/npm/volatility/drift.
+    */
+  def wrangleEikonNew(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("debt_equity_ratio", col("credit_structural_leverage").cast("double"))
+      .withColumn("pd", col("credit_structural_pd_percent").cast("double") / 100)
+      .withColumn("net_profit_margin", col("net_profit_margin_percent").cast("double") / 100)
+      .withColumn("volatility",
+        col("credit_structural_asset_volatility_percent").cast("double") / 100)
+      .withColumn("asset_drift", col("credit_structural_asset_drift_percent").cast("double") / 100)
+      .select(col("isin"), col("ticker_symbol"), col("pd"), col("net_profit_margin"),
+        col("debt_equity_ratio"), col("volatility"), col("asset_drift"),
+        col("trbc_industry_name"))
+
+  /** prep_datalake.R:118-160 make_asset_impact_db + the :330 filter —
+    * company information full-joined with the distinct (company, sector,
+    * location) activity perimeter; placeholder "Unknown" companies dropped.
+    */
+  def makeAssetImpactDb(companyInfo: DataFrame, companyActivities: DataFrame): DataFrame =
+    companyInfo
+      .join(
+        companyActivities
+          .withColumnRenamed("id", "company_id")
+          .select("company_id", "ald_sector", "ald_location").distinct(),
+        Seq("company_id"), "full")
+      .filter(col("company_name") =!= "Unknown")
+
+  /** prep_datalake.R:165-232 make_ids_db — the DB_ids assembly:
+    *
+    *  1. usable archived rows = security ⋈ consolidated financial data
+    *     (natural inner join), reduced to the id columns;
+    *  2. asset-impact isins = the provider's ISIN sheet plus one isin-less
+    *     row per provider company absent from that sheet;
+    *  3. archived rows for companies the provider now covers are dropped
+    *     (by company_id), then any archived isin the provider also lists is
+    *     dropped (by isin) — provider data wins on both keys;
+    *  4. eikon-only isins (no company_id anywhere) are appended last.
+    */
+  def makeIdsDb(
+      securityFinancial: DataFrame,
+      consolidatedFinancial: DataFrame,
+      assetImpactIsins: DataFrame,
+      dbAssetImpact: DataFrame,
+      dbAssetsEikon: DataFrame): DataFrame = {
+    val usableOld = securityFinancial
+      .join(consolidatedFinancial,
+        securityFinancial.columns.intersect(consolidatedFinancial.columns).toSeq)
+      .select("isin", "company_name", "company_id", "bloomberg_id",
+        "legal_entity_id", "parent_company_id", "obligor_company_id")
+      .distinct()
+    val providerIsins = assetImpactIsins.unionByName(
+      dbAssetImpact.select("company_id", "company_name").distinct()
+        .join(assetImpactIsins, Seq("company_id", "company_name"), "left_anti"),
+      allowMissingColumns = true)
+    val oldNotSuperseded = usableOld
+      .join(providerIsins.select("company_id").distinct(), Seq("company_id"), "left_anti")
+      .join(providerIsins.select("isin").distinct().filter(col("isin").isNotNull),
+        Seq("isin"), "left_anti")
+    val ids = oldNotSuperseded.unionByName(
+      providerIsins.select("company_id", "company_name", "isin"),
+      allowMissingColumns = true)
+    ids.unionByName(
+      dbAssetsEikon.select("isin").distinct()
+        .join(ids.select("isin").distinct(), Seq("isin"), "left_anti"),
+      allowMissingColumns = true)
+  }
+
   /** prep_datalake.R:97-107 — collapse the new eikon feed to one row per
     * isin: first ticker/industry, exact median for every indicator
     * (Aggregates.median = R stats::median interpolation).
