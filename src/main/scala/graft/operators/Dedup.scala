@@ -418,12 +418,11 @@ object Dedup {
       minCosine: Double = 0.95,
       nPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L,
       nTables: Int = 1): DataFrame = {
     require(nTables >= 1, "nTables must be >= 1")
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val tables = (0 until nTables).map { t =>
-      Similarity.randomPlanes(nPlanes, dim, seed + t)
+      Similarity.lcgPlanes(t, nPlanes, dim)
     }
     // candidate generation is id-only: the (id, table, bucket) table is
     // three narrow columns, so the ×nTables fan-out and the bucket

@@ -16,14 +16,29 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed), generated
-    * driver-side as literals — no RNG inside the plan (non-deterministic
-    * expressions would break retries/resume at scale).
+  /** Deterministic pseudo-random hyperplanes, generated driver-side as
+    * literals — no RNG inside the plan (non-deterministic expressions would
+    * break retries/resume at scale).
+    *
+    * Component k = (table·nPlanes + p)·dim + i takes the value
+    * ((2654435761·k + 1013904223) mod 2^32) / 2^32 − 0.5 (Knuth
+    * multiplicative hash + LCG increment, uniform in [−0.5, 0.5)). The
+    * formula is PURE integer arithmetic below 2^53 followed by a
+    * power-of-two division, so any engine that evaluates it in IEEE
+    * doubles produces bit-identical planes — which is what lets the
+    * sign-LSH catalog entries (`ann_lsh`, `dd_embed_cosine`) carry full
+    * DuckDB oracles instead of rows-only checks: the oracle SQL regenerates
+    * the very same planes with `list_transform(range(...))`. Uniform-cube
+    * directions serve sign-LSH as well as Gaussians here (only the
+    * direction matters); recall floors stay pinned in AnnRecallSpec.
     */
-  def randomPlanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-  }
+  def lcgPlanes(table: Int, nPlanes: Int, dim: Int): Seq[Array[Double]] =
+    Seq.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val k = (table.toLong * nPlanes + p) * dim + i
+        ((2654435761L * k + 1013904223L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+      }
+    }
 
   /** Exact brute-force cosine top-k against a single query vector column
     * (1-row DataFrame `query` with column `qvec`), self excluded by id.
@@ -418,10 +433,9 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       dim: Int = 64,
-      radius: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      radius: Int = 2): DataFrame = {
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
-    val planes = randomPlanes(nPlanes, dim, seed)
+    val planes = lcgPlanes(0, nPlanes, dim)
     val withBucket = df.withColumn("bucket", VectorFns.hyperplaneBucket(col(vec), planes))
     val q = query.withColumn("qbucket", VectorFns.hyperplaneBucket(col("qvec"), planes))
     withBucket

@@ -296,7 +296,43 @@ object TextData {
     // near-dup corpora the threshold lives at ≥0.9 where sign-LSH
     // selectivity is far better; this operating point exists to exercise
     // the candidate path non-vacuously on noise-like data.
-    Q.noOracle("dd_embed_cosine") { (s, d) =>
+    //
+    // FULL oracle despite the LSH blocking: the hyperplanes are the
+    // SQL-expressible LCG formula (Similarity.lcgPlanes — exact integer
+    // arithmetic below 2^53, then a power-of-two division, identical
+    // doubles in any IEEE engine), so the oracle regenerates the planes,
+    // replays sign-bucketing per table, the distinct candidate union, and
+    // the unit-vector dot score (x/|v| per element then an in-order fold —
+    // the exact arithmetic of VectorFns.unit/dot) — bit-exact end to end.
+    Q("dd_embed_cosine",
+      """WITH pl AS (
+        |  SELECT list_transform(range(0, 4), t ->
+        |    list_transform(range(0, 6), p ->
+        |      list_transform(range(0, 64), i ->
+        |        CAST((2654435761 * ((t * 6 + p) * 64 + i) + 1013904223) % 4294967296 AS DOUBLE)
+        |          / 4294967296.0 - 0.5))) AS tabs),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT e.vec_id, u.t AS tbl,
+        |    CAST(list_sum(list_transform(range(0, 6), p ->
+        |      CASE WHEN list_dot_product(e.v, tabs[u.t + 1][p + 1]) >= 0
+        |           THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e, pl, range(0, 4) AS u(t)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+        |    AND a.vec_id < b2.vec_id),
+        |un AS (
+        |  SELECT vec_id, list_transform(v, x ->
+        |    CASE WHEN sqrt(list_dot_product(v, v)) <> 0
+        |         THEN x / sqrt(list_dot_product(v, v)) ELSE 0.0 END) AS u
+        |  FROM e)
+        |SELECT c.id_a, c.id_b, list_dot_product(ua.u, ub.u) AS cosine
+        |FROM cand c
+        |JOIN un ua ON ua.vec_id = c.id_a
+        |JOIN un ub ON ub.vec_id = c.id_b
+        |WHERE list_dot_product(ua.u, ub.u) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding",
           minCosine = 0.35, nPlanes = 6, nTables = 4)
         .orderBy("id_a", "id_b")
@@ -396,7 +432,28 @@ object TextData {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.bruteForceTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
     },
-    Q.noOracle("ann_lsh") { (s, d) =>
+    // FULL oracle for the sign-LSH probe (same LCG-plane trick as
+    // dd_embed_cosine, table 0 with 8 planes): the oracle regenerates the
+    // planes, packs the sign bits, applies the radius-2 Hamming prefilter
+    // with bit_count(xor(...)), and re-ranks by the same cosine the
+    // ann_bruteforce oracle already matches bit-exactly.
+    Q("ann_lsh",
+      """WITH pl AS (
+        |  SELECT list_transform(range(0, 8), p ->
+        |    list_transform(range(0, 64), i ->
+        |      CAST((2654435761 * (p * 64 + i) + 1013904223) % 4294967296 AS DOUBLE)
+        |        / 4294967296.0 - 0.5)) AS planes),
+        |b AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), planes[p + 1]) >= 0
+        |           THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings e, pl),
+        |q AS (SELECT bucket AS qbucket, v AS qvec FROM b WHERE vec_id = 0)
+        |SELECT b.vec_id, list_cosine_similarity(b.v, q.qvec) AS cosine
+        |FROM b, q
+        |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qbucket)) <= 2
+        |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.lshTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
