@@ -175,6 +175,59 @@ object Sampling {
       .withColumn("pos", col("src_rank") / wt)
   }
 
+  /** Deterministic global corpus shuffle: a pseudo-random total permutation
+    * of the rows (position + shard id), the pass every training pipeline
+    * runs once before writing shard manifests. Order is (md5(key), key) —
+    * engine-portable, retry-stable, no rand().
+    *
+    * A naive `row_number() OVER (ORDER BY hash)` is a single-reducer global
+    * window — a scale-killer. Instead the rank is two-level: rows get a
+    * bucket from the hash's TOP log2(nBuckets) bits (the window runs
+    * per-bucket, `nBuckets`-way parallel), and global position = bucket
+    * rank + the bucket's cumulative offset, where offsets come from an
+    * `nBuckets`-row count aggregate broadcast back. Because the bucket is
+    * a PREFIX of the very hex the within-bucket window orders by (md5 hex
+    * is lowercase, so string order == numeric order), the two-level rank
+    * is exactly the flat `ORDER BY (md5, key)` rank — which is what the
+    * oracle states with a flat window. One shuffle on the bucket key + one
+    * broadcast join; the offsets frame's global window is over `nBuckets`
+    * rows, not data.
+    *
+    * Shards are fixed-size: shard = pos div rowsPerShard (integral
+    * division — no float rounding at any position).
+    */
+  def globalShuffle(
+      df: DataFrame,
+      key: Column,
+      rowsPerShard: Long,
+      nBuckets: Int = 1024,
+      posOut: String = "pos",
+      shardOut: String = "shard"): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (the bucket is a hash-bit prefix)")
+    val bits = 31 - Integer.numberOfLeadingZeros(nBuckets)
+    val b = graft.core.Cols.fresh(df, "__b")
+    val h = graft.core.Cols.fresh(df, "__h")
+    val rk = graft.core.Cols.fresh(df, "__rk")
+    val off = graft.core.Cols.fresh(df, "__off")
+    val hashed = df
+      .withColumn(h, md5(key.cast("string")))
+      .withColumn(b, shiftright(
+        conv(substring(col(h), 1, 8), 16, 10).cast("long"), 32 - bits).cast("int"))
+    val w = Window.partitionBy(col(b)).orderBy(col(h), key)
+    val ranked = hashed.withColumn(rk, row_number().over(w).cast("long") - 1)
+    val offsets = hashed.groupBy(col(b)).agg(count(lit(1)).as("__n"))
+      .withColumn(off, coalesce(
+        sum(col("__n")).over(Window.orderBy(col(b))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(b), col(off))
+    ranked.join(broadcast(offsets), Seq(b))
+      .withColumn(posOut, col(off) + col(rk))
+      .withColumn(shardOut, expr(s"`$posOut` div $rowsPerShard"))
+      .drop(b, h, rk, off)
+  }
+
   /** Cap each group at `k` rows with a pinned survivor order (e.g. at most
     * N documents per domain). One shuffle on the group key; ties broken by
     * the explicit order, so output is retry-stable.

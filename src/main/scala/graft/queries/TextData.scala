@@ -970,6 +970,24 @@ object TextData {
       graft.operators.Sampling.packShards(t, col("n_tokens"),
           Seq("source"), Seq(col("doc_id")), 300L)
         .orderBy("doc_id")
+    },
+    Q("sm_shuffle_shard",
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos
+        |  FROM h)
+        |SELECT doc_id, pos, pos // 100 AS shard
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // deterministic global corpus shuffle: hash-ordered permutation +
+      // fixed-size shard ids — the shuffle-then-shard pass before writing
+      // training manifests. The Spark side computes the rank two-level
+      // (per-bucket window + broadcast offsets, no single-reducer global
+      // window); the oracle states the equivalent FLAT hash rank, which
+      // the bucket-prefix construction provably equals.
+      graft.operators.Sampling.globalShuffle(
+          documents(s, d).select("doc_id"), col("doc_id"), rowsPerShard = 100L,
+          nBuckets = 64)
+        .orderBy("doc_id")
     }
   )
 

@@ -52,6 +52,32 @@ class SamplingSpec extends SparkTestBase {
     assert(out.filter(col("domain") === "d1").select("id").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("globalShuffle: exact permutation equal to the flat hash rank, stable shards") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val out = Sampling.globalShuffle(docs, col("doc_id"), rowsPerShard = 50L,
+      nBuckets = 16).cache()
+    val n = docs.count()
+    // pos is a 0..N-1 permutation
+    val pos = out.select("pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until n).toSeq, "pos is not a permutation")
+    // the two-level rank equals the naive flat ORDER BY (md5, key) rank
+    val flat = docs.withColumn("hx", md5(col("doc_id").cast("string")))
+      .withColumn("flat_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("hx"), col("doc_id")))
+        .cast("long") - 1)
+    val mismatches = out.join(flat, "doc_id")
+      .filter(col("pos") =!= col("flat_pos")).count()
+    assert(mismatches == 0, s"$mismatches rows diverge from the flat hash rank")
+    // shard = pos div 50, so every shard except the last has exactly 50 rows
+    val sizes = out.groupBy("shard").count().orderBy("shard")
+      .as[(Long, Long)].collect()
+    assert(sizes.dropRight(1).forall(_._2 == 50L), s"non-final shard not full: ${sizes.toSeq}")
+    // repartitioned input yields the identical permutation (retry-stability)
+    val again = Sampling.globalShuffle(docs.repartition(7), col("doc_id"),
+      rowsPerShard = 50L, nBuckets = 16)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
   test("capPerGroup: pre-existing __rn column survives untouched") {
     val df = Seq(("d1", 1, 99), ("d1", 2, 98), ("d1", 3, 97))
       .toDF("domain", "id", "__rn")
