@@ -988,6 +988,68 @@ object TextData {
           documents(s, d).select("doc_id"), col("doc_id"), rowsPerShard = 100L,
           nBuckets = 64)
         .orderBy("doc_id")
+    },
+    Q("sm_corpus_prep",
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+        |t AS (SELECT doc_id, text,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS INTEGER) AS n_tokens
+        |  FROM base),
+        |k AS (SELECT * FROM t WHERE n_tokens BETWEEN 30 AND 800),
+        |d AS (SELECT doc_id, n_tokens,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+        |  FROM k),
+        |s AS (SELECT doc_id, n_tokens FROM d WHERE keep),
+        |h AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hx FROM s),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos FROM h)
+        |SELECT doc_id, n_tokens, pos, pos // 50 AS shard
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // the COMPLETE corpus-prep pass as one oracled composite: token-band
+      // quality gate -> exact dedup -> deterministic global shuffle ->
+      // fixed-size shards. The fixture has no exact duplicates, so the
+      // dedup stage is planted non-vacuous (re-keyed copies of every 9th
+      // doc must vanish in favor of their originals).
+      val docs = documents(s, d).select("doc_id", "text")
+      val base = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.operators.CorpusPrep.prepare(base, "doc_id", "text",
+          minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 64)
+        .orderBy("doc_id")
+    },
+    Q("sm_corpus_manifest",
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+        |t AS (SELECT doc_id, text,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS INTEGER) AS n_tokens
+        |  FROM base),
+        |k AS (SELECT * FROM t WHERE n_tokens BETWEEN 30 AND 800),
+        |d AS (SELECT doc_id, n_tokens,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+        |  FROM k),
+        |s AS (SELECT doc_id, n_tokens FROM d WHERE keep),
+        |h AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hx FROM s),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos FROM h)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens, MIN(pos) AS first_pos
+        |FROM (SELECT n_tokens, pos, pos // 50 AS shard FROM r)
+        |GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      // the shard manifest a trainer consumes: per-shard doc/token totals
+      // and the first global position, over the same prep chain.
+      val docs = documents(s, d).select("doc_id", "text")
+      val base = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.operators.CorpusPrep.manifest(
+          graft.operators.CorpusPrep.prepare(base, "doc_id", "text",
+            minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 64))
+        .orderBy("shard")
     }
   )
 

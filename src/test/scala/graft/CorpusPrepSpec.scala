@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.CorpusPrep
+
+/** The oracled corpus-prep composite: gate semantics, planted-duplicate
+  * removal, permutation integrity, manifest consistency.
+  */
+class CorpusPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def base = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  test("prepare: gate + dedup + shuffle compose into a clean permutation") {
+    val out = CorpusPrep.prepare(base, "doc_id", "text",
+      minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 16).cache()
+    // every planted copy is an exact duplicate of a smaller id -> none survive
+    assert(out.filter(col("doc_id") >= 10000).count() == 0)
+    // token gate is a hard band
+    assert(out.filter(col("n_tokens") < 30 || col("n_tokens") > 800).count() == 0)
+    // pos is a 0..N-1 permutation of the survivors
+    val n = out.count()
+    assert(out.select("pos").as[Long].collect().sorted.toSeq == (0L until n).toSeq)
+    // something was actually gated AND something was actually deduped
+    val planted = base.filter(col("doc_id") >= 10000).count()
+    assert(planted > 0 && n < base.count() - planted,
+      s"gate vacuous: $n survivors of ${base.count()} with $planted planted dups")
+  }
+
+  test("manifest: per-shard totals reconcile with the per-doc frame") {
+    val prep = CorpusPrep.prepare(base, "doc_id", "text",
+      minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 16).cache()
+    val m = CorpusPrep.manifest(prep).cache()
+    assert(m.agg(sum("n_docs")).as[Long].head() == prep.count())
+    assert(m.agg(sum("total_tokens")).as[Long].head() ==
+      prep.agg(sum(col("n_tokens").cast("long"))).as[Long].head())
+    // every shard except the last is exactly full, and first_pos = shard*50
+    val rows = m.orderBy("shard").as[(Long, Long, Long, Long)].collect()
+    assert(rows.dropRight(1).forall(_._2 == 50L))
+    assert(rows.forall { case (shard, _, _, firstPos) => firstPos == shard * 50L })
+  }
+}
