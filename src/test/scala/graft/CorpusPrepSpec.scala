@@ -32,6 +32,21 @@ class CorpusPrepSpec extends SparkTestBase {
       s"gate vacuous: $n survivors of ${base.count()} with $planted planted dups")
   }
 
+  test("globalShuffle plan: data window is per-bucket, offsets join broadcasts") {
+    val out = graft.operators.Sampling.globalShuffle(
+      Tables.documents(spark, sfDir).select("doc_id"), col("doc_id"), 50L, nBuckets = 16)
+    val p = out.queryExecution.executedPlan.toString
+    // the offsets side joins back as a broadcast — never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), s"offsets join must broadcast:\n$p")
+    // every Window over the DATA carries a partition spec (the only
+    // unpartitioned window allowed is the nBuckets-row offsets aggregate,
+    // which sits beneath the broadcast exchange)
+    val dataSide = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert(!dataSide.contains("Window [") ||
+      "Window \\[.*windowspecdefinition\\(__b".r.findFirstIn(dataSide).nonEmpty,
+      s"data-side window must partition by the hash bucket:\n$p")
+  }
+
   test("manifest: per-shard totals reconcile with the per-doc frame") {
     val prep = CorpusPrep.prepare(base, "doc_id", "text",
       minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 16).cache()
