@@ -195,6 +195,12 @@ object Sampling {
     *
     * Shards are fixed-size: shard = pos div rowsPerShard (integral
     * division — no float rounding at any position).
+    *
+    * CONTRACT: `key` must be non-null (a null key raises at execution time
+    * — md5(null) would otherwise silently drop the row through the bucket
+    * equi-join) and UNIQUE per row (duplicate keys tie on the sort tuple
+    * and a retry could swap their positions; pass a document id, not a
+    * payload column).
     */
   def globalShuffle(
       df: DataFrame,
@@ -211,8 +217,11 @@ object Sampling {
     val h = graft.core.Cols.fresh(df, "__h")
     val rk = graft.core.Cols.fresh(df, "__rk")
     val off = graft.core.Cols.fresh(df, "__off")
+    val keyStr = when(key.isNotNull, key.cast("string"))
+      .otherwise(assert_true(key.isNotNull,
+        lit("globalShuffle: null shuffle key (rows would silently vanish)")).cast("string"))
     val hashed = df
-      .withColumn(h, md5(key.cast("string")))
+      .withColumn(h, md5(keyStr))
       .withColumn(b, shiftright(
         conv(substring(col(h), 1, 8), 16, 10).cast("long"), 32 - bits).cast("int"))
     val w = Window.partitionBy(col(b)).orderBy(col(h), key)

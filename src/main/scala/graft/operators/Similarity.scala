@@ -251,8 +251,13 @@ object Similarity {
       cacheKey: String,
       nCells: Int = 16,
       trainIters: Int = 3): (String, Seq[(Int, Seq[Double])]) = {
-    val path = System.getProperty("java.io.tmpdir") +
-      s"/graft_ivf_idx_${java.lang.Integer.toHexString(cacheKey.hashCode)}_$nCells"
+    // full md5 of every parameter that shapes the index: a 32-bit
+    // String.hashCode could collide two corpora onto one path (wrong
+    // neighbors, no error), and trainIters changes the codebook
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$cacheKey|$nCells|$trainIters".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = System.getProperty("java.io.tmpdir") + s"/graft_ivf_idx_$digest"
     val cents = ivfIndexCache.computeIfAbsent(path,
       _ => buildIvfIndex(df, id, vec, path, nCells, trainIters))
     (path, cents)

@@ -24,8 +24,11 @@ object Datalake {
     * NA conditions (skip to the default) match Spark's when().
     */
   def wrangleEikonOld(raw: DataFrame): DataFrame = {
-    val csr = col("credit_smart_ratios_net_profit_margin_percent_ltm_s_avg")
-    val ltm = col("net_profit_margin_percent_0d_ltm_1_s_avg")
+    // cast like the sibling indicators: the archived feeds arrive
+    // string-typed, and an uncast when-ladder would widen its result to
+    // STRING (R reads these numeric via readxl, so parity needs doubles)
+    val csr = col("credit_smart_ratios_net_profit_margin_percent_ltm_s_avg").cast("double")
+    val ltm = col("net_profit_margin_percent_0d_ltm_1_s_avg").cast("double")
     raw
       .withColumn("net_profit_margin",
         when(csr < 0 && ltm.between(0, 1), ltm)
@@ -102,16 +105,22 @@ object Datalake {
       dbAssetImpact.select("company_id", "company_name").distinct()
         .join(assetImpactIsins, Seq("company_id", "company_name"), "left_anti"),
       allowMissingColumns = true)
-    val oldNotSuperseded = usableOld
-      .join(providerIsins.select("company_id").distinct(), Seq("company_id"), "left_anti")
-      .join(providerIsins.select("isin").distinct().filter(col("isin").isNotNull),
-        Seq("isin"), "left_anti")
+    // dplyr anti_join defaults to na_matches = "na": an NA key on the left
+    // IS dropped when the right holds an NA key. providerIsins always
+    // carries null isins (the isin-less companies appended above), so the
+    // isin anti-joins must be NULL-SAFE (<=>) to reproduce the reference —
+    // a null-unsafe left_anti would keep every null-isin row instead.
+    def antiNullSafe(l: DataFrame, r: DataFrame, key: String): DataFrame =
+      l.join(r.select(col(key).as(s"__r_$key")).distinct(),
+        col(key) <=> col(s"__r_$key"), "left_anti")
+    val oldNotSuperseded = antiNullSafe(
+      antiNullSafe(usableOld, providerIsins, "company_id"),
+      providerIsins, "isin")
     val ids = oldNotSuperseded.unionByName(
-      providerIsins.select("company_id", "company_name", "isin"),
+      providerIsins.select("company_id", "company_name", "isin").distinct(),
       allowMissingColumns = true)
     ids.unionByName(
-      dbAssetsEikon.select("isin").distinct()
-        .join(ids.select("isin").distinct(), Seq("isin"), "left_anti"),
+      antiNullSafe(dbAssetsEikon.select("isin").distinct(), ids, "isin"),
       allowMissingColumns = true)
   }
 

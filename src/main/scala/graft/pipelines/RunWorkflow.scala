@@ -67,6 +67,15 @@ object RunWorkflow {
       financialFeatures: DataFrame,
       ngfsCarbonPrice: DataFrame)
 
+  /** CACHE OWNERSHIP: `run()` caches three intermediates (the merged
+    * scenario frame, the regrouped bench geographies and abcd) because
+    * several outputs derive from each; those cached partitions stay pinned
+    * for the session so the CALLER can still consume every output without
+    * recomputation. A long-lived session running the workflow repeatedly
+    * must call [[Outputs.unpersistAll]] after its writes, or the caches
+    * accumulate until memory pressure (this is the leak RunWorkflowSpec's
+    * clearCache() was papering over).
+    */
   final case class Outputs(
       carbonPrice: DataFrame,
       capacityFactors: DataFrame,
@@ -77,7 +86,19 @@ object RunWorkflow {
       // bench_regions with scenario_geography_newname (the reference's
       // usethis::use_data(scenarios_geographies) at run_rename_geographies.R:203)
       scenariosGeographies: Option[DataFrame] = None,
-      triskV2: Option[TriskV2] = None)
+      triskV2: Option[TriskV2] = None,
+      // the exact frames run() cached (outputs may be plans DERIVED from
+      // them, whose own unpersist() would not release these entries)
+      private[pipelines] val cachedFrames: Seq[DataFrame] = Nil) {
+
+    /** Release every cache `run()` pinned for this invocation (the frames
+      * remain valid — they just recompute if read again).
+      */
+    def unpersistAll(): this.type = {
+      cachedFrames.foreach(_.unpersist())
+      this
+    }
+  }
 
   /** The st_inputs column convention: every runner renames
     * technology→ald_business_unit (and the price runner sector→ald_sector)
@@ -164,7 +185,10 @@ object RunWorkflow {
     val weo2023 = (v.weo2023FossilFuelPrices, v.weo2023PowerLcoe) match {
       case (Some(f), Some(p)) =>
         Some(adjustedWeoPrices(f, p, "WEO2023", v.averageNpmPower, in.startYear))
-      case _ => None
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "WEO2023 prices need BOTH weo2023FossilFuelPrices and weo2023PowerLcoe; " +
+          "got exactly one — refusing to silently drop the vintage")
     }
     bindRows(Seq(
       Some(adjWeo2021),
@@ -274,6 +298,8 @@ object RunWorkflow {
       ngfsCarbonPrice = carbonPriceOut)
 
     Outputs(carbonPriceOut, capacityFactorsOut, pricesOut, abcd, financial,
-      scenariosOut, scenariosGeographies, triskV2)
+      scenariosOut, scenariosGeographies, triskV2,
+      cachedFrames = Seq(abcd) ++ scenariosAnalysisInput.toSeq ++
+        scenariosGeographies.toSeq)
   }
 }

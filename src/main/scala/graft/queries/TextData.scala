@@ -989,69 +989,65 @@ object TextData {
           nBuckets = 64)
         .orderBy("doc_id")
     },
+    // the COMPLETE corpus-prep pass as one oracled composite: token-band
+    // quality gate -> exact dedup -> deterministic global shuffle ->
+    // fixed-size shards (+ the per-shard manifest a trainer consumes).
+    // The fixture has no exact duplicates, so the dedup stage is planted
+    // non-vacuous (re-keyed copies of every 9th doc must vanish in favor
+    // of their originals). The base construction and the oracle CTE chain
+    // are shared between the two entries so they cannot drift.
     Q("sm_corpus_prep",
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
-        |t AS (SELECT doc_id, text,
-        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      x -> x <> '')) AS INTEGER) AS n_tokens
-        |  FROM base),
-        |k AS (SELECT * FROM t WHERE n_tokens BETWEEN 30 AND 800),
-        |d AS (SELECT doc_id, n_tokens,
-        |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
-        |  FROM k),
-        |s AS (SELECT doc_id, n_tokens FROM d WHERE keep),
-        |h AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hx FROM s),
-        |r AS (SELECT doc_id, n_tokens,
-        |    CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos FROM h)
+      s"""$corpusPrepCtes
         |SELECT doc_id, n_tokens, pos, pos // 50 AS shard
         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // the COMPLETE corpus-prep pass as one oracled composite: token-band
-      // quality gate -> exact dedup -> deterministic global shuffle ->
-      // fixed-size shards. The fixture has no exact duplicates, so the
-      // dedup stage is planted non-vacuous (re-keyed copies of every 9th
-      // doc must vanish in favor of their originals).
-      val docs = documents(s, d).select("doc_id", "text")
-      val base = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      graft.operators.CorpusPrep.prepare(base, "doc_id", "text",
-          minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 64)
-        .orderBy("doc_id")
+      corpusPrepSparkSide(s, d).orderBy("doc_id")
     },
     Q("sm_corpus_manifest",
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
-        |t AS (SELECT doc_id, text,
-        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      x -> x <> '')) AS INTEGER) AS n_tokens
-        |  FROM base),
-        |k AS (SELECT * FROM t WHERE n_tokens BETWEEN 30 AND 800),
-        |d AS (SELECT doc_id, n_tokens,
-        |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
-        |  FROM k),
-        |s AS (SELECT doc_id, n_tokens FROM d WHERE keep),
-        |h AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hx FROM s),
-        |r AS (SELECT doc_id, n_tokens,
-        |    CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos FROM h)
+      s"""$corpusPrepCtes
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens, MIN(pos) AS first_pos
         |FROM (SELECT n_tokens, pos, pos // 50 AS shard FROM r)
         |GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
-      // the shard manifest a trainer consumes: per-shard doc/token totals
-      // and the first global position, over the same prep chain.
-      val docs = documents(s, d).select("doc_id", "text")
-      val base = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      graft.operators.CorpusPrep.manifest(
-          graft.operators.CorpusPrep.prepare(base, "doc_id", "text",
-            minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 64))
+      graft.operators.CorpusPrep.manifest(corpusPrepSparkSide(s, d))
         .orderBy("shard")
     }
   )
+
+  /** Shared oracle prefix for the corpus-prep entries: planted base →
+    * token gate → exact dedup → flat hash rank (ends at CTE `r` with
+    * columns doc_id, n_tokens, pos).
+    */
+  // lazy: referenced during the eager `queries` initializer above, which
+  // runs before this val's declaration position
+  private lazy val corpusPrepCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+      |t AS (SELECT doc_id, text,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x <> '')) AS INTEGER) AS n_tokens
+      |  FROM base),
+      |k AS (SELECT * FROM t WHERE n_tokens BETWEEN 30 AND 800),
+      |d AS (SELECT doc_id, n_tokens,
+      |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+      |  FROM k),
+      |s AS (SELECT doc_id, n_tokens FROM d WHERE keep),
+      |h AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hx FROM s),
+      |r AS (SELECT doc_id, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos FROM h)""".stripMargin
+
+  /** Shared Spark side of the corpus-prep entries (same planted base, same
+    * gate/shard parameters as [[corpusPrepCtes]]).
+    */
+  private def corpusPrepSparkSide(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val base = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    graft.operators.CorpusPrep.prepare(base, "doc_id", "text",
+      minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 64)
+  }
 
   /** Render a Scala string list as a DuckDB list literal. */
   def sqlList(xs: Seq[String]): String =

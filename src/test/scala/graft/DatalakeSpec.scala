@@ -154,14 +154,18 @@ class DatalakeSpec extends SparkTestBase {
     val security = Seq(
       ("US1", "OldCo", 10L, "B1", "L1", 100L, 200L),
       ("US2", "KeptCo", 11L, "B2", "L2", 101L, 201L),
-      ("US9", "DupIsinCo", 12L, "B3", "L3", 102L, 202L))
+      ("US9", "DupIsinCo", 12L, "B3", "L3", 102L, 202L),
+      (null.asInstanceOf[String], "NullIsinCo", 13L, "B4", "L4", 103L, 203L))
       .toDF("isin", "company_name", "company_id", "bloomberg_id",
         "legal_entity_id", "parent_company_id", "obligor_company_id")
     // consolidated shares (isin, company_name): the natural join keeps all
     val consolidated = Seq(
-      ("US1", "OldCo", 5.0), ("US2", "KeptCo", 6.0), ("US9", "DupIsinCo", 7.0))
+      ("US1", "OldCo", 5.0), ("US2", "KeptCo", 6.0), ("US9", "DupIsinCo", 7.0),
+      (null.asInstanceOf[String], "NullIsinCo", 8.0))
       .toDF("isin", "company_name", "total_assets")
-    val providerSheet = Seq((10L, "OldCo", "US1"), (30L, "NewCo", "US9"))
+    // the provider sheet lists one row TWICE — the reference distinct()s it
+    val providerSheet = Seq((10L, "OldCo", "US1"), (30L, "NewCo", "US9"),
+      (30L, "NewCo", "US9"))
       .toDF("company_id", "company_name", "isin")
     val assetImpact = Seq(
       (10L, "OldCo", "DE"), (30L, "NewCo", "FR"),
@@ -174,9 +178,13 @@ class DatalakeSpec extends SparkTestBase {
     // US9 superseded (anti by isin); US2 survives from the archive
     assert(out.filter(col("company_id") === 12L).count() == 0)
     assert(out.filter(col("isin") === "US2" && col("company_id") === 11L).count() == 1)
-    // provider rows present, incl. the isin-less company
+    // provider rows present ONCE (sheet dup collapsed), incl. the
+    // isin-less company
     assert(out.filter(col("company_id") === 30L && col("isin") === "US9").count() == 1)
     assert(out.filter(col("company_id") === 31L && col("isin").isNull).count() == 1)
+    // dplyr na_matches="na": the archived null-isin row is superseded by
+    // the provider's null isin (company 31), not kept
+    assert(out.filter(col("company_id") === 13L).count() == 0)
     // eikon-only isin appended once, with no company id
     val zz = out.filter(col("isin") === "ZZ7").collect()
     assert(zz.length == 1 && zz.head.isNullAt(zz.head.fieldIndex("company_id")))
