@@ -429,6 +429,37 @@ object Analytics {
         .orderBy("l_returnflag")
     },
 
+    Q("a18_hll_sketch",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merge_consistent, TRUE AS within_error
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Mergeable-sketch incremental distinct (DataSketches HLL, the
+      // 100-TB pattern for daily-sketch -> monthly-rollup unique counts):
+      // shard partials are hll_sketch_agg'd, rolled up with hll_union_agg,
+      // and because an HLL register merge is a MAX it is order- and
+      // shard-insensitive — the merged estimate must equal the whole-input
+      // estimate EXACTLY, asserted per group in `merge_consistent`. The
+      // estimate itself is sketch-inherent, so the oracle pins the exact
+      // distinct count and the two deterministic booleans (merge identity,
+      // relative error < 5%) rather than the estimate value.
+      val ev = events(s, d).select(col("event_type"), col("user_id"), col("event_id"))
+      val parts = ev.withColumn("half", pmod(col("event_id"), lit(2)))
+        .groupBy("event_type", "half")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = parts.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val whole = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_whole"),
+          countDistinct(col("user_id")).as("exact_users"))
+      whole.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (col("est_merged") === col("est_whole")).as("merge_consistent"),
+          (abs(col("est_merged").cast("double") / col("exact_users") - 1.0) < 0.05)
+            .as("within_error"))
+        .orderBy("event_type")
+    },
+
     // ---- Z-order layout key --------------------------------------------
     Q("o5_zorder_key",
       """WITH b AS (SELECT o_orderkey, o_custkey,

@@ -12,6 +12,22 @@ import graft.functions.TextFns
 class AnalyticsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("HLL sketch: shard-merged estimate equals whole-input estimate, near exact") {
+    // 1000 users across 4 shards with overlap: union-of-sketches must
+    // equal sketch-of-union exactly (register merge is a max), and the
+    // estimate must land within HLL++ error of the true 1000
+    val rows = (0 until 4).flatMap(sh => (0 until 700).map(u => (sh, (u * 13 + sh * 77) % 1000)))
+    val df = rows.toDF("shard", "user_id")
+    val merged = df.groupBy("shard").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).as[Long].head()
+    val whole = df.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .as[Long].head()
+    val exact = df.select("user_id").distinct().count()
+    assert(merged == whole, s"merge identity broke: $merged != $whole")
+    assert(math.abs(merged.toDouble / exact - 1.0) < 0.05,
+      s"estimate $merged vs exact $exact out of bounds")
+  }
+
   // --- canonicalizeUrl ----------------------------------------------------
 
   private def canon(url: String): String =
