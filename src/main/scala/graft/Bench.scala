@@ -26,7 +26,8 @@ object Bench {
     "ann_ivf_indexed",    // IVF probe against the materialized partitioned index
     "j13_salted_skew_join", // salt-spread skew join
     "tx_quality",         // text HOF expressions
-    "ev_hourly_agg"       // timestamp agg
+    "ev_hourly_agg",      // timestamp agg
+    "sm_corpus_prep"      // gate -> dedup -> shuffle -> shard composite
   )
 
   def main(args: Array[String]): Unit = {
