@@ -63,4 +63,54 @@ object Graph {
     ranks.select(col("v"), col("r").as("rank_fp"),
       (col("r").cast("double") / Scale.toDouble).as("rank"))
   }
+
+  /** Exact per-node triangle counts over an undirected view of `edges`,
+    * DEGREE-ORIENTED (the MapReduce triangle algorithm of Cohen 2009 /
+    * Suri–Vassilvitskii 2011): each canonical edge is directed from its
+    * (degree, id)-smaller endpoint, which bounds every out-list by
+    * O(√m), so wedge generation — the quadratic danger zone — does
+    * O(m^1.5) work total instead of Σ degree² (a single celebrity node
+    * with degree 10⁷ would otherwise generate 10¹⁴ wedges). Each triangle
+    * is found exactly once, at its (degree, id)-minimum vertex.
+    *
+    * Plan shape: degree aggregate, one self-join on the wedge apex, one
+    * equi-join closure against the oriented edge set, one explode-free
+    * membership union + hash aggregate — all shuffle equi-joins on node
+    * ids, nothing O(N²) in nodes.
+    *
+    * Output: every node in `nodes` (single column `v`) with its BIGINT
+    * `n_triangles` (0 when absent from any triangle).
+    */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient a—b from the (degree, id)-smaller endpoint; ties on degree
+    // break by id, and a != b, so the order is total
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    // wedges at apex u: each unordered out-pair {x, y} appears in both
+    // orders, and the closure edge is oriented exactly one way — the join
+    // keeps exactly one, so no v<w filter is needed and each triangle
+    // counts once
+    val wedges = oriented.select(col("u"), col("w").as("x"))
+      .join(oriented.select(col("u"), col("w").as("y")), "u")
+      .filter(col("x") =!= col("y"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
+    val members = tri.select(col("u").as("v"))
+      .unionAll(tri.select(col("x").as("v")))
+      .unionAll(tri.select(col("y").as("v")))
+    nodes
+      .join(members.groupBy("v").agg(count(lit(1)).as("n_triangles")), Seq("v"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+  }
 }

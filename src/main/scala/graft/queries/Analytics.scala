@@ -731,6 +731,39 @@ object Analytics {
       graft.operators.Graph.pageRankFixedPoint(nodes, edges, iters = 3)
         .orderBy("v")
     },
+    Q("g2_triangles",
+      """WITH e AS (SELECT DISTINCT o_custkey % 50 AS s, o_orderkey % 50 AS t
+        |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50
+        |    AND (o_custkey % 50 + o_orderkey % 50) % 3 <> 0),
+        |und AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM e),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |m AS (SELECT x AS v FROM tri
+        |      UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri),
+        |nodes AS (SELECT CAST(range AS BIGINT) AS v FROM range(0, 50)),
+        |c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM m GROUP BY v)
+        |SELECT nodes.v, COALESCE(c.n_triangles, 0) AS n_triangles
+        |FROM nodes LEFT JOIN c USING (v) ORDER BY v""".stripMargin) { (s, d) =>
+      // Exact per-node triangle counts, DEGREE-ORIENTED on the Spark side
+      // (out-lists bounded by O(sqrt m), the at-scale wedge bound) — the
+      // oracle states the naive a<b<c triple join, and the per-node counts
+      // are orientation-independent, so a hash match proves the oriented
+      // algorithm exact. The (src+dst)%3 sparsifier keeps the 50-node
+      // graph from collapsing to a complete graph at sf>=0.01 (uniform
+      // counts would weaken the check). Use case: community density /
+      // spam-farm signals in a link corpus.
+      val nodes = s.range(0, 50).select(col("id").as("v"))
+      val edges = orders(s, d)
+        .select((col("o_custkey") % 50).as("src"), (col("o_orderkey") % 50).as("dst"))
+        .filter(col("src") =!= col("dst") && (col("src") + col("dst")) % 3 =!= 0)
+        .distinct()
+      graft.operators.Graph.triangleCounts(nodes, edges)
+        .orderBy("v")
+    },
 
     // ---- profiling: one-pass correlation matrix -------------------------
     Q("pf_corr",

@@ -12,6 +12,19 @@ import graft.functions.TextFns
 class AnalyticsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("triangleCounts: K4 plus a pendant — exact per-node counts, once per triangle") {
+    // K4 on {0,1,2,3} has 4 triangles, every vertex in exactly 3; vertex 4
+    // hangs off 0 (degree 1, no triangles); vertex 5 is isolated
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 0L), // pendant, also exercises the (degree,id) orientation flip
+      (1L, 0L)) // duplicate in reverse direction — must not double count
+      .toDF("src", "dst")
+    val nodes = spark.range(0, 6).select(col("id").as("v"))
+    val out = graft.operators.Graph.triangleCounts(nodes, edges)
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 0L), (5L, 0L)), s"got $out")
+  }
+
   test("HLL sketch: shard-merged estimate equals whole-input estimate, near exact") {
     // 1000 users across 4 shards with overlap: union-of-sketches must
     // equal sketch-of-union exactly (register merge is a max), and the
