@@ -96,6 +96,20 @@ object Relational {
       graft.sources.Rds.write(base, path, Seq("n_nationkey"))
       graft.sources.Rds.read(s, path, base.schema).orderBy("n_nationkey")
     },
+    Q("s12_avro_roundtrip",
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id") { (s, d) =>
+      // S12 (beyond-reference): in-engine Avro container scan/sink on the
+      // avro-core jar Spark ships (no spark-avro datasource here) — the
+      // row-oriented lake interchange format parquet-first shops still
+      // ingest from Kafka pipelines. Write documents to one deflate
+      // container, scan it back through binaryFile + DataFileStream; the
+      // oracle is the parquet original, so text/unicode must round-trip
+      // losslessly.
+      val base = documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s12_${math.abs(d.hashCode)}/documents.avro"
+      graft.sources.Avro.write(base, path, Seq("doc_id"))
+      graft.sources.Avro.read(s, path, base.schema).orderBy("doc_id")
+    },
     Q("s8_jsonl_roundtrip",
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id") { (s, d) =>
       // S8 (beyond-reference): gzip JSONL sink + scan — the de-facto LLM

@@ -83,4 +83,26 @@ class SourceRoundtripPropSpec extends SparkTestBase {
     roundtrip((df, p) => Rds.write(df, p, Seq("id")),
       p => Rds.read(spark, p, schema), "t.rds")
   }
+
+  test("avro roundtrip survives the same adversarial corpus") {
+    roundtrip((df, p) => graft.sources.Avro.write(df, p, Seq("id")),
+      p => graft.sources.Avro.read(spark, p, schema), "t.avro")
+  }
+
+  test("avro: binary columns round-trip, nested types refuse loudly") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = Seq(Row(1L, Array[Byte](0, 1, -1, 127, -128)), Row(2L, null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJavaList), schema)
+    val path = java.nio.file.Files.createTempDirectory("avro").toString + "/b.avro"
+    graft.sources.Avro.write(df, path, Seq("id"))
+    val back = graft.sources.Avro.read(spark, path, schema).orderBy("id").collect()
+    assert(back(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](0, 1, -1, 127, -128))
+    assert(back(1).isNullAt(1))
+    val nested = StructType(Seq(StructField("a", ArrayType(LongType))))
+    val err = intercept[IllegalArgumentException](graft.sources.Avro.avroSchema(nested))
+    assert(err.getMessage.contains("flat primitive"))
+  }
 }
