@@ -40,6 +40,28 @@ object Ingest {
       .join(index.select("text_hash"), Seq("text_hash"), "left_anti")
       .drop("text_hash")
 
+  /** The continuous-ingest half of the corpus-prep pass
+    * ([[graft.operators.CorpusPrep]]): arriving documents pass the same
+    * token-band quality gate, then the novelty filter against the static
+    * corpus index — one narrow projection + one stream-static anti join,
+    * stateless on the stream side, so the per-batch cost scales with the
+    * batch, never the corpus. (The shuffle/shard stage stays batch: a
+    * global permutation has no streaming meaning — re-shard the grown
+    * corpus with `Sampling.globalShuffle` at manifest-build time.)
+    * Output adds `n_tokens` for downstream packing.
+    */
+  def corpusGateStream(
+      stream: DataFrame,
+      index: DataFrame,
+      minTokens: Int,
+      maxTokens: Int,
+      text: String = "text"): DataFrame =
+    noveltyFilter(
+      stream
+        .withColumn("n_tokens", graft.functions.TextFns.tokenCount(col(text)))
+        .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens),
+      index, text)
+
   /** Apply one micro-batch of dimension updates to a parquet target with
     * MERGE semantics (ops.Joins.upsert). The batch is first collapsed to
     * one row per key — HIGHEST `versionCol` wins, deterministically

@@ -74,6 +74,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
   }
 
+  test("streaming corpus gate equals the batch gate + novelty composition") {
+    import graft.operators.Dedup
+    import graft.streaming.Ingest
+    import graft.functions.TextFns
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-docs-gate").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val index = Dedup.exactIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val q = Ingest.corpusGateStream(Ingest.readDocStream(spark, dir), index,
+        minTokens = 30, maxTokens = 800)
+      .writeStream.outputMode("append").format("memory").queryName("gate_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("gate_out").select("doc_id").as[Long].collect().toSet
+    // batch twin: same band, odd ids only (evens are corpus-known)
+    val expected = docs
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+      .filter(col("n_tokens").between(30, 800) && col("doc_id") % 2 === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty && got.size < docs.count() / 2, "gate vacuous")
+  }
+
   test("sessionize closes sessions at gaps and matches a batch recomputation") {
     import org.apache.spark.sql.expressions.Window
     val stream = Events.readEventStream(spark, eventsDir)
