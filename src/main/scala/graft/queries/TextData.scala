@@ -267,10 +267,26 @@ object TextData {
     },
     Q.noOracle("dd_corpus_dedup") { (s, d) =>
       // the end-to-end composite: LSH candidates -> exact verify ->
-      // canonicalize -> keep canonical docs (hash sketches: no SQL twin)
-      Dedup.dedupCorpus(documents(s, d), "doc_id", "text")
+      // canonicalize -> keep canonical docs (hash sketches: no SQL twin).
+      // Embedded recall floor: exact copies planted over every 13th doc
+      // collide on every MinHash band, verify at jaccard 1, and
+      // canonicalize into their source's component, whose canonical id is
+      // <= the source id < every copy id — so NO planted copy may survive.
+      // (A planted SOURCE may legitimately lose to a smaller near-dup, so
+      // only the copies carry the invariant.) A silent collapse anywhere
+      // in the three-stage chain keeps a copy and raises in the driver
+      // run, not just sbt.
+      val docs = documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      val kept = Dedup.dedupCorpus(docs.unionByName(planted), "doc_id", "text")
         .select("doc_id")
-        .orderBy("doc_id")
+      val check = kept
+        .agg(sum(when(col("doc_id") >= 50000, 1).otherwise(0)).as("__copies"))
+        .select(assert_true(coalesce(col("__copies"), lit(0)) === 0,
+          lit("corpus-dedup recall collapsed: planted exact copies survived"))
+          .as("__recall_ok"))
+      kept.crossJoin(broadcast(check)).orderBy("doc_id")
     },
     Q("dd_cosine_exact",
       // DOUBLE[] cast = double accumulation in array order, matching the
