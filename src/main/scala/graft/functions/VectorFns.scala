@@ -56,4 +56,18 @@ object VectorFns {
     (0 until nBits)
       .map(i => when((a.bitwiseXOR(b)).bitwiseAND(lit(1 << i)) =!= 0, 1).otherwise(0))
       .reduce(_ + _)
+
+  /** Johnson–Lindenstrauss random projection to `planes.size` dimensions:
+    * out_j = dot(v, plane_j) / sqrt(k). With JL the pairwise geometry
+    * (dots, distances) survives within (1 ± ε) at k = O(log n / ε²) —
+    * the shrink-before-ANN step for oversized embeddings. Pass
+    * [[graft.operators.Similarity.lcgPlanes]] and a power-of-four k
+    * (16, 64, ...) and the whole map is exact-arithmetic reproducible in
+    * SQL: planes regenerate from the LCG formula and 1/sqrt(k) is a power
+    * of two, so every output double is bit-identical across engines.
+    */
+  def jlProject(v: Column, planes: Seq[Array[Double]]): Column = {
+    val scale = math.sqrt(planes.size.toDouble)
+    array(planes.map(p => dot(v, typedLit(p.toSeq)) / scale): _*)
+  }
 }

@@ -524,6 +524,31 @@ object TextData {
       Similarity.sq8TopK(e, "vec_id", "embedding", stats, q, queryId = 0L, k = 10)
     },
 
+    Q("ann_jl_project",
+      """WITH pl AS (
+        |  SELECT list_transform(range(0, 16), p ->
+        |    list_transform(range(0, 64), i ->
+        |      CAST((2654435761 * ((144 + p) * 64 + i) + 1013904223) % 4294967296 AS DOUBLE)
+        |        / 4294967296.0 - 0.5)) AS planes),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT e.vec_id,
+        |    list_transform(range(0, 16), j -> list_dot_product(e.v, planes[j + 1]) / 4.0) AS proj
+        |  FROM e, pl)
+        |SELECT vec_id, CAST(u.j AS INTEGER) AS pos, proj[u.j + 1] AS val
+        |FROM p, range(0, 16) AS u(j)
+        |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+      // Johnson–Lindenstrauss projection 64 -> 16 dims (the shrink-before-
+      // ANN step): LCG planes (table 9) + a power-of-two 1/sqrt(k), so the
+      // map is bit-exact in SQL. Output exploded to (vec_id, pos, val) —
+      // the driver compare hashes scalars, not arrays.
+      graft.plans.Sketches.ensureRegistered(s) // jlProject uses graft_dot
+      val planes = Similarity.lcgPlanes(9, 16, 64)
+      embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFns.jlProject(col("embedding"), planes)))
+        .toDF("vec_id", "pos", "val")
+        .orderBy("vec_id", "pos")
+    },
     Q.noOracle("ann_ivf_sq8") { (s, d) =>
       // IVF cell pruning × SQ8 codes-only index: bounded IO AND bounded
       // bytes-per-vector (the billion-vector operating point). Hash

@@ -11,6 +11,28 @@ import graft.operators.Similarity
 class AnnRecallSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("jlProject: identical vectors stay identical, pairwise dots roughly survive") {
+    import graft.functions.VectorFns
+    val planes = Similarity.lcgPlanes(9, 16, 64)
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), VectorFns.unit(col("embedding")).as("u"))
+      .withColumn("p", VectorFns.jlProject(col("u"), planes))
+    val pairs = e.select(col("vec_id").as("ia"), col("u").as("ua"), col("p").as("pa"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("u").as("ub"), col("p").as("pb")))
+      .filter(col("ia") < col("ib"))
+      .select(VectorFns.dot(col("ua"), col("ub")).as("d"),
+        VectorFns.dot(col("pa"), col("pb")).as("dp"))
+      .as[(Double, Double)].collect()
+    // JL at k=16: distortion on unit vectors concentrates near ~1/sqrt(k);
+    // assert the mean absolute distortion is well under random chance
+    val meanErr = pairs.map { case (d, dp) => math.abs(d - dp) }.sum / pairs.length
+    assert(meanErr < 0.3, s"mean JL distortion $meanErr")
+    // a vector projected twice is bit-identical (pure deterministic plan)
+    val p1 = e.select("p").collect().map(_.getSeq[Double](0))
+    val p2 = e.select("p").collect().map(_.getSeq[Double](0))
+    assert(p1.zip(p2).forall { case (a, b) => a == b })
+  }
+
   test("lshTopK recall@10 vs brute force on fixture embeddings") {
     val e = Tables.embeddings(spark, sfDir).cache()
     val queryIds = Seq(0L, 7L, 21L)
