@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY §2.4). All compose built-in hash aggregates
@@ -60,6 +61,43 @@ object Aggregates {
     df.join(broadcast(stats), keys)
       .withColumn(s"${v}_scaled",
         when(col(mx) > col(mn), (col(v) - col(mn)) / (col(mx) - col(mn))))
+  }
+
+  /** Per-group MAD robust scaling (qt_mad): med = exact group median,
+    * mad = exact median of |x − med|, robust = (x − med) / mad (null when
+    * mad = 0 — a constant-majority group has no robust scale). The
+    * outlier-resistant sibling of zscore: one wild value moves a mean/std
+    * arbitrarily but moves a median by at most one rank.
+    *
+    * Both medians use the mean-of-middle-two spelling over a pinned total
+    * order (cf. a3: fp addition of ≤2 values is commutative, so the value
+    * is engine-order-proof where percentile interpolation differs in the
+    * last ulp) — which is what lets the qt_mad oracle replay the whole
+    * thing bit-exactly. Cost: two window+aggregate passes on the group
+    * keys plus two broadcast joins back.
+    *
+    * `tiebreak` must complete a total order within each group (include a
+    * unique id) — same contract as every pinned-survivor operator here.
+    */
+  def madScale(df: DataFrame, keys: Seq[String], v: String, tiebreak: Seq[Column]): DataFrame = {
+    def exactMedian(in: DataFrame, value: Column, out: String): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(value +: tiebreak: _*)
+      val wn = Window.partitionBy(keys.map(col): _*)
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .filter(col("__rn") === expr("(__n + 1) div 2") ||
+          col("__rn") === expr("(__n + 2) div 2"))
+        .groupBy(keys.map(col): _*)
+        .agg((sum(value) / count(lit(1))).as(out))
+    }
+    val x = col(v).cast("double")
+    val med = s"${v}_med"
+    val mad = s"${v}_mad"
+    val withMed = df.join(broadcast(exactMedian(df, x, med)), keys)
+    val withMad = withMed.join(
+      broadcast(exactMedian(withMed, abs(x - col(med)), mad)), keys)
+    withMad.withColumn(s"${v}_robust",
+      when(col(mad) > 0, (x - col(med)) / col(mad)))
   }
 
   /** A10: per-column null counts — the reference's NA profiler

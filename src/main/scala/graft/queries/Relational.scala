@@ -1266,6 +1266,48 @@ object Relational {
         .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts", "click_value")
         .orderBy("purchase_id", "click_id")
     },
+    Q("qt_mad",
+      """WITH r AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_quantity AS DOUBLE), l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |med AS (SELECT l_returnflag,
+        |    SUM(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN x END) /
+        |    COUNT(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN 1 END) AS l_quantity_med
+        |  FROM r GROUP BY l_returnflag),
+        |d AS (SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+        |    CAST(l.l_quantity AS DOUBLE) AS x, m.l_quantity_med,
+        |    abs(CAST(l.l_quantity AS DOUBLE) - m.l_quantity_med) AS dev
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |dr AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY dev, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM d),
+        |mad AS (SELECT l_returnflag,
+        |    SUM(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN dev END) /
+        |    COUNT(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN 1 END) AS l_quantity_mad
+        |  FROM dr GROUP BY l_returnflag)
+        |SELECT d.l_orderkey, d.l_linenumber, d.l_returnflag, d.x AS l_quantity,
+        |  d.l_quantity_med, mad.l_quantity_mad,
+        |  CASE WHEN mad.l_quantity_mad > 0
+        |       THEN (d.x - d.l_quantity_med) / mad.l_quantity_mad END AS l_quantity_robust
+        |FROM d JOIN mad USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin) { (s, d) =>
+      // §2.11 feature scaling, robust flavor: MAD-based standardization —
+      // a single wild value moves mean/std arbitrarily but a median by at
+      // most one rank. Exact medians via the a3 mean-of-middle-two
+      // spelling on both sides (engine-order-proof), broadcast back.
+      graft.ops.Aggregates.madScale(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), "l_quantity",
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_quantity_med"), col("l_quantity_mad"), col("l_quantity_robust"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
     Q("qt_zscore",
       """WITH s AS (SELECT l_returnflag,
         |    CAST(COUNT(l_quantity) AS BIGINT) AS n,

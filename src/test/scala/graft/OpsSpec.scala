@@ -86,6 +86,23 @@ class OpsSpec extends SparkTestBase {
       s"range join must not plan a nested loop:\n$plan")
   }
 
+  test("madScale: robust scale is outlier-immune where zscore is not") {
+    // 1..9 plus a 1e9 outlier (ids 1..10): median = 5.5, devs sorted are
+    // 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,huge -> mad = 2.5; the robust
+    // score of 9 is (9-5.5)/2.5 = 1.4 — bounded despite the outlier that
+    // would push a z-score of 9 toward 0
+    val df = ((1 to 9).map(i => ("g", i, i.toDouble)) :+ (("g", 10, 1e9)))
+      .toDF("g", "id", "v")
+    val out = Aggregates.madScale(df, Seq("g"), "v", Seq(col("id"))).cache()
+    assert(out.select("v_med").distinct().as[Double].head() == 5.5)
+    assert(out.select("v_mad").distinct().as[Double].head() == 2.5)
+    assert(out.filter(col("id") === 9).select("v_robust").as[Double].head() == 1.4)
+    // constant group -> mad 0 -> robust null, no division blowup
+    val const = Seq(("c", 1, 7.0), ("c", 2, 7.0)).toDF("g", "id", "v")
+    val c = Aggregates.madScale(const, Seq("g"), "v", Seq(col("id")))
+    assert(c.filter(col("v_robust").isNotNull).count() == 0)
+  }
+
   test("winsorize clamps to per-group order-statistic bounds") {
     // group a: 20 values 1..20 -> p05 rank = ceil(1.0)=1 -> lo=1;
     // p95 rank = ceil(19.0)=19 -> hi=19; 20 clamps to 19
