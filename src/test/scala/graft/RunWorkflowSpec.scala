@@ -264,5 +264,16 @@ class RunWorkflowSpec extends SparkTestBase with org.scalatest.BeforeAndAfterEac
     ffChecked.assertClean()
     // the v2 carbon price is the geography-renamed stage-2 frame
     assert(v2.ngfsCarbonPrice.count() > 0)
+
+    // cache ownership: unpersistAll releases what run() pinned (the
+    // frames stay readable — they just recompute). abcd and the bench
+    // geographies are the cached objects themselves, so their storage
+    // level must drop to NONE.
+    import org.apache.spark.storage.StorageLevel
+    assert(out.abcd.storageLevel != StorageLevel.NONE, "abcd should be cached by run()")
+    out.unpersistAll()
+    assert(out.abcd.storageLevel == StorageLevel.NONE)
+    assert(out.scenariosGeographies.get.storageLevel == StorageLevel.NONE)
+    assert(v2.ngfsCarbonPrice.count() > 0) // still computable post-release
   }
 }
