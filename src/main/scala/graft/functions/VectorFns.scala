@@ -58,16 +58,29 @@ object VectorFns {
       .reduce(_ + _)
 
   /** Johnson–Lindenstrauss random projection to `planes.size` dimensions:
-    * out_j = dot(v, plane_j) / sqrt(k). With JL the pairwise geometry
-    * (dots, distances) survives within (1 ± ε) at k = O(log n / ε²) —
-    * the shrink-before-ANN step for oversized embeddings. Pass
-    * [[graft.operators.Similarity.lcgPlanes]] and a power-of-four k
-    * (16, 64, ...) and the whole map is exact-arithmetic reproducible in
-    * SQL: planes regenerate from the LCG formula and 1/sqrt(k) is a power
-    * of two, so every output double is bit-identical across engines.
+    * out_j = dot(v, plane_j) / sqrt(k · σ²), where σ² = 1/12 is the
+    * variance of the uniform [-0.5, 0.5) LCG plane entries — without the
+    * 12, norms shrink ~3.5× and dots ~12× and any threshold calibrated in
+    * the original space is wrong. With the correction, E‖proj‖² = ‖v‖²
+    * and pairwise geometry survives within (1 ± ε) at k = O(log n / ε²) —
+    * the shrink-before-ANN step for oversized embeddings.
+    *
+    * Reproducible in SQL: planes regenerate from the LCG formula
+    * ([[graft.operators.Similarity.lcgPlanes]]) and the divisor is one
+    * double constant — spell it `sqrt(k.0/12.0)` in the oracle (both
+    * engines round sqrt correctly to the same bits; a bare decimal
+    * literal would NOT work — DuckDB parses those as DECIMAL first,
+    * which double-rounds 1 ulp off) and every output double is
+    * bit-identical across engines.
     */
   def jlProject(v: Column, planes: Seq[Array[Double]]): Column = {
-    val scale = math.sqrt(planes.size.toDouble)
+    val scale = jlScale(planes.size)
     array(planes.map(p => dot(v, typedLit(p.toSeq)) / scale): _*)
   }
+
+  /** The exact divisor jlProject uses: sqrt(k/12) for k uniform
+    * [-0.5, 0.5) planes. Exposed so oracle SQL can embed the identical
+    * double literal.
+    */
+  def jlScale(k: Int): Double = math.sqrt(k / 12.0)
 }

@@ -80,7 +80,11 @@ object Aggregates {
     * unique id) — same contract as every pinned-survivor operator here.
     */
   def madScale(df: DataFrame, keys: Seq[String], v: String, tiebreak: Seq[Column]): DataFrame = {
-    def exactMedian(in: DataFrame, value: Column, out: String): DataFrame = {
+    // medians are over NON-NULL values (R median(na.rm=TRUE)); without the
+    // filter, nulls sort first, inflate __n and can land on the middle
+    // ranks — silently skewing or nulling the group median
+    def exactMedian(in0: DataFrame, value: Column, out: String): DataFrame = {
+      val in = in0.filter(value.isNotNull)
       val w = Window.partitionBy(keys.map(col): _*).orderBy(value +: tiebreak: _*)
       val wn = Window.partitionBy(keys.map(col): _*)
       in.withColumn("__rn", row_number().over(w))

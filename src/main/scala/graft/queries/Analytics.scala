@@ -432,17 +432,19 @@ object Analytics {
     Q("a18_hll_sketch",
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  TRUE AS merge_consistent, TRUE AS within_error
+        |  TRUE AS whole_within_error, TRUE AS merged_within_error
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       // Mergeable-sketch incremental distinct (DataSketches HLL, the
       // 100-TB pattern for daily-sketch -> monthly-rollup unique counts):
-      // shard partials are hll_sketch_agg'd, rolled up with hll_union_agg,
-      // and because an HLL register merge is a MAX it is order- and
-      // shard-insensitive — the merged estimate must equal the whole-input
-      // estimate EXACTLY, asserted per group in `merge_consistent`. The
-      // estimate itself is sketch-inherent, so the oracle pins the exact
-      // distinct count and the two deterministic booleans (merge identity,
-      // relative error < 5%) rather than the estimate value.
+      // shard partials are hll_sketch_agg'd and rolled up with
+      // hll_union_agg. NOTE the register merge is a max, but DataSketches
+      // estimates a direct sketch with the HIP estimator and a union
+      // result with the composite estimator, so merged == whole holds
+      // only below the coupon->HLL mode transition (~1k distinct at
+      // lgK=12) — above it they legitimately differ by a fraction of a
+      // percent. The oracle therefore pins the exact distinct count and
+      // a 5% relative-error bound on BOTH estimates (deterministic
+      // booleans at any SF), not the estimator identity.
       val ev = events(s, d).select(col("event_type"), col("user_id"), col("event_id"))
       val parts = ev.withColumn("half", pmod(col("event_id"), lit(2)))
         .groupBy("event_type", "half")
@@ -454,9 +456,10 @@ object Analytics {
           countDistinct(col("user_id")).as("exact_users"))
       whole.join(merged, Seq("event_type"))
         .select(col("event_type"), col("exact_users"),
-          (col("est_merged") === col("est_whole")).as("merge_consistent"),
+          (abs(col("est_whole").cast("double") / col("exact_users") - 1.0) < 0.05)
+            .as("whole_within_error"),
           (abs(col("est_merged").cast("double") / col("exact_users") - 1.0) < 0.05)
-            .as("within_error"))
+            .as("merged_within_error"))
         .orderBy("event_type")
     },
 

@@ -276,13 +276,17 @@ object TextData {
       // only the copies carry the invariant.) A silent collapse anywhere
       // in the three-stage chain keeps a copy and raises in the driver
       // run, not just sbt.
+      // the copy-id offset is far outside any plausible doc_id range
+      // (2^40) — a small literal like +50000 would collide with real ids
+      // at large SFs, both corrupting components and tripping the check
+      val off = 1L << 40
       val docs = documents(s, d).select("doc_id", "text")
       val planted = docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
       val kept = Dedup.dedupCorpus(docs.unionByName(planted), "doc_id", "text")
         .select("doc_id")
       val check = kept
-        .agg(sum(when(col("doc_id") >= 50000, 1).otherwise(0)).as("__copies"))
+        .agg(sum(when(col("doc_id") >= off, 1).otherwise(0)).as("__copies"))
         .select(assert_true(coalesce(col("__copies"), lit(0)) === 0,
           lit("corpus-dedup recall collapsed: planted exact copies survived"))
           .as("__recall_ok"))
@@ -525,6 +529,10 @@ object TextData {
     },
 
     Q("ann_jl_project",
+      // sqrt(16.0/12.0) NOT a plain decimal literal: DuckDB parses bare
+      // decimals as DECIMAL first (double-rounding, 1 ulp off); the sqrt
+      // expression is correctly rounded to the same bits as Scala's
+      // math.sqrt(16/12.0)
       """WITH pl AS (
         |  SELECT list_transform(range(0, 16), p ->
         |    list_transform(range(0, 64), i ->
@@ -532,15 +540,18 @@ object TextData {
         |        / 4294967296.0 - 0.5)) AS planes),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT e.vec_id,
-        |    list_transform(range(0, 16), j -> list_dot_product(e.v, planes[j + 1]) / 4.0) AS proj
+        |    list_transform(range(0, 16), j -> list_dot_product(e.v, planes[j + 1])
+        |      / sqrt(16.0/12.0)) AS proj
         |  FROM e, pl)
         |SELECT vec_id, CAST(u.j AS INTEGER) AS pos, proj[u.j + 1] AS val
         |FROM p, range(0, 16) AS u(j)
         |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
       // Johnson–Lindenstrauss projection 64 -> 16 dims (the shrink-before-
-      // ANN step): LCG planes (table 9) + a power-of-two 1/sqrt(k), so the
-      // map is bit-exact in SQL. Output exploded to (vec_id, pos, val) —
-      // the driver compare hashes scalars, not arrays.
+      // ANN step): LCG planes (table 9) + the variance-corrected
+      // sqrt(k/12) divisor (sigma^2 = 1/12 for uniform [-0.5,0.5) plane
+      // entries), which both engines compute to the same bits — the map
+      // is bit-exact in SQL. Output exploded to (vec_id, pos, val) — the
+      // driver compare hashes scalars, not arrays.
       graft.plans.Sketches.ensureRegistered(s) // jlProject uses graft_dot
       val planes = Similarity.lcgPlanes(9, 16, 64)
       embeddings(s, d)

@@ -43,6 +43,11 @@ object Avro {
     */
   def avroSchema(schema: StructType, name: String = "row"): Schema = {
     val fields = schema.fields.map { f =>
+      // names interpolate into schema JSON — reject anything outside
+      // Avro's name grammar up front instead of throwing an opaque
+      // SchemaParseException (or corrupting the JSON) from inside avro
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"avro sink requires [A-Za-z_][A-Za-z0-9_]* column names, got '${f.name}'")
       s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"]}"""
     }.mkString(",")
     new Schema.Parser().parse(

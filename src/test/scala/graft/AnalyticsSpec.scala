@@ -25,20 +25,23 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 0L), (5L, 0L)), s"got $out")
   }
 
-  test("HLL sketch: shard-merged estimate equals whole-input estimate, near exact") {
-    // 1000 users across 4 shards with overlap: union-of-sketches must
-    // equal sketch-of-union exactly (register merge is a max), and the
-    // estimate must land within HLL++ error of the true 1000
-    val rows = (0 until 4).flatMap(sh => (0 until 700).map(u => (sh, (u * 13 + sh * 77) % 1000)))
+  test("HLL sketch: shard-merge and whole-input estimates both near exact") {
+    // 8000 distinct users across 4 overlapping shards — deliberately ABOVE
+    // the coupon->HLL mode transition (~1k at lgK=12), where a direct
+    // sketch (HIP estimator) and a union result (composite estimator)
+    // legitimately differ by a fraction of a percent; both must still land
+    // within HLL error of the truth (the a18 contract)
+    val rows = (0 until 4).flatMap(sh => (0 until 5000).map(u => (sh, (u * 13 + sh * 77) % 8000)))
     val df = rows.toDF("shard", "user_id")
     val merged = df.groupBy("shard").agg(hll_sketch_agg(col("user_id")).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).as[Long].head()
     val whole = df.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
       .as[Long].head()
     val exact = df.select("user_id").distinct().count()
-    assert(merged == whole, s"merge identity broke: $merged != $whole")
     assert(math.abs(merged.toDouble / exact - 1.0) < 0.05,
-      s"estimate $merged vs exact $exact out of bounds")
+      s"merged estimate $merged vs exact $exact out of bounds")
+    assert(math.abs(whole.toDouble / exact - 1.0) < 0.05,
+      s"whole estimate $whole vs exact $exact out of bounds")
   }
 
   // --- canonicalizeUrl ----------------------------------------------------

@@ -17,14 +17,21 @@ class AnnRecallSpec extends SparkTestBase {
     val e = Tables.embeddings(spark, sfDir).limit(50)
       .select(col("vec_id"), VectorFns.unit(col("embedding")).as("u"))
       .withColumn("p", VectorFns.jlProject(col("u"), planes))
+    // NORM preservation is the non-vacuous check (an all-zeros projection
+    // would pass any absolute-dot bound on near-orthogonal fixtures):
+    // unit inputs must project to norm ≈ 1 under the sqrt(k/12) scaling
+    val norms = e.select(sqrt(VectorFns.dot(col("p"), col("p"))).as("nn"))
+      .as[Double].collect()
+    val meanNorm = norms.sum / norms.length
+    assert(meanNorm > 0.85 && meanNorm < 1.15, s"mean projected norm $meanNorm (want ~1)")
+    assert(norms.forall(n => n > 0.3 && n < 2.5), s"per-vector norm out of JL range")
     val pairs = e.select(col("vec_id").as("ia"), col("u").as("ua"), col("p").as("pa"))
       .crossJoin(e.select(col("vec_id").as("ib"), col("u").as("ub"), col("p").as("pb")))
       .filter(col("ia") < col("ib"))
       .select(VectorFns.dot(col("ua"), col("ub")).as("d"),
         VectorFns.dot(col("pa"), col("pb")).as("dp"))
       .as[(Double, Double)].collect()
-    // JL at k=16: distortion on unit vectors concentrates near ~1/sqrt(k);
-    // assert the mean absolute distortion is well under random chance
+    // JL at k=16: pairwise-dot error concentrates near 1/sqrt(k) = 0.25
     val meanErr = pairs.map { case (d, dp) => math.abs(d - dp) }.sum / pairs.length
     assert(meanErr < 0.3, s"mean JL distortion $meanErr")
     // a vector projected twice is bit-identical (pure deterministic plan)

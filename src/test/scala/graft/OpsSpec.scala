@@ -101,6 +101,15 @@ class OpsSpec extends SparkTestBase {
     val const = Seq(("c", 1, 7.0), ("c", 2, 7.0)).toDF("g", "id", "v")
     val c = Aggregates.madScale(const, Seq("g"), "v", Seq(col("id")))
     assert(c.filter(col("v_robust").isNotNull).count() == 0)
+    // nulls are excluded from the medians (R median(na.rm=TRUE)): with
+    // [null, 1, 2, 3] the median is 2, not the null-skewed 1.5
+    val withNull = Seq(("n", 0, null.asInstanceOf[java.lang.Double]),
+      ("n", 1, 1.0: java.lang.Double), ("n", 2, 2.0: java.lang.Double),
+      ("n", 3, 3.0: java.lang.Double)).toDF("g", "id", "v")
+    val nOut = Aggregates.madScale(withNull, Seq("g"), "v", Seq(col("id")))
+    assert(nOut.select("v_med").distinct().as[Double].head() == 2.0)
+    assert(nOut.filter(col("id") === 0).select("v_robust").isEmpty ||
+      nOut.filter(col("id") === 0).filter(col("v_robust").isNotNull).count() == 0)
   }
 
   test("winsorize clamps to per-group order-statistic bounds") {
