@@ -850,6 +850,33 @@ object TextData {
         .select("media_id", "modality", "n_bytes", "width", "height", "n_frames")
         .orderBy("media_id")
     },
+    Q("mm_resize_plan",
+      """WITH b AS (SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes FROM documents),
+        |f AS (SELECT media_id, n_bytes % 640 AS width,
+        |    CAST(FLOOR(n_bytes / 640.0) AS INTEGER) % 480 AS height FROM b)
+        |SELECT media_id, width, height,
+        |  CASE WHEN width > 0 AND height > 0 THEN
+        |    CASE WHEN 224 * height <= 160 * width THEN 224
+        |         ELSE CAST((160 * width) // height AS INTEGER) END END AS target_width,
+        |  CASE WHEN width > 0 AND height > 0 THEN
+        |    CASE WHEN 224 * height <= 160 * width
+        |         THEN CAST((224 * height) // width AS INTEGER)
+        |         ELSE 160 END END AS target_height
+        |FROM f ORDER BY media_id""".stripMargin) { (s, d) =>
+      // aspect-preserving fit into a 224x160 box — the codec-independent
+      // half of image preprocessing, EXACT integer math (cross-multiplied
+      // fit test, integral DIV scaling, zero-area passthrough to null) so
+      // the oracle replays it bit-for-bit; the zero-area branch is
+      // fixture-covered in MultimodalSpec (the synthetic widths here
+      // don't hit 0 at sf0.01).
+      Multimodal.resizePlan(
+          Multimodal.payloadFeatures(
+            Multimodal.asMedia(documents(s, d), "doc_id", "text", "image")),
+          maxW = 224, maxH = 160)
+        .select("media_id", "width", "height", "target_width", "target_height")
+        .orderBy("media_id")
+    },
 
     // ---- deterministic sampling / splits -------------------------------
     // MD5-bucketed (engine-portable, unlike xxhash64), so the oracle
