@@ -877,6 +877,21 @@ object TextData {
         .select("media_id", "width", "height", "target_width", "target_height")
         .orderBy("media_id")
     },
+    Q("mm_frame_sample",
+      """WITH b AS (SELECT doc_id AS media_id, 'video' AS modality,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes FROM documents)
+        |SELECT media_id, modality, CAST(u.o AS INTEGER) AS frame_offset
+        |FROM b, unnest(generate_series(0, GREATEST(n_bytes - 1, 0), 256)) AS u(o)
+        |ORDER BY media_id, frame_offset""".stripMargin) { (s, d) =>
+      // video-frame sampling plumbing: one row per 256-byte stride into
+      // the payload (explode of a sequence — a generator, no UDTF); the
+      // oracle is generate_series, inclusive-stop on both sides.
+      Multimodal.sampleFrames(
+          Multimodal.asMedia(documents(s, d), "doc_id", "text", "video"),
+          everyNBytes = 256)
+        .select(col("media_id"), col("modality"), col("frame_offset").cast("int"))
+        .orderBy("media_id", "frame_offset")
+    },
 
     // ---- deterministic sampling / splits -------------------------------
     // MD5-bucketed (engine-portable, unlike xxhash64), so the oracle
