@@ -25,6 +25,18 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 0L), (5L, 0L)), s"got $out")
   }
 
+  test("HLL sketch aggregation plans map-side partial aggregation") {
+    // the sketch is a mergeable buffer, so Spark must combine per-partition
+    // BEFORE the shuffle (ObjectHashAggregate partial) — shuffling raw rows
+    // to a single final aggregate would defeat the whole point at scale
+    val df = spark.range(0, 1000).select((col("id") % 7).as("g"), col("id").as("u"))
+    val p = df.groupBy("g").agg(hll_sketch_agg(col("u")).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial_hll_sketch_agg") ||
+      p.toLowerCase.contains("partial"), s"expected a partial aggregation stage:\n$p")
+  }
+
   test("HLL sketch: shard-merge and whole-input estimates both near exact") {
     // 8000 distinct users across 4 overlapping shards — deliberately ABOVE
     // the coupon->HLL mode transition (~1k at lgK=12), where a direct
