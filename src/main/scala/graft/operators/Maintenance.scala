@@ -68,4 +68,41 @@ object Maintenance {
     CompactionReport(before.size.toLong, parquetFiles(spark, dir).size.toLong,
       bytes, targetFileBytes)
   }
+
+  /** Snapshot diff — CDC between two versions of a keyed table: every key
+    * classified `added` / `removed` / `changed` / `unchanged` by one full
+    * outer join on the keys plus NULL-SAFE (<=>) compares of the non-key
+    * columns (no row hashing: hashing would have to pick a null/empty
+    * encoding, and `<=>` is exactly SQL's IS NOT DISTINCT FROM, so the
+    * oracle states the same thing verbatim). The daily question at corpus
+    * scale — "what changed between crawls?" — for one shuffle on the key.
+    *
+    * Both sides must share a schema; output = coalesced keys, `status`,
+    * and the old/new value columns (new side suffixed `__new`).
+    */
+  def snapshotDiff(
+      old: org.apache.spark.sql.DataFrame,
+      cur: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(old.columns.toSeq == cur.columns.toSeq,
+      s"snapshot schemas differ: ${old.columns.toSeq} vs ${cur.columns.toSeq}")
+    val valueCols = old.columns.toSeq.diff(keys)
+    val inOld = graft.core.Cols.fresh(old.columns ++ cur.columns, "__in_old")
+    val inNew = graft.core.Cols.fresh(old.columns ++ cur.columns :+ inOld, "__in_new")
+    val o = old.withColumn(inOld, lit(true))
+    val n = valueCols.foldLeft(cur.withColumn(inNew, lit(true))) {
+      (d, v) => d.withColumnRenamed(v, s"${v}__new")
+    }
+    val sameVals =
+      if (valueCols.isEmpty) lit(true)
+      else valueCols.map(v => col(v) <=> col(s"${v}__new")).reduce(_ && _)
+    o.join(n, keys, "full")
+      .withColumn("status",
+        when(col(inOld).isNull, "added")
+          .when(col(inNew).isNull, "removed")
+          .when(sameVals, "unchanged")
+          .otherwise("changed"))
+      .drop(inOld, inNew)
+  }
 }

@@ -400,6 +400,38 @@ object Analytics {
           lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
+    Q("u8_snapshot_diff",
+      """WITH oldt AS (SELECT doc_id, text FROM documents),
+        |newt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 23 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Snapshot diff between two corpus crawls (CDC): the "new" crawl
+      // deterministically drops every 17th doc (removed), edits every 5th
+      // (changed) and discovers re-keyed copies of every 23rd (added) —
+      // all four statuses non-vacuous by construction. One full outer
+      // join + null-safe compares; the oracle states the identical
+      // IS NOT DISTINCT FROM logic.
+      val docs = documents(s, d).select("doc_id", "text")
+      val newer = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.operators.Maintenance.snapshotDiff(docs, newer, Seq("doc_id"))
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    },
 
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",

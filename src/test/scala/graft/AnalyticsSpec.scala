@@ -25,6 +25,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 0L), (5L, 0L)), s"got $out")
   }
 
+  test("snapshotDiff: null-safe value compare, all four statuses") {
+    import graft.operators.Maintenance
+    val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (4L, "d"), (5L, null.asInstanceOf[String])).toDF("k", "v")
+    val cur = Seq((1L, "a"), (2L, "B"), (3L, null.asInstanceOf[String]),
+      (5L, "now-set"), (6L, "new")).toDF("k", "v")
+    val out = Maintenance.snapshotDiff(old, cur, Seq("k"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // null <=> null is TRUE, not a spurious change
+      4L -> "removed", 5L -> "changed", 6L -> "added"), s"got $out")
+  }
+
   test("HLL sketch aggregation plans map-side partial aggregation") {
     // the sketch is a mergeable buffer, so Spark must combine per-partition
     // BEFORE the shuffle (ObjectHashAggregate partial) — shuffling raw rows
