@@ -90,13 +90,19 @@ object Maintenance {
     val valueCols = old.columns.toSeq.diff(keys)
     val inOld = graft.core.Cols.fresh(old.columns ++ cur.columns, "__in_old")
     val inNew = graft.core.Cols.fresh(old.columns ++ cur.columns :+ inOld, "__in_new")
+    // collision-free rename suffix: an input that already carries a
+    // "<v>__new" column must not be silently overwritten
+    val suffix = Iterator.from(0)
+      .map(i => if (i == 0) "__new" else s"__new_$i")
+      .find(sfx => !valueCols.exists(v => old.columns.contains(v + sfx)))
+      .get
     val o = old.withColumn(inOld, lit(true))
     val n = valueCols.foldLeft(cur.withColumn(inNew, lit(true))) {
-      (d, v) => d.withColumnRenamed(v, s"${v}__new")
+      (d, v) => d.withColumnRenamed(v, v + suffix)
     }
     val sameVals =
       if (valueCols.isEmpty) lit(true)
-      else valueCols.map(v => col(v) <=> col(s"${v}__new")).reduce(_ && _)
+      else valueCols.map(v => col(v) <=> col(v + suffix)).reduce(_ && _)
     o.join(n, keys, "full")
       .withColumn("status",
         when(col(inOld).isNull, "added")
