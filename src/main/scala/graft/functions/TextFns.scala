@@ -74,8 +74,10 @@ object TextFns {
     transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => c.substr(i, lit(n)))
 
-  /** MinHash signature: one xxh64 per shingle, numHashes slots derived by
-    * 64-bit mixing — a custom Catalyst expression (graft.plans.Sketches).
+  /** MinHash signature: one md5-derived h32 per shingle, numHashes slots
+    * from an affine universal family mod the prime 4294967311 — a custom
+    * Catalyst expression (graft.plans.Sketches), SQL-replayable so the LSH
+    * dedup stack carries full DuckDB oracles.
     * The equivalent HOF formulation (transform over seeds x shingles)
     * measured ~45 ms/row interpreted; the expression is ~1000x faster.
     * Callers must Sketches.ensureRegistered(session) first (the Dedup
@@ -95,11 +97,12 @@ object TextFns {
       lit(0), (acc, x) => acc + x
     ).cast("double") / size(sigA)
 
-  /** SimHash as 4 band values of 16 bits each (64 bits total): bit i is
-    * the sign of the sum over tokens of (+/-1 by bit i of the token hash).
-    * Custom expression (graft.plans.Sketches) — one hash per token in a
-    * tight loop; banded so LSH bucketing needs no dynamic bit-shifts.
-    * Callers must Sketches.ensureRegistered(session) first.
+  /** SimHash as 4 band values of 15 bits each (60 bits total — the
+    * md5-derived h60 keeps the per-token hash a non-negative BIGINT in any
+    * engine): bit i is the sign of the sum over tokens of (+/-1 by bit i
+    * of the token hash). Custom expression (graft.plans.Sketches) — one
+    * hash per token in a tight loop; banded so LSH bucketing needs no
+    * dynamic bit-shifts. Callers must Sketches.ensureRegistered first.
     */
   def simhashBands(toks: Column): Column =
     call_function("graft_simhash_bands", toks)
@@ -128,8 +131,9 @@ object TextFns {
     when(uni =!= 0, inter / uni)
   }
 
-  /** Document fingerprint: min of rolling 8-byte-window hashes (winnowing
-    * with a single global window — robust to small edits at either end).
+  /** Document fingerprint: min of rolling 8-character-window md5 hashes
+    * (winnowing with a single global window — robust to small edits at
+    * either end; character windows so SQL substr replays the slices).
     * Custom expression; callers must Sketches.ensureRegistered first.
     */
   def fingerprint64(c: Column): Column =

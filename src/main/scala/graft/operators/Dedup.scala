@@ -68,10 +68,17 @@ object Dedup {
       .filter(size(col("__toks")) > 0)
       .withColumn("__sig", TextFns.minhashSignature(col("__toks"), shingleSize, numHashes))
       .select(col(id), col("__sig"))
+    // bucket = md5 hex of "band,slot,slot,..." — an engine-portable join
+    // key (DuckDB replays the identical string and md5), unlike the
+    // previous xxhash64(band, slice) which no oracle could recompute
     var banded = base
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
-        xxhash64(col("band"), slice(col("__sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+        md5(concat_ws(",",
+          col("band").cast("string"),
+          array_join(transform(
+            slice(col("__sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), ","))))
     if (maxBucketSize > 0) {
       val w = Window.partitionBy(col("band"), col("bucket"))
       banded = banded
@@ -103,7 +110,7 @@ object Dedup {
   }
 
   /** SimHash per document (banded) plus candidate pairs sharing >= 1 band
-    * (Hamming distance <= 48 of 64 bits guaranteed for surfaced pairs;
+    * (Hamming distance <= 45 of 60 bits guaranteed for surfaced pairs;
     * verify with exact distance downstream if tighter radius needed).
     */
   def simhashPairs(df: DataFrame, id: String, text: String): DataFrame = {

@@ -97,9 +97,12 @@ object Aggregates {
     val x = col(v).cast("double")
     val med = s"${v}_med"
     val mad = s"${v}_mad"
-    val withMed = df.join(broadcast(exactMedian(df, x, med)), keys)
+    // left joins: a group whose value column is entirely null has no median
+    // row, but its rows must survive with null med/mad/robust (the doc
+    // promises robust = null, not row loss)
+    val withMed = df.join(broadcast(exactMedian(df, x, med)), keys, "left")
     val withMad = withMed.join(
-      broadcast(exactMedian(withMed, abs(x - col(med)), mad)), keys)
+      broadcast(exactMedian(withMed, abs(x - col(med)), mad)), keys, "left")
     withMad.withColumn(s"${v}_robust",
       when(col(mad) > 0, (x - col(med)) / col(mad)))
   }

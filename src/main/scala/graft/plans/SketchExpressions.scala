@@ -1,7 +1,9 @@
 package graft.plans
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -10,65 +12,124 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Custom Catalyst expressions for text sketches.
   *
   * The HOF formulation (transform(sequence(1,H), s -> array_min(transform(
-  * shingles, sh -> xxhash64(sh, s))))) is semantically right but evaluates
+  * shingles, sh -> hash(sh, s))))) is semantically right but evaluates
   * interpreted lambdas per (seed x shingle) element — measured 453 s for
   * the MinHash stage at sf0.1 (5k docs), i.e. ~45 ms/row. These expressions
-  * hash each shingle ONCE and derive the H signature slots with a 64-bit
-  * finalizer mix (standard one-hash MinHash), in a tight JVM loop:
-  * the same stage drops to under a second. Preference order per the build
-  * rules: compose built-ins (tried, too slow here) -> custom Expression
-  * (this) -> custom physical operator (unnecessary).
+  * hash each shingle/token ONCE and derive the signature slots with cheap
+  * integer arithmetic, in a tight JVM loop: the same stage drops to under
+  * a second. Preference order per the build rules: compose built-ins
+  * (tried, too slow here) -> custom Expression (this) -> custom physical
+  * operator (unnecessary).
+  *
+  * HASH FAMILY — md5-derived, SQL-replayable. The base hash of a string is
+  * a prefix of its md5 (an engine-portable primitive: Spark `md5`, DuckDB
+  * `md5`, and this JVM loop all agree on the hex digest), and everything
+  * derived from it is pure 64-bit integer arithmetic with every
+  * intermediate product below 2^63 — so a SQL oracle can replay the
+  * sketches bit-exactly with `CAST('0x' || substr(md5(s), 1, n) AS BIGINT)`
+  * and add/multiply/mod on BIGINT (the LCG-plane precedent from the
+  * sign-LSH family):
+  *
+  *  - h32(s) = first 8 md5 hex chars as int, in [0, 2^32)
+  *  - h60(s) = first 15 md5 hex chars as int, in [0, 2^60) — non-negative,
+  *    so bit tests need no sign handling in engines without logical shift
+  *  - MinHash slot k = min over shingles of (a_k·h32 + b_k) mod P with
+  *    P = 4294967311 (smallest prime > 2^32) and LCG-derived coefficients
+  *    a_k = 1 + (2654435761·(k+1) + 1013904223) mod 1073741789 < 2^30,
+  *    b_k = (2654435761·(k+777) + 1013904223) mod P — the classic affine
+  *    universal family; a_k·h32 < 2^62 never overflows a signed 64-bit int
+  *    in ANY engine.
+  *
+  * xxhash64 (the previous family) is Spark-only — no other engine can
+  * replay it, which forced the whole LSH dedup stack into rows-only
+  * correctness checks. md5 on short shingles costs ~2-3x xxh64 and is
+  * irrelevant against the shuffle-dominated dedup profile; in exchange
+  * every candidate pair is driver-verifiable end to end.
   *
   * CodegenFallback is acceptable: the per-row work dominates, and the
-  * expression sits in a projection (not a join hot loop).
+  * expressions sit in projections (not a join hot loop).
   */
 object Sketches {
 
-  /** splitmix64 finalizer — full-avalanche 64-bit mixer. */
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+  /** Affine-family modulus: smallest prime above 2^32. */
+  val MinhashP: Long = 4294967311L
+
+  def minhashA(k: Int): Long = 1L + (2654435761L * (k + 1) + 1013904223L) % 1073741789L
+  def minhashB(k: Int): Long = (2654435761L * (k + 777) + 1013904223L) % MinhashP
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  private def hashUtf8(s: UTF8String, seed: Long): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+  @inline private def md5Of(buf: Array[Byte], len: Int): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(buf, 0, len)
+    md.digest()
+  }
+
+  /** First 8 hex chars of the digest = first 4 bytes big-endian: [0, 2^32). */
+  @inline private def h32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+
+  /** First 15 hex chars of the digest = first 60 bits big-endian: [0, 2^60). */
+  @inline private def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 
   /** MinHash signature over word shingles, computed straight from the
     * token array: array<long> of length numHashes.
     *
-    * Each token is hashed once; a shingle's hash is the mixed combination
-    * of its n consecutive token hashes (never materializing the shingle
-    * string); slot k = min over shingles of mix64(shingleHash ^ seed_k).
-    * Fewer than n tokens -> one shingle over all tokens (mirrors
-    * TextFns.wordShingles).
+    * The shingle string is tokens i..i+n-1 joined with a single space
+    * (exactly concat_ws(' ', slice(toks, i, n)) — nulls skipped, so the
+    * bytes hashed here are the bytes any engine hashes for the same
+    * shingle); fewer than n tokens -> one shingle over all tokens (mirrors
+    * TextFns.wordShingles). Slot k = min over shingles of the affine
+    * family (a_k·h32 + b_k) mod P described on [[Sketches]].
     */
   case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val aK: Array[Long] = Array.tabulate(numHashes)(minhashA)
+    private lazy val bK: Array[Long] = Array.tabulate(numHashes)(minhashB)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val t = arr.numElements()
-      val th = new Array[Long](t)
+      val tb = new Array[Array[Byte]](t)
       var i = 0
       while (i < t) {
-        th(i) = if (arr.isNullAt(i)) 0L else hashUtf8(arr.getUTF8String(i), 42L)
+        tb(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
         i += 1
       }
       val sig = Array.fill(numHashes)(Long.MaxValue)
       val nShingles = math.max(t - shingleSize + 1, 1)
       val width = math.min(shingleSize, t)
+      var buf = new Array[Byte](64)
       i = 0
       while (i < nShingles) {
-        var h = 0x87c37b91114253d5L
+        var len = 0
+        var first = true
         var j = 0
-        while (j < width) { h = (h * 0x4cf5ad432745937fL) ^ th(i + j); j += 1 }
-        val sh = mix64(h)
+        while (j < width) {
+          val b = tb(i + j)
+          if (b != null) {
+            val need = len + b.length + 1
+            if (need > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+            if (!first) { buf(len) = ' '.toByte; len += 1 }
+            System.arraycopy(b, 0, buf, len, b.length)
+            len += b.length
+            first = false
+          }
+          j += 1
+        }
+        val h = h32(md5Of(buf, len))
         var k = 0
         while (k < numHashes) {
-          val hk = mix64(sh ^ (k * 0xff51afd7ed558ccdL))
-          if (hk < sig(k)) sig(k) = hk
+          val v = (aK(k) * h + bK(k)) % MinhashP
+          if (v < sig(k)) sig(k) = v
           k += 1
         }
         i += 1
@@ -80,10 +141,12 @@ object Sketches {
   }
 
   /** SimHash over array<string> tokens as nBands band values of bandBits
-    * bits each (64 bits total by default): one xxh64 per token, bit i of
-    * the hash votes +/-1; band value packs the sign bits.
+    * bits each (4 x 15 = 60 bits by default): one h60 per token, bit i of
+    * the hash votes +/-1; band value packs the sign bits. 60 bits (not 64)
+    * so the per-token hash stays a non-negative BIGINT in every engine —
+    * bit tests are plain (h >> i) & 1 with no sign handling.
     */
-  case class SimHashBands(child: Expression, nBands: Int = 4, bandBits: Int = 16)
+  case class SimHashBands(child: Expression, nBands: Int = 4, bandBits: Int = 15)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
@@ -93,7 +156,8 @@ object Sketches {
       var i = 0
       while (i < arr.numElements()) {
         if (!arr.isNullAt(i)) {
-          val h = hashUtf8(arr.getUTF8String(i), 42L)
+          val tok = arr.getUTF8String(i).getBytes
+          val h = h60(md5Of(tok, tok.length))
           var b = 0
           while (b < nBits) {
             if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -120,21 +184,26 @@ object Sketches {
     override def prettyName: String = "graft_simhash_bands"
   }
 
-  /** Rolling fingerprint: min of xxh64 over all 8-byte windows of the
-    * string (whole string if shorter) — winnowing with one global window.
+  /** Rolling fingerprint: min of h60 over all `window`-CHARACTER windows of
+    * the string (whole string if shorter) — winnowing with one global
+    * window. Character windows (not byte windows) so SQL `substr` replays
+    * the identical slices.
     */
   case class Fingerprint64(child: Expression, window: Int = 8)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String]
-      val n = s.numBytes
-      if (n <= window) hashUtf8(s, 42L)
-      else {
+      val n = s.numChars()
+      if (n <= window) {
+        val b = s.getBytes
+        h60(md5Of(b, b.length))
+      } else {
         var minH = Long.MaxValue
         var i = 0
         while (i <= n - window) {
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + i, window, 42L)
+          val b = s.substring(i, i + window).getBytes
+          val h = h60(md5Of(b, b.length))
           if (h < minH) minH = h
           i += 1
         }

@@ -1280,7 +1280,7 @@ object Relational {
         |d AS (SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
         |    CAST(l.l_quantity AS DOUBLE) AS x, m.l_quantity_med,
         |    abs(CAST(l.l_quantity AS DOUBLE) - m.l_quantity_med) AS dev
-        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |  FROM lineitem l LEFT JOIN med m USING (l_returnflag)),
         |dr AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY dev, l_orderkey, l_linenumber) AS rn,
         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
@@ -1293,7 +1293,7 @@ object Relational {
         |  d.l_quantity_med, mad.l_quantity_mad,
         |  CASE WHEN mad.l_quantity_mad > 0
         |       THEN (d.x - d.l_quantity_med) / mad.l_quantity_mad END AS l_quantity_robust
-        |FROM d JOIN mad USING (l_returnflag)
+        |FROM d LEFT JOIN mad USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin) { (s, d) =>
       // §2.11 feature scaling, robust flavor: MAD-based standardization —
       // a single wild value moves mean/std arbitrarily but a median by at

@@ -110,6 +110,15 @@ class OpsSpec extends SparkTestBase {
     assert(nOut.select("v_med").distinct().as[Double].head() == 2.0)
     assert(nOut.filter(col("id") === 0).select("v_robust").isEmpty ||
       nOut.filter(col("id") === 0).filter(col("v_robust").isNotNull).count() == 0)
+    // an all-null group has no median row, but its rows must survive with
+    // null med/mad/robust — robust = null, NOT row loss
+    val allNull = Seq(("z", 1, null.asInstanceOf[java.lang.Double]),
+      ("z", 2, null.asInstanceOf[java.lang.Double]),
+      ("n", 3, 4.0: java.lang.Double)).toDF("g", "id", "v")
+    val zOut = Aggregates.madScale(allNull, Seq("g"), "v", Seq(col("id")))
+    assert(zOut.filter(col("g") === "z").count() == 2)
+    assert(zOut.filter(col("g") === "z").filter(
+      col("v_med").isNotNull || col("v_mad").isNotNull || col("v_robust").isNotNull).count() == 0)
   }
 
   test("winsorize clamps to per-group order-statistic bounds") {
