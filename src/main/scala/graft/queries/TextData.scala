@@ -7,11 +7,47 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (builder north star: dedup, similarity search, multimodal, text
-  * analysis). Hash-sketch ops (xxhash64-based) have no DuckDB twin ->
-  * declared without oracle; the driver records a rows-only check and
-  * OpsSpec covers their semantics with planted fixtures.
+  * analysis). The sketch family is md5-derived and SQL-replayable
+  * (graft.plans.Sketches), so the whole LSH dedup stack — candidates,
+  * verification, the end-to-end corpus composite, the incremental index
+  * probe, fingerprints — carries FULL DuckDB oracles; only genuinely
+  * non-SQL ops (kmeans cells, stubbed codecs) stay rows-only.
   */
 object TextData {
+
+  /** Shared oracle CTE: banded-MinHash candidate pairs over `src`
+    * (columns doc_id, text) — the exact SQL replay of
+    * Dedup.minhashLshPairs' candidate stage with H=64 hashes, 8 bands of
+    * 8 rows, 3-word shingles. Base hash = first 8 md5 hex chars as int;
+    * slot k = min over shingles of the affine family
+    * (a_k·h + b_k) mod 4294967311; bucket = md5 of "band,slot,...,slot".
+    * Every product stays below 2^63 (see graft.plans.Sketches).
+    */
+  private def minhashCandidateCte(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM $src),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 3
+       |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+       |    ELSE [array_to_string(w, ' ')] END AS s
+       |  FROM toks WHERE len(w) > 0),
+       |sig AS (
+       |  SELECT doc_id, s, list_transform(range(0, 64), k ->
+       |    list_min(list_transform(s, x ->
+       |      ((1 + (2654435761 * (k + 1) + 1013904223) % 1073741789)
+       |         * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)
+       |        + (2654435761 * (k + 777) + 1013904223) % 4294967311) % 4294967311))) AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sig, b.band,
+       |    md5(CAST(b.band AS VARCHAR) || ',' ||
+       |        array_to_string(sig[b.band*8+1 : b.band*8+8], ',')) AS bucket
+       |  FROM sig, range(0, 8) AS b(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sig AS sa, b2.sig AS sb
+       |  FROM banded a JOIN banded b2
+       |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id)""".stripMargin
 
   val queries: Seq[Q] = Seq(
     // ---- deduplication -------------------------------------------------
@@ -25,38 +61,63 @@ object TextData {
         .select("doc_id", "text_hash", "canonical_id", "is_dup")
         .orderBy("doc_id")
     },
-    Q.noOracle("dd_minhash_lsh") { (s, d) =>
-      // MinHash(64) + 8-band LSH candidate pairs; xxhash64 sketches have no
-      // SQL twin. Planted near-dup coverage lives in OpsSpec.
+    // FULL oracle for the LSH candidate stage: the md5-derived sketch
+    // family (graft.plans.Sketches) is pure SQL — the oracle regenerates
+    // signatures, bands, buckets, the distinct candidate self-join and the
+    // agreeing-slots estimate, bit-exact end to end (the hash-replay
+    // precedent of the sign-LSH family, extended to MinHash).
+    Q("dd_minhash_lsh",
+      s"""WITH ${minhashCandidateCte("documents")}
+         |SELECT id_a, id_b,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+         |FROM cand ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
-    Q.noOracle("dd_simhash") { (s, d) =>
+    Q("dd_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(u.tok), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |        FROM documents) u),
+        |bits AS (
+        |  SELECT doc_id, b.b AS band, j.j AS bit,
+        |    SUM(CASE WHEN (h >> CAST(b.b*15 + j.j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM tok, range(0,4) AS b(b), range(0,15) AS j(j)
+        |  GROUP BY 1, 2, 3),
+        |bands AS (
+        |  SELECT doc_id, band,
+        |    CAST(SUM(CASE WHEN c > 0 THEN 1 << CAST(bit AS INTEGER) ELSE 0 END) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // 4 bands x 15 bits of md5-derived token-hash sign votes; the oracle
+      // replays the per-bit vote counts and the band packing exactly.
       Dedup.simhashPairs(documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
-    Q.noOracle("dd_ngram_jaccard") { (s, d) =>
-      // exact 3-gram Jaccard verification over the LSH candidate set —
-      // the verify stage only ever touches candidates, not N². The
-      // candidate SET is hash-dependent (no SQL twin), but the VALUES are
-      // not: a differential anchor recomputes each bounded-slice pair's
-      // jaccard directly from the shingle sets and raises if any verified
-      // value diverges — a silent corruption of the verify join fails the
-      // driver run, not just sbt.
+    Q("dd_ngram_jaccard",
+      s"""WITH ${minhashCandidateCte("documents")},
+         |dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(a.s || b.s)) AS jaccard
+         |FROM cand c JOIN dsh a ON a.doc_id = c.id_a JOIN dsh b ON b.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(a.s || b.s)) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // exact 3-gram Jaccard verification over the LSH candidate set — the
+      // verify stage only ever touches candidates, not N². With the
+      // SQL-replayable sketches the candidate SET has an exact twin too,
+      // so the whole candidates→verify chain is hash-checked (the round-5
+      // differential anchor became redundant and was removed).
       val docs = documents(s, d)
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id_a", "id_b")
-      val verified = Dedup.ngramJaccardVerify(docs, pairs, "doc_id", "text", minJaccard = 0.3)
-      val sh = docs.filter(col("doc_id") < 500).select(col("doc_id"),
-        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("s"))
-      val recomputed = verified.filter(col("id_a") < 500 && col("id_b") < 500)
-        .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
-        .withColumn("__j2", TextFns.exactJaccard(col("sa"), col("sb")))
-      val check = recomputed
-        .agg(sum(when(col("jaccard") =!= col("__j2"), 1).otherwise(0)).as("__bad"))
-        .select(assert_true(coalesce(col("__bad"), lit(0)) === 0,
-          lit("LSH-verified jaccard diverged from direct recomputation")).as("__anchor_ok"))
-      verified.crossJoin(broadcast(check)).orderBy("id_a", "id_b")
+      Dedup.ngramJaccardVerify(docs, pairs, "doc_id", "text", minJaccard = 0.3)
+        .orderBy("id_a", "id_b")
     },
     Q("dd_canonicalize",
       """WITH RECURSIVE toks AS (
@@ -265,32 +326,45 @@ object TextData {
           "doc_id", "text")
         .orderBy("doc_id")
     },
-    Q.noOracle("dd_corpus_dedup") { (s, d) =>
+    Q("dd_corpus_dedup",
+      s"""WITH RECURSIVE docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776, text FROM documents WHERE doc_id % 13 = 0),
+         |${minhashCandidateCte("docs2")},
+         |dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |e AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN dsh a ON a.doc_id = c.id_a JOIN dsh b ON b.doc_id = c.id_b
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(a.s || b.s)) >= 0.7),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM docs2
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.doc_id)
+         |SELECT doc_id FROM (SELECT doc_id, MIN(lbl) AS canon FROM reach GROUP BY doc_id)
+         |WHERE doc_id = canon ORDER BY doc_id""".stripMargin) { (s, d) =>
       // the end-to-end composite: LSH candidates -> exact verify ->
-      // canonicalize -> keep canonical docs (hash sketches: no SQL twin).
-      // Embedded recall floor: exact copies planted over every 13th doc
-      // collide on every MinHash band, verify at jaccard 1, and
-      // canonicalize into their source's component, whose canonical id is
-      // <= the source id < every copy id — so NO planted copy may survive.
-      // (A planted SOURCE may legitimately lose to a smaller near-dup, so
-      // only the copies carry the invariant.) A silent collapse anywhere
-      // in the three-stage chain keeps a copy and raises in the driver
-      // run, not just sbt.
-      // the copy-id offset is far outside any plausible doc_id range
-      // (2^40) — a small literal like +50000 would collide with real ids
-      // at large SFs, both corrupting components and tripping the check
+      // canonicalize -> keep canonical docs. FULL oracle now that the
+      // sketches replay in SQL: the oracle regenerates the candidate
+      // pairs, verifies 3-gram jaccard >= 0.7, states the min-label
+      // fixpoint as a recursive CTE and keeps self-canonical docs — the
+      // entire three-stage chain is hash-checked against DuckDB.
+      // Exact copies planted over every 13th doc (id + 2^40, far outside
+      // any plausible id range) keep the clustering path non-vacuous:
+      // copies collide on every band, verify at jaccard 1 and must fold
+      // into their source's component — which the oracle now *proves*
+      // rather than spot-checks (the round-5 embedded recall floor became
+      // redundant and was removed; DedupSpec keeps the planted-fixture
+      // unit coverage).
       val off = 1L << 40
       val docs = documents(s, d).select("doc_id", "text")
       val planted = docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + off).as("doc_id"), col("text"))
-      val kept = Dedup.dedupCorpus(docs.unionByName(planted), "doc_id", "text")
+      Dedup.dedupCorpus(docs.unionByName(planted), "doc_id", "text")
         .select("doc_id")
-      val check = kept
-        .agg(sum(when(col("doc_id") >= off, 1).otherwise(0)).as("__copies"))
-        .select(assert_true(coalesce(col("__copies"), lit(0)) === 0,
-          lit("corpus-dedup recall collapsed: planted exact copies survived"))
-          .as("__recall_ok"))
-      kept.crossJoin(broadcast(check)).orderBy("doc_id")
+        .orderBy("doc_id")
     },
     Q("dd_cosine_exact",
       // DOUBLE[] cast = double accumulation in array order, matching the
@@ -410,33 +484,56 @@ object TextData {
         .select("doc_id", "exact_dup_of", "is_known")
         .orderBy("doc_id")
     },
-    Q.noOracle("dd_incr_near") { (s, d) =>
-      // Near-dup candidates of a re-crawled batch against the corpus
-      // MinHash index (cross-table LSH — xxhash64 sketches, no SQL twin;
-      // planted-fixture coverage in DedupSpec). Copies collide on every
-      // band, so candidate count >= batch size by construction. Runs the
-      // PRODUCTION index shape: the index is persisted as a bucketed table
-      // on (band, bucket), so the probe re-shuffles only the batch side
-      // (shuffle-elision pinned in DedupSpec).
-      // Embedded recall floor: every batch doc is an exact copy, so its
-      // (batch_id, batch_id - 10000) pair MUST surface with est_jaccard
-      // exactly 1.0 (identical signatures collide on every band) — a
-      // silent recall collapse raises in the driver run, not just sbt.
+    Q("dd_incr_near",
+      """WITH both_docs AS (
+        |  SELECT 'b' AS side, doc_id + 10000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'c', doc_id, text FROM documents),
+        |toks AS (
+        |  SELECT side, doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM both_docs),
+        |sh AS (
+        |  SELECT side, doc_id, CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT side, doc_id, list_transform(range(0, 64), k ->
+        |    list_min(list_transform(s, x ->
+        |      ((1 + (2654435761 * (k + 1) + 1013904223) % 1073741789)
+        |         * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)
+        |        + (2654435761 * (k + 777) + 1013904223) % 4294967311) % 4294967311))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT side, doc_id, sig, b.band,
+        |    md5(CAST(b.band AS VARCHAR) || ',' ||
+        |        array_to_string(sig[b.band*8+1 : b.band*8+8], ',')) AS bucket
+        |  FROM sig, range(0, 8) AS b(band))
+        |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |  MAX(CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN b.sig[i] = c.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64) AS est_jaccard
+        |FROM banded b JOIN banded c
+        |  ON b.side = 'b' AND c.side = 'c' AND b.band = c.band AND b.bucket = c.bucket
+        |GROUP BY 1, 2 ORDER BY batch_id, corpus_id""".stripMargin) { (s, d) =>
+      // Near-dup candidates of a re-crawled batch (every 7th doc, re-keyed
+      // +10000) against the corpus MinHash index — cross-table LSH with a
+      // FULL oracle: the SQL regenerates both sides' signatures and the
+      // (band, bucket) probe join. Runs the PRODUCTION index shape: the
+      // index is persisted as a bucketed table on (band, bucket), so the
+      // probe re-shuffles only the batch side (shuffle-elision pinned in
+      // DedupSpec). Every batch doc is an exact copy, so its pair with
+      // doc_id - 10000 surfaces at est_jaccard exactly 1.0 — now proven by
+      // the oracle itself (the round-5 embedded recall floor was removed
+      // as redundant).
       val docs = documents(s, d).select("doc_id", "text")
       val batch = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
       val table = s"graft_mh_idx_${math.abs(d.hashCode)}"
       Dedup.saveMinhashIndexBucketed(docs, "doc_id", "text", table, numBuckets = 32)
-      val probe = Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
-      val want = batch.select(col("doc_id").as("batch_id"),
-        (col("doc_id") - 10000).as("corpus_id"))
-      val check = want
-        .join(probe.filter(col("est_jaccard") === 1.0),
-          Seq("batch_id", "corpus_id"), "left_anti")
-        .agg(count(lit(1)).as("__missed"))
-        .select(assert_true(col("__missed") === 0,
-          lit("exact-copy probe recall collapsed")).as("__recall_ok"))
-      probe.crossJoin(broadcast(check)).orderBy("batch_id", "corpus_id")
+      Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
     },
 
     // ---- similarity search ---------------------------------------------
@@ -731,7 +828,15 @@ object TextData {
           c.getField("n_phones").as("n_phones"))
         .orderBy("doc_id")
     },
-    Q.noOracle("tx_fingerprint") { (s, d) =>
+    Q("tx_fingerprint",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) <= 8 THEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |  ELSE list_min(list_transform(range(1, length(text) - 6), i ->
+        |    CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15) AS BIGINT)))
+        |  END AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // winnowing fingerprint: min md5-derived h60 over all 8-character
+      // windows — the oracle replays every window hash via substr + md5.
       graft.plans.Sketches.ensureRegistered(s)
       documents(s, d)
         .select(col("doc_id"), TextFns.fingerprint64(col("text")).as("fingerprint"))
