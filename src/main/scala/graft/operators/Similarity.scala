@@ -66,25 +66,38 @@ object Similarity {
   private def rowVec(r: Row, i: Int): Seq[Double] =
     r.getSeq[Number](i).map(_.doubleValue())
 
-  /** Score a vector against every centroid and return the `nProbe` cell
-    * ids with the highest cosine — pure array-of-struct expressions
-    * (array_sort orders by the leading cos field; slice(-n) keeps the top).
-    * nProbe is clamped to the codebook size: slice with a negative start
-    * beyond the array length returns an EMPTY array, which would silently
-    * probe zero cells.
+  /** Largest codebook the literal-payload assignment accepts, as
+    * nCells × dim doubles: 8M doubles = 64 MB embedded once in the plan —
+    * a 4k-cell × 1k-dim production IVF fits with 2× headroom. Beyond
+    * that, literal shipping (and driver-side Lloyd) is the wrong tool:
+    * shard the corpus and train per shard, or use the LSH family.
     */
-  private def nearestCells(v: Column, cents: Seq[(Int, Seq[Double])], nProbe: Int): Column = {
+  val MaxCodebookDoubles: Long = 8L * 1000 * 1000
+
+  /** Score a vector against every centroid and return the `nProbe` cell
+    * ids with the highest cosine — ONE custom expression carrying the
+    * unit-normalized codebook as a single literal payload
+    * (graft.plans.Sketches.NearestCells). The round-5 form composed
+    * nCells separate dot+struct built-ins, which made the expression TREE
+    * O(nCells) — a codegen bomb past a few dozen cells; this node is O(1)
+    * in the tree and one primitive loop per row at any nCells, with the
+    * identical (score asc, cell asc, ties to the higher cell) contract.
+    * nProbe is clamped to the codebook size inside the expression.
+    */
+  private[graft] def nearestCells(v: Column, cents: Seq[(Int, Seq[Double])], nProbe: Int): Column = {
     require(cents.nonEmpty, "codebook must have at least one centroid")
-    val n = math.min(nProbe, cents.size)
-    val scored = array(cents.map { case (c, arr) =>
-      // rank by dot(v, c/|c|) = |v|·cos(v,c): same argmax as cosine (|v| is
-      // constant across cells) at one dot product per centroid instead of
-      // three dots + a sqrt
+    val dim = cents.head._2.size
+    require(cents.size.toLong * dim <= MaxCodebookDoubles,
+      s"codebook ${cents.size} cells x $dim dims exceeds the literal-payload " +
+        s"ceiling of $MaxCodebookDoubles doubles (see MaxCodebookDoubles)")
+    // rank by dot(v, c/|c|) = |v|·cos(v,c): same argmax as cosine (|v| is
+    // constant across cells) at one dot product per centroid instead of
+    // three dots + a sqrt; normalization happens once, driver-side
+    val unitCents = cents.map { case (c, arr) =>
       val nn = math.sqrt(arr.map(x => x * x).sum)
-      val unit = if (nn == 0) arr else arr.map(_ / nn)
-      struct(VectorFns.dot(v, typedLit(unit)).as("score"), lit(c).as("cell"))
-    }: _*)
-    transform(slice(array_sort(scored), -n, n), s => s.getField("cell"))
+      (c, if (nn == 0) arr else arr.map(_ / nn))
+    }
+    call_function("graft_nearest_cells", v, typedLit(unitCents), lit(nProbe))
   }
 
   /** Driver-side twin of [[nearestCells]] for probing a materialized index
@@ -127,6 +140,10 @@ object Similarity {
       sampleMod: Int = 1): Seq[(Int, Seq[Double])] = {
     require(nCells >= 1, "nCells must be >= 1")
     require(sampleMod >= 1, "sampleMod must be >= 1")
+    // the per-iteration means collect is nCells x dim doubles — the same
+    // bound the literal codebook payload has; nearestCells enforces the
+    // MaxCodebookDoubles ceiling on the first assignment pass below, so an
+    // oversized codebook fails fast before any iteration completes
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val train =
       if (sampleMod == 1) df.select(col(id), col(vec))
@@ -304,9 +321,27 @@ object Similarity {
       sampleMod: Int = 1): DataFrame = {
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val cents = trainCodebook(df, id, vec, nCells, trainIters, sampleMod)
-    val unit = df
-      .withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
-      .select(col(id), col("cell"), VectorFns.unit(col(vec)).as("__u"))
+    withinCellCosinePairs(
+      df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1)),
+      id, vec, "cell", minCosine)
+  }
+
+  /** The verify stage of [[semanticDedupPairs]] over an ARBITRARY
+    * materialized cell assignment: exact cosine for every (id_a < id_b)
+    * pair SHARING a cell, vectors pre-normalized once so each pair costs a
+    * single dot. Split out so the math can be anchored independently of
+    * the (non-SQL) kmeans assignment — given a deterministic assignment
+    * (e.g. a sign-LSH bucket from the LCG planes) the whole stage has a
+    * bit-exact DuckDB twin (catalog entry dd_semantic_verify).
+    */
+  def withinCellCosinePairs(
+      assigned: DataFrame,
+      id: String,
+      vec: String,
+      cell: String,
+      minCosine: Double): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(assigned.sparkSession)
+    val unit = assigned.select(col(id), col(cell).as("cell"), VectorFns.unit(col(vec)).as("__u"))
     val a = unit.select(col(id).as("id_a"), col("cell"), col("__u").as("__ua"))
     val b = unit.select(col(id).as("id_b"), col("cell"), col("__u").as("__ub"))
     a.join(b, Seq("cell"))

@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -252,6 +252,98 @@ object Sketches {
     override def prettyName: String = "graft_dot"
   }
 
+  /** Top-`nProbe` nearest IVF cells by dot(v, unit centroid): ONE
+    * expression node carrying the whole codebook as a single literal child
+    * — the scale-safe replacement for composing nCells separate
+    * dot+struct+array_sort built-ins, whose expression TREE grew O(nCells)
+    * and blew codegen past a few dozen cells. Here the tree is O(1)
+    * however many cells the codebook has; scoring is one primitive loop
+    * (same fold order as [[DotProduct]], so assignments are bit-identical
+    * to the composed form), and top-k selection is O(nCells·k) insertion —
+    * no per-row allocation-heavy sort.
+    *
+    * second: foldable array<struct<cell:int, unit:array<double>>> (the
+    * UNIT-normalized codebook); third: foldable int nProbe. Both are
+    * evaluated once per plan, not per row. Output mirrors the composed
+    * form exactly: cell ids ascending by (score, cell), ties to the
+    * HIGHER cell id, nProbe clamped to the codebook size. Dimension
+    * mismatches score over the common prefix (callers guarantee
+    * consistent dims; a null vector yields null).
+    */
+  case class NearestCells(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private lazy val vecFloat =
+      first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val codebook: (Array[Int], Array[Array[Double]]) = {
+      val arr = second.eval().asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val cs = new Array[Int](n)
+      val us = new Array[Array[Double]](n)
+      var i = 0
+      while (i < n) {
+        val st = arr.getStruct(i, 2)
+        cs(i) = st.getInt(0)
+        us(i) = st.getArray(1).toDoubleArray()
+        i += 1
+      }
+      (cs, us)
+    }
+    private lazy val nProbe = third.eval().asInstanceOf[Int]
+    @inline private def gt(s1: Double, c1: Int, s2: Double, c2: Int): Boolean =
+      s1 > s2 || (s1 == s2 && c1 > c2)
+    override def nullSafeEval(v0: Any, cb0: Any, np0: Any): Any = {
+      val v = v0.asInstanceOf[ArrayData]
+      val nv = v.numElements()
+      val (cells, units) = codebook
+      val n = units.length
+      val k = math.min(nProbe, n)
+      // top-k kept ascending by (score, cell) in a bounded insertion buffer
+      val topScore = new Array[Double](k)
+      val topCell = new Array[Int](k)
+      var filled = 0
+      var c = 0
+      while (c < n) {
+        val u = units(c)
+        val m = math.min(nv, u.length)
+        var s = 0.0
+        var i = 0
+        while (i < m) {
+          val x = if (vecFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          s += x * u(i)
+          i += 1
+        }
+        val cell = cells(c)
+        if (filled < k) {
+          // initial fill: insertion sort into the ascending prefix
+          var pos = filled
+          while (pos > 0 && gt(topScore(pos - 1), topCell(pos - 1), s, cell)) {
+            topScore(pos) = topScore(pos - 1); topCell(pos) = topCell(pos - 1); pos -= 1
+          }
+          topScore(pos) = s
+          topCell(pos) = cell
+          filled += 1
+        } else if (gt(s, cell, topScore(0), topCell(0))) {
+          // evict the minimum (slot 0), shifting left until order restores
+          var pos = 0
+          while (pos + 1 < k && gt(s, cell, topScore(pos + 1), topCell(pos + 1))) {
+            topScore(pos) = topScore(pos + 1); topCell(pos) = topCell(pos + 1); pos += 1
+          }
+          topScore(pos) = s
+          topCell(pos) = cell
+        }
+        c += 1
+      }
+      val out = new Array[Int](filled)
+      System.arraycopy(topCell, 0, out, 0, filled)
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): NearestCells =
+      copy(first = f, second = s, third = t)
+    override def prettyName: String = "graft_nearest_cells"
+  }
+
   /** Register the sketch expressions in a session's function registry so
     * they are callable via functions.call_function (idempotent).
     */
@@ -271,5 +363,7 @@ object Sketches {
       es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_cells",
+      es => NearestCells(es.head, es(1), es(2)), "built-in")
   }
 }

@@ -454,6 +454,39 @@ object TextData {
           lit("planted semantic-dup recall collapsed")).as("__recall_ok"))
       pairs.crossJoin(broadcast(check)).orderBy("id_a", "id_b")
     },
+    Q("dd_semantic_verify",
+      """WITH pl AS (
+        |  SELECT list_transform(range(0, 3), p ->
+        |    list_transform(range(0, 64), i ->
+        |      CAST((2654435761 * ((5 * 3 + p) * 64 + i) + 1013904223) % 4294967296 AS DOUBLE)
+        |        / 4294967296.0 - 0.5)) AS planes),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT e.vec_id,
+        |    CAST(list_sum(list_transform(range(0, 3), p ->
+        |      CASE WHEN list_dot_product(e.v, planes[p + 1]) >= 0
+        |           THEN 1 << p ELSE 0 END)) AS BIGINT) AS cell,
+        |    list_transform(e.v, x ->
+        |      CASE WHEN sqrt(list_dot_product(e.v, e.v)) <> 0
+        |           THEN x / sqrt(list_dot_product(e.v, e.v)) ELSE 0.0 END) AS u
+        |  FROM e, pl)
+        |SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.cell, list_dot_product(a.u, b2.u) AS cosine
+        |FROM b a JOIN b b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+        |WHERE list_dot_product(a.u, b2.u) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // the VERIFY stage of SemDeDup in isolation: dd_semantic's kmeans
+      // assignment has no SQL twin, so this entry swaps in a deterministic
+      // assignment (sign-LSH bucket from LCG table 5: 3 planes -> 8 cells,
+      // the dd_embed_cosine plane-replay precedent) and hash-checks the
+      // within-cell pre-normalized exact-cosine math end to end — the same
+      // Similarity.withinCellCosinePairs code path dd_semantic runs.
+      graft.plans.Sketches.ensureRegistered(s)
+      val planes = Similarity.lcgPlanes(5, 3, 64)
+      val assigned = embeddings(s, d)
+        .withColumn("cell", VectorFns.hyperplaneBucket(col("embedding"), planes).cast("long"))
+      Similarity.withinCellCosinePairs(assigned, "vec_id", "embedding", "cell", 0.3)
+        .orderBy("id_a", "id_b")
+    },
     Q("dd_incr_exact",
       """WITH corpus AS (SELECT doc_id, text FROM documents),
         |batch AS (

@@ -125,6 +125,59 @@ class AnnRecallSpec extends SparkTestBase {
       s"probe must partition-prune on cell:\n$probePlan")
   }
 
+  test("NearestCells expression matches the composed-builtins form at nProbe 1 and 4") {
+    // the O(1)-tree payload expression must reproduce the round-5 composed
+    // dot+struct+array_sort column bit-for-bit: same scores (same fold
+    // order), same (score asc, cell asc) output order, ties to the higher
+    // cell — this is the differential anchor for the scale-safe path
+    graft.plans.Sketches.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(200).cache()
+    val cents = Similarity.trainCodebook(e, "vec_id", "embedding", nCells = 16)
+    for (nProbe <- Seq(1, 4)) {
+      val composed = org.apache.spark.sql.functions.transform(
+        slice(array_sort(array(cents.map { case (c, arr) =>
+          val nn = math.sqrt(arr.map(x => x * x).sum)
+          val unit = if (nn == 0) arr else arr.map(_ / nn)
+          struct(graft.functions.VectorFns.dot(col("embedding"), typedLit(unit)).as("score"),
+            lit(c).as("cell"))
+        }: _*)), -nProbe, nProbe), s => s.getField("cell"))
+      val diff = e.select(
+          Similarity.nearestCells(col("embedding"), cents, nProbe).as("nw"),
+          composed.as("old"))
+        .filter(col("nw") =!= col("old")).count()
+      assert(diff == 0, s"NearestCells diverged from composed form at nProbe=$nProbe")
+    }
+  }
+
+  test("nCells=256 codebook trains, indexes, and the probe still partition-prunes") {
+    // the round-5 composed form was a codegen bomb past a few dozen cells;
+    // the payload expression must handle a production-ish cell count with
+    // the identical probe-side pruning
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val qid = 7L
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx256").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(e, "vec_id", "embedding", path, nCells = 256)
+    assert(cents.size == 256)
+    val qvec = e.filter(col("vec_id") === qid)
+      .select("embedding").collect()(0)
+      .getSeq[Number](0).map(_.doubleValue()).toSeq
+    val probe = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding",
+      qvec, qid, 10, cents, nProbe = 8)
+    assert(probe.count() >= 0) // executes without blowing plan/codegen
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"256-cell probe must partition-prune on cell:\n$plan")
+  }
+
+  test("nearestCells refuses codebooks beyond the literal-payload ceiling") {
+    val sharedUnit = Seq.fill(64)(0.5)
+    val tooBig = Seq.tabulate(130000)(i => (i, sharedUnit)) // 130k x 64 > 8M doubles
+    val err = intercept[IllegalArgumentException] {
+      Similarity.nearestCells(col("embedding"), tooBig, 1)
+    }
+    assert(err.getMessage.contains("ceiling"))
+  }
+
   test("nearestCellsLocal tie-break matches the expression side on duplicated centroids") {
     // two identical centroids (the empty-cell Lloyd fallback can produce
     // this): expression side resolves score ties to the HIGHER cell id, so
