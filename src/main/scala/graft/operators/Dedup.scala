@@ -205,6 +205,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // pointer doubling covers diameter 2^maxIter, so non-convergence means
+    // a pathological graph (or too-small maxIter) — fail loudly rather
+    // than return partial labels that would silently split a component
+    require(converged,
+      s"label propagation did not converge within $maxIter pointer-doubling " +
+        s"rounds (graph diameter > ${1L << math.min(maxIter, 62)}); raise maxIter")
     labels.withColumn("is_dup", col(id) =!= col("canonical_id"))
   }
 

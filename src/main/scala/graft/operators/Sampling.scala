@@ -185,13 +185,13 @@ object Sampling {
     * bucket from the hash's TOP log2(nBuckets) bits (the window runs
     * per-bucket, `nBuckets`-way parallel), and global position = bucket
     * rank + the bucket's cumulative offset, where offsets come from an
-    * `nBuckets`-row count aggregate broadcast back. Because the bucket is
-    * a PREFIX of the very hex the within-bucket window orders by (md5 hex
-    * is lowercase, so string order == numeric order), the two-level rank
-    * is exactly the flat `ORDER BY (md5, key)` rank — which is what the
-    * oracle states with a flat window. One shuffle on the bucket key + one
-    * broadcast join; the offsets frame's global window is over `nBuckets`
-    * rows, not data.
+    * `nBuckets`-row count aggregate collected driver-side (an index
+    * action) and shipped back as a single map literal. Because the bucket
+    * is a PREFIX of the very hex the within-bucket window orders by (md5
+    * hex is lowercase, so string order == numeric order), the two-level
+    * rank is exactly the flat `ORDER BY (md5, key)` rank — which is what
+    * the oracle states with a flat window. One shuffle on the bucket key,
+    * no global window, no extra join.
     *
     * Shards are fixed-size: shard = pos div rowsPerShard (integral
     * division — no float rounding at any position).
@@ -216,7 +216,6 @@ object Sampling {
     val b = graft.core.Cols.fresh(df, "__b")
     val h = graft.core.Cols.fresh(df, "__h")
     val rk = graft.core.Cols.fresh(df, "__rk")
-    val off = graft.core.Cols.fresh(df, "__off")
     val keyStr = when(key.isNotNull, key.cast("string"))
       .otherwise(assert_true(key.isNotNull,
         lit("globalShuffle: null shuffle key (rows would silently vanish)")).cast("string"))
@@ -226,15 +225,21 @@ object Sampling {
         conv(substring(col(h), 1, 8), 16, 10).cast("long"), 32 - bits).cast("int"))
     val w = Window.partitionBy(col(b)).orderBy(col(h), key)
     val ranked = hashed.withColumn(rk, row_number().over(w).cast("long") - 1)
-    val offsets = hashed.groupBy(col(b)).agg(count(lit(1)).as("__n"))
-      .withColumn(off, coalesce(
-        sum(col("__n")).over(Window.orderBy(col(b))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(b), col(off))
-    ranked.join(broadcast(offsets), Seq(b))
-      .withColumn(posOut, col(off) + col(rk))
+    // the cumulative bucket offsets are an INDEX action over <= nBuckets
+    // aggregate rows (not data): computed driver-side and shipped back as
+    // one map literal, so the plan carries no unpartitioned window (whose
+    // WindowExec warning pattern-matches the #1 scale-killer and would
+    // mask a real one) and no extra join
+    val counts = hashed.groupBy(col(b)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsetByBucket: Map[Int, Long] = counts.map { case (bk, n) =>
+      val o = acc; acc += n; bk -> o
+    }.toMap
+    ranked
+      .withColumn(posOut, element_at(typedLit(offsetByBucket), col(b)) + col(rk))
       .withColumn(shardOut, expr(s"`$posOut` div $rowsPerShard"))
-      .drop(b, h, rk, off)
+      .drop(b, h, rk)
   }
 
   /** Cap each group at `k` rows with a pinned survivor order (e.g. at most

@@ -260,6 +260,13 @@ object Similarity {
     * is probe-only. This is the operating shape the bench times as
     * `ann_ivf_indexed` — build amortized across queries, probes partition-
     * pruned to nProbe cells.
+    *
+    * When `cacheKey` resolves to a readable path, a fingerprint of its
+    * file listing (name, length, mtime) is folded into the digest, so a
+    * corpus rewritten in place (e.g. by a streaming upsert) gets a FRESH
+    * index instead of silently serving stale neighbors. A non-path
+    * cacheKey falls back to string identity — then the caller owns the
+    * immutable-corpus contract.
     */
   def ensureIvfIndex(
       df: DataFrame,
@@ -271,14 +278,31 @@ object Similarity {
     // full md5 of every parameter that shapes the index: a 32-bit
     // String.hashCode could collide two corpora onto one path (wrong
     // neighbors, no error), and trainIters changes the codebook
+    val fingerprint = corpusFingerprint(df.sparkSession, cacheKey)
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$cacheKey|$nCells|$trainIters".getBytes("UTF-8"))
+      .digest(s"$cacheKey|$fingerprint|$nCells|$trainIters".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = System.getProperty("java.io.tmpdir") + s"/graft_ivf_idx_$digest"
     val cents = ivfIndexCache.computeIfAbsent(path,
       _ => buildIvfIndex(df, id, vec, path, nCells, trainIters))
     (path, cents)
   }
+
+  /** One driver-side directory listing folded into [[ensureIvfIndex]]'s
+    * cache digest: (name, length, mtime) per file, order-stable. Cheap (an
+    * index action, like the codebook collect) and catches in-place corpus
+    * rewrites; anything unresolvable degrades to the key string itself.
+    */
+  private def corpusFingerprint(spark: SparkSession, cacheKey: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(cacheKey)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).map(st =>
+            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString(";")
+      else cacheKey
+    } catch { case scala.util.control.NonFatal(_) => cacheKey }
 
   /** Exact all-pairs cosine similarity join: every (id_a < id_b) pair with
     * cosine >= minCosine. O(N²) by construction — this is the correctness

@@ -101,9 +101,18 @@ object Datalake {
       .select("isin", "company_name", "company_id", "bloomberg_id",
         "legal_entity_id", "parent_company_id", "obligor_company_id")
       .distinct()
+    // the pair anti-join below must be null-safe for the same dplyr
+    // na_matches = "na" reason as the isin anti-joins: a provider company
+    // with a null id or name is "absent from the sheet" only if the sheet
+    // holds no matching null-keyed row
+    val sheetKeys = assetImpactIsins
+      .select(col("company_id").as("__s_cid"), col("company_name").as("__s_cn"))
+      .distinct()
     val providerIsins = assetImpactIsins.unionByName(
       dbAssetImpact.select("company_id", "company_name").distinct()
-        .join(assetImpactIsins, Seq("company_id", "company_name"), "left_anti"),
+        .join(sheetKeys,
+          col("company_id") <=> col("__s_cid") && col("company_name") <=> col("__s_cn"),
+          "left_anti"),
       allowMissingColumns = true)
     // dplyr anti_join defaults to na_matches = "na": an NA key on the left
     // IS dropped when the right holds an NA key. providerIsins always

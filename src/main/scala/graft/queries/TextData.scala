@@ -442,12 +442,12 @@ object TextData {
       // not just sbt.
       val e = embeddings(s, d)
       val planted = e.filter(col("vec_id") % 11 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + (1L << 40)).as("vec_id"), col("embedding"))
       val pairs = Similarity.semanticDedupPairs(
         e.select("vec_id", "embedding").unionByName(planted),
         "vec_id", "embedding", minCosine = 0.35, nCells = 8)
       val want = e.filter(col("vec_id") % 11 === 0)
-        .select(col("vec_id").as("id_a"), (col("vec_id") + 100000).as("id_b"))
+        .select(col("vec_id").as("id_a"), (col("vec_id") + (1L << 40)).as("id_b"))
       val check = want.join(pairs, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("__missed"))
         .select(assert_true(col("__missed") === 0,
@@ -490,9 +490,9 @@ object TextData {
     Q("dd_incr_exact",
       """WITH corpus AS (SELECT doc_id, text FROM documents),
         |batch AS (
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1099511627776 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id,
+        |  SELECT doc_id + 2199023255552 AS doc_id,
         |         text || ' fresh tail ' || CAST(doc_id AS VARCHAR) AS text
         |  FROM documents WHERE doc_id % 7 = 1),
         |idx AS (SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS corpus_id
@@ -508,9 +508,9 @@ object TextData {
       // come through novel. Both directions non-vacuous by construction.
       val docs = documents(s, d).select("doc_id", "text")
       val batch = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text"))
         .unionByName(docs.filter(col("doc_id") % 7 === 1)
-          .select((col("doc_id") + 20000).as("doc_id"),
+          .select((col("doc_id") + (1L << 41)).as("doc_id"),
             concat(col("text"), lit(" fresh tail "), col("doc_id").cast("string")).as("text")))
       Dedup.incrementalExactFlags(batch, Dedup.exactIndex(docs, "doc_id", "text"),
           "doc_id", "text")
@@ -519,7 +519,7 @@ object TextData {
     },
     Q("dd_incr_near",
       """WITH both_docs AS (
-        |  SELECT 'b' AS side, doc_id + 10000 AS doc_id, text
+        |  SELECT 'b' AS side, doc_id + 1099511627776 AS doc_id, text
         |  FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
         |  SELECT 'c', doc_id, text FROM documents),
@@ -551,18 +551,19 @@ object TextData {
         |  ON b.side = 'b' AND c.side = 'c' AND b.band = c.band AND b.bucket = c.bucket
         |GROUP BY 1, 2 ORDER BY batch_id, corpus_id""".stripMargin) { (s, d) =>
       // Near-dup candidates of a re-crawled batch (every 7th doc, re-keyed
-      // +10000) against the corpus MinHash index — cross-table LSH with a
+      // +2^40 so planted ids never collide with real ids at any sf)
+      // against the corpus MinHash index — cross-table LSH with a
       // FULL oracle: the SQL regenerates both sides' signatures and the
       // (band, bucket) probe join. Runs the PRODUCTION index shape: the
       // index is persisted as a bucketed table on (band, bucket), so the
       // probe re-shuffles only the batch side (shuffle-elision pinned in
       // DedupSpec). Every batch doc is an exact copy, so its pair with
-      // doc_id - 10000 surfaces at est_jaccard exactly 1.0 — now proven by
+      // doc_id - 2^40 surfaces at est_jaccard exactly 1.0 — now proven by
       // the oracle itself (the round-5 embedded recall floor was removed
       // as redundant).
       val docs = documents(s, d).select("doc_id", "text")
       val batch = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text"))
       val table = s"graft_mh_idx_${math.abs(d.hashCode)}"
       Dedup.saveMinhashIndexBucketed(docs, "doc_id", "text", table, numBuckets = 32)
       Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
@@ -1255,7 +1256,7 @@ object TextData {
     """WITH base AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+      |  SELECT doc_id + 1099511627776 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
       |t AS (SELECT doc_id, text,
       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
       |      x -> x <> '')) AS INTEGER) AS n_tokens
@@ -1275,8 +1276,11 @@ object TextData {
   private def corpusPrepSparkSide(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val docs = documents(s, d).select("doc_id", "text")
+    // planted re-key offset is 1L<<40 so planted ids can NEVER collide
+    // with real ids at any sf (a collision would break globalShuffle's
+    // unique-key contract and make pos assignment nondeterministic)
     val base = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
     graft.operators.CorpusPrep.prepare(base, "doc_id", "text",
       minTokens = 30, maxTokens = 800, rowsPerShard = 50L, nBuckets = 64)
   }

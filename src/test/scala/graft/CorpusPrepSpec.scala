@@ -32,19 +32,25 @@ class CorpusPrepSpec extends SparkTestBase {
       s"gate vacuous: $n survivors of ${base.count()} with $planted planted dups")
   }
 
-  test("globalShuffle plan: data window is per-bucket, offsets join broadcasts") {
+  test("globalShuffle plan: data window is per-bucket, offsets fold to a map literal") {
     val out = graft.operators.Sampling.globalShuffle(
       Tables.documents(spark, sfDir).select("doc_id"), col("doc_id"), 50L, nBuckets = 16)
     val p = out.queryExecution.executedPlan.toString
-    // the offsets side joins back as a broadcast — never a shuffle join
-    assert(p.contains("BroadcastHashJoin"), s"offsets join must broadcast:\n$p")
-    // every Window over the DATA carries a partition spec (the only
-    // unpartitioned window allowed is the nBuckets-row offsets aggregate,
-    // which sits beneath the broadcast exchange)
-    val dataSide = p.substring(0, p.indexOf("BroadcastExchange"))
-    assert(!dataSide.contains("Window [") ||
-      "Window \\[.*windowspecdefinition\\(__b".r.findFirstIn(dataSide).nonEmpty,
-      s"data-side window must partition by the hash bucket:\n$p")
+    // offsets are driver-computed and shipped as one map literal: the plan
+    // must carry NO join at all and NO unpartitioned window anywhere (the
+    // round-5 offsets frame ran a global window over <= nBuckets rows —
+    // harmless, but its WindowExec warning pattern-matched the #1
+    // scale-killer and would mask a real one)
+    assert(p.contains("element_at(map("), s"offsets must be a map literal:\n$p")
+    assert(!p.contains("Join"), s"offsets must not join back:\n$p")
+    val unpartitioned = "Window \\[[^\\]]*windowspecdefinition\\((?!__b)".r
+    assert(unpartitioned.findFirstIn(p).isEmpty,
+      s"every window must partition by the hash bucket:\n$p")
+    // the bucket-key shuffle the rank needs is the only exchange kind
+    assert(p.contains("Exchange hashpartitioning(__b"),
+      s"rank must shuffle on the bucket key:\n$p")
+    assert(!p.contains("BroadcastExchange") && !p.contains("Exchange SinglePartition"),
+      s"no broadcast or single-partition exchange expected:\n$p")
   }
 
   test("manifest: per-shard totals reconcile with the per-doc frame") {
