@@ -24,6 +24,8 @@ object Bench {
     "ann_bruteforce",     // brute-force top-k
     "ann_ivf",            // IVF cell-probe top-k (self-contained, full scan)
     "ann_ivf_indexed",    // IVF probe against the materialized partitioned index
+    "ann_ivf_sq8",        // IVF x SQ8 self-contained twin (full re-encode)
+    "ann_ivf_sq8_indexed", // probe over the materialized codes-only index (4x less IO)
     "j13_salted_skew_join", // salt-spread skew join
     "tx_quality",         // text HOF expressions
     "ev_hourly_agg",      // timestamp agg
@@ -82,18 +84,26 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // second pass: steady-state timings. First-run cost is ~40-50% one-time
-    // Catalyst analysis + whole-stage codegen + JIT per plan — real for an
-    // ad-hoc query, amortized to nothing over a 100 TB run. Reporting both
-    // keeps the headline comparable to BASELINE (cold) while exposing
-    // engine throughput (steady).
+    // steady-state timings: THREE passes, min per query (BASELINE.md's own
+    // protocol). First-run cost is ~40-50% one-time Catalyst analysis +
+    // whole-stage codegen + JIT per plan — real for an ad-hoc query,
+    // amortized to nothing over a 100 TB run — and single-shot steady
+    // numbers proved ±75% sensitive to sandbox contention (round 4's
+    // phantom regression); the per-query min of three is the
+    // contention-free observation, self-defending in the artifact.
+    val steadyRuns: Seq[Map[String, Double]] = Seq.fill(3) {
+      names.flatMap { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }.toMap
+    }
     val steady: Map[String, Double] = names.flatMap { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => None }
+      val ts = steadyRuns.flatMap(_.get(name))
+      if (ts.size == steadyRuns.size) Some(name -> ts.min) else None
     }.toMap
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -288,6 +288,84 @@ object Similarity {
     (path, cents)
   }
 
+  /** Materialize the codes-only inverted file: trained cell assignment +
+    * SQ8 codes, the float32 vectors DROPPED, written `partitionBy("cell")`
+    * — a probe reads ~nProbe/nCells of the corpus at 4x fewer bytes per
+    * vector, the compound IO bound of a billion-vector deployment.
+    * Returns the codebook and the per-dimension SQ8 ranges (persist both
+    * alongside the index in real deployments).
+    */
+  def buildIvfSq8Index(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      path: String,
+      nCells: Int = 16,
+      trainIters: Int = 3): (Seq[(Int, Seq[Double])], Seq[(Double, Double)]) = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val cents = trainCodebook(df, id, vec, nCells, trainIters)
+    val stats = sq8Stats(df, vec)
+    sq8Encode(
+        df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1)),
+        vec, stats)
+      .drop(vec)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    (cents, stats)
+  }
+
+  // codes-only indexes materialized by THIS JVM — same build-once shape as
+  // ivfIndexCache, but the cached value also carries the SQ8 ranges
+  private val ivfSq8IndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, Seq[Double])], Seq[(Double, Double)])]()
+
+  /** Build-once form of [[buildIvfSq8Index]] — the memoization, path
+    * digest and corpus-fingerprint staleness contract of
+    * [[ensureIvfIndex]], for the codes-only index.
+    */
+  def ensureIvfSq8Index(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      cacheKey: String,
+      nCells: Int = 16,
+      trainIters: Int = 3): (String, Seq[(Int, Seq[Double])], Seq[(Double, Double)]) = {
+    val fingerprint = corpusFingerprint(df.sparkSession, cacheKey)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"sq8|$cacheKey|$fingerprint|$nCells|$trainIters".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = System.getProperty("java.io.tmpdir") + s"/graft_ivf_sq8_idx_$digest"
+    val (cents, stats) = ivfSq8IndexCache.computeIfAbsent(path,
+      _ => buildIvfSq8Index(df, id, vec, path, nCells, trainIters))
+    (path, cents, stats)
+  }
+
+  /** Probe a materialized codes-only IVF index: literal `isin` cell filter
+    * (partition pruning, as [[probeIvfIndex]]) over a scan that reads ONLY
+    * (id, codes, cell) — never a float32 vector — decoding and scoring the
+    * ~nProbe/nCells survivors asymmetrically against the full-precision
+    * query.
+    */
+  def probeIvfSq8Index(
+      spark: SparkSession,
+      path: String,
+      id: String,
+      qvec: Seq[Double],
+      queryId: Long,
+      k: Int,
+      cents: Seq[(Int, Seq[Double])],
+      stats: Seq[(Double, Double)],
+      nProbe: Int = 4): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(spark)
+    val cells = nearestCellsLocal(qvec, cents, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .filter(col(id) =!= queryId)
+      .withColumn("cosine", VectorFns.cosine(sq8Decode(col("codes"), stats), typedLit(qvec)))
+      .select(col(id), col("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+
   /** One driver-side directory listing folded into [[ensureIvfIndex]]'s
     * cache digest: (name, length, mtime) per file, order-stable. Cheap (an
     * index action, like the codebook collect) and catches in-place corpus

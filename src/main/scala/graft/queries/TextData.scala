@@ -701,6 +701,23 @@ object TextData {
       Similarity.ivfSq8TopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
         nCells = 8, nProbe = 6)
     },
+    Q.noOracle("ann_ivf_sq8_indexed") { (s, d) =>
+      // PRODUCTION shape of ann_ivf_sq8: the codes-only inverted file is
+      // materialized ONCE (partitionBy("cell"), float32 vectors dropped,
+      // codebook + SQ8 ranges memoized per JVM) and each probe partition-
+      // prunes to ~nProbe/nCells of the corpus while reading 4x fewer
+      // bytes per vector than ann_ivf_indexed — the compound IO bound the
+      // bench's steady pass measures (codes-only scan plan-pinned in
+      // AnnRecallSpec).
+      val e = embeddings(s, d)
+      val (path, cents, stats) = Similarity.ensureIvfSq8Index(
+        e, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val qvec = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0)
+        .getSeq[Number](0).map(_.doubleValue()).toSeq
+      Similarity.probeIvfSq8Index(s, path, "vec_id",
+        qvec, queryId = 0L, k = 10, cents, stats, nProbe = 6)
+    },
 
     // ---- text analysis -------------------------------------------------
     Q("tx_token_count",

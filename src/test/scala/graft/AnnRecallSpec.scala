@@ -125,6 +125,37 @@ class AnnRecallSpec extends SparkTestBase {
       s"probe must partition-prune on cell:\n$probePlan")
   }
 
+  test("codes-only IVF index probe matches self-contained ivfSq8TopK and never reads vectors") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val qid = 7L
+    val path = java.nio.file.Files.createTempDirectory("ivf_sq8_idx").toString + "/idx"
+    val (cents, stats) =
+      Similarity.buildIvfSq8Index(e, "vec_id", "embedding", path, nCells = 16)
+    val qvec = e.filter(col("vec_id") === qid)
+      .select("embedding").collect()(0)
+      .getSeq[Number](0).map(_.doubleValue()).toSeq
+    val probed = Similarity.probeIvfSq8Index(spark, path, "vec_id",
+        qvec, qid, 10, cents, stats, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+    val inline = Similarity.ivfSq8TopK(e, "vec_id", "embedding", q, qid, 10,
+        nCells = 16, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed == inline, s"codes-only probe $probed != inline $inline")
+    val probePlan = Similarity.probeIvfSq8Index(spark, path, "vec_id",
+        qvec, qid, 10, cents, stats, nProbe = 6)
+      .queryExecution.executedPlan.toString
+    // pruned like the float index probe...
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(probePlan).isDefined,
+      s"probe must partition-prune on cell:\n$probePlan")
+    // ...and the scan schema must carry ONLY codes — no float32 vector
+    // column exists in the index, so the probe's IO is the 4x-compressed
+    // bytes (the whole point of the codes-only shape)
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(probePlan).getOrElse("")
+    assert(readSchema.contains("codes") && !readSchema.contains("embedding"),
+      s"probe must read codes only:\n$readSchema")
+  }
+
   test("NearestCells expression matches the composed-builtins form at nProbe 1 and 4") {
     // the O(1)-tree payload expression must reproduce the round-5 composed
     // dot+struct+array_sort column bit-for-bit: same scores (same fold
