@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusPrep, Dedup, Similarity}
+
+/** Empirical 10x scale probe for the production-shape pipelines.
+  *
+  * Every 100x-scale claim elsewhere is plan-shape-argued (pinned
+  * exchanges, partition filters) but measured only at fixture size
+  * (sf0.1 = 5k docs / 2k vectors). This spec generates synthetic corpora
+  * IN-TEST (distributed `spark.range` + hash-derived text/vectors — no
+  * fixtures, no driver-side generation) at a small and a 10x size well
+  * above sf0.1, runs each pipeline at both, and asserts:
+  *
+  *   1. runtime grows ~linearly — t(10N) <= 25 x t(N) (linear = 10x,
+  *      2.5x slack for sandbox contention; floors guard tiny
+  *      denominators), after an untimed warm run amortizes codegen/JIT;
+  *   2. the physical plan keeps its pinned shape at 10x — same Exchange
+  *      count (a plan that re-shuffles more as data grows is the failure
+  *      mode this guards), partition filters still present on the IVF
+  *      probe, the bucketed dedup-index probe still shuffles ONLY the
+  *      batch side;
+  *   3. results stay correct at 10x — planted exact/near duplicates are
+  *      recovered at the documented recall floors.
+  *
+  * Numbers printed by `info(...)` are recorded in BASELINE.md ("Scale
+  * probe" section) per round.
+  */
+class ScaleProbeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- synthetic corpora -------------------------------------------------
+
+  /** ~40-token documents with hash-derived vocabulary (unique per doc, so
+    * only PLANTED duplicates collide): 3% exact copies at id + 1<<40 and
+    * 3% near-copies (one token appended, 3-shingle Jaccard ~ 38/41 = 0.93)
+    * at id + 1<<41 — offsets far above any base id, per the planted-id
+    * rule from round 5 (TextData's 1L<<40 precedent).
+    */
+  private def syntheticDocs(n: Long): DataFrame = {
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(
+        transform(sequence(lit(1), lit(40)),
+          k => substring(md5(concat_ws("-", col("id"), k)), 1, 6)),
+        " ").as("text"))
+    val exact = base.filter(pmod(col("doc_id"), lit(100)) < 3)
+      .select((col("doc_id") + lit(1L << 40)).as("doc_id"), col("text"))
+    val near = base
+      .filter(pmod(col("doc_id"), lit(100)).between(50, 52))
+      .select((col("doc_id") + lit(1L << 41)).as("doc_id"),
+        concat(col("text"), lit(" zzextra")).as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  /** Deterministic dim-32 vectors: sin(id * k) per dimension — spread over
+    * [-1, 1], no driver-side generation, stable across partitionings.
+    */
+  private def syntheticVecs(n: Long, dim: Int = 32): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        k => sin(col("id") * k)).as("embedding"))
+
+  // ---- harness -----------------------------------------------------------
+
+  private def timed(f: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def exchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+
+  /** Linear-growth gate: 10x data within 25x time (floors avoid flaky
+    * tiny-denominator ratios on a contested sandbox).
+    */
+  private def assertLinear(name: String, tSmall: Double, tBig: Double): Unit = {
+    val ratio = tBig / math.max(tSmall, 0.3)
+    info(f"$name: small=$tSmall%.2fs big=$tBig%.2fs ratio=$ratio%.1fx")
+    assert(ratio <= 25.0,
+      f"$name grew $ratio%.1fx on 10x data (linear = 10x, gate = 25x)")
+  }
+
+  private val nDocs = 50000L   // 10x sf0.1's documents fixture
+  private val nVecs = 20000L   // 10x sf0.1's embeddings fixture
+
+  // ---- probes ------------------------------------------------------------
+
+  test("sm_corpus_prep shape: 10x docs within linear time, same exchange count") {
+    def prep(n: Long): DataFrame =
+      CorpusPrep.prepare(syntheticDocs(n), "doc_id", "text",
+        minTokens = 1, maxTokens = 1000, rowsPerShard = 4096)
+    // time CONSTRUCTION + action together: globalShuffle's offsets pass is
+    // an eager driver-side collect, and it scales with n like the rest
+    def run(n: Long): (Long, Double) = timed(prep(n).count())
+    run(nDocs)                                  // warm: codegen + JIT
+    val (rowsSmall, tSmall) = run(nDocs)
+    val (rowsBig, tBig) = run(nDocs * 10)
+    val (planSmall, planBig) = (prep(nDocs), prep(nDocs * 10))
+    // exact copies deduped, near-copies kept (content differs), all
+    // positions assigned: survivors = base + near
+    assert(rowsSmall == nDocs + (nDocs * 3) / 100,
+      s"small survivors $rowsSmall")
+    assert(rowsBig == nDocs * 10 + (nDocs * 10 * 3) / 100,
+      s"big survivors $rowsBig")
+    assert(exchanges(planSmall) == exchanges(planBig),
+      "corpus-prep plan changed shape at 10x")
+    assertLinear("sm_corpus_prep", tSmall, tBig)
+  }
+
+  test("dd_corpus_dedup: 10x docs within linear time, planted dups recovered") {
+    // smaller base — the minhash stage is the most compute-dense probe
+    val n = 20000L
+    // construction is NOT lazy here — canonicalize's pointer-doubling
+    // rounds run eagerly (localCheckpoint per round), so the whole
+    // pipeline must sit inside the timed block
+    def run(m: Long): (Long, Double) =
+      timed(Dedup.dedupCorpus(syntheticDocs(m), "doc_id", "text").count())
+    run(n)                                      // warm
+    val (rowsSmall, tSmall) = run(n)
+    val (rowsBig, tBig) = run(n * 10)
+    // survivors = one per cluster: base docs, minus misses among planted
+    // near-dups (64 hashes / 8 bands at j=0.93 miss ~0.14% of pairs).
+    // Exact copies always collide (identical sigs) -> recall floor 99%.
+    def checkRecall(m: Long, survivors: Long): Unit = {
+      val planted = (m * 3) / 100 * 2           // exact + near
+      val removed = (m + planted) - survivors
+      val recall = removed.toDouble / planted
+      info(f"dd_corpus_dedup n=$m: planted=$planted removed=$removed recall=$recall%.4f")
+      assert(recall >= 0.99, f"planted-dup recall $recall%.4f < 0.99 at n=$m")
+      assert(survivors >= m, "dedup must never remove non-duplicates")
+    }
+    checkRecall(n, rowsSmall)
+    checkRecall(n * 10, rowsBig)
+    assertLinear("dd_corpus_dedup", tSmall, tBig)
+  }
+
+  test("ann_ivf_indexed: probe stays partition-pruned and beats the unpruned scan at 10x") {
+    val dir = java.nio.file.Files.createTempDirectory("scale_ivf").toString
+    val vecs = syntheticVecs(nVecs * 10)
+    val cents = Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      s"$dir/idx", nCells = 16, trainIters = 2)
+    val qvec = (1 to 32).map(k => math.sin(7.0 * k))
+    def probe() = Similarity.probeIvfIndex(spark, s"$dir/idx", "vec_id",
+      "embedding", qvec, queryId = 7L, k = 10, cents, nProbe = 4)
+    // unpruned twin: same index files, same scoring, no cell filter —
+    // isolates what pruning buys at this corpus size
+    def full() = {
+      import graft.functions.VectorFns
+      spark.read.parquet(s"$dir/idx")
+        .filter(col("vec_id") =!= 7L)
+        .withColumn("cosine", VectorFns.cosine(col("embedding"), typedLit(qvec)))
+        .select(col("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }
+    probe().collect(); full().collect()         // warm
+    val (_, tProbe) = timed(probe().count())
+    val (_, tFull) = timed(full().count())
+    info(f"ann_ivf probe=$tProbe%.2fs unpruned=$tFull%.2fs at n=${nVecs * 10}")
+    val plan = probe().queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe lost partition pruning at 10x:\n$plan")
+    // 4/16 cells -> ~1/4 the scan+score work; require a visible win, with
+    // headroom for constant per-query overhead at this (still small) scale
+    assert(tProbe <= tFull * 0.8,
+      f"pruned probe ($tProbe%.2fs) should beat unpruned scan ($tFull%.2fs)")
+  }
+
+  test("dd_incr_near: bucketed-index probe keeps the batch-side-only shuffle at 10x") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batchN = 2000L
+      // batch: half exact copies of corpus docs (same generator), half
+      // novel (disjoint "b-" hash namespace)
+      val copies = spark.range(batchN / 2).select(
+        (col("id") + lit(1L << 50)).as("doc_id"),
+        array_join(
+          transform(sequence(lit(1), lit(40)),
+            k => substring(md5(concat_ws("-", col("id"), k)), 1, 6)),
+          " ").as("text"))
+      val novel = spark.range(batchN / 2).select(
+        (col("id") + lit(1L << 51)).as("doc_id"),
+        array_join(
+          transform(sequence(lit(1), lit(40)),
+            k => substring(md5(concat_ws("-", lit("b"), col("id"), k)), 1, 6)),
+          " ").as("text"))
+      val batch = copies.unionByName(novel)
+
+      def run(n: Long, table: String): (DataFrame, Long, Double) = {
+        Dedup.saveMinhashIndexBucketed(
+          syntheticDocs(n).filter(col("doc_id") < n),  // base docs only
+          "doc_id", "text", table)
+        val probed = Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
+        probed.count()                           // warm
+        val (pairs, t) = timed(probed.count())
+        (probed, pairs, t)
+      }
+      val (probeSmall, _, tSmall) = run(20000L, "graft_scale_mh_small")
+      val (probeBig, pairsBig, tBig) = run(200000L, "graft_scale_mh_big")
+      // every exact batch copy collides with its corpus twin
+      val hits = probeBig.filter(col("est_jaccard") === 1.0)
+        .select("batch_id").distinct().count()
+      assert(hits == batchN / 2, s"exact-copy hits $hits != ${batchN / 2}")
+      assert(pairsBig >= hits)
+      // the pinned shape: bucketed corpus side pre-shuffled at build time,
+      // so the probe shuffles the BATCH only — and that may not change as
+      // the corpus grows 10x
+      assert(exchanges(probeSmall) == exchanges(probeBig),
+        "bucketed probe plan changed shape at 10x corpus")
+      // probe cost is scan(index) + shuffle(batch): index scan grows with
+      // the corpus, the shuffle does not — gate at linear with slack
+      assertLinear("dd_incr_near probe", tSmall, tBig)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_scale_mh_small")
+      spark.sql("DROP TABLE IF EXISTS graft_scale_mh_big")
+    }
+  }
+}
