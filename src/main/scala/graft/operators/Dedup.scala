@@ -168,7 +168,13 @@ object Dedup {
       ids: DataFrame,
       pairs: DataFrame,
       id: String,
-      maxIter: Int = 10): DataFrame = {
+      // headroom is free (the loop exits the round after labels stop
+      // changing, and one observation round is part of the count): 20
+      // rounds of path halving cover any graph a dedup pass can produce,
+      // while 10 was tight enough that a 30-node random graph needed 11
+      // (min-label entry points matter, not just diameter — measured in
+      // DifferentialSpec)
+      maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = ids.select(col(id), col(id).as("canonical_id")).localCheckpoint()

@@ -124,12 +124,25 @@ object Similarity {
     * is the codebook itself (nCells × dim values — bounded, an index-build
     * action, not a data action).
     *
-    * Seeding is a deterministic hash-ordered sample (xxhash64 of the id
-    * spreads the picks over the corpus; lowest-N-ids would be data-order
-    * dependent). `sampleMod` > 1 trains on the deterministic 1/sampleMod
-    * hash-slice of the corpus — at 100 TB you train on a sample, not the
-    * full table; assignment quality at convergence is indistinguishable.
-    * Empty cells keep their previous centroid (standard Lloyd fallback).
+    * Seeding is a deterministic hash-ordered sample (md5-derived h60 of
+    * the id spreads the picks over the corpus; lowest-N-ids would be
+    * data-order dependent). `sampleMod` > 1 trains on the deterministic
+    * 1/sampleMod hash-slice of the corpus — at 100 TB you train on a
+    * sample, not the full table; assignment quality at convergence is
+    * indistinguishable. Empty cells keep their previous centroid
+    * (standard Lloyd fallback).
+    *
+    * EVERY step is SQL-replayable, so the trained codebook — and therefore
+    * the whole IVF family — carries a bit-exact DuckDB oracle:
+    *   - the seed order key is the md5 h60 (same family as the sketches);
+    *   - per-cell means accumulate micro-unit INTEGERS
+    *     (floor(x*1e6 + 0.5), exact in any summation order — a double
+    *     `avg` would depend on Spark's partial-aggregation order) and
+    *     divide back to double with a fixed operation order
+    *     (sum/count/1e6, left-assoc) that any engine rounds identically.
+    * Micro-unit quantization of the MEANS (not the vectors — assignment
+    * still scores raw vectors) perturbs each centroid coordinate by
+    * <= 5e-7, far below any clustering-quality signal.
     */
   def trainCodebook(
       df: DataFrame,
@@ -145,25 +158,36 @@ object Similarity {
     // MaxCodebookDoubles ceiling on the first assignment pass below, so an
     // oversized codebook fails fast before any iteration completes
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    // md5-derived h60 order key (SQL twin:
+    // CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT))
+    val hkey = conv(substring(md5(col(id).cast("string")), 1, 15), 16, 10)
+      .cast("long")
     val train =
       if (sampleMod == 1) df.select(col(id), col(vec))
       else df.select(col(id), col(vec))
-        .filter(pmod(xxhash64(col(id)), lit(sampleMod)) === 0)
+        .filter(pmod(hkey, lit(sampleMod)) === 0)
     var cents: Seq[(Int, Seq[Double])] = train
-      .orderBy(xxhash64(col(id)), col(id)).limit(nCells)
+      .orderBy(hkey, col(id)).limit(nCells)
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => i -> rowVec(r, 1) }
     for (_ <- 0 until iters) {
-      val means = train
+      val sums = train
         .withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
         .select(col("cell"), posexplode(col(vec)).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
+        // micro-unit integer sum: exact in any order, < 2^53 for any
+        // realistic cell (|x| ~ 1 -> 2e6 per row; 4e9 rows to overflow)
+        .agg(sum(floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
-      val byCell: Map[Int, Seq[Double]] = means
+      val byCell: Map[Int, Seq[Double]] = sums
         .groupBy(_.getAs[Int]("cell"))
         .map { case (c, rows) =>
-          c -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+          c -> rows.sortBy(_.getAs[Int]("pos"))
+            // fixed op order, mirrored verbatim in the SQL oracle:
+            // (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6
+            .map(r => r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble / 1e6)
+            .toSeq
         }
       cents = cents.map { case (c, old) => c -> byCell.getOrElse(c, old) }
     }

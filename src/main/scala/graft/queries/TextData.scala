@@ -23,6 +23,66 @@ object TextData {
     * (a_k·h + b_k) mod 4294967311; bucket = md5 of "band,slot,...,slot".
     * Every product stays below 2^63 (see graft.plans.Sketches).
     */
+  /** DuckDB CTE chain replaying Similarity.trainCodebook + the final cell
+    * assignment BIT-EXACTLY — Lloyd's unrolled to `iters` rounds:
+    * seed = first nCells rows by (md5-h60(id), id); each round normalizes
+    * the centroids (same zero-norm fallback as nearestCells), assigns each
+    * vector to the (dot desc, cell desc)-argmax cell (NearestCells'
+    * tie-break), and recomputes means as micro-unit integer sums divided
+    * back to double in the exact operation order trainCodebook uses
+    * (sum/count/1e6); empty cells keep their previous centroid. Exposes
+    * `e` (vec_id, v DOUBLE[]), `uf` (unit centroids) and `af` (vec_id, v,
+    * cell) for the probe tail. `eBody` supplies the training frame (must
+    * yield vec_id + v).
+    */
+  private def ivfCodebookCtes(eBody: String, nCells: Int, iters: Int): String = {
+    val h = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    def unit(src: String) =
+      s"""SELECT cell,
+         |    CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN c
+         |         ELSE list_transform(c, x -> x / sqrt(list_dot_product(c, c))) END AS uc
+         |  FROM $src""".stripMargin
+    def assign(u: String) =
+      s"""SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, u.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, u.uc) DESC, u.cell DESC) AS rn
+         |    FROM e CROSS JOIN $u u) WHERE rn = 1""".stripMargin
+    def nextCents(prev: String, a: String) =
+      s"""SELECT p.cell, COALESCE(mm.c2, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY pos) AS c2 FROM (
+         |      SELECT a.cell, u.pos,
+         |        CAST(SUM(CAST(floor(a.v[u.pos] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |          / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS m
+         |      FROM $a a, unnest(generate_series(1, len(a.v))) AS u(pos)
+         |      GROUP BY a.cell, u.pos)
+         |    GROUP BY cell) mm ON p.cell = mm.cell""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""u$i AS (${unit(s"c$i")}),
+         |a$i AS (${assign(s"u$i")}),
+         |c${i + 1} AS (${nextCents(s"c$i", s"a$i")})""".stripMargin
+    }.mkString(",\n")
+    s"""e AS ($eBody),
+       |seed AS (SELECT vec_id, v FROM e ORDER BY $h, vec_id LIMIT $nCells),
+       |c0 AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v AS c FROM seed),
+       |$rounds,
+       |uf AS (${unit(s"c$iters")}),
+       |af AS (${assign("uf")})""".stripMargin
+  }
+
+  /** The standard IVF probe tail over [[ivfCodebookCtes]]'s `uf`/`af`:
+    * query cells by (dot desc, cell desc), exact cosine inside probed
+    * cells, top-k. */
+  private def ivfProbeTail(nProbe: Int, k: Int): String =
+    s"""q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+       |qc AS (SELECT u.cell FROM uf u, q
+       |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT $nProbe)
+       |SELECT a.vec_id, list_cosine_similarity(a.v, q.qvec) AS cosine
+       |FROM af a, q
+       |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
+       |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
+
   private def minhashCandidateCte(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
@@ -431,28 +491,37 @@ object TextData {
           minCosine = 0.35, nPlanes = 6, nTables = 4)
         .orderBy("id_a", "id_b")
     },
-    Q.noOracle("dd_semantic") { (s, d) =>
+    Q("dd_semantic",
       // SemDeDup-shape semantic near-dup: kmeans cells from the trained
-      // codebook, exact cosine within cells only. No SQL twin (kmeans);
-      // DedupSpec pins planted-duplicate recall and the subset relation
-      // against exact all-pairs. The query ALSO carries its own recall
-      // floor: exact copies planted over every 11th vector share their
-      // source's nearest centroid and cosine 1, so each must pair with
-      // its source — a silent recall collapse raises in the driver run,
-      // not just sbt.
+      // codebook, exact cosine within cells only — now with a FULL oracle
+      // (the replayable-codebook CTEs assign cells over the corpus-plus-
+      // planted-copies frame, then the dd_semantic_verify within-cell
+      // math). Planted exact copies at every 11th vector share their
+      // source's cell and cosine 1, so the oracle itself proves recall —
+      // the round-5 embedded assert_true floor was removed as redundant.
+      s"""WITH ${ivfCodebookCtes(
+           """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1099511627776 AS vec_id, embedding
+             |  FROM embeddings WHERE vec_id % 11 = 0)""".stripMargin,
+           nCells = 8, iters = 3)},
+         |un AS (SELECT vec_id, a.cell,
+         |    list_transform(v, x -> CASE WHEN sqrt(list_dot_product(v, v)) <> 0
+         |      THEN x / sqrt(list_dot_product(v, v)) ELSE 0.0 END) AS u
+         |  FROM af a)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS INTEGER) AS cell,
+         |       list_dot_product(a.u, b.u) AS cosine
+         |FROM un a JOIN un b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.u, b.u) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val e = embeddings(s, d)
       val planted = e.filter(col("vec_id") % 11 === 0)
         .select((col("vec_id") + (1L << 40)).as("vec_id"), col("embedding"))
-      val pairs = Similarity.semanticDedupPairs(
-        e.select("vec_id", "embedding").unionByName(planted),
-        "vec_id", "embedding", minCosine = 0.35, nCells = 8)
-      val want = e.filter(col("vec_id") % 11 === 0)
-        .select(col("vec_id").as("id_a"), (col("vec_id") + (1L << 40)).as("id_b"))
-      val check = want.join(pairs, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("__missed"))
-        .select(assert_true(col("__missed") === 0,
-          lit("planted semantic-dup recall collapsed")).as("__recall_ok"))
-      pairs.crossJoin(broadcast(check)).orderBy("id_a", "id_b")
+      Similarity.semanticDedupPairs(
+          e.select("vec_id", "embedding").unionByName(planted),
+          "vec_id", "embedding", minCosine = 0.35, nCells = 8)
+        .orderBy("id_a", "id_b")
     },
     Q("dd_semantic_verify",
       """WITH pl AS (
@@ -609,13 +678,31 @@ object TextData {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.lshTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10)
     },
-    Q.noOracle("ann_ivf") { (s, d) =>
+    // FULL oracle for the trained-kmeans IVF: trainCodebook is
+    // SQL-replayable end to end (md5-h60 seeding, micro-unit-integer
+    // Lloyd means, fixed-order divisions), so the oracle unrolls all 3
+    // Lloyd rounds as CTEs and reproduces codebook, assignment, probe
+    // cells and cosines bit-for-bit — the kmeans analogue of the LCG-plane
+    // trick that oracled the sign-LSH family.
+    Q("ann_ivf",
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |${ivfProbeTail(nProbe = 6, k = 10)}""".stripMargin) { (s, d) =>
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.ivfTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
         nCells = 8, nProbe = 6)
     },
-    Q.noOracle("ann_ivf_indexed") { (s, d) =>
+    Q("ann_ivf_indexed",
+      // same oracle as ann_ivf: the materialized index + pruned probe is
+      // an execution strategy, not a semantics change — identical codebook
+      // (same params), identical top-10. The oracle now proves that
+      // equivalence per driver run instead of only in AnnRecallSpec.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |${ivfProbeTail(nProbe = 6, k = 10)}""".stripMargin) { (s, d) =>
       // PRODUCTION index shape: the inverted file is materialized ONCE
       // (partitionBy("cell"), codebook memoized per JVM), and each probe
       // computes its nProbe cells driver-side and partition-prunes the
@@ -691,17 +778,59 @@ object TextData {
         .toDF("vec_id", "pos", "val")
         .orderBy("vec_id", "pos")
     },
-    Q.noOracle("ann_ivf_sq8") { (s, d) =>
+    Q("ann_ivf_sq8",
       // IVF cell pruning × SQ8 codes-only index: bounded IO AND bounded
-      // bytes-per-vector (the billion-vector operating point). Hash
-      // sketches in the cell assignment -> rows-only driver check;
-      // compound recall pinned in AnnRecallSpec.
+      // bytes-per-vector (the billion-vector operating point). FULL
+      // oracle: the replayable-codebook CTEs (see ann_ivf) pick the
+      // probed cells, and the ann_sq8 quantize→decode arithmetic scores
+      // the survivors — both halves already bit-exact on their own.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |x AS (SELECT vec_id, v[u.pos] AS val, u.pos
+         |  FROM e, unnest(generate_series(1, len(v))) AS u(pos)),
+         |st AS (SELECT pos, MIN(val) AS lo,
+         |    CASE WHEN MAX(val) > MIN(val) THEN MAX(val) - MIN(val) ELSE 1.0 END AS span
+         |  FROM x GROUP BY pos),
+         |dec AS (SELECT x.vec_id,
+         |    list(st.lo + LEAST(255, GREATEST(0, round((x.val - st.lo) * 255.0 / st.span)))
+         |         * st.span / 255.0 ORDER BY x.pos) AS dvec
+         |  FROM x JOIN st USING (pos) GROUP BY x.vec_id),
+         |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+         |qc AS (SELECT u.cell FROM uf u, q
+         |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)
+         |SELECT a.vec_id, list_cosine_similarity(d.dvec, q.qvec) AS cosine
+         |FROM af a JOIN dec d USING (vec_id), q
+         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
+         |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.ivfSq8TopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
         nCells = 8, nProbe = 6)
     },
-    Q.noOracle("ann_ivf_sq8_indexed") { (s, d) =>
+    Q("ann_ivf_sq8_indexed",
+      // same oracle as ann_ivf_sq8: the materialized codes-only index is
+      // an execution strategy (partition-pruned scan, 4x fewer bytes) —
+      // identical quantized scores, identical top-10.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |x AS (SELECT vec_id, v[u.pos] AS val, u.pos
+         |  FROM e, unnest(generate_series(1, len(v))) AS u(pos)),
+         |st AS (SELECT pos, MIN(val) AS lo,
+         |    CASE WHEN MAX(val) > MIN(val) THEN MAX(val) - MIN(val) ELSE 1.0 END AS span
+         |  FROM x GROUP BY pos),
+         |dec AS (SELECT x.vec_id,
+         |    list(st.lo + LEAST(255, GREATEST(0, round((x.val - st.lo) * 255.0 / st.span)))
+         |         * st.span / 255.0 ORDER BY x.pos) AS dvec
+         |  FROM x JOIN st USING (pos) GROUP BY x.vec_id),
+         |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+         |qc AS (SELECT u.cell FROM uf u, q
+         |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)
+         |SELECT a.vec_id, list_cosine_similarity(d.dvec, q.qvec) AS cosine
+         |FROM af a JOIN dec d USING (vec_id), q
+         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
+         |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
       // PRODUCTION shape of ann_ivf_sq8: the codes-only inverted file is
       // materialized ONCE (partitionBy("cell"), float32 vectors dropped,
       // codebook + SQ8 ranges memoized per JVM) and each probe partition-

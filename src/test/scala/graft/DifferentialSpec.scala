@@ -185,7 +185,7 @@ class DifferentialSpec extends SparkTestBase {
         (5L until 15L).map(i => (i - 1, i))
       val got = graft.operators.Dedup.canonicalize(
           ids.toDF("doc_id"),
-          edges.toDF("id_a", "id_b"), "doc_id", maxIter = 10)
+          edges.toDF("id_a", "id_b"), "doc_id")
         .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
 
       // brute-force union-find
