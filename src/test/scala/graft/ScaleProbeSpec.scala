@@ -170,6 +170,25 @@ class ScaleProbeSpec extends SparkTestBase {
       f"pruned probe ($tProbe%.2fs) should beat unpruned scan ($tFull%.2fs)")
   }
 
+  test("ann_ivf_sq8_indexed: codes-only probe never reads vectors at 10x and stays pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("scale_ivf_sq8").toString
+    val vecs = syntheticVecs(nVecs * 10)
+    val (cents, stats) = Similarity.buildIvfSq8Index(vecs, "vec_id", "embedding",
+      s"$dir/idx", nCells = 16, trainIters = 2)
+    val qvec = (1 to 32).map(k => math.sin(7.0 * k))
+    def probe() = Similarity.probeIvfSq8Index(spark, s"$dir/idx", "vec_id",
+      qvec, queryId = 7L, k = 10, cents, stats, nProbe = 4)
+    probe().collect()                           // warm
+    val (_, t) = timed(probe().count())
+    info(f"ann_ivf_sq8 codes-only probe=$t%.2fs at n=${nVecs * 10}")
+    val plan = probe().queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"codes-only probe lost partition pruning at 10x:\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("codes") && !readSchema.contains("embedding"),
+      s"codes-only probe must never scan a float vector at 10x:\n$readSchema")
+  }
+
   test("dd_incr_near: bucketed-index probe keeps the batch-side-only shuffle at 10x") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
