@@ -75,6 +75,24 @@ class AnnRecallSpec extends SparkTestBase {
     assert(mean >= 0.8, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("sampleMod training slices deterministically and still yields a usable codebook") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    // the 100-TB operating mode: train on the deterministic 1/4 md5-hash
+    // slice of the corpus, assign everything
+    val cents = Similarity.trainCodebook(e, "vec_id", "embedding",
+      nCells = 8, iters = 2, sampleMod = 4)
+    assert(cents.size == 8)
+    assert(cents.forall(_._2.nonEmpty))
+    // deterministic: same slice, same seed order, same codebook
+    val again = Similarity.trainCodebook(e, "vec_id", "embedding",
+      nCells = 8, iters = 2, sampleMod = 4)
+    assert(cents == again, "sampled training must be retry-stable")
+    // and it differs from full-corpus training (the slice is real)
+    val full = Similarity.trainCodebook(e, "vec_id", "embedding",
+      nCells = 8, iters = 2)
+    assert(cents != full, "sampleMod=4 must actually train on a subset")
+  }
+
   test("trained codebook yields balanced cell occupancy") {
     val e = Tables.embeddings(spark, sfDir).cache()
     val n = e.count()
