@@ -75,6 +75,29 @@ class AnnRecallSpec extends SparkTestBase {
     assert(mean >= 0.8, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("ensureIvfIndex rebuilds when the corpus under cacheKey is rewritten in place") {
+    // the staleness contract: the cache digest folds in a fingerprint of
+    // the corpus directory listing, so an in-place rewrite (streaming
+    // upsert, recompaction) gets a FRESH index instead of silently serving
+    // neighbors from the dead corpus
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stale").toString + "/corpus"
+    def writeCorpus(n: Int): Unit =
+      spark.range(n).select(col("id").as("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(1), lit(8)), k => sin(col("id") * k)).as("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    writeCorpus(50)
+    val (path1, _) = Similarity.ensureIvfIndex(
+      spark.read.parquet(dir), "vec_id", "embedding", cacheKey = dir, nCells = 4)
+    assert(spark.read.parquet(path1).count() == 50)
+    writeCorpus(80)
+    val (path2, _) = Similarity.ensureIvfIndex(
+      spark.read.parquet(dir), "vec_id", "embedding", cacheKey = dir, nCells = 4)
+    assert(path1 != path2, "rewritten corpus must digest to a fresh index path")
+    assert(spark.read.parquet(path2).count() == 80,
+      "fresh index must hold the rewritten corpus")
+  }
+
   test("sampleMod training slices deterministically and still yields a usable codebook") {
     val e = Tables.embeddings(spark, sfDir).cache()
     // the 100-TB operating mode: train on the deterministic 1/4 md5-hash
