@@ -149,6 +149,57 @@ object Sampling {
     df.withColumn(out, (before / budgetTokens).cast("long"))
   }
 
+  /** GPT-style sequence packing: concatenate documents per partition in a
+    * pinned order and cut the token stream into fixed-length examples,
+    * emitting one row per (example, document) SEGMENT — documents SPLIT
+    * across example boundaries (unlike [[packShards]], which bins whole
+    * documents), so every example holds exactly `exampleTokens` tokens
+    * except the final one per partition. This is the layout next-token
+    * training actually consumes; `tok_from`/`tok_len` say which slice of
+    * the document lands in the example and `pos_in_example` where.
+    *
+    * Output: input columns + `n_tokens`, `offset` (tokens before this doc
+    * in its partition's stream), `example_id`, `tok_from` (within-doc),
+    * `tok_len`, `pos_in_example`. Zero-token documents are dropped (they
+    * occupy no positions). Integer arithmetic end to end — deterministic
+    * on any cluster, retry or engine. Scale shape: one bounded window
+    * shuffle per `partitionCols` (never a global single-reducer window)
+    * plus a narrow explode (a document spanning k examples fans out k
+    * segment rows, k ≈ n_tokens/exampleTokens + 1).
+    */
+  def packSequences(
+      df: DataFrame,
+      tokens: Column,
+      partitionCols: Seq[String],
+      order: Seq[Column],
+      exampleTokens: Int): DataFrame = {
+    require(exampleTokens > 0, "exampleTokens must be positive")
+    val reserved = Seq("n_tokens", "offset", "example_id", "tok_from",
+      "tok_len", "pos_in_example").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with the output contract: ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = lit(exampleTokens.toLong)
+    // offsets are computed over ALL rows (zero-token docs contribute 0),
+    // THEN empties are dropped — same totals, stable offsets
+    val withOff = df
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("n_tokens") > 0)
+    // non-negative, so cast-truncation of the double division is floor
+    // (packShards precedent)
+    val firstEx = (col("offset") / L).cast("long")
+    val lastEx = ((col("offset") + col("n_tokens") - lit(1L)) / L).cast("long")
+    val gStart = greatest(col("offset"), col("example_id") * L)
+    val gEnd = least(col("offset") + col("n_tokens"), (col("example_id") + lit(1L)) * L)
+    withOff
+      .withColumn("example_id", explode(sequence(firstEx, lastEx)))
+      .withColumn("tok_from", gStart - col("offset"))
+      .withColumn("tok_len", gEnd - gStart)
+      .withColumn("pos_in_example", gStart - col("example_id") * L)
+  }
+
   /** Deterministic curriculum interleaving: assign every row a global
     * training position such that sources appear in proportion to their
     * weight throughout the schedule (source s's k-th row lands at position

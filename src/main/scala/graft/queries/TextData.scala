@@ -1350,6 +1350,40 @@ object TextData {
           Seq("source"), Seq(col("doc_id")), 300L)
         .orderBy("doc_id")
     },
+    Q("sm_pack_sequences",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      CAST(0 AS BIGINT)) AS offset
+        |  FROM t)
+        |SELECT o.doc_id, o.source, o.n_tokens, o.offset, u.e AS example_id,
+        |  GREATEST(o.offset, u.e * 128) - o.offset AS tok_from,
+        |  LEAST(o.offset + o.n_tokens, (u.e + 1) * 128)
+        |    - GREATEST(o.offset, u.e * 128) AS tok_len,
+        |  GREATEST(o.offset, u.e * 128) - u.e * 128 AS pos_in_example
+        |FROM o, unnest(generate_series(o.offset // 128,
+        |  (o.offset + o.n_tokens - 1) // 128)) AS u(e)
+        |WHERE o.n_tokens > 0
+        |ORDER BY source, doc_id, example_id""".stripMargin) { (s, d) =>
+      // GPT-style sequence packing: per source, the doc_id-ordered token
+      // stream is cut into exactly-128-token examples, documents SPLIT
+      // across boundaries — one segment row per (example, doc) with the
+      // doc slice (tok_from, tok_len) and its position in the example.
+      // The layout next-token training consumes (sm_pack_shards bins
+      // whole docs; this packs the stream). Integer window + bounded
+      // explode; bit-exact oracle.
+      val t = documents(s, d).select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).as("__tc"))
+      graft.operators.Sampling.packSequences(t, col("__tc"),
+          Seq("source"), Seq(col("doc_id")), 128)
+        .select("doc_id", "source", "n_tokens", "offset", "example_id",
+          "tok_from", "tok_len", "pos_in_example")
+        .orderBy("source", "doc_id", "example_id")
+    },
     Q("sm_shuffle_shard",
       """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
         |r AS (SELECT doc_id,

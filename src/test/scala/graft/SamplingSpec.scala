@@ -97,6 +97,41 @@ class SamplingSpec extends SparkTestBase {
     assert(out == Map(1 -> 0L, 2 -> 0L, 3 -> 0L, 4 -> 1L, 5 -> 0L, 6 -> 1L))
   }
 
+  test("packSequences: segments tile examples exactly, conserve every token, split on boundaries") {
+    val df = Seq(
+      ("s1", 1, 90), ("s1", 2, 50),  // doc2 spans the 100-token boundary: 10 in ex0, 40 in ex1
+      ("s1", 3, 0),                  // zero-token doc vanishes
+      ("s1", 4, 260),                // spans ex1..ex4 (offset 140)
+      ("s2", 5, 100), ("s2", 6, 7)   // exact-fit doc, then a short tail
+    ).toDF("source", "id", "tc")
+    val out = Sampling.packSequences(df, col("tc"), Seq("source"), Seq(col("id")), 100)
+      .select("source", "id", "example_id", "tok_from", "tok_len", "pos_in_example")
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSet
+    // doc4: offset 140, 260 tokens -> ends at 400 EXACTLY; lastEx uses
+    // n_tokens - 1, so no empty 4th segment is generated
+    val expected = Set(
+      ("s1", 1, 0L, 0L, 90L, 0L),
+      ("s1", 2, 0L, 0L, 10L, 90L), ("s1", 2, 1L, 10L, 40L, 0L),
+      ("s1", 4, 1L, 0L, 60L, 40L), ("s1", 4, 2L, 60L, 100L, 0L),
+      ("s1", 4, 3L, 160L, 100L, 0L),
+      ("s2", 5, 0L, 0L, 100L, 0L),
+      ("s2", 6, 1L, 0L, 7L, 0L))
+    assert(out == expected, s"got $out")
+    // conservation: per doc, segment lengths sum to n_tokens
+    val conserved = Sampling.packSequences(df, col("tc"), Seq("source"), Seq(col("id")), 100)
+      .groupBy("id").agg(sum("tok_len").as("t"), first("n_tokens").as("n"))
+      .filter(col("t") =!= col("n")).count()
+    assert(conserved == 0, "token conservation violated")
+    // fullness: every example except the last per source holds exactly 100
+    val ex = Sampling.packSequences(df, col("tc"), Seq("source"), Seq(col("id")), 100)
+      .groupBy("source", "example_id").agg(sum("tok_len").as("t"))
+    val lastEx = ex.groupBy("source").agg(max("example_id").as("last"))
+    val short = ex.join(lastEx, Seq("source"))
+      .filter(col("example_id") =!= col("last") && col("t") =!= 100)
+      .count()
+    assert(short == 0, "non-final examples must be exactly full")
+  }
+
   test("rebalanceToMixture: pre-existing __st/__q columns survive untouched") {
     val df = Seq(
       ("web", 1, "keep-st", 7), ("web", 2, "keep-st", 7), ("web", 3, "keep-st", 7),
