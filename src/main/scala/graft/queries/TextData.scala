@@ -83,6 +83,27 @@ object TextData {
        |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
        |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
 
+  /** The SQ8 asymmetric probe tail: per-dimension [lo, span] ranges, the
+    * quantize→decode replay (ann_sq8's exact arithmetic), probed cells
+    * from `uf`, decoded-vs-full-precision cosine top-k over `af`. */
+  private def ivfSq8ProbeTail(nProbe: Int, k: Int): String =
+    s"""x AS (SELECT vec_id, v[u.pos] AS val, u.pos
+       |  FROM e, unnest(generate_series(1, len(v))) AS u(pos)),
+       |st AS (SELECT pos, MIN(val) AS lo,
+       |    CASE WHEN MAX(val) > MIN(val) THEN MAX(val) - MIN(val) ELSE 1.0 END AS span
+       |  FROM x GROUP BY pos),
+       |dec AS (SELECT x.vec_id,
+       |    list(st.lo + LEAST(255, GREATEST(0, round((x.val - st.lo) * 255.0 / st.span)))
+       |         * st.span / 255.0 ORDER BY x.pos) AS dvec
+       |  FROM x JOIN st USING (pos) GROUP BY x.vec_id),
+       |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+       |qc AS (SELECT u.cell FROM uf u, q
+       |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT $nProbe)
+       |SELECT a.vec_id, list_cosine_similarity(d.dvec, q.qvec) AS cosine
+       |FROM af a JOIN dec d USING (vec_id), q
+       |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
+       |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
+
   private def minhashCandidateCte(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
@@ -787,22 +808,7 @@ object TextData {
       s"""WITH ${ivfCodebookCtes(
            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
            nCells = 8, iters = 3)},
-         |x AS (SELECT vec_id, v[u.pos] AS val, u.pos
-         |  FROM e, unnest(generate_series(1, len(v))) AS u(pos)),
-         |st AS (SELECT pos, MIN(val) AS lo,
-         |    CASE WHEN MAX(val) > MIN(val) THEN MAX(val) - MIN(val) ELSE 1.0 END AS span
-         |  FROM x GROUP BY pos),
-         |dec AS (SELECT x.vec_id,
-         |    list(st.lo + LEAST(255, GREATEST(0, round((x.val - st.lo) * 255.0 / st.span)))
-         |         * st.span / 255.0 ORDER BY x.pos) AS dvec
-         |  FROM x JOIN st USING (pos) GROUP BY x.vec_id),
-         |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
-         |qc AS (SELECT u.cell FROM uf u, q
-         |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)
-         |SELECT a.vec_id, list_cosine_similarity(d.dvec, q.qvec) AS cosine
-         |FROM af a JOIN dec d USING (vec_id), q
-         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
-         |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+         |${ivfSq8ProbeTail(nProbe = 6, k = 10)}""".stripMargin) { (s, d) =>
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.ivfSq8TopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
@@ -815,22 +821,7 @@ object TextData {
       s"""WITH ${ivfCodebookCtes(
            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
            nCells = 8, iters = 3)},
-         |x AS (SELECT vec_id, v[u.pos] AS val, u.pos
-         |  FROM e, unnest(generate_series(1, len(v))) AS u(pos)),
-         |st AS (SELECT pos, MIN(val) AS lo,
-         |    CASE WHEN MAX(val) > MIN(val) THEN MAX(val) - MIN(val) ELSE 1.0 END AS span
-         |  FROM x GROUP BY pos),
-         |dec AS (SELECT x.vec_id,
-         |    list(st.lo + LEAST(255, GREATEST(0, round((x.val - st.lo) * 255.0 / st.span)))
-         |         * st.span / 255.0 ORDER BY x.pos) AS dvec
-         |  FROM x JOIN st USING (pos) GROUP BY x.vec_id),
-         |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
-         |qc AS (SELECT u.cell FROM uf u, q
-         |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)
-         |SELECT a.vec_id, list_cosine_similarity(d.dvec, q.qvec) AS cosine
-         |FROM af a JOIN dec d USING (vec_id), q
-         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
-         |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+         |${ivfSq8ProbeTail(nProbe = 6, k = 10)}""".stripMargin) { (s, d) =>
       // PRODUCTION shape of ann_ivf_sq8: the codes-only inverted file is
       // materialized ONCE (partitionBy("cell"), float32 vectors dropped,
       // codebook + SQ8 ranges memoized per JVM) and each probe partition-
