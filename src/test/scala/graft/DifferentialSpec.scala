@@ -202,4 +202,39 @@ class DifferentialSpec extends SparkTestBase {
       assert(got == expected, s"trial=$trial edges=$edges")
     }
   }
+
+  test("packSequences matches a brute-force sequential stream packer on random inputs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(8000 + trial)
+      val L = 1 + rnd.nextInt(40)
+      val rows = (0 until 40).map(i =>
+        (s"s${rnd.nextInt(3)}", i.toLong, rnd.nextInt(3 * L)))  // includes 0-token docs
+      val got = graft.operators.Sampling.packSequences(
+          rows.toDF("source", "id", "tc"), col("tc"), Seq("source"), Seq(col("id")), L)
+        .select("source", "id", "example_id", "tok_from", "tok_len", "pos_in_example")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+
+      // brute force: walk each source's id-ordered stream token by segment
+      val expected = rows.groupBy(_._1).flatMap { case (src, docs) =>
+        var off = 0L
+        docs.sortBy(_._2).flatMap { case (_, id, tc) =>
+          val segs = if (tc == 0) Seq.empty else {
+            var segStart = off
+            val end = off + tc
+            val out = scala.collection.mutable.Buffer[(String, Long, Long, Long, Long, Long)]()
+            while (segStart < end) {
+              val ex = segStart / L
+              val segEnd = math.min(end, (ex + 1) * L)
+              out += ((src, id, ex, segStart - off, segEnd - segStart, segStart - ex * L))
+              segStart = segEnd
+            }
+            out.toSeq
+          }
+          off += tc
+          segs
+        }
+      }.toSet
+      assert(got == expected, s"trial=$trial L=$L")
+    }
+  }
 }
