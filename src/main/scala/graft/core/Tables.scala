@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table loaders for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -30,9 +30,17 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    // the fixture's ts physical type has varied across driver versions:
+    // TIMESTAMP(NANOS) (read as LONG under nanosAsLong) and timestamp[us]
+    // without timezone (read as TIMESTAMP_NTZ). Normalize both to the
+    // session-TZ TIMESTAMP every consumer (unix_micros, window casts)
+    // expects — sessions run UTC, so the NTZ cast is micros-preserving
+    // and matches DuckDB's naive reading of the same column.
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
