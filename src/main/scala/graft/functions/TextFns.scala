@@ -139,6 +139,15 @@ object TextFns {
   def fingerprint64(c: Column): Column =
     call_function("graft_fingerprint64", c)
 
+  /** All `window`-token rolling window hashes of a token array (h60 per
+    * window, window order preserved; short docs get one whole-doc window)
+    * — the signature stage of substring-level duplicate-span detection
+    * (see Dedup.spanOverlapStats). Custom expression; callers must
+    * Sketches.ensureRegistered first.
+    */
+  def rollingWindowHashes(toks: Column, window: Int): Column =
+    call_function("graft_rolling_hashes", toks, lit(window))
+
   // --- language ID (n-gram/stopword heuristic) --------------------------
   val stopEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "it", "that")
   val stopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von")

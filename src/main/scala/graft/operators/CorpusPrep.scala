@@ -52,4 +52,58 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("total_tokens"),
         min(col("pos")).as("first_pos"))
+
+  /** Corpus-level boilerplate line removal (the C4 / RefinedWeb /
+    * CCNet-style pass): a LINE that appears verbatim — compared trimmed —
+    * in at least `minDocs` distinct documents is boilerplate (navigation
+    * chrome, cookie banners, license footers) and is dropped from every
+    * document; all other lines are kept in their original order. Returns
+    * one row per input document: (id, clean_text, n_lines, n_removed),
+    * with clean_text = '' when every line was boilerplate.
+    *
+    * Scale shape: one explode + one hash aggregate on the trimmed line key
+    * builds the boilerplate dictionary; the dictionary is tiny BY
+    * CONSTRUCTION (only lines crossing the minDocs document-frequency
+    * threshold survive — boilerplate is repeated, so there are few
+    * distinct such lines), which is why the cleanup join is a broadcast
+    * anti join that never reshuffles the corpus. The rebuild is one
+    * groupBy(id) with an order-pinned array_sort — collect_list order is
+    * nondeterministic under parallel merge, so the line position is
+    * carried in a struct and sorted before joining. Empty lines are never
+    * boilerplate (they are document structure, and counting '' would link
+    * every paragraph break corpus-wide).
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      id: String,
+      text: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would flag every non-empty line")
+    val reserved = Set("clean_text", "n_lines", "n_removed").intersect(df.columns.toSet)
+    require(reserved.isEmpty,
+      s"input columns collide with the output contract: ${reserved.mkString(", ")}")
+    val lines = df.select(col(id),
+      posexplode(split(col(text), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines
+      .filter(trim(col("__line")) =!= "")
+      .groupBy(trim(col("__line")).as("__k"))
+      .agg(countDistinct(col(id)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__k")
+    val kept = lines.join(broadcast(boiler), trim(lines("__line")) === boiler("__k"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(id))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    df.select(col(id), size(split(col(text), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
 }

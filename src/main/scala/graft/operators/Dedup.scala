@@ -468,6 +468,134 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Substring-level duplicate-span statistics (Lee et al.,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better"): document-level near-dup passes miss documents that embed a
+    * copied PASSAGE inside otherwise-novel text, so this scores every
+    * `window`-token span instead. A span is duplicated when its rolling
+    * window hash appears in more than one distinct document. Returns one
+    * row per tokenizable document: (id, total_windows, dup_windows,
+    * dup_ratio) — the per-document span-duplication profile a corpus
+    * owner thresholds on (and the span hashes themselves are the input a
+    * span-CUTTING pass would join back to).
+    *
+    * Scale shape: the window hashes are one narrow custom-expression
+    * projection (one md5 per window, graft.plans.Sketches); the shared-
+    * hash dictionary is a hash aggregate on the 8-byte hash key over
+    * per-document-DISTINCT hashes (a doc repeating its own span is not
+    * cross-document duplication); the flag join keys on the same hash, so
+    * AQE broadcasts the dictionary when it is small (boilerplate-bounded)
+    * and falls back to a co-partitioned shuffle join when it is not —
+    * never O(N²), and document text never shuffles (only 8-byte hashes).
+    */
+  def spanOverlapStats(
+      df: DataFrame,
+      id: String,
+      text: String,
+      window: Int = 16): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val wh = df
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(id), explode(TextFns.rollingWindowHashes(col("__toks"), window)).as("__h"))
+    val shared = wh.select(col(id), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") > 1)
+      .select(col("__h"), lit(1).as("__dup"))
+    wh.join(shared, Seq("__h"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("total_windows"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_ratio",
+        col("dup_windows").cast("double") / col("total_windows"))
+  }
+
+  /** Deterministic Bloom-filter bitmap over a corpus's normalized-text
+    * hashes: `kHashes` bit positions per document from the md5-affine
+    * family ([[graft.plans.Sketches]] coefficients at k = 101..), packed
+    * into 32-bit words stored as (word, bits) rows. Everything is integer
+    * arithmetic below 2^63 on an md5-prefix base hash, so a SQL oracle
+    * replays the bitmap — and therefore every membership verdict —
+    * bit-for-bit. mBits/32 rows total: a 2^14-bit filter is 512 rows, a
+    * production 2^30-bit filter (~128 MB, good for ~10^8 docs at 1% fp)
+    * is 2^25 rows of 12 bytes — still broadcastable.
+    */
+  def bloomIndex(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      mBits: Int = 1 << 14,
+      kHashes: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0, "mBits must be a positive multiple of 32")
+    require(kHashes >= 1, "kHashes must be >= 1")
+    val h = conv(substring(md5(lower(trim(col(text)))), 1, 8), 16, 10).cast("long")
+    corpus
+      .select(explode(array((0 until kHashes).map { i =>
+        (((lit(graft.plans.Sketches.minhashA(101 + i)) * h
+          + graft.plans.Sketches.minhashB(101 + i)) % graft.plans.Sketches.MinhashP)
+          % mBits).as(s"p$i")
+      }: _*)).as("__pos"))
+      .select(floor(col("__pos") / 32).cast("int").as("word"),
+        expr("shiftleft(1L, CAST(__pos % 32 AS INT))").as("__mask"))
+      .groupBy("word").agg(bit_or(col("__mask")).as("bits"))
+  }
+
+  /** Bloom-gated incremental exact dedup — the pre-shuffle pruning shape
+    * for continuous ingest: every batch document is first tested against
+    * the corpus Bloom bitmap ([[bloomIndex]], broadcast — mBits/32 rows),
+    * and ONLY Bloom-positive candidates join the exact-hash index
+    * ([[exactIndex]]). A Bloom filter has no false negatives, so
+    * bloom-negative documents are definitively novel without ever
+    * shuffling toward the corpus index — at a typical ingest profile
+    * (most arriving documents novel) the expensive join shrinks to the
+    * candidate sliver, and false positives are caught exactly (flagged in
+    * `bloom_fp`). Output per batch document, ordered by nothing:
+    * (id, bloom_candidate, exact_dup_of, is_known, bloom_fp).
+    */
+  def bloomPrefilterFlags(
+      batch: DataFrame,
+      bloom: DataFrame,
+      index: DataFrame,
+      id: String,
+      text: String,
+      mBits: Int = 1 << 14,
+      kHashes: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0, "mBits must be a positive multiple of 32")
+    require(kHashes >= 1, "kHashes must be >= 1")
+    val h = conv(substring(md5(lower(trim(col(text)))), 1, 8), 16, 10).cast("long")
+    val probes = batch
+      .select(col(id), explode(array((0 until kHashes).map { i =>
+        (((lit(graft.plans.Sketches.minhashA(101 + i)) * h
+          + graft.plans.Sketches.minhashB(101 + i)) % graft.plans.Sketches.MinhashP)
+          % mBits).as(s"p$i")
+      }: _*)).as("__pos"))
+      .select(col(id),
+        floor(col("__pos") / 32).cast("int").as("word"),
+        expr("shiftleft(1L, CAST(__pos % 32 AS INT))").as("__mask"))
+    val verdict = probes
+      .join(broadcast(bloom), Seq("word"), "left")
+      .withColumn("__set",
+        col("bits").isNotNull && (col("bits").bitwiseAND(col("__mask")) =!= 0L))
+      .groupBy(col(id))
+      .agg((sum(when(col("__set"), 1).otherwise(0)) === kHashes).as("bloom_candidate"))
+    val flagged = batch.select(col(id), col(text)).join(verdict, Seq(id))
+    // only the candidate sliver reaches the index join — that is the point
+    val candidates = flagged.filter(col("bloom_candidate"))
+      .withColumn("text_hash", md5(lower(trim(col(text)))))
+      .join(index, Seq("text_hash"), "left")
+      .select(col(id), col("bloom_candidate"),
+        col("corpus_id").as("exact_dup_of"),
+        col("corpus_id").isNotNull.as("is_known"),
+        col("corpus_id").isNull.as("bloom_fp"))
+    val novel = flagged.filter(!col("bloom_candidate"))
+      .select(col(id), col("bloom_candidate"),
+        lit(null).cast("long").as("exact_dup_of"),
+        lit(false).as("is_known"),
+        lit(false).as("bloom_fp"))
+    candidates.unionByName(novel)
+  }
+
   /** Asymmetric containment pairs (|A ∩ B| / |A| >= minContainment) for
     * "query" documents with at most `maxQueryShingles` distinct shingles —
     * the quote/subset detector Jaccard misses, with EXACT prefix

@@ -214,6 +214,65 @@ object Sketches {
     override def prettyName: String = "graft_fingerprint64"
   }
 
+  /** All `window`-TOKEN rolling window hashes of a token array, in window
+    * order: h60 of the window's tokens joined with a single space (the
+    * exact bytes `concat_ws(' ', slice(toks, i, window))` would hash, and
+    * the bytes a SQL oracle hashes for `array_to_string(w[i:i+window-1],
+    * ' ')`). Fewer than `window` tokens -> ONE window over all tokens
+    * (mirrors [[MinHashSig]]'s short-document convention, so exact copies
+    * of short documents still collide). This is the signature stage of
+    * substring-level duplicate-span detection (Lee et al.,
+    * arXiv:2107.06499: cross-document repeated ~50-token spans): unlike
+    * [[Fingerprint64]] (which keeps only the min hash), every window
+    * survives, so downstream can COUNT shared spans per document, not just
+    * detect them. Null tokens are skipped within a window, matching
+    * concat_ws semantics. The shared buffer + per-token cached bytes keep
+    * this one md5 per window with zero per-window allocation.
+    */
+  case class RollingWindowHashes(child: Expression, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(window >= 1, "window must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val t = arr.numElements()
+      val tb = new Array[Array[Byte]](t)
+      var i = 0
+      while (i < t) {
+        tb(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      val nWindows = math.max(t - window + 1, 1)
+      val width = math.min(window, t)
+      val out = new Array[Long](nWindows)
+      var buf = new Array[Byte](64)
+      i = 0
+      while (i < nWindows) {
+        var len = 0
+        var first = true
+        var j = 0
+        while (j < width) {
+          val b = tb(i + j)
+          if (b != null) {
+            val need = len + b.length + 1
+            if (need > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+            if (!first) { buf(len) = ' '.toByte; len += 1 }
+            System.arraycopy(b, 0, buf, len, b.length)
+            len += b.length
+            first = false
+          }
+          j += 1
+        }
+        out(i) = h60(md5Of(buf, len))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): RollingWindowHashes =
+      copy(child = c)
+    override def prettyName: String = "graft_rolling_hashes"
+  }
+
   /** Dense dot product over two numeric arrays (float or double elements)
     * in a single primitive loop. The HOF formulation
     * (aggregate(zip_with(a, b, _*_), 0.0, _+_)) allocates a zipped array
@@ -361,6 +420,8 @@ object Sketches {
       es => SimHashBands(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint64",
       es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_rolling_hashes",
+      es => RollingWindowHashes(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_cells",

@@ -659,6 +659,160 @@ object TextData {
       Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
         .orderBy("batch_id", "corpus_id")
     },
+    Q("dd_bloom_prefilter",
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1099511627776 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552 AS doc_id,
+        |         text || ' fresh tail ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 1),
+        |ch AS (SELECT CAST('0x' || substr(md5(lower(trim(text))), 1, 8) AS BIGINT) AS h
+        |  FROM corpus),
+        |cpos AS (
+        |  SELECT ((1 + (2654435761 * (102 + t.i) + 1013904223) % 1073741789) * ch.h
+        |          + (2654435761 * (878 + t.i) + 1013904223) % 4294967311)
+        |         % 4294967311 % 16384 AS pos
+        |  FROM ch, range(0, 3) AS t(i)),
+        |bm AS (SELECT pos // 32 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+        |  FROM cpos GROUP BY 1),
+        |bh AS (SELECT doc_id, md5(lower(trim(text))) AS th,
+        |    CAST('0x' || substr(md5(lower(trim(text))), 1, 8) AS BIGINT) AS h
+        |  FROM batch),
+        |bpos AS (
+        |  SELECT bh.doc_id, bh.th,
+        |    ((1 + (2654435761 * (102 + t.i) + 1013904223) % 1073741789) * bh.h
+        |     + (2654435761 * (878 + t.i) + 1013904223) % 4294967311)
+        |    % 4294967311 % 16384 AS pos
+        |  FROM bh, range(0, 3) AS t(i)),
+        |verdict AS (
+        |  SELECT doc_id, th,
+        |    SUM(CASE WHEN bm.bits IS NOT NULL
+        |             AND (bm.bits & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))) <> 0
+        |        THEN 1 ELSE 0 END) = 3 AS bloom_candidate
+        |  FROM bpos LEFT JOIN bm ON pos // 32 = bm.word
+        |  GROUP BY doc_id, th),
+        |idx AS (SELECT md5(lower(trim(text))) AS th, MIN(doc_id) AS corpus_id
+        |  FROM corpus GROUP BY 1)
+        |SELECT v.doc_id, v.bloom_candidate,
+        |  CASE WHEN v.bloom_candidate THEN i.corpus_id END AS exact_dup_of,
+        |  (v.bloom_candidate AND i.corpus_id IS NOT NULL) AS is_known,
+        |  (v.bloom_candidate AND i.corpus_id IS NULL) AS bloom_fp
+        |FROM verdict v LEFT JOIN idx i USING (th)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Bloom-gated incremental dedup: the same planted re-crawl batch as
+      // dd_incr_exact (copies must flag known, tail-modified docs novel),
+      // but batch docs are first tested against a broadcast 2^14-bit
+      // deterministic Bloom bitmap of the corpus — only bloom-positive
+      // candidates reach the exact-index join, bloom-negatives are
+      // definitively novel pre-shuffle (no false negatives by
+      // construction). The oracle replays the md5-affine bit positions,
+      // the word-packed bitmap, every membership verdict AND the exact
+      // verification — so a hash match proves the no-false-negative
+      // contract on every planted copy, and `bloom_fp` exposes the
+      // false-positive rate the 2^14/3-hash geometry actually produced.
+      val docs = documents(s, d).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + (1L << 41)).as("doc_id"),
+            concat(col("text"), lit(" fresh tail "), col("doc_id").cast("string")).as("text")))
+      Dedup.bloomPrefilterFlags(batch,
+          Dedup.bloomIndex(docs, "doc_id", "text"),
+          Dedup.exactIndex(docs, "doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Q("dd_span_overlap",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id,
+        |         text || ' plus a fresh tail of padding words' AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM corpus),
+        |wh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 16
+        |    THEN list_transform(range(1, len(w) - 14),
+        |      i -> CAST('0x' || substr(md5(array_to_string(w[i:i+15], ' ')), 1, 15) AS BIGINT))
+        |    ELSE [CAST('0x' || substr(md5(array_to_string(w, ' ')), 1, 15) AS BIGINT)] END AS hs
+        |  FROM toks WHERE len(w) > 0),
+        |e AS (SELECT doc_id, u.h FROM wh, unnest(hs) AS u(h)),
+        |shared AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM e)
+        |  GROUP BY h HAVING COUNT(*) > 1)
+        |SELECT e.doc_id, COUNT(*) AS total_windows,
+        |  CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+        |  CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS dup_ratio
+        |FROM e LEFT JOIN shared s USING (h)
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Substring-level duplicate-span profile (Lee et al. 2107.06499):
+      // document near-dup misses copied PASSAGES inside otherwise-novel
+      // text, so every 16-token rolling window is hashed and a window is
+      // duplicated when its hash occurs in >1 distinct document. Planted
+      // non-vacuous: every 5th doc gains a re-keyed copy with a fresh
+      // tail, so the copy's head windows are duplicated spans while its
+      // tail windows are novel — a pure doc-level dedup would score it
+      // all-or-nothing. The oracle regenerates every window hash from
+      // md5 prefixes, so total/dup counts and ratios are fully verified.
+      val docs = documents(s, d).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          concat(col("text"), lit(" plus a fresh tail of padding words")).as("text")))
+      Dedup.spanOverlapStats(corpus, "doc_id", "text", window = 16)
+        .orderBy("doc_id")
+    },
+    Q("tx_boilerplate",
+      """WITH ml AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+        |    text,
+        |    'group line ' || CAST(doc_id % 125 AS VARCHAR),
+        |    CASE WHEN doc_id % 4 = 0 THEN 'copyright 2026 example corp all rights reserved' END
+        |  ) AS text FROM documents),
+        |l AS (
+        |  SELECT doc_id, u.i AS pos, ls[u.i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml),
+        |       unnest(generate_series(1, len(ls))) AS u(i)),
+        |bp AS (
+        |  SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 5),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM l LEFT JOIN bp ON trim(l.line) = bp.k
+        |  WHERE bp.k IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |         COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT m.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(string_split(m.text, chr(10))) - COALESCE(r.n_kept, 0) AS BIGINT)
+        |    AS n_removed
+        |FROM ml m LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Corpus-level boilerplate line removal (C4/RefinedWeb pass): a
+      // trimmed line appearing in >= 5 distinct docs is chrome and is
+      // dropped from every doc, other lines keep their order. The fixture
+      // text is single-line, so multi-line docs are constructed
+      // deterministically on both sides: a header planted on every 3rd
+      // doc and a footer on every 4th must vanish corpus-wide, the
+      // per-125-group line sits BELOW the threshold at sf<=0.01 and must
+      // survive, and the unique body line always survives — non-vacuous
+      // in both directions, replayed line-for-line by the oracle.
+      val ml = documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter today")),
+          col("text"),
+          concat(lit("group line "), (col("doc_id") % 125).cast("string")),
+          when(col("doc_id") % 4 === 0,
+            lit("copyright 2026 example corp all rights reserved"))).as("text"))
+      graft.operators.CorpusPrep.stripBoilerplate(ml, "doc_id", "text", minDocs = 5)
+        .orderBy("doc_id")
+    },
 
     // ---- similarity search ---------------------------------------------
     Q("ann_bruteforce",
