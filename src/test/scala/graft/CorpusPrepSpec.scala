@@ -65,4 +65,48 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(rows.dropRight(1).forall(_._2 == 50L))
     assert(rows.forall { case (shard, _, _, firstPos) => firstPos == shard * 50L })
   }
+
+  test("stripBoilerplate: threshold-crossing lines vanish, unique lines keep order") {
+    val df = Seq(
+      (1L, "unique one\nSHARED HEADER\nbody of one"),
+      (2L, "SHARED HEADER\nbody of two"),
+      (3L, "body of three\nSHARED HEADER"),
+      (4L, "twice only\nbody of four"),
+      (5L, "twice only\nbody of five")).toDF("doc_id", "text")
+    val out = CorpusPrep.stripBoilerplate(df, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique one\nbody of one", 3L, 1L),   // middle line removed, order kept
+      (2L, "body of two", 2L, 1L),
+      (3L, "body of three", 2L, 1L),
+      (4L, "twice only\nbody of four", 2L, 0L),  // df=2 < minDocs=3 -> kept
+      (5L, "twice only\nbody of five", 2L, 0L)))
+  }
+
+  test("stripBoilerplate: all-boilerplate docs survive as empty; trim-matched lines drop") {
+    val df = Seq(
+      (1L, "  chrome  "),   // trimmed key 'chrome'
+      (2L, "chrome"),
+      (3L, "chrome\nreal content here"),
+      (4L, "a\n\nb")).toDF("doc_id", "text")
+    val out = CorpusPrep.stripBoilerplate(df, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // 'chrome' appears (trimmed) in 3 docs -> removed everywhere, including
+    // the whitespace-padded variant; docs 1 and 2 become empty but are NOT
+    // dropped from the output
+    assert(out == Seq(
+      (1L, "", 1L, 1L),
+      (2L, "", 1L, 1L),
+      (3L, "real content here", 2L, 1L),
+      (4L, "a\n\nb", 3L, 0L)))
+  }
+
+  test("stripBoilerplate: empty lines are never boilerplate") {
+    // blank lines appear in every doc — far past the threshold — but are
+    // document structure and must survive
+    val df = (1L to 5L).map(i => (i, s"top $i\n\nbottom $i")).toDF("doc_id", "text")
+    val out = CorpusPrep.stripBoilerplate(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out.forall { case (i, t, nl, nr) => t == s"top $i\n\nbottom $i" && nl == 3 && nr == 0 })
+  }
 }

@@ -224,4 +224,76 @@ class DedupSpec extends SparkTestBase {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("spanOverlapStats: shared-prefix windows count as dup, fresh tail stays novel") {
+    // A = 20 tokens; B = A's 20 tokens + 5 fresh ones. With window=16,
+    // A has 5 windows (all inside the shared prefix), B has 10 (5 shared
+    // + 5 sliding into the fresh tail); C shares nothing.
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = a + " " + (1 to 5).map(i => s"fresh$i").mkString(" ")
+    val c = (1 to 20).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.spanOverlapStats(df, "doc_id", "text", window = 16)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 5L, 1.0),
+      (2L, 10L, 5L, 0.5),
+      (3L, 5L, 0L, 0.0)))
+  }
+
+  test("spanOverlapStats: short docs get one whole-doc window; self-repeats are not dup") {
+    // docs 1/2 are identical 3-token docs (single whole-doc window ->
+    // cross-doc dup); doc 3 repeats ITS OWN 16-token span twice but shares
+    // nothing cross-document, so its self-collision is not duplication
+    val selfRep = ((1 to 16) ++ (1 to 16)).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, "tiny doc here"), (2L, "tiny doc here"), (3L, selfRep))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanOverlapStats(df, "doc_id", "text", window = 16)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 1.0),
+      (2L, 1L, 1L, 1.0),
+      (3L, 17L, 0L, 0.0)))
+  }
+
+  test("bloom prefilter: no false negatives, exact verification, novel short-circuit") {
+    val corpus = Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                    // exact copy -> MUST be candidate + known
+      (11L, "  " + base.toUpperCase), // normalization-equal copy -> known
+      (12L, nearDup),                 // novel (near dup is not exact dup)
+      (13L, "entirely new material about bloom filters")).toDF("doc_id", "text")
+    val out = Dedup.bloomPrefilterFlags(batch,
+        Dedup.bloomIndex(corpus, "doc_id", "text"),
+        Dedup.exactIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Option[Long], Boolean, Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // the no-false-negative contract: every true duplicate is a candidate
+    assert(byId(10L) == ((10L, true, Some(1L), true, false)))
+    assert(byId(11L) == ((11L, true, Some(1L), true, false)))
+    // novel docs are never known; a bloom fp (if the tiny bitmap yields
+    // one) must be flagged as such and still verify novel
+    Seq(12L, 13L).foreach { id =>
+      val (_, cand, dupOf, known, fp) = byId(id)
+      assert(!known && dupOf.isEmpty)
+      assert(fp == cand) // candidate but unverified == false positive
+    }
+  }
+
+  test("bloomIndex: packs positions into in-range non-zero words; empty corpus -> all novel") {
+    val corpus = Seq((1L, base), (2L, distinct1), (3L, nearDup)).toDF("doc_id", "text")
+    val bm = Dedup.bloomIndex(corpus, "doc_id", "text", mBits = 1 << 10)
+      .as[(Int, Long)].collect()
+    assert(bm.nonEmpty && bm.forall { case (w, bits) => w >= 0 && w < (1 << 10) / 32 && bits != 0L })
+    // empty corpus -> empty bitmap -> every batch doc is bloom-negative
+    // (novel pre-shuffle) with clean flags
+    val empty = corpus.filter(col("doc_id") < 0)
+    val out = Dedup.bloomPrefilterFlags(corpus,
+        Dedup.bloomIndex(empty, "doc_id", "text"),
+        Dedup.exactIndex(empty, "doc_id", "text"), "doc_id", "text")
+      .as[(Long, Boolean, Option[Long], Boolean, Boolean)].collect().toSeq
+    assert(out.size == 3 && out.forall { case (_, cand, dupOf, known, fp) =>
+      !cand && dupOf.isEmpty && !known && !fp })
+  }
 }
