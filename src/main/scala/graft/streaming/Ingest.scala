@@ -62,6 +62,43 @@ object Ingest {
         .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens),
       index, text)
 
+  /** Continuous NEAR-dup screening — the streaming twin of the batch
+    * `dd_incr_near` probe: every arriving micro-batch of documents is
+    * MinHash-banded and probed against the static corpus index
+    * (Dedup.minhashIndex shape, or the bucketed table the batch path
+    * persists), emitting (batch_id, corpus_id, est_jaccard) candidate
+    * pairs for downstream exact verification.
+    *
+    * Why foreachBatch and not a plain stream-static join: the probe ends
+    * in a per-(batch doc, corpus doc) MAX over colliding bands, and an
+    * aggregation after a stream-static join would force update mode with
+    * unbounded pair state. Per-document probing is INDEPENDENT across
+    * documents, so aggregating inside each micro-batch is exact — the
+    * union of per-batch probe results equals the one-shot batch probe of
+    * the same documents (equality pinned in StreamingSpec), with zero
+    * streaming state.
+    *
+    * Write protocol: each micro-batch overwrites its own
+    * `probe_batch=<id>` partition directory, so a crash-replayed batch
+    * rewrites the identical rows instead of appending duplicates —
+    * exactly-once per batch through the checkpoint, on a plain object
+    * store, without a transactional table format.
+    */
+  def nearDupProbeSink(
+      docs: DataFrame,
+      index: DataFrame,
+      outPath: String,
+      checkpointDir: String,
+      id: String = "doc_id",
+      text: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.incrementalNearDupPairs(batch, index, id, text)
+          .write.mode("overwrite").parquet(s"$outPath/probe_batch=$batchId")
+      }
+
   /** Apply one micro-batch of dimension updates to a parquet target with
     * MERGE semantics (ops.Joins.upsert). The batch is first collapsed to
     * one row per key — HIGHEST `versionCol` wins, deterministically

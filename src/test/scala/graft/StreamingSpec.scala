@@ -181,6 +181,46 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming near-dup probe equals the one-shot batch probe across micro-batches") {
+    import graft.operators.Dedup
+    import graft.streaming.Ingest
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-neardup-in").toString
+    val out = Files.createTempDirectory("graft-neardup-out").toString + "/probe"
+    val ckpt = Files.createTempDirectory("graft-neardup-ckpt").toString
+    // two arriving batches of planted exact copies of corpus-known docs
+    // (re-keyed clear of real ids) — each must pair with its original
+    val b1 = docs.filter(col("doc_id") % 14 === 0)
+      .withColumn("doc_id", col("doc_id") + (1L << 40))
+    val b2 = docs.filter(col("doc_id") % 14 === 2)
+      .withColumn("doc_id", col("doc_id") + (1L << 41))
+    b1.write.mode("append").parquet(dir)
+    val q = Ingest.nearDupProbeSink(Ingest.readDocStream(spark, dir), index, out, ckpt).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).drop("probe_batch")
+      .as[(Long, Long, Double)].collect().toSet
+    // micro-batched probing must equal the one-shot batch probe: probing
+    // is per-document independent, so splitting into batches changes nothing
+    val expected = Dedup.incrementalNearDupPairs(
+        b1.unionByName(b2).select("doc_id", "text"), index, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    // non-vacuous: every planted copy surfaces against its original at 1.0
+    val planted = docs.filter(col("doc_id") % 14 === 0).select("doc_id").as[Long].collect()
+    assert(planted.nonEmpty)
+    planted.foreach { origId =>
+      assert(got.contains((origId + (1L << 40), origId, 1.0)),
+        s"planted copy of $origId did not surface at est_jaccard 1.0")
+    }
+  }
+
   test("upsertSink maintains a parquet dimension across micro-batches (MERGE per batch)") {
     import graft.streaming.Ingest
     import org.apache.spark.sql.types._
