@@ -252,6 +252,12 @@ object Sampling {
     * equi-join) and UNIQUE per row (duplicate keys tie on the sort tuple
     * and a retry could swap their positions; pass a document id, not a
     * payload column).
+    *
+    * `epochSalt` prefixes the hashed key string ('' leaves the hash
+    * byte-identical to md5(key)): multi-epoch training wants a DIFFERENT
+    * but equally deterministic permutation per epoch — same corpus, same
+    * shards-per-epoch layout, re-ordered by salting the hash, with no new
+    * mechanism (the oracle replays md5(salt || key) the same way).
     */
   def globalShuffle(
       df: DataFrame,
@@ -259,7 +265,8 @@ object Sampling {
       rowsPerShard: Long,
       nBuckets: Int = 1024,
       posOut: String = "pos",
-      shardOut: String = "shard"): DataFrame = {
+      shardOut: String = "shard",
+      epochSalt: String = ""): DataFrame = {
     require(rowsPerShard > 0, "rowsPerShard must be positive")
     require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
       "nBuckets must be a power of two (the bucket is a hash-bit prefix)")
@@ -270,8 +277,9 @@ object Sampling {
     val keyStr = when(key.isNotNull, key.cast("string"))
       .otherwise(assert_true(key.isNotNull,
         lit("globalShuffle: null shuffle key (rows would silently vanish)")).cast("string"))
+    val saltedKey = if (epochSalt.isEmpty) keyStr else concat(lit(epochSalt), keyStr)
     val hashed = df
-      .withColumn(h, md5(keyStr))
+      .withColumn(h, md5(saltedKey))
       .withColumn(b, shiftright(
         conv(substring(col(h), 1, 8), 16, 10).cast("long"), 32 - bits).cast("int"))
     val w = Window.partitionBy(col(b)).orderBy(col(h), key)

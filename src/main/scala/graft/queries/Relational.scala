@@ -1217,6 +1217,42 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("event_type", "hour_epoch")
     },
+    Q("ev_anomaly",
+      """WITH h AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, hour_epoch),
+        |s AS (SELECT event_type,
+        |    CAST(COUNT(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(cnt * cnt AS DECIMAL(30,6))) AS DOUBLE) AS ssv
+        |  FROM h GROUP BY event_type),
+        |b AS (SELECT event_type, sv / n AS cnt_mean,
+        |    CASE WHEN n > 1 THEN sqrt((ssv - n * (sv/n) * (sv/n)) / (n - 1)) END AS cnt_std
+        |  FROM s)
+        |SELECT h.event_type, h.hour_epoch, h.cnt, b.cnt_mean, b.cnt_std,
+        |  CASE WHEN b.cnt_std > 0 THEN (h.cnt - b.cnt_mean) / b.cnt_std END AS cnt_z,
+        |  COALESCE(CASE WHEN b.cnt_std > 0
+        |    THEN ABS((h.cnt - b.cnt_mean) / b.cnt_std) > 3.0 END, FALSE) AS is_anomaly
+        |FROM h JOIN b USING (event_type)
+        |ORDER BY event_type, hour_epoch""".stripMargin) { (s, d) =>
+      // Volume-anomaly gate on the event firehose: hourly counts per type,
+      // z-scored against the type's own hourly distribution (the same
+      // decimal-exact moments + textbook variance spelling as qt_zscore,
+      // so cnt_z is bit-stable), |z| > 3 flags the hour. The ingest
+      // monitoring pass a pipeline owner runs before trusting a crawl
+      // snapshot; a planted 10x burst is proven flagged in AnalyticsSpec.
+      Aggregates.zscore(
+          events(s, d)
+            .groupBy(col("event_type"),
+              date_trunc("hour", col("ts")).cast("long").as("hour_epoch"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("event_type"), "cnt")
+        .withColumn("is_anomaly", coalesce(abs(col("cnt_z")) > 3.0, lit(false)))
+        .select("event_type", "hour_epoch", "cnt", "cnt_mean", "cnt_std", "cnt_z",
+          "is_anomaly")
+        .orderBy("event_type", "hour_epoch")
+    },
     Q("ev_sliding_agg",
       """WITH w AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS s0,
         |                  event_type, value FROM events),

@@ -1547,6 +1547,32 @@ object TextData {
           nBuckets = 64)
         .orderBy("doc_id")
     },
+    Q("sm_epoch_shuffle",
+      """WITH h1 AS (SELECT doc_id, md5('e1,' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos_e1 FROM h1),
+        |h2 AS (SELECT doc_id, md5('e2,' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |r2 AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos_e2 FROM h2)
+        |SELECT r1.doc_id, r1.pos_e1, r2.pos_e2
+        |FROM r1 JOIN r2 USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Per-epoch corpus reshuffle: multi-epoch training wants a DIFFERENT
+      // deterministic permutation each epoch — the salt prefixes the
+      // hashed key, nothing else changes (same two-level rank, same shard
+      // layout). The oracle states both epochs' flat salted-hash ranks;
+      // the hash match proves each epoch is the exact permutation the salt
+      // dictates (and therefore that epochs genuinely differ).
+      val ids = documents(s, d).select("doc_id")
+      val e1 = graft.operators.Sampling.globalShuffle(ids, col("doc_id"),
+          rowsPerShard = 100L, nBuckets = 64, epochSalt = "e1,")
+        .select(col("doc_id"), col("pos").as("pos_e1"))
+      val e2 = graft.operators.Sampling.globalShuffle(ids, col("doc_id"),
+          rowsPerShard = 100L, nBuckets = 64, epochSalt = "e2,")
+        .select(col("doc_id"), col("pos").as("pos_e2"))
+      e1.join(e2, Seq("doc_id")).orderBy("doc_id")
+    },
     // the COMPLETE corpus-prep pass as one oracled composite: token-band
     // quality gate -> exact dedup -> deterministic global shuffle ->
     // fixed-size shards (+ the per-shard manifest a trainer consumes).

@@ -480,4 +480,33 @@ class AnalyticsSpec extends SparkTestBase {
       assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents"))
     }
   }
+
+  test("ev_anomaly shape: a planted 10x burst hour is flagged, quiet hours are not") {
+    import java.sql.Timestamp
+    // 24 hours of steady traffic (10 events/h) with one 200-event burst —
+    // the fixture's organic traffic is too uniform to trip |z| > 3, so the
+    // flagging direction is proven here on a planted spike
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h == 5) 200 else 10
+      (0 until n).map(i => ("click", new Timestamp(h * 3600000L + i)))
+    }
+    val hourly = rows.toDF("event_type", "ts")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("long").as("hour_epoch"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = graft.ops.Aggregates.zscore(hourly, Seq("event_type"), "cnt")
+      .withColumn("is_anomaly", coalesce(abs(col("cnt_z")) > 3.0, lit(false)))
+    val flagged = out.filter(col("is_anomaly")).select("hour_epoch").as[Long].collect().toSeq
+    assert(flagged == Seq(5 * 3600L))
+    assert(out.count() == 24)
+    // degenerate group: a single observation has no std -> never anomalous
+    val single = Seq(("rare", new Timestamp(0L))).toDF("event_type", "ts")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("long").as("hour_epoch"))
+      .agg(count(lit(1)).as("cnt"))
+    val so = graft.ops.Aggregates.zscore(single, Seq("event_type"), "cnt")
+      .withColumn("is_anomaly", coalesce(abs(col("cnt_z")) > 3.0, lit(false)))
+      .select("is_anomaly").as[Boolean].collect().toSeq
+    assert(so == Seq(false))
+  }
 }
