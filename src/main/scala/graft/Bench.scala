@@ -74,8 +74,8 @@ object Bench {
       graft.plans.Sketches.ensureRegistered(spark)
       nation.select(
           graft.functions.TextFns.minhashSignature(
-            split(col("n_comment"), " "), 3, 64).as("sig"),
-          graft.functions.TextFns.fingerprint64(col("n_comment")).as("fp"))
+            split(col("n_name"), " "), 3, 64).as("sig"),
+          graft.functions.TextFns.fingerprint64(col("n_name")).as("fp"))
         .write.format("noop").mode("overwrite").save()
     }
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
