@@ -76,6 +76,32 @@ class PlanSpec extends SparkTestBase {
       s"distinct-set cross must broadcast:\n$p")
   }
 
+  test("stripBoilerplate: dictionary anti join broadcasts, no cartesian anywhere") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val p = plan(graft.operators.CorpusPrep.stripBoilerplate(docs, "doc_id", "text", 5))
+    // the threshold-crossing line dictionary is tiny by construction: the
+    // cleanup must be a broadcast LeftAnti, never a corpus reshuffle
+    assert(p.contains("LeftAnti") && p.contains("BroadcastExchange"),
+      s"boilerplate cleanup must broadcast-anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian shapes expected:\n$p")
+  }
+
+  test("spanOverlapStats: only hash/doc keys shuffle, document text never does") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val p = plan(graft.operators.Dedup.spanOverlapStats(docs, "doc_id", "text", 16))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian shapes expected:\n$p")
+    // every hash-partitioned exchange keys on the window hash and/or doc id
+    // (8-byte columns) — the text column must stay out of all shuffles
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(e.contains("__h") || e.contains("doc_id"), s"unexpected shuffle key: $e")
+      assert(!e.contains("text"), s"document text must not shuffle: $e")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the cluster-scale complement of Dedup.bloomPrefilterFlags: when a
     // dimension is filtered selectively but the join cannot broadcast,
