@@ -236,4 +236,36 @@ class ScaleProbeSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_scale_mh_big")
     }
   }
+
+  test("dd_span_overlap: 10x docs within linear time, planted spans scored exactly") {
+    // window fan-out is the scale risk here: ~25 window hashes per 40-token
+    // doc, so the 10x run pushes ~13M hash rows through two aggregates and
+    // the flag join
+    def stats(n: Long): DataFrame =
+      Dedup.spanOverlapStats(syntheticDocs(n), "doc_id", "text", window = 16)
+    def run(n: Long): (Long, Double) = timed(stats(n).count())
+    run(nDocs)                                  // warm
+    val (rowsSmall, tSmall) = run(nDocs)
+    val (rowsBig, tBig) = run(nDocs * 10)
+    // every doc tokenizes -> one output row per doc (base + 3% + 3%)
+    assert(rowsSmall == nDocs * 106 / 100, s"small rows $rowsSmall")
+    assert(rowsBig == nDocs * 10 * 106 / 100, s"big rows $rowsBig")
+    assert(exchanges(stats(nDocs)) == exchanges(stats(nDocs * 10)),
+      "span-overlap plan changed shape at 10x")
+    assertLinear("dd_span_overlap", tSmall, tBig)
+    // correctness at 10x: exact copies (id + 2^40, 40 tokens = 25 windows)
+    // are fully duplicated; near copies (id + 2^41, one appended token =
+    // 26 windows) share exactly the 25 head windows
+    val planted = stats(nDocs * 10).filter(col("doc_id") >= (1L << 40))
+      .select(col("doc_id"), col("total_windows"), col("dup_windows")).cache()
+    try {
+      val exact = planted.filter(col("doc_id") < (1L << 41))
+      assert(exact.filter(col("total_windows") =!= 25 || col("dup_windows") =!= 25)
+        .count() == 0, "exact copies must be fully duplicated")
+      val near = planted.filter(col("doc_id") >= (1L << 41))
+      assert(near.filter(col("total_windows") =!= 26 || col("dup_windows") =!= 25)
+        .count() == 0, "near copies must share exactly the 25 head windows")
+      assert(exact.count() == nDocs * 10 * 3 / 100 && near.count() == nDocs * 10 * 3 / 100)
+    } finally planted.unpersist()
+  }
 }
