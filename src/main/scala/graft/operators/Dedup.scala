@@ -511,6 +511,64 @@ object Dedup {
         col("dup_windows").cast("double") / col("total_windows"))
   }
 
+  /** Cut cross-document duplicated SPANS out of every document — the
+    * transform [[spanOverlapStats]] profiles (Lee et al., arXiv:2107.06499
+    * remove repeated passages; removing only the extra COPIES is the
+    * corpus-size-preserving variant): for every shared `window`-token
+    * hash, the minimum doc id holding it is the OWNER and keeps its text;
+    * every other document cuts all tokens covered by that window. Tokens
+    * survive when no non-owned shared window covers them, and the cleaned
+    * document is the surviving tokens in order, space-joined (token-level
+    * rebuild — original inter-token whitespace is not preserved). Returns
+    * (id, clean_text, n_tokens, n_cut) per tokenizable document; an exact
+    * whole-document copy of an earlier document cleans to ''.
+    *
+    * Scale shape: same collision-bounded skeleton as the profile — window
+    * hashes are one narrow expression projection; ownership is one min
+    * aggregate on the 8-byte hash; the dup-window join keys on the same
+    * hash; coverage fans out ×window but collapses immediately to
+    * distinct (doc, token-index) pairs; the rebuild is one groupBy(id)
+    * with an order-pinned array_sort. Document text never shuffles.
+    */
+  def cutDuplicateSpans(
+      df: DataFrame,
+      id: String,
+      text: String,
+      window: Int = 16): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val toks = df
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__n", size(col("__toks")))
+    val wh = toks.select(col(id), col("__n"),
+      posexplode(TextFns.rollingWindowHashes(col("__toks"), window))
+        .as(Seq("__pos", "__h")))
+    val owner = wh.groupBy("__h").agg(min(col(id)).as("__owner"))
+    val dupWindows = wh.join(owner, Seq("__h")).filter(col("__owner") < col(id))
+    // a window at __pos covers tokens [__pos, min(__pos + window - 1, n - 1)]
+    // (the clamp only binds for the whole-doc window of short documents)
+    val covered = dupWindows
+      .select(col(id),
+        explode(sequence(col("__pos"),
+          least(col("__pos") + (window - 1), col("__n") - 1))).as("__t"))
+      .distinct()
+    val tokpos = toks.select(col(id), posexplode(col("__toks")).as(Seq("__t", "__tok")))
+    val rebuilt = tokpos.join(covered, Seq(id, "__t"), "left_anti")
+      .groupBy(col(id))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__t"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("clean_text"),
+        count(lit(1)).as("__kept"))
+    toks.select(col(id), col("__n").cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_cut"))
+  }
+
   /** Deterministic Bloom-filter bitmap over a corpus's normalized-text
     * hashes: `kHashes` bit positions per document from the md5-affine
     * family ([[graft.plans.Sketches]] coefficients at k = 101..), packed

@@ -766,6 +766,57 @@ object TextData {
       Dedup.spanOverlapStats(corpus, "doc_id", "text", window = 16)
         .orderBy("doc_id")
     },
+    Q("dd_span_cut",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id,
+        |         text || ' plus a fresh tail of padding words' AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tw AS (
+        |  SELECT doc_id, w, len(w) AS n FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |    FROM corpus) WHERE len(w) > 0),
+        |wh AS (
+        |  SELECT doc_id, n, u.i AS pos,
+        |    CASE WHEN n >= 16
+        |      THEN CAST('0x' || substr(md5(array_to_string(w[u.i:u.i+15], ' ')), 1, 15) AS BIGINT)
+        |      ELSE CAST('0x' || substr(md5(array_to_string(w, ' ')), 1, 15) AS BIGINT)
+        |    END AS h
+        |  FROM tw, unnest(generate_series(1, GREATEST(n - 15, 1))) AS u(i)),
+        |own AS (SELECT h, MIN(doc_id) AS owner FROM wh GROUP BY h),
+        |dw AS (SELECT wh.doc_id, wh.pos, wh.n FROM wh JOIN own USING (h)
+        |       WHERE own.owner < wh.doc_id),
+        |cov AS (SELECT DISTINCT doc_id, u.t
+        |  FROM dw, unnest(generate_series(pos, LEAST(pos + 15, n))) AS u(t)),
+        |tp AS (SELECT doc_id, u.t, w[u.t] AS tok
+        |  FROM tw, unnest(generate_series(1, n)) AS u(t)),
+        |reb AS (
+        |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.t) AS clean_text,
+        |         COUNT(*) AS kept
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.t = cov.t
+        |  WHERE cov.t IS NULL GROUP BY tp.doc_id)
+        |SELECT tw.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(tw.n AS BIGINT) AS n_tokens,
+        |  CAST(tw.n - COALESCE(r.kept, 0) AS BIGINT) AS n_cut
+        |FROM tw LEFT JOIN reb r ON tw.doc_id = r.doc_id
+        |ORDER BY tw.doc_id""".stripMargin) { (s, d) =>
+      // The span-CUTTING transform the profile above scores: for every
+      // shared 16-token window hash the min doc id is the owner and keeps
+      // its text; other docs cut the covered tokens. On the planted
+      // corpus each re-keyed copy cleans down to exactly its fresh tail
+      // (head tokens covered by the original's windows; crossing windows
+      // are novel so the tail survives) while every original — the owner —
+      // keeps all tokens. The oracle replays ownership, coverage and the
+      // ordered token rebuild end to end.
+      val docs = documents(s, d).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          concat(col("text"), lit(" plus a fresh tail of padding words")).as("text")))
+      Dedup.cutDuplicateSpans(corpus, "doc_id", "text", window = 16)
+        .orderBy("doc_id")
+    },
     Q("tx_boilerplate",
       """WITH ml AS (
         |  SELECT doc_id, concat_ws(chr(10),

@@ -256,6 +256,34 @@ class DedupSpec extends SparkTestBase {
       (3L, 17L, 0L, 0.0)))
   }
 
+  test("cutDuplicateSpans: owner keeps text, copies cut to their novel tail") {
+    val orig = (1 to 20).map(i => s"w$i").mkString(" ")
+    val copyWithTail = orig + " my novel tail"
+    val third = orig // second copy: still cut (owner is doc 1)
+    val unrelated = (1 to 20).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, orig), (2L, copyWithTail), (3L, third), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateSpans(df, "doc_id", "text", window = 16)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // doc 2: head 20 tokens covered by doc 1's windows; the 3 tail tokens
+    // survive (windows crossing into the tail are novel, doc 2 owns them)
+    assert(out == Seq(
+      (1L, orig, 20L, 0L),            // owner keeps everything
+      (2L, "my novel tail", 23L, 20L),
+      (3L, "", 20L, 20L),             // exact copy of an earlier doc -> empty
+      (4L, unrelated, 20L, 0L)))
+  }
+
+  test("cutDuplicateSpans: short docs use the whole-doc window; owner rule holds") {
+    val df = Seq((5L, "tiny doc"), (9L, "tiny doc"), (7L, "other tiny")).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateSpans(df, "doc_id", "text", window = 16)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (5L, "tiny doc", 2L, 0L),   // min id owns the shared whole-doc window
+      (7L, "other tiny", 2L, 0L),
+      (9L, "", 2L, 2L)))
+  }
+
   test("bloom prefilter: no false negatives, exact verification, novel short-circuit") {
     val corpus = Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text")
     val batch = Seq(
