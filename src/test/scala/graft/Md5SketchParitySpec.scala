@@ -70,4 +70,28 @@ class Md5SketchParitySpec extends SparkTestBase {
       .select(TextFns.fingerprint64(col("text"))).as[Long].head()
     assert(short == 647465868329588333L, s"short fingerprint drifted: $short")
   }
+
+  test("rolling window hashes match the md5-prefix replay, window order preserved") {
+    graft.plans.Sketches.ensureRegistered(spark)
+    // differential anchor: the JVM loop vs Spark's OWN md5/conv SQL
+    // functions over the same window strings — the exact primitives the
+    // DuckDB oracle uses (md5 hex prefix -> h60), so agreement here is
+    // agreement with the oracle's arithmetic
+    val viaExpr = Seq(base).toDF("text")
+      .select(TextFns.rollingWindowHashes(TextFns.tokens(col("text")), 5).as("hs"))
+      .as[Seq[Long]].head()
+    val windows = base.trim.split("\\s+").toSeq.sliding(5).map(_.mkString(" ")).toSeq
+    val viaSql = windows.toDF("w")
+      .select(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+      .as[Long].collect().toSeq
+    assert(viaExpr.length == windows.length)
+    assert(viaExpr == viaSql, s"rolling hashes drifted:\n$viaExpr\n$viaSql")
+    // short doc: ONE whole-doc window (the MinHashSig convention)
+    val short = Seq("only three tokens").toDF("text")
+      .select(TextFns.rollingWindowHashes(TextFns.tokens(col("text")), 5))
+      .as[Seq[Long]].head()
+    val whole = Seq("only three tokens").toDF("w")
+      .select(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")).as[Long].head()
+    assert(short == Seq(whole))
+  }
 }
