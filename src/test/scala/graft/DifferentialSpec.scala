@@ -237,4 +237,61 @@ class DifferentialSpec extends SparkTestBase {
       assert(got == expected, s"trial=$trial L=$L")
     }
   }
+
+  test("stripBoilerplate matches a brute-force line-frequency reference on random inputs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(7000 + trial)
+      def line(): String = rnd.nextInt(5) match {
+        case 0 => ""                                   // structural blank
+        case 1 => "  shared " + rnd.nextInt(3) + "  "  // poolable, padded
+        case 2 => "shared " + rnd.nextInt(3)
+        case _ => s"unique t$trial r${rnd.nextInt(1000)} ${rnd.nextInt(1000)}"
+      }
+      val docs = (0 until 12).map(i => (i.toLong, (0 until 1 + rnd.nextInt(4)).map(_ => line())))
+      val minDocs = 3
+      val df = docs.map { case (id, ls) => (id, ls.mkString("\n")) }.toDF("doc_id", "text")
+      val got = graft.operators.CorpusPrep
+        .stripBoilerplate(df, "doc_id", "text", minDocs)
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // brute force: corpus-wide trimmed-line document frequency
+      val dfCount = docs.flatMap { case (id, ls) =>
+        ls.map(_.trim).filter(_.nonEmpty).distinct.map(_ -> id)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+      val boiler = dfCount.filter(_._2 >= minDocs).keySet
+      docs.foreach { case (id, ls) =>
+        val kept = ls.filter(l => l.trim.isEmpty || !boiler(l.trim))
+        val expected = (id, kept.mkString("\n"), ls.size.toLong, (ls.size - kept.size).toLong)
+        assert(got(id) == expected, s"trial=$trial doc=$id: ${got(id)} vs $expected")
+      }
+    }
+  }
+
+  test("cutDuplicateSpans matches a brute-force ownership reference on random inputs") {
+    val w = 3
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(8000 + trial)
+      // tiny vocab -> heavy genuine window collisions, short docs included
+      val docs = (0 until 10).map { i =>
+        (i.toLong, (0 until 1 + rnd.nextInt(11)).map(_ => s"t${rnd.nextInt(6)}"))
+      }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup.cutDuplicateSpans(df, "doc_id", "text", window = w)
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // brute force: window strings, min-id ownership, covered indices
+      def windows(ts: Seq[String]): Seq[(Int, String)] =
+        if (ts.size >= w) (0 to ts.size - w).map(i => i -> ts.slice(i, i + w).mkString(" "))
+        else Seq(0 -> ts.mkString(" "))
+      val owner: Map[String, Long] = docs.flatMap { case (id, ts) =>
+        windows(ts).map { case (_, s) => s -> id }
+      }.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).min }
+      docs.foreach { case (id, ts) =>
+        val covered = windows(ts).collect {
+          case (i, s) if owner(s) < id => i to math.min(i + w - 1, ts.size - 1)
+        }.flatten.toSet
+        val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        val expected = (id, kept.mkString(" "), ts.size.toLong, (ts.size - kept.size).toLong)
+        assert(got(id) == expected, s"trial=$trial doc=$id: ${got(id)} vs $expected")
+      }
+    }
+  }
 }
