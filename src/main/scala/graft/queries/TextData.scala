@@ -35,7 +35,13 @@ object TextData {
     * cell) for the probe tail. `eBody` supplies the training frame (must
     * yield vec_id + v).
     */
-  private def ivfCodebookCtes(eBody: String, nCells: Int, iters: Int): String = {
+  /** `suffix` renames every CTE (e→e$suffix, af→af$suffix, …) so several
+    * independent codebook chains can coexist in ONE statement — product
+    * quantization unrolls one chain per subspace. '' keeps the original
+    * names (and every pre-existing oracle byte-identical).
+    */
+  private def ivfCodebookCtes(
+      eBody: String, nCells: Int, iters: Int, suffix: String = ""): String = {
     val h = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
     def unit(src: String) =
       s"""SELECT cell,
@@ -47,7 +53,7 @@ object TextData {
          |    SELECT e.vec_id, e.v, u.cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_dot_product(e.v, u.uc) DESC, u.cell DESC) AS rn
-         |    FROM e CROSS JOIN $u u) WHERE rn = 1""".stripMargin
+         |    FROM e$suffix e CROSS JOIN $u u) WHERE rn = 1""".stripMargin
     def nextCents(prev: String, a: String) =
       s"""SELECT p.cell, COALESCE(mm.c2, p.c) AS c
          |  FROM $prev p LEFT JOIN (
@@ -59,16 +65,17 @@ object TextData {
          |      GROUP BY a.cell, u.pos)
          |    GROUP BY cell) mm ON p.cell = mm.cell""".stripMargin
     val rounds = (0 until iters).map { i =>
-      s"""u$i AS (${unit(s"c$i")}),
-         |a$i AS (${assign(s"u$i")}),
-         |c${i + 1} AS (${nextCents(s"c$i", s"a$i")})""".stripMargin
+      s"""u$i$suffix AS (${unit(s"c$i$suffix")}),
+         |a$i$suffix AS (${assign(s"u$i$suffix")}),
+         |c${i + 1}$suffix AS (${nextCents(s"c$i$suffix", s"a$i$suffix")})""".stripMargin
     }.mkString(",\n")
-    s"""e AS ($eBody),
-       |seed AS (SELECT vec_id, v FROM e ORDER BY $h, vec_id LIMIT $nCells),
-       |c0 AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v AS c FROM seed),
+    s"""e$suffix AS ($eBody),
+       |seed$suffix AS (SELECT vec_id, v FROM e$suffix ORDER BY $h, vec_id LIMIT $nCells),
+       |c0$suffix AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v AS c
+       |  FROM seed$suffix),
        |$rounds,
-       |uf AS (${unit(s"c$iters")}),
-       |af AS (${assign("uf")})""".stripMargin
+       |uf$suffix AS (${unit(s"c$iters$suffix")}),
+       |af$suffix AS (${assign(s"uf$suffix")})""".stripMargin
   }
 
   /** The standard IVF probe tail over [[ivfCodebookCtes]]'s `uf`/`af`:
@@ -1042,6 +1049,39 @@ object TextData {
         .getSeq[Number](0).map(_.doubleValue()).toSeq
       Similarity.probeIvfSq8Index(s, path, "vec_id",
         qvec, queryId = 0L, k = 10, cents, stats, nProbe = 6)
+    },
+    Q("ann_pq",
+      // product quantization, fully oracled: FOUR independent replayable
+      // kmeans chains (one per 16-dim subspace, suffixes p0..p3), then
+      // each vector decodes as the concatenation of its assigned RAW
+      // centroids and scores asymmetrically against the full-precision
+      // query. 4 small ints per vector = 64x compression (vs SQ8's fixed
+      // 4x) — the memory step that makes billion-vector in-memory search
+      // feasible; composition with the IVF index mirrors the SQ8 path.
+      s"""WITH ${(0 until 4).map { sub =>
+            ivfCodebookCtes(
+              s"SELECT vec_id, CAST(embedding[${sub * 16 + 1}:${sub * 16 + 16}] AS DOUBLE[]) AS v" +
+                " FROM embeddings",
+              nCells = 8, iters = 2, suffix = s"p$sub")
+          }.mkString(",\n")},
+         |dec AS (
+         |  SELECT a0.vec_id, cc0.c || cc1.c || cc2.c || cc3.c AS dvec
+         |  FROM afp0 a0
+         |  JOIN c2p0 cc0 ON a0.cell = cc0.cell
+         |  JOIN afp1 a1 ON a1.vec_id = a0.vec_id
+         |  JOIN c2p1 cc1 ON a1.cell = cc1.cell
+         |  JOIN afp2 a2 ON a2.vec_id = a0.vec_id
+         |  JOIN c2p2 cc2 ON a2.cell = cc2.cell
+         |  JOIN afp3 a3 ON a3.vec_id = a0.vec_id
+         |  JOIN c2p3 cc3 ON a3.cell = cc3.cell),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT d.vec_id, list_cosine_similarity(q.qvec, d.dvec) AS cosine
+         |FROM dec d, q WHERE d.vec_id <> 0
+         |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.pqTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
+        dim = 64, m = 4, ksub = 8, trainIters = 2)
     },
 
     // ---- text analysis -------------------------------------------------

@@ -333,4 +333,36 @@ class AnnRecallSpec extends SparkTestBase {
       .collect().toSeq
     assert(r1 == r2)
   }
+
+  test("pqTopK: planted exact copy ranks first; 64x compression keeps signal") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    // an exact copy of the query vector gets identical codes, decodes to
+    // the query's own reconstruction, and must rank first — the
+    // deterministic contract that survives any compression level
+    val copy = e.filter(col("vec_id") === 0L)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    val e2 = e.select("vec_id", "embedding").unionByName(copy)
+    val q = e2.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val top = Similarity.pqTopK(e2, "vec_id", "embedding", q, 0L, 10, dim = 64)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.head == 900001L, s"planted copy must rank first, got $top")
+    // 4 codes x 8 centroids is a 64x-compression CANDIDATE stage, so the
+    // recall contract is the PRODUCTION composition: ADC top-50 candidates
+    // (10% of this corpus) re-ranked exactly, recall@10 against brute
+    // force. Raw ADC-only top-10 on near-orthogonal noise would be mostly
+    // quantization tie-noise and pins nothing.
+    val recalls = Seq(0L, 7L, 21L).map { qid =>
+      val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val cand = Similarity.pqTopK(e, "vec_id", "embedding", qv, qid, 50, dim = 64)
+        .select("vec_id").as[Long].collect().toSet
+      val reranked = Similarity.bruteForceTopK(
+          e.filter(col("vec_id").isin(cand.toSeq: _*)), "vec_id", "embedding", qv, qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(reranked).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean PQ rerank recall@10 $mean (per-query: $recalls)")
+  }
 }
