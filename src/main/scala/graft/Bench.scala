@@ -26,6 +26,7 @@ object Bench {
     "ann_ivf_indexed",    // IVF probe against the materialized partitioned index
     "ann_ivf_sq8",        // IVF x SQ8 self-contained twin (full re-encode)
     "ann_ivf_sq8_indexed", // probe over the materialized codes-only index (4x less IO)
+    "ann_pq",             // product-quantization ADC scan (4 codes/vector, 64x)
     "j13_salted_skew_join", // salt-spread skew join
     "tx_quality",         // text HOF expressions
     "ev_hourly_agg",      // timestamp agg

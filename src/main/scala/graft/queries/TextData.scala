@@ -1083,6 +1083,43 @@ object TextData {
       Similarity.pqTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 10,
         dim = 64, m = 4, ksub = 8, trainIters = 2)
     },
+    Q("ann_pq_rerank",
+      // the PRODUCTION PQ composition, oracled end to end: ADC over codes
+      // selects 50 candidates (64x-compressed scan), then ONLY those 50
+      // are re-ranked with exact full-precision cosine — compressed scan
+      // cost over the corpus, exact quality over a bounded sliver.
+      s"""WITH ${(0 until 4).map { sub =>
+            ivfCodebookCtes(
+              s"SELECT vec_id, CAST(embedding[${sub * 16 + 1}:${sub * 16 + 16}] AS DOUBLE[]) AS v" +
+                " FROM embeddings",
+              nCells = 8, iters = 2, suffix = s"p$sub")
+          }.mkString(",\n")},
+         |dec AS (
+         |  SELECT a0.vec_id, cc0.c || cc1.c || cc2.c || cc3.c AS dvec
+         |  FROM afp0 a0
+         |  JOIN c2p0 cc0 ON a0.cell = cc0.cell
+         |  JOIN afp1 a1 ON a1.vec_id = a0.vec_id
+         |  JOIN c2p1 cc1 ON a1.cell = cc1.cell
+         |  JOIN afp2 a2 ON a2.vec_id = a0.vec_id
+         |  JOIN c2p2 cc2 ON a2.cell = cc2.cell
+         |  JOIN afp3 a3 ON a3.vec_id = a0.vec_id
+         |  JOIN c2p3 cc3 ON a3.cell = cc3.cell),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT d.vec_id FROM dec d, q WHERE d.vec_id <> 0
+         |  ORDER BY list_cosine_similarity(q.qvec, d.dvec) DESC, d.vec_id LIMIT 50)
+         |SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS cosine
+         |FROM embeddings e JOIN cand USING (vec_id), q
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val cand = Similarity.pqTopK(e, "vec_id", "embedding", q, queryId = 0L, k = 50,
+          dim = 64, m = 4, ksub = 8, trainIters = 2)
+        .select("vec_id")
+      Similarity.bruteForceTopK(
+        e.join(cand, Seq("vec_id"), "left_semi"), "vec_id", "embedding", q,
+        queryId = 0L, k = 10)
+    },
 
     // ---- text analysis -------------------------------------------------
     Q("tx_token_count",
