@@ -1120,6 +1120,50 @@ object TextData {
         e.join(cand, Seq("vec_id"), "left_semi"), "vec_id", "embedding", q,
         queryId = 0L, k = 10)
     },
+    Q("ann_ivf_pq",
+      // IVF×PQ — the FAISS-default production composition, oracled with
+      // FIVE replayable kmeans chains in one statement: the coarse
+      // codebook (suffix '') prunes to 6/8 cells, the four subspace
+      // codebooks (p0..p3) compress the payload to 4 small ints, and the
+      // probe scores decoded centroids against the full-precision query.
+      // The materialized index is partition-pruned AND codes-only at once
+      // (plan-pinned in AnnRecallSpec).
+      s"""WITH ${ivfCodebookCtes(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+            nCells = 8, iters = 3)},
+         |${(0 until 4).map { sub =>
+            ivfCodebookCtes(
+              s"SELECT vec_id, CAST(embedding[${sub * 16 + 1}:${sub * 16 + 16}] AS DOUBLE[]) AS v" +
+                " FROM embeddings",
+              nCells = 8, iters = 2, suffix = s"p$sub")
+          }.mkString(",\n")},
+         |dec AS (
+         |  SELECT a0.vec_id, cc0.c || cc1.c || cc2.c || cc3.c AS dvec
+         |  FROM afp0 a0
+         |  JOIN c2p0 cc0 ON a0.cell = cc0.cell
+         |  JOIN afp1 a1 ON a1.vec_id = a0.vec_id
+         |  JOIN c2p1 cc1 ON a1.cell = cc1.cell
+         |  JOIN afp2 a2 ON a2.vec_id = a0.vec_id
+         |  JOIN c2p2 cc2 ON a2.cell = cc2.cell
+         |  JOIN afp3 a3 ON a3.vec_id = a0.vec_id
+         |  JOIN c2p3 cc3 ON a3.cell = cc3.cell),
+         |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+         |qc AS (SELECT u.cell FROM uf u, q
+         |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)
+         |SELECT a.vec_id, list_cosine_similarity(q.qvec, d.dvec) AS cosine
+         |FROM af a JOIN dec d ON a.vec_id = d.vec_id, q
+         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
+         |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents, cbs) = Similarity.ensureIvfPqIndex(
+        e, "vec_id", "embedding", cacheKey = d, dim = 64,
+        nCells = 8, trainIters = 3, m = 4, ksub = 8, pqIters = 2)
+      val qvec = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0)
+        .getSeq[Number](0).map(_.doubleValue()).toSeq
+      Similarity.probeIvfPqIndex(s, path, "vec_id", qvec, queryId = 0L, k = 10,
+        cents, cbs, nProbe = 6)
+    },
 
     // ---- text analysis -------------------------------------------------
     Q("tx_token_count",

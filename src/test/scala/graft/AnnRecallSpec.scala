@@ -334,6 +334,43 @@ class AnnRecallSpec extends SparkTestBase {
     assert(r1 == r2)
   }
 
+  test("IVF-PQ index probe is partition-pruned, codes-only, and equals its inline twin") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val qid = 7L
+    val path = java.nio.file.Files.createTempDirectory("ivf_pq_idx").toString + "/idx"
+    val (cents, cbs) = Similarity.buildIvfPqIndex(
+      e, "vec_id", "embedding", path, dim = 64, nCells = 8, m = 4, ksub = 8)
+    val qvec = e.filter(col("vec_id") === qid)
+      .select("embedding").collect()(0)
+      .getSeq[Number](0).map(_.doubleValue()).toSeq
+    def probe = Similarity.probeIvfPqIndex(spark, path, "vec_id",
+      qvec, qid, 10, cents, cbs, nProbe = 6)
+    // inline twin: same cell filter + decode composed without the index
+    val cells = Similarity.nearestCellsLocal(qvec, cents, 6)
+    val inline = {
+      import org.apache.spark.sql.functions.{element_at, typedLit}
+      val assigned = Similarity.pqEncode(
+        e.withColumn("cell",
+          element_at(Similarity.nearestCells(col("embedding"), cents, 1), 1))
+          .select(col("vec_id"), col("cell"), col("embedding")),
+        "embedding", cbs, 16)
+      val decoded = org.apache.spark.sql.functions.concat(cbs.zipWithIndex.map {
+        case (cb, s) => element_at(typedLit(cb.sortBy(_._1).map(_._2)), col(s"__code$s") + 1)
+      }: _*)
+      assigned.filter(col("cell").isin(cells: _*)).filter(col("vec_id") =!= qid)
+        .withColumn("cosine", graft.functions.VectorFns.cosine(typedLit(qvec), decoded))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+    }
+    assert(probe.select("vec_id").as[Long].collect().toSeq == inline)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe must partition-prune on cell:\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("__code") && !readSchema.contains("embedding"),
+      s"probe must read PQ codes only:\n$readSchema")
+  }
+
   test("pqTopK: planted exact copy ranks first; 64x compression keeps signal") {
     val e = Tables.embeddings(spark, sfDir).cache()
     // an exact copy of the query vector gets identical codes, decodes to
