@@ -110,6 +110,28 @@ object Relational {
       graft.sources.Avro.write(base, path, Seq("doc_id"))
       graft.sources.Avro.read(s, path, base.schema).orderBy("doc_id")
     },
+    Q("s13_tar_shards",
+      "SELECT doc_id, text FROM documents ORDER BY doc_id") { (s, d) =>
+      // S13 (beyond-reference): WebDataset-style tar shard sink + scan —
+      // the directory-of-tars layout training loaders stream. The sink is
+      // DISTRIBUTED (one shuffle on the shard id, each shard one
+      // sequential ustar stream, byte-deterministic so retries rewrite
+      // identical files); the scan parses each shard executor-side via
+      // binaryFile. The oracle is the parquet original: names and UTF-8
+      // payloads must round-trip losslessly. Interop with real tar
+      // tooling is pinned separately in TarSpec via commons-compress.
+      val base = documents(s, d).select("doc_id", "text")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s13_${math.abs(d.hashCode)}"
+      graft.sources.Tar.writeShards(
+        base.select((col("doc_id") % 8).as("shard"),
+          col("doc_id").cast("string").as("name"),
+          col("text").cast("binary").as("payload")),
+        path)
+      graft.sources.Tar.read(s, path)
+        .select(col("name").cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+        .orderBy("doc_id")
+    },
     Q("s8_jsonl_roundtrip",
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id") { (s, d) =>
       // S8 (beyond-reference): gzip JSONL sink + scan — the de-facto LLM
