@@ -92,6 +92,10 @@ object Tar {
         }
         try {
           it.foreach { r =>
+            // fail loudly per row: a null shard/name/payload would otherwise
+            // surface as a bare NPE (or a 0-shard misfile) deep in the task
+            require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+              "tar sink requires non-null shard, name and payload")
             val s = r.getLong(0)
             if (s != cur) {
               close()
@@ -141,6 +145,12 @@ object Tar {
           val sizeStr = new String(block, 124, 12, "UTF-8")
             .takeWhile(c => c >= '0' && c <= '7')
           val size = java.lang.Long.parseLong(if (sizeStr.isEmpty) "0" else sizeStr, 8)
+          // a truncated archive must fail, not fabricate: copyOfRange PADS
+          // WITH ZEROS past the source length, which would silently turn a
+          // cut-off download into zero-filled training payloads
+          require(size <= Int.MaxValue - 2L * Block &&
+              off + Block + size <= bytes.length,
+            s"truncated or oversized tar entry '$name' (size $size) at offset $off in $file")
           val typeflag = block(156)
           if (typeflag == '0'.toByte || typeflag == 0.toByte) {
             outRows += Row(file, name,

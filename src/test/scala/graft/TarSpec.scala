@@ -70,6 +70,24 @@ class TarSpec extends SparkTestBase {
     }
   }
 
+  test("a truncated archive fails loudly instead of fabricating zero payloads") {
+    val dir = Files.createTempDirectory("graft-tar-t").toString
+    Tar.writeShards(Seq((0L, "doc.bin", Array.fill[Byte](700)(42)))
+      .toDF("shard", "name", "payload"), dir)
+    val whole = Files.readAllBytes(java.nio.file.Paths.get(dir, "shard-00000.tar"))
+    // cut mid-payload: header says 700 bytes but only 300 follow. A fresh
+    // dir, or Hadoop's local-FS .crc sidecar flags the cut before the
+    // parser even runs (also a fine outcome — but not the guard under test)
+    val dir2 = Files.createTempDirectory("graft-tar-t2")
+    Files.write(dir2.resolve("cut.tar"),
+      java.util.Arrays.copyOfRange(whole, 0, 512 + 300))
+    val err = intercept[org.apache.spark.SparkException] {
+      Tar.read(spark, dir2.toString).count()
+    }
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("truncated"), s"want truncation error, got: $msg")
+  }
+
   test("names over 100 bytes are rejected at write; empty payloads roundtrip") {
     val dir = Files.createTempDirectory("graft-tar-e").toString
     val long = Seq((0L, "x" * 101, Array[Byte]())).toDF("shard", "name", "payload")
