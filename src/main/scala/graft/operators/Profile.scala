@@ -191,4 +191,54 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("column")
   }
+
+  /** Pearson chi-squared independence statistic between two categorical
+    * columns — the profiling gate for "did the label mix drift with the
+    * source" questions, engine-exact where the textbook spelling is not:
+    * each cell's term (o−e)²/e is rewritten over the COMMON denominator,
+    * (o·N − r·c)² / (N·r·c), so numerator and denominator are exact
+    * integers (DECIMAL(38,0) — no float e, no float subtraction), the
+    * single division per cell is correctly rounded, and the cell sum goes
+    * through the fixed-scale decimal cast every order-dependent double
+    * reduction in this engine uses. Zero-observed cells of the full
+    * r×c grid are included (their term is e), as the statistic requires.
+    * Returns one row: (n_rows, n_levels_a, n_levels_b, dof, chi2).
+    *
+    * Scale shape: one count aggregate on (a, b), two tiny marginal
+    * aggregates, a broadcast cross of the level sets (levels are
+    * dictionary-sized by definition), one final one-row aggregate.
+    * Exactness bound: the integer numerator is (≤N²)² — exact in a
+    * double's 2^53 up to N ≈ 10^4 per the decimal→double cast; beyond
+    * that the DECIMAL(38,0) arithmetic itself stays exact to N ≈ 10^9.
+    */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("__o"))
+    val la = df.select(col(a)).distinct()
+    val lb = df.select(col(b)).distinct()
+    val full = broadcast(la).crossJoin(broadcast(lb))
+      .join(obs, Seq(a, b), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val ri = full.groupBy(col(a)).agg(sum(col("__o")).as("__ri"))
+    val cj = full.groupBy(col(b)).agg(sum(col("__o")).as("__cj"))
+    val n = full.agg(sum(col("__o")).as("__n"),
+      countDistinct(col(a)).as("__ka"), countDistinct(col(b)).as("__kb"))
+    full
+      .join(broadcast(ri), Seq(a)).join(broadcast(cj), Seq(b))
+      .crossJoin(broadcast(n))
+      .withColumn("__d",
+        col("__o").cast(dec38) * col("__n").cast(dec38)
+          - col("__ri").cast(dec38) * col("__cj").cast(dec38))
+      .withColumn("__term",
+        (col("__d") * col("__d")).cast("double") /
+          (col("__n").cast(dec38) * col("__ri").cast(dec38) * col("__cj").cast(dec38))
+            .cast("double"))
+      .agg(
+        first(col("__n")).cast("long").as("n_rows"),
+        first(col("__ka")).as("n_levels_a"),
+        first(col("__kb")).as("n_levels_b"),
+        ((first(col("__ka")) - 1) * (first(col("__kb")) - 1)).as("dof"),
+        sum(col("__term").cast(dec)).cast("double").as("chi2"))
+  }
 }

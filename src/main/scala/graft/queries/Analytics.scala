@@ -839,6 +839,40 @@ object Analytics {
           Seq("l_returnflag"), Seq("l_quantity", "l_discount", "l_tax"))
         .orderBy("l_returnflag")
     },
+    Q("pf_chi2",
+      """WITH obs AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |la AS (SELECT DISTINCT lang FROM documents),
+        |sb AS (SELECT DISTINCT source FROM documents),
+        |f AS (
+        |  SELECT la.lang, sb.source, COALESCE(obs.o, 0) AS o
+        |  FROM la CROSS JOIN sb
+        |  LEFT JOIN obs ON obs.lang = la.lang AND obs.source = sb.source),
+        |r AS (SELECT lang, SUM(o) AS ri FROM f GROUP BY 1),
+        |c AS (SELECT source, SUM(o) AS cj FROM f GROUP BY 1),
+        |n AS (SELECT SUM(o) AS nn, COUNT(DISTINCT lang) AS ka,
+        |             COUNT(DISTINCT source) AS kb FROM f),
+        |t AS (
+        |  SELECT CAST(f.o AS DECIMAL(38,0)) * CAST(n.nn AS DECIMAL(38,0))
+        |         - CAST(r.ri AS DECIMAL(38,0)) * CAST(c.cj AS DECIMAL(38,0)) AS d,
+        |         CAST(n.nn AS DECIMAL(38,0)) * CAST(r.ri AS DECIMAL(38,0))
+        |           * CAST(c.cj AS DECIMAL(38,0)) AS den
+        |  FROM f JOIN r USING (lang) JOIN c USING (source), n)
+        |SELECT CAST(n.nn AS BIGINT) AS n_rows,
+        |  CAST(n.ka AS BIGINT) AS n_levels_a, CAST(n.kb AS BIGINT) AS n_levels_b,
+        |  CAST((n.ka - 1) * (n.kb - 1) AS BIGINT) AS dof,
+        |  CAST(SUM(CAST(CAST(d * d AS DOUBLE) / CAST(den AS DOUBLE) AS DECIMAL(30,6)))
+        |    AS DOUBLE) AS chi2
+        |FROM t, n GROUP BY n.nn, n.ka, n.kb""".stripMargin) { (s, d) =>
+      // Chi-squared independence between two categorical columns (did the
+      // language mix drift with the source?) — engine-exact where the
+      // textbook (o-e)²/e is not: each cell rewritten over the common
+      // denominator (o·N - r·c)²/(N·r·c), integer numerator and
+      // denominator in DECIMAL(38,0), one correctly-rounded division per
+      // cell, decimal-cast cell sum. Zero-observed grid cells included,
+      // as the statistic requires.
+      graft.operators.Profile.chiSquare(documents(s, d), "lang", "source")
+    },
 
     // ---- distribution drift between two slices -------------------------
     Q("pf_drift",

@@ -75,4 +75,27 @@ class ProfileSpec extends SparkTestBase {
     // count(distinct) over 2 columns -> one Expand, not one scan per column
     assert("Scan parquet".r.findAllIn(plan).length == 1, s"profile must scan once:\n$plan")
   }
+
+  test("chiSquare: closed-form 2x2, exact independence, zero cells included") {
+    // textbook 2x2: obs [[10,20],[20,10]] -> every e = 15, every term
+    // (±5)²/15, chi2 = 4·25/15 = 20/3, dof 1
+    def rows(counts: Seq[(String, String, Int)]) =
+      counts.flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }.toDF("a", "b")
+    val skewed = Profile.chiSquare(
+      rows(Seq(("x", "u", 10), ("x", "v", 20), ("y", "u", 20), ("y", "v", 10))), "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(skewed._1 == 60 && skewed._2 == 2 && skewed._3 == 2 && skewed._4 == 1)
+    assert(math.abs(skewed._5 - 20.0 / 3.0) < 1e-5, s"chi2 ${skewed._5} (want 6.6667)")
+    // perfectly proportional table: every o·N == r·c exactly -> chi2 = 0
+    val indep = Profile.chiSquare(
+      rows(Seq(("x", "u", 6), ("x", "v", 2), ("y", "u", 3), ("y", "v", 1))), "a", "b")
+      .select("chi2").as[Double].head()
+    assert(indep == 0.0)
+    // a level pair never observed together still contributes its e term:
+    // [[5,0],[0,5]] -> chi2 = N = 10 (the maximal 2x2 association)
+    val disjoint = Profile.chiSquare(
+      rows(Seq(("x", "u", 5), ("y", "v", 5))), "a", "b")
+      .select("dof", "chi2").as[(Long, Double)].head()
+    assert(disjoint._1 == 1 && math.abs(disjoint._2 - 10.0) < 1e-9)
+  }
 }
