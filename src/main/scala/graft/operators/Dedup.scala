@@ -579,25 +579,43 @@ object Dedup {
     * production 2^30-bit filter (~128 MB, good for ~10^8 docs at 1% fp)
     * is 2^25 rows of 12 bytes — still broadcastable.
     */
+  /** The shared (word, __mask) projection of [[bloomIndex]] and
+    * [[bloomPrefilterFlags]] — ONE definition of the md5-affine bit
+    * positions, because index and probe disagreeing on the hash family is
+    * the exact way a Bloom filter grows the false negatives it promises
+    * away. Null text fails loudly (a null would hash to no positions and
+    * sail through as "definitively novel" — garbage flagged clean).
+    */
+  private def bloomWordMasks(
+      df: DataFrame,
+      keep: Seq[Column],
+      text: String,
+      mBits: Int,
+      kHashes: Int): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0, "mBits must be a positive multiple of 32")
+    require(kHashes >= 1, "kHashes must be >= 1")
+    val h = when(col(text).isNotNull,
+        conv(substring(md5(lower(trim(col(text)))), 1, 8), 16, 10).cast("long"))
+      .otherwise(assert_true(col(text).isNotNull,
+        lit("bloom filter: null text")).cast("long"))
+    df.select(keep :+ explode(array((0 until kHashes).map { i =>
+        (((lit(graft.plans.Sketches.minhashA(101 + i)) * h
+          + graft.plans.Sketches.minhashB(101 + i)) % graft.plans.Sketches.MinhashP)
+          % mBits).as(s"p$i")
+      }: _*)).as("__pos"): _*)
+      .select(keep ++ Seq(
+        floor(col("__pos") / 32).cast("int").as("word"),
+        expr("shiftleft(1L, CAST(__pos % 32 AS INT))").as("__mask")): _*)
+  }
+
   def bloomIndex(
       corpus: DataFrame,
       id: String,
       text: String,
       mBits: Int = 1 << 14,
-      kHashes: Int = 3): DataFrame = {
-    require(mBits > 0 && mBits % 32 == 0, "mBits must be a positive multiple of 32")
-    require(kHashes >= 1, "kHashes must be >= 1")
-    val h = conv(substring(md5(lower(trim(col(text)))), 1, 8), 16, 10).cast("long")
-    corpus
-      .select(explode(array((0 until kHashes).map { i =>
-        (((lit(graft.plans.Sketches.minhashA(101 + i)) * h
-          + graft.plans.Sketches.minhashB(101 + i)) % graft.plans.Sketches.MinhashP)
-          % mBits).as(s"p$i")
-      }: _*)).as("__pos"))
-      .select(floor(col("__pos") / 32).cast("int").as("word"),
-        expr("shiftleft(1L, CAST(__pos % 32 AS INT))").as("__mask"))
+      kHashes: Int = 3): DataFrame =
+    bloomWordMasks(corpus, Nil, text, mBits, kHashes)
       .groupBy("word").agg(bit_or(col("__mask")).as("bits"))
-  }
 
   /** Bloom-gated incremental exact dedup — the pre-shuffle pruning shape
     * for continuous ingest: every batch document is first tested against
@@ -619,18 +637,7 @@ object Dedup {
       text: String,
       mBits: Int = 1 << 14,
       kHashes: Int = 3): DataFrame = {
-    require(mBits > 0 && mBits % 32 == 0, "mBits must be a positive multiple of 32")
-    require(kHashes >= 1, "kHashes must be >= 1")
-    val h = conv(substring(md5(lower(trim(col(text)))), 1, 8), 16, 10).cast("long")
-    val probes = batch
-      .select(col(id), explode(array((0 until kHashes).map { i =>
-        (((lit(graft.plans.Sketches.minhashA(101 + i)) * h
-          + graft.plans.Sketches.minhashB(101 + i)) % graft.plans.Sketches.MinhashP)
-          % mBits).as(s"p$i")
-      }: _*)).as("__pos"))
-      .select(col(id),
-        floor(col("__pos") / 32).cast("int").as("word"),
-        expr("shiftleft(1L, CAST(__pos % 32 AS INT))").as("__mask"))
+    val probes = bloomWordMasks(batch, Seq(col(id)), text, mBits, kHashes)
     val verdict = probes
       .join(broadcast(bloom), Seq("word"), "left")
       .withColumn("__set",
@@ -646,9 +653,12 @@ object Dedup {
         col("corpus_id").as("exact_dup_of"),
         col("corpus_id").isNotNull.as("is_known"),
         col("corpus_id").isNull.as("bloom_fp"))
+    // the null literal must carry the INDEX's id type — a hardcoded long
+    // would silently widen the union (and so the output schema) for a
+    // string-keyed corpus
     val novel = flagged.filter(!col("bloom_candidate"))
       .select(col(id), col("bloom_candidate"),
-        lit(null).cast("long").as("exact_dup_of"),
+        lit(null).cast(index.schema("corpus_id").dataType).as("exact_dup_of"),
         lit(false).as("is_known"),
         lit(false).as("bloom_fp"))
     candidates.unionByName(novel)

@@ -214,15 +214,25 @@ object Profile {
   def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    // null levels are rejected loudly: null join keys fall out of the
+    // grid/marginal equi-joins, which would SILENTLY drop those rows from
+    // n_rows and compute the statistic over an undocumented subtable (and
+    // 0-marginal cells would NaN→null out of the sum). One cheap
+    // validation action beats a wrong answer on a profiling op.
+    require(df.filter(col(a).isNull || col(b).isNull).limit(1).isEmpty,
+      s"chiSquare: null level in '$a' or '$b' — recode nulls to an explicit level first")
+    // marginals and totals come from `obs`, not the zero-filled grid:
+    // zero cells cannot change a sum, and aggregating the grid would
+    // re-instantiate the crossJoin subtree once per marginal
     val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("__o"))
-    val la = df.select(col(a)).distinct()
-    val lb = df.select(col(b)).distinct()
+    val la = obs.select(col(a)).distinct()
+    val lb = obs.select(col(b)).distinct()
     val full = broadcast(la).crossJoin(broadcast(lb))
       .join(obs, Seq(a, b), "left")
       .withColumn("__o", coalesce(col("__o"), lit(0L)))
-    val ri = full.groupBy(col(a)).agg(sum(col("__o")).as("__ri"))
-    val cj = full.groupBy(col(b)).agg(sum(col("__o")).as("__cj"))
-    val n = full.agg(sum(col("__o")).as("__n"),
+    val ri = obs.groupBy(col(a)).agg(sum(col("__o")).as("__ri"))
+    val cj = obs.groupBy(col(b)).agg(sum(col("__o")).as("__cj"))
+    val n = obs.agg(sum(col("__o")).as("__n"),
       countDistinct(col(a)).as("__ka"), countDistinct(col(b)).as("__kb"))
     full
       .join(broadcast(ri), Seq(a)).join(broadcast(cj), Seq(b))

@@ -469,10 +469,7 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     graft.plans.Sketches.ensureRegistered(spark)
     val cells = nearestCellsLocal(qvec, cents, nProbe)
-    val decoded = concat(codebooks.zipWithIndex.map { case (cb, s) =>
-      val arrs: Seq[Seq[Double]] = cb.sortBy(_._1).map(_._2)
-      element_at(typedLit(arrs), col(s"__code$s") + 1)
-    }: _*)
+    val decoded = pqDecode(codebooks)
     spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*))
       .filter(col(id) =!= queryId)
@@ -728,6 +725,18 @@ object Similarity {
         element_at(nearestCells(slice(col(vec), s * subDim + 1, subDim), cb, 1), 1))
     }
 
+  /** Decode expression shared by every PQ consumer — ONE definition of
+    * code→centroid lookup (sort by cell id, element_at at code+1, concat
+    * across subspaces), because the self-contained scan and the
+    * materialized-index probe decoding differently is exactly the
+    * divergence the inline-twin spec exists to prevent.
+    */
+  private def pqDecode(codebooks: Seq[Seq[(Int, Seq[Double])]]): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, s) =>
+      val arrs: Seq[Seq[Double]] = cb.sortBy(_._1).map(_._2)
+      element_at(typedLit(arrs), col(s"__code$s") + 1)
+    }: _*)
+
   /** PQ asymmetric-distance top-k: the query stays full-precision, every
     * corpus vector is scored as cosine(query, DECODED codes) where the
     * decoded vector concatenates the assigned centroids (the raw Lloyd
@@ -753,10 +762,7 @@ object Similarity {
     val subDim = dim / m
     val cbs = pqTrain(df, id, vec, dim, m, ksub, trainIters)
     val encoded = pqEncode(df.select(col(id), col(vec)), vec, cbs, subDim)
-    val decoded = concat(cbs.zipWithIndex.map { case (cb, s) =>
-      val arrs: Seq[Seq[Double]] = cb.sortBy(_._1).map(_._2)
-      element_at(typedLit(arrs), col(s"__code$s") + 1)
-    }: _*)
+    val decoded = pqDecode(cbs)
     encoded
       .crossJoin(broadcast(query))
       .filter(col(id) =!= queryId)

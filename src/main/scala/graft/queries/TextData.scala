@@ -38,7 +38,9 @@ object TextData {
   /** `suffix` renames every CTE (e→e$suffix, af→af$suffix, …) so several
     * independent codebook chains can coexist in ONE statement — product
     * quantization unrolls one chain per subspace. '' keeps the original
-    * names (and every pre-existing oracle byte-identical).
+    * names and semantics (the emitted text gained a self-alias and
+    * re-wrapped lines in the refactor, so it is equivalent, not
+    * byte-identical, to the pre-suffix form).
     */
   private def ivfCodebookCtes(
       eBody: String, nCells: Int, iters: Int, suffix: String = ""): String = {
@@ -110,6 +112,32 @@ object TextData {
        |FROM af a JOIN dec d USING (vec_id), q
        |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
        |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
+
+  /** The four-subspace PQ codebook chains (suffixes p0..p3) plus the
+    * `dec` CTE that reconstructs every vector as its concatenated raw
+    * assigned centroids — ONE definition shared by ann_pq /
+    * ann_pq_rerank / ann_ivf_pq, so the three oracles cannot drift apart
+    * on the decode join.
+    */
+  private def pqDecCtes(m: Int = 4, subDim: Int = 16, ksub: Int = 8, iters: Int = 2): String = {
+    val chains = (0 until m).map { sub =>
+      ivfCodebookCtes(
+        s"SELECT vec_id, CAST(embedding[${sub * subDim + 1}:${sub * subDim + subDim}]" +
+          " AS DOUBLE[]) AS v FROM embeddings",
+        nCells = ksub, iters = iters, suffix = s"p$sub")
+    }.mkString(",\n")
+    val joins = (1 until m).map { s =>
+      s"""  JOIN afp$s a$s ON a$s.vec_id = a0.vec_id
+         |  JOIN c$iters""".stripMargin + s"p$s cc$s ON a$s.cell = cc$s.cell"
+    }.mkString("\n")
+    val catCols = (0 until m).map(s => s"cc$s.c").mkString(" || ")
+    s"""$chains,
+       |dec AS (
+       |  SELECT a0.vec_id, $catCols AS dvec
+       |  FROM afp0 a0
+       |  JOIN c${iters}p0 cc0 ON a0.cell = cc0.cell
+       |$joins)""".stripMargin
+  }
 
   private def minhashCandidateCte(src: String): String =
     s"""toks AS (
@@ -1058,22 +1086,7 @@ object TextData {
       // query. 4 small ints per vector = 64x compression (vs SQ8's fixed
       // 4x) — the memory step that makes billion-vector in-memory search
       // feasible; composition with the IVF index mirrors the SQ8 path.
-      s"""WITH ${(0 until 4).map { sub =>
-            ivfCodebookCtes(
-              s"SELECT vec_id, CAST(embedding[${sub * 16 + 1}:${sub * 16 + 16}] AS DOUBLE[]) AS v" +
-                " FROM embeddings",
-              nCells = 8, iters = 2, suffix = s"p$sub")
-          }.mkString(",\n")},
-         |dec AS (
-         |  SELECT a0.vec_id, cc0.c || cc1.c || cc2.c || cc3.c AS dvec
-         |  FROM afp0 a0
-         |  JOIN c2p0 cc0 ON a0.cell = cc0.cell
-         |  JOIN afp1 a1 ON a1.vec_id = a0.vec_id
-         |  JOIN c2p1 cc1 ON a1.cell = cc1.cell
-         |  JOIN afp2 a2 ON a2.vec_id = a0.vec_id
-         |  JOIN c2p2 cc2 ON a2.cell = cc2.cell
-         |  JOIN afp3 a3 ON a3.vec_id = a0.vec_id
-         |  JOIN c2p3 cc3 ON a3.cell = cc3.cell),
+      s"""WITH ${pqDecCtes()},
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
          |SELECT d.vec_id, list_cosine_similarity(q.qvec, d.dvec) AS cosine
          |FROM dec d, q WHERE d.vec_id <> 0
@@ -1088,22 +1101,7 @@ object TextData {
       // selects 50 candidates (64x-compressed scan), then ONLY those 50
       // are re-ranked with exact full-precision cosine — compressed scan
       // cost over the corpus, exact quality over a bounded sliver.
-      s"""WITH ${(0 until 4).map { sub =>
-            ivfCodebookCtes(
-              s"SELECT vec_id, CAST(embedding[${sub * 16 + 1}:${sub * 16 + 16}] AS DOUBLE[]) AS v" +
-                " FROM embeddings",
-              nCells = 8, iters = 2, suffix = s"p$sub")
-          }.mkString(",\n")},
-         |dec AS (
-         |  SELECT a0.vec_id, cc0.c || cc1.c || cc2.c || cc3.c AS dvec
-         |  FROM afp0 a0
-         |  JOIN c2p0 cc0 ON a0.cell = cc0.cell
-         |  JOIN afp1 a1 ON a1.vec_id = a0.vec_id
-         |  JOIN c2p1 cc1 ON a1.cell = cc1.cell
-         |  JOIN afp2 a2 ON a2.vec_id = a0.vec_id
-         |  JOIN c2p2 cc2 ON a2.cell = cc2.cell
-         |  JOIN afp3 a3 ON a3.vec_id = a0.vec_id
-         |  JOIN c2p3 cc3 ON a3.cell = cc3.cell),
+      s"""WITH ${pqDecCtes()},
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
          |cand AS (
          |  SELECT d.vec_id FROM dec d, q WHERE d.vec_id <> 0
@@ -1131,22 +1129,7 @@ object TextData {
       s"""WITH ${ivfCodebookCtes(
             "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
             nCells = 8, iters = 3)},
-         |${(0 until 4).map { sub =>
-            ivfCodebookCtes(
-              s"SELECT vec_id, CAST(embedding[${sub * 16 + 1}:${sub * 16 + 16}] AS DOUBLE[]) AS v" +
-                " FROM embeddings",
-              nCells = 8, iters = 2, suffix = s"p$sub")
-          }.mkString(",\n")},
-         |dec AS (
-         |  SELECT a0.vec_id, cc0.c || cc1.c || cc2.c || cc3.c AS dvec
-         |  FROM afp0 a0
-         |  JOIN c2p0 cc0 ON a0.cell = cc0.cell
-         |  JOIN afp1 a1 ON a1.vec_id = a0.vec_id
-         |  JOIN c2p1 cc1 ON a1.cell = cc1.cell
-         |  JOIN afp2 a2 ON a2.vec_id = a0.vec_id
-         |  JOIN c2p2 cc2 ON a2.cell = cc2.cell
-         |  JOIN afp3 a3 ON a3.vec_id = a0.vec_id
-         |  JOIN c2p3 cc3 ON a3.cell = cc3.cell),
+         |${pqDecCtes()},
          |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
          |qc AS (SELECT u.cell FROM uf u, q
          |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)

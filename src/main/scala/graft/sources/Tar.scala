@@ -34,7 +34,10 @@ object Tar {
   private def header(name: String, size: Long): Array[Byte] = {
     val nameB = name.getBytes("UTF-8")
     require(nameB.length <= 100, s"tar entry name exceeds 100 bytes: '$name'")
-    require(size >= 0 && size <= 0x1FFFFFFFFFFL, s"tar entry size out of range: $size")
+    // bound = 8^11 - 1: what 11 octal digits + NUL can actually hold — a
+    // larger require bound would let the formatted size silently overrun
+    // the field's NUL into mtime, corrupting the header with no error
+    require(size >= 0 && size <= 0x1FFFFFFFFL, s"tar entry size exceeds the ustar field: $size")
     val h = new Array[Byte](Block)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes("UTF-8"); System.arraycopy(b, 0, h, off, b.length)
@@ -85,8 +88,9 @@ object Tar {
         val fs = new Path(path).getFileSystem(
           new org.apache.hadoop.conf.Configuration())
         var cur: Long = Long.MinValue
+        var curFile: Path = null
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        def close(): Unit = if (out != null) {
+        def finish(): Unit = if (out != null) {
           out.write(new Array[Byte](2 * Block)) // end-of-archive marker
           out.close(); out = null
         }
@@ -98,9 +102,10 @@ object Tar {
               "tar sink requires non-null shard, name and payload")
             val s = r.getLong(0)
             if (s != cur) {
-              close()
+              finish()
               cur = s
-              out = fs.create(new Path(path, f"shard-$s%05d.tar"), true)
+              curFile = new Path(path, f"shard-$s%05d.tar")
+              out = fs.create(curFile, true)
             }
             val name = r.getString(1)
             val payload = r.getAs[Array[Byte]](2)
@@ -108,7 +113,19 @@ object Tar {
             out.write(payload)
             out.write(new Array[Byte](padTo(payload.length.toLong)))
           }
-        } finally close()
+          finish()
+        } catch {
+          case t: Throwable =>
+            // a failing task must NOT leave a prefix-valid archive behind:
+            // writing the end marker here would make the partial shard
+            // indistinguishable from a complete one, so close raw and
+            // delete the in-progress file (task retry rewrites it whole)
+            if (out != null) {
+              try out.close() catch { case _: Throwable => () }
+              try fs.delete(curFile, false) catch { case _: Throwable => () }
+            }
+            throw t
+        }
       }
   }
 
@@ -133,6 +150,9 @@ object Tar {
       val outRows = Seq.newBuilder[Row]
       var off = 0
       var done = false
+      // `done` flips only on the end-of-archive zero block: running out of
+      // bytes WITHOUT having seen it is a truncation (e.g. a download cut
+      // exactly at a 512-boundary) and must fail, not return partial rows
       while (!done && off + Block <= bytes.length) {
         val block = java.util.Arrays.copyOfRange(bytes, off, off + Block)
         if (block.forall(_ == 0)) done = true
@@ -160,6 +180,7 @@ object Tar {
           off += Block + size.toInt + padTo(size)
         }
       }
+      require(done, s"truncated tar (no end-of-archive marker) in $file")
       outRows.result()
     }(Encoders.row(readSchema))
   }

@@ -86,6 +86,16 @@ class TarSpec extends SparkTestBase {
     }
     val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("truncated"), s"want truncation error, got: $msg")
+    // cut at a BLOCK boundary (entry complete, end marker missing): the
+    // size-bounds check cannot see this one — only the end-of-archive
+    // requirement does. 512 header + 1024 padded payload = 1536 bytes.
+    val dir3 = Files.createTempDirectory("graft-tar-t3")
+    Files.write(dir3.resolve("cut2.tar"), java.util.Arrays.copyOfRange(whole, 0, 1536))
+    val err2 = intercept[org.apache.spark.SparkException] {
+      Tar.read(spark, dir3.toString).count()
+    }
+    val msg2 = err2.getMessage + Option(err2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("end-of-archive"), s"want marker error, got: $msg2")
   }
 
   test("names over 100 bytes are rejected at write; empty payloads roundtrip") {
