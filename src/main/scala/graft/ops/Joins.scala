@@ -81,6 +81,88 @@ object Joins {
     salted.join(replicated, keys :+ salt, joinType).drop(salt)
   }
 
+  /** The measurement half of [[skewAwareJoin]]: exact (or deterministically
+    * row-sampled) per-key counts over the fact side, reduced to the hot
+    * key's row count and share. One keyed aggregate + one scalar reduce —
+    * map-side partial aggregation keeps the shuffle at |distinct keys|,
+    * and `sampleMod` > 1 trades exactness for a 1/sampleMod scan when even
+    * that is too much (the sample is a hash of the WHOLE row, never
+    * rand(), so retries and re-runs decide identically; fully-duplicate
+    * rows land in the same slice — dedup first if that distorts the
+    * estimate, the same caveat saltedJoin documents for the salt itself).
+    */
+  final case class SkewDecision(
+      totalRows: Long,
+      topRows: Long,
+      topShare: Double,
+      salted: Boolean,
+      buckets: Int)
+
+  def skewDecision(
+      facts: DataFrame,
+      keys: Seq[String],
+      hotShareThreshold: Double = 0.2,
+      hotRowThreshold: Long = 2L * 1000 * 1000,
+      targetRowsPerBucket: Long = 1L * 1000 * 1000,
+      maxBuckets: Int = 64,
+      sampleMod: Int = 1): SkewDecision = {
+    require(keys.nonEmpty, "skewDecision needs at least one key")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(hotShareThreshold > 0 && targetRowsPerBucket > 0 && maxBuckets >= 2,
+      "thresholds must be positive (maxBuckets >= 2)")
+    val sampled =
+      if (sampleMod == 1) facts.select(keys.map(col): _*)
+      else facts
+        .filter(pmod(xxhash64(facts.columns.map(col).toIndexedSeq: _*), lit(sampleMod)) === 0)
+        .select(keys.map(col): _*)
+    val row = sampled
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("__t"), max(col("__c")).as("__m"))
+      .head()
+    val total = (if (row.isNullAt(0)) 0L else row.getLong(0)) * sampleMod
+    val top = (if (row.isNullAt(1)) 0L else row.getLong(1)) * sampleMod
+    val share = if (total == 0) 0.0 else top.toDouble / total
+    val salted = share >= hotShareThreshold && top >= hotRowThreshold
+    val buckets =
+      if (!salted) 1
+      else math.max(2, math.min(maxBuckets.toLong,
+        (top + targetRowsPerBucket - 1) / targetRowsPerBucket)).toInt
+    SkewDecision(total, top, share, salted, buckets)
+  }
+
+  /** Auto skew routing — connects the diagnosis (`Profile.keySkew` /
+    * pf_key_skew) to the cure ([[saltedJoin]]): measure the fact side's
+    * hot key with ONE cheap aggregate ([[skewDecision]]), then join plain
+    * (AQE's skew split is the first line of defence and broadcast still
+    * wins for small dims) unless the hot key crosses BOTH thresholds —
+    * a share big enough that one reducer owns `topShare` of the shuffle,
+    * and an absolute row count big enough that the reducer actually
+    * hurts. Bucket count scales with the measured hot-key size
+    * (`ceil(topRows / targetRowsPerBucket)`, capped), so mild skew gets
+    * mild replication. The decision is deterministic and logged; output
+    * is row-identical to `facts.join(dim, keys, joinType)` either way
+    * (fact-preserving join types only — saltedJoin's contract).
+    */
+  def skewAwareJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      hotShareThreshold: Double = 0.2,
+      hotRowThreshold: Long = 2L * 1000 * 1000,
+      targetRowsPerBucket: Long = 1L * 1000 * 1000,
+      maxBuckets: Int = 64,
+      sampleMod: Int = 1): DataFrame = {
+    val d = skewDecision(facts, keys, hotShareThreshold, hotRowThreshold,
+      targetRowsPerBucket, maxBuckets, sampleMod)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"skewAwareJoin on (${keys.mkString(", ")}): total=${d.totalRows} " +
+        f"top=${d.topRows} share=${d.topShare}%.4f -> " +
+        (if (d.salted) s"salted(buckets=${d.buckets})" else "plain (AQE-owned)"))
+    if (d.salted) saltedJoin(facts, dim, keys, d.buckets, joinType)
+    else facts.join(dim, keys, joinType)
+  }
+
   /** J10: closest-parent lookup over a pre-flattened hierarchy edge list
     * (reference R/prepare_prewrangled_financial_data_stress_test.R:172-217:
     * left-join subsidiaries to parents, keep min ownership_level per child —

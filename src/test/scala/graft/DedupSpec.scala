@@ -309,6 +309,49 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("saveExactIndex: selective probe reads a fraction of the index bytes") {
+    // 20k synthetic rows across 16 range-partitioned hash-sorted files:
+    // a point probe must prune by footer min/max (+ bloom for absent
+    // hashes) instead of re-reading the index — the bytes-read contract
+    // that makes per-batch ingest cost O(batch), not O(corpus index)
+    def bytesRead(body: => Unit): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) total.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) } // listener bus drains async
+      finally spark.sparkContext.removeSparkListener(listener)
+      total.get()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-exact-idx").toString
+    val docs = spark.range(20000).select(
+      col("id").as("doc_id"), md5(col("id").cast("string")).as("text"))
+    // expectedNdv is PER ROW GROUP: sized to this fixture's ~1250
+    // rows/file (an oversized ndv allocates the 1 MB bitmap cap per row
+    // group — 22x the disk and the probe reads bitmaps instead of
+    // skipping data; saveExactIndex documents the measurement)
+    Dedup.saveExactIndex(docs, "doc_id", "text", dir, nFiles = 16, expectedNdv = 2000)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 16)
+    val present = Dedup.exactIndex(docs.limit(1), "doc_id", "text")
+      .select("text_hash").as[String].head()
+    // full scan through a non-pushable predicate (forces reading the col)
+    val full = bytesRead {
+      spark.read.parquet(dir).filter(length(col("text_hash")) > 0).count()
+    }
+    val point = bytesRead {
+      assert(spark.read.parquet(dir).filter(col("text_hash") === present).count() == 1)
+    }
+    val absent = bytesRead {
+      assert(spark.read.parquet(dir)
+        .filter(col("text_hash") === "ffffffffffffffffffffffffffffffff").count() == 0)
+    }
+    info(s"index bytes: full=$full point=$point absent=$absent")
+    assert(point * 4 < full, s"point probe read $point of $full bytes — layout prunes nothing")
+    assert(absent * 4 < full, s"absent probe read $absent of $full bytes")
+  }
+
   test("bloomIndex: packs positions into in-range non-zero words; empty corpus -> all novel") {
     val corpus = Seq((1L, base), (2L, distinct1), (3L, nearDup)).toDF("doc_id", "text")
     val bm = Dedup.bloomIndex(corpus, "doc_id", "text", mBits = 1 << 10)

@@ -26,6 +26,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(a(0).n_bytes == 700 && a(1).n_bytes == 3)
   }
 
+  test("decodeImage: in-engine PNG round-trips geometry and exact pixel sum") {
+    val cases = Seq((1L, 5, 3), (2L, 1, 1), (3L, 16, 11), (4L, 300, 2))
+    val media = cases.map { case (id, w, h) =>
+      val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toInt)
+      Multimodal.MediaRow(id, "image", graft.sources.Png.encodeGray(w, h, px))
+    }.toDF()
+    val out = Multimodal.decodeImage(spark, media).collect().sortBy(_.media_id)
+    assert(out.length == cases.length && out.forall(_.decoded))
+    cases.zip(out).foreach { case ((id, w, h), r) =>
+      assert(r.width.contains(w) && r.height.contains(h), s"geometry mismatch for $id")
+      val expected = (0 until w * h).map(i => (id * 31 + i) % 256).sum
+      assert(r.px_sum.contains(expected), s"pixel sum mismatch for $id")
+      // documented deterministic container size: one stored deflate block
+      assert(r.n_bytes == 68 + h * (w + 1), s"container size drifted for $id")
+    }
+  }
+
+  test("decodeImage: undecodable payload flags decoded=false, does not fail the job") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", graft.sources.Png.encodeGray(2, 2, Array(1, 2, 3, 4))),
+      Multimodal.MediaRow(2L, "image", "not an image at all".getBytes("UTF-8")),
+      Multimodal.MediaRow(3L, "image", Array.emptyByteArray)).toDF()
+    val out = Multimodal.decodeImage(spark, media).collect().sortBy(_.media_id)
+    assert(out.map(_.decoded).toSeq == Seq(true, false, false))
+    assert(out.filter(!_.decoded).forall(r =>
+      r.width.isEmpty && r.height.isEmpty && r.px_sum.isEmpty))
+  }
+
   test("sampleFrames emits one row per stride offset") {
     val out = Multimodal.sampleFrames(media.filter(col("media_id") === 1), everyNBytes = 100)
     assert(out.count() == 7) // offsets 0,100,...,600

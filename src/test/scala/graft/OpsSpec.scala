@@ -7,6 +7,39 @@ import graft.ops._
 class OpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("skewAwareJoin: measures the hot key, salts only past both thresholds, rows identical") {
+    // 5000 rows on key 1 (91% share) + 500 spread over keys 2..11
+    val skewed = spark.range(5000).select(lit(1L).as("k"), col("id").as("v"))
+      .unionByName(spark.range(500).select((col("id") % 10 + 2).as("k"), (col("id") + 10000).as("v")))
+    val uniform = spark.range(5000).select((col("id") % 11 + 1).as("k"), col("id").as("v"))
+    val dim = spark.range(12).select((col("id") + 1).as("k"), concat(lit("n"), col("id")).as("name"))
+    def route(f: org.apache.spark.sql.DataFrame) =
+      Joins.skewAwareJoin(f, dim, Seq("k"), hotShareThreshold = 0.5,
+        hotRowThreshold = 1000, targetRowsPerBucket = 700, maxBuckets = 4)
+    // measurement: exact hot-key count/share, bucket count scaled to the
+    // hot key (ceil(5000/700) = 8, capped at 4)
+    val dS = Joins.skewDecision(skewed, Seq("k"), hotShareThreshold = 0.5,
+      hotRowThreshold = 1000, targetRowsPerBucket = 700, maxBuckets = 4)
+    assert(dS.totalRows == 5500 && dS.topRows == 5000 && dS.salted && dS.buckets == 4, dS.toString)
+    val dU = Joins.skewDecision(uniform, Seq("k"), hotShareThreshold = 0.5,
+      hotRowThreshold = 1000, targetRowsPerBucket = 700, maxBuckets = 4)
+    assert(!dU.salted && dU.buckets == 1, dU.toString)
+    // the salted path ENGAGES on the skewed fixture (salt hash in the
+    // plan) and stays out of the uniform one
+    val pSkew = route(skewed).queryExecution.executedPlan.toString
+    assert(pSkew.contains("xxhash64"), s"salt must engage on the skewed fixture:\n$pSkew")
+    val pUni = route(uniform).queryExecution.executedPlan.toString
+    assert(!pUni.contains("xxhash64"), s"uniform keys must route plain:\n$pUni")
+    // either route is row-identical to the plain join
+    Seq(skewed, uniform).foreach { f =>
+      val got = route(f).select("k", "v", "name")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      val want = f.join(dim, Seq("k")).select("k", "v", "name")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(got == want)
+    }
+  }
+
   test("asofJoin backward: latest right <= left time, inclusive; no match -> nulls (J14)") {
     val left = Seq(("u1", 10, "a"), ("u1", 20, "b"), ("u1", 5, "c"), ("u2", 10, "d"))
       .toDF("k", "t", "payload")

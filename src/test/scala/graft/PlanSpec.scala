@@ -76,15 +76,49 @@ class PlanSpec extends SparkTestBase {
       s"distinct-set cross must broadcast:\n$p")
   }
 
-  test("stripBoilerplate: dictionary anti join broadcasts, no cartesian anywhere") {
+  test("stripBoilerplate: dictionary join is hint-free; AQE broadcasts a small dictionary") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val p = plan(graft.operators.CorpusPrep.stripBoilerplate(docs, "doc_id", "text", 5))
-    // the threshold-crossing line dictionary is tiny by construction: the
-    // cleanup must be a broadcast LeftAnti, never a corpus reshuffle
+    val df = graft.operators.CorpusPrep.stripBoilerplate(docs, "doc_id", "text", 5)
+    // the dictionary is only tiny for well-behaved corpora — at minDocs=2
+    // over a web crawl it can reach 10⁸ rows, so a hard broadcast() hint
+    // is a driver OOM at scale: the logical plan must carry NO join hint
+    // and leave the strategy to AQE's runtime stats (VERDICT r7 §wrong-1)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach(j => assert(j.hint == JoinHint.NONE, s"unexpected forced hint: ${j.hint}"))
+    // ...and on an actually-small dictionary AQE must still arrive at the
+    // broadcast LeftAnti at runtime (the fixture-scale efficiency check)
+    df.count()
+    val p = plan(df)
     assert(p.contains("LeftAnti") && p.contains("BroadcastExchange"),
-      s"boilerplate cleanup must broadcast-anti-join:\n$p")
+      s"AQE should broadcast the small dictionary anti join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no cartesian shapes expected:\n$p")
+  }
+
+  test("bloomPrefilterFlags: broadcast hint present under the bitmap ceiling, absent above") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import graft.operators.Dedup
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma"), (11L, "fresh material")).toDF("doc_id", "text")
+    def hints(mBits: Int) = {
+      val out = Dedup.bloomPrefilterFlags(batch,
+        Dedup.bloomIndex(corpus, "doc_id", "text", mBits = mBits),
+        Dedup.exactIndex(corpus, "doc_id", "text"), "doc_id", "text", mBits = mBits)
+      out.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    }
+    // small bitmap: the probe join must carry the broadcast hint (the
+    // bitmap is provably mBits/32 rows — no reason to shuffle the batch)
+    assert(hints(1 << 14).exists(_ != JoinHint.NONE),
+      "expected a broadcast hint on the small-bitmap probe join")
+    // above BloomBroadcastMaxBits the hint must disappear: the documented
+    // production bitmap (2^30 bits ≈ 400 MB as rows) sits past the
+    // broadcast ceiling, so the strategy is AQE's call, not a forced hint
+    assert(hints(Dedup.BloomBroadcastMaxBits * 2).forall(_ == JoinHint.NONE),
+      "big-bitmap probe join must be hint-free")
   }
 
   test("spanOverlapStats: only hash/doc keys shuffle, document text never does") {

@@ -185,6 +185,39 @@ class ScaleProbeSpec extends SparkTestBase {
       s"codes-only probe must never scan a float vector at 10x:\n$readSchema")
   }
 
+  test("ann_knn_join: batched candidate work is the IVF bound, not |queries| x |corpus|") {
+    val dir = java.nio.file.Files.createTempDirectory("scale_knn").toString
+    val vecs = syntheticVecs(nVecs * 10)
+    val cents = Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      s"$dir/idx", nCells = 16, trainIters = 2)
+    val nQ = 200L
+    val queries = syntheticVecs(nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def jn() = Similarity.knnJoin(spark, s"$dir/idx", "vec_id", "embedding",
+      queries, "q_id", "q_emb", k = 10, cents, nProbe = 2)
+    jn().count()                                // warm
+    val (_, t) = timed(jn().count())
+    // the claim that matters: candidate pairs = Σ over probed (query, cell)
+    // of |cell| — the IVF bound (~nProbe/nCells of |q|×|corpus|), never the
+    // brute-force product. Reconstruct the probe set driver-side (public
+    // single-query surface) and count the joined candidates exactly.
+    val qcells = queries.select("q_id", "q_emb").collect().flatMap { r =>
+      val v = r.getSeq[Number](1).map(_.doubleValue()).toSeq
+      Similarity.nearestCellsLocal(v, cents, 2).map(c => (r.getLong(0), c))
+    }.toSeq.toDF("q_id", "cell")
+    val idx = spark.read.parquet(s"$dir/idx")
+    val candidates = idx.join(qcells, Seq("cell")).count()
+    val total = idx.count()
+    info(f"ann_knn_join t=$t%.2fs candidates=$candidates of ${nQ * total} " +
+      f"(${candidates * 100.0 / (nQ * total)}%.1f%%) at |corpus|=$total |q|=$nQ")
+    assert(candidates * 2 < nQ * total,
+      s"batched probe candidate work $candidates is not meaningfully below |q|x|corpus| ${nQ * total}")
+    // and the scan stays partition-pruned (the literal distinct-cell isin)
+    val plan = jn().queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"batched probe lost partition pruning at scale:\n$plan")
+  }
+
   test("dd_incr_near: bucketed-index probe keeps the batch-side-only shuffle at 10x") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -235,6 +268,50 @@ class ScaleProbeSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_scale_mh_small")
       spark.sql("DROP TABLE IF EXISTS graft_scale_mh_big")
     }
+  }
+
+  test("dd_span_cut: 10x docs within linear time, same exchange count") {
+    // the riskiest round-7 shape: span-cut composes the window fan-out
+    // (~25 hashes/doc) with a coverage explode and the owner join — probe
+    // that the whole composition stays linear and keeps its plan at 10x
+    def cut(n: Long): DataFrame =
+      Dedup.cutDuplicateSpans(syntheticDocs(n), "doc_id", "text", window = 16)
+    def run(n: Long): (Long, Double) = timed(cut(n).count())
+    run(nDocs)                                  // warm
+    val (rowsSmall, tSmall) = run(nDocs)
+    val (rowsBig, tBig) = run(nDocs * 10)
+    // one output row per input doc (base + 3% exact + 3% near)
+    assert(rowsSmall == nDocs * 106 / 100, s"small rows $rowsSmall")
+    assert(rowsBig == nDocs * 10 * 106 / 100, s"big rows $rowsBig")
+    assert(exchanges(cut(nDocs)) == exchanges(cut(nDocs * 10)),
+      "span-cut plan changed shape at 10x")
+    assertLinear("dd_span_cut", tSmall, tBig)
+  }
+
+  test("ann_ivf_pq probe: pruned codes-only scan holds at 10x") {
+    val dir = java.nio.file.Files.createTempDirectory("scale_ivf_pq").toString
+    val vecs = syntheticVecs(nVecs * 10)
+    val (cents, cbs) = Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding",
+      s"$dir/idx", dim = 32, nCells = 16, trainIters = 2, m = 4, ksub = 8, pqIters = 1)
+    val qvec = (1 to 32).map(k => math.sin(7.0 * k))
+    def probe() = Similarity.probeIvfPqIndex(spark, s"$dir/idx", "vec_id",
+      qvec, queryId = 7L, k = 10, cents, cbs, nProbe = 4)
+    probe().collect()                           // warm
+    val (_, t) = timed(probe().count())
+    val plan = probe().queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"IVF-PQ probe lost partition pruning at 10x:\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("__code") && !readSchema.contains("embedding"),
+      s"IVF-PQ probe must scan codes only at 10x:\n$readSchema")
+    val probedCells = Similarity.nearestCellsLocal(qvec, cents, 4)
+    val idx = spark.read.parquet(s"$dir/idx")
+    val probedRows = idx.filter(col("cell").isin(probedCells: _*)).count()
+    val total = idx.count()
+    info(f"ann_ivf_pq probe=$t%.2fs reads $probedRows/$total rows " +
+      f"(${probedRows * 100.0 / total}%.0f%%) at n=${nVecs * 10}")
+    assert(probedRows * 2 < total,
+      s"4/16-cell PQ probe reads $probedRows of $total rows — pruning buys nothing")
   }
 
   test("dd_span_overlap: 10x docs within linear time, planted spans scored exactly") {
