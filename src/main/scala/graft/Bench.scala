@@ -32,7 +32,9 @@ object Bench {
     "ev_hourly_agg",      // timestamp agg
     "sm_corpus_prep",     // gate -> dedup -> shuffle -> shard composite
     "dd_span_overlap",    // rolling-window span dup profile (every window hashed)
-    "tx_boilerplate"      // corpus-wide repeated-line strip + doc rebuild
+    "tx_boilerplate",     // corpus-wide repeated-line strip + doc rebuild
+    "ann_knn_join",       // batched k-NN join over the materialized IVF index
+    "w14_ewma"            // bounded-recursion EWMA window fold
   )
 
   def main(args: Array[String]): Unit = {

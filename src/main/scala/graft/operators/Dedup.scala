@@ -781,4 +781,46 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select("id_a", "id_b", "matches", "containment")
   }
+
+  /** Character-level near-dup pairs by Levenshtein distance over
+    * canonicalized prefixes, with length-bucket blocking.
+    *
+    * Minhash/Jaccard families see token-set similarity; edit distance
+    * catches the small-perturbation family (typo farms, template fills)
+    * they miss. The O(p²·len²) verify never runs all-pairs: docs block on
+    * (lang, ⌊n_chars/bucketWidth⌋), each doc ALSO probes the next bucket
+    * (standard neighbor-bucket trick — pairs straddling one boundary stay
+    * visible; pairs >bucketWidth apart in length can't be near-dups at
+    * these thresholds anyway), and the quadratic work is bounded per
+    * block. The distance runs on `prefixLen`-char prefixes: O(prefixLen²)
+    * per pair, constant — full-text Levenshtein at corpus scale is a
+    * deliberate non-goal (use spanOverlapStats for long-form overlap).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      lang: String,
+      sizeCol: String,
+      bucketWidth: Int,
+      prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    require(bucketWidth >= 1 && prefixLen >= 1 && maxDist >= 0, "bad blocking params")
+    val d0 = df.select(
+      col(id), col(lang),
+      substring(lower(trim(col(text))), 1, prefixLen).as("pfx"),
+      expr(s"$sizeCol DIV $bucketWidth").as("b"))
+    val e = d0.unionByName(d0.withColumn("b", col("b") + 1))
+    val a = e.select(col(id).as("doc_a"), col(lang).as("__la"),
+      col("pfx").as("pa"), col("b"))
+    val x = e.select(col(id).as("doc_b"), col(lang).as("__lx"),
+      col("pfx").as("pb"), col("b"))
+    a.join(x, col("__la") === col("__lx") && a("b") === x("b")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "pa", "pb")
+      .distinct() // a pair sharing both its buckets would otherwise double
+      .withColumn("lev", levenshtein(col("pa"), col("pb")))
+      .filter(col("lev") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("int").as("lev"))
+  }
 }

@@ -172,4 +172,72 @@ object Multimodal {
       .withColumn("frame_offset",
         explode(sequence(lit(0), greatest(col("n_bytes") - 1, lit(0)), lit(everyNBytes))))
       .select(col("media_id"), col("modality"), col("frame_offset"))
+
+  // ---- audio: REAL in-engine codec (graft.sources.Wav) -----------------
+
+  final case class AudioSamplesRow(media_id: Long, sample_rate: Int, samples: Seq[Int])
+  final case class AudioPayloadRow(media_id: Long, payload: Array[Byte])
+  final case class DecodedAudio(
+      media_id: Long,
+      n_bytes: Int,
+      decoded: Boolean,
+      sample_rate: Option[Int],
+      samples: Option[Seq[Int]])
+
+  /** Encode (media_id, sample_rate, samples:array<int>) rows to RIFF/WAVE
+    * PCM16 payloads — [[graft.sources.Wav]] in the per-partition batch
+    * shape. Narrow (no shuffle); the payload is a deterministic function
+    * of the row, so retries/speculation rewrite identical bytes.
+    */
+  def encodeWav(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("sample_rate").cast("int"),
+        col("samples").cast("array<int>"))
+      .as[AudioSamplesRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          AudioPayloadRow(r.media_id,
+            graft.sources.Wav.encodePcm16Mono(r.sample_rate, r.samples.toArray))
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL audio decode: parse RIFF/WAVE PCM16-mono payloads back to
+    * (rate, samples). Undecodable payloads flag decoded=false with null
+    * features — one corrupt clip must not kill a corpus pass (same
+    * contract as [[decodeImage]]). Everything numeric downstream
+    * ([[audioFeatures]]) is pure Catalyst expressions over the array.
+    */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload").cast("binary"))
+      .as[AudioPayloadRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          graft.sources.Wav.decodePcm16Mono(r.payload) match {
+            case Some(pcm) => DecodedAudio(r.media_id, r.payload.length, decoded = true,
+              Some(pcm.sampleRate), Some(pcm.samples.toSeq))
+            case None => DecodedAudio(r.media_id, r.payload.length, decoded = false, None, None)
+          }
+        }
+      }
+  }
+
+  /** Waveform features as codegen'd HOF expressions over the decoded
+    * samples array — integer-exact (BIGINT peak/energy, no float
+    * reduction), so the whole encode→decode→feature path is
+    * oracle-replayable. abs runs in BIGINT: abs(-32768) overflows int16
+    * semantics and INT abs of Int.MinValue-shaped values is the classic
+    * silent wrap.
+    */
+  def audioFeatures(decoded: DataFrame): DataFrame =
+    decoded.select(
+      col("media_id"), col("n_bytes"), col("decoded"), col("sample_rate"),
+      // size(null) is -1 under legacy non-ANSI semantics — keep nulls null
+      when(col("samples").isNotNull, size(col("samples"))).as("n_samples"),
+      array_max(transform(col("samples"), s => abs(s.cast("long")))).as("peak"),
+      aggregate(col("samples"), lit(0L), (a, s) => a + s.cast("long") * s.cast("long"))
+        .as("energy"),
+      aggregate(col("samples"), lit(0L), (a, s) => a + s.cast("long")).as("sum_amp"))
 }

@@ -391,4 +391,57 @@ object Joins {
       .filter(col(bk) === bucketOf(greatest(col(aLo), col(bLo))))
       .drop(bk)
   }
+
+  /** J18: nearest-neighbor time join — each left row gets the right row
+    * whose time is CLOSEST in either direction (as-of picks the most
+    * recent at-or-before; nearest also looks forward and keeps whichever
+    * side is nearer, ties to the earlier right row).
+    *
+    * Built as two [[asofJoin]] passes (backward then forward) over the
+    * same keys — two keyed shuffles of |L|+|R|, no inequality nested-loop
+    * — then a per-row pick on the two candidates. Time distance is
+    * compared in exact integer micros (timestamps) or the raw integral
+    * value, never floats: a float |Δ| could round two distinct distances
+    * equal and flip the tie-break.
+    *
+    * Right rows must be unique per (keys, rightTime) — with duplicates
+    * "the nearest row" is ill-defined; callers aggregate first (the
+    * catalog entry keeps MAX(value) per instant). Checked lazily per row
+    * (assert on conflicting fills would cost a second window), documented
+    * instead: the backward pass takes the LAST duplicate in window order,
+    * matching asofJoin's existing contract.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val rv = (rightVals :+ rightTime).distinct
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case _ => c.cast("long")
+    }
+    val lDt = left.schema(leftTime).dataType
+    val rDt = right.schema(rightTime).dataType
+    def tagged(suffix: String) = right.select(
+      (keys.map(col) ++ rv.map(c => col(c).as(c + suffix))): _*)
+    val bwd = asofJoin(left, tagged("__bwd"), keys,
+      leftTime, rightTime + "__bwd", rv.map(_ + "__bwd"), "backward")
+    val both = asofJoin(bwd, tagged("__fwd"), keys,
+      leftTime, rightTime + "__fwd", rv.map(_ + "__fwd"), "forward")
+    val lT = micros(col(leftTime), lDt)
+    val dB = lT - micros(col(rightTime + "__bwd"), rDt)  // ≥ 0 when present
+    val dF = micros(col(rightTime + "__fwd"), rDt) - lT  // ≥ 0 when present
+    // pick backward iff forward is missing, or backward present and
+    // no farther than forward (tie → backward = earlier right row)
+    val pickBwd = col(rightTime + "__bwd").isNotNull &&
+      (col(rightTime + "__fwd").isNull || dB <= dF)
+    val picked = rightVals.map { v =>
+      when(pickBwd, col(v + "__bwd")).otherwise(col(v + "__fwd")).as(v)
+    }
+    both.select((left.columns.map(col).toSeq ++ picked): _*)
+  }
 }

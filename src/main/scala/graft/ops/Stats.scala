@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed statistics operators with engine-exact (oracle-replayable)
+  * semantics: every reduction is either integer/decimal-exact or a
+  * deterministic left-fold/closed-form whose IEEE evaluation order is
+  * identical on any engine that parses the same arithmetic expression.
+  *
+  * Beyond-reference mandate (SURVEY §2.11 analytics): the reference's
+  * profiling surface is count/na_sum checks (reference R/utils.R:1-23
+  * `report_missings`, R/check_prepared_abcd.R) — these operators extend it
+  * to the moving-average / sketch / regression shapes an analytics engine
+  * needs at corpus scale.
+  */
+object Stats {
+
+  /** Exponentially weighted moving average over a bounded trailing window.
+    *
+    * Recursive EWMA (e_1 = x_1; e_t = α·x_t + (1−α)·e_{t−1}) is a
+    * sequential fold, which distributed engines usually approximate or
+    * ban. Bounding the recursion to the last `lookback` rows makes it a
+    * per-row O(lookback) expression: collect the frame into an array
+    * (WindowExec, one shuffle on `keys`) and left-fold it with
+    * `aggregate` — a codegen'd HOF, no UDF. The fold order is the frame
+    * order, so the result is deterministic; with α exactly representable
+    * in binary (0.25, 0.5, …) the per-step FMA-free `(α·x) + ((1−α)·acc)`
+    * is bit-identical on any IEEE engine folding the same list (DuckDB
+    * `list_reduce` oracle in the catalog).
+    *
+    * At 100 TB: one keyed shuffle (the window), state per row bounded by
+    * `lookback` — no unbounded collect, no global sort. The truncation is
+    * principled: weights below (1−α)^lookback are dropped; at α=0.25,
+    * lookback=8 the dropped tail carries <10% of the mass, and callers
+    * needing tighter tails raise `lookback`, trading memory linearly.
+    */
+  def ewma(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[String],
+      value: String,
+      alpha: Double,
+      lookback: Int,
+      out: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(lookback >= 1, s"lookback >= 1, got $lookback")
+    require(keys.nonEmpty, "ewma needs partition keys (a global window cannot scale)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val lst = collect_list(col(value).cast("double")).over(w)
+    val folded = aggregate(
+      slice(lst, lit(2), greatest(size(lst) - 1, lit(0))),
+      element_at(lst, 1),
+      (acc, v) => (lit(alpha) * v) + (lit(1.0 - alpha) * acc))
+    df.withColumn(out, folded)
+  }
+
+  /** Gini–Simpson diversity per group: 1 − Σ pᵢ² over the categories of
+    * `cat`, plus the effective category count 1/Σpᵢ² (= N²/Σcᵢ²).
+    *
+    * Deliberately log-free (catalog rule: ln() is not bit-guaranteed
+    * across engines, see tx_tfidf / tx_bm25): the sufficient statistic
+    * Σcᵢ² is an exact BIGINT, and each output is ONE double division —
+    * engine-exact. Two hash aggregations, both map-side combined; the
+    * second input is |groups × categories| rows, already tiny.
+    */
+  def diversity(df: DataFrame, group: String, cat: String): DataFrame =
+    df.groupBy(col(group), col(cat)).agg(count(lit(1)).as("c"))
+      .groupBy(col(group))
+      .agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(
+        col(group), col("n"), col("n_cats"), col("sum_sq"),
+        (lit(1.0) - (col("sum_sq").cast("double") / (col("n") * col("n")).cast("double")))
+          .as("gini_simpson"),
+        ((col("n") * col("n")).cast("double") / col("sum_sq").cast("double"))
+          .as("effective_cats"))
+
+  /** Count-min-sketch heavy hitters: exact top-k keys by frequency, each
+    * annotated with the frequency the sketch would report.
+    *
+    * The sketch is fully deterministic — row j hashes key k to bucket
+    * `md5(j || '-' || k)` first-8-hex mod `width` — so the whole thing is
+    * SQL-replayable (the md5-sketch oracle family). estimate(k) =
+    * min over j of counter[j, bucket_j(k)] ≥ true(k) by construction
+    * (counters only ever add); the `overcount` column exposes collision
+    * error directly, which is the number a capacity planner needs when
+    * sizing width for a real stream.
+    *
+    * Scale shape: ONE full-data shuffle (the exact groupBy, map-side
+    * combined); the sketch itself is depth×width cells, so the
+    * counter join is a broadcast and the estimate aggregation runs on
+    * |distinct keys|·depth rows.
+    */
+  def cmsHeavyHitters(
+      df: DataFrame,
+      key: String,
+      depth: Int = 3,
+      width: Int = 256,
+      topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape d=$depth w=$width")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("true_n"))
+    val hashed = counts
+      .select(col(key), col("true_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat_ws("-", col("j"), col(key).cast("string"))), 1, 8),
+          16, 10).cast("long") % width)
+    val counters = hashed.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("true_n")).as("cnt"))
+    val est = hashed
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col(key), col("true_n"))
+      .agg(min(col("cnt")).as("cms_n"))
+    // top-k via sort+limit (TakeOrderedAndProject — per-partition partial
+    // top-k, no global sort); the rank window then runs on k rows only
+    est
+      .orderBy(col("true_n").desc, col(key))
+      .limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("true_n").desc, col(key))))
+      .select(col(key), col("true_n"), col("cms_n"),
+        (col("cms_n") - col("true_n")).as("overcount"), col("rk"))
+  }
+
+  /** Deterministic uniform sample + order-statistic quantiles.
+    *
+    * Sampling by md5-priority (lowest `k` by the hash of the row key) is
+    * retry-stable and partition-count-independent — unlike rand(), the
+    * same rows are sampled on every run and every cluster layout, so the
+    * quantile estimate is reproducible AND oracle-replayable. The top-k
+    * by priority plans as TakeOrderedAndProject (per-partition partial
+    * top-k, then a k-row merge on the driver side of the exchange — no
+    * global sort). Quantiles are exact order statistics OF THE SAMPLE
+    * (index ⌊(k−1)·q⌋, no interpolation): element picks, no float
+    * arithmetic to drift.
+    */
+  def sampleQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      value: String,
+      k: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(k >= 1 && qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "bad k/qs")
+    val pri = md5(concat_ws("-", keyCols.map(c => col(c).cast("string")): _*))
+    val sample = df
+      .select(col(value).cast("double").as("v"), pri.as("pri"))
+      .orderBy(col("pri"))
+      .limit(k)
+    // the post-limit windows are global but run on ≤ k rows — bounded by
+    // construction, the same k-row footprint the limit already created
+    val ranked = sample
+      .withColumn("n_sample", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("vrk", row_number().over(Window.orderBy(col("v"), col("pri"))))
+    // index ⌊(n−1)·q⌋ is exact integer math once q is a ratio of ints:
+    // q = num/100 → idx = ((n−1)·num) DIV 100 (qs constrained to percent)
+    val picks = qs.map { q =>
+      val num = math.round(q * 100).toInt
+      require(math.abs(q * 100 - num) < 1e-9, s"quantiles must be whole percents, got $q")
+      max(when(col("vrk") === expr(s"((n_sample - 1) * $num) DIV 100") + 1, col("v")))
+        .as(s"p$num")
+    }
+    ranked.groupBy(col("n_sample")).agg(picks.head, picks.tail: _*)
+  }
+
+  /** det(3×3) as a SQL arithmetic string over 9 column names — shared
+    * verbatim by the Spark side (`expr`) and the DuckDB oracle, so the
+    * IEEE evaluation order is identical by construction.
+    */
+  def det3(a11: String, a12: String, a13: String,
+           a21: String, a22: String, a23: String,
+           a31: String, a32: String, a33: String): String =
+    s"(($a11 * (($a22 * $a33) - ($a23 * $a32))) " +
+      s"- ($a12 * (($a21 * $a33) - ($a23 * $a31)))) " +
+      s"+ ($a13 * (($a21 * $a32) - ($a22 * $a31)))"
+
+  /** Grouped ordinary least squares, two features + intercept, solved in
+    * closed form from exact sufficient statistics.
+    *
+    * The distributed part is ONE map-side-combined aggregation of the
+    * normal-equation sums — and those sums are EXACT: inputs are floored
+    * to integer centi-units first, so Σx, Σx², Σxy are BIGINT arithmetic
+    * with no float reduction order to drift. The 3×3 Cramer solve then
+    * runs per group on the 9 exact sums, written once as SQL text
+    * ([[det3]]) and evaluated by both engines with identical IEEE
+    * rounding. This is how regression should look at 100 TB: sufficient
+    * statistics shuffle (9 longs per group), never rows.
+    */
+  def groupedOls2(
+      df: DataFrame,
+      group: String,
+      y: String,
+      x1: String,
+      x2: String): DataFrame = {
+    val cent = (c: String) => round(col(c) * 100).cast("long")
+    val s = df
+      .select(col(group), cent(y).as("yy"), cent(x1).as("u"), cent(x2).as("v"))
+      .groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("u")).as("su"), sum(col("v")).as("sv"), sum(col("yy")).as("sy"),
+        sum(col("u") * col("u")).as("suu"), sum(col("u") * col("v")).as("suv"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("u") * col("yy")).as("suy"), sum(col("v") * col("yy")).as("svy"))
+    olsSolve(s, group)
+  }
+
+  /** The shared Cramer solve over a sums row (see [[groupedOls2]]); the
+    * identical SQL text is interpolated into the catalog oracle.
+    */
+  def olsSolveSql: Seq[String] = {
+    val det = det3("nd", "su_d", "sv_d", "su_d", "suu_d", "suv_d", "sv_d", "suv_d", "svv_d")
+    val d0 = det3("sy_d", "su_d", "sv_d", "suy_d", "suu_d", "suv_d", "svy_d", "suv_d", "svv_d")
+    val d1 = det3("nd", "sy_d", "sv_d", "su_d", "suy_d", "suv_d", "sv_d", "svy_d", "svv_d")
+    val d2 = det3("nd", "su_d", "sy_d", "su_d", "suu_d", "suy_d", "sv_d", "suv_d", "svy_d")
+    // betas are in centi-unit space; x and y centi-scales cancel for the
+    // slopes, the intercept converts back by /100
+    Seq(
+      s"(($d0) / ($det)) / 100.0 AS beta0",
+      s"(($d1) / ($det)) AS beta1",
+      s"(($d2) / ($det)) AS beta2")
+  }
+
+  /** Cast the exact BIGINT sums to the doubles the Cramer text expects.
+    * Shared with the oracle (same CAST text) — an integer exceeding 2^53
+    * rounds, but rounds IDENTICALLY in both engines (nearest-even).
+    */
+  val olsCastSql: Seq[String] = Seq(
+    "CAST(n AS DOUBLE) AS nd", "CAST(su AS DOUBLE) AS su_d", "CAST(sv AS DOUBLE) AS sv_d",
+    "CAST(sy AS DOUBLE) AS sy_d", "CAST(suu AS DOUBLE) AS suu_d",
+    "CAST(suv AS DOUBLE) AS suv_d", "CAST(svv AS DOUBLE) AS svv_d",
+    "CAST(suy AS DOUBLE) AS suy_d", "CAST(svy AS DOUBLE) AS svy_d")
+
+  private def olsSolve(sums: DataFrame, group: String): DataFrame =
+    sums
+      .selectExpr((Seq(group, "n") ++ olsCastSql): _*)
+      .selectExpr((Seq(group, "n") ++ olsSolveSql): _*)
+}

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Joins, Stats}
+import graft.sources.{FixedWidth, Wav}
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- EWMA ------------------------------------------------------------
+
+  test("ewma: matches the sequential recursion over the bounded frame") {
+    val rows = for (g <- 1 to 3; i <- 1 to 20)
+      yield (g.toLong, i.toLong, ((g * 37 + i * 13) % 100).toDouble)
+    val df = rows.toDF("g", "i", "x")
+    val got = Stats.ewma(df, Seq("g"), Seq("i"), "x", alpha = 0.25, lookback = 8)
+      .select("g", "i", "ewma").as[(Long, Long, Double)].collect()
+      .map { case (g, i, e) => (g, i) -> e }.toMap
+    // brute force: recursive fold over the last-8 slice, per group
+    for (g <- 1 to 3) {
+      val xs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      for (i <- 1 to 20) {
+        val frame = xs.slice(math.max(0, i - 8), i)
+        val want = frame.tail.foldLeft(frame.head)((acc, v) => (0.25 * v) + (0.75 * acc))
+        assert(got((g.toLong, i.toLong)) == want, s"g=$g i=$i")
+      }
+    }
+  }
+
+  test("ewma: plans exactly one exchange (the window shuffle)") {
+    val df = spark.range(100).select((col("id") % 5).as("g"), col("id").as("i"),
+      (col("id") * 3 % 17).cast("double").as("x"))
+    val plan = Stats.ewma(df, Seq("g"), Seq("i"), "x", 0.5, 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"want 1 exchange, got $exchanges:\n$plan")
+  }
+
+  // ---- CMS heavy hitters ------------------------------------------------
+
+  test("cmsHeavyHitters: estimate never undercounts; exact top-k order") {
+    // zipf-ish: key k appears 200/k times, k = 1..40
+    val rows = for (k <- 1 to 40; _ <- 1 to (200 / k)) yield Tuple1(k.toLong)
+    val df = rows.toDF("k")
+    val out = Stats.cmsHeavyHitters(df, "k", depth = 3, width = 64, topK = 10)
+      .select("k", "true_n", "cms_n", "overcount", "rk")
+      .as[(Long, Long, Long, Long, Int)].collect().sortBy(_._5)
+    assert(out.length == 10)
+    // top keys by true frequency, rank order correct
+    assert(out.map(_._1).take(3).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall { case (_, t, c, o, _) => c >= t && o == c - t && o >= 0 })
+    // true counts are the exact frequencies
+    assert(out.head._2 == 200)
+  }
+
+  test("cmsHeavyHitters: wide sketch on few keys is collision-free (overcount 0)") {
+    val df = (1 to 5).flatMap(k => Seq.fill(k * 3)(k.toLong)).map(Tuple1(_)).toDF("k")
+    val out = Stats.cmsHeavyHitters(df, "k", depth = 3, width = 4096, topK = 5)
+      .select("overcount").as[Long].collect()
+    assert(out.forall(_ == 0L), out.mkString(","))
+  }
+
+  // ---- sample quantiles --------------------------------------------------
+
+  test("sampleQuantiles: k >= n degenerates to exact order statistics") {
+    val df = (1 to 101).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val row = Stats.sampleQuantiles(df, Seq("id"), "v", k = 1000, qs = Seq(0.0, 0.5, 1.0))
+      .select("n_sample", "p0", "p50", "p100").as[(Long, Double, Double, Double)]
+      .collect().head
+    // n=101: p0 -> idx 0 -> 1.0; p50 -> idx 50 -> 51.0; p100 -> idx 100 -> 101.0
+    assert(row == ((101L, 1.0, 51.0, 101.0)), row.toString)
+  }
+
+  // ---- grouped OLS --------------------------------------------------------
+
+  test("groupedOls2: recovers a planted exact linear model per group") {
+    // y = b0 + b1*x1 + b2*x2 with centi-exact inputs; two groups with
+    // different betas; enough spread that X'X is well-conditioned
+    def mk(g: String, b0: Double, b1: Double, b2: Double) =
+      for (i <- 1 to 200) yield {
+        val x1 = (i % 23).toDouble
+        val x2 = ((i * 7) % 11).toDouble / 2.0 // .0 or .5 — centi-exact
+        (g, b0 + b1 * x1 + b2 * x2, x1, x2)
+      }
+    val df = (mk("a", 3.0, 2.0, -0.5) ++ mk("b", -1.0, 0.25, 4.0))
+      .toDF("g", "y", "x1", "x2")
+    val out = Stats.groupedOls2(df, "g", "y", "x1", "x2")
+      .select("g", "beta0", "beta1", "beta2")
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    val Seq(a, b) = out.toSeq
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    assert(close(a._2, 3.0) && close(a._3, 2.0) && close(a._4, -0.5), a.toString)
+    assert(close(b._2, -1.0) && close(b._3, 0.25) && close(b._4, 4.0), b.toString)
+  }
+
+  // ---- nearest join --------------------------------------------------------
+
+  test("nearestJoin: picks the closer side, ties to earlier, nulls when no right") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L), (4L, 99L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 90L, "a"), (10L, 210L, "b"), (10L, 290L, "c"))
+      .toDF("k", "rt", "v")
+    val got = Joins.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+      .select("id", "rt", "v").as[(Long, Option[Long], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    // id=1: |100-90|=10 vs |210-100|=110 -> a; id=2: |205-210|=5 -> b;
+    // id=3: |300-290|=10 vs none fwd -> c; id=4: no rows for k=99 -> null
+    assert(got == Seq(
+      (1L, Some(90L), Some("a")),
+      (2L, Some(210L), Some("b")),
+      (3L, Some(290L), Some("c")),
+      (4L, None, None)), got.toString)
+  }
+
+  test("nearestJoin: exact tie goes to the earlier (backward) right row") {
+    val left = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
+    val right = Seq((1L, 90L, "early"), (1L, 110L, "late")).toDF("k", "rt", "v")
+    val got = Joins.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("early"))
+  }
+
+  test("nearestJoin: brute-force equality on a hash-generated fixture") {
+    val left = spark.range(200).select(col("id"),
+      (col("id") % 7).as("k"), (xxhash64(col("id")) % 1000).as("t"))
+    val right = spark.range(300).select((col("id") % 7).as("k"),
+      (xxhash64(col("id") + 5000) % 1000).as("rt"),
+      col("id").as("v"))
+      // nearestJoin contract: unique (k, rt)
+      .groupBy("k", "rt").agg(max("v").as("v"))
+    val got = Joins.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+      .select("id", "rt", "v").as[(Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    val ls = left.as[(Long, Long, Long)].collect()
+    val rs = right.as[(Long, Long, Long)].collect()
+    val want = ls.sortBy(_._1).map { case (id, k, t) =>
+      val cands = rs.filter(_._1 == k)
+      if (cands.isEmpty) (id, None, None)
+      else {
+        val (_, rt, v) = cands.minBy { case (_, rt, _) => (math.abs(rt - t), rt) }
+        (id, Some(rt), Some(v))
+      }
+    }.toSeq
+    assert(got == want)
+  }
+
+  // ---- fixed width -----------------------------------------------------
+
+  test("FixedWidth: lossless roundtrip including nulls") {
+    val df = Seq(
+      (Some(1L), Some("ALPHA"), Some(10L)),
+      (Some(2L), None, Some(20L)),
+      (None, Some("GAMMA RAY"), None))
+      .toDF("id", "name", "qty")
+    val path = java.nio.file.Files.createTempDirectory("fw").toString + "/t"
+    val fields = Seq(FixedWidth.Field("id", 6, "bigint"),
+      FixedWidth.Field("name", 12, "string"), FixedWidth.Field("qty", 6, "bigint"))
+    FixedWidth.write(df, path, fields)
+    val got = FixedWidth.read(spark, path, fields)
+      .as[(Option[Long], Option[String], Option[Long])].collect().toSet
+    assert(got == Set(
+      (Some(1L), Some("ALPHA"), Some(10L)),
+      (Some(2L), None, Some(20L)),
+      (None, Some("GAMMA RAY"), None)))
+  }
+
+  test("FixedWidth: overflow and trailing-space values fail loudly at write") {
+    val path = java.nio.file.Files.createTempDirectory("fw_bad").toString + "/t"
+    val wide = Seq(Tuple1("TOOLONGVALUE")).toDF("name")
+    val f = Seq(FixedWidth.Field("name", 4, "string"))
+    val e1 = intercept[Exception] { FixedWidth.write(wide, path, f) }
+    assert(e1.getMessage != null)
+    val padded = Seq(Tuple1("x ")).toDF("name")
+    val e2 = intercept[Exception] { FixedWidth.write(padded, path, f) }
+    assert(e2.getMessage != null)
+  }
+
+  // ---- WAV codec -------------------------------------------------------
+
+  test("Wav: roundtrip is exact including int16 extremes") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = Wav.encodePcm16Mono(8000, samples)
+    assert(bytes.length == 44 + samples.length * 2)
+    val dec = Wav.decodePcm16Mono(bytes).get
+    assert(dec.sampleRate == 8000)
+    assert(dec.samples.toSeq == samples.toSeq)
+  }
+
+  test("Wav: skips unknown RIFF chunks (word-aligned) before data") {
+    val base = Wav.encodePcm16Mono(16000, Array(5, -5, 7))
+    // splice an odd-sized LIST chunk (3 bytes + pad) between fmt and data
+    val insertAt = 12 + 8 + 16 // after fmt chunk
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(insertAt) ++ extra ++ base.drop(insertAt)
+    // patch RIFF size
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xFF).toByte
+    spliced(5) = ((riffLen >> 8) & 0xFF).toByte
+    spliced(6) = ((riffLen >> 16) & 0xFF).toByte
+    spliced(7) = ((riffLen >> 24) & 0xFF).toByte
+    val dec = Wav.decodePcm16Mono(spliced)
+    assert(dec.isDefined && dec.get.samples.toSeq == Seq(5, -5, 7))
+  }
+
+  test("Wav: corrupt payloads flag as None, never throw") {
+    val good = Wav.encodePcm16Mono(16000, Array(1, 2, 3))
+    assert(Wav.decodePcm16Mono(Array.emptyByteArray).isEmpty)
+    assert(Wav.decodePcm16Mono("notawav".getBytes).isEmpty)
+    assert(Wav.decodePcm16Mono(good.take(30)).isEmpty)          // truncated
+    val stereo = good.clone; stereo(22) = 2                     // channels=2
+    assert(Wav.decodePcm16Mono(stereo).isEmpty)
+    val bits8 = good.clone; bits8(34) = 8                       // bits=8
+    assert(Wav.decodePcm16Mono(bits8).isEmpty)
+  }
+
+  test("Wav: out-of-range samples are rejected at encode") {
+    intercept[IllegalArgumentException] {
+      Wav.encodePcm16Mono(8000, Array(40000))
+    }
+  }
+
+  test("decodeWav pipeline: planted corruption flags decoded=false") {
+    import graft.operators.Multimodal
+    val gen = Seq((1L, 8000, Seq(3, -3, 9)), (2L, 8000, Seq(1, 1))).toDF(
+      "media_id", "sample_rate", "samples")
+    val wav = Multimodal.encodeWav(spark, gen)
+    val corrupted = wav.select(col("media_id"),
+      when(col("media_id") === 2L, expr("substring(payload, 1, 20)"))
+        .otherwise(col("payload")).as("payload"))
+    val out = Multimodal.audioFeatures(Multimodal.decodeWav(spark, corrupted).toDF())
+      .select("media_id", "decoded", "n_samples", "energy")
+      .as[(Long, Boolean, Option[Int], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, true, Some(3), Some(9L + 9L + 81L)),
+      (2L, false, None, None)), out.toString)
+  }
+
+  // ---- edit distance dedup ------------------------------------------------
+
+  test("editDistancePairs: catches boundary-straddling near-dups, skips far pairs") {
+    val a = "the quick brown fox jumps over the lazy dog " * 2 // 88 chars
+    val b = a.dropRight(30)                                    // 58 chars: bucket 0 vs 1 @64
+    val far = "completely different content that shares nothing at all with the others"
+    val df = Seq(
+      (1L, a, "en"), (2L, b, "en"), (3L, far, "en"),
+      (4L, a, "de")) // same text, different lang -> blocked apart
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val got = graft.operators.Dedup.editDistancePairs(df, "doc_id", "text", "lang",
+        "n_chars", bucketWidth = 64, prefixLen = 40, maxDist = 10)
+      .select("doc_a", "doc_b", "lev").as[(Long, Long, Int)].collect().toSet
+    // 1 and 2 share a 40-char prefix exactly (lev 0) and straddle the
+    // 64-char bucket boundary — caught via the neighbor-bucket probe
+    assert(got == Set((1L, 2L, 0)), got.toString)
+  }
+}
