@@ -13,7 +13,8 @@ object SparkEntry {
   /** All verifiable queries, keyed by SURVEY §2 operator id. */
   private def catalog: Seq[Q] =
     Relational.queries ++ graft.queries.TextData.queries ++
-      graft.queries.Analytics.queries ++ graft.queries.Advanced.queries
+      graft.queries.Analytics.queries ++ graft.queries.Advanced.queries ++
+      graft.queries.Extensions.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join (lineitem⋈orders⋈customer⋈nation⋈region: two broadcastable

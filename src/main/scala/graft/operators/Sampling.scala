@@ -313,4 +313,49 @@ object Sampling {
     val rn = graft.core.Cols.fresh(df, "__rn")
     df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k).drop(rn)
   }
+
+  /** Temperature-scaled mixture sampling (the UniMax / multilingual-T5
+    * rebalance, arXiv:1910.10683 §3.4.2): keep ~`totalKeep` rows with
+    * per-stratum quotas proportional to count^(1/T) — T>1 flattens the
+    * head so low-resource strata are not drowned, without the hard flat
+    * quota of [[rebalanceToMixture]] (which needs explicit target weights;
+    * this derives them from the data).
+    *
+    * Engine-exact by construction: T is restricted to powers of two
+    * (count^(1/2^k) = k nested square roots, and IEEE-754 REQUIRES sqrt to
+    * be correctly rounded — bit-identical on every engine — where pow(x,
+    * 1/T) guarantees nothing). Each weight is floored to integer
+    * micro-units, so quota arithmetic is BIGINT: quota_s = totalKeep ·
+    * w_s / Σw (integer division), capped at the stratum count. Survivors
+    * are the md5-rank lowest rows per stratum — retry-stable, no rand().
+    *
+    * Scale: one count aggregate (stratum-scale rows, broadcast back) + one
+    * keyed window shuffle for the rank. The quota math never touches data.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      stratum: Column,
+      key: Column,
+      totalKeep: Long,
+      sqrtApplications: Int = 1): DataFrame = {
+    require(totalKeep > 0, "totalKeep must be positive")
+    require(sqrtApplications >= 1 && sqrtApplications <= 4,
+      "T = 2^k with k in 1..4 (IEEE sqrt is exact; pow is not)")
+    val st = graft.core.Cols.fresh(df, "__st")
+    val q = graft.core.Cols.fresh(df, "__q")
+    val w0 = (1 to sqrtApplications)
+      .foldLeft(col("__n").cast("double")) { (c, _) => sqrt(c) }
+    val counts = df.groupBy(stratum.as(st)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(w0 * 1e6).cast("long"))
+    val tot = counts.agg(sum(col("__w")).as("__sw"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col(st),
+        least(expr(s"(${totalKeep}L * __w) DIV __sw"), col("__n")).as(q))
+    val rk = graft.core.Cols.fresh(df, "__rk")
+    val w = Window.partitionBy(stratum).orderBy(md5Bucket(key), key)
+    df.join(broadcast(quota), stratum === col(st))
+      .withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= col(q))
+      .drop(st, q, rk)
+  }
 }

@@ -240,4 +240,74 @@ object Stats {
     sums
       .selectExpr((Seq(group, "n") ++ olsCastSql): _*)
       .selectExpr((Seq(group, "n") ++ olsSolveSql): _*)
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the `value`
+    * distributions of two slices (`sideA` vs `sideB` of column `side`):
+    * D = sup_x |F_A(x) − F_B(x)|, evaluated at every observed value —
+    * exact for ECDFs, which only step at observations.
+    *
+    * Engine-exact: per distinct value the cumulative counts cumA/cumB are
+    * BIGINT, and the sup is maximized over the INTEGER cross-difference
+    * |cumA·nB − cumB·nA| — one double division at the very end. This is
+    * the distribution-shift gate that complements pf_drift (binned L1)
+    * and pf_chi2 (categorical): KS needs no binning choice and is
+    * sensitive to any CDF divergence.
+    *
+    * Scale shape: the ECDF needs a corpus-wide ordered cumulative sum —
+    * the naive form is ONE unpartitioned window (single reducer, the #1
+    * scale-killer). Instead the cumsum is two-level, like
+    * [[graft.operators.Sampling.globalShuffle]]'s rank: distinct values
+    * aggregate once (hash agg), each lands in an equi-width integer
+    * bucket (min/max broadcast, all-integer boundaries — the pf_histogram
+    * arithmetic), the within-bucket cumsum windows on the BUCKET, and the
+    * ≤`buckets` per-bucket totals become driver-side offsets shipped back
+    * as a map literal. No unpartitioned window anywhere in the plan.
+    *
+    * Returns one row: (n_a, n_b, d_num, d) with d = d_num/(nA·nB).
+    */
+  def ksTest(
+      df: DataFrame,
+      side: Column,
+      sideA: String,
+      sideB: String,
+      valueCents: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val v = df.filter(side.isin(sideA, sideB))
+      .select(valueCents.cast("long").as("v"), side.as("s"))
+    val perValue = v.groupBy(col("v")).agg(
+      sum(when(col("s") === sideA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("s") === sideB, 1L).otherwise(0L)).as("cb"))
+    val m = perValue.agg(min(col("v")).as("minv"), max(col("v")).as("maxv"))
+    val bucketed = perValue.crossJoin(broadcast(m))
+      .withColumn("b",
+        expr(s"((v - minv) * $buckets) DIV (maxv - minv + 1)").cast("int"))
+      .drop("minv", "maxv")
+    val w = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("la", sum(col("ca")).over(w))
+      .withColumn("lb", sum(col("cb")).over(w))
+    // per-bucket totals: an INDEX action over <= buckets rows, not data
+    val totals = bucketed.groupBy(col("b"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var accA = 0L
+    var accB = 0L
+    val offA = scala.collection.mutable.Map.empty[Int, Long]
+    val offB = scala.collection.mutable.Map.empty[Int, Long]
+    totals.foreach { case (bk, ta, tb) =>
+      offA(bk) = accA; offB(bk) = accB; accA += ta; accB += tb
+    }
+    val nA = accA
+    val nB = accB
+    require(nA > 0 && nB > 0, s"ksTest: empty side ($sideA: $nA rows, $sideB: $nB rows)")
+    local
+      .withColumn("cumA", element_at(typedLit(offA.toMap), col("b")) + col("la"))
+      .withColumn("cumB", element_at(typedLit(offB.toMap), col("b")) + col("lb"))
+      .agg(max(abs(col("cumA") * nB - col("cumB") * nA)).as("d_num"))
+      .select(
+        lit(nA).as("n_a"), lit(nB).as("n_b"), col("d_num"),
+        (col("d_num").cast("double") / lit(nA.toDouble * nB.toDouble)).as("d"))
+  }
 }

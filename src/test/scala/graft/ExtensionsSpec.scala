@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{HashClassifier, Sampling}
+import graft.ops.Stats
+
+/** Round-8 tranche-2 operators: KS test, hashed classifier, temperature
+  * mixture. (The image-phash and XML-source families have their own
+  * specs next to their modules.)
+  */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- KS test ---------------------------------------------------------
+
+  test("ksTest: identical distributions give D = 0") {
+    val rows = (1 to 200).flatMap(i => Seq((i.toLong, "A"), (i.toLong, "B")))
+    val df = rows.toDF("v", "s")
+    val r = Stats.ksTest(df, col("s"), "A", "B", col("v")).collect().head
+    assert(r.getAs[Long]("d_num") == 0L)
+    assert(r.getAs[Double]("d") == 0.0)
+  }
+
+  test("ksTest: disjoint supports give D = 1") {
+    val rows = (1 to 100).map(i => (i.toLong, "A")) ++
+      (201 to 300).map(i => (i.toLong, "B"))
+    val r = Stats.ksTest(rows.toDF("v", "s"), col("s"), "A", "B", col("v"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(r.getAs[Double]("d") == 1.0)
+  }
+
+  test("ksTest: matches the brute-force sup over observed values") {
+    // deterministic skewed fixture, unequal sizes, shared + unique values
+    val a = (1 to 157).map(i => ((i * 7 % 50).toLong, "A"))
+    val b = (1 to 211).map(i => ((i * 11 % 60).toLong, "B"))
+    val df = (a ++ b).toDF("v", "s")
+    val r = Stats.ksTest(df, col("s"), "A", "B", col("v"), buckets = 8)
+      .collect().head
+    val av = a.map(_._1).sorted
+    val bv = b.map(_._1).sorted
+    val obs = (av ++ bv).distinct.sorted
+    val want = obs.map { x =>
+      math.abs(av.count(_ <= x).toLong * bv.length - bv.count(_ <= x).toLong * av.length)
+    }.max
+    assert(r.getAs[Long]("d_num") == want)
+    assert(r.getAs[Double]("d") == want.toDouble / (157.0 * 211.0))
+  }
+
+  test("ksTest: no unpartitioned window in the plan") {
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "A" else "B")).toDF("v", "s")
+    val exec = Stats.ksTest(df, col("s"), "A", "B", col("v"))
+      .queryExecution.executedPlan
+    // the ECDF cumsum must window on the bucket — an empty partition spec
+    // is the single-reducer WindowExec this operator exists to avoid (the
+    // final 1-row global max over pre-aggregated partials is fine)
+    val bad = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned window:\n$exec")
+  }
+
+  // ---- hashed classifier -----------------------------------------------
+
+  test("hash classifier: score equals per-feature replay; keep threshold") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "Alpha  ALPHA alpha"), // case folds; repeats count per occurrence
+      (3L, ""),
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = HashClassifier.score(docs, "doc_id", "text", dims = 64, thresholdMilli = 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_features", "score_milli", "keep")
+      .as[(Long, Int, Long, Boolean)].collect()
+    // replay: same md5 arithmetic computed via Spark expressions one-at-a-time
+    def weightOf(feature: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h8(s: String): Long =
+        java.lang.Long.parseLong(
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+      val bucket = h8(feature) % 64
+      h8(s"w:$bucket") % 2001 - 1000
+    }
+    def feats(text: String): Seq[String] = {
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    for ((id, n, s, keep) <- got) {
+      val fs = feats(Seq("alpha beta gamma", "Alpha  ALPHA alpha", "", "solo")(id.toInt - 1))
+      assert(n == fs.size, s"doc $id n_features")
+      assert(s == fs.map(weightOf).sum, s"doc $id score")
+      assert(keep == (s >= 10L), s"doc $id keep")
+    }
+  }
+
+  test("hash classifier: zero shuffles, zero UDFs in the plan") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = HashClassifier.score(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier must be narrow:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  // ---- temperature mixture ----------------------------------------------
+
+  test("temperatureMixture: quotas follow sqrt(count), survivors pinned") {
+    // sources with counts 400 / 100 / 25 → sqrt weights 20/10/5 (ratio
+    // 4:2:1 flattens to 20:10:5 = 4:2:1 over sqrt... of 16:4:1)
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 500).map(i => (i.toLong, "mid")) ++
+      (501 to 525).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val kept = Sampling.temperatureMixture(df, col("source"), col("doc_id"), totalKeep = 70L)
+    val bySource = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    // weights: floor(1e6*sqrt(400))=20e6, 10e6, 5e6; sum=35e6
+    // quotas: 70*20/35=40, 70*10/35=20, 70*5/35=10
+    assert(bySource == Map("big" -> 40L, "mid" -> 20L, "small" -> 10L), bySource.toString)
+    // determinism: same input → identical survivor set
+    val again = Sampling.temperatureMixture(df, col("source"), col("doc_id"), totalKeep = 70L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq == kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("temperatureMixture: quota caps at the stratum count") {
+    val rows = (1 to 96).map(i => (i.toLong, "big")) ++ Seq((97L, "tiny"))
+    val kept = Sampling.temperatureMixture(
+      rows.toDF("doc_id", "source"), col("source"), col("doc_id"), totalKeep = 1000L)
+    val bySource = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource("tiny") == 1L) // not 1000·w/Σw rows — there is only 1
+    assert(bySource("big") == 96L)
+  }
+}
