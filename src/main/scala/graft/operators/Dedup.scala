@@ -823,4 +823,52 @@ object Dedup {
       .filter(col("lev") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("lev").cast("int").as("lev"))
   }
+
+  /** Near-duplicate IMAGE pairs by banded hamming join over perceptual
+    * hashes ([[graft.operators.Multimodal.imagePhash]]'s 64-bit '0'/'1'
+    * strings): split each hash into `bands` equal substrings, candidates
+    * share at least one (band, value) — an equi-join, never all-pairs —
+    * then verify the exact hamming distance on candidates only.
+    *
+    * Recall is EXACT by pigeonhole, not probabilistic: `maxHamming` <
+    * `bands` means the differing bits can touch at most maxHamming bands,
+    * so every qualifying pair shares ≥ 1 clean band and is guaranteed a
+    * candidate — the output is precisely "all pairs with hamming ≤
+    * maxHamming", independent of the banding (which only bounds the work).
+    * The verify is 64 fixed substring compares — codegen'd, no UDF.
+    * Null hashes (undecodable / sub-grid images) are excluded loudly.
+    */
+  def phashNearDupPairs(
+      hashes: DataFrame,
+      id: String,
+      phash: String,
+      bands: Int = 8,
+      maxHamming: Int = 6): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
+    val bandLen = 64 / bands
+    val base = hashes.select(col(id), col(phash).as("__ph"))
+      .filter(
+        when(col("__ph").isNotNull && length(col("__ph")) === 64, lit(true))
+          .otherwise(assert_true(lit(false),
+            lit("phashNearDupPairs: null or non-64-bit phash (decode failed or " +
+              "sub-grid image); filter those rows explicitly first"))
+            .cast("boolean")))
+    val banded = base.select(col(id), col("__ph"), explode(sequence(lit(0), lit(bands - 1))).as("__b"))
+      .withColumn("__bv", expr(s"substring(__ph, __b * $bandLen + 1, $bandLen)"))
+    val a = banded.select(col(id).as("id_a"), col("__ph").as("__pa"), col("__b"), col("__bv"))
+    val b = banded.select(col(id).as("id_b"), col("__ph").as("__pb"), col("__b"), col("__bv"))
+    val cand = a.join(b, Seq("__b", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__pa", "__pb")
+      .distinct() // pairs sharing several clean bands would otherwise repeat
+    val ham = (0 until 64).map { i =>
+      when(substring(col("__pa"), i + 1, 1) =!= substring(col("__pb"), i + 1, 1), 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+    cand.withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

@@ -103,6 +103,84 @@ object Multimodal {
     }
   }
 
+  final case class ImagePhash(
+      media_id: Long,
+      n_bytes: Int,
+      decoded: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      phash: Option[String])
+
+  /** Perceptual hash (aHash) over REAL decoded pixels: partition the
+    * image into a grid×grid block lattice (block of pixel (x,y) is
+    * (y·grid)/h, (x·grid)/w — exact integer floors, any image size ≥
+    * grid), and emit one bit per block: 1 iff the block's mean ≥ the
+    * image mean, compared in exact integers by cross-multiplication
+    * (sum_b·(w·h) ≥ total·npix_b — no float means, so the hash is
+    * bit-identical on every engine and replayable by a SQL oracle over
+    * planted rasters). Returned as a 64-char '0'/'1' string (base-2 over
+    * base-16: trivially bandable for LSH hamming joins, and immune to
+    * BIGINT sign-bit edge cases).
+    *
+    * This is the image twin of SimHash: brightness shifts, resizes and
+    * re-encodes move few bits, so near-duplicate images land at small
+    * hamming distance — the dedup signal doc-hash families cannot see.
+    * Images smaller than the grid in either dimension return a null hash
+    * (decoded, but too small to block — flagged, never a fake hash).
+    * Scale shape: one narrow decode pass, 8 bytes of hash per image
+    * shuffles downstream, pixels never do.
+    */
+  def imagePhash(spark: SparkSession, media: DataFrame, grid: Int = 8): Dataset[ImagePhash] = {
+    require(grid >= 2 && grid * grid <= 64, s"grid in [2,8], got $grid")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.payload
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          ImagePhash(r.media_id, bytes.length, decoded = false, None, None, None)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          if (w < grid || h < grid)
+            ImagePhash(r.media_id, bytes.length, decoded = true, Some(w), Some(h), None)
+          else {
+            val raster = img.getRaster
+            val sums = new Array[Long](grid * grid)
+            val npx = new Array[Long](grid * grid)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val by = y.toLong * grid / h
+              var x = 0
+              while (x < w) {
+                val j = (by * grid + x.toLong * grid / w).toInt
+                val p = raster.getSample(x, y, 0)
+                sums(j) += p
+                npx(j) += 1
+                total += p
+                x += 1
+              }
+              y += 1
+            }
+            val npixAll = w.toLong * h
+            val sb = new java.lang.StringBuilder(grid * grid)
+            var j = 0
+            while (j < grid * grid) {
+              sb.append(if (sums(j) * npixAll >= total * npx(j)) '1' else '0')
+              j += 1
+            }
+            ImagePhash(r.media_id, bytes.length, decoded = true, Some(w), Some(h),
+              Some(sb.toString))
+          }
+        }
+      }
+    }
+  }
+
   /** Batch "decode": mapPartitions over the typed Dataset, one partition =
     * one decoder context (exactly how a real codec would amortize init).
     * STUB — `fakeDecode` is a deterministic stand-in for codecs the JDK

@@ -561,6 +561,39 @@ object Similarity {
     knnRank(scored, id, k)
   }
 
+  /** Batched RANGE search over a materialized IVF index: every (query,
+    * corpus) pair with cosine ≥ `minCosine` among the probed cells — the
+    * threshold twin of [[knnJoin]] (retrieval wants top-k; near-duplicate
+    * and radius queries want "everything this similar"). Same one-plan
+    * probe shape (explode nProbe cells per query, cell equi-join against
+    * the partition-pruned inverted file) but the tail is a FILTER, not a
+    * rank window — so a range join has NO per-query window shuffle at
+    * all: scan, join, filter, done. Candidate work is bounded by the IVF
+    * contract (~nProbe/nCells of the corpus per query), never
+    * |Q|×|corpus|.
+    */
+  def rangeJoin(
+      spark: SparkSession,
+      path: String,
+      id: String,
+      vec: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      minCosine: Double,
+      cents: Seq[(Int, Seq[Double])],
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(spark)
+    val probes = knnProbes(queries, qid, qvec, cents, nProbe)
+    val idx = knnPrunedIndex(spark, path, probes)
+    idx.join(probes, Seq("cell"))
+      .filter(if (excludeSelf) col(id) =!= col("__qid") else lit(true))
+      .withColumn("cosine", VectorFns.cosine(col(vec), col("__qv")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("__qid").as("qid"), col(id), col("cosine"))
+  }
+
   /** (qid, qvec, cell) probe rows: one per (query, probed cell). The
     * query vector rides along exploded nProbe× — each candidate needs it
     * for scoring anyway, so there is no cheaper join shape; internal

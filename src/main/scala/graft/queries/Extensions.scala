@@ -18,7 +18,93 @@ import graft.ops.Stats
   */
 object Extensions {
 
+  /** Planted rasters for the phash family: content keyed by gid = id % 40
+    * (so ~13 images share each content family) plus a small per-copy
+    * brightness phase shift delta = id / 40 — same-family images are
+    * NEAR-duplicates (small hamming distance between their aHashes),
+    * cross-family images are far. Sizes are ≥ the 8×8 hash grid.
+    * Every formula is replayed verbatim by the oracles.
+    */
+  private def plantedPhashPngs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].map { id =>
+      val gid = id % 40
+      val delta = id / 40
+      val w = (24 + (gid % 3) * 8).toInt
+      val h = (16 + (gid % 2) * 8).toInt
+      val px = Array.tabulate(w * h)(i => ((gid * 31 + i + delta) % 256).toInt)
+      graft.operators.Multimodal.MediaRow(id, "image", graft.sources.Png.encodeGray(w, h, px))
+    }.toDF()
+  }
+
+  /** The shared phash CTE chain: planted pixels → 8×8 block lattice by
+    * exact integer floors → cross-multiplied mean bits → 64-char hash.
+    */
+  private val phashCtes: String =
+    """g AS (SELECT doc_id AS media_id, doc_id % 40 AS gid, doc_id // 40 AS delta
+      |  FROM documents),
+      |dim AS (SELECT media_id, gid, delta,
+      |    CAST(24 + (gid % 3) * 8 AS BIGINT) AS w,
+      |    CAST(16 + (gid % 2) * 8 AS BIGINT) AS h FROM g),
+      |px AS (SELECT media_id, w, h, u.i % w AS x, u.i // w AS y,
+      |    (gid * 31 + u.i + delta) % 256 AS p
+      |  FROM dim, unnest(generate_series(0, w * h - 1)) AS u(i)),
+      |blk AS (SELECT media_id, w, h, ((y * 8) // h) * 8 + ((x * 8) // w) AS j,
+      |    CAST(SUM(p) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM px GROUP BY media_id, w, h, j),
+      |tot AS (SELECT media_id, CAST(SUM(s) AS BIGINT) AS total FROM blk GROUP BY media_id),
+      |bits AS (SELECT blk.media_id, blk.w, blk.h, blk.j,
+      |    CASE WHEN blk.s * (blk.w * blk.h) >= tot.total * blk.np
+      |      THEN '1' ELSE '0' END AS bit
+      |  FROM blk JOIN tot USING (media_id)),
+      |ph AS (SELECT media_id, CAST(MAX(w) AS INTEGER) AS width,
+      |    CAST(MAX(h) AS INTEGER) AS height,
+      |    string_agg(bit, '' ORDER BY j) AS phash
+      |  FROM bits GROUP BY media_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
+
+    // ---- multimodal: perceptual hash over REAL decoded pixels ----------
+    Q("mm_phash",
+      s"""WITH $phashCtes
+         |SELECT media_id, width, height, TRUE AS decoded, phash
+         |FROM ph ORDER BY media_id""".stripMargin) { (s, d) =>
+      // aHash over REAL ImageIO-decoded rasters: 8×8 block lattice by
+      // exact integer floors, one bit per block via cross-multiplied
+      // integer mean comparison — no float arithmetic anywhere, so the
+      // oracle recomputes every bit from the planted pixel formulas. 8
+      // bytes of signal per image; pixels never shuffle.
+      graft.operators.Multimodal.imagePhash(s, plantedPhashPngs(s, d)).toDF()
+        .select("media_id", "width", "height", "decoded", "phash")
+        .orderBy("media_id")
+    },
+
+    // ---- dedup: banded hamming join over image phashes -----------------
+    Q("dd_image_neardup",
+      s"""WITH $phashCtes,
+         |bands AS (SELECT media_id, phash, bb.b AS band,
+         |    substr(phash, CAST(bb.b * 8 + 1 AS INTEGER), 8) AS bv
+         |  FROM ph, range(0, 8) AS bb(b)),
+         |cand AS (SELECT DISTINCT a.media_id AS id_a, x.media_id AS id_b,
+         |    a.phash AS pa, x.phash AS pb
+         |  FROM bands a JOIN bands x ON a.band = x.band AND a.bv = x.bv
+         |    AND a.media_id < x.media_id),
+         |h AS (SELECT id_a, id_b, CAST(len(list_filter(range(1, 65), i ->
+         |    substr(pa, CAST(i AS INTEGER), 1) <> substr(pb, CAST(i AS INTEGER), 1)))
+         |    AS INTEGER) AS hamming FROM cand)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // Near-duplicate image pairs: banded equi-join on 8-bit hash bands
+      // (never all-pairs), exact hamming verify on candidates. Recall is
+      // EXACT by pigeonhole (6 differing bits cannot dirty all 8 bands),
+      // so the output is precisely "all pairs at hamming ≤ 6" — planted
+      // same-family brightness-shifted copies land here, cross-family
+      // images do not.
+      val hashes = graft.operators.Multimodal.imagePhash(s, plantedPhashPngs(s, d)).toDF()
+      graft.operators.Dedup.phashNearDupPairs(hashes, "media_id", "phash",
+          bands = 8, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
 
     // ---- profiling: exact two-sample Kolmogorov–Smirnov ----------------
     Q("pf_ks_test",

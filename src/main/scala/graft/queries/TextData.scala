@@ -114,6 +114,24 @@ object TextData {
        |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
        |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
 
+  /** The batched RANGE-search probe tail over [[ivfCodebookCtes]]'s
+    * `uf`/`af`: same query table and per-query probed cells as
+    * [[knnJoinTail]], but the tail keeps every candidate with cosine ≥
+    * `minCos` — no rank window at all.
+    */
+  private def rangeJoinTail(nProbe: Int, minCos: Double): String =
+    s"""q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 16 = 0),
+       |qc AS (SELECT qid, qvec, cell FROM (
+       |    SELECT q.qid, q.qvec, u.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC) AS rn
+       |    FROM q CROSS JOIN uf u) WHERE rn <= $nProbe)
+       |SELECT qc.qid, a.vec_id, list_cosine_similarity(a.v, qc.qvec) AS cosine
+       |FROM af a JOIN qc ON a.cell = qc.cell
+       |WHERE a.vec_id <> qc.qid
+       |  AND list_cosine_similarity(a.v, qc.qvec) >= $minCos
+       |ORDER BY qid, vec_id""".stripMargin
+
   /** The batched k-NN-join probe tail over [[ivfCodebookCtes]]'s
     * `uf`/`af`: a query TABLE (every 16th vector), per-query nProbe cells
     * via the same (dot desc, cell desc) ranking the single-query tail
@@ -1232,6 +1250,25 @@ object TextData {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.knnJoinPq(s, path, "vec_id", q, "q_id", "q_emb",
           k = 5, cents, cbs, nProbe = 4, excludeSelf = true)
+        .orderBy("qid", "vec_id")
+    },
+    Q("ann_range_join",
+      // batched RANGE search (the threshold twin of ann_knn_join): every
+      // (query, corpus) pair with cosine >= 0.3 among the probed cells.
+      // No rank window in the plan at all — scan, cell equi-join, filter:
+      // the cheapest possible batched-probe tail, used for radius-style
+      // near-dup sweeps where "all neighbors this similar" is the ask.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |${rangeJoinTail(nProbe = 4, minCos = 0.3)}""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents) = Similarity.ensureIvfIndex(
+        e, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val q = e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.rangeJoin(s, path, "vec_id", "embedding", q, "q_id", "q_emb",
+          minCosine = 0.3, cents, nProbe = 4, excludeSelf = true)
         .orderBy("qid", "vec_id")
     },
 

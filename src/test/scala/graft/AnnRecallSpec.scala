@@ -447,4 +447,31 @@ class AnnRecallSpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"mean PQ rerank recall@10 $mean (per-query: $recalls)")
   }
+
+  test("rangeJoin: equals the probed-cell brute force; pruned; no rank window") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val dir = java.nio.file.Files.createTempDirectory("range_idx").toString
+    val cents = Similarity.buildIvfIndex(e, "vec_id", "embedding", s"$dir/idx",
+      nCells = 8, trainIters = 2)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val out = Similarity.rangeJoin(spark, s"$dir/idx", "vec_id", "embedding",
+      queries, "q_id", "q_emb", minCosine = 0.3, cents, nProbe = 2, excludeSelf = true)
+    val got = out.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "threshold 0.3 must be non-vacuous on the fixture")
+    // differential: per query, knnJoin with a huge k filtered by the same
+    // threshold must coincide (the range join IS the unranked tail)
+    val viaKnn = Similarity.knnJoin(spark, s"$dir/idx", "vec_id", "embedding",
+        queries, "q_id", "q_emb", k = 1000, cents, nProbe = 2, excludeSelf = true)
+      .filter(col("cosine") >= 0.3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == viaKnn)
+    val exec = out.queryExecution.executedPlan
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(exec.toString).isDefined,
+      "range join must partition-prune the index scan")
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "a range join has no rank window at all")
+  }
 }

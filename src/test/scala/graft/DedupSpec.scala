@@ -372,4 +372,38 @@ class DedupSpec extends SparkTestBase {
     assert(out.size == 3 && out.forall { case (_, cand, dupOf, known, fp) =>
       !cand && dupOf.isEmpty && !known && !fp })
   }
+
+  test("phashNearDupPairs: output is EXACTLY all pairs at hamming <= max (pigeonhole)") {
+    // deterministic 64-bit strings with controlled distances
+    def hash(seed: Int, flips: Seq[Int]): String = {
+      val base = Array.tabulate(64)(i => if (((seed * 2654435761L + i * 40503L) >> 7) % 2 == 0) '1' else '0')
+      flips.foreach(i => base(i) = if (base(i) == '1') '0' else '1')
+      new String(base)
+    }
+    val rows = Seq(
+      (1L, hash(7, Nil)),
+      (2L, hash(7, Seq(0, 9, 18))),        // ham 3 from 1
+      (3L, hash(7, Seq(1, 9, 17, 25, 33, 41))), // ham 6 from 1
+      (4L, hash(7, (0 until 10))),          // ham 10 from 1: out
+      (5L, hash(99, Nil)))                  // far from everything
+    val df = rows.toDF("media_id", "phash")
+    val got = Dedup.phashNearDupPairs(df, "media_id", "phash", bands = 8, maxHamming = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // brute force over ALL pairs — banding must not lose any (pigeonhole)
+    val want = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      ham = ha.zip(hb).count { case (x, y) => x != y } if ham <= 6
+    } yield (a, b) -> ham).toMap
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)) && !want.contains((1L, 4L)))
+  }
+
+  test("phashNearDupPairs: null/short hash fails loudly, not silently") {
+    val df = Seq((1L, "1" * 64), (2L, null.asInstanceOf[String])).toDF("media_id", "phash")
+    val e = intercept[Exception] {
+      Dedup.phashNearDupPairs(df, "media_id", "phash").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

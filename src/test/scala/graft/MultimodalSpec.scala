@@ -74,4 +74,43 @@ class MultimodalSpec extends SparkTestBase {
       (Some(640), Some(360)), (Some(270), Some(480)),
       (Some(480), Some(480)), (None, None)))
   }
+
+  test("imagePhash: hand-checkable bits, integer mean comparison") {
+    // 8x8 gray: top 4 rows 0, bottom 4 rows 200 → mean 100; 1-px blocks
+    // bit = (p*64 >= total*1) = (p >= 100) → 32 zeros then 32 ones
+    val px = Array.tabulate(64)(i => if (i < 32) 0 else 200)
+    val m = Seq(Multimodal.MediaRow(1L, "image",
+      graft.sources.Png.encodeGray(8, 8, px))).toDF()
+    val r = Multimodal.imagePhash(spark, m).collect().head
+    assert(r.decoded && r.width.contains(8) && r.height.contains(8))
+    assert(r.phash.contains("0" * 32 + "1" * 32))
+  }
+
+  test("imagePhash: uneven block lattice still covers every pixel exactly once") {
+    // 10x9 image, constant pixels → every block mean == image mean → all-'1'
+    val m = Seq(Multimodal.MediaRow(1L, "image",
+      graft.sources.Png.encodeGray(10, 9, Array.fill(90)(7)))).toDF()
+    val r = Multimodal.imagePhash(spark, m).collect().head
+    assert(r.phash.contains("1" * 64))
+  }
+
+  test("imagePhash: sub-grid and corrupt images flag, never fake a hash") {
+    val m = Seq(
+      Multimodal.MediaRow(1L, "image", graft.sources.Png.encodeGray(4, 12, Array.fill(48)(9))),
+      Multimodal.MediaRow(2L, "image", "junk".getBytes("UTF-8"))).toDF()
+    val out = Multimodal.imagePhash(spark, m).collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).phash.isEmpty && out(0).width.contains(4))
+    assert(!out(1).decoded && out(1).phash.isEmpty)
+  }
+
+  test("imagePhash: brightness shift moves few bits (the near-dup signal)") {
+    val base = Array.tabulate(24 * 16)(i => (i * 3) % 256)
+    val shifted = base.map(p => math.min(255, p + 8))
+    val m = Seq(
+      Multimodal.MediaRow(1L, "image", graft.sources.Png.encodeGray(24, 16, base)),
+      Multimodal.MediaRow(2L, "image", graft.sources.Png.encodeGray(24, 16, shifted))).toDF()
+    val hs = Multimodal.imagePhash(spark, m).collect().sortBy(_.media_id).map(_.phash.get)
+    val ham = hs(0).zip(hs(1)).count { case (a, b) => a != b }
+    assert(ham <= 6, s"brightness shift should move few bits, moved $ham")
+  }
 }
