@@ -111,4 +111,52 @@ object Maintenance {
           .otherwise("changed"))
       .drop(inOld, inNew)
   }
+
+  /** Incremental maintenance of a materialized JOIN view — the join twin
+    * of `Aggregates.mergePartialAggs` (A16 maintains aggregates from
+    * partials; this maintains `fact ⋈ dim` under a fact-side upsert batch
+    * without re-running the join over history).
+    *
+    * Given the current view rows of `fact INNER JOIN dim ON joinKeys`
+    * and a `delta` of upserted fact rows (replace-or-insert on
+    * `factKeys`), the maintained view is
+    * `(view ANTI delta ON factKeys) ∪ (delta ⋈ dim)` — provably equal to
+    * recomputing with the upserted fact: every fact key is either
+    * untouched (its view rows survive the anti join unchanged) or
+    * replaced (its old rows drop, its new rows re-derive through the
+    * dim join; a delta row with no dim match contributes nothing, exactly
+    * as a recompute would).
+    *
+    * Cost shape at 100 TB: the history never re-joins — the dim-side
+    * shuffle touches only |delta| rows, and the anti join against the
+    * (small, typically broadcast) delta key set is a scan of the view
+    * with a map-side filter, prunable further when the view is stored
+    * partitioned/bucketed on a fact key prefix. A full recompute
+    * shuffles |fact| + |dim| every refresh; this shuffles |delta|.
+    *
+    * `view` and `delta ⋈ dim` must be column-congruent: the caller
+    * projects both to the view's schema (asserted loudly).
+    */
+  def maintainJoinView(
+      view: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      factKeys: Seq[String],
+      joinKeys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(factKeys.nonEmpty && joinKeys.nonEmpty, "need fact and join keys")
+    require(factKeys.forall(view.columns.contains) && factKeys.forall(delta.columns.contains),
+      s"factKeys $factKeys must exist in both view and delta")
+    val fresh = delta.join(dim, joinKeys)
+    require(view.columns.sorted.toSeq == fresh.columns.sorted.toSeq,
+      s"view/delta⋈dim schemas differ: ${view.columns.sorted.toSeq} vs " +
+        s"${fresh.columns.sorted.toSeq} — project both to the view schema")
+    // no forced broadcast hint: a typical delta key set is small and AQE
+    // will broadcast it from runtime stats, but a backfill-sized delta
+    // must be allowed to shuffle (the tx_boilerplate lesson — a hard
+    // hint on an unbounded side OOMs the driver at corpus scale)
+    val survivors = view.join(delta.select(factKeys.map(col): _*).distinct(),
+      factKeys, "left_anti")
+    survivors.unionByName(fresh.select(view.columns.map(col).toSeq: _*))
+  }
 }

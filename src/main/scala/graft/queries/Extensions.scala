@@ -167,6 +167,78 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // ---- S15: in-engine XML record source ------------------------------
+    Q("s15_xml",
+      """SELECT c_custkey, c_name,
+        |  '<&"' || c_name AS special,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |       WHEN c_custkey % 3 = 1 THEN '' ELSE c_name END AS maybe,
+        |  c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // S15: XML record feed (JDK StAX, no dependency — the Xlsx posture
+      // on bare XML). The sink is DISTRIBUTED: each task renders its
+      // partition as one complete document through the native text sink,
+      // so Spark's commit protocol gives task atomicity for free; the
+      // scan distributes over documents via binaryFile. The oracle is the
+      // original derivation — a hash match proves the round-trip is
+      // lossless, including XML-escaped characters and the null-vs-empty
+      // distinction (null omits the element, '' writes an empty one).
+      import graft.sources.Xml
+      import graft.sources.Xml.Field
+      val fields = Seq(
+        Field("c_custkey", "bigint"), Field("c_name", "string"),
+        Field("special", "string"), Field("maybe", "string"),
+        Field("c_acctbal", "double"))
+      val base = customer(s, d).select(
+        col("c_custkey"), col("c_name"),
+        concat(lit("<&\""), col("c_name")).as("special"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .when(col("c_custkey") % 3 === 1, lit(""))
+          .otherwise(col("c_name")).as("maybe"),
+        col("c_acctbal"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s15_${math.abs(d.hashCode)}"
+      Xml.write(base, path, fields)
+      Xml.read(s, path, fields).orderBy("c_custkey")
+    },
+
+    // ---- U9: incremental join-view maintenance -------------------------
+    Q("u9_view_maintain",
+      """WITH dim AS (SELECT c_custkey, c_name FROM customer),
+        |fact AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 0),
+        |delta AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 8 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
+        |fact2 AS (
+        |  SELECT * FROM fact WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |  UNION ALL SELECT * FROM delta)
+        |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name
+        |FROM fact2 f JOIN dim d ON f.o_custkey = d.c_custkey
+        |ORDER BY f.o_orderkey""".stripMargin) { (s, d) =>
+      // Incremental maintenance of a materialized fact⋈dim view under a
+      // fact-side upsert batch (updates + inserts): survivors = view ANTI
+      // delta keys, fresh = delta ⋈ dim — history never re-joins, the
+      // dim shuffle touches |delta| rows only. The oracle is the FULL
+      // RECOMPUTE over the upserted fact: a hash match proves incremental
+      // == recompute, not merely that the algebra replays.
+      import graft.operators.Maintenance
+      val dim = customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_name"))
+      val fact = orders(s, d).filter(col("o_orderkey") % 4 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val delta = orders(s, d).filter(col("o_orderkey") % 8 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+        .unionByName(orders(s, d).filter(col("o_orderkey") % 4 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val view = fact.join(dim, "o_custkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+      Maintenance.maintainJoinView(view, delta, dim,
+          factKeys = Seq("o_orderkey"), joinKeys = Seq("o_custkey"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

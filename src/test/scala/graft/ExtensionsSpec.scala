@@ -122,6 +122,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(again.toSeq == kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  // ---- incremental join-view maintenance ---------------------------------
+
+  test("maintainJoinView: equals the full recompute, including no-dim-match deltas") {
+    import graft.operators.Maintenance
+    val dim = Seq((10L, "x"), (20L, "y")).toDF("k", "name")
+    val fact = Seq((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0)).toDF("id", "k", "v")
+    // update id=2 (new value AND new key with no dim match -> row must
+    // VANISH from the view), insert id=4, leave 1 and 3 untouched
+    val delta = Seq((2L, 99L, 60.0), (4L, 20L, 8.0)).toDF("id", "k", "v")
+    val view = fact.join(dim, "k").select("id", "k", "v", "name")
+    val got = Maintenance.maintainJoinView(view, delta, dim,
+        factKeys = Seq("id"), joinKeys = Seq("k"))
+      .orderBy("id").as[(Long, Long, Double, String)].collect().toSeq
+    // recompute with the upserted fact
+    val factU = Seq((1L, 10L, 5.0), (3L, 10L, 7.0), (2L, 99L, 60.0), (4L, 20L, 8.0))
+      .toDF("id", "k", "v")
+    val want = factU.join(dim, "k").select("id", "k", "v", "name")
+      .orderBy("id").as[(Long, Long, Double, String)].collect().toSeq
+    assert(got == want)
+    assert(!got.exists(_._1 == 2L), "id=2 lost its dim match and must drop out")
+    assert(got.exists(_._1 == 4L), "id=4 is a fresh insert")
+  }
+
+  test("maintainJoinView: schema drift between view and delta⋈dim fails loudly") {
+    import graft.operators.Maintenance
+    val dim = Seq((10L, "x")).toDF("k", "name")
+    val fact = Seq((1L, 10L, 5.0)).toDF("id", "k", "v")
+    val view = fact.join(dim, "k").select("id", "k", "v", "name")
+    val deltaWrong = Seq((2L, 10L)).toDF("id", "k") // missing v
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.maintainJoinView(view, deltaWrong, dim, Seq("id"), Seq("k"))
+    }
+    assert(e.getMessage.contains("schemas differ"))
+  }
+
   test("temperatureMixture: quota caps at the stratum count") {
     val rows = (1 to 96).map(i => (i.toLong, "big")) ++ Seq((97L, "tiny"))
     val kept = Sampling.temperatureMixture(
