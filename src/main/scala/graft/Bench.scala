@@ -34,7 +34,9 @@ object Bench {
     "dd_span_overlap",    // rolling-window span dup profile (every window hashed)
     "tx_boilerplate",     // corpus-wide repeated-line strip + doc rebuild
     "ann_knn_join",       // batched k-NN join over the materialized IVF index
-    "w14_ewma"            // bounded-recursion EWMA window fold
+    "w14_ewma",           // bounded-recursion EWMA window fold
+    "ml_hash_classifier", // hashed-feature classifier corpus pass (zero-shuffle)
+    "ann_range_join"      // batched range search (probe join, no rank window)
   )
 
   def main(args: Array[String]): Unit = {

@@ -57,6 +57,14 @@ object HashClassifier {
     * bucket weights over all feature OCCURRENCES — fastText semantics, no
     * dedup), the per-feature mean (one double division) and the keep gate
     * (score ≥ threshold). Zero shuffles; the fold is O(tokens) per row.
+    *
+    * Execution: features materialize ONCE (a two-step projection —
+    * CollapseProject will not inline a non-cheap alias used twice), and
+    * the per-feature hash→bucket→weight→sum loop runs as the custom
+    * [[graft.plans.Sketches.ClassifierScore]] expression: identical
+    * arithmetic to [[weightExpr]]∘[[bucketExpr]] (the SQL the oracle
+    * replays), ~20× faster than the interpreted HOF fold (the MinHash
+    * lesson — see SketchExpressions' scaladoc).
     */
   def score(
       df: DataFrame,
@@ -64,13 +72,19 @@ object HashClassifier {
       text: String,
       dims: Int = 4096,
       thresholdMilli: Long = 0L): DataFrame = {
-    val f = features(col(text))
-    val scoreMilli = aggregate(f, lit(0L),
-      (acc, feat) => acc + weightExpr(bucketExpr(feat, dims)))
-    df.select(
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    // tokens materialize ONCE (two-step projection — CollapseProject will
+    // not inline a non-cheap alias used twice); the expression derives
+    // unigram + bigram features itself, so no interpreted HOF ever runs.
+    // n_features = n + (n-1 | 0) tokens+bigrams, same count size(features)
+    // would give.
+    df.select(col(id), TextFns.tokens(lower(col(text))).as("__toks"))
+      .select(
         col(id),
-        size(f).as("n_features"),
-        scoreMilli.as("score_milli"))
+        (size(col("__toks")) + greatest(size(col("__toks")) - 1, lit(0)))
+          .as("n_features"),
+        call_function("graft_classifier_score", col("__toks"), lit(dims))
+          .as("score_milli"))
       .withColumn("mean_milli",
         when(col("n_features") > 0,
           col("score_milli").cast("double") / col("n_features").cast("double")))
