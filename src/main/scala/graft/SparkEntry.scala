@@ -11,7 +11,7 @@ import graft.queries.{Q, Relational}
 object SparkEntry {
 
   /** All verifiable queries, keyed by SURVEY §2 operator id. */
-  private def catalog: Seq[Q] =
+  private[graft] def catalog: Seq[Q] =
     Relational.queries ++ graft.queries.TextData.queries ++
       graft.queries.Analytics.queries ++ graft.queries.Advanced.queries ++
       graft.queries.Extensions.queries

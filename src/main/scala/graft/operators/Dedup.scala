@@ -837,6 +837,16 @@ object Dedup {
     * maxHamming", independent of the banding (which only bounds the work).
     * The verify is 64 fixed substring compares — codegen'd, no UDF.
     * Null hashes (undecodable / sub-grid images) are excluded loudly.
+    *
+    * Candidate-volume bound (the honest scale math, same as every
+    * fixed-band LSH including dd_simhash): uniform hashes put ~n/2^(64/bands)
+    * rows in each band bucket, so candidate pairs grow as
+    * O(bands · n² / 2^(64/bands)). At corpus scale prefer FEWER, LONGER
+    * bands with a tighter radius — `bands = 4` (16-bit bands, 65k bucket
+    * space) with `maxHamming ≤ 3` is the Manku-et-al. simhash-dedup
+    * operating point; `bands = 8` (8-bit bands) buys radius 6 but only
+    * 256 bucket values and is for bounded corpora. The pigeonhole
+    * constraint `maxHamming < bands` is enforced either way.
     */
   def phashNearDupPairs(
       hashes: DataFrame,

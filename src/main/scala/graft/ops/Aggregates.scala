@@ -200,4 +200,5 @@ object Aggregates {
       .join(bounds, keys)
       .withColumn(s"${v}_clamped", greatest(col(s"${v}_lo"), least(col(s"${v}_hi"), col(v))))
   }
+
 }

@@ -239,6 +239,37 @@ object Extensions {
         .orderBy("o_orderkey")
     },
 
+    // ---- events: top event-type paths ----------------------------------
+    Q("ev_top_paths",
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |p AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS n1, lead(event_type, 2) OVER w AS n2
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT event_type || '>' || n1 || '>' || n2 AS path,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM p WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+        |  GROUP BY event_type || '>' || n1 || '>' || n2)
+        |SELECT path, cnt FROM c
+        |ORDER BY cnt DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      // Top user-journey trigrams (view>click>purchase …): per-user
+      // ordered event sequences via two leads over ONE keyed window (the
+      // ev_sessions total order: event time, then id), then a map-side-
+      // combined path count and a TakeOrdered top-20 — no global sort, no
+      // unpartitioned window; the only full shuffle keys on user_id.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("unix_micros(ts)"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("n1", lead(col("event_type"), 1).over(w))
+        .withColumn("n2", lead(col("event_type"), 2).over(w))
+        .filter(col("n1").isNotNull && col("n2").isNotNull)
+        .select(concat(col("event_type"), lit(">"), col("n1"), lit(">"), col("n2"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path")).limit(20)
+    },
+
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

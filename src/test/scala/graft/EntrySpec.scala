@@ -22,6 +22,12 @@ class EntrySpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("catalog names are unique (the queries Map would silently shadow a duplicate)") {
+    val names = SparkEntry.catalog.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate catalog ids: $dups")
+  }
+
   test("every catalog query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sfDir).count(); None }

@@ -122,6 +122,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(again.toSeq == kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  // ---- top paths ---------------------------------------------------------
+
+  test("ev_top_paths shape: trigrams respect per-user time order") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Seq(
+      (1L, "u1", 100L, "view"), (2L, "u1", 200L, "click"), (3L, "u1", 300L, "buy"),
+      (4L, "u1", 400L, "view"),
+      (5L, "u2", 100L, "view"), (6L, "u2", 200L, "click"), (7L, "u2", 300L, "buy"))
+      .toDF("event_id", "user_id", "us", "event_type")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val paths = ev
+      .withColumn("n1", lead(col("event_type"), 1).over(w))
+      .withColumn("n2", lead(col("event_type"), 2).over(w))
+      .filter(col("n1").isNotNull && col("n2").isNotNull)
+      .select(concat(col("event_type"), lit(">"), col("n1"), lit(">"), col("n2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .as[(String, Long)].collect().toSeq
+    assert(paths == Seq(("view>click>buy", 2L), ("click>buy>view", 1L)))
+  }
+
   // ---- incremental join-view maintenance ---------------------------------
 
   test("maintainJoinView: equals the full recompute, including no-dim-match deltas") {

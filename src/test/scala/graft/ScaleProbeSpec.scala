@@ -345,4 +345,28 @@ class ScaleProbeSpec extends SparkTestBase {
       assert(exact.count() == nDocs * 10 * 3 / 100 && near.count() == nDocs * 10 * 3 / 100)
     } finally planted.unpersist()
   }
+
+  test("pf_ks_test: 10x rows within linear time, same exchange count, bounded offsets") {
+    import graft.ops.Stats
+    // two planted distributions: side A ~ id%1000, side B ~ (id%1000)+50
+    // (a visible location shift -> D well above 0)
+    def rows(n: Long): DataFrame =
+      spark.range(n).select(
+        when(col("id") % 2 === 0, lit("A")).otherwise(lit("B")).as("s"),
+        when(col("id") % 2 === 0, col("id") % 1000)
+          .otherwise(col("id") % 1000 + 50).as("v"))
+    def ks(n: Long): DataFrame = Stats.ksTest(rows(n), col("s"), "A", "B", col("v"))
+    def run(n: Long): (Long, Double) =
+      // time construction + action: the <=256-row bucket-offset collect is
+      // part of the operator and must scale like the rest
+      timed { ks(n).collect(); 1L }
+    run(nDocs)
+    val (_, tSmall) = run(nDocs)
+    val (_, tBig) = run(nDocs * 10)
+    assertLinear("pf_ks_test", tSmall, tBig)
+    assert(exchanges(ks(nDocs)) == exchanges(ks(nDocs * 10)),
+      "ks plan changed shape at 10x")
+    val r = ks(nDocs * 10).collect().head
+    assert(r.getAs[Double]("d") > 0.02, "planted shift must be detected")
+  }
 }
