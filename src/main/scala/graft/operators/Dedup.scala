@@ -617,6 +617,85 @@ object Dedup {
         (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_cut"))
   }
 
+  /** Content-defined chunking + cross-document chunk dedup — the
+    * storage-dedup technique (Muthitacharoen et al., SOSP '01 LBFS;
+    * FastCDC, USENIX ATC '16) applied to corpus text: chunk boundaries
+    * are placed where a rolling `window`-token hash is ≡ 0 mod `divisor`,
+    * so boundaries depend only on LOCAL content — insert a paragraph at
+    * the top of a document and every later chunk still re-aligns
+    * (fixed-size chunking would shift every boundary and miss all of
+    * them). Expected chunk length is `divisor` tokens.
+    *
+    * Boundary rule, exactly: token positions are 1-based; a new chunk
+    * starts at position p ≥ 2 when the rolling hash of the window
+    * STARTING at p (tokens p..p+window−1; documents shorter than
+    * `window` hash whole and are single-chunk) satisfies h mod divisor
+    * = 0. Tokens past the last window position join the final chunk.
+    *
+    * Returns one row per chunk: (id, chunk_id 1-based, start_pos 1-based,
+    * n_chunk_tokens, chunk_text, dup_of) where dup_of is the minimum
+    * document id holding an identical-text chunk when that id is smaller
+    * (null on every owner chunk) — the join key a chunk-level dedup or a
+    * delta-storage layer consumes.
+    *
+    * Scale shape: the window hashes are one narrow custom-expression
+    * projection ([[graft.plans.Sketches]] md5, same family as
+    * [[spanOverlapStats]]); the boundary cumsum is ONE window shuffle
+    * keyed on the document id; the chunk rebuild is one groupBy
+    * (id, chunk) with an order-pinned array_sort; ownership is a hash
+    * aggregate on the 8-byte h60 of the chunk text — chunk text shuffles
+    * once into the rebuild (it is the OUTPUT), hashes carry the dedup.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      id: String,
+      text: String,
+      window: Int = 4,
+      divisor: Int = 8): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(divisor >= 2, "divisor must be >= 2 (1 would cut at every token)")
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val toks = df
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__n", size(col("__toks")))
+    // (0-based) window start positions 0..max(n-window, 0); posexplode of
+    // the rolling hashes yields exactly that range (short docs: one
+    // whole-doc hash at position 0)
+    val wh = toks.select(col(id), col("__n"),
+      posexplode(TextFns.rollingWindowHashes(col("__toks"), window))
+        .as(Seq("__pos", "__h")))
+    val cum = wh
+      .withColumn("__cut",
+        when(col("__pos") >= 1 && pmod(col("__h"), lit(divisor)) === 0, 1L).otherwise(0L))
+      .withColumn("__chunk0", sum(col("__cut")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(id)).orderBy(col("__pos"))))
+      .select(col(id), col("__pos"), col("__chunk0"))
+    // a token at (0-based) t belongs to the chunk of window position
+    // min(t, n - window) — tail tokens ride the last window's chunk
+    val tokpos = toks
+      .select(col(id), col("__n"), posexplode(col("__toks")).as(Seq("__t", "__tok")))
+      .withColumn("__pos", least(col("__t"), greatest(col("__n") - window, lit(0))))
+    val chunks = tokpos.join(cum, Seq(id, "__pos"))
+      .groupBy(col(id), col("__chunk0"))
+      .agg(
+        (min(col("__t")) + 1).cast("long").as("start_pos"),
+        count(lit(1)).as("n_chunk_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__t"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("chunk_text"))
+      .withColumn("chunk_id", (col("__chunk0") + 1).cast("long"))
+    val keyed = chunks.withColumn("__ch",
+      conv(substring(md5(col("chunk_text")), 1, 15), 16, 10).cast("long"))
+    val owner = keyed.groupBy(col("__ch")).agg(min(col(id)).as("__owner"))
+    keyed.join(owner, Seq("__ch"))
+      .select(col(id), col("chunk_id"), col("start_pos"), col("n_chunk_tokens"),
+        col("chunk_text"),
+        when(col("__owner") < col(id), col("__owner")).as("dup_of"))
+  }
+
   /** Deterministic Bloom-filter bitmap over a corpus's normalized-text
     * hashes: `kHashes` bit positions per document from the md5-affine
     * family ([[graft.plans.Sketches]] coefficients at k = 101..), packed

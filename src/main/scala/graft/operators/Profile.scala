@@ -251,4 +251,90 @@ object Profile {
         ((first(col("__ka")) - 1) * (first(col("__kb")) - 1)).as("dof"),
         sum(col("__term").cast(dec)).cast("double").as("chi2"))
   }
+
+  /** Cohen's kappa between two categorical columns — the chance-corrected
+    * agreement a labeling pipeline reports when comparing an automatic
+    * classifier against reference labels (or two annotators against each
+    * other; Cohen 1960). With N rows, D agreeing rows and S = Σ over
+    * levels of (rows where a=ℓ)·(rows where b=ℓ):
+    *
+    *   kappa = (p_o − p_e) / (1 − p_e) = (N·D − S) / (N² − S)
+    *
+    * — a ratio of two INTEGERS, so the whole statistic is one correctly
+    * rounded IEEE division: bit-exact in any engine, no float
+    * accumulation anywhere. Perfect agreement on a single level makes the
+    * denominator 0 (p_e = 1); kappa is null there, as convention leaves
+    * it undefined. Null levels are rejected loudly, as [[chiSquare]].
+    * Returns one row:
+    * (n_rows, n_agree, observed_agreement, expected_agreement, kappa).
+    *
+    * Scale shape: one count aggregate on (a, b) and everything after is
+    * arithmetic over its (dictionary-sized) result — marginals, the
+    * diagonal sum and the final row never touch the data again.
+    * Exactness bound: N·D and N² stay under 2^53 to N ≈ 9·10^7; the
+    * DECIMAL(38,0) products themselves are exact to N ≈ 10^18.
+    */
+  def cohenKappa(df: DataFrame, a: String, b: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    require(df.filter(col(a).isNull || col(b).isNull).limit(1).isEmpty,
+      s"cohenKappa: null level in '$a' or '$b' — recode nulls to an explicit level first")
+    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("__o"))
+    val ri = obs.groupBy(col(a)).agg(sum(col("__o")).as("__ri"))
+      .select(col(a).as("__lvl"), col("__ri"))
+    val cj = obs.groupBy(col(b)).agg(sum(col("__o")).as("__cj"))
+      .select(col(b).as("__lvl"), col("__cj"))
+    // S over the UNION of level sets via inner join: a level absent from
+    // either side contributes a zero product, so the inner join is exact
+    val s = ri.join(cj, Seq("__lvl"))
+      .agg(coalesce(sum(col("__ri").cast(dec38) * col("__cj").cast(dec38)),
+        lit(0).cast(dec38)).as("__s"))
+    val nd = obs.agg(
+      sum(col("__o")).as("__n"),
+      coalesce(sum(when(col(a) === col(b), col("__o"))), lit(0L)).as("__d"))
+    nd.crossJoin(broadcast(s))
+      .select(
+        col("__n").as("n_rows"),
+        col("__d").as("n_agree"),
+        (col("__d").cast("double") / col("__n").cast("double"))
+          .as("observed_agreement"),
+        (col("__s").cast("double") /
+          (col("__n").cast(dec38) * col("__n").cast(dec38)).cast("double"))
+          .as("expected_agreement"),
+        when(col("__n").cast(dec38) * col("__n").cast(dec38) =!= col("__s"),
+          (col("__n").cast(dec38) * col("__d").cast(dec38) - col("__s")).cast("double")
+            / (col("__n").cast(dec38) * col("__n").cast(dec38) - col("__s")).cast("double"))
+          .as("kappa"))
+  }
+
+  /** Per-group Gini impurity of a label column — the class-balance signal
+    * a sampling/mixing stage monitors per source/domain: within group g
+    * holding N rows with label counts c₁..c_k,
+    *
+    *   gini = 1 − Σ cᵢ² / N²  ∈ [0, 1 − 1/k]
+    *
+    * (0 = pure, higher = more mixed). Σcᵢ² and N² are integers and the
+    * statistic is one IEEE division and one subtraction from an exact
+    * small integer — bit-exact in any engine. Null labels are rejected
+    * loudly, as [[chiSquare]]. Returns (group, n_rows, n_labels, gini)
+    * ordered by nothing (order downstream).
+    *
+    * Scale shape: one count aggregate on (group, label), one sum
+    * aggregate on group — both map-side combined; never touches the data
+    * twice.
+    */
+  def giniImpurity(df: DataFrame, group: String, label: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    require(df.filter(col(group).isNull || col(label).isNull).limit(1).isEmpty,
+      s"giniImpurity: null in '$group' or '$label' — recode nulls to an explicit level first")
+    df.groupBy(col(group), col(label)).agg(count(lit(1)).as("__c"))
+      .groupBy(col(group))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_labels"),
+        sum(col("__c").cast(dec38) * col("__c").cast(dec38)).as("__ss"))
+      .select(col(group), col("n_rows"), col("n_labels"),
+        (lit(1.0) - col("__ss").cast("double") /
+          (col("n_rows").cast(dec38) * col("n_rows").cast(dec38)).cast("double"))
+          .as("gini"))
+  }
 }

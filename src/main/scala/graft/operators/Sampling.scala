@@ -49,6 +49,26 @@ object Sampling {
     df.withColumn(out, coalesce(expr, lit(weights.last._1)))
   }
 
+  /** Deterministic k-fold assignment: fold = md5-hash of the key mod k —
+    * every row lands in exactly one of k same-expectation folds, stable
+    * across clusters, retries and engines (cross-validation and sharded
+    * eval both need the assignment to be a FUNCTION of the key, never of
+    * partitioning or RNG state). `heldOut` additionally labels that
+    * fold's rows "test" and the rest "train" — one scan, no shuffle,
+    * narrow on any data size.
+    */
+  def kFoldSplit(
+      df: DataFrame,
+      key: Column,
+      k: Int,
+      heldOut: Int,
+      out: String = "fold"): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    require(heldOut >= 0 && heldOut < k, s"heldOut must be in [0, $k)")
+    df.withColumn(out, md5Bucket(key, k))
+      .withColumn("split", when(col(out) === heldOut, "test").otherwise("train"))
+  }
+
   /** Keep a per-stratum deterministic fraction of rows (e.g. downsample
     * overrepresented languages/domains in a corpus). Unlisted strata are
     * dropped; fraction 1.0 keeps the stratum whole. Narrow — the filter

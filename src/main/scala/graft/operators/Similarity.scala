@@ -650,6 +650,91 @@ object Similarity {
       else cacheKey
     } catch { case scala.util.control.NonFatal(_) => cacheKey }
 
+  /** EXACT batched k-NN join — the brute-force ground truth of
+    * [[knnJoin]]: every query row scores against every corpus row (one
+    * cell-free cross join) and the per-query top-k is the same
+    * (cosine desc, id) rank window. O(|Q|·|corpus|) by construction — at
+    * scale this is the EVALUATION path, run over a hash-sampled query
+    * slice to measure the approximate index (see [[rankingMetrics]]), not
+    * the retrieval path. Spark broadcasts the smaller side of the cross
+    * join; work distributes over corpus partitions.
+    *
+    * Returns (qid, id, cosine) with exactly k rows per query (fewer only
+    * when the corpus itself is smaller than k).
+    */
+  def exactKnnJoin(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(corpus.sparkSession)
+    require(k >= 1, "k must be >= 1")
+    val q = queries.select(col(qid).as("__qid"), col(qvec).as("__qv"))
+    val scored = corpus.select(col(id), col(vec))
+      .crossJoin(q)
+      .filter(if (excludeSelf) col(id) =!= col("__qid") else lit(true))
+      .withColumn("cosine", VectorFns.cosine(col(vec), col("__qv")))
+    knnRank(scored, id, k)
+  }
+
+  /** Retrieval-quality metrics of an approximate k-NN result against the
+    * exact ground truth — the in-engine eval loop every ANN deployment
+    * needs (tune nProbe/nCells against measured recall, not hope). Both
+    * inputs are (qid, id, score) tables, e.g. [[knnJoin]] vs
+    * [[exactKnnJoin]] over the same query table.
+    *
+    * Per query:
+    *  - `n_hits`   — |approx top-k ∩ exact top-k| (ranks recomputed here
+    *                 with the shared (score desc, id) tie-break, so callers
+    *                 may pass unranked candidate tables);
+    *  - `recall`   — n_hits / k;
+    *  - `rr`       — 1 / (rank of the TRUE nearest neighbor in the approx
+    *                 list), 0.0 when the approx list misses it entirely —
+    *                 the per-query term of MRR.
+    * Every query in `exact` appears exactly once (queries the approximate
+    * index returned nothing for score 0). All arithmetic is rational
+    * (integer counts, single IEEE divisions) — bit-exact in any engine,
+    * so the metric itself carries a full oracle, not just the inputs.
+    *
+    * Scale shape: two rank windows keyed on qid + one (qid, id) equi-join
+    * + one qid hash-agg — all shuffles keyed on qid, nothing quadratic;
+    * the inputs are already ≤ k·|Q| rows each.
+    */
+  def rankingMetrics(
+      approx: DataFrame,
+      exact: DataFrame,
+      qid: String,
+      id: String,
+      score: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def ranked(df: DataFrame, rank: String): DataFrame =
+      df.withColumn(rank, row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(qid)).orderBy(col(score).desc, col(id))))
+        .filter(col(rank) <= k)
+        .select(col(qid), col(id), col(rank))
+    val a = ranked(approx, "__ar")
+    val e = ranked(exact, "__er")
+    val hits = a.join(e, Seq(qid, id))
+    val perQ = hits.groupBy(col(qid))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        // MRR term: the approx rank holding the exact #1 neighbor
+        min(when(col("__er") === 1, col("__ar"))).as("__nn_rank"))
+    e.select(col(qid)).distinct()
+      .join(perQ, Seq(qid), "left")
+      .select(
+        col(qid),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"),
+        coalesce(lit(1.0) / col("__nn_rank"), lit(0.0)).as("rr"))
+  }
+
   /** Exact all-pairs cosine similarity join: every (id_a < id_b) pair with
     * cosine >= minCosine. O(N²) by construction — this is the correctness
     * anchor for the LSH-blocked near-dup path

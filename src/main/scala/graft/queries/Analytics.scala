@@ -873,6 +873,70 @@ object Analytics {
       // as the statistic requires.
       graft.operators.Profile.chiSquare(documents(s, d), "lang", "source")
     },
+    Q("pf_cohen_kappa",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, cjk,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopEn)}, x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopDe)}, x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopEs)}, x))) AS s_es,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopFr)}, x))) AS s_fr
+         |  FROM t),
+         |p AS (SELECT lang AS b,
+         |    CASE WHEN cjk THEN 'zh'
+         |         WHEN s_en >= GREATEST(s_de, s_es, s_fr) THEN 'en'
+         |         WHEN s_de >= GREATEST(s_es, s_fr) THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END AS a
+         |  FROM sc),
+         |obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM p GROUP BY 1, 2),
+         |r AS (SELECT a AS lvl, SUM(o) AS ri FROM obs GROUP BY 1),
+         |c AS (SELECT b AS lvl, SUM(o) AS cj FROM obs GROUP BY 1),
+         |s AS (SELECT COALESCE(SUM(CAST(r.ri AS DECIMAL(38,0)) * CAST(c.cj AS DECIMAL(38,0))),
+         |         CAST(0 AS DECIMAL(38,0))) AS ss
+         |  FROM r JOIN c USING (lvl)),
+         |nd AS (SELECT SUM(o) AS nn,
+         |    COALESCE(SUM(CASE WHEN a = b THEN o END), 0) AS dd FROM obs)
+         |SELECT CAST(nd.nn AS BIGINT) AS n_rows, CAST(nd.dd AS BIGINT) AS n_agree,
+         |  CAST(nd.dd AS DOUBLE) / CAST(nd.nn AS DOUBLE) AS observed_agreement,
+         |  CAST(s.ss AS DOUBLE)
+         |    / CAST(CAST(nd.nn AS DECIMAL(38,0)) * CAST(nd.nn AS DECIMAL(38,0)) AS DOUBLE)
+         |    AS expected_agreement,
+         |  CASE WHEN CAST(nd.nn AS DECIMAL(38,0)) * CAST(nd.nn AS DECIMAL(38,0)) <> s.ss
+         |    THEN CAST(CAST(nd.nn AS DECIMAL(38,0)) * CAST(nd.dd AS DECIMAL(38,0)) - s.ss AS DOUBLE)
+         |      / CAST(CAST(nd.nn AS DECIMAL(38,0)) * CAST(nd.nn AS DECIMAL(38,0)) - s.ss AS DOUBLE)
+         |    END AS kappa
+         |FROM nd, s""".stripMargin) { (s, d) =>
+      // Cohen's kappa between the engine's langid heuristic and the
+      // reference lang label — the chance-corrected agreement a labeling
+      // pipeline reports for classifier-vs-annotation QA. The whole
+      // statistic is a ratio of integers ((N·D − S)/(N² − S)), so the
+      // oracle replays it bit-exactly: the langid replay feeds exact
+      // integer marginals, one IEEE division each for p_o, p_e, kappa.
+      graft.operators.Profile.cohenKappa(
+        documents(s, d).select(
+          TextFns.langId(col("text")).as("pred"), col("lang")),
+        "pred", "lang")
+    },
+    Q("pf_gini",
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(o) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_labels,
+        |  1.0 - CAST(SUM(CAST(o AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(CAST(SUM(o) AS DECIMAL(38,0)) * CAST(SUM(o) AS DECIMAL(38,0)) AS DOUBLE)
+        |    AS gini
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // Per-source Gini impurity of the language mix — the class-balance
+      // signal a mixing stage monitors per domain (0 = single-language
+      // source, higher = more mixed). 1 − Σc²/N² is exact rational
+      // arithmetic: integer Σc² and N² in DECIMAL(38,0), one correctly
+      // rounded division, one subtraction — bit-exact in any engine.
+      graft.operators.Profile.giniImpurity(documents(s, d), "source", "lang")
+        .orderBy("source")
+    },
 
     // ---- distribution drift between two slices -------------------------
     Q("pf_drift",

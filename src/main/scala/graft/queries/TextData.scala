@@ -913,6 +913,66 @@ object TextData {
       Dedup.cutDuplicateSpans(corpus, "doc_id", "text", window = 16)
         .orderBy("doc_id")
     },
+    Q("dd_cdc_chunk",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id,
+        |         text || ' plus a fresh tail of padding words' AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tw AS (
+        |  SELECT doc_id, w, len(w) AS n FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |    FROM corpus) WHERE len(w) > 0),
+        |wh AS (
+        |  SELECT doc_id, n, u.i AS pos,
+        |    CASE WHEN n >= 4
+        |      THEN CAST('0x' || substr(md5(array_to_string(w[u.i:u.i+3], ' ')), 1, 15) AS BIGINT)
+        |      ELSE CAST('0x' || substr(md5(array_to_string(w, ' ')), 1, 15) AS BIGINT)
+        |    END AS h
+        |  FROM tw, unnest(generate_series(1, GREATEST(n - 3, 1))) AS u(i)),
+        |cm AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN pos >= 2 AND h % 8 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk0
+        |  FROM wh),
+        |tp AS (SELECT doc_id, n, u.t AS t, w[u.t] AS tok
+        |  FROM tw, unnest(generate_series(1, n)) AS u(t)),
+        |tc AS (SELECT tp.doc_id, tp.t, tp.tok, cm.chunk0
+        |  FROM tp JOIN cm ON tp.doc_id = cm.doc_id
+        |    AND cm.pos = LEAST(tp.t, GREATEST(tp.n - 3, 1))),
+        |ck AS (
+        |  SELECT doc_id, chunk0 + 1 AS chunk_id, MIN(t) AS start_pos,
+        |    COUNT(*) AS n_chunk_tokens,
+        |    string_agg(tok, ' ' ORDER BY t) AS chunk_text
+        |  FROM tc GROUP BY doc_id, chunk0),
+        |own AS (SELECT substr(md5(chunk_text), 1, 15) AS ch, MIN(doc_id) AS owner
+        |  FROM ck GROUP BY 1)
+        |SELECT ck.doc_id, CAST(ck.chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(ck.start_pos AS BIGINT) AS start_pos,
+        |  CAST(ck.n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+        |  ck.chunk_text,
+        |  CASE WHEN own.owner < ck.doc_id THEN own.owner END AS dup_of
+        |FROM ck JOIN own ON substr(md5(ck.chunk_text), 1, 15) = own.ch
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      // Content-defined chunking (LBFS/FastCDC applied to corpus text):
+      // boundaries where the rolling 4-token hash ≡ 0 mod 8, so an
+      // insertion re-aligns every later chunk (fixed-size chunking would
+      // shift them all); identical chunks across documents resolve to
+      // their minimum-id owner. Same planted corpus as dd_span_cut: each
+      // re-keyed copy's interior chunks dedup against the original
+      // (dup_of set) while boundary-crossing and fresh-tail chunks stay
+      // novel. The oracle replays window hashes (md5 prefixes), the
+      // boundary cumsum, the ordered chunk rebuild and ownership
+      // end to end.
+      val docs = documents(s, d).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          concat(col("text"), lit(" plus a fresh tail of padding words")).as("text")))
+      Dedup.cdcChunks(corpus, "doc_id", "text", window = 4, divisor = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
     Q("tx_boilerplate",
       """WITH ml AS (
         |  SELECT doc_id, concat_ws(chr(10),
@@ -1270,6 +1330,57 @@ object TextData {
       Similarity.rangeJoin(s, path, "vec_id", "embedding", q, "q_id", "q_emb",
           minCosine = 0.3, cents, nProbe = 4, excludeSelf = true)
         .orderBy("qid", "vec_id")
+    },
+    Q("ml_retrieval_eval",
+      // in-engine ANN quality evaluation: recall@10 and the MRR term of
+      // the batched IVF probe (nProbe=2 of 8 cells — deliberately lossy
+      // so the metric is non-trivial) against the exact brute-force
+      // ground truth, per query. The oracle replays BOTH retrieval paths
+      // (codebook CTEs + probe for approx, full cross scores for exact)
+      // and the metric arithmetic — integer hit counts, one IEEE
+      // division each for recall and rr — bit-exactly.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 16 = 0),
+         |qc AS (SELECT qid, qvec, cell FROM (
+         |    SELECT q.qid, q.qvec, u.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC) AS rn
+         |    FROM q CROSS JOIN uf u) WHERE rn <= 2),
+         |sc AS (
+         |  SELECT qc.qid, a.vec_id, list_cosine_similarity(a.v, qc.qvec) AS cosine
+         |  FROM af a JOIN qc ON a.cell = qc.cell
+         |  WHERE a.vec_id <> qc.qid),
+         |ar AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS arank
+         |  FROM sc),
+         |er AS (SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(e.v, q.qvec) DESC, e.vec_id) AS erank
+         |  FROM e, q WHERE e.vec_id <> q.qid),
+         |h AS (
+         |  SELECT ar.qid, COUNT(*) AS n_hits,
+         |    MIN(CASE WHEN er.erank = 1 THEN ar.arank END) AS nn_rank
+         |  FROM ar JOIN er ON ar.qid = er.qid AND ar.vec_id = er.vec_id
+         |  WHERE ar.arank <= 10 AND er.erank <= 10
+         |  GROUP BY ar.qid)
+         |SELECT ql.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall,
+         |  COALESCE(CAST(1 AS DOUBLE) / h.nn_rank, CAST(0 AS DOUBLE)) AS rr
+         |FROM (SELECT DISTINCT qid FROM er) ql LEFT JOIN h USING (qid)
+         |ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents) = Similarity.ensureIvfIndex(
+        e, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val q = e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val approx = Similarity.knnJoin(s, path, "vec_id", "embedding",
+        q, "q_id", "q_emb", k = 10, cents, nProbe = 2, excludeSelf = true)
+      val exact = Similarity.exactKnnJoin(e, "vec_id", "embedding",
+        q, "q_id", "q_emb", k = 10, excludeSelf = true)
+      Similarity.rankingMetrics(approx, exact, "qid", "vec_id", "cosine", k = 10)
+        .orderBy("qid")
     },
 
     // ---- text analysis -------------------------------------------------
@@ -1664,6 +1775,21 @@ object TextData {
           orders(s, d).select("o_orderkey"), col("o_orderkey"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("o_orderkey")
+    },
+    Q("sm_kfold",
+      """WITH b AS (SELECT doc_id,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 5 AS INTEGER) AS fold FROM documents)
+        |SELECT doc_id, fold,
+        |  CASE WHEN fold = 2 THEN 'test' ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Deterministic k-fold assignment (md5 mod k) with fold 2 held out
+      // — cross-validation splits that are a pure function of the key:
+      // stable across clusters, retries and engines, disjoint and
+      // exhaustive by construction.
+      graft.operators.Sampling.kFoldSplit(
+          documents(s, d).select("doc_id"), col("doc_id"), k = 5, heldOut = 2)
+        .orderBy("doc_id")
     },
     Q("sm_weighted",
       """WITH w AS (SELECT doc_id, n_chars,

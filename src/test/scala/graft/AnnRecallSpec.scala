@@ -474,4 +474,77 @@ class AnnRecallSpec extends SparkTestBase {
     }
     assert(windows.isEmpty, "a range join has no rank window at all")
   }
+
+  test("exactKnnJoin: per-query results equal bruteForceTopK single probes") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val batched = Similarity.exactKnnJoin(e, "vec_id", "embedding",
+      q, "q_id", "q_emb", k = 5, excludeSelf = true)
+    val qids = q.select("q_id").as[Long].collect().sorted
+    assert(qids.nonEmpty)
+    qids.foreach { qid =>
+      val single = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === qid).select(col("embedding").as("qvec")),
+        qid, k = 5).as[(Long, Double)].collect().toSeq
+      val mine = batched.filter(col("qid") === qid)
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+      assert(mine == single, s"query $qid: batched exact != single-probe exact")
+    }
+  }
+
+  test("rankingMetrics: perfect approx scores 1.0; planted misses score exactly") {
+    val exact = Seq(
+      (1L, 11L, 0.9), (1L, 12L, 0.8), (1L, 13L, 0.7),
+      (2L, 21L, 0.9), (2L, 22L, 0.8), (2L, 23L, 0.7)
+    ).toDF("qid", "vec_id", "cosine")
+    // approx == exact -> recall 1, rr 1 for every query
+    val perfect = Similarity.rankingMetrics(exact, exact, "qid", "vec_id", "cosine", k = 3)
+      .orderBy("qid").as[(Long, Long, Double, Double)].collect()
+    assert(perfect.toSeq == Seq((1L, 3L, 1.0, 1.0), (2L, 3L, 1.0, 1.0)))
+    // query 1: approx misses the true NN (11) but keeps 12, 13 plus a
+    // stranger -> 2/3 recall, rr 0; query 2: true NN demoted to approx
+    // rank 2 by a higher-scored stranger -> recall 2/3 (21 and 22 hit,
+    // 99 is not in exact top-3), rr 1/2
+    val approx = Seq(
+      (1L, 12L, 0.8), (1L, 13L, 0.7), (1L, 99L, 0.1),
+      (2L, 99L, 0.95), (2L, 21L, 0.9), (2L, 22L, 0.8)
+    ).toDF("qid", "vec_id", "cosine")
+    val got = Similarity.rankingMetrics(approx, exact, "qid", "vec_id", "cosine", k = 3)
+      .orderBy("qid").as[(Long, Long, Double, Double)].collect()
+    assert(got(0)._2 == 2 && got(0)._3 == 2.0 / 3.0 && got(0)._4 == 0.0)
+    assert(got(1)._2 == 2 && got(1)._3 == 2.0 / 3.0 && got(1)._4 == 0.5)
+    // a query the approximate side returned NOTHING for still reports
+    val empty = Similarity.rankingMetrics(
+      approx.filter(col("qid") === 2), exact, "qid", "vec_id", "cosine", k = 3)
+      .orderBy("qid").as[(Long, Long, Double, Double)].collect()
+    assert(empty(0) == ((1L, 0L, 0.0, 0.0)))
+  }
+
+  test("ml_retrieval_eval shape: recall from the lossy nProbe=2 probe is sane and self-consistent") {
+    val e = Tables.embeddings(spark, sfDir)
+    val (path, cents) = Similarity.ensureIvfIndex(
+      e, "vec_id", "embedding", cacheKey = sfDir, nCells = 8)
+    val q = e.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val approx = Similarity.knnJoin(spark, path, "vec_id", "embedding",
+      q, "q_id", "q_emb", k = 10, cents, nProbe = 2, excludeSelf = true)
+    val exact = Similarity.exactKnnJoin(e, "vec_id", "embedding",
+      q, "q_id", "q_emb", k = 10, excludeSelf = true)
+    val m = Similarity.rankingMetrics(approx, exact, "qid", "vec_id", "cosine", k = 10)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(m.length == q.count())
+    // metrics are internally consistent and bounded
+    m.foreach { case (qid, hits, recall, rr) =>
+      assert(hits >= 0 && hits <= 10 && recall == hits / 10.0, s"q$qid recall/hits mismatch")
+      assert(rr >= 0.0 && rr <= 1.0)
+      // rr > 0 requires at least one hit
+      if (rr > 0.0) assert(hits >= 1)
+    }
+    // the lossy probe still finds SOMETHING on average (mean recall > 0.2)
+    val mean = m.map(_._3).sum / m.length
+    info(s"mean recall@10 at nProbe=2/8 cells: $mean")
+    assert(mean > 0.2, s"mean recall $mean suspiciously low")
+  }
 }

@@ -406,4 +406,61 @@ class DedupSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("cdcChunks: lossless reassembly, shift-resistant boundaries, copies dedup to owner") {
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact copy: all chunks owned by 1
+      (3L, "prefix words inserted here " + base),  // shifted copy: boundaries re-align
+      (4L, "tiny doc"),                            // shorter than the window: one chunk
+      (5L, "completely different material with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(docs, "doc_id", "text", window = 4, divisor = 8)
+      .orderBy("doc_id", "chunk_id").cache()
+
+    // 1) chunks reassemble every document's token stream losslessly
+    val byDoc = out.select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+      .map { case (id, cs) => id -> cs.sortBy(_._2).map(_._3).mkString(" ") }
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(byDoc(id) == toks, s"doc $id reassembly mismatch")
+    }
+
+    // 2) chunk ids are 1..n contiguous and start positions strictly increase
+    byDoc.keys.foreach { id =>
+      val rows = out.filter(col("doc_id") === id)
+        .select("chunk_id", "start_pos", "n_chunk_tokens")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+      rows.sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, _)) => assert(s2 == s1 + n1)
+        case _ => ()
+      }
+    }
+
+    // 3) the exact copy dedups: every chunk of doc 2 has dup_of = 1
+    val dup2 = out.filter(col("doc_id") === 2)
+      .select("dup_of").as[Option[Long]].collect()
+    assert(dup2.nonEmpty && dup2.forall(_.contains(1L)), s"doc2 dup_of: ${dup2.toSeq}")
+
+    // 4) shift-resistance: doc 3 (prefix inserted) still shares its
+    // interior chunks with doc 1 — at least one chunk dedups to 1, which
+    // fixed-size chunking could never achieve after a 4-token shift
+    val dup3 = out.filter(col("doc_id") === 3 && col("dup_of") === 1).count()
+    assert(dup3 >= 1, "no chunk of the shifted copy re-aligned to the original")
+
+    // 5) novel docs own all their chunks
+    assert(out.filter(col("doc_id").isin(1L, 5L) && col("dup_of").isNotNull).count() == 0)
+    // 6) sub-window doc is a single chunk covering itself
+    val tiny = out.filter(col("doc_id") === 4)
+      .select("chunk_id", "start_pos", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(tiny.toSeq == Seq((1L, 1L, 2L, "tiny doc")))
+    out.unpersist()
+  }
 }

@@ -98,4 +98,46 @@ class ProfileSpec extends SparkTestBase {
       .select("dof", "chi2").as[(Long, Double)].head()
     assert(disjoint._1 == 1 && math.abs(disjoint._2 - 10.0) < 1e-9)
   }
+
+  test("cohenKappa: textbook 2x2, perfect agreement, degenerate denominator, null rejection") {
+    def rows(counts: Seq[(String, String, Int)]) =
+      counts.flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }.toDF("a", "b")
+    // Cohen's worked shape: [[20,5],[10,15]] -> N=50 D=35 S=25·30+25·20=1250
+    // -> p_o=0.7 p_e=0.5 kappa=(0.7-0.5)/0.5 = 0.4, and the integer form
+    // (N·D-S)/(N²-S) = 500/1250 gives it exactly
+    val k = Profile.cohenKappa(
+      rows(Seq(("yes", "yes", 20), ("yes", "no", 5), ("no", "yes", 10), ("no", "no", 15))),
+      "a", "b").as[(Long, Long, Double, Double, Double)].head()
+    assert(k._1 == 50 && k._2 == 35)
+    assert(k._3 == 0.7 && k._4 == 0.5 && k._5 == 0.4) // exact rational values
+    // identical columns with >1 level: kappa = 1
+    val perfect = Profile.cohenKappa(
+      rows(Seq(("x", "x", 3), ("y", "y", 7))), "a", "b")
+      .select("kappa").as[Double].head()
+    assert(perfect == 1.0)
+    // single shared level: p_e = 1, kappa undefined -> null
+    val degen = Profile.cohenKappa(rows(Seq(("x", "x", 5))), "a", "b")
+      .select("kappa").as[Option[Double]].head()
+    assert(degen.isEmpty)
+    intercept[IllegalArgumentException] {
+      Profile.cohenKappa(Seq((null.asInstanceOf[String], "x")).toDF("a", "b"), "a", "b")
+    }
+  }
+
+  test("giniImpurity: pure group 0, uniform two-label 0.5, exact three-label value") {
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "en"),               // pure
+      ("s2", "en"), ("s2", "de"), ("s2", "en"), ("s2", "de"), // 2+2
+      ("s3", "en"), ("s3", "de"), ("s3", "fr")                // 1+1+1
+    ).toDF("source", "lang")
+    val out = Profile.giniImpurity(df, "source", "lang")
+      .orderBy("source").as[(String, Long, Long, Double)].collect()
+    assert(out(0) == (("s1", 3L, 1L, 0.0)))
+    assert(out(1) == (("s2", 4L, 2L, 0.5)))          // 1 - 8/16
+    assert(out(2)._4 == 1.0 - 3.0 / 9.0)             // 1 - 3/9, exact
+    intercept[IllegalArgumentException] {
+      Profile.giniImpurity(Seq(("s", null.asInstanceOf[String])).toDF("source", "lang"),
+        "source", "lang")
+    }
+  }
 }

@@ -196,4 +196,27 @@ class SamplingSpec extends SparkTestBase {
     val again = Sampling.weightedSampleByHash(frac.toDF("k", "w"), col("k"), col("w")).count()
     assert(again == fracKept)
   }
+
+  test("kFoldSplit: exhaustive disjoint folds, held-out labeling, stable across runs") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val folds = Sampling.kFoldSplit(docs, col("doc_id"), k = 5, heldOut = 2).cache()
+    val n = docs.count()
+    assert(folds.count() == n) // every row assigned exactly once
+    val perFold = folds.groupBy("fold").count().as[(Int, Long)].collect().toMap
+    assert(perFold.keySet == Set(0, 1, 2, 3, 4), s"folds seen: ${perFold.keySet}")
+    // roughly balanced (hash-uniform): each fold within 3x of fair share
+    perFold.values.foreach(c => assert(c > n / 15 && c < n, s"fold sizes $perFold"))
+    // split labeling is exactly fold == heldOut
+    assert(folds.filter((col("fold") === 2) =!= (col("split") === "test")).count() == 0)
+    // a pure function of the key: rerun identical row-for-row
+    val again = Sampling.kFoldSplit(docs, col("doc_id"), k = 5, heldOut = 2)
+    assert(folds.exceptAll(again).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.kFoldSplit(docs, col("doc_id"), k = 1, heldOut = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.kFoldSplit(docs, col("doc_id"), k = 5, heldOut = 5)
+    }
+    folds.unpersist()
+  }
 }
