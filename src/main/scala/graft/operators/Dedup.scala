@@ -617,6 +617,67 @@ object Dedup {
         (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_cut"))
   }
 
+  /** Near-dup quality evaluation — the dedup twin of
+    * [[graft.operators.Similarity.rankingMetrics]]: precision and recall
+    * of the MinHash-LSH candidate generator ([[minhashLshPairs]]) against
+    * the EXACT shingle-Jaccard ground truth at `minJaccard`, measured
+    * inside the engine. This is how a corpus owner tunes bands/hashes
+    * against a measured recall target instead of folklore.
+    *
+    * Ground truth is computed relationally, not all-pairs: per-document
+    * DISTINCT shingle sets explode to (shingle, doc) and self-join on the
+    * shingle, so only pairs sharing ≥ 1 shingle are scored (a pair with
+    * no shared shingle has Jaccard 0 < any positive threshold) —
+    * intersection counts come from the join, |union| = na + nb − inter.
+    * Work is Σ df(shingle)² over shingle document frequencies, not N²;
+    * it is still the EVAL path (run over a hash-sampled slice at 100 TB
+    * — boilerplate shingles make df² explode on the open web), while the
+    * banded LSH side stays the production path.
+    *
+    * Returns ONE row: (n_exact, n_candidates, n_hits, precision, recall)
+    * — integer counts, one IEEE division each; precision/recall are null
+    * when their denominator is 0 (no candidates / no true pairs).
+    */
+  def dedupEval(
+      df: DataFrame,
+      id: String,
+      text: String,
+      minJaccard: Double = 0.5,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val cand = minhashLshPairs(df, id, text, shingleSize, numHashes, bands)
+      .select("id_a", "id_b")
+    val sh = df
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(id),
+        array_distinct(TextFns.wordShingles(col("__toks"), shingleSize)).as("__s"))
+    val sizes = sh.select(col(id), size(col("__s")).as("__n"))
+    val ex = sh.select(col(id), explode(col("__s")).as("__g"))
+    val inter = ex.select(col(id).as("id_a"), col("__g"))
+      .join(ex.select(col(id).as("id_b"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+    val exact = inter
+      .join(sizes.select(col(id).as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .filter(col("__i").cast("double")
+        / (col("__na") + col("__nb") - col("__i")) >= minJaccard)
+      .select("id_a", "id_b")
+    val hits = cand.join(exact, Seq("id_a", "id_b"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(
+        col("n_exact"), col("n_candidates"), col("n_hits"),
+        when(col("n_candidates") > 0,
+          col("n_hits").cast("double") / col("n_candidates")).as("precision"),
+        when(col("n_exact") > 0,
+          col("n_hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Content-defined chunking + cross-document chunk dedup — the
     * storage-dedup technique (Muthitacharoen et al., SOSP '01 LBFS;
     * FastCDC, USENIX ATC '16) applied to corpus text: chunk boundaries

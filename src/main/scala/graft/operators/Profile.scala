@@ -252,6 +252,23 @@ object Profile {
         sum(col("__term").cast(dec)).cast("double").as("chi2"))
   }
 
+  /** Cramér's V — [[chiSquare]] normalized to [0, 1] so association
+    * strength is comparable across tables of different size and level
+    * counts: V = √(χ² / (N · min(k_a−1, k_b−1))). Built ON the chi2 row
+    * (one extra projection, no new pass over the data); engine-exact
+    * because χ² is already the decimal-cast sum and IEEE division and
+    * sqrt are both correctly rounded — the same double in, the same
+    * double out, in any engine. Single-level columns (min(kₐ,k_b) = 1)
+    * give dof 0 and V null (association undefined), not a division blowup.
+    * Returns (n_rows, n_levels_a, n_levels_b, dof, chi2, cramers_v).
+    */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame =
+    chiSquare(df, a, b).withColumn("cramers_v",
+      when(least(col("n_levels_a"), col("n_levels_b")) > 1,
+        sqrt(col("chi2") /
+          (col("n_rows") * (least(col("n_levels_a"), col("n_levels_b")) - 1))
+            .cast("double"))))
+
   /** Cohen's kappa between two categorical columns — the chance-corrected
     * agreement a labeling pipeline reports when comparing an automatic
     * classifier against reference labels (or two annotators against each

@@ -937,6 +937,43 @@ object Analytics {
       graft.operators.Profile.giniImpurity(documents(s, d), "source", "lang")
         .orderBy("source")
     },
+    Q("pf_cramers_v",
+      """WITH obs AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |la AS (SELECT DISTINCT lang FROM documents),
+        |sb AS (SELECT DISTINCT source FROM documents),
+        |f AS (
+        |  SELECT la.lang, sb.source, COALESCE(obs.o, 0) AS o
+        |  FROM la CROSS JOIN sb
+        |  LEFT JOIN obs ON obs.lang = la.lang AND obs.source = sb.source),
+        |r AS (SELECT lang, SUM(o) AS ri FROM f GROUP BY 1),
+        |c AS (SELECT source, SUM(o) AS cj FROM f GROUP BY 1),
+        |n AS (SELECT SUM(o) AS nn, COUNT(DISTINCT lang) AS ka,
+        |             COUNT(DISTINCT source) AS kb FROM f),
+        |t AS (
+        |  SELECT CAST(f.o AS DECIMAL(38,0)) * CAST(n.nn AS DECIMAL(38,0))
+        |         - CAST(r.ri AS DECIMAL(38,0)) * CAST(c.cj AS DECIMAL(38,0)) AS d,
+        |         CAST(n.nn AS DECIMAL(38,0)) * CAST(r.ri AS DECIMAL(38,0))
+        |           * CAST(c.cj AS DECIMAL(38,0)) AS den
+        |  FROM f JOIN r USING (lang) JOIN c USING (source), n),
+        |chi AS (
+        |  SELECT CAST(n.nn AS BIGINT) AS n_rows,
+        |    CAST(n.ka AS BIGINT) AS n_levels_a, CAST(n.kb AS BIGINT) AS n_levels_b,
+        |    CAST((n.ka - 1) * (n.kb - 1) AS BIGINT) AS dof,
+        |    CAST(SUM(CAST(CAST(d * d AS DOUBLE) / CAST(den AS DOUBLE) AS DECIMAL(30,6)))
+        |      AS DOUBLE) AS chi2
+        |  FROM t, n GROUP BY n.nn, n.ka, n.kb)
+        |SELECT n_rows, n_levels_a, n_levels_b, dof, chi2,
+        |  CASE WHEN LEAST(n_levels_a, n_levels_b) > 1
+        |    THEN sqrt(chi2 / CAST(n_rows * (LEAST(n_levels_a, n_levels_b) - 1) AS DOUBLE))
+        |    END AS cramers_v
+        |FROM chi""".stripMargin) { (s, d) =>
+      // Cramér's V: pf_chi2 normalized to [0,1] so association strength
+      // compares across table sizes and level counts — one projection on
+      // top of the chi2 row; engine-exact because IEEE division and sqrt
+      // are correctly rounded over the already-bit-exact chi2.
+      graft.operators.Profile.cramersV(documents(s, d), "lang", "source")
+    },
 
     // ---- distribution drift between two slices -------------------------
     Q("pf_drift",

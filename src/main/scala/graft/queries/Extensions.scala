@@ -269,6 +269,35 @@ object Extensions {
         .groupBy("path").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("path")).limit(20)
     },
+    Q("ev_markov",
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |p AS (SELECT event_type AS src, lead(event_type, 1) OVER w AS dst
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.cnt, CAST(c.cnt AS DOUBLE) / t.tot AS prob
+        |FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin) { (s, d) =>
+      // First-order Markov transition matrix of the event stream: one
+      // lead over the user-keyed window (the ev_sessions total order),
+      // map-side-combined (src, dst) counts, row-normalized to exact
+      // transition probabilities (integer count / integer row total — one
+      // IEEE division, bit-exact). The normalizing window keys on src
+      // over the |types|² count table — dictionary-sized, never the data.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("unix_micros(ts)"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("event_type").as("src"), col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        .withColumn("prob", col("cnt").cast("double")
+          .divide(sum(col("cnt")).over(Window.partitionBy(col("src")))))
+        .select("src", "dst", "cnt", "prob")
+        .orderBy("src", "dst")
+    },
 
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",

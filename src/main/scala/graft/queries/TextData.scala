@@ -397,6 +397,35 @@ object TextData {
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     },
+    Q("dd_dedup_eval",
+      // measure the dedup pipeline's own approximation: precision/recall
+      // of the banded MinHash-LSH candidate generator against the EXACT
+      // shingle-Jaccard ground truth at τ=0.5, computed in-engine. Ground
+      // truth is the relational shared-shingle join (pairs with no shared
+      // shingle have Jaccard 0 — never scored), candidates replay the
+      // full sketch CTE family; integer counts, one IEEE division each.
+      s"""WITH ${minhashCandidateCte("documents")},
+         |cd AS (SELECT id_a, id_b FROM cand),
+         |shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+         |e AS (SELECT doc_id, u.g FROM shd, unnest(sd) AS u(g)),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(sd) AS n FROM shd),
+         |ex AS (SELECT it.id_a, it.id_b FROM it
+         |  JOIN sz sa ON it.id_a = sa.doc_id JOIN sz sb ON it.id_b = sb.doc_id
+         |  WHERE CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i) >= 0.5),
+         |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM cd JOIN ex USING (id_a, id_b)),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cd),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT ne.n_exact, nc.n_candidates, h.n_hits,
+         |  CASE WHEN nc.n_candidates > 0
+         |    THEN CAST(h.n_hits AS DOUBLE) / nc.n_candidates END AS precision,
+         |  CASE WHEN ne.n_exact > 0
+         |    THEN CAST(h.n_hits AS DOUBLE) / ne.n_exact END AS recall
+         |FROM nc, ne, h""".stripMargin) { (s, d) =>
+      Dedup.dedupEval(documents(s, d), "doc_id", "text", minJaccard = 0.5)
+    },
     Q("dd_containment",
       """WITH sh AS (SELECT doc_id,
         |    unnest(list_distinct(CASE WHEN len(w) >= 3

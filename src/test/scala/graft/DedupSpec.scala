@@ -407,8 +407,34 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("dedupEval: counts agree with independently computed exact/candidate sets") {
+    val docs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val row = Dedup.dedupEval(docs, "doc_id", "text", minJaccard = 0.5)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    val (nExact, nCand, nHits, prec, rec) = row
+    // cross-check n_exact against the brute-force exact Jaccard over all
+    // pairs (fixture-sized corpus), computed via the verify helper on the
+    // full candidate universe
+    val ids = docs.select("doc_id")
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val bruteExact = Dedup.ngramJaccardVerify(docs, allPairs, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5).count()
+    assert(nExact == bruteExact, s"exact ground truth $nExact != brute force $bruteExact")
+    // candidate count agrees with the LSH pair generator itself
+    val candCount = Dedup.minhashLshPairs(docs, "doc_id", "text").count()
+    assert(nCand == candCount)
+    // metric identities
+    assert(nHits <= math.min(nExact, nCand))
+    assert(prec.contains(nHits.toDouble / nCand) || nCand == 0)
+    assert(rec.contains(nHits.toDouble / nExact) || nExact == 0)
+    // 64-hash/8-band LSH at tau=0.5 should recall most true pairs on the
+    // fixture's planted near-dups
+    if (nExact > 0) assert(rec.get >= 0.8, s"recall ${rec.get} below the 0.8 floor")
+  }
+
   test("cdcChunks: lossless reassembly, shift-resistant boundaries, copies dedup to owner") {
-    import graft.operators.Dedup
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
       "one two three four five six seven eight nine ten eleven twelve"

@@ -186,4 +186,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(bySource("tiny") == 1L) // not 1000·w/Σw rows — there is only 1
     assert(bySource("big") == 96L)
   }
+
+  test("ev_markov: rows normalize to 1 per source state, counts match transitions") {
+    val out = graft.SparkEntry.queries("ev_markov")(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // per-src probabilities sum to exactly 1 (exact integer division terms
+    // of one common denominator always re-add to the whole)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      val probSum = rows.map(r => r._3.toDouble / total).sum
+      assert(rows.forall(r => r._4 == r._3.toDouble / total), s"$src prob mismatch")
+      assert(math.abs(probSum - 1.0) < 1e-12, s"$src probs sum to $probSum")
+    }
+    // transition count conservation: Σ cnt = Σ per-user (n_events - 1)
+    val perUser = graft.core.Tables.events(spark, sfDir)
+      .groupBy("user_id").count().as[(Long, Long)].collect()
+    assert(out.map(_._3).sum == perUser.map(_._2 - 1).sum)
+  }
 }

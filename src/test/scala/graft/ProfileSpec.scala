@@ -124,6 +124,26 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("cramersV: perfect association 1, independence 0, single-level null") {
+    def rows(counts: Seq[(String, String, Int)]) =
+      counts.flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }.toDF("a", "b")
+    // diagonal 2x2: chi2 = N, min(k)-1 = 1 -> V = sqrt(N/N) = 1
+    val perfect = Profile.cramersV(
+      rows(Seq(("x", "u", 5), ("y", "v", 5))), "a", "b")
+      .select("cramers_v").as[Double].head()
+    assert(perfect == 1.0)
+    // proportional table: chi2 = 0 -> V = 0
+    val indep = Profile.cramersV(
+      rows(Seq(("x", "u", 6), ("x", "v", 2), ("y", "u", 3), ("y", "v", 1))), "a", "b")
+      .select("cramers_v").as[Double].head()
+    assert(indep == 0.0)
+    // one-level column: association undefined -> null, no division blowup
+    val degen = Profile.cramersV(
+      rows(Seq(("x", "u", 3), ("x", "v", 2))), "a", "b")
+      .select("cramers_v").as[Option[Double]].head()
+    assert(degen.isEmpty)
+  }
+
   test("giniImpurity: pure group 0, uniform two-label 0.5, exact three-label value") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "en"),               // pure
