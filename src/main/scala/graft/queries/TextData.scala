@@ -1682,6 +1682,71 @@ object TextData {
         .filter(col("rk") <= 10)
         .orderBy("lang", "rk")
     },
+    Q("tx_zipf",
+      """WITH tok AS (SELECT u.t AS tok FROM (
+        |    SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |    FROM documents), unnest(w) AS u(t)),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM c),
+        |top AS (SELECT tok, freq FROM c ORDER BY freq DESC, tok LIMIT 30),
+        |r AS (SELECT tok, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INTEGER) AS rank,
+        |    CAST(SUM(freq) OVER (ORDER BY freq DESC, tok) AS BIGINT) AS cum
+        |  FROM top)
+        |SELECT rank, tok, freq,
+        |  CAST(freq AS DOUBLE) / tt.total AS share,
+        |  CAST(cum AS DOUBLE) / tt.total AS cum_share
+        |FROM r, tt ORDER BY rank""".stripMargin) { (s, d) =>
+      // Zipf head profile: the top-30 vocabulary terms with exact share
+      // and cumulative share of all tokens — the head-concentration
+      // signal boilerplate/stopword policies are tuned on. Scale shape:
+      // one map-side-combined token count, a TakeOrdered top-30, and the
+      // rank/cumsum window runs over the BOUNDED 30-row result (never the
+      // vocabulary — the unpartitioned window is post-limit by
+      // construction). Shares are integer/integer IEEE divisions.
+      val toks = documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = counts.agg(sum(col("freq")).cast("long").as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("tok"))
+      counts.orderBy(col("freq").desc, col("tok")).limit(30)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("freq")).over(w))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("tok"), col("freq"),
+          (col("freq").cast("double") / col("total")).as("share"),
+          (col("cum").cast("double") / col("total")).as("cum_share"))
+        .orderBy("rank")
+    },
+    Q("tx_hapax",
+      """WITH tok AS (SELECT u.t AS tok FROM (
+        |    SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |    FROM documents), unnest(w) AS u(t)),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1)
+        |SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS hapax_ratio,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(freq) AS type_token_ratio
+        |FROM c""".stripMargin) { (s, d) =>
+      // Vocabulary-richness summary: hapax legomena (words seen once)
+      // ratio and type-token ratio — the lexical-diversity signals that
+      // flag both boilerplate floods (TTR collapses) and OCR noise (hapax
+      // explodes). Two chained hash aggregates, integer counts, IEEE
+      // divisions — one row, bit-exact.
+      documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .agg(
+          sum(col("freq")).as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("n_tokens"), col("vocab_size"), col("n_hapax"),
+          (col("n_hapax").cast("double") / col("vocab_size")).as("hapax_ratio"),
+          (col("vocab_size").cast("double") / col("n_tokens")).as("type_token_ratio"))
+    },
 
     // ---- multimodal plumbing -------------------------------------------
     Q("mm_decode_stub",

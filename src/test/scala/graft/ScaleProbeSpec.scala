@@ -288,6 +288,34 @@ class ScaleProbeSpec extends SparkTestBase {
     assertLinear("dd_span_cut", tSmall, tBig)
   }
 
+  test("dd_cdc_chunk: 10x docs within linear time, same exchange count") {
+    // the round-8 shape: window-hash fan-out + boundary cumsum window +
+    // chunk rebuild groupBy + h60 ownership agg — probe the composition
+    // stays linear and keeps its plan at 10x
+    def chunks(n: Long): DataFrame =
+      Dedup.cdcChunks(syntheticDocs(n), "doc_id", "text", window = 4, divisor = 8)
+    def run(n: Long): (Long, Double) = timed(chunks(n).count())
+    run(nDocs)                                  // warm
+    val (rowsSmall, tSmall) = run(nDocs)
+    val (rowsBig, tBig) = run(nDocs * 10)
+    // chunk counts scale with the corpus (≈ tokens/divisor per doc);
+    // exact equality is with the 10x row count's own run, not a formula
+    assert(rowsBig > rowsSmall * 8 && rowsBig < rowsSmall * 12,
+      s"chunk fan-out drifted: $rowsSmall -> $rowsBig at 10x docs")
+    // plan-shape pin under a fixed join strategy: the ownership join
+    // legitimately flips broadcast->shuffle as the chunk dictionary
+    // grows (that is AQE doing its job), so compare exchange counts with
+    // auto-broadcast off — the underlying shuffle skeleton must not
+    // change with data size
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try
+      assert(exchanges(chunks(nDocs)) == exchanges(chunks(nDocs * 10)),
+        "cdc-chunk plan changed shape at 10x")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assertLinear("dd_cdc_chunk", tSmall, tBig)
+  }
+
   test("ann_ivf_pq probe: pruned codes-only scan holds at 10x") {
     val dir = java.nio.file.Files.createTempDirectory("scale_ivf_pq").toString
     val vecs = syntheticVecs(nVecs * 10)
