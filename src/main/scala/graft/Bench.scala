@@ -36,7 +36,9 @@ object Bench {
     "ann_knn_join",       // batched k-NN join over the materialized IVF index
     "w14_ewma",           // bounded-recursion EWMA window fold
     "ml_hash_classifier", // hashed-feature classifier corpus pass (zero-shuffle)
-    "ann_range_join"      // batched range search (probe join, no rank window)
+    "ann_range_join",     // batched range search (probe join, no rank window)
+    "dd_cdc_chunk",       // content-defined chunking + chunk ownership
+    "ml_retrieval_eval"   // recall@10/MRR of the IVF probe vs exact ground truth
   )
 
   def main(args: Array[String]): Unit = {
