@@ -702,10 +702,12 @@ object Dedup {
     * Scale shape: the window hashes are one narrow custom-expression
     * projection ([[graft.plans.Sketches]] md5, same family as
     * [[spanOverlapStats]]); the boundary cumsum is ONE window shuffle
-    * keyed on the document id; the chunk rebuild is one groupBy
-    * (id, chunk) with an order-pinned array_sort; ownership is a hash
-    * aggregate on the 8-byte h60 of the chunk text — chunk text shuffles
-    * once into the rebuild (it is the OUTPUT), hashes carry the dedup.
+    * keyed on the document id over 8-byte hash rows; chunks materialize
+    * as [start, next-start) TOKEN-ARRAY SLICES of the original document
+    * (a per-doc equi-join fanning out to ~n/divisor chunk rows) — no
+    * per-token row ever shuffles, document text moves exactly once, into
+    * its own chunks; ownership is a hash aggregate on the 8-byte h60 of
+    * the chunk text.
     */
   def cdcChunks(
       df: DataFrame,
@@ -723,31 +725,33 @@ object Dedup {
     // (0-based) window start positions 0..max(n-window, 0); posexplode of
     // the rolling hashes yields exactly that range (short docs: one
     // whole-doc hash at position 0)
-    val wh = toks.select(col(id), col("__n"),
+    val wh = toks.select(col(id),
       posexplode(TextFns.rollingWindowHashes(col("__toks"), window))
         .as(Seq("__pos", "__h")))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
     val cum = wh
       .withColumn("__cut",
         when(col("__pos") >= 1 && pmod(col("__h"), lit(divisor)) === 0, 1L).otherwise(0L))
-      .withColumn("__chunk0", sum(col("__cut")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(id)).orderBy(col("__pos"))))
+      .withColumn("__chunk0", sum(col("__cut")).over(byDoc.orderBy(col("__pos"))))
       .select(col(id), col("__pos"), col("__chunk0"))
-    // a token at (0-based) t belongs to the chunk of window position
-    // min(t, n - window) — tail tokens ride the last window's chunk
-    val tokpos = toks
-      .select(col(id), col("__n"), posexplode(col("__toks")).as(Seq("__t", "__tok")))
-      .withColumn("__pos", least(col("__t"), greatest(col("__n") - window, lit(0))))
-    val chunks = tokpos.join(cum, Seq(id, "__pos"))
-      .groupBy(col(id), col("__chunk0"))
-      .agg(
-        (min(col("__t")) + 1).cast("long").as("start_pos"),
-        count(lit(1)).as("n_chunk_tokens"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("__t"), col("__tok")))),
-            s => s.getField("__tok")),
-          " ").as("chunk_text"))
-      .withColumn("chunk_id", (col("__chunk0") + 1).cast("long"))
+    // a chunk covers tokens [its first window position, the next chunk's
+    // first window position): a token at (0-based) t belongs to the chunk
+    // of window position min(t, n - window), which is exactly this span —
+    // tail tokens past the last window ride the final chunk. Bounds rows
+    // are ~n/divisor per doc; the exchange from the cumsum window is
+    // reused (same id partitioning), and the only row carrying text is
+    // the chunk itself, sliced straight out of the per-doc token array.
+    val bounds = cum.groupBy(col(id), col("__chunk0"))
+      .agg(min(col("__pos")).as("__ws"))
+      .withColumn("__we", lead(col("__ws"), 1).over(byDoc.orderBy(col("__chunk0"))))
+    val chunks = bounds.join(toks, Seq(id))
+      .withColumn("__end", coalesce(col("__we"), col("__n")))
+      .select(col(id),
+        (col("__chunk0") + 1).cast("long").as("chunk_id"),
+        (col("__ws") + 1).cast("long").as("start_pos"),
+        (col("__end") - col("__ws")).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("__ws") + 1, col("__end") - col("__ws")), " ")
+          .as("chunk_text"))
     val keyed = chunks.withColumn("__ch",
       conv(substring(md5(col("chunk_text")), 1, 15), 16, 10).cast("long"))
     val owner = keyed.groupBy(col("__ch")).agg(min(col(id)).as("__owner"))
