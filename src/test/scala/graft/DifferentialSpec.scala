@@ -294,4 +294,56 @@ class DifferentialSpec extends SparkTestBase {
       }
     }
   }
+
+  test("cdcChunks matches a brute-force boundary/ownership reference on random inputs") {
+    val w = 3
+    val d = 4 // aggressive divisor -> boundaries common even on short docs
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(9000 + trial)
+      // tiny vocab -> repeated chunks across docs; lengths 1..14 cover the
+      // sub-window, single-window and multi-boundary regimes
+      val docs = (0 until 12).map { i =>
+        (i.toLong, (0 until 1 + rnd.nextInt(14)).map(_ => s"t${rnd.nextInt(5)}"))
+      }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup.cdcChunks(df, "doc_id", "text", window = w, divisor = d)
+        .as[(Long, Long, Long, Long, String, Option[Long])].collect()
+        .map(r => (r._1, r._2) -> r).toMap
+      // brute force: window-start hashes, cut positions, span chunks,
+      // min-id ownership of identical chunk text
+      def chunksOf(ts: Seq[String]): Seq[(Int, Seq[String])] = {
+        val n = ts.size
+        val hashes =
+          if (n >= w) (0 to n - w).map(i => h60(ts.slice(i, i + w).mkString(" ")))
+          else Seq(h60(ts.mkString(" ")))
+        val cuts = hashes.indices.filter(p => p >= 1 && hashes(p) % d == 0)
+        val starts = 0 +: cuts
+        starts.zipWithIndex.map { case (s, k) =>
+          val end = if (k + 1 < starts.size) starts(k + 1) else n
+          s -> ts.slice(s, end)
+        }
+      }
+      val all = docs.map { case (id, ts) => id -> chunksOf(ts) }
+      val owner: Map[String, Long] = all.flatMap { case (id, cs) =>
+        cs.map { case (_, c) => c.mkString(" ") -> id }
+      }.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).min }
+      var expectedRows = 0
+      all.foreach { case (id, cs) =>
+        cs.zipWithIndex.foreach { case ((start, ctoks), k) =>
+          val text = ctoks.mkString(" ")
+          val dupOf = Some(owner(text)).filter(_ < id)
+          val expected = (id, (k + 1).toLong, (start + 1).toLong, ctoks.size.toLong, text, dupOf)
+          assert(got((id, (k + 1).toLong)) == expected,
+            s"trial=$trial doc=$id chunk=${k + 1}: ${got((id, (k + 1).toLong))} vs $expected")
+          expectedRows += 1
+        }
+      }
+      assert(got.size == expectedRows, s"trial=$trial row count ${got.size} vs $expectedRows")
+    }
+  }
 }
