@@ -733,17 +733,20 @@ object Dedup {
       .withColumn("__cut",
         when(col("__pos") >= 1 && pmod(col("__h"), lit(divisor)) === 0, 1L).otherwise(0L))
       .withColumn("__chunk0", sum(col("__cut")).over(byDoc.orderBy(col("__pos"))))
-      .select(col(id), col("__pos"), col("__chunk0"))
+      .select(col(id), col("__pos"), col("__cut"), col("__chunk0"))
     // a chunk covers tokens [its first window position, the next chunk's
     // first window position): a token at (0-based) t belongs to the chunk
     // of window position min(t, n - window), which is exactly this span —
-    // tail tokens past the last window ride the final chunk. Bounds rows
-    // are ~n/divisor per doc; the exchange from the cumsum window is
-    // reused (same id partitioning), and the only row carrying text is
-    // the chunk itself, sliced straight out of the per-doc token array.
-    val bounds = cum.groupBy(col(id), col("__chunk0"))
-      .agg(min(col("__pos")).as("__ws"))
-      .withColumn("__we", lead(col("__ws"), 1).over(byDoc.orderBy(col("__chunk0"))))
+    // tail tokens past the last window ride the final chunk. Chunk starts
+    // ARE the cut rows (plus position 0) — a FILTER, not an aggregate —
+    // so the lead window runs on the cumsum window's own id partitioning
+    // and the whole bounds derivation costs ONE exchange (pinned in
+    // PlanSpec); the only row carrying text is the chunk itself, sliced
+    // straight out of the per-doc token array.
+    val bounds = cum
+      .filter(col("__pos") === 0 || col("__cut") === 1L)
+      .select(col(id), col("__chunk0"), col("__pos").as("__ws"))
+      .withColumn("__we", lead(col("__ws"), 1).over(byDoc.orderBy(col("__ws"))))
     val chunks = bounds.join(toks, Seq(id))
       .withColumn("__end", coalesce(col("__we"), col("__n")))
       .select(col(id),

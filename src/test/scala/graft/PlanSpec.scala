@@ -136,6 +136,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("cdcChunks: cumsum and lead windows share one id exchange; no per-token shuffle") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val p = plan(graft.operators.Dedup.cdcChunks(docs, "doc_id", "text", 4, 8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the boundary cumsum and the chunk-end lead are both windows over the
+    // doc id — the filter between them must not break exchange reuse. Two
+    // doc_id exchanges are inherent (the window chain's one + the token-
+    // array side of the bounds⋈toks join); a third would mean the lead
+    // window re-shuffled what the cumsum already partitioned
+    val idOnly = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(doc_id"))
+      .filterNot(_.contains("__")).toSeq
+    assert(idOnly.size <= 2,
+      s"cumsum->lead window chain must share one doc_id shuffle:\n${idOnly.mkString("\n")}")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { e =>
+      assert(!e.contains("__tok,") && !e.contains("text"),
+        s"per-token/text shuffle crept back in: $e")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the cluster-scale complement of Dedup.bloomPrefilterFlags: when a
     // dimension is filtered selectively but the join cannot broadcast,
