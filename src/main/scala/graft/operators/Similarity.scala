@@ -735,6 +735,55 @@ object Similarity {
         coalesce(lit(1.0) / col("__nn_rank"), lit(0.0)).as("rr"))
   }
 
+  /** The nProbe TUNING CURVE in one plan: mean recall@k and mean
+    * reciprocal rank of the batched IVF probe ([[knnJoin]]) at each
+    * requested nProbe, against one shared exact ground truth
+    * ([[exactKnnJoin]]) — the measurement an ANN deployment runs before
+    * picking its operating point, instead of trusting folklore. With
+    * nProbe = nCells the probe scores every cell, so that curve point is
+    * exactly (1.0, 1.0) BY CONSTRUCTION — a built-in self-check that the
+    * probe math agrees with the ground truth.
+    *
+    * Aggregation stays engine-exact: mean recall = Σ hits / (k·|Q|)
+    * (all integers, one IEEE division); per-query rr terms go through
+    * the fixed-scale decimal cast every order-dependent double sum in
+    * this engine uses. Returns (nprobe, n_queries, mean_recall, mean_rr)
+    * ordered by nothing (order downstream).
+    *
+    * Scale shape: the exact subtree is identical across curve points, so
+    * Spark's ReuseExchange serves it once; each approx branch keeps the
+    * IVF probe bound (~nProbe/nCells of the corpus per query). At 100 TB
+    * the curve runs over a hash-sampled query slice, like every eval op.
+    */
+  def recallCurve(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      cents: Seq[(Int, Seq[Double])],
+      nProbes: Seq[Int],
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nProbes.nonEmpty, "need at least one nProbe curve point")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val exact = exactKnnJoin(corpus, id, vec, queries, qid, qvec, k, excludeSelf)
+    nProbes.map { p =>
+      val approx = knnJoin(spark, path, id, vec, queries, qid, qvec, k, cents, p, excludeSelf)
+      rankingMetrics(approx, exact, "qid", id, "cosine", k)
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("__hits"),
+          sum(col("rr").cast(dec)).as("__rr"))
+        .select(lit(p).as("nprobe"), col("n_queries"),
+          (col("__hits").cast("double") / (col("n_queries") * k)).as("mean_recall"),
+          (col("__rr").cast("double") / col("n_queries")).as("mean_rr"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Exact all-pairs cosine similarity join: every (id_a < id_b) pair with
     * cosine >= minCosine. O(N²) by construction — this is the correctness
     * anchor for the LSH-blocked near-dup path

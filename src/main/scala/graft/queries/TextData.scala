@@ -1411,6 +1411,61 @@ object TextData {
       Similarity.rankingMetrics(approx, exact, "qid", "vec_id", "cosine", k = 10)
         .orderBy("qid")
     },
+    Q("ann_recall_curve", {
+      // the nProbe TUNING CURVE: mean recall@10 / MRR at nProbe 1,2,4,8
+      // over 8 cells, one shared exact ground truth. nProbe=8 probes
+      // every cell, so its point is exactly (1.0, 1.0) by construction —
+      // the oracle replays all four probe branches, the shared exact
+      // ranks, and the decimal-cast metric sums bit-exactly.
+      def curve(p: Int): String =
+        s"""qc$p AS (SELECT qid, qvec, cell FROM (
+           |    SELECT q.qid, q.qvec, u.cell,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC) AS rn
+           |    FROM q CROSS JOIN uf u) WHERE rn <= $p),
+           |sc$p AS (
+           |  SELECT qc$p.qid, a.vec_id, list_cosine_similarity(a.v, qc$p.qvec) AS cosine
+           |  FROM af a JOIN qc$p ON a.cell = qc$p.cell
+           |  WHERE a.vec_id <> qc$p.qid),
+           |ar$p AS (SELECT qid, vec_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS arank
+           |  FROM sc$p),
+           |h$p AS (
+           |  SELECT ar$p.qid, COUNT(*) AS n_hits,
+           |    MIN(CASE WHEN er.erank = 1 THEN ar$p.arank END) AS nn_rank
+           |  FROM ar$p JOIN er ON ar$p.qid = er.qid AND ar$p.vec_id = er.vec_id
+           |  WHERE ar$p.arank <= 10 AND er.erank <= 10
+           |  GROUP BY ar$p.qid),
+           |pq$p AS (SELECT ql.qid, COALESCE(h$p.n_hits, 0) AS n_hits,
+           |    COALESCE(CAST(1 AS DOUBLE) / h$p.nn_rank, CAST(0 AS DOUBLE)) AS rr
+           |  FROM ql LEFT JOIN h$p USING (qid)),
+           |m$p AS (SELECT $p AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |    CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * 10) AS mean_recall,
+           |    CAST(SUM(CAST(rr AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean_rr
+           |  FROM pq$p)""".stripMargin
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 16 = 0),
+         |er AS (SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(e.v, q.qvec) DESC, e.vec_id) AS erank
+         |  FROM e, q WHERE e.vec_id <> q.qid),
+         |ql AS (SELECT DISTINCT qid FROM er),
+         |${Seq(1, 2, 4, 8).map(curve).mkString(",\n")}
+         |SELECT * FROM m1 UNION ALL SELECT * FROM m2
+         |UNION ALL SELECT * FROM m4 UNION ALL SELECT * FROM m8
+         |ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents) = Similarity.ensureIvfIndex(
+        e, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val q = e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.recallCurve(s, path, e, "vec_id", "embedding", q, "q_id", "q_emb",
+          k = 10, cents, nProbes = Seq(1, 2, 4, 8), excludeSelf = true)
+        .orderBy("nprobe")
+    },
 
     // ---- text analysis -------------------------------------------------
     Q("tx_token_count",

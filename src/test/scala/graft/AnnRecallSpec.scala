@@ -522,6 +522,28 @@ class AnnRecallSpec extends SparkTestBase {
     assert(empty(0) == ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("recallCurve: monotone in nProbe; the all-cells point is exactly (1.0, 1.0)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val (path, cents) = Similarity.ensureIvfIndex(
+      e, "vec_id", "embedding", cacheKey = sfDir, nCells = 8)
+    val q = e.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val curve = Similarity.recallCurve(spark, path, e, "vec_id", "embedding",
+        q, "q_id", "q_emb", k = 10, cents, nProbes = Seq(1, 2, 4, 8), excludeSelf = true)
+      .orderBy("nprobe").as[(Int, Long, Double, Double)].collect()
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    assert(curve.map(_._2).distinct.length == 1) // same query set at every point
+    // probing more cells can only add candidates -> recall is monotone
+    curve.sliding(2).foreach {
+      case Array((_, _, r1, _), (_, _, r2, _)) =>
+        assert(r2 >= r1, s"recall not monotone: ${curve.toSeq}")
+      case _ => ()
+    }
+    // nProbe = nCells scores every cell: the probe IS the exact search
+    assert(curve.last._3 == 1.0 && curve.last._4 == 1.0,
+      s"all-cells point must be exact: ${curve.last}")
+  }
+
   test("ml_retrieval_eval shape: recall from the lossy nProbe=2 probe is sane and self-consistent") {
     val e = Tables.embeddings(spark, sfDir)
     val (path, cents) = Similarity.ensureIvfIndex(
