@@ -47,6 +47,34 @@ object Analytics {
           col("n"), col("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+    Q("a19_grouping_sets",
+      """SELECT CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
+        |  COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (source), ())
+        |ORDER BY gid, lang, source""".stripMargin) { (s, d) =>
+      // ARBITRARY grouping sets — the general primitive rollup (a14) and
+      // cube (a15) are sugar for: here (lang, source) detail, per-source
+      // subtotals SKIPPING the per-lang tier (a shape neither rollup nor
+      // cube can express), and the grand total, all in ONE Expand + hash
+      // aggregate — no extra shuffle vs a plain groupBy. grouping_id
+      // disambiguates genuinely-null keys from subtotal rows on both
+      // engines (same standard bitmask, first column = MSB).
+      documents(s, d)
+        .groupingSets(
+          Seq(Seq(col("lang"), col("source")), Seq(col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"))
+        .select(
+          col("gid"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n"), col("sum_chars"))
+        .orderBy("gid", "lang", "source")
+    },
     Q("a15_cube",
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
