@@ -323,6 +323,48 @@ object Profile {
           .as("kappa"))
   }
 
+  /** Per-class confusion summary of a predicted vs reference label column
+    * — the classifier-eval companion of [[cohenKappa]]: for every class
+    * in either column, (tp, fp, fn) plus precision, recall and F1. All
+    * inputs are integer counts from ONE (pred, label) aggregate; the
+    * metrics are short chains of correctly rounded IEEE ops (one division
+    * each for p and r, 2·p·r/(p+r) for F1), so any engine reproduces them
+    * bit-for-bit. Degenerate denominators yield null (a class never
+    * predicted has no precision), never NaN/Inf. Null labels rejected
+    * loudly, as [[chiSquare]]. Returns
+    * (label, n_true, n_pred, tp, fp, fn, precision, recall, f1).
+    *
+    * Scale shape: one count aggregate on the (pred, label) pair grid
+    * (dictionary-sized output), then marginal sums and a full-outer join
+    * over class dictionaries — the data is touched once.
+    */
+  def confusionStats(df: DataFrame, pred: String, label: String): DataFrame = {
+    require(df.filter(col(pred).isNull || col(label).isNull).limit(1).isEmpty,
+      s"confusionStats: null in '$pred' or '$label' — recode nulls to an explicit level first")
+    val cnt = df.groupBy(col(pred), col(label)).agg(count(lit(1)).as("__c"))
+    val byPred = cnt.groupBy(col(pred)).agg(sum(col("__c")).as("n_pred"))
+      .select(col(pred).as("__cls"), col("n_pred"))
+    val byLabel = cnt.groupBy(col(label)).agg(sum(col("__c")).as("n_true"))
+      .select(col(label).as("__cls"), col("n_true"))
+    val diag = cnt.filter(col(pred) === col(label))
+      .select(col(pred).as("__cls"), col("__c").as("tp"))
+    val p = col("tp").cast("double") / col("n_pred")
+    val r = col("tp").cast("double") / col("n_true")
+    byLabel.join(byPred, Seq("__cls"), "full_outer")
+      .join(diag, Seq("__cls"), "left")
+      .select(
+        col("__cls").as("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_true") - col("tp"))
+      .withColumn("precision", when(col("n_pred") > 0, p))
+      .withColumn("recall", when(col("n_true") > 0, r))
+      .withColumn("f1", when(col("n_pred") > 0 && col("n_true") > 0 && (p + r) > 0,
+        lit(2.0) * p * r / (p + r)))
+  }
+
   /** Per-group Gini impurity of a label column — the class-balance signal
     * a sampling/mixing stage monitors per source/domain: within group g
     * holding N rows with label counts c₁..c_k,

@@ -948,6 +948,54 @@ object Analytics {
           TextFns.langId(col("text")).as("pred"), col("lang")),
         "pred", "lang")
     },
+    Q("ml_confusion",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, cjk,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopEn)}, x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopDe)}, x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopEs)}, x))) AS s_es,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(TextFns.stopFr)}, x))) AS s_fr
+         |  FROM t),
+         |pp AS (SELECT lang AS b,
+         |    CASE WHEN cjk THEN 'zh'
+         |         WHEN s_en >= GREATEST(s_de, s_es, s_fr) THEN 'en'
+         |         WHEN s_de >= GREATEST(s_es, s_fr) THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END AS a
+         |  FROM sc),
+         |cnt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM pp GROUP BY 1, 2),
+         |bp AS (SELECT a AS cls, CAST(SUM(c) AS BIGINT) AS n_pred FROM cnt GROUP BY 1),
+         |bl AS (SELECT b AS cls, CAST(SUM(c) AS BIGINT) AS n_true FROM cnt GROUP BY 1),
+         |dg AS (SELECT a AS cls, c AS tp FROM cnt WHERE a = b),
+         |j AS (SELECT COALESCE(bl.cls, bp.cls) AS label,
+         |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+         |  FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls),
+         |k AS (SELECT j.label, j.n_true, j.n_pred, COALESCE(dg.tp, 0) AS tp
+         |  FROM j LEFT JOIN dg ON j.label = dg.cls)
+         |SELECT label, n_true, n_pred, tp,
+         |  n_pred - tp AS fp, n_true - tp AS fn,
+         |  CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS precision,
+         |  CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true END AS recall,
+         |  CASE WHEN n_pred > 0 AND n_true > 0
+         |        AND (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_true) > 0
+         |    THEN 2.0 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_true)
+         |      / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_true) END AS f1
+         |FROM k ORDER BY label""".stripMargin) { (s, d) =>
+      // Per-class confusion summary of the langid heuristic vs the
+      // reference labels — precision/recall/F1 from one (pred, label)
+      // count grid, the per-class companion of pf_cohen_kappa's single
+      // agreement number. Integer counts; each metric is a short chain of
+      // correctly rounded IEEE ops, so the oracle replays them exactly;
+      // degenerate denominators are null, never NaN.
+      graft.operators.Profile.confusionStats(
+          documents(s, d).select(
+            TextFns.langId(col("text")).as("pred"), col("lang")),
+          "pred", "lang")
+        .orderBy("label")
+    },
     Q("pf_gini",
       """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
         |  FROM documents GROUP BY 1, 2)

@@ -144,6 +144,25 @@ class ProfileSpec extends SparkTestBase {
     assert(degen.isEmpty)
   }
 
+  test("confusionStats: hand-computed per-class metrics, degenerate classes null not NaN") {
+    val rows = Seq.fill(3)(("en", "en")) ++ Seq(("en", "de")) ++
+      Seq.fill(2)(("de", "de")) ++ Seq(("fr", "en"))
+    val out = Profile.confusionStats(rows.toDF("pred", "label"), "pred", "label")
+      .orderBy("label")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    // de: predicted 2, true 3, tp 2 -> p=1, r=2/3, f1=0.8
+    assert(out(0) == (("de", 3L, 2L, 2L, 0L, 1L, Some(1.0), Some(2.0 / 3.0), Some(0.8))))
+    // en: predicted 4, true 4, tp 3 -> p=r=f1=0.75
+    assert(out(1) == (("en", 4L, 4L, 3L, 1L, 1L, Some(0.75), Some(0.75), Some(0.75))))
+    // fr: predicted once, never true -> precision 0, recall/f1 undefined (null)
+    assert(out(2) == (("fr", 0L, 1L, 0L, 1L, 0L, Some(0.0), None, None)))
+    intercept[IllegalArgumentException] {
+      Profile.confusionStats(Seq(("x", null.asInstanceOf[String])).toDF("pred", "label"),
+        "pred", "label")
+    }
+  }
+
   test("giniImpurity: pure group 0, uniform two-label 0.5, exact three-label value") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "en"),               // pure
