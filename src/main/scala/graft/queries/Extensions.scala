@@ -298,6 +298,63 @@ object Extensions {
         .select("src", "dst", "cnt", "prob")
         .orderBy("src", "dst")
     },
+    Q("ev_ab_test",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |pc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |cu AS (SELECT u.user_id, u.user_id % 2 AS cohort,
+        |    (COALESCE(pc.np, 0) >= 15) AS conv
+        |  FROM u LEFT JOIN pc USING (user_id)),
+        |g AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM cu GROUP BY 1),
+        |ab AS (SELECT
+        |    (SELECT n FROM g WHERE cohort = 0) AS n_a,
+        |    (SELECT x FROM g WHERE cohort = 0) AS x_a,
+        |    (SELECT n FROM g WHERE cohort = 1) AS n_b,
+        |    (SELECT x FROM g WHERE cohort = 1) AS x_b),
+        |m AS (SELECT n_a, x_a, n_b, x_b,
+        |    CAST(x_a AS DOUBLE) / n_a AS rate_a,
+        |    CAST(x_b AS DOUBLE) / n_b AS rate_b,
+        |    CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp
+        |  FROM ab)
+        |SELECT n_a, x_a, n_b, x_b, rate_a, rate_b,
+        |  CASE WHEN pp > 0 AND pp < 1
+        |    THEN (rate_a - rate_b)
+        |      / sqrt(pp * (1.0 - pp) * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+        |    END AS z
+        |FROM m""".stripMargin) { (s, d) =>
+      // Two-proportion z-test between user cohorts (the A/B readout):
+      // cohort = user_id parity, conversion = >= 15 purchase events. All
+      // inputs are integer counts; rates, the pooled proportion and the
+      // z statistic are one fixed chain of correctly rounded IEEE ops
+      // mirrored token-for-token in the oracle — bit-exact, and null
+      // (not Inf) when the pooled variance degenerates.
+      val ev = events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(2)))
+      val pc = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+      val cu = users.join(pc, Seq("user_id"), "left")
+        .withColumn("conv", coalesce(col("np"), lit(0L)) >= 15)
+      val g = cu.groupBy("cohort").agg(count(lit(1)).as("n"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("x"))
+      val a = g.filter(col("cohort") === 0)
+        .select(col("n").as("n_a"), col("x").as("x_a"))
+      val b = g.filter(col("cohort") === 1)
+        .select(col("n").as("n_b"), col("x").as("x_b"))
+      val m = a.crossJoin(b)
+        .withColumn("rate_a", col("x_a").cast("double") / col("n_a"))
+        .withColumn("rate_b", col("x_b").cast("double") / col("n_b"))
+        .withColumn("pp", (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")))
+      m.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("rate_a"), col("rate_b"),
+        when(col("pp") > 0 && col("pp") < 1,
+          (col("rate_a") - col("rate_b"))
+            / sqrt(col("pp") * (lit(1.0) - col("pp"))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .as("z"))
+    },
 
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",

@@ -187,6 +187,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(bySource("big") == 96L)
   }
 
+  test("ev_ab_test: z matches a scalar recomputation from the integer counts") {
+    val out = graft.SparkEntry.queries("ev_ab_test")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])].collect()
+    assert(out.length == 1)
+    val (na, xa, nb, xb, ra, rb, z) = out.head
+    assert(xa <= na && xb <= nb && na > 0 && nb > 0)
+    assert(ra == xa.toDouble / na && rb == xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    if (pp > 0 && pp < 1) {
+      val want = (ra - rb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+      assert(z.contains(want), s"z $z vs recomputed $want")
+    } else assert(z.isEmpty, "degenerate pooled variance must yield null")
+  }
+
   test("ev_markov: rows normalize to 1 per source state, counts match transitions") {
     val out = graft.SparkEntry.queries("ev_markov")(spark, sfDir)
       .as[(String, String, Long, Double)].collect()
