@@ -298,6 +298,46 @@ object Extensions {
         .select("src", "dst", "cnt", "prob")
         .orderBy("src", "dst")
     },
+    Q("ev_streaks",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MIN(day) AS start_day
+        |  FROM r GROUP BY 1, 2),
+        |best AS (SELECT user_id, len, start_day,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day) AS rk
+        |  FROM runs)
+        |SELECT user_id, len AS longest_streak, start_day AS streak_start_day
+        |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Longest consecutive-day activity streak per user — the classic
+      // gaps-and-islands shape: distinct active days, day − row_number is
+      // constant within a consecutive run, one count per (user, run),
+      // per-user argmax with ties to the earliest run. Days are integer
+      // epoch-day numbers (no timezone/date parsing on either engine).
+      // Scale: every step keys on user_id — one shuffle, reused across
+      // both windows and the run aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      val days = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").cast("long").as("day"))
+        .distinct()
+      val runs = days
+        .withColumn("grp", col("day") - row_number().over(byUser.orderBy(col("day"))))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      runs
+        .withColumn("rk", row_number().over(
+          byUser.orderBy(col("len").desc, col("start_day"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("len").as("longest_streak"),
+          col("start_day").as("streak_start_day"))
+        .orderBy("user_id")
+    },
     Q("ev_ab_test",
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |pc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np FROM events
