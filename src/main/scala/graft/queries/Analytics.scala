@@ -867,6 +867,42 @@ object Analytics {
           Seq("l_returnflag"), Seq("l_quantity", "l_discount", "l_tax"))
         .orderBy("l_returnflag")
     },
+    Q("pf_autocorr",
+      """WITH o AS (SELECT event_type, value, epoch_us(ts) AS us, event_id FROM events),
+        |p AS (SELECT event_type, value,
+        |    lead(value, 1) OVER (PARTITION BY event_type ORDER BY us, event_id) AS value_next
+        |  FROM o),
+        |f AS (SELECT event_type, value, value_next FROM p WHERE value_next IS NOT NULL),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s_x,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS ss_x,
+        |    CAST(SUM(CAST(value_next AS DECIMAL(30,6))) AS DOUBLE) AS s_y,
+        |    CAST(SUM(CAST(value_next * value_next AS DECIMAL(30,6))) AS DOUBLE) AS ss_y,
+        |    CAST(SUM(CAST(value * value_next AS DECIMAL(30,6))) AS DOUBLE) AS sp
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n * ss_x - s_x * s_x) > 0 AND (n * ss_y - s_y * s_y) > 0
+        |    THEN (n * sp - s_x * s_y)
+        |         / (sqrt(n * ss_x - s_x * s_x) * sqrt(n * ss_y - s_y * s_y)) END
+        |    AS corr_value_value_next
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Lag-1 autocorrelation of the value stream per event type — the
+      // time-series diagnostic (is the metric trending or i.i.d.?) as a
+      // composition: one user-keyed lead window builds (x_t, x_{t+1})
+      // pairs, then the decimal-exact one-pass Pearson machinery (pf_corr)
+      // scores them — same bit-stability argument, zero new aggregation
+      // code.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(expr("unix_micros(ts)"), col("event_id"))
+      val lagged = events(s, d)
+        .select(col("event_type"), col("value"),
+          lead(col("value"), 1).over(w).as("value_next"))
+        .filter(col("value_next").isNotNull)
+      graft.operators.Profile.pearsonMatrix(
+          lagged, Seq("event_type"), Seq("value", "value_next"))
+        .orderBy("event_type")
+    },
     Q("pf_chi2",
       """WITH obs AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
         |  FROM documents GROUP BY 1, 2),
