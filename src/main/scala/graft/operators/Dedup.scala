@@ -678,6 +678,62 @@ object Dedup {
           col("n_hits").cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** The banding TUNING CURVE of [[dedupEval]]: precision and recall of
+    * the MinHash-LSH candidate generator at each requested band count
+    * (over the same `numHashes` signature — more bands = shorter band
+    * rows = more permissive = recall up, precision down: the LSH S-curve
+    * a corpus owner actually chooses an operating point on). The exact
+    * ground truth is computed ONCE and shared across curve points
+    * (identical subtree — Spark's ReuseExchange serves it once).
+    * Returns one row per band count:
+    * (bands, n_exact, n_candidates, n_hits, precision, recall).
+    */
+  def lshTuningCurve(
+      df: DataFrame,
+      id: String,
+      text: String,
+      minJaccard: Double = 0.5,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bandsList: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(bandsList.nonEmpty, "need at least one band count")
+    bandsList.foreach(b => require(b >= 1 && numHashes % b == 0,
+      s"bands=$b must divide numHashes=$numHashes"))
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    val sh = df
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(id),
+        array_distinct(TextFns.wordShingles(col("__toks"), shingleSize)).as("__s"))
+    val sizes = sh.select(col(id), size(col("__s")).as("__n"))
+    val ex = sh.select(col(id), explode(col("__s")).as("__g"))
+    val inter = ex.select(col(id).as("id_a"), col("__g"))
+      .join(ex.select(col(id).as("id_b"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+    val exact = inter
+      .join(sizes.select(col(id).as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .filter(col("__i").cast("double")
+        / (col("__na") + col("__nb") - col("__i")) >= minJaccard)
+      .select("id_a", "id_b")
+    bandsList.map { b =>
+      val cand = minhashLshPairs(df, id, text, shingleSize, numHashes, b)
+        .select("id_a", "id_b")
+      val hits = cand.join(exact, Seq("id_a", "id_b"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(
+          lit(b).as("bands"),
+          col("n_exact"), col("n_candidates"), col("n_hits"),
+          when(col("n_candidates") > 0,
+            col("n_hits").cast("double") / col("n_candidates")).as("precision"),
+          when(col("n_exact") > 0,
+            col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Content-defined chunking + cross-document chunk dedup — the
     * storage-dedup technique (Muthitacharoen et al., SOSP '01 LBFS;
     * FastCDC, USENIX ATC '16) applied to corpus text: chunk boundaries

@@ -426,6 +426,64 @@ object TextData {
          |FROM nc, ne, h""".stripMargin) { (s, d) =>
       Dedup.dedupEval(documents(s, d), "doc_id", "text", minJaccard = 0.5)
     },
+    Q("dd_lsh_curve", {
+      // the banding TUNING CURVE: precision/recall of the LSH candidate
+      // generator at bands 4/8/16 over the SAME 64-hash signatures (more
+      // bands = shorter band rows = more permissive — the S-curve a
+      // corpus owner picks an operating point on). The sig CTE and the
+      // exact ground truth are shared across all three curve points.
+      def bandCtes(b: Int): String = {
+        val rpb = 64 / b
+        s"""bd$b AS (
+           |  SELECT doc_id, b.band,
+           |    md5(CAST(b.band AS VARCHAR) || ',' ||
+           |        array_to_string(sig[b.band*$rpb+1 : b.band*$rpb+$rpb], ',')) AS bucket
+           |  FROM sig, range(0, $b) AS b(band)),
+           |cd$b AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           |  FROM bd$b a JOIN bd$b b2
+           |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id)"""
+          .stripMargin
+      }
+      def metric(b: Int): String =
+        s"""m$b AS (SELECT $b AS bands, ne.n_exact, nc$b.n_candidates, h$b.n_hits,
+           |    CASE WHEN nc$b.n_candidates > 0
+           |      THEN CAST(h$b.n_hits AS DOUBLE) / nc$b.n_candidates END AS precision,
+           |    CASE WHEN ne.n_exact > 0
+           |      THEN CAST(h$b.n_hits AS DOUBLE) / ne.n_exact END AS recall
+           |  FROM nc$b, ne, h$b)""".stripMargin
+      def counts(b: Int, candSrc: String): String =
+        s"""h$b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM $candSrc c JOIN ex USING (id_a, id_b)),
+           |nc$b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM $candSrc)"""
+          .stripMargin
+      s"""WITH ${minhashCandidateCte("documents")},
+         |shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+         |e2 AS (SELECT doc_id, u.g FROM shd, unnest(sd) AS u(g)),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM e2 a JOIN e2 b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(sd) AS n FROM shd),
+         |ex AS (SELECT it.id_a, it.id_b FROM it
+         |  JOIN sz sa ON it.id_a = sa.doc_id JOIN sz sb ON it.id_b = sb.doc_id
+         |  WHERE CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i) >= 0.5),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+         |${bandCtes(4)},
+         |${bandCtes(16)},
+         |cd8 AS (SELECT id_a, id_b FROM cand),
+         |${counts(4, "cd4")},
+         |${counts(8, "cd8")},
+         |${counts(16, "cd16")},
+         |${metric(4)},
+         |${metric(8)},
+         |${metric(16)}
+         |SELECT * FROM m4 UNION ALL SELECT * FROM m8 UNION ALL SELECT * FROM m16
+         |ORDER BY bands""".stripMargin
+    }) { (s, d) =>
+      Dedup.lshTuningCurve(documents(s, d), "doc_id", "text",
+          minJaccard = 0.5, bandsList = Seq(4, 8, 16))
+        .orderBy("bands")
+    },
     Q("dd_containment",
       """WITH sh AS (SELECT doc_id,
         |    unnest(list_distinct(CASE WHEN len(w) >= 3

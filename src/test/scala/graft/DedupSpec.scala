@@ -434,6 +434,30 @@ class DedupSpec extends SparkTestBase {
     if (nExact > 0) assert(rec.get >= 0.8, s"recall ${rec.get} below the 0.8 floor")
   }
 
+  test("lshTuningCurve: candidates nest as bands grow, recall monotone, exact count fixed") {
+    val docs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val curve = Dedup.lshTuningCurve(docs, "doc_id", "text",
+        minJaccard = 0.5, bandsList = Seq(4, 8, 16))
+      .orderBy("bands")
+      .as[(Int, Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(curve.map(_._1).toSeq == Seq(4, 8, 16))
+    assert(curve.map(_._2).distinct.length == 1) // shared ground truth
+    // band boundaries align (16 = 2x8 rows), so a full 16-row band match
+    // implies both 8-row halves match: candidate sets NEST as bands grow
+    curve.sliding(2).foreach {
+      case Array((_, _, c1, h1, _, _), (_, _, c2, h2, _, _)) =>
+        assert(c2 >= c1 && h2 >= h1, s"curve not monotone: ${curve.toSeq}")
+      case _ => ()
+    }
+    curve.foreach { case (b, ne, nc, nh, p, r) =>
+      assert(nh <= math.min(ne, nc))
+      assert(p.forall(v => v >= 0 && v <= 1) && r.forall(v => v >= 0 && v <= 1))
+    }
+    // 16 one-hash... 4-hash bands at tau=0.5 should recall everything the
+    // 8-band default does or more; the default already clears 0.8
+    if (curve.last._2 > 0) assert(curve.last._6.get >= 0.8)
+  }
+
   test("cdcChunks: lossless reassembly, shift-resistant boundaries, copies dedup to owner") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
