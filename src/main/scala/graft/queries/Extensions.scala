@@ -298,6 +298,40 @@ object Extensions {
         .select("src", "dst", "cnt", "prob")
         .orderBy("src", "dst")
     },
+    Q("ev_dau_wau",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+        |w AS (SELECT DISTINCT u.d AS day, user_id
+        |  FROM d, unnest(generate_series(d.day, d.day + 6)) AS u(d)),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM w GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      // Rolling engagement: daily active users and trailing-7-day active
+      // users per day, plus the DAU/WAU stickiness ratio. Distinct-count
+      // over a sliding window has no native window form — the relational
+      // shape is the scalable one: each (user, active day) pair fans out
+      // to the 7 report days it contributes to (bounded ×7), distinct,
+      // then two map-side-combined counts. Days are integer epoch days;
+      // the ratio is one exact integer/integer division. Only days with
+      // actual activity report (inner join on dau), so the series needs
+      // no calendar table.
+      val days = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").cast("long").as("day"))
+        .distinct()
+      val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = days
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness", col("dau").cast("double") / col("wau"))
+        .select("day", "dau", "wau", "stickiness")
+        .orderBy("day")
+    },
     Q("ev_streaks",
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

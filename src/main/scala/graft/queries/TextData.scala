@@ -1832,6 +1832,35 @@ object TextData {
           (col("cum").cast("double") / col("total")).as("cum_share"))
         .orderBy("rank")
     },
+    Q("tx_stopword_gen",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |td AS (SELECT DISTINCT doc_id, u.t AS tok FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |    FROM documents), unnest(w) AS u(t)),
+        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs_with FROM td GROUP BY 1)
+        |SELECT tok, n_docs_with,
+        |  CAST(n_docs_with AS DOUBLE) / n.n_docs AS df_ratio
+        |FROM df, n
+        |WHERE CAST(n_docs_with AS DOUBLE) / n.n_docs >= 0.4
+        |ORDER BY n_docs_with DESC, tok""".stripMargin) { (s, d) =>
+      // Corpus-ADAPTIVE stopword list: terms present in >= 40% of
+      // documents (document frequency, not token frequency — tx_zipf's
+      // head can be one document repeating a term; this can't). The list
+      // downstream filters feed on (tf-idf, quality scoring, shingle
+      // prefilters) instead of a fixed-language table. One distinct +
+      // two hash aggregates, exact integer/integer ratio.
+      val docs = documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(count(lit(1)).as("n_docs_with"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("df_ratio", col("n_docs_with").cast("double") / col("n_docs"))
+        .filter(col("df_ratio") >= 0.4)
+        .select("tok", "n_docs_with", "df_ratio")
+        .orderBy(col("n_docs_with").desc, col("tok"))
+    },
     Q("tx_hapax",
       """WITH tok AS (SELECT u.t AS tok FROM (
         |    SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
