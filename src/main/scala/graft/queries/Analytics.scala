@@ -867,6 +867,52 @@ object Analytics {
           Seq("l_returnflag"), Seq("l_quantity", "l_discount", "l_tax"))
         .orderBy("l_returnflag")
     },
+    Q("pf_iqr_outliers",
+      """WITH o AS (SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, value,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk
+        |  FROM o),
+        |q AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |    MAX(CASE WHEN rk = ((n - 1) * 25) // 100 + 1 THEN value END) AS q1,
+        |    MAX(CASE WHEN rk = ((n - 1) * 75) // 100 + 1 THEN value END) AS q3
+        |  FROM r GROUP BY event_type),
+        |b AS (SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT event_type, b.n, b.q1, b.q3, b.iqr, b.lo, b.hi,
+        |  CAST(SUM(CASE WHEN o.value < b.lo OR o.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM o JOIN b USING (event_type)
+        |GROUP BY event_type, b.n, b.q1, b.q3, b.iqr, b.lo, b.hi
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Tukey-fence outlier profile per group: EXACT order-statistic
+      // quartiles (the qt-family index convention ⌊(n−1)·q⌋+1 with a
+      // total (value, id) order — no interpolation arithmetic to drift),
+      // fences at 1.5×IQR in identically-parenthesized IEEE ops, and the
+      // outlier count from one re-join. The data-QA gate that catches
+      // sensor spikes / unit errors before they hit training statistics.
+      import org.apache.spark.sql.expressions.Window
+      val o = events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+      val wN = Window.partitionBy(col("event_type"))
+      val r = o
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("rk", row_number().over(wN.orderBy(col("value"), col("event_id"))))
+      val q = r.groupBy(col("event_type")).agg(
+        max(col("n")).as("n"),
+        max(when(col("rk") === expr("((n - 1) * 25) div 100 + 1"), col("value"))).as("q1"),
+        max(when(col("rk") === expr("((n - 1) * 75) div 100 + 1"), col("value"))).as("q3"))
+      val b = q
+        .withColumn("iqr", col("q3") - col("q1"))
+        .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      o.join(b, Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("q1"), col("q3"),
+          col("iqr"), col("lo"), col("hi"))
+        .agg(sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
     Q("pf_autocorr",
       """WITH o AS (SELECT event_type, value, epoch_us(ts) AS us, event_id FROM events),
         |p AS (SELECT event_type, value,
