@@ -1142,6 +1142,32 @@ object Relational {
         .select(col("c_nationkey"), explode(col("segs")).as("segment"))
         .distinct().orderBy("c_nationkey", "segment")
     },
+    Q("r11_nest_ordered",
+      """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  list(l_linenumber ORDER BY l_linenumber, l_quantity) AS linenumbers,
+        |  list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      // R11: ordered ARRAY assembly per key — the nesting/denormalization
+      // primitive that builds sequences from rows (training-sample
+      // assembly, document reconstruction, order line rollup). Order is
+      // pinned INSIDE the aggregate via sort_array over (key, value)
+      // structs, never by assuming input order survives the shuffle —
+      // collect_list order is partition-dependent, sort_array makes it a
+      // function of the data. The sort key is the full (line number,
+      // quantity) struct: line numbers repeat in this fixture, so a
+      // bare-linenumber order would leave tie order partition-dependent.
+      lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+            .as("__sorted"))
+        .select(col("l_orderkey"), col("n_items"),
+          transform(col("__sorted"), s2 => s2.getField("l_linenumber")).as("linenumbers"),
+          transform(col("__sorted"), s2 => s2.getField("l_quantity")).as("quantities"))
+        .orderBy("l_orderkey")
+    },
     Q("r9_label_fanout",
       """SELECT r_name, model FROM region
         |CROSS JOIN (VALUES ('GCAM'),('REMIND'),('MESSAGE')) m(model)
