@@ -1832,6 +1832,43 @@ object TextData {
           (col("cum").cast("double") / col("total")).as("cum_share"))
         .orderBy("rank")
     },
+    Q("tx_ngram_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS s
+        |  FROM toks WHERE len(w) > 0),
+        |e AS (SELECT doc_id, u.g FROM sh, unnest(s) AS u(g)),
+        |fs AS (SELECT g, MIN(doc_id) AS first_doc FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN fs.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN fs.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS novelty
+        |FROM e JOIN fs USING (g)
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Per-document n-gram NOVELTY against all earlier documents (by id
+      // order): the fraction of a doc's distinct 3-gram shingles whose
+      // FIRST occurrence is this doc — the curve that falls as a crawl
+      // saturates, the signal novelty-ordered curricula and crawl-stop
+      // policies read. One shingle explode, a min aggregate on the
+      // shingle key, one join back — linear, shingle-keyed shuffles only.
+      val sh = documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.wordShingles(col("__toks"), 3))).as("__g"))
+      val firstSeen = sh.groupBy("__g").agg(min(col("doc_id")).as("__first"))
+      sh.join(firstSeen, Seq("__g"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    },
     Q("tx_stopword_gen",
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
         |td AS (SELECT DISTINCT doc_id, u.t AS tok FROM (
