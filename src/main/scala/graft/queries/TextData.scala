@@ -2049,6 +2049,32 @@ object TextData {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("o_orderkey")
     },
+    Q("sm_leakage_safe_split",
+      """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),
+        |c AS (SELECT doc_id, text_hash,
+        |    min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id FROM h),
+        |b AS (SELECT doc_id, canonical_id,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 AS INTEGER) AS bucket
+        |  FROM c)
+        |SELECT doc_id, canonical_id,
+        |  CASE WHEN bucket < 9000 THEN 'train' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // LEAKAGE-SAFE train/test split: the split key is the document's
+      // dedup CLUSTER (canonical id), not the document — so a duplicated
+      // document can never put one copy in train and another in test,
+      // the classic eval-contamination bug a plain per-row hash split
+      // (sm_hash_split) silently commits. Composition of exact dedup
+      // (md5 canonical window) with the deterministic bucket split; at
+      // scale the canonical id comes from the full near-dup pipeline
+      // (dd_corpus_dedup / dd_cc_chain) with the same property.
+      val c = Dedup.exactDedup(documents(s, d).select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("canonical_id"))
+      c.withColumn("__b", graft.operators.Sampling.md5Bucket(col("canonical_id")))
+        .select(col("doc_id"), col("canonical_id"),
+          when(col("__b") < 9000, "train").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
     Q("sm_kfold",
       """WITH b AS (SELECT doc_id,
         |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
