@@ -379,6 +379,44 @@ object Analytics {
         .orderBy("o_orderkey")
     },
 
+    Q("s16_dynamic_overwrite",
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |delta AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 100 AS l_quantity,
+        |    l_returnflag AS flag
+        |  FROM lineitem WHERE l_orderkey % 40 = 0 AND l_returnflag = 'A'),
+        |merged AS (
+        |  SELECT * FROM base WHERE flag <> 'A'
+        |  UNION ALL SELECT * FROM delta)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM merged GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+      // S16 (beyond-reference): DYNAMIC partition overwrite — the
+      // incremental lakehouse write: the second write replaces ONLY the
+      // partitions present in its batch (flag 'A' here), untouched
+      // partitions survive byte-for-byte; static overwrite mode would
+      // silently drop them. The oracle computes the expected merged state
+      // relationally, so the read-back aggregate proves the semantics.
+      val li = lineitem(s, d)
+      val base = li.filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag").as("flag"))
+      val delta = li.filter(col("l_orderkey") % 40 === 0 && col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + 100).as("l_quantity"), col("l_returnflag").as("flag"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s16_${math.abs(d.hashCode)}"
+      base.write.mode("overwrite").partitionBy("flag").parquet(path)
+      delta.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("flag").parquet(path)
+      s.read.parquet(path)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("flag")
+    },
+
     // ---- dimension maintenance: MERGE upsert + SCD2 history ------------
     Q("u6_upsert",
       """WITH src AS (
