@@ -379,6 +379,37 @@ object Analytics {
         .orderBy("o_orderkey")
     },
 
+    Q("j19_bucketed_cojoin",
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+      // J19 (beyond-reference): CO-LOCATED bucketed join — both fact
+      // tables are written bucketBy(8) on the join key, so the join
+      // consumes each side's on-disk bucketing and plans with ZERO
+      // shuffle exchanges (pinned in AnalyticsSpec with broadcast off) —
+      // the pre-partitioning lever that turns every repeated fact-fact
+      // join at 100 TB from two full shuffles into none. External table
+      // paths keyed by the sf dir; rewritten idempotently per session.
+      val suffix = math.abs(d.hashCode).toString
+      val tmp = sys.props("java.io.tmpdir")
+      s.sql(s"DROP TABLE IF EXISTS graft_j19_li_$suffix")
+      s.sql(s"DROP TABLE IF EXISTS graft_j19_ord_$suffix")
+      lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/graft_j19_li_$suffix")
+        .mode("overwrite").format("parquet").saveAsTable(s"graft_j19_li_$suffix")
+      orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/graft_j19_ord_$suffix")
+        .mode("overwrite").format("parquet").saveAsTable(s"graft_j19_ord_$suffix")
+      s.table(s"graft_j19_li_$suffix")
+        .join(s.table(s"graft_j19_ord_$suffix"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
     Q("s16_dynamic_overwrite",
       """WITH base AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag

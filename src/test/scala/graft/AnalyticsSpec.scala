@@ -509,4 +509,30 @@ class AnalyticsSpec extends SparkTestBase {
       .select("is_anomaly").as[Boolean].collect().toSeq
     assert(so == Seq(false))
   }
+
+  test("j19: bucketed fact-fact join plans with zero shuffle exchanges") {
+    // build the bucketed tables via the catalog entry itself, then pin the
+    // co-located plan with broadcast disabled (a broadcast would also be
+    // shuffle-free but wouldn't prove bucketing engaged)
+    graft.SparkEntry.queries("j19_bucketed_cojoin")(spark, sfDir).collect()
+    val suffix = math.abs(sfDir.hashCode).toString
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(s"graft_j19_li_$suffix")
+        .join(spark.table(s"graft_j19_ord_$suffix"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      // the ONLY exchange allowed is the final groupBy's — the join itself
+      // must consume the on-disk bucketing on both sides
+      val joinPart = p.split("SortMergeJoin").last
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not re-shuffle its inputs:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"scan must report bucketed read:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
 }
