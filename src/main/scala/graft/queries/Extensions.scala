@@ -298,6 +298,34 @@ object Extensions {
         .select("src", "dst", "cnt", "prob")
         .orderBy("src", "dst")
     },
+    Q("ev_user_growth",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |fs AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY 1),
+        |nu AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM nu ORDER BY day""".stripMargin) { (s, d) =>
+      // Cumulative user reach: each user's FIRST active day, per-day new
+      // users, and the running total — the growth curve behind every
+      // "users over time" chart, computed without a distinct-over-window
+      // (which Spark cannot do): first-seen via min aggregate, then a
+      // cumsum over the per-day counts. The unpartitioned window runs
+      // over one bounded row per ACTIVE DAY (thousands at any horizon),
+      // never over events or users.
+      import org.apache.spark.sql.expressions.Window
+      val days = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").cast("long").as("day"))
+        .distinct()
+      val firstSeen = days.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      firstSeen.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))))
+        .orderBy("day")
+    },
     Q("ev_dau_wau",
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
