@@ -1832,6 +1832,38 @@ object TextData {
           (col("cum").cast("double") / col("total")).as("cum_share"))
         .orderBy("rank")
     },
+    Q("tx_script_detect",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS n_cjk,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |  CASE WHEN length(text) > 0
+        |    THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)
+        |    END AS latin_ratio,
+        |  CASE WHEN length(text) > 0
+        |    THEN CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE)
+        |      / length(text)
+        |    END AS cjk_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Unicode SCRIPT distribution per document — orthography, not
+      // language (tx_langid says "en vs de"; this says "Latin vs CJK vs
+      // digits", the signal that routes tokenizer choice and catches
+      // mixed-script spam/mojibake). Pure codegen'd regexp counts, one
+      // narrow pass, exact integer counts + guarded ratios.
+      documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_total"),
+          regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("n_latin"),
+          regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long").as("n_cjk"),
+          regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"))
+        .withColumn("latin_ratio",
+          when(col("n_chars_total") > 0,
+            col("n_latin").cast("double") / col("n_chars_total")))
+        .withColumn("cjk_ratio",
+          when(col("n_chars_total") > 0,
+            col("n_cjk").cast("double") / col("n_chars_total")))
+        .orderBy("doc_id")
+    },
     Q("tx_ngram_novelty",
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
