@@ -379,6 +379,31 @@ object Analytics {
         .orderBy("o_orderkey")
     },
 
+    Q("u10_schema_evolution",
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 1
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // U10 (beyond-reference): parquet SCHEMA EVOLUTION — a later batch
+      // gains a column, mergeSchema unifies the footers at read time and
+      // rows from the old batch surface the new column as null (the
+      // add-a-field migration every long-lived dataset goes through
+      // without rewriting history). The oracle states the expected
+      // widened union explicitly, so the read-back hash-proves the
+      // backfill semantics.
+      val c = customer(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_u10_${math.abs(d.hashCode)}"
+      c.filter(col("c_custkey") % 3 === 0)
+        .select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      c.filter(col("c_custkey") % 3 === 1)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/batch=1", s"$path/batch=2")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
     Q("j19_bucketed_cojoin",
       """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
