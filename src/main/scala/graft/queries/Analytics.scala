@@ -299,6 +299,22 @@ object Analytics {
           bit_count(col("o_orderkey")).as("k_pop"))
         .orderBy("o_orderkey")
     },
+    Q("f8_hash_funcs",
+      """SELECT c_custkey,
+        |  md5(c_name) AS h_md5,
+        |  sha256(c_name) AS h_sha256
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // §2.9 digest family — content addressing, cache keys, dedup hashes
+      // and PII-safe identifiers all ride on these; cross-engine parity
+      // of the hex encodings is exactly what makes the engine's
+      // md5-derived sketch family oracle-able. Pure codegen'd
+      // expressions, no shuffle.
+      customer(s, d).select(
+          col("c_custkey"),
+          md5(col("c_name")).as("h_md5"),
+          sha2(col("c_name"), 256).as("h_sha256"))
+        .orderBy("c_custkey")
+    },
 
     // ---- window family: relative rank ----------------------------------
     Q("w12_pct_rank",
