@@ -298,6 +298,44 @@ object Extensions {
         .select("src", "dst", "cnt", "prob")
         .orderBy("src", "dst")
     },
+    Q("w15_moving_median",
+      """WITH o AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 100 = 0),
+        |w AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    list_sort(list(l_quantity) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_orderkey, l_linenumber, l_quantity
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+        |  FROM o)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN len(fr) % 2 = 1 THEN fr[(len(fr) + 1) // 2]
+        |       ELSE (fr[len(fr) // 2] + fr[len(fr) // 2 + 1]) / 2.0 END AS med5
+        |FROM w ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, d) =>
+      // W15: EXACT moving median over a trailing 5-row frame — the robust
+      // smoother a spiky metric needs where a moving average chases
+      // outliers. No native windowed median exists; the frame collects
+      // into a bounded array (5 values), sorts in-expression, and picks
+      // the repo's a3 convention (mean of middle two on even counts —
+      // one IEEE add + halving, bit-exact). Frame size bounds per-row
+      // work; the only shuffle keys on the partition column.
+      import org.apache.spark.sql.expressions.Window
+      // (orderkey, linenumber) repeats in the fixture — the window order
+      // must be TOTAL or tied rows' frames differ between engines; adding
+      // the value itself makes tied frames identical as multisets
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .rowsBetween(-4, Window.currentRow)
+      lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .withColumn("fr", sort_array(collect_list(col("l_quantity")).over(w)))
+        .withColumn("med5", expr(
+          "CASE WHEN size(fr) % 2 = 1 " +
+            "THEN element_at(fr, CAST((size(fr) + 1) div 2 AS INT)) " +
+            "ELSE (element_at(fr, CAST(size(fr) div 2 AS INT)) " +
+            "+ element_at(fr, CAST(size(fr) div 2 + 1 AS INT))) / 2.0 END"))
+        .drop("fr")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    },
     Q("ev_user_growth",
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
