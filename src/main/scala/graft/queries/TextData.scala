@@ -1832,6 +1832,35 @@ object TextData {
           (col("cum").cast("double") / col("total")).as("cum_share"))
         .orderBy("rank")
     },
+    Q("tx_sentences",
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '[.!?]+\s+'), x -> x <> '') AS sen
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(sen) AS BIGINT) AS n_sentences,
+        |  CASE WHEN len(sen) > 0
+        |    THEN CAST(COALESCE(list_sum(list_transform(sen, x -> length(x))), 0) AS DOUBLE)
+        |      / len(sen) END AS avg_sentence_chars,
+        |  CAST(COALESCE(list_max(list_transform(sen, x -> length(x))), 0) AS BIGINT)
+        |    AS max_sentence_chars
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Sentence segmentation profile: terminal-punctuation split (RE2-
+      // compatible pattern — no lookbehind, so both engines segment
+      // identically), per-doc sentence count, mean and max sentence
+      // length — the unit-of-meaning statistics chunkers and readability
+      // filters consume. Pure HOF expressions, one narrow pass.
+      val sen = filter(
+        split(trim(col("text")), "[.!?]+\\s+"), x => x =!= "")
+      documents(s, d).select(
+          col("doc_id"),
+          size(sen).cast("long").as("n_sentences"),
+          when(size(sen) > 0,
+            coalesce(aggregate(transform(sen, x => length(x).cast("long")),
+              lit(0L), (acc, x) => acc + x), lit(0L)).cast("double") / size(sen))
+            .as("avg_sentence_chars"),
+          coalesce(array_max(transform(sen, x => length(x))), lit(0))
+            .cast("long").as("max_sentence_chars"))
+        .orderBy("doc_id")
+    },
     Q("tx_script_detect",
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
