@@ -1832,6 +1832,30 @@ object TextData {
           (col("cum").cast("double") / col("total")).as("cum_share"))
         .orderBy("rank")
     },
+    Q("tx_normalize",
+      """WITH n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(text, '[\x01-\x1f]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(text) - length(clean_text) AS BIGINT) AS n_chars_removed,
+        |  (text = clean_text) AS unchanged
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Whitespace/control normalization — the first transform of every
+      // text pipeline: control characters to spaces, runs of whitespace
+      // collapsed, ends trimmed; reports how much was removed and whether
+      // the doc was already clean (the fast-path statistic an ingest
+      // monitor watches). RE2-compatible patterns, identical on both
+      // engines; pure codegen'd expressions, one narrow pass.
+      val clean = trim(regexp_replace(
+        regexp_replace(col("text"), "[\\x01-\\x1f]", " "), "\\s+", " "))
+      documents(s, d).select(
+          col("doc_id"),
+          clean.as("clean_text"),
+          (length(col("text")) - length(clean)).cast("long").as("n_chars_removed"),
+          (col("text") === clean).as("unchanged"))
+        .orderBy("doc_id")
+    },
     Q("tx_sentences",
       """WITH s AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(text), '[.!?]+\s+'), x -> x <> '') AS sen
