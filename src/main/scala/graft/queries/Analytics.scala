@@ -47,6 +47,49 @@ object Analytics {
           col("n"), col("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+    Q("a20_weighted_avg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS w_avg_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_weight
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Quantity-weighted average price per flag — the aggregate behind
+      // every volume-weighted metric (VWAP, weighted quality score).
+      // Both the weighted sum and the weight total go through the
+      // fixed-scale decimal cast, so the single final division is the
+      // only IEEE op — order-independent and bit-exact.
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          (dsum(col("l_extendedprice") * col("l_quantity"))
+            / dsum(col("l_quantity"))).as("w_avg_price"),
+          dsum(col("l_quantity")).as("total_weight"))
+        .orderBy("l_returnflag")
+    },
+    Q("a21_mode",
+      """WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_quantity) AS rk
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_quantity, cnt AS mode_count
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Per-group MODE with a DETERMINISTIC tie-break (smallest value
+      // wins) — the built-in mode() leaves ties engine/partitioning-
+      // dependent, which is exactly the nondeterminism this catalog
+      // exists to ban. One count aggregate + one rank window over the
+      // (group, value) dictionary, never the data twice.
+      import org.apache.spark.sql.expressions.Window
+      lineitem(s, d).groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("cnt").desc, col("l_quantity"))))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"),
+          col("cnt").as("mode_count"))
+        .orderBy("l_returnflag")
+    },
     Q("a19_grouping_sets",
       """SELECT CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
         |  COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
