@@ -298,6 +298,41 @@ object Extensions {
         .select("src", "dst", "cnt", "prob")
         .orderBy("src", "dst")
     },
+    Q("ev_alert_dedup",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'error'),
+        |f AS (SELECT user_id, event_id, us,
+        |    lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |  FROM e),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_errors,
+        |    CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts
+        |  FROM f GROUP BY user_id)
+        |SELECT user_id, n_errors, n_alerts,
+        |  CAST(n_errors - n_alerts AS BIGINT) AS n_suppressed
+        |FROM a ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Alert dedup with a 30-minute cooldown: an error raises an alert
+      // only when the SAME user's previous error is more than 1800 s
+      // older (or absent) — the suppression rule that keeps a flapping
+      // client from paging someone 400 times. One lag over the user-
+      // keyed window (the ev_sessions total order), integer microsecond
+      // arithmetic, one aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("unix_micros(ts)"), col("event_id"))
+      events(s, d).filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_errors"),
+          sum(when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L)).as("n_alerts"))
+        .withColumn("n_suppressed", (col("n_errors") - col("n_alerts")).cast("long"))
+        .orderBy("user_id")
+    },
     Q("w15_moving_median",
       """WITH o AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
         |  FROM lineitem WHERE l_orderkey % 100 = 0),
