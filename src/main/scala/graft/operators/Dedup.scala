@@ -478,11 +478,17 @@ object Dedup {
     * ×nTables (cheap int columns), candidate pairs stay collision-bounded.
     * Same band/bucket shape as the MinHash LSH above.
     */
-  def embeddingNearDupPairs(
+  /** The candidate stage of [[embeddingNearDupPairs]], exposed so the
+    * eval entry (dd_embed_eval) can count blocking work: every (id_a <
+    * id_b) pair colliding in ≥ 1 sign-LSH table bucket. Candidate
+    * generation is id-only — the (id, table, bucket) rows are three
+    * narrow columns, so the ×nTables fan-out and the bucket self-join
+    * shuffle cheap rows, never the vectors.
+    */
+  def embeddingCandidatePairs(
       df: DataFrame,
       id: String,
       vec: String,
-      minCosine: Double = 0.95,
       nPlanes: Int = 8,
       dim: Int = 64,
       nTables: Int = 1): DataFrame = {
@@ -491,9 +497,6 @@ object Dedup {
     val tables = (0 until nTables).map { t =>
       Similarity.lcgPlanes(t, nPlanes, dim)
     }
-    // candidate generation is id-only: the (id, table, bucket) table is
-    // three narrow columns, so the ×nTables fan-out and the bucket
-    // self-join shuffle cheap rows, never the vectors
     val withBucket = df.select(col(id), col(vec))
       .withColumn("tb", explode(array(tables.zipWithIndex.map { case (planes, t) =>
         struct(lit(t).as("table"), VectorFns.hyperplaneBucket(col(vec), planes).as("bucket"))
@@ -501,10 +504,21 @@ object Dedup {
       .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val a = withBucket.select(col(id).as("id_a"), col("table"), col("bucket"))
     val b = withBucket.select(col(id).as("id_b"), col("table"), col("bucket"))
-    val candidates = a.join(b, Seq("table", "bucket"))
+    a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct() // score each unique pair ONCE, however many tables it collides in
+  }
+
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      minCosine: Double = 0.95,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      nTables: Int = 1): DataFrame = {
+    val candidates = embeddingCandidatePairs(df, id, vec, nPlanes, dim, nTables)
     // pre-normalize once per row so the pair score is a single dot product
     // (cosine(a,b) = dot(a/|a|, b/|b|)) instead of three dots + sqrt per pair
     val unit = df.select(col(id), VectorFns.unit(col(vec)).as("__unit"))

@@ -695,6 +695,67 @@ object TextData {
           minCosine = 0.35, nPlanes = 6, nTables = 4)
         .orderBy("id_a", "id_b")
     },
+    Q("dd_embed_eval",
+      // the embedding member of the eval family (ml_retrieval_eval /
+      // dd_dedup_eval / dd_lsh_curve): recall + candidate yield of the
+      // sign-LSH blocking vs the EXACT all-pairs cosine ground truth at
+      // τ=0.35. Precision is 1 BY CONSTRUCTION (candidates are exact-
+      // cosine verified), so the metrics that matter are recall (what
+      // blocking missed) and yield (what fraction of candidate work the
+      // verify kept) — the two numbers that size nTables/nPlanes.
+      """WITH pl AS (
+        |  SELECT list_transform(range(0, 4), t ->
+        |    list_transform(range(0, 6), p ->
+        |      list_transform(range(0, 64), i ->
+        |        CAST((2654435761 * ((t * 6 + p) * 64 + i) + 1013904223) % 4294967296 AS DOUBLE)
+        |          / 4294967296.0 - 0.5))) AS tabs),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT e.vec_id, u.t AS tbl,
+        |    CAST(list_sum(list_transform(range(0, 6), p ->
+        |      CASE WHEN list_dot_product(e.v, tabs[u.t + 1][p + 1]) >= 0
+        |           THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e, pl, range(0, 4) AS u(t)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+        |    AND a.vec_id < b2.vec_id),
+        |un AS (
+        |  SELECT vec_id, list_transform(v, x ->
+        |    CASE WHEN sqrt(list_dot_product(v, v)) <> 0
+        |         THEN x / sqrt(list_dot_product(v, v)) ELSE 0.0 END) AS u
+        |  FROM e),
+        |fnd AS (SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN un ua ON ua.vec_id = c.id_a JOIN un ub ON ub.vec_id = c.id_b
+        |  WHERE list_dot_product(ua.u, ub.u) >= 0.35),
+        |ex AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM e a JOIN e b2 ON a.vec_id < b2.vec_id
+        |  WHERE list_cosine_similarity(a.v, b2.v) >= 0.35),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+        |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM fnd),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
+        |SELECT ne.n_exact, nc.n_candidates, nf.n_found,
+        |  CASE WHEN ne.n_exact > 0
+        |    THEN CAST(nf.n_found AS DOUBLE) / ne.n_exact END AS recall,
+        |  CASE WHEN nc.n_candidates > 0
+        |    THEN CAST(nf.n_found AS DOUBLE) / nc.n_candidates END AS candidate_yield
+        |FROM ne, nc, nf""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val cand = Dedup.embeddingCandidatePairs(e, "vec_id", "embedding",
+        nPlanes = 6, nTables = 4)
+      val found = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+        minCosine = 0.35, nPlanes = 6, nTables = 4).select("id_a", "id_b")
+      val exact = Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.35)
+        .select("id_a", "id_b")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact"), col("n_candidates"), col("n_found"),
+          when(col("n_exact") > 0,
+            col("n_found").cast("double") / col("n_exact")).as("recall"),
+          when(col("n_candidates") > 0,
+            col("n_found").cast("double") / col("n_candidates")).as("candidate_yield"))
+    },
     Q("dd_semantic",
       // SemDeDup-shape semantic near-dup: kmeans cells from the trained
       // codebook, exact cosine within cells only — now with a FULL oracle
