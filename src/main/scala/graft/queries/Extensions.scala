@@ -298,6 +298,58 @@ object Extensions {
         .select("src", "dst", "cnt", "prob")
         .orderBy("src", "dst")
     },
+    Q("ev_time_to_convert",
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.first_view
+        |  GROUP BY 1),
+        |dt AS (SELECT p.user_id, p.first_purchase - v.first_view AS delta_us
+        |  FROM p JOIN v USING (user_id)),
+        |r AS (SELECT delta_us, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY delta_us, user_id) AS rk FROM dt)
+        |SELECT n AS n_converted,
+        |  CAST(MIN(delta_us) AS BIGINT) AS min_us,
+        |  CAST(MAX(delta_us) AS BIGINT) AS max_us,
+        |  CAST(MAX(CASE WHEN n % 2 = 1 AND rk = (n + 1) // 2 THEN CAST(delta_us AS DOUBLE)
+        |       WHEN n % 2 = 0 AND rk IN (n // 2, n // 2 + 1) THEN CAST(delta_us AS DOUBLE)
+        |       END) + MIN(CASE WHEN n % 2 = 1 AND rk = (n + 1) // 2 THEN CAST(delta_us AS DOUBLE)
+        |       WHEN n % 2 = 0 AND rk IN (n // 2, n // 2 + 1) THEN CAST(delta_us AS DOUBLE)
+        |       END) AS DOUBLE) / 2.0 AS median_us
+        |FROM r GROUP BY n""".stripMargin) { (s, d) =>
+      // Time-to-convert: per user, first view → first subsequent
+      // purchase, with exact min/max/median over converting users (the
+      // a3 mean-of-middle-two convention — MAX+MIN of the middle picks
+      // halved, so the odd case degenerates to the single middle value).
+      // Two min aggregates + one ordered rank over the per-user deltas —
+      // the funnel-latency readout product analytics runs daily.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("first_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(expr("unix_micros(ts)") >= col("first_view"))
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("first_purchase"))
+      val dt = p.join(v, Seq("user_id"))
+        .select(col("user_id"), (col("first_purchase") - col("first_view")).as("delta_us"))
+      val r = dt
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("delta_us"), col("user_id"))))
+      val mid = when(col("n") % 2 === 1 && col("rk") === (col("n") + 1) / 2,
+          col("delta_us").cast("double"))
+        .when(col("n") % 2 === 0 &&
+          (col("rk") === col("n") / 2 || col("rk") === col("n") / 2 + 1),
+          col("delta_us").cast("double"))
+      r.groupBy("n")
+        .agg(
+          min(col("delta_us")).cast("long").as("min_us"),
+          max(col("delta_us")).cast("long").as("max_us"),
+          ((max(mid) + min(mid)) / 2.0).as("median_us"))
+        .select(col("n").as("n_converted"), col("min_us"), col("max_us"), col("median_us"))
+    },
     Q("ev_alert_dedup",
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
         |  WHERE event_type = 'error'),
