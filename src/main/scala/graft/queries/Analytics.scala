@@ -906,6 +906,31 @@ object Analytics {
     },
 
     // ---- graph: fixed-point PageRank ------------------------------------
+    Q("g3_reciprocity",
+      """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+        |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+        |rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+        |  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src)
+        |SELECT m.n_edges, rec.n_reciprocal,
+        |  CAST(rec.n_reciprocal AS DOUBLE) / m.n_edges AS reciprocity
+        |FROM m, rec""".stripMargin) { (s, d) =>
+      // Graph reciprocity — the fraction of directed edges whose reverse
+      // edge also exists (mutual-link structure: link farms score near 1,
+      // citation DAGs near 0). Same derived 50-node edge set as
+      // g1_pagerank; one reversed self-join on the edge key, exact
+      // integer counts, one IEEE division.
+      val e = orders(s, d)
+        .select((col("o_custkey") % 50).as("src"), (col("o_orderkey") % 50).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(e.join(rev, Seq("src", "dst"))
+          .agg(count(lit(1)).as("n_reciprocal")))
+        .select(col("n_edges"), col("n_reciprocal"),
+          (col("n_reciprocal").cast("double") / col("n_edges")).as("reciprocity"))
+    },
     Q("g1_pagerank",
       """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
         |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
