@@ -16,6 +16,17 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Collision-proof suffix for scratch paths / catalog table names keyed
+    * by a dataset dir. Int `hashCode` can collide two different dirs onto
+    * one path (cross-contaminated read-backs, DROP TABLE races); 16 hex
+    * chars of md5 make an accidental collision astronomically unlikely
+    * while staying a valid identifier fragment.
+    */
+  def pathKey(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

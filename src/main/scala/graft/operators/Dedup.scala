@@ -660,6 +660,9 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 8): DataFrame = {
+    // the share-a-shingle ground truth is exact only for positive
+    // thresholds (a no-shared-shingle pair has Jaccard 0)
+    require(minJaccard > 0, "dedupEval needs minJaccard > 0")
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val cand = minhashLshPairs(df, id, text, shingleSize, numHashes, bands)
       .select("id_a", "id_b")
@@ -710,6 +713,7 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bandsList: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(minJaccard > 0, "lshTuningCurve needs minJaccard > 0")
     require(bandsList.nonEmpty, "need at least one band count")
     bandsList.foreach(b => require(b >= 1 && numHashes % b == 0,
       s"bands=$b must divide numHashes=$numHashes"))

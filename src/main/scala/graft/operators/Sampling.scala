@@ -62,11 +62,12 @@ object Sampling {
       key: Column,
       k: Int,
       heldOut: Int,
-      out: String = "fold"): DataFrame = {
+      out: String = "fold",
+      splitOut: String = "split"): DataFrame = {
     require(k >= 2, "k-fold needs k >= 2")
     require(heldOut >= 0 && heldOut < k, s"heldOut must be in [0, $k)")
     df.withColumn(out, md5Bucket(key, k))
-      .withColumn("split", when(col(out) === heldOut, "test").otherwise("train"))
+      .withColumn(splitOut, when(col(out) === heldOut, "test").otherwise("train"))
   }
 
   /** Keep a per-stratum deterministic fraction of rows (e.g. downsample

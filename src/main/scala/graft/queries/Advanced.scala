@@ -383,7 +383,7 @@ object Advanced {
         Field("n_regionkey", 4, "bigint"),
         Field("n_name", 25, "string"))
       val base = nation(s, d).select("n_nationkey", "n_regionkey", "n_name")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s14_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s14_${graft.core.Tables.pathKey(d)}"
       FixedWidth.write(base, path, fields)
       FixedWidth.read(s, path, fields).orderBy("n_nationkey")
     },

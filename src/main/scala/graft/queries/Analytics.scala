@@ -415,7 +415,7 @@ object Analytics {
       // the oracle is the parquet original, so the roundtrip must be
       // lossless including the timestamp column.
       val base = orders(s, d)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s9_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s9_${graft.core.Tables.pathKey(d)}"
       base.write.mode("overwrite").orc(path)
       s.read.schema(base.schema).orc(path).orderBy("o_orderkey")
     },
@@ -429,7 +429,7 @@ object Analytics {
       // other partitions; AnalyticsSpec pins PartitionFilters in the plan).
       // Partition by the low-cardinality status column; read back filtered.
       val base = orders(s, d)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s10_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s10_${graft.core.Tables.pathKey(d)}"
       base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
       s.read.parquet(path)
         .filter(col("o_orderstatus") === "F")
@@ -452,7 +452,7 @@ object Analytics {
       // widened union explicitly, so the read-back hash-proves the
       // backfill semantics.
       val c = customer(s, d)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_u10_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_u10_${graft.core.Tables.pathKey(d)}"
       c.filter(col("c_custkey") % 3 === 0)
         .select("c_custkey", "c_name")
         .write.mode("overwrite").parquet(s"$path/batch=1")
@@ -475,7 +475,7 @@ object Analytics {
       // the pre-partitioning lever that turns every repeated fact-fact
       // join at 100 TB from two full shuffles into none. External table
       // paths keyed by the sf dir; rewritten idempotently per session.
-      val suffix = math.abs(d.hashCode).toString
+      val suffix = graft.core.Tables.pathKey(d)
       val tmp = sys.props("java.io.tmpdir")
       s.sql(s"DROP TABLE IF EXISTS graft_j19_li_$suffix")
       s.sql(s"DROP TABLE IF EXISTS graft_j19_ord_$suffix")
@@ -521,7 +521,7 @@ object Analytics {
       val delta = li.filter(col("l_orderkey") % 40 === 0 && col("l_returnflag") === "A")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_quantity") + 100).as("l_quantity"), col("l_returnflag").as("flag"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s16_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s16_${graft.core.Tables.pathKey(d)}"
       base.write.mode("overwrite").partitionBy("flag").parquet(path)
       delta.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -846,7 +846,7 @@ object Analytics {
       // a hash match proves the rewrite changed LAYOUT only. The file-
       // count assertions live in AnalyticsSpec.
       val base = orders(s, d)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s11_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s11_${graft.core.Tables.pathKey(d)}"
       base.repartition(64).write.mode("overwrite").parquet(path)
       graft.operators.Maintenance.compactParquet(s, path, targetFileBytes = 64L * 1024 * 1024)
       s.read.schema(base.schema).parquet(path).orderBy("o_orderkey")

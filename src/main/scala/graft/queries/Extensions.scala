@@ -196,7 +196,7 @@ object Extensions {
           .when(col("c_custkey") % 3 === 1, lit(""))
           .otherwise(col("c_name")).as("maybe"),
         col("c_acctbal"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s15_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s15_${graft.core.Tables.pathKey(d)}"
       Xml.write(base, path, fields)
       Xml.read(s, path, fields).orderBy("c_custkey")
     },
@@ -556,7 +556,11 @@ object Extensions {
       // inputs are integer counts; rates, the pooled proportion and the
       // z statistic are one fixed chain of correctly rounded IEEE ops
       // mirrored token-for-token in the oracle — bit-exact, and null
-      // (not Inf) when the pooled variance degenerates.
+      // (not Inf) when the pooled variance degenerates. Both cohorts are
+      // pivoted out of ONE global aggregate row (conditional sums), so an
+      // absent cohort yields NULL counts in a single row — exactly the
+      // oracle's scalar-subquery semantics — instead of the 0-row result
+      // a filtered-aggregate crossJoin would produce.
       val ev = events(s, d)
       val users = ev.select(col("user_id")).distinct()
         .withColumn("cohort", pmod(col("user_id"), lit(2)))
@@ -564,13 +568,11 @@ object Extensions {
         .groupBy("user_id").agg(count(lit(1)).as("np"))
       val cu = users.join(pc, Seq("user_id"), "left")
         .withColumn("conv", coalesce(col("np"), lit(0L)) >= 15)
-      val g = cu.groupBy("cohort").agg(count(lit(1)).as("n"),
-        sum(when(col("conv"), 1L).otherwise(0L)).as("x"))
-      val a = g.filter(col("cohort") === 0)
-        .select(col("n").as("n_a"), col("x").as("x_a"))
-      val b = g.filter(col("cohort") === 1)
-        .select(col("n").as("n_b"), col("x").as("x_b"))
-      val m = a.crossJoin(b)
+      val m = cu.agg(
+          sum(when(col("cohort") === 0, 1L)).as("n_a"),
+          sum(when(col("cohort") === 0, when(col("conv"), 1L).otherwise(0L))).as("x_a"),
+          sum(when(col("cohort") === 1, 1L)).as("n_b"),
+          sum(when(col("cohort") === 1, when(col("conv"), 1L).otherwise(0L))).as("x_b"))
         .withColumn("rate_a", col("x_a").cast("double") / col("n_a"))
         .withColumn("rate_b", col("x_b").cast("double") / col("n_b"))
         .withColumn("pp", (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")))

@@ -51,7 +51,7 @@ object Relational {
       // parquet, so the query round-trips through a `;` CSV export first;
       // the operator under test is the delimited schema-on-read.
       val base = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s2_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s2_${graft.core.Tables.pathKey(d)}"
       base.coalesce(1).sortWithinPartitions("n_nationkey")
         .write.mode("overwrite").option("header", "true").option("delimiter", ";").csv(path)
       graft.sources.TypedCsv.read(s, path, base.schema, delimiter = ";")
@@ -68,7 +68,7 @@ object Relational {
       // of sorted goldens, run_workflow.R:264-272) — count-valued so the
       // text round-trip is exact; read back through the declared schema.
       val agg = lineitem(s, d).groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s4_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s4_${graft.core.Tables.pathKey(d)}"
       graft.sources.TypedCsv.writeGolden(agg, Seq("l_returnflag"), path)
       graft.sources.TypedCsv.read(s, path, agg.schema).orderBy("l_returnflag")
     },
@@ -80,7 +80,7 @@ object Relational {
       // SpreadsheetML parser (sources/Xlsx.scala); the operator under test
       // is the xlsx scan, the oracle is the parquet original.
       val base = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s5_${math.abs(d.hashCode)}/nation.xlsx"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s5_${graft.core.Tables.pathKey(d)}/nation.xlsx"
       graft.sources.Xlsx.write(base, path, "nation", Seq("n_nationkey"))
       graft.sources.Xlsx.read(s, path, "nation", base.schema).orderBy("n_nationkey")
     },
@@ -92,7 +92,7 @@ object Relational {
       // operator under test is the rds scan, the oracle the parquet
       // original.
       val base = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s6_${math.abs(d.hashCode)}/nation.rds"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s6_${graft.core.Tables.pathKey(d)}/nation.rds"
       graft.sources.Rds.write(base, path, Seq("n_nationkey"))
       graft.sources.Rds.read(s, path, base.schema).orderBy("n_nationkey")
     },
@@ -106,7 +106,7 @@ object Relational {
       // oracle is the parquet original, so text/unicode must round-trip
       // losslessly.
       val base = documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s12_${math.abs(d.hashCode)}/documents.avro"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s12_${graft.core.Tables.pathKey(d)}/documents.avro"
       graft.sources.Avro.write(base, path, Seq("doc_id"))
       graft.sources.Avro.read(s, path, base.schema).orderBy("doc_id")
     },
@@ -121,7 +121,7 @@ object Relational {
       // payloads must round-trip losslessly. Interop with real tar
       // tooling is pinned separately in TarSpec via commons-compress.
       val base = documents(s, d).select("doc_id", "text")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s13_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s13_${graft.core.Tables.pathKey(d)}"
       graft.sources.Tar.writeShards(
         base.select((col("doc_id") % 8).as("shard"),
           col("doc_id").cast("string").as("name"),
@@ -140,7 +140,7 @@ object Relational {
       // the oracle is the parquet original, so the text/unicode round-trip
       // must be lossless.
       val base = documents(s, d)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s8_${math.abs(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s8_${graft.core.Tables.pathKey(d)}"
       base.write.mode("overwrite").option("compression", "gzip").json(path)
       s.read.schema(base.schema).json(path).orderBy("doc_id")
     },
@@ -1144,8 +1144,10 @@ object Relational {
     },
     Q("r11_nest_ordered",
       """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
-        |  list(l_linenumber ORDER BY l_linenumber, l_quantity) AS linenumbers,
-        |  list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities
+        |  array_to_string(list(CAST(l_linenumber AS VARCHAR)
+        |    ORDER BY l_linenumber, l_quantity), '|') AS linenumbers,
+        |  array_to_string(list(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+        |    ORDER BY l_linenumber, l_quantity), '|') AS quantities
         |FROM lineitem WHERE l_orderkey % 50 = 0
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
       // R11: ordered ARRAY assembly per key — the nesting/denormalization
@@ -1157,6 +1159,10 @@ object Relational {
       // function of the data. The sort key is the full (line number,
       // quantity) struct: line numbers repeat in this fixture, so a
       // bare-linenumber order would leave tie order partition-dependent.
+      // Catalog outputs must be scalar-typed (the harness cannot hash
+      // array cells), so the ordered arrays are emitted as '|'-joined
+      // strings; quantities are whole doubles in this table, so the
+      // bigint cast makes the string form engine-agnostic.
       lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
         .groupBy("l_orderkey")
         .agg(
@@ -1164,8 +1170,11 @@ object Relational {
           sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
             .as("__sorted"))
         .select(col("l_orderkey"), col("n_items"),
-          transform(col("__sorted"), s2 => s2.getField("l_linenumber")).as("linenumbers"),
-          transform(col("__sorted"), s2 => s2.getField("l_quantity")).as("quantities"))
+          array_join(transform(col("__sorted"),
+            s2 => s2.getField("l_linenumber").cast("string")), "|").as("linenumbers"),
+          array_join(transform(col("__sorted"),
+            s2 => s2.getField("l_quantity").cast("bigint").cast("string")), "|")
+            .as("quantities"))
         .orderBy("l_orderkey")
     },
     Q("r9_label_fanout",

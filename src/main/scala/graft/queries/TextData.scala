@@ -898,7 +898,7 @@ object TextData {
       val docs = documents(s, d).select("doc_id", "text")
       val batch = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text"))
-      val table = s"graft_mh_idx_${math.abs(d.hashCode)}"
+      val table = s"graft_mh_idx_${graft.core.Tables.pathKey(d)}"
       Dedup.saveMinhashIndexBucketed(docs, "doc_id", "text", table, numBuckets = 32)
       Dedup.probeMinhashIndexBucketed(batch, table, "doc_id", "text")
         .orderBy("batch_id", "corpus_id")
