@@ -312,6 +312,120 @@ object Similarity {
     (path, cents)
   }
 
+  /** INCREMENTAL index maintenance — the growing-corpus path that
+    * [[ensureIvfIndex]]'s rebuild-on-fingerprint-change deliberately is
+    * not: assign a NEW vector batch to the EXISTING codebook's cells (the
+    * codebook is frozen — retraining would move every centroid and force
+    * a full re-assign) and append the assigned rows under the inverted
+    * file's cell partitioning.
+    *
+    * Scale contract (the index twin of Maintenance.maintainJoinView's
+    * incremental-view contract):
+    *  - ONE pass over the batch, no read of the existing index, no join —
+    *    append cost is ∝ |batch|, never ∝ |corpus|;
+    *  - parquet `append` under `partitionBy("cell")` creates files ONLY
+    *    in the cell directories the batch actually lands in — untouched
+    *    cells keep their bytes (pinned in IvfAppendSpec);
+    *  - probes are unchanged: the probe-side contract is only "rows of
+    *    cell c live under cell=c", which assignment against the same
+    *    codebook preserves, so probe(append(idx, batch)) ≡
+    *    probe(rebuild over corpus ∪ batch with the SAME codebook) —
+    *    oracled bit-exactly by ann_ivf_append.
+    *
+    * Centroid drift is the documented trade: a frozen codebook slowly
+    * loses balance as the corpus distribution shifts; production
+    * deployments re-train at O(corpus-doubling) cadence (a full
+    * [[buildIvfIndex]]), not per batch. NOT idempotent — replaying a
+    * batch duplicates its rows; the memoized [[ensureIvfAppendedIndex]]
+    * owns exactly-once for the catalog/bench path.
+    */
+  def appendToIvfIndex(
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      path: String,
+      cents: Seq[(Int, Seq[Double])]): Unit = {
+    graft.plans.Sketches.ensureRegistered(batch.sparkSession)
+    batch.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** PQ twin of [[appendToIvfIndex]]: encode the batch with the EXISTING
+    * coarse + per-subspace codebooks (both frozen) and append the
+    * codes-only rows under the cell partitioning — same one-pass,
+    * batch-proportional, touched-cells-only contract.
+    */
+  def appendToIvfPqIndex(
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      path: String,
+      cents: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      subDim: Int): Unit = {
+    graft.plans.Sketches.ensureRegistered(batch.sparkSession)
+    pqEncode(
+        batch.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+          .select(col(id), col("cell"), col(vec)),
+        vec, codebooks, subDim)
+      .drop(vec)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Build-once base-plus-append composition for the catalog/bench path:
+    * train + materialize over `base`, then [[appendToIvfIndex]] `batch` —
+    * memoized under one digest so repeated calls (the bench's steady
+    * pass) are probe-only and the non-idempotent append runs exactly
+    * once per (corpus fingerprint, params).
+    */
+  def ensureIvfAppendedIndex(
+      base: DataFrame,
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      cacheKey: String,
+      nCells: Int = 16,
+      trainIters: Int = 3): (String, Seq[(Int, Seq[Double])]) = {
+    val fingerprint = corpusFingerprint(base.sparkSession, cacheKey)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"append|$cacheKey|$fingerprint|$nCells|$trainIters".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = System.getProperty("java.io.tmpdir") + s"/graft_ivf_app_idx_$digest"
+    val cents = ivfIndexCache.computeIfAbsent(path, _ => {
+      val c = buildIvfIndex(base, id, vec, path, nCells, trainIters)
+      appendToIvfIndex(batch, id, vec, path, c)
+      c
+    })
+    (path, cents)
+  }
+
+  /** PQ twin of [[ensureIvfAppendedIndex]]. */
+  def ensureIvfPqAppendedIndex(
+      base: DataFrame,
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      cacheKey: String,
+      dim: Int,
+      nCells: Int = 16,
+      trainIters: Int = 3,
+      m: Int = 4,
+      ksub: Int = 8,
+      pqIters: Int = 2): (String, Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
+    val fingerprint = corpusFingerprint(base.sparkSession, cacheKey)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pqappend|$cacheKey|$fingerprint|$dim|$nCells|$trainIters|$m|$ksub|$pqIters"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = System.getProperty("java.io.tmpdir") + s"/graft_ivf_pq_app_idx_$digest"
+    val (cents, cbs) = ivfPqIndexCache.computeIfAbsent(path, _ => {
+      val built = buildIvfPqIndex(base, id, vec, path, dim, nCells, trainIters, m, ksub, pqIters)
+      appendToIvfPqIndex(batch, id, vec, path, built._1, built._2, dim / m)
+      built
+    })
+    (path, cents, cbs)
+  }
+
   /** Materialize the codes-only inverted file: trained cell assignment +
     * SQ8 codes, the float32 vectors DROPPED, written `partitionBy("cell")`
     * — a probe reads ~nProbe/nCells of the corpus at 4x fewer bytes per

@@ -183,6 +183,50 @@ object TextData {
        |$joins)""".stripMargin
   }
 
+  /** Re-assignment of a FULL corpus CTE to a frozen unit-centroid CTE —
+    * the oracle half of incremental index append: training saw only the
+    * base slice, assignment covers base ∪ batch. Same (dot desc, cell
+    * desc) argmax as [[ivfCodebookCtes]]'s assign.
+    */
+  private def fullAssignCte(ufName: String, fullName: String, outName: String): String =
+    s"""$outName AS (SELECT vec_id, v, cell FROM (
+       |    SELECT f.vec_id, f.v, u.cell,
+       |      row_number() OVER (PARTITION BY f.vec_id
+       |        ORDER BY list_dot_product(f.v, u.uc) DESC, u.cell DESC) AS rn
+       |    FROM $fullName f CROSS JOIN $ufName u) WHERE rn = 1)""".stripMargin
+
+  /** [[pqDecCtes]] for the APPEND contract: every per-subspace codebook
+    * chain trains on the `where`-sliced base only, then the FULL corpus
+    * is re-assigned to each frozen subspace codebook, so `dec`
+    * reconstructs batch vectors with centroids the batch never trained.
+    */
+  private def pqDecAppendCtes(
+      where: String, m: Int = 4, subDim: Int = 16, ksub: Int = 8, iters: Int = 2): String = {
+    def slice(sub: Int) =
+      s"CAST(embedding[${sub * subDim + 1}:${sub * subDim + subDim}] AS DOUBLE[])"
+    val chains = (0 until m).map { sub =>
+      ivfCodebookCtes(
+        s"SELECT vec_id, ${slice(sub)} AS v FROM embeddings $where",
+        nCells = ksub, iters = iters, suffix = s"p$sub")
+    }.mkString(",\n")
+    val fulls = (0 until m).map { sub =>
+      s"""fullp$sub AS (SELECT vec_id, ${slice(sub)} AS v FROM embeddings),
+         |${fullAssignCte(s"ufp$sub", s"fullp$sub", s"affp$sub")}""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m).map { s =>
+      s"""  JOIN affp$s a$s ON a$s.vec_id = a0.vec_id
+         |  JOIN c$iters""".stripMargin + s"p$s cc$s ON a$s.cell = cc$s.cell"
+    }.mkString("\n")
+    val catCols = (0 until m).map(s => s"cc$s.c").mkString(" || ")
+    s"""$chains,
+       |$fulls,
+       |dec AS (
+       |  SELECT a0.vec_id, $catCols AS dvec
+       |  FROM affp0 a0
+       |  JOIN c${iters}p0 cc0 ON a0.cell = cc0.cell
+       |$joins)""".stripMargin
+  }
+
   /** Planted deterministic PNG media over the documents ids: geometry and
     * every pixel are pure doc_id formulas (w = 1 + id % 16, h = 1 + id %
     * 11, pixel i = (id·31 + i) % 256 in row-major order), so a SQL oracle
@@ -1478,6 +1522,74 @@ object TextData {
       Similarity.rangeJoin(s, path, "vec_id", "embedding", q, "q_id", "q_emb",
           minCosine = 0.3, cents, nProbe = 4, excludeSelf = true)
         .orderBy("qid", "vec_id")
+    },
+    Q("ann_ivf_append",
+      // INCREMENTAL index maintenance (VERDICT r8 top-next #2): the index
+      // is built over the 3/4 base slice, then the remaining 1/4 batch is
+      // assigned to the FROZEN codebook and appended under the cell
+      // partitioning — only touched cell partitions gain files, append
+      // cost ∝ |batch| (no read of the existing index; pinned in
+      // IvfAppendSpec). The oracle trains the codebook on the BASE slice
+      // only, re-assigns the full corpus to the frozen centroids, and
+      // probes — bit-exactly the appended index's contents, proving
+      // append(index, batch) ≡ rebuild over corpus ∪ batch with the same
+      // codebook.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings" +
+             " WHERE vec_id % 4 <> 3",
+           nCells = 8, iters = 3)},
+         |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${fullAssignCte("uf", "allv", "aff")},
+         |q AS (SELECT v AS qvec FROM allv WHERE vec_id = 0),
+         |qc AS (SELECT u.cell FROM uf u, q
+         |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)
+         |SELECT a.vec_id, list_cosine_similarity(a.v, q.qvec) AS cosine
+         |FROM aff a, q
+         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
+         |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val base = e.filter(col("vec_id") % 4 =!= 3)
+      val batch = e.filter(col("vec_id") % 4 === 3)
+      val (path, cents) = Similarity.ensureIvfAppendedIndex(
+        base, batch, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val qvec = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0)
+        .getSeq[Number](0).map(_.doubleValue()).toSeq
+      Similarity.probeIvfIndex(s, path, "vec_id", "embedding",
+        qvec, queryId = 0L, k = 10, cents, nProbe = 6)
+    },
+    Q("ann_ivf_pq_append",
+      // the codes-only twin: the batch is PQ-encoded with the EXISTING
+      // coarse + subspace codebooks (all frozen) and appended — the
+      // growing-corpus path for the 64×-compressed index. The oracle
+      // trains every codebook chain on the base slice, re-assigns and
+      // re-encodes the full corpus against the frozen codebooks, and
+      // probes the decoded candidates.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings" +
+             " WHERE vec_id % 4 <> 3",
+           nCells = 8, iters = 3)},
+         |${pqDecAppendCtes("WHERE vec_id % 4 <> 3")},
+         |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${fullAssignCte("uf", "allv", "aff")},
+         |q AS (SELECT v AS qvec FROM allv WHERE vec_id = 0),
+         |qc AS (SELECT u.cell FROM uf u, q
+         |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)
+         |SELECT a.vec_id, list_cosine_similarity(q.qvec, d.dvec) AS cosine
+         |FROM aff a JOIN dec d ON a.vec_id = d.vec_id, q
+         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
+         |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val base = e.filter(col("vec_id") % 4 =!= 3)
+      val batch = e.filter(col("vec_id") % 4 === 3)
+      val (path, cents, cbs) = Similarity.ensureIvfPqAppendedIndex(
+        base, batch, "vec_id", "embedding", cacheKey = d, dim = 64,
+        nCells = 8, trainIters = 3, m = 4, ksub = 8, pqIters = 2)
+      val qvec = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0)
+        .getSeq[Number](0).map(_.doubleValue()).toSeq
+      Similarity.probeIvfPqIndex(s, path, "vec_id",
+        qvec, queryId = 0L, k = 10, cents, cbs, nProbe = 6)
     },
     Q("ml_retrieval_eval",
       // in-engine ANN quality evaluation: recall@10 and the MRR term of
