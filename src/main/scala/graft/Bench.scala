@@ -38,7 +38,15 @@ object Bench {
     "ml_hash_classifier", // hashed-feature classifier corpus pass (zero-shuffle)
     "ann_range_join",     // batched range search (probe join, no rank window)
     "dd_cdc_chunk",       // content-defined chunking + chunk ownership
-    "ml_retrieval_eval"   // recall@10/MRR of the IVF probe vs exact ground truth
+    "ml_retrieval_eval",  // recall@10/MRR of the IVF probe vs exact ground truth
+    // round-9 additions: the heaviest previously-untimed shapes (VERDICT
+    // r8 "bench blind spots") — a perf regression in any of them was
+    // invisible to BENCH_r8
+    "tx_bpe_train",       // 12 chained merge rounds over the bounded vocab
+    "dd_edit_distance",   // length-band blocked Levenshtein verify
+    "g1_pagerank",        // iterative edge-keyed joins
+    "mm_decode",          // real ImageIO decode over planted PNGs
+    "ann_ivf_append"      // incremental index append + pruned probe
   )
 
   def main(args: Array[String]): Unit = {

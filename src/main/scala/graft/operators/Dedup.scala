@@ -1032,16 +1032,35 @@ object Dedup {
       substring(lower(trim(col(text))), 1, prefixLen).as("pfx"),
       expr(s"$sizeCol DIV $bucketWidth").as("b"))
     val e = d0.unionByName(d0.withColumn("b", col("b") + 1))
+    // the block join's INPUT is tiny (docs × 2 rows) but its OUTPUT is the
+    // per-block cross product — AQE sizes the join stage by input bytes
+    // and would run the whole product on one task. Pre-partitioning both
+    // sides on the join keys at the configured width is kept by the join
+    // (hash-partitioned children satisfy SMJ's requirement), so block
+    // products spread across tasks.
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
     val a = e.select(col(id).as("doc_a"), col(lang).as("__la"),
       col("pfx").as("pa"), col("b"))
+      .repartition(width, col("__la"), col("b"))
     val x = e.select(col(id).as("doc_b"), col(lang).as("__lx"),
       col("pfx").as("pb"), col("b"))
+      .repartition(width, col("__lx"), col("b"))
     a.join(x, col("__la") === col("__lx") && a("b") === x("b")
         && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "pa", "pb")
       .distinct() // a pair sharing both its buckets would otherwise double
-      .withColumn("lev", levenshtein(col("pa"), col("pb")))
-      .filter(col("lev") <= maxDist)
+      // the verify is CPU-bound, not byte-bound: candidate pairs are ~100
+      // bytes each, so AQE's size-based coalescing packs the whole stage
+      // onto a handful of tasks and serializes millions of Levenshteins
+      // (measured 22 s → 2 s at sf0.1). The explicit partition count pins
+      // the verify stage's parallelism — AQE respects a user-specified
+      // width — and keys on the pair so the spread is uniform.
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
+      // banded threshold form: O(prefixLen·maxDist) per pair instead of
+      // O(prefixLen²), exact for every distance ≤ maxDist, -1 above it
+      .withColumn("lev", levenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("lev") =!= -1)
       .select(col("doc_a"), col("doc_b"), col("lev").cast("int").as("lev"))
   }
 

@@ -103,6 +103,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(!out(1).decoded && out(1).phash.isEmpty)
   }
 
+  test("decodeGifFrames: multi-frame round-trip, exact per-frame sums, frame order") {
+    val frames = Seq(
+      Array.tabulate(12)(i => i * 5),
+      Array.tabulate(12)(i => 255 - i),
+      Array.fill(12)(42))
+    val m = Seq(Multimodal.MediaRow(7L, "image",
+      graft.sources.Gif.encodeGrayFrames(4, 3, frames))).toDF()
+    val out = Multimodal.decodeGifFrames(spark, m).collect().sortBy(_.frame)
+    assert(out.length == 3 && out.forall(r => r.decoded && r.n_frames == 3))
+    assert(out.map(_.frame).toSeq == Seq(0, 1, 2))
+    assert(out.forall(r => r.width.contains(4) && r.height.contains(3)))
+    assert(out.map(_.px_sum.get).toSeq == frames.map(_.map(_.toLong).sum))
+  }
+
+  test("decodeGifFrames: a frame large enough to span LZW clear boundaries round-trips") {
+    // 30x20 = 600 pixels > the 250-literal clear cadence — exercises
+    // mid-stream CLEAR codes and multi-sub-block packing
+    val px = Array.tabulate(600)(i => (i * 7) % 256)
+    val m = Seq(Multimodal.MediaRow(1L, "image",
+      graft.sources.Gif.encodeGrayFrames(30, 20, Seq(px)))).toDF()
+    val out = Multimodal.decodeGifFrames(spark, m).collect()
+    assert(out.length == 1 && out.head.decoded)
+    assert(out.head.px_sum.contains(px.map(_.toLong).sum))
+  }
+
+  test("decodeGifFrames: corrupt payload flags one row, never kills the pass") {
+    val m = Seq(
+      Multimodal.MediaRow(1L, "image",
+        graft.sources.Gif.encodeGrayFrames(2, 2, Seq(Array(1, 2, 3, 4)))),
+      Multimodal.MediaRow(2L, "image", "GIF89a-not-really".getBytes("UTF-8"))).toDF()
+    val out = Multimodal.decodeGifFrames(spark, m).collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out(0).decoded && out(0).px_sum.contains(10L))
+    assert(!out(1).decoded && out(1).frame == -1 && out(1).px_sum.isEmpty)
+  }
+
   test("imagePhash: brightness shift moves few bits (the near-dup signal)") {
     val base = Array.tabulate(24 * 16)(i => (i * 3) % 256)
     val shifted = base.map(p => math.min(255, p + 8))
