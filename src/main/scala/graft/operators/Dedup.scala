@@ -573,6 +573,65 @@ object Dedup {
         col("dup_windows").cast("double") / col("total_windows"))
   }
 
+  /** Merge each document's duplicated windows into MAXIMAL shared spans
+    * (Lee et al., arXiv:2107.06499 — the substring the paper actually
+    * removes is the maximal duplicated span, not the ×window fan of
+    * 16-token fragments [[spanOverlapStats]] counts): a window is
+    * duplicated when its hash appears in >1 distinct document; the token
+    * intervals [pos, pos+window−1] of a document's duplicated windows
+    * merge while they overlap or touch, yielding one row per maximal
+    * span: (id, span_start, span_len, n_windows) with exact token
+    * positions (span_start 0-based) and lengths (end clamped to the
+    * document). A verbatim copy with a fresh tail reports ONE maximal
+    * head span, not head-length − 15 windows.
+    *
+    * Coverage semantics: adjacent windows may be shared with different
+    * partners; the merged span is the contiguous duplicated REGION (what
+    * a cutting pass would remove), not a single-source match.
+    *
+    * Scale shape: same skeleton as the profile (narrow window-hash
+    * projection, 8-byte-hash dictionary, hash-keyed dup join — text
+    * never shuffles); the merge is gaps-and-islands — a lag + running
+    * sum over ONE doc-keyed window (positions within a doc are unique,
+    * so the order is total) — and a final (doc, island) aggregate over
+    * duplicated windows only.
+    */
+  def mergeDuplicateSpans(
+      df: DataFrame,
+      id: String,
+      text: String,
+      window: Int = 16): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__n", size(col("__toks")))
+    val wh = toks.select(col(id), col("__n"),
+      posexplode(TextFns.rollingWindowHashes(col("__toks"), window))
+        .as(Seq("__pos", "__h")))
+    val shared = wh.select(col(id), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") > 1)
+      .select(col("__h"))
+    val dup = wh.join(shared, Seq("__h"))
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("__pos"))
+    // islands: a window starts a new span when its interval no longer
+    // overlaps or touches the previous one — pos > prev + window
+    dup
+      .withColumn("__brk",
+        when(col("__pos") > lag(col("__pos"), 1).over(byDoc) + window, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(id), col("__isl"))
+      .agg(
+        min(col("__pos")).cast("long").as("span_start"),
+        (least(max(col("__pos")) + (window - 1), max(col("__n")) - 1)
+          - min(col("__pos")) + 1).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col(id), col("span_start"), col("span_len"), col("n_windows"))
+  }
+
   /** Cut cross-document duplicated SPANS out of every document — the
     * transform [[spanOverlapStats]] profiles (Lee et al., arXiv:2107.06499
     * remove repeated passages; removing only the extra COPIES is the

@@ -1105,6 +1105,57 @@ object TextData {
       Dedup.cutDuplicateSpans(corpus, "doc_id", "text", window = 16)
         .orderBy("doc_id")
     },
+    Q("dd_span_merge",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id,
+        |         text || ' plus a fresh tail of padding words' AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tw AS (
+        |  SELECT doc_id, w, len(w) AS n FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |    FROM corpus) WHERE len(w) > 0),
+        |wh AS (
+        |  SELECT doc_id, n, u.i - 1 AS pos,
+        |    CASE WHEN n >= 16
+        |      THEN CAST('0x' || substr(md5(array_to_string(w[u.i:u.i+15], ' ')), 1, 15) AS BIGINT)
+        |      ELSE CAST('0x' || substr(md5(array_to_string(w, ' ')), 1, 15) AS BIGINT)
+        |    END AS h
+        |  FROM tw, unnest(generate_series(1, GREATEST(n - 15, 1))) AS u(i)),
+        |shared AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wh)
+        |  GROUP BY h HAVING COUNT(*) > 1),
+        |dup AS (SELECT wh.doc_id, wh.n, wh.pos FROM wh JOIN shared USING (h)),
+        |brk AS (SELECT doc_id, n, pos,
+        |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 16
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM dup),
+        |isl AS (SELECT doc_id, n, pos,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM brk)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(LEAST(MAX(pos) + 15, MAX(n) - 1) - MIN(pos) + 1 AS BIGINT) AS span_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      // Maximal shared-span merging (VERDICT r8 #5 — the Lee et al.
+      // 2107.06499 substring semantics): duplicated 16-token windows
+      // merge into maximal contiguous spans via gaps-and-islands over
+      // per-doc window positions. On the planted corpus each re-keyed
+      // copy reports ONE maximal head span (every head window shares its
+      // hash with the original) instead of head−15 fragments; span
+      // starts, exact clamped lengths and window counts are all replayed
+      // by the oracle.
+      val docs = documents(s, d).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          concat(col("text"), lit(" plus a fresh tail of padding words")).as("text")))
+      Dedup.mergeDuplicateSpans(corpus, "doc_id", "text", window = 16)
+        .orderBy("doc_id", "span_start")
+    },
     Q("dd_cdc_chunk",
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -274,6 +274,36 @@ class DedupSpec extends SparkTestBase {
       (4L, unrelated, 20L, 0L)))
   }
 
+  test("mergeDuplicateSpans: a copy with a fresh tail yields ONE maximal span, not N windows") {
+    val orig = (1 to 40).map(i => s"w$i").mkString(" ")
+    val copyWithTail = orig + " " + (1 to 10).map(i => s"t$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, orig), (2L, copyWithTail), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Dedup.mergeDuplicateSpans(df, "doc_id", "text", window = 16)
+      .orderBy("doc_id", "span_start").as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: all 25 windows shared with doc 2 -> one span covering all 40
+    // tokens; doc 2: the same 25 shared window positions (windows crossing
+    // into the tail are novel) merge to ONE maximal span [0, 39] = 40
+    // tokens; the 10 fresh tail tokens are outside it; doc 3: no spans.
+    assert(out == Seq(
+      (1L, 0L, 40L, 25L),
+      (2L, 0L, 40L, 25L)))
+  }
+
+  test("mergeDuplicateSpans: disjoint duplicated regions stay separate spans") {
+    // doc 20 embeds doc 10's 16-token block at positions 0 and 40 with an
+    // unshared 24-token gap -> exactly two spans of 16
+    val block = (1 to 16).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 24).map(i => s"g$i").mkString(" ")
+    val host = s"$block $gap $block"
+    val df = Seq((10L, block), (20L, host)).toDF("doc_id", "text")
+    val out = Dedup.mergeDuplicateSpans(df, "doc_id", "text", window = 16)
+      .filter($"doc_id" === 20L)
+      .orderBy("span_start").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((20L, 0L, 16L, 1L), (20L, 40L, 16L, 1L)))
+  }
+
   test("cutDuplicateSpans: short docs use the whole-doc window; owner rule holds") {
     val df = Seq((5L, "tiny doc"), (9L, "tiny doc"), (7L, "other tiny")).toDF("doc_id", "text")
     val out = Dedup.cutDuplicateSpans(df, "doc_id", "text", window = 16)

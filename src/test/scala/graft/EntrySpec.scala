@@ -36,6 +36,26 @@ class EntrySpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("catalog outputs are scalar-typed (the oracle harness cannot hash array/map cells)") {
+    // r11_nest_ordered shipped a raw ArrayType column in round 8 and the
+    // driver's pandas compare crashed on it (sort_values: unhashable
+    // ndarray) — the entry silently lost its verification. Pin the whole
+    // catalog: every OUTPUT column of every entry must be an atomic type
+    // (array-valued ops emit array_join'ed strings, the f4_array_funcs
+    // pattern).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar catalog output columns:\n${offenders.mkString("\n")}")
+  }
+
   test("representative oracled queries are run-to-run deterministic including row order") {
     // the driver's hash compare covers values; this net catches
     // nondeterminism regressions (arbitrary survivors, unstable sorts,

@@ -61,6 +61,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(bad.isEmpty, s"unpartitioned window:\n$exec")
   }
 
+  test("ev_user_growth: the global cumsum window consumes day-level rows, not events") {
+    // the entry's unpartitioned window is legal ONLY because it runs over
+    // one row per active day — this pin fails if a refactor silently moves
+    // the cumsum onto raw events/users (AQE off so the executed plan stays
+    // structurally traversable and metrics attach to the real nodes)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("ev_user_growth")(spark, sfDir)
+      val out = df.collect()
+      val exec = df.queryExecution.executedPlan
+      val ws = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(ws.size == 1, s"expected exactly one window:\n$exec")
+      assert(ws.head.partitionSpec.isEmpty) // documented bounded global cumsum
+      val aggs = ws.head.collect {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+      }
+      assert(aggs.nonEmpty, s"window must sit above the per-day aggregate:\n$exec")
+      val nDays = out.length.toLong // one output row per first-seen day
+      assert(aggs.head.metrics("numOutputRows").value == nDays,
+        "the window's input must be the day-level aggregate (one row per day)")
+      val nEvents = graft.core.Tables.events(spark, sfDir).count()
+      assert(nDays < nEvents / 10, "fixture sanity: days must be far fewer than events")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   // ---- hashed classifier -----------------------------------------------
 
   test("hash classifier: score equals per-feature replay; keep threshold") {

@@ -221,6 +221,39 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming k-NN probe equals the one-shot batch knnJoin across micro-batches") {
+    import graft.operators.Similarity
+    import graft.streaming.Ingest
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idxDir = Files.createTempDirectory("graft-knn-idx").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(e, "vec_id", "embedding", idxDir, nCells = 8)
+    val dir = Files.createTempDirectory("graft-knn-in").toString
+    val out = Files.createTempDirectory("graft-knn-out").toString + "/probe"
+    val ckpt = Files.createTempDirectory("graft-knn-ckpt").toString
+    val queries = e.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val b1 = queries.filter(col("q_id") % 32 === 0)
+    val b2 = queries.filter(col("q_id") % 32 =!= 0)
+    b1.write.mode("append").parquet(dir)
+    val q = Ingest.knnProbeSink(
+      spark.readStream.schema(queries.schema).parquet(dir),
+      idxDir, cents, out, ckpt).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).drop("probe_batch")
+      .as[(Long, Long, Double)].collect().toSet
+    // probing is per-query independent against a frozen index, so the
+    // micro-batched union must equal the one-shot batch retrieval
+    val expected = Similarity.knnJoin(spark, idxDir, "vec_id", "embedding",
+        queries, "q_id", "q_emb", k = 5, cents, nProbe = 4, excludeSelf = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty && got.groupBy(_._1).size == queries.count())
+  }
+
   test("upsertSink maintains a parquet dimension across micro-batches (MERGE per batch)") {
     import graft.streaming.Ingest
     import org.apache.spark.sql.types._
