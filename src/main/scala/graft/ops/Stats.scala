@@ -17,6 +17,61 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Exact global NTILE without the single-reducer unpartitioned window
+    * `ntile() OVER (ORDER BY …)` plans to — the same two-level shape as
+    * [[ksTest]]'s ECDF: range-bucket the INTEGER sort key (buckets are
+    * value-ordered, so ranks compose), `row_number` within each bucket
+    * (one bucket-keyed window), add driver-side bucket offsets (an index
+    * action over ≤ `buckets` rows), and apply the SQL-standard fill rule
+    * (the first N % t tiles take the extra row) to the global rank as a
+    * closed-form integer expression. Output is bit-identical to
+    * `ntile(nTiles) OVER (ORDER BY value, tie)` — the oracle replays it
+    * with exactly that window.
+    *
+    * `value` must be integer-valued (cast to long; quantize doubles to
+    * exact milli-units first) and (`value`, `tie`) must be a total order —
+    * a non-total order would leave tile boundaries partition-dependent.
+    */
+  def globalNtile(
+      df: DataFrame,
+      value: Column,
+      tie: Column,
+      nTiles: Int,
+      out: String,
+      buckets: Int = 256): DataFrame = {
+    require(nTiles >= 1, "nTiles must be >= 1")
+    require(buckets > 0, "buckets must be positive")
+    val base = df.withColumn("__v", value.cast("long")).withColumn("__t", tie.cast("long"))
+    val m = base.agg(min(col("__v")).as("minv"), max(col("__v")).as("maxv"))
+    val bucketed = base.crossJoin(broadcast(m))
+      .withColumn("__b",
+        expr(s"((__v - minv) * $buckets) DIV (maxv - minv + 1)").cast("int"))
+      .drop("minv", "maxv")
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v"), col("__t"))
+    val local = bucketed.withColumn("__lr", row_number().over(w))
+    val totals = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val off: Map[Int, Long] = totals.map { case (b, n) =>
+      val o = b -> acc; acc += n; o
+    }.toMap
+    val nRows = acc
+    require(nRows > 0, "globalNtile: empty input")
+    val size = nRows / nTiles
+    val rem = nRows % nTiles
+    // fill rule: ranks 1..(size+1)·rem land in the first rem tiles of
+    // size+1; the rest in tiles of `size`. size == 0 (fewer rows than
+    // tiles) degenerates to tile = rank via the first branch.
+    local
+      .withColumn("__rank", element_at(typedLit(off), col("__b")) + col("__lr"))
+      .withColumn(out, expr(
+        s"""CAST(CASE WHEN ${(size + 1) * rem} >= __rank
+           |  THEN (__rank - 1) DIV ${size + 1} + 1
+           |  ELSE $rem + (__rank - 1 - ${(size + 1) * rem}) DIV ${math.max(size, 1L)} + 1
+           |END AS INT)""".stripMargin))
+      .drop("__v", "__t", "__b", "__lr", "__rank")
+  }
+
   /** Exponentially weighted moving average over a bounded trailing window.
     *
     * Recursive EWMA (e_1 = x_1; e_t = α·x_t + (1−α)·e_{t−1}) is a

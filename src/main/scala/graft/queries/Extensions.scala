@@ -585,6 +585,127 @@ object Extensions {
           .as("z"))
     },
 
+    // ---- events: RFM segmentation (two-level global ntile) -------------
+    Q("ev_rfm",
+      """WITH u AS (SELECT user_id,
+        |    CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    SUM(CAST(value AS DECIMAL(30,6))) AS mdec
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT user_id, last_day, freq,
+        |    CAST(mdec AS DOUBLE) AS monetary,
+        |    CAST(mdec * 1000 AS BIGINT) AS mm FROM u),
+        |t AS (SELECT user_id, last_day, freq, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY last_day, user_id) AS INTEGER) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INTEGER) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY mm, user_id) AS INTEGER) AS m
+        |  FROM b)
+        |SELECT user_id, last_day, freq, monetary, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
+        |FROM t ORDER BY user_id""".stripMargin) { (s, d) =>
+      // RFM user segmentation (recency/frequency/monetary quintiles —
+      // the classic lifecycle segmentation): per-user aggregates, then
+      // three EXACT global quintile assignments via Stats.globalNtile —
+      // the two-level range-bucket + driver-offset shape, NOT the
+      // single-reducer `ntile() OVER (ORDER BY …)` the oracle's spec
+      // form plans to (users are unbounded at scale; StatsSpec pins
+      // bit-equality with the window form and the absence of any
+      // unpartitioned WindowExec). Monetary sums are decimal-exact and
+      // ranked as exact milli-unit integers; every order is total
+      // (metric, user_id), so tile boundaries are deterministic.
+      val u = events(s, d).groupBy("user_id").agg(
+          max(expr("unix_micros(ts) div 86400000000")).cast("long").as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(30,6)")).as("__mdec"))
+        .withColumn("monetary_milli", (col("__mdec") * 1000).cast("long"))
+        .withColumn("monetary", col("__mdec").cast("double"))
+        .drop("__mdec")
+      val scored = Stats.globalNtile(
+        Stats.globalNtile(
+          Stats.globalNtile(u, col("last_day"), col("user_id"), 5, "r"),
+          col("freq"), col("user_id"), 5, "f"),
+        col("monetary_milli"), col("user_id"), 5, "m")
+      scored.select(col("user_id"), col("last_day"), col("freq"), col("monetary"),
+          col("r"), col("f"), col("m"),
+          concat(col("r").cast("string"), col("f").cast("string"),
+            col("m").cast("string")).as("segment"))
+        .orderBy("user_id")
+    },
+
+    // ---- ML: expected calibration error over the langid margin ---------
+    Q("ml_ece",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, cjk,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(graft.functions.TextFns.stopEn)}, x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(graft.functions.TextFns.stopDe)}, x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(graft.functions.TextFns.stopEs)}, x))) AS s_es,
+         |    len(list_filter(toks, x -> list_contains(${TextData.sqlList(graft.functions.TextFns.stopFr)}, x))) AS s_fr
+         |  FROM t),
+         |p AS (SELECT lang,
+         |    CASE WHEN cjk THEN 'zh'
+         |         WHEN s_en >= GREATEST(s_de, s_es, s_fr) THEN 'en'
+         |         WHEN s_de >= GREATEST(s_es, s_fr) THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END AS pred,
+         |    CASE WHEN cjk THEN 1000
+         |         ELSE LEAST(1000, GREATEST(s_en, s_de, s_es, s_fr) * 50) END AS conf_milli
+         |  FROM sc),
+         |bn AS (SELECT LEAST(conf_milli // 100, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |    CAST(SUM(conf_milli) AS BIGINT) AS conf_sum
+         |  FROM p GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM bn)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_correct,
+         |  CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 AS mean_conf,
+         |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+         |  (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |    * abs(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0) AS weighted_gap
+         |FROM bn, tot ORDER BY bin""".stripMargin) { (s, d) =>
+      // Expected calibration error of the langid heuristic: confidence =
+      // clamped linear stopword margin (milli-units — log/exp-free by the
+      // catalog's transcendental ban), reliability bins on the integer
+      // confidence, per-bin mean confidence vs accuracy, and the
+      // bin-weighted |acc − conf| gap whose sum IS the ECE. Every input
+      // is an integer count; each output is a fixed chain of IEEE
+      // divisions mirrored token-for-token in the oracle. The eval-side
+      // companion of ml_confusion: confusion says WHERE the classifier
+      // errs, calibration says whether its confidence can gate anything.
+      import graft.functions.TextFns
+      val toks = TextFns.tokens(col("text"))
+      val p = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("pred", TextFns.langId(col("text")))
+        .withColumn("smax", greatest(
+          TextFns.dictHits(toks, TextFns.stopEn),
+          TextFns.dictHits(toks, TextFns.stopDe),
+          TextFns.dictHits(toks, TextFns.stopEs),
+          TextFns.dictHits(toks, TextFns.stopFr)))
+        .withColumn("conf_milli",
+          when(TextFns.hasCjk(col("text")), 1000L)
+            .otherwise(least(lit(1000L), col("smax").cast("long") * 50)))
+      val bins = p
+        .withColumn("bin", least(lit(9L), expr("conf_milli DIV 100")))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
+          sum(col("conf_milli")).as("conf_sum"))
+      val tot = bins.agg(sum(col("n")).as("n_total"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("n_correct"),
+          (col("conf_sum").cast("double") / col("n").cast("double") / 1000.0)
+            .as("mean_conf"),
+          (col("n_correct").cast("double") / col("n").cast("double")).as("accuracy"),
+          ((col("n").cast("double") / col("n_total").cast("double"))
+            * abs(col("n_correct").cast("double") / col("n").cast("double")
+              - col("conf_sum").cast("double") / col("n").cast("double") / 1000.0))
+            .as("weighted_gap"))
+        .orderBy("bin")
+    },
+
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

@@ -134,6 +134,34 @@ object Ingest {
           .write.mode("overwrite").parquet(s"$outPath/probe_batch=$batchId")
       }
 
+  /** Streaming index maintenance — the ingest twin of [[knnProbeSink]]:
+    * every arriving micro-batch of vectors is assigned to the FROZEN
+    * codebook's cells and appended to the materialized inverted file
+    * ([[graft.operators.Similarity.appendToIvfIndex]] — one pass over the
+    * batch, only touched cell partitions gain files, no index read).
+    * Together with [[knnProbeSink]] this closes the loop a growing
+    * corpus needs: ingest appends, retrieval probes, and a periodic
+    * full rebuild (corpus-doubling cadence) re-trains the codebook.
+    *
+    * Append is NOT idempotent (a replayed batch would duplicate rows), so
+    * the checkpoint is the exactly-once guard — same contract as every
+    * foreachBatch sink here; StreamingSpec pins content equality with the
+    * one-shot batch append over the same vectors.
+    */
+  def indexAppendSink(
+      vectors: DataFrame,
+      indexPath: String,
+      cents: Seq[(Int, Seq[Double])],
+      checkpointDir: String,
+      id: String = "vec_id",
+      vec: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(batch, id, vec, indexPath, cents)
+      }
+
   /** Apply one micro-batch of dimension updates to a parquet target with
     * MERGE semantics (ops.Joins.upsert). The batch is first collapsed to
     * one row per key — HIGHEST `versionCol` wins, deterministically

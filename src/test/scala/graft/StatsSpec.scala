@@ -235,6 +235,41 @@ class StatsSpec extends SparkTestBase {
       (2L, false, None, None)), out.toString)
   }
 
+  // ---- global ntile --------------------------------------------------------
+
+  test("globalNtile equals the unpartitioned ntile window bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed values + ties (v = i*i % 97 repeats) so bucket boundaries,
+    // tie-breaks and the uneven fill rule are all exercised
+    val df = (1 to 1013).map(i => (i.toLong, ((i * i) % 97).toLong)).toDF("id", "v")
+    for (t <- Seq(2, 5, 7, 100)) {
+      val got = graft.ops.Stats.globalNtile(df, col("v"), col("id"), t, "tile", buckets = 16)
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      val want = df.withColumn("tile",
+          ntile(t).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      assert(got == want, s"nTiles=$t mismatch")
+    }
+  }
+
+  test("globalNtile: fewer rows than tiles degenerates to tile = rank") {
+    val df = Seq((10L, 5L), (20L, 1L), (30L, 5L)).toDF("id", "v")
+    val got = graft.ops.Stats.globalNtile(df, col("v"), col("id"), 100, "tile")
+      .orderBy("v", "id").select("tile").as[Int].collect().toSeq
+    assert(got == Seq(1, 2, 3))
+  }
+
+  test("globalNtile: no unpartitioned window in the plan") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val exec = graft.ops.Stats.globalNtile(df, col("v"), col("id"), 5, "tile")
+      .queryExecution.executedPlan
+    val bad = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned window:\n$exec")
+  }
+
   // ---- edit distance dedup ------------------------------------------------
 
   test("editDistancePairs: catches boundary-straddling near-dups, skips far pairs") {

@@ -254,6 +254,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty && got.groupBy(_._1).size == queries.count())
   }
 
+  test("streaming index append equals the one-shot batch append (content and touched cells)") {
+    import graft.operators.Similarity
+    import graft.streaming.Ingest
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val arrivals = e.filter(col("vec_id") % 4 === 3)
+    val streamedIdx = Files.createTempDirectory("graft-appidx-s").toString + "/idx"
+    val batchIdx = Files.createTempDirectory("graft-appidx-b").toString + "/idx"
+    val dir = Files.createTempDirectory("graft-appidx-in").toString
+    val ckpt = Files.createTempDirectory("graft-appidx-ckpt").toString
+    val cents = Similarity.buildIvfIndex(base, "vec_id", "embedding", streamedIdx, nCells = 8)
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", batchIdx, nCells = 8)
+    val b1 = arrivals.filter(col("vec_id") % 8 === 3)
+    val b2 = arrivals.filter(col("vec_id") % 8 === 7)
+    b1.write.mode("append").parquet(dir)
+    val q = Ingest.indexAppendSink(
+      spark.readStream.schema(arrivals.schema).parquet(dir),
+      streamedIdx, cents, ckpt).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    Similarity.appendToIvfIndex(arrivals, "vec_id", "embedding", batchIdx, cents)
+    val got = spark.read.parquet(streamedIdx).select("vec_id", "cell")
+    val want = spark.read.parquet(batchIdx).select("vec_id", "cell")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed appends diverge from the one-shot batch append")
+    assert(got.count() == e.count())
+  }
+
   test("upsertSink maintains a parquet dimension across micro-batches (MERGE per batch)") {
     import graft.streaming.Ingest
     import org.apache.spark.sql.types._
