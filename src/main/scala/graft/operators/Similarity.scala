@@ -399,6 +399,39 @@ object Similarity {
     (path, cents)
   }
 
+  /** Compact the small files repeated [[appendToIvfIndex]] batches leave
+    * in hot cells — the maintenance third of the index lifecycle (build →
+    * append → COMPACT → periodic rebuild). Reads ONLY the named cells
+    * (literal `isin` → partition-pruned scan), rewrites them via DYNAMIC
+    * partition overwrite (the s16 machinery: only partitions present in
+    * the write are replaced, untouched cells keep their bytes), one file
+    * per cell after `repartition` on the cell key. Content-preserving by
+    * construction — IvfAppendSpec pins rows-equal + file-count-drop +
+    * untouched-cells-stable; ann_ivf_compact proves the probe result
+    * against the same oracle as the uncompacted index.
+    *
+    * At scale this runs cell-selective (pick cells whose file count
+    * crosses a threshold from the file listing — an index action), never
+    * the whole inverted file.
+    */
+  def compactIvfCells(
+      spark: SparkSession,
+      path: String,
+      cells: Seq[Int]): Unit = {
+    require(cells.nonEmpty, "no cells to compact")
+    // localCheckpoint breaks the read lineage: Spark refuses to overwrite
+    // a path it is also reading, and the rewrite must see a materialized
+    // snapshot anyway (cell-sized — the compaction batch, not the index)
+    val snapshot = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .localCheckpoint(true)
+    snapshot
+      .repartition(cells.size, col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(path)
+  }
+
   /** PQ twin of [[ensureIvfAppendedIndex]]. */
   def ensureIvfPqAppendedIndex(
       base: DataFrame,

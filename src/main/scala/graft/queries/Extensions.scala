@@ -706,6 +706,152 @@ object Extensions {
         .orderBy("bin")
     },
 
+    // ---- profiling: Benford first-digit QA ------------------------------
+    Q("pf_benford",
+      """WITH v AS (SELECT CAST(SUM(CAST(value AS DECIMAL(30,6)) * 1000) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |dg AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM v WHERE m > 0),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+        |exp_ AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 0.3010299956639812), (2, 0.17609125905568124),
+        |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514)) e(digit, expected))
+        |SELECT exp_.digit, COALESCE(c.n, 0) AS n,
+        |  CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t.nt AS DOUBLE) AS share,
+        |  exp_.expected,
+        |  abs(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t.nt AS DOUBLE) - exp_.expected)
+        |    AS abs_dev
+        |FROM exp_ LEFT JOIN c USING (digit), t
+        |ORDER BY digit""".stripMargin) { (s, d) =>
+      // Benford first-digit QA over per-user spend totals — the classic
+      // fabricated/corrupted-numeric-data screen. Log-free by
+      // construction: totals become EXACT milli-unit integers (decimal
+      // sum ×1000 — scaling by a power of ten never changes the leading
+      // significant digit), the first digit is the first character of
+      // the canonical integer rendering, and the nine Benford expected
+      // shares are shared decimal LITERALS (both engines parse the same
+      // text to the same double — no log10 at query time). Digits with
+      // zero mass still emit a row (the expected-side left join), so the
+      // profile is always 9 rows.
+      val m = events(s, d).groupBy("user_id")
+        .agg((sum(col("value").cast("decimal(30,6)")) * 1000).cast("long").as("m"))
+        .filter(col("m") > 0)
+        .select(substring(col("m").cast("string"), 1, 1).cast("long").as("digit"))
+      val c = m.groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("nt"))
+      val expected = {
+        import s.implicits._
+        Seq(
+          1L -> 0.3010299956639812, 2L -> 0.17609125905568124,
+          3L -> 0.12493873660829992, 4L -> 0.09691001300805642,
+          5L -> 0.07918124604762482, 6L -> 0.06694678963061322,
+          7L -> 0.05799194697768673, 8L -> 0.05115252244738129,
+          9L -> 0.04575749056067514).toDF("digit", "expected")
+      }
+      expected.join(c, Seq("digit"), "left").crossJoin(broadcast(t))
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          (coalesce(col("n"), lit(0L)).cast("double") / col("nt").cast("double"))
+            .as("share"),
+          col("expected"),
+          abs(coalesce(col("n"), lit(0L)).cast("double") / col("nt").cast("double")
+            - col("expected")).as("abs_dev"))
+        .orderBy("digit")
+    },
+
+    // ---- graph: bounded two-hop reach ----------------------------------
+    Q("g4_two_hop",
+      """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+        |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
+        |two AS (SELECT DISTINCT a.src, b.dst AS dst2
+        |  FROM e a JOIN e b ON a.dst = b.src
+        |  WHERE b.dst <> a.src),
+        |reach AS (
+        |  SELECT src, dst AS r FROM e
+        |  UNION SELECT src, dst2 FROM two)
+        |SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS n_reach2
+        |FROM reach GROUP BY src ORDER BY v""".stripMargin) { (s, d) =>
+      // Two-hop reach per node (friends-of-friends): distinct nodes
+      // reachable in ≤ 2 directed hops, excluding self — the
+      // neighborhood-size signal behind link-spam scoring and crawl
+      // frontier sizing. ONE self-join on the hop-midpoint key with
+      // distinct collapses before counting; at scale the join is
+      // bounded by Σ deg² on the EDGE table (never materializing paths),
+      // the same df²-bounded shape as the shared-shingle ground truth.
+      val edges = orders(s, d)
+        .select((col("o_custkey") % 50).as("src"), (col("o_orderkey") % 50).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val two = edges.select(col("src"), col("dst").as("mid"))
+        .join(edges.select(col("src").as("mid"), col("dst").as("dst2")), Seq("mid"))
+        .filter(col("dst2") =!= col("src"))
+        .select(col("src"), col("dst2").as("r"))
+      edges.select(col("src"), col("dst").as("r"))
+        .unionByName(two).distinct()
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("n_reach2"))
+        .orderBy("v")
+    },
+
+    // ---- robust stats: median absolute deviation ------------------------
+    Q("qt_mad",
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |med AS (SELECT l_returnflag,
+        |    SUM(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN l_quantity END) /
+        |    COUNT(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN 1 END) AS med
+        |  FROM r GROUP BY l_returnflag),
+        |dv AS (SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS dev,
+        |    l.l_orderkey, l.l_linenumber, m.med
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |r2 AS (SELECT l_returnflag, dev, med,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY dev, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM dv)
+        |SELECT l_returnflag, MAX(med) AS median_qty,
+        |  SUM(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN dev END) /
+        |  COUNT(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN 1 END) AS mad
+        |FROM r2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Median absolute deviation per group — the robust scale estimate
+      // outlier fences should use when the data has heavy tails (stddev
+      // is itself dragged by the outliers it is meant to find). Two
+      // chained EXACT medians in the a3 mean-of-middle-two convention
+      // (total orders include the row keys, so tie handling is
+      // deterministic); |x − med| is one IEEE subtraction, identical on
+      // both engines.
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wn = Window.partitionBy(col("l_returnflag"))
+      val med = lineitem(s, d)
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("mid", when(col("rn") === floor((col("n") + 1) / 2) ||
+          col("rn") === floor((col("n") + 2) / 2), col("l_quantity")))
+        .groupBy("l_returnflag")
+        .agg((sum(col("mid")) / count(col("mid"))).as("med"))
+      val dv = lineitem(s, d).join(med, Seq("l_returnflag"))
+        .select(col("l_returnflag"), abs(col("l_quantity") - col("med")).as("dev"),
+          col("l_orderkey"), col("l_linenumber"), col("med"))
+      val w2 = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("dev"), col("l_orderkey"), col("l_linenumber"))
+      dv
+        .withColumn("rn", row_number().over(w2))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("mid", when(col("rn") === floor((col("n") + 1) / 2) ||
+          col("rn") === floor((col("n") + 2) / 2), col("dev")))
+        .groupBy("l_returnflag")
+        .agg(max(col("med")).as("median_qty"),
+          (sum(col("mid")) / count(col("mid"))).as("mad"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

@@ -1609,6 +1609,43 @@ object TextData {
       Similarity.probeIvfIndex(s, path, "vec_id", "embedding",
         qvec, queryId = 0L, k = 10, cents, nProbe = 6)
     },
+    Q("ann_ivf_compact",
+      // cell COMPACTION — the maintenance third of the index lifecycle
+      // (build → append → compact → periodic rebuild): repeated appends
+      // leave small files in hot cells; compaction rewrites ONLY the
+      // touched cells (partition-pruned read, dynamic partition
+      // overwrite, one file per cell). Content preservation is proven
+      // against the SAME oracle as ann_ivf_append: the probe over the
+      // compacted index must stay bit-identical. File-level contracts
+      // (count drops, untouched cells byte-stable) are IvfAppendSpec's.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings" +
+             " WHERE vec_id % 4 <> 3",
+           nCells = 8, iters = 3)},
+         |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${fullAssignCte("uf", "allv", "aff")},
+         |q AS (SELECT v AS qvec FROM allv WHERE vec_id = 0),
+         |qc AS (SELECT u.cell FROM uf u, q
+         |  ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC LIMIT 6)
+         |SELECT a.vec_id, list_cosine_similarity(a.v, q.qvec) AS cosine
+         |FROM aff a, q
+         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM qc)
+         |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val base = e.filter(col("vec_id") % 4 =!= 3)
+      val batch = e.filter(col("vec_id") % 4 === 3)
+      val (path, cents) = Similarity.ensureIvfAppendedIndex(
+        base, batch, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val touched = batch
+        .select(element_at(Similarity.nearestCells(col("embedding"), cents, 1), 1).as("c"))
+        .distinct().collect().map(_.get(0).toString.toInt).toSeq
+      Similarity.compactIvfCells(s, path, touched)
+      val qvec = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0)
+        .getSeq[Number](0).map(_.doubleValue()).toSeq
+      Similarity.probeIvfIndex(s, path, "vec_id", "embedding",
+        qvec, queryId = 0L, k = 10, cents, nProbe = 6)
+    },
     Q("ann_ivf_pq_append",
       // the codes-only twin: the batch is PQ-encoded with the EXISTING
       // coarse + subspace codebooks (all frozen) and appended — the

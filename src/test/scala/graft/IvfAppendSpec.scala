@@ -78,6 +78,37 @@ class IvfAppendSpec extends SparkTestBase {
       "appended index (id, cell) inventory differs from same-codebook rebuild")
   }
 
+  test("compactIvfCells: file count drops, content preserved, untouched cells byte-stable") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    val path = s"$tmp/idx"
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val cents = Similarity.buildIvfIndex(base, "vec_id", "embedding", path, nCells = 8)
+    // two separate append batches -> touched cells accumulate small files
+    val arrivals = e.filter(col("vec_id") % 4 === 3)
+    Similarity.appendToIvfIndex(arrivals.filter(col("vec_id") % 8 === 3),
+      "vec_id", "embedding", path, cents)
+    Similarity.appendToIvfIndex(arrivals.filter(col("vec_id") % 8 === 7),
+      "vec_id", "embedding", path, cents)
+    val before = cellFiles(path)
+    val touched = arrivals
+      .select(element_at(Similarity.nearestCells(col("embedding"), cents, 1), 1).as("c"))
+      .distinct().collect().map(r => r.get(0).toString.toInt).toSeq
+    assert(touched.exists(c => before(s"cell=$c").size > 1),
+      "fixture sanity: appends must have produced multi-file cells")
+    val contentBefore = spark.read.parquet(path).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    Similarity.compactIvfCells(spark, path, touched)
+    val after = cellFiles(path)
+    for (c <- touched)
+      assert(after(s"cell=$c").size == 1, s"cell=$c not compacted: ${after(s"cell=$c")}")
+    for (c <- after.keySet.filterNot(k => touched.contains(k.stripPrefix("cell=").toInt)))
+      assert(after(c) == before(c), s"untouched $c changed during compaction")
+    val contentAfter = spark.read.parquet(path).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    assert(contentAfter == contentBefore, "compaction changed index content")
+  }
+
   test("appendToIvfPqIndex: codes-only rows match a same-codebooks re-encode of the batch") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
