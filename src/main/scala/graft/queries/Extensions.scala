@@ -795,63 +795,6 @@ object Extensions {
         .orderBy("v")
     },
 
-    // ---- robust stats: median absolute deviation ------------------------
-    Q("qt_mad",
-      """WITH r AS (SELECT l_returnflag, l_quantity,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
-        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem),
-        |med AS (SELECT l_returnflag,
-        |    SUM(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN l_quantity END) /
-        |    COUNT(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN 1 END) AS med
-        |  FROM r GROUP BY l_returnflag),
-        |dv AS (SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS dev,
-        |    l.l_orderkey, l.l_linenumber, m.med
-        |  FROM lineitem l JOIN med m USING (l_returnflag)),
-        |r2 AS (SELECT l_returnflag, dev, med,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY dev, l_orderkey, l_linenumber) AS rn,
-        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM dv)
-        |SELECT l_returnflag, MAX(med) AS median_qty,
-        |  SUM(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN dev END) /
-        |  COUNT(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN 1 END) AS mad
-        |FROM r2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      // Median absolute deviation per group — the robust scale estimate
-      // outlier fences should use when the data has heavy tails (stddev
-      // is itself dragged by the outliers it is meant to find). Two
-      // chained EXACT medians in the a3 mean-of-middle-two convention
-      // (total orders include the row keys, so tie handling is
-      // deterministic); |x − med| is one IEEE subtraction, identical on
-      // both engines.
-      import org.apache.spark.sql.expressions.Window
-      val w1 = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      val wn = Window.partitionBy(col("l_returnflag"))
-      val med = lineitem(s, d)
-        .withColumn("rn", row_number().over(w1))
-        .withColumn("n", count(lit(1)).over(wn))
-        .withColumn("mid", when(col("rn") === floor((col("n") + 1) / 2) ||
-          col("rn") === floor((col("n") + 2) / 2), col("l_quantity")))
-        .groupBy("l_returnflag")
-        .agg((sum(col("mid")) / count(col("mid"))).as("med"))
-      val dv = lineitem(s, d).join(med, Seq("l_returnflag"))
-        .select(col("l_returnflag"), abs(col("l_quantity") - col("med")).as("dev"),
-          col("l_orderkey"), col("l_linenumber"), col("med"))
-      val w2 = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("dev"), col("l_orderkey"), col("l_linenumber"))
-      dv
-        .withColumn("rn", row_number().over(w2))
-        .withColumn("n", count(lit(1)).over(wn))
-        .withColumn("mid", when(col("rn") === floor((col("n") + 1) / 2) ||
-          col("rn") === floor((col("n") + 2) / 2), col("dev")))
-        .groupBy("l_returnflag")
-        .agg(max(col("med")).as("median_qty"),
-          (sum(col("mid")) / count(col("mid"))).as("mad"))
-        .orderBy("l_returnflag")
-    },
-
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

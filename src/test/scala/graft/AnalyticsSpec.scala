@@ -515,7 +515,7 @@ class AnalyticsSpec extends SparkTestBase {
     // co-located plan with broadcast disabled (a broadcast would also be
     // shuffle-free but wouldn't prove bucketing engaged)
     graft.SparkEntry.queries("j19_bucketed_cojoin")(spark, sfDir).collect()
-    val suffix = math.abs(sfDir.hashCode).toString
+    val suffix = graft.core.Tables.pathKey(sfDir)
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
