@@ -313,6 +313,38 @@ object Joins {
       .drop(side)
   }
 
+  /** J20: [[asofJoin]] with a MATCH TOLERANCE — the financial-join guard
+    * that a bare as-of lacks: a "most recent quote" from last week is
+    * usually worse than no quote. The as-of match is computed as usual
+    * (same one-shuffle union+window plan), then every matched value —
+    * including the matched time itself — is nulled when the time gap
+    * exceeds `toleranceMicros` (backward: left − right; forward: right −
+    * left). Left rows always survive (left-join semantics); a
+    * too-stale match degrades to the no-match nulls, it never drops the
+    * row. `rightTime`'s values must be carried (it is added to the
+    * output) — the gap cannot be checked otherwise.
+    */
+  def asofJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      toleranceMicros: Long,
+      direction: String = "backward"): DataFrame = {
+    require(toleranceMicros >= 0, "tolerance must be >= 0")
+    val vals = (rightTime +: rightVals).distinct
+    val joined = asofJoin(left, right, keys, leftTime, rightTime, vals, direction)
+    val gap =
+      if (direction == "backward")
+        unix_micros(col(leftTime)) - unix_micros(col(rightTime))
+      else
+        unix_micros(col(rightTime)) - unix_micros(col(leftTime))
+    val ok = col(rightTime).isNotNull && gap <= toleranceMicros
+    vals.foldLeft(joined)((acc, v) => acc.withColumn(v, when(ok, col(v))))
+  }
+
   /** J15: interval-containment range join — pair every point with every
     * interval `[loCol, hiCol]` (inclusive) that contains it, optionally
     * under additional equi `keys`.

@@ -795,6 +795,43 @@ object Extensions {
         .orderBy("v")
     },
 
+    // ---- text: OCR/mojibake garbage detection ----------------------------
+    Q("tx_garbage",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)
+        |    AS n_alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+        |    AS n_digit,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]{4,}')) AS BIGINT)
+        |    AS n_punct_runs,
+        |  CASE WHEN length(text) > 0
+        |    THEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+        |  (length(text) = 0
+        |    OR CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) < 0.5
+        |    OR len(regexp_extract_all(text, '[^A-Za-z0-9\s]{4,}')) > 0) AS garbage
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // OCR/mojibake garbage screen (the C4-style character-structure
+      // filter tx_quality's token statistics cannot see): alphabetic and
+      // digit character counts via replace-length deltas (identical
+      // regex-class semantics on both engines — no lookaround), runs of
+      // ≥4 consecutive symbol characters (the classic OCR-noise /
+      // encoding-breakage signature), and the alpha-ratio gate. Pure
+      // codegen'd regexp expressions, one narrow pass, no shuffle.
+      val t = col("text")
+      val nAlpha = (length(t) - length(regexp_replace(t, "[A-Za-z]", ""))).cast("long")
+      val nDigit = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long")
+      val nRuns = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]{4,}"), lit(0))).cast("long")
+      val ratio = when(length(t) > 0, nAlpha.cast("double") / length(t).cast("double"))
+      documents(s, d).select(col("doc_id"),
+          length(t).cast("long").as("n_chars"),
+          nAlpha.as("n_alpha"), nDigit.as("n_digit"), nRuns.as("n_punct_runs"),
+          ratio.as("alpha_ratio"),
+          (length(t) === 0 || ratio < 0.5 || nRuns > 0).as("garbage"))
+        .orderBy("doc_id")
+    },
+
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

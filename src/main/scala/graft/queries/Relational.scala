@@ -503,6 +503,38 @@ object Relational {
           rightVals = Seq("click_ts", "click_value"))
         .orderBy("event_id")
     },
+    Q("j20_asof_tolerance",
+      """WITH a AS (
+        |  SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, r.value AS click_value
+        |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+        |  ASOF LEFT JOIN
+        |       (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN click_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+        |    THEN click_ts END AS click_ts,
+        |  CASE WHEN click_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+        |    THEN click_value END AS click_value
+        |FROM a ORDER BY event_id""".stripMargin) { (s, d) =>
+      // J20 (beyond-reference): as-of join with a MATCH TOLERANCE — each
+      // purchase takes the user's most recent click ONLY if it is at most
+      // one hour old; a staler match degrades to the no-match nulls
+      // without dropping the row (the financial-join guard: last week's
+      // quote is worse than no quote). Same one-shuffle union+window plan
+      // as J14 plus one post-filter expression; the oracle is DuckDB's
+      // native ASOF JOIN with the same integer-microsecond gap guard.
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      Joins.asofJoinWithin(purchases, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts",
+          rightVals = Seq("click_value"), toleranceMicros = 3600L * 1000000L)
+        .orderBy("event_id")
+    },
     Q("j15_range_join",
       """SELECT p.p_partkey, p.p_retailprice, b.band_brand, b.lo, b.hi
         |FROM part p
