@@ -43,6 +43,34 @@ object Maintenance {
     * silently compact into a FLAT table and every partition-pruned read
     * would full-scan.
     */
+  /** Partition retention sweep — the lifecycle DELETE of a partitioned
+    * lakehouse table: drop every `partCol=<v>` directory whose integer
+    * partition value is below `cutoff`, leave every other byte untouched.
+    * Metadata-only in cost (one directory listing + per-dropped-partition
+    * deletes — never reads or rewrites surviving data), which is what
+    * makes time-based retention viable on a 100 TB table. Returns the
+    * dropped partition values (sorted) so callers can log/audit the sweep.
+    */
+  def dropPartitionsBelow(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      cutoff: Long): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val prefix = s"$partCol="
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .flatMap { st =>
+        val v = st.getPath.getName.stripPrefix(prefix)
+        scala.util.Try(v.toLong).toOption.filter(_ < cutoff).map { pv =>
+          fs.delete(st.getPath, true)
+          pv
+        }
+      }.sorted
+  }
+
   def compactParquet(
       spark: SparkSession,
       path: String,

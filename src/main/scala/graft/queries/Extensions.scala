@@ -832,6 +832,34 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // ---- maintenance: partition retention sweep --------------------------
+    Q("u11_retention",
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |c AS (SELECT MIN(day) + 3 AS cutoff FROM d)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d, c WHERE day >= cutoff
+        |GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      // Partition RETENTION sweep — the lifecycle DELETE every
+      // partitioned lakehouse table runs on a schedule: drop day
+      // partitions older than the cutoff as a metadata-only operation
+      // (directory listing + per-dropped-partition deletes — surviving
+      // data is never read or rewritten, which is what makes retention
+      // viable at 100 TB). The read-back per-day counts prove exactly
+      // the expected days survived, byte-identical content for the rest.
+      import graft.operators.Maintenance
+      val ev = events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").cast("long").as("day"),
+          col("user_id"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_u11_${graft.core.Tables.pathKey(d)}"
+      ev.write.mode("overwrite").partitionBy("day").parquet(path)
+      val cutoff = ev.agg(min(col("day"))).collect()(0).getLong(0) + 3
+      Maintenance.dropPartitionsBelow(s, path, "day", cutoff)
+      s.read.parquet(path)
+        .groupBy(col("day").cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    },
+
     // ---- sampling: temperature-scaled mixture (UniMax) -----------------
     Q("sm_temperature",
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

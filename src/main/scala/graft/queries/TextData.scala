@@ -1574,6 +1574,62 @@ object TextData {
           minCosine = 0.3, cents, nProbe = 4, excludeSelf = true)
         .orderBy("qid", "vec_id")
     },
+    Q("ann_mrl_truncate",
+      // Matryoshka truncation (MRL, arXiv:2205.13147): retrieval over the
+      // FIRST 16 of 64 dims — the cheap first stage modern nested
+      // embeddings are trained for (4× less IO/compute per score; cosine
+      // is scale-invariant so no renormalization step is needed). At
+      // scale this is the coarse pass whose survivors re-score on full
+      // vectors (ann_pq_rerank shape). Exact arithmetic → bit-exact
+      // oracle over the sliced lists.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT vec_id, v[1:16] AS tv FROM e),
+        |q AS (SELECT tv AS qv FROM t WHERE vec_id = 0)
+        |SELECT t.vec_id, list_cosine_similarity(t.tv, q.qv) AS cosine
+        |FROM t, q WHERE t.vec_id <> 0
+        |ORDER BY cosine DESC, t.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.plans.Sketches.ensureRegistered(s)
+      val e = embeddings(s, d).select(col("vec_id"), slice(col("embedding"), 1, 16).as("tv"))
+      val q = e.filter(col("vec_id") === 0).select(col("tv").as("qv"))
+      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), VectorFns.cosine(col("tv"), col("qv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    },
+    Q("ann_binary_quant",
+      // BINARY quantization — 1 bit per dimension (64× smaller than
+      // float32, 8 bytes per vector): sign-bit codes, hamming-distance
+      // candidate generation (top-64 by hamming, id tie-break), exact
+      // cosine re-rank of the candidates only. The memory step below PQ
+      // that makes billion-vector first-stage retrieval fit in RAM; the
+      // oracle replays codes, per-bit hamming and the two-stage ranking
+      // bit-exactly.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id, v, array_to_string(list_transform(v,
+        |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS code FROM e),
+        |q AS (SELECT v AS qv, code AS qcode FROM c WHERE vec_id = 0),
+        |h AS (SELECT c.vec_id, c.v, CAST(len(list_filter(range(1, 65), i ->
+        |    substr(c.code, CAST(i AS INTEGER), 1) <> substr(q.qcode, CAST(i AS INTEGER), 1)))
+        |    AS INTEGER) AS hamming
+        |  FROM c, q WHERE c.vec_id <> 0),
+        |cand AS (SELECT vec_id, v, hamming FROM h ORDER BY hamming, vec_id LIMIT 64)
+        |SELECT cand.vec_id, cand.hamming, list_cosine_similarity(cand.v, q.qv) AS cosine
+        |FROM cand, q ORDER BY cosine DESC, cand.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.plans.Sketches.ensureRegistered(s)
+      val code = array_join(
+        transform(col("embedding"), x => when(x > 0, "1").otherwise("0")), "")
+      val c = embeddings(s, d).select(col("vec_id"), col("embedding"), code.as("code"))
+      val q = c.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("code").as("qcode"))
+      val diffs = transform(sequence(lit(1), lit(64)),
+        i => when(col("code").substr(i, lit(1)) =!= col("qcode").substr(i, lit(1)), 1)
+          .otherwise(0))
+      val cand = c.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .withColumn("hamming", aggregate(diffs, lit(0), (acc, x) => acc + x))
+        .orderBy(col("hamming"), col("vec_id")).limit(64)
+      cand.select(col("vec_id"), col("hamming"),
+          VectorFns.cosine(col("embedding"), col("qv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    },
     Q("ann_ivf_append",
       // INCREMENTAL index maintenance (VERDICT r8 top-next #2): the index
       // is built over the 3/4 base slice, then the remaining 1/4 batch is

@@ -88,6 +88,30 @@ class ExtensionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dropPartitionsBelow: drops only old partitions, survivors byte-stable") {
+    import graft.operators.Maintenance
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    val path = s"$tmp/t"
+    (1 to 100).map(i => (i.toLong % 10, i.toLong)).toDF("day", "v")
+      .write.partitionBy("day").parquet(path)
+    def files(day: Long) = {
+      val d = new java.io.File(s"$path/day=$day")
+      if (!d.exists()) Set.empty[(String, Long)]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSet
+    }
+    val before = (0L to 9L).map(d => d -> files(d)).toMap
+    val dropped = Maintenance.dropPartitionsBelow(spark, path, "day", cutoff = 4L)
+    assert(dropped == Seq(0L, 1L, 2L, 3L))
+    for (d <- 0L to 3L) assert(files(d).isEmpty, s"day=$d must be gone")
+    for (d <- 4L to 9L) assert(files(d) == before(d), s"day=$d changed")
+    val rows = spark.read.parquet(path).select("v").as[Long].collect().toSet
+    assert(rows == (1 to 100).map(_.toLong).filter(_ % 10 >= 4).toSet)
+    // missing root and no-op cutoff are both graceful
+    assert(Maintenance.dropPartitionsBelow(spark, s"$tmp/nope", "day", 5L).isEmpty)
+    assert(Maintenance.dropPartitionsBelow(spark, path, "day", 0L).isEmpty)
+  }
+
   // ---- hashed classifier -----------------------------------------------
 
   test("hash classifier: score equals per-feature replay; keep threshold") {
