@@ -392,12 +392,14 @@ object Analytics {
       // n_rows % n_tiles buckets take the extra row) is deterministic
       // under a total order, so the tie-break includes the row key. The
       // summary per (group, tile) keeps the catalog row-count bounded.
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
-          col("l_linenumber"))
-        .withColumn("tile", ntile(4).over(w))
+      // Tiles come from Stats.groupedNtile's two-level (group, bucket)
+      // rank — l_returnflag has 3 values, so the ntile window the oracle
+      // spells would sort a third of the table per reducer at scale.
+      graft.ops.Stats.groupedNtile(
+          lineitem(s, d).select(col("l_returnflag"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber")),
+          Seq("l_returnflag"), col("l_quantity"),
+          Seq(col("l_orderkey"), col("l_linenumber")), 4, "tile")
         .groupBy("l_returnflag", "tile")
         .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("lo"),
           max(col("l_quantity")).as("hi"))
@@ -1069,13 +1071,13 @@ object Analytics {
       // fences at 1.5×IQR in identically-parenthesized IEEE ops, and the
       // outlier count from one re-join. The data-QA gate that catches
       // sensor spikes / unit errors before they hit training statistics.
-      import org.apache.spark.sql.expressions.Window
+      // Ranks via Stats.groupedRank's (group, range-bucket) two-level
+      // machinery — event_type is a handful of values, so the rank window
+      // the oracle spells would serialize each type onto one reducer.
       val o = events(s, d).filter(col("value").isNotNull)
         .select(col("event_type"), col("value"), col("event_id"))
-      val wN = Window.partitionBy(col("event_type"))
-      val r = o
-        .withColumn("n", count(lit(1)).over(wN))
-        .withColumn("rk", row_number().over(wN.orderBy(col("value"), col("event_id"))))
+      val r = graft.ops.Stats.groupedRank(o, Seq("event_type"), col("value"),
+        Seq(col("event_id")), "rk", Some("n"))
       val q = r.groupBy(col("event_type")).agg(
         max(col("n")).as("n"),
         max(when(col("rk") === expr("((n - 1) * 25) div 100 + 1"), col("value"))).as("q1"),

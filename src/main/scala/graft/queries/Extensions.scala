@@ -594,7 +594,7 @@ object Extensions {
         |  FROM events GROUP BY 1),
         |b AS (SELECT user_id, last_day, freq,
         |    CAST(mdec AS DOUBLE) AS monetary,
-        |    CAST(mdec * 1000 AS BIGINT) AS mm FROM u),
+        |    CAST(round(mdec * 1000) AS BIGINT) AS mm FROM u),
         |t AS (SELECT user_id, last_day, freq, monetary,
         |    CAST(ntile(5) OVER (ORDER BY last_day, user_id) AS INTEGER) AS r,
         |    CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INTEGER) AS f,
@@ -617,7 +617,12 @@ object Extensions {
           max(expr("unix_micros(ts) div 86400000000")).cast("long").as("last_day"),
           count(lit(1)).as("freq"),
           sum(col("value").cast("decimal(30,6)")).as("__mdec"))
-        .withColumn("monetary_milli", (col("__mdec") * 1000).cast("long"))
+        // explicit round BEFORE the bigint cast, mirrored in the oracle:
+        // Spark's decimal->long cast truncates toward zero while DuckDB's
+        // CAST rounds, so the rounding rule must be pinned in the query
+        // text (both engines' round() is half-away-from-zero on decimals),
+        // not left to engine-default cast behavior
+        .withColumn("monetary_milli", round(col("__mdec") * 1000, 0).cast("long"))
         .withColumn("monetary", col("__mdec").cast("double"))
         .drop("__mdec")
       val scored = Stats.globalNtile(
@@ -708,7 +713,7 @@ object Extensions {
 
     // ---- profiling: Benford first-digit QA ------------------------------
     Q("pf_benford",
-      """WITH v AS (SELECT CAST(SUM(CAST(value AS DECIMAL(30,6)) * 1000) AS BIGINT) AS m
+      """WITH v AS (SELECT CAST(round(SUM(CAST(value AS DECIMAL(30,6)) * 1000)) AS BIGINT) AS m
         |  FROM events GROUP BY user_id),
         |dg AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |  FROM v WHERE m > 0),
@@ -737,8 +742,11 @@ object Extensions {
       // text to the same double — no log10 at query time). Digits with
       // zero mass still emit a row (the expected-side left join), so the
       // profile is always 9 rows.
+      // explicit round before the bigint cast (same pin as ev_rfm's
+      // monetary_milli): Spark's decimal->long cast truncates, DuckDB's
+      // rounds — round() on both sides makes the rule engine-independent
       val m = events(s, d).groupBy("user_id")
-        .agg((sum(col("value").cast("decimal(30,6)")) * 1000).cast("long").as("m"))
+        .agg(round(sum(col("value").cast("decimal(30,6)")) * 1000, 0).cast("long").as("m"))
         .filter(col("m") > 0)
         .select(substring(col("m").cast("string"), 1, 1).cast("long").as("digit"))
       val c = m.groupBy("digit").agg(count(lit(1)).as("n"))

@@ -270,6 +270,80 @@ class StatsSpec extends SparkTestBase {
     assert(bad.isEmpty, s"unpartitioned window:\n$exec")
   }
 
+  // ---- grouped two-level rank ---------------------------------------------
+
+  test("groupedRank equals the per-group row_number window bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups, skewed repeated values (ties), plus a decimal value column
+    // so the original-typed ordering (not the double bucket image) decides
+    val df = (1 to 997).map(i => (i.toLong, s"g${i % 3}", ((i * i) % 53).toLong))
+      .toDF("id", "g", "v")
+      .withColumn("vd", (col("v") * lit(0.01)).cast("decimal(12,2)"))
+    val got = graft.ops.Stats.groupedRank(df, Seq("g"), col("vd"), Seq(col("id")),
+        "rk", Some("n"), buckets = 16)
+      .select("id", "rk", "n").as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("vd"), col("id"))
+    val wn = Window.partitionBy(col("g"))
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select("id", "rk", "n").as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == want)
+  }
+
+  test("groupedNtile equals the per-group ntile window bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 1013).map(i => (i.toLong, s"g${i % 4}", ((i * 7) % 29).toLong))
+      .toDF("id", "g", "v")
+    for (t <- Seq(2, 4, 5, 100)) {
+      val got = graft.ops.Stats.groupedNtile(df, Seq("g"), col("v"), Seq(col("id")),
+          t, "tile", buckets = 16)
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      val want = df.withColumn("tile",
+          ntile(t).over(Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      assert(got == want, s"nTiles=$t mismatch")
+    }
+  }
+
+  test("groupedRank: constant group and single-row group stay exact") {
+    val df = Seq(
+      ("a", 5L, 1L), ("a", 5L, 2L), ("a", 5L, 3L), // constant group
+      ("b", 9L, 4L)) // singleton group
+      .toDF("g", "v", "id")
+    val got = graft.ops.Stats.groupedRank(df, Seq("g"), col("v"), Seq(col("id")),
+        "rk", Some("n"))
+      .select("g", "id", "rk", "n").as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 1L, 3L), ("a", 2L, 2L, 3L), ("a", 3L, 3L, 3L),
+      ("b", 4L, 1L, 1L)))
+  }
+
+  test("the order-statistic catalog entries rank on (group, bucket) — never the group key alone") {
+    // the VERDICT r9 weak family: each of these sorted a whole group on one
+    // reducer via row_number() OVER (PARTITION BY lowCardKey ORDER BY …);
+    // pin that every rank window in their plans now partitions on at least
+    // two expressions (group + range bucket) and none is unpartitioned —
+    // the ev_rfm precedent, generalized per-group
+    for (name <- Seq("qt_mad", "qt_winsorize", "qt_ntile", "pf_iqr_outliers")) {
+      val exec = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val bad = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.size < 2 => w
+      }
+      assert(bad.isEmpty, s"$name has a rank window on fewer than 2 partition keys:\n$exec")
+    }
+  }
+
+  test("globalNtile: extreme value spans bucket exactly (decimal fallback, no long overflow)") {
+    // span > Long.MaxValue / 256 — the old long bucket arithmetic silently
+    // overflowed to negative bucket ids here (VERDICT r9 #3)
+    val big = Long.MaxValue / 3
+    val df = Seq((1L, -big), (2L, -1000L), (3L, 0L), (4L, 1000L), (5L, big))
+      .toDF("id", "v")
+    val got = graft.ops.Stats.globalNtile(df, col("v"), col("id"), 5, "tile")
+      .orderBy("v").select("tile").as[Int].collect().toSeq
+    assert(got == Seq(1, 2, 3, 4, 5), got.toString)
+  }
+
   // ---- edit distance dedup ------------------------------------------------
 
   test("editDistancePairs: catches boundary-straddling near-dups, skips far pairs") {
