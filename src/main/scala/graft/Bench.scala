@@ -46,7 +46,13 @@ object Bench {
     "dd_edit_distance",   // length-band blocked Levenshtein verify
     "g1_pagerank",        // iterative edge-keyed joins
     "mm_decode",          // real ImageIO decode over planted PNGs
-    "ann_ivf_append"      // incremental index append + pruned probe
+    "ann_ivf_append",     // incremental index append + pruned probe
+    // round-10 additions (VERDICT r9 #8): regression coverage for the
+    // maintenance path, the two-level grouped-rank machinery, and the
+    // bit-packed binary-quantization scan
+    "ann_ivf_compact",    // append + cell compaction + pruned probe
+    "ev_rfm",             // globalNtile two-level exact quintiles
+    "ann_binary_quant"    // packed sign-bit codes, bit_count(xor) hamming scan
   )
 
   def main(args: Array[String]): Unit = {

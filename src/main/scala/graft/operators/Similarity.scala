@@ -350,6 +350,69 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Replay-safe (exactly-once per batch) form of [[appendToIvfIndex]] for
+    * at-least-once callers — foreachBatch streaming sinks, retried batch
+    * jobs. The raw append is NOT idempotent (a replayed batch duplicates
+    * its rows); this wrapper makes the whole append idempotent in
+    * `batchId` with a staged-rename protocol on the index filesystem:
+    *
+    *  1. committed? `_ingest_commits/batch-<id>.done` exists → no-op;
+    *  2. stage: write the assigned batch under
+    *     `_ingest_stage/batch-<id>` (mode OVERWRITE — restaging after a
+    *     crash is itself idempotent; underscore-prefixed dirs are
+    *     invisible to parquet discovery, so probes never see staged rows);
+    *  3. sweep + move: for each staged cell dir, delete any
+    *     `ingest-b<id>-*` files a PRIOR crashed attempt already moved into
+    *     the live `cell=` dir (cell assignment is deterministic under the
+    *     frozen codebook, so a replayed batch touches exactly the same
+    *     cells), then rename the staged files in under that batch-keyed
+    *     prefix — renames, not copies: per-file metadata ops, no data IO;
+    *  4. commit: touch the done marker, drop the stage dir.
+    *
+    * A crash anywhere before 4 leaves either staged-only or partially
+    * moved files, both fully cleaned by the replay's overwrite+sweep; a
+    * crash after 4 makes the replay a no-op. Cost stays ∝ |batch| (the
+    * stage write) plus metadata ops on touched cells only — the existing
+    * index is still never read. Requires the source to replay the SAME
+    * rows for a batchId (Structured Streaming's replayable-source
+    * contract, which file/Kafka sources satisfy).
+    */
+  def appendToIvfIndexIdempotent(
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      path: String,
+      cents: Seq[(Int, Seq[Double])],
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new Path(s"$path/_ingest_commits/batch-$batchId.done")
+    if (fs.exists(done)) return
+    graft.plans.Sketches.ensureRegistered(spark)
+    val stage = new Path(s"$path/_ingest_stage/batch-$batchId")
+    batch.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    val prefix = s"ingest-b$batchId-"
+    fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .foreach { cd =>
+        val tgt = new Path(path, cd.getPath.getName)
+        fs.mkdirs(tgt)
+        fs.listStatus(tgt).filter(_.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(cd.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName).zipWithIndex.foreach { case (src, i) =>
+            require(fs.rename(src, new Path(tgt, s"$prefix$i.snappy.parquet")),
+              s"ivf append: rename of $src into $tgt failed")
+          }
+      }
+    fs.mkdirs(done.getParent)
+    fs.create(done, true).close()
+    fs.delete(stage, true)
+  }
+
   /** PQ twin of [[appendToIvfIndex]]: encode the batch with the EXISTING
     * coarse + per-subspace codebooks (both frozen) and append the
     * codes-only rows under the cell partitioning — same one-pass,
@@ -376,7 +439,13 @@ object Similarity {
     * train + materialize over `base`, then [[appendToIvfIndex]] `batch` —
     * memoized under one digest so repeated calls (the bench's steady
     * pass) are probe-only and the non-idempotent append runs exactly
-    * once per (corpus fingerprint, params).
+    * once per (corpus fingerprint, batch key, params).
+    *
+    * `batchKey` is the BATCH's identity in the digest (e.g. the predicate
+    * that selects it, or an ingest batch id): the corpus fingerprint
+    * covers only the base side, so without it two calls sharing a base
+    * but appending different batches would collide onto one cached path
+    * and the second would silently serve the first call's index.
     */
   def ensureIvfAppendedIndex(
       base: DataFrame,
@@ -384,11 +453,12 @@ object Similarity {
       id: String,
       vec: String,
       cacheKey: String,
+      batchKey: String,
       nCells: Int = 16,
       trainIters: Int = 3): (String, Seq[(Int, Seq[Double])]) = {
     val fingerprint = corpusFingerprint(base.sparkSession, cacheKey)
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"append|$cacheKey|$fingerprint|$nCells|$trainIters".getBytes("UTF-8"))
+      .digest(s"append|$cacheKey|$fingerprint|$batchKey|$nCells|$trainIters".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = System.getProperty("java.io.tmpdir") + s"/graft_ivf_app_idx_$digest"
     val cents = ivfIndexCache.computeIfAbsent(path, _ => {
@@ -432,13 +502,58 @@ object Similarity {
       .partitionBy("cell").parquet(path)
   }
 
-  /** PQ twin of [[ensureIvfAppendedIndex]]. */
+  /** The cell-selection half of compaction: list the inverted file's
+    * `cell=` partition directories and return the ids of cells whose data
+    * file count exceeds `maxFilesPerCell` — i.e. the cells repeated
+    * appends have fragmented. A pure FILE-LISTING scan (an index action:
+    * one listStatus per cell directory, no data read, cost ∝ number of
+    * cells — nCells, not corpus size), so a scheduler can run it every
+    * few batches for free and feed the result straight to
+    * [[compactIvfCells]].
+    */
+  def cellsNeedingCompaction(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerCell: Int): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap { cd =>
+        val n = fs.listStatus(cd.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (n > maxFilesPerCell) Some(cd.getPath.getName.stripPrefix("cell=").toInt)
+        else None
+      }
+      .toSeq.sorted
+  }
+
+  /** Threshold-driven compaction — composes [[cellsNeedingCompaction]]
+    * with [[compactIvfCells]] so a maintenance scheduler needs one call:
+    * only cells whose append-fragmented file count crosses
+    * `maxFilesPerCell` are read and rewritten (partition-pruned scan +
+    * dynamic partition overwrite); every other cell keeps its bytes
+    * untouched (pinned in IvfAppendSpec). Returns the compacted cell ids
+    * (empty → the index was already compact and nothing was read).
+    */
+  def compactIvfIndex(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerCell: Int = 8): Seq[Int] = {
+    val cells = cellsNeedingCompaction(spark, path, maxFilesPerCell)
+    if (cells.nonEmpty) compactIvfCells(spark, path, cells)
+    cells
+  }
+
+  /** PQ twin of [[ensureIvfAppendedIndex]] — same batchKey contract. */
   def ensureIvfPqAppendedIndex(
       base: DataFrame,
       batch: DataFrame,
       id: String,
       vec: String,
       cacheKey: String,
+      batchKey: String,
       dim: Int,
       nCells: Int = 16,
       trainIters: Int = 3,
@@ -447,7 +562,7 @@ object Similarity {
       pqIters: Int = 2): (String, Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
     val fingerprint = corpusFingerprint(base.sparkSession, cacheKey)
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"pqappend|$cacheKey|$fingerprint|$dim|$nCells|$trainIters|$m|$ksub|$pqIters"
+      .digest(s"pqappend|$cacheKey|$fingerprint|$batchKey|$dim|$nCells|$trainIters|$m|$ksub|$pqIters"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = System.getProperty("java.io.tmpdir") + s"/graft_ivf_pq_app_idx_$digest"

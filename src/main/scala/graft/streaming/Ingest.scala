@@ -143,10 +143,16 @@ object Ingest {
     * corpus needs: ingest appends, retrieval probes, and a periodic
     * full rebuild (corpus-doubling cadence) re-trains the codebook.
     *
-    * Append is NOT idempotent (a replayed batch would duplicate rows), so
-    * the checkpoint is the exactly-once guard — same contract as every
-    * foreachBatch sink here; StreamingSpec pins content equality with the
-    * one-shot batch append over the same vectors.
+    * foreachBatch only guarantees AT-LEAST-once delivery (a failure
+    * between the sink's write and the checkpoint commit replays the
+    * batch), and a raw parquet append is not idempotent — a replayed
+    * batch would silently duplicate index rows. So this sink routes
+    * through [[graft.operators.Similarity.appendToIvfIndexIdempotent]],
+    * whose batch-keyed staged-rename protocol makes the append a no-op
+    * on replay: exactly-once per batchId end-to-end, on a plain object
+    * store. StreamingSpec pins both content equality with the one-shot
+    * batch append AND replay safety (re-running a committed batch leaves
+    * the index row-identical).
     */
   def indexAppendSink(
       vectors: DataFrame,
@@ -158,8 +164,9 @@ object Ingest {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.appendToIvfIndex(batch, id, vec, indexPath, cents)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.appendToIvfIndexIdempotent(
+          batch, id, vec, indexPath, cents, batchId)
       }
 
   /** Apply one micro-batch of dimension updates to a parquet target with

@@ -47,14 +47,28 @@ class IvfAppendSpec extends SparkTestBase {
       .select(element_at(Similarity.nearestCells(col("embedding"), cents, 1), 1).as("c"))
       .distinct().collect().map(r => s"cell=${r.get(0)}").toSet
 
+    // scope the measurement to the append's OWN jobs via a job group:
+    // SparkListenerJobStart carries the group property and the job's stage
+    // ids, so only task metrics from those stages accumulate — an
+    // unrelated or straggler job can no longer pollute the counter
+    // (ADVICE r9: the previous process-global counter was flaky-by-design)
+    val group = s"ivf-append-pin-${System.nanoTime()}"
     @volatile var read = 0L
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(groupStages.add(_))
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) read += te.taskMetrics.inputMetrics.recordsRead
+        if (te.taskMetrics != null && groupStages.contains(te.stageId))
+          read += te.taskMetrics.inputMetrics.recordsRead
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      spark.sparkContext.setJobGroup(group, "ivf append under measurement")
       Similarity.appendToIvfIndex(batch, "vec_id", "embedding", path, cents)
+      spark.sparkContext.clearJobGroup()
       // task metrics post asynchronously — poll until the append's reads land
       val deadline = System.currentTimeMillis() + 30000
       while (read < batchCount && System.currentTimeMillis() < deadline) Thread.sleep(100)
@@ -107,6 +121,53 @@ class IvfAppendSpec extends SparkTestBase {
     val contentAfter = spark.read.parquet(path).select("vec_id", "cell").collect()
       .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
     assert(contentAfter == contentBefore, "compaction changed index content")
+  }
+
+  test("compactIvfIndex: only threshold-crossing cells rewrite; compact index is a no-op") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_autocompact").toString
+    val path = s"$tmp/idx"
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val cents = Similarity.buildIvfIndex(
+      base.coalesce(1), "vec_id", "embedding", path, nCells = 8)
+    // fragment exactly ONE cell deterministically: pick the arrival cell
+    // with the most rows and append three single-partition batches drawn
+    // from it — that cell gains 3 files while every other cell keeps its
+    // single base file, giving the mixed fragmented/compact fixture the
+    // threshold sweep must discriminate
+    val arrivals = e.filter(col("vec_id") % 4 === 3)
+      .withColumn("c", element_at(Similarity.nearestCells(col("embedding"), cents, 1), 1))
+    val hot = arrivals.groupBy("c").count()
+      .orderBy(col("count").desc, col("c")).head().get(0).toString.toInt
+    val hotRows = arrivals.filter(col("c") === hot).drop("c")
+    assert(hotRows.count() >= 3, "fixture sanity: hottest arrival cell needs >= 3 rows")
+    for (r <- 0 to 2)
+      Similarity.appendToIvfIndex(hotRows.filter(col("vec_id") % 3 === r).coalesce(1),
+        "vec_id", "embedding", path, cents)
+    val before = cellFiles(path)
+    val threshold = 2
+    val expected = Seq(hot)
+    assert(before(s"cell=$hot").size > threshold && before.size > 1,
+      s"fixture sanity: need a mix of fragmented and compact cells, got $before")
+    assert(Similarity.cellsNeedingCompaction(spark, path, threshold) == expected)
+    val contentBefore = spark.read.parquet(path).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+
+    val compacted = Similarity.compactIvfIndex(spark, path, threshold)
+    assert(compacted == expected, s"compacted $compacted, expected $expected")
+    val after = cellFiles(path)
+    for (c <- expected)
+      assert(after(s"cell=$c").size == 1, s"cell=$c not compacted: ${after(s"cell=$c")}")
+    for ((c, fs) <- before if !expected.contains(c.stripPrefix("cell=").toInt))
+      assert(after(c) == fs, s"below-threshold $c was rewritten")
+    val contentAfter = spark.read.parquet(path).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    assert(contentAfter == contentBefore, "threshold compaction changed index content")
+
+    // second sweep: nothing crosses the threshold any more -> no-op
+    assert(Similarity.compactIvfIndex(spark, path, threshold).isEmpty,
+      "an already-compact index must not rewrite anything")
+    assert(cellFiles(path) == after, "no-op sweep changed files")
   }
 
   test("appendToIvfPqIndex: codes-only rows match a same-codebooks re-encode of the batch") {

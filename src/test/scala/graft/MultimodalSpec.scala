@@ -17,13 +17,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1) == ((3, 3, 0, 1)))
   }
 
-  test("decodeStub is deterministic and keeps ids/modality") {
-    val a = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
-    val b = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
-    assert(a.toSeq == b.toSeq)
-    assert(a.map(_.media_id).toSeq == Seq(1L, 2L))
-    assert(a.forall(_.modality == "image"))
-    assert(a(0).n_bytes == 700 && a(1).n_bytes == 3)
+  test("decodeAviFrames: DIB round-trip, exact per-frame sums, frame order") {
+    val frames = Seq(
+      Array.tabulate(35)(i => (i * 7) % 256),
+      Array.tabulate(35)(i => 255 - (i % 256)),
+      Array.fill(35)(129))
+    val m = Seq(Multimodal.MediaRow(7L, "video",
+      graft.sources.Avi.encodeGray8Frames(7, 5, 24, frames))).toDF()
+    val out = Multimodal.decodeAviFrames(spark, m).collect().sortBy(_.frame)
+    assert(out.length == 3 && out.forall(r => r.decoded && r.n_frames == 3))
+    assert(out.map(_.frame).toSeq == Seq(0, 1, 2))
+    assert(out.forall(r => r.width.contains(7) && r.height.contains(5)))
+    assert(out.map(_.px_sum.get).toSeq == frames.map(_.map(_.toLong).sum))
+  }
+
+  test("decodeAviFrames: corrupt payload flags one row, never kills the pass") {
+    val m = Seq(
+      Multimodal.MediaRow(1L, "video",
+        graft.sources.Avi.encodeGray8Frames(2, 2, 10, Seq(Array(1, 2, 3, 4)))),
+      Multimodal.MediaRow(2L, "video", "RIFFnot-an-avi".getBytes("UTF-8")),
+      Multimodal.MediaRow(3L, "video", Array.emptyByteArray)).toDF()
+    val out = Multimodal.decodeAviFrames(spark, m).collect().sortBy(_.media_id)
+    assert(out.length == 3)
+    assert(out(0).decoded && out(0).px_sum.contains(10L))
+    assert(!out(1).decoded && out(1).frame == -1 && out(1).px_sum.isEmpty)
+    assert(!out(2).decoded)
   }
 
   test("decodeImage: in-engine PNG round-trips geometry and exact pixel sum") {

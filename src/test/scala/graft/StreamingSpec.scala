@@ -285,6 +285,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == e.count())
   }
 
+  test("index append sink is replay-safe: a re-run batch cannot duplicate index rows") {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val batch = e.filter(col("vec_id") % 4 === 3)
+    val idx = Files.createTempDirectory("graft-replay-idx").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(base, "vec_id", "embedding", idx, nCells = 8)
+    val snapshot = () => spark.read.parquet(idx).select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+
+    Similarity.appendToIvfIndexIdempotent(batch, "vec_id", "embedding", idx, cents, batchId = 7L)
+    val once = snapshot()
+    assert(once.length == e.count(), "first append must cover base ∪ batch")
+
+    // replay after a clean commit: exact no-op (the done marker short-circuits)
+    Similarity.appendToIvfIndexIdempotent(batch, "vec_id", "embedding", idx, cents, batchId = 7L)
+    assert(snapshot() == once, "replay of a committed batch changed the index")
+
+    // replay after a simulated crash BETWEEN the file moves and the commit
+    // marker: the staged files were already renamed into live cell dirs,
+    // but no done marker exists — the retry must sweep the prior attempt's
+    // batch-keyed files and converge to the identical row set, not double it
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$idx/_ingest_commits/batch-7.done"), false),
+      "fixture sanity: commit marker must exist to simulate the crash window")
+    Similarity.appendToIvfIndexIdempotent(batch, "vec_id", "embedding", idx, cents, batchId = 7L)
+    assert(snapshot() == once, "crash-window replay duplicated or lost index rows")
+    assert(fs.exists(new Path(s"$idx/_ingest_commits/batch-7.done")), "retry must re-commit")
+    assert(!fs.exists(new Path(s"$idx/_ingest_stage/batch-7")), "stage dir must be cleaned")
+
+    // a SECOND batch under a new id appends normally (no cross-batch interference)
+    val b2base = snapshot()
+    Similarity.appendToIvfIndexIdempotent(
+      base.filter(col("vec_id") % 16 === 0), "vec_id", "embedding", idx, cents, batchId = 8L)
+    assert(snapshot().length == b2base.length +
+      base.filter(col("vec_id") % 16 === 0).count(), "second batch must append")
+  }
+
   test("upsertSink maintains a parquet dimension across micro-batches (MERGE per batch)") {
     import graft.streaming.Ingest
     import org.apache.spark.sql.types._
