@@ -230,7 +230,10 @@ object Similarity {
 
   /** Materialize the inverted file: corpus + trained cell assignment,
     * written `partitionBy("cell")`. Returns the codebook (persist it
-    * alongside the index in real deployments).
+    * alongside the index in real deployments). `sampleMod` passes through
+    * to [[trainCodebook]] — at 100 TB you train the codebook on a
+    * deterministic hash-slice, while the assignment pass still covers
+    * every vector.
     */
   def buildIvfIndex(
       df: DataFrame,
@@ -238,9 +241,10 @@ object Similarity {
       vec: String,
       path: String,
       nCells: Int = 16,
-      trainIters: Int = 3): Seq[(Int, Seq[Double])] = {
+      trainIters: Int = 3,
+      sampleMod: Int = 1): Seq[(Int, Seq[Double])] = {
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
-    val cents = trainCodebook(df, id, vec, nCells, trainIters)
+    val cents = trainCodebook(df, id, vec, nCells, trainIters, sampleMod)
     df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     cents
@@ -484,11 +488,33 @@ object Similarity {
     * crosses a threshold from the file listing — an index action), never
     * the whole inverted file.
     */
+  /** Refuse to compact while an UNCOMMITTED idempotent append exists: its
+    * stage dir ([[appendToIvfIndexIdempotent]] step 2) is deleted only at
+    * commit, so its presence means an append is in flight or crashed
+    * mid-protocol. Compacting now could absorb a crashed attempt's
+    * already-renamed batch files into the compacted file — the replay's
+    * sweep would then find nothing to remove and re-add the batch,
+    * duplicating rows. The scheduler order is: drain/replay appends,
+    * then compact.
+    */
+  private def requireNoInflightAppend(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stage = new Path(s"$path/_ingest_stage")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stage)) {
+      val pending = fs.listStatus(stage).map(_.getPath.getName)
+      require(pending.isEmpty,
+        s"refusing to compact $path: uncommitted append batch(es) ${pending.mkString(", ")} " +
+          "in _ingest_stage — replay them to commit (appendToIvfIndexIdempotent) first")
+    }
+  }
+
   def compactIvfCells(
       spark: SparkSession,
       path: String,
       cells: Seq[Int]): Unit = {
     require(cells.nonEmpty, "no cells to compact")
+    requireNoInflightAppend(spark, path)
     // localCheckpoint breaks the read lineage: Spark refuses to overwrite
     // a path it is also reading, and the rewrite must see a materialized
     // snapshot anyway (cell-sized — the compaction batch, not the index)

@@ -169,6 +169,47 @@ object Ingest {
           batch, id, vec, indexPath, cents, batchId)
       }
 
+  /** Self-maintaining ingest: [[indexAppendSink]] plus the compaction
+    * trigger, in one sink — every micro-batch is appended exactly-once
+    * (the batch-keyed staged-rename protocol), then every
+    * `compactEveryNBatches` batches the threshold sweep
+    * ([[graft.operators.Similarity.compactIvfIndex]]) rewrites only the
+    * cells whose file count crossed `maxFilesPerCell`. This is the full
+    * index lifecycle a growing corpus needs running unattended: ingest
+    * appends, the sweep keeps per-cell file counts bounded (so probe
+    * open/seek cost stays O(nProbe), not O(batches)), retrieval probes
+    * concurrently ([[knnProbeSink]] — compaction is content-preserving
+    * and partition-swapped, so probes see either the old or the new
+    * files, never a partial cell), and only the periodic codebook
+    * re-train stays a scheduled batch job.
+    *
+    * Compaction runs AFTER the batch's append committed, so the
+    * no-inflight-append guard can never trip on our own batch; a crash
+    * between append-commit and compaction just defers the sweep to the
+    * next trigger — compaction is idempotent maintenance, not data.
+    */
+  def indexMaintainSink(
+      vectors: DataFrame,
+      indexPath: String,
+      cents: Seq[(Int, Seq[Double])],
+      checkpointDir: String,
+      id: String = "vec_id",
+      vec: String = "embedding",
+      maxFilesPerCell: Int = 8,
+      compactEveryNBatches: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.appendToIvfIndexIdempotent(
+          batch, id, vec, indexPath, cents, batchId)
+        if ((batchId + 1) % compactEveryNBatches == 0) {
+          graft.operators.Similarity.compactIvfIndex(
+            batch.sparkSession, indexPath, maxFilesPerCell)
+          ()
+        }
+      }
+
   /** Apply one micro-batch of dimension updates to a parquet target with
     * MERGE semantics (ops.Joins.upsert). The batch is first collapsed to
     * one row per key — HIGHEST `versionCol` wins, deterministically

@@ -70,6 +70,109 @@ class Scale100Spec extends SparkTestBase {
     assert(ratio <= 250.0, f"grew $ratio%.1fx on 100x data (linear = 100x)")
   }
 
+  // input records read by the jobs of `body` ONLY (job-group scoped —
+  // the IvfAppendSpec pattern): source rows from every input (range
+  // generators and parquet scans alike), so an append that reads exactly
+  // its batch measures |batch| and any index scan shows up on top
+  private def readsDuring[T](body: => T): (T, Long) = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    val group = s"s100-reads-${System.nanoTime()}"
+    @volatile var read = 0L
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null && group == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(stages.add(_))
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null && stages.contains(te.stageId))
+          read += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "scale100 read measurement")
+      val r = body
+      spark.sparkContext.clearJobGroup()
+      // metrics post asynchronously: poll until the counter is stable
+      var last = -1L
+      var stableFor = 0
+      val deadline = System.currentTimeMillis() + 30000
+      while (stableFor < 5 && System.currentTimeMillis() < deadline) {
+        if (read == last) stableFor += 1 else { stableFor = 0; last = read }
+        Thread.sleep(100)
+      }
+      (r, read)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ann index lifecycle at 100x: append never reads the index, probe stays " +
+      "partition-pruned, compaction converges content-identically") {
+    optIn()
+    import graft.operators.Similarity
+    val dim = 16
+    val nCells = 32
+    val nProbe = 4
+    val batchN = 10000L
+    def vecs(m: Long, offset: Long = 0L): DataFrame =
+      spark.range(m).select(
+        (col("id") + offset).as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          k => conv(substring(md5(concat_ws("-", col("id") + offset, k)), 1, 4), 16, 10)
+            .cast("double") / 65536.0 - 0.5).as("embedding"))
+
+    // (appendSec, appendIndexReads, probeReads, indexRows, probe top-k)
+    def lifecycle(m: Long, tag: String): (Double, Long, Long, Long, Seq[(Long, Double)]) = {
+      val path = java.nio.file.Files.createTempDirectory(s"graft-s100-$tag").toString + "/idx"
+      val cents = Similarity.buildIvfIndex(vecs(m), "vec_id", "embedding", path,
+        nCells, trainIters = 2, sampleMod = math.max(1, (m / 50000L).toInt))
+      val t0 = System.nanoTime()
+      val (_, appendReads) = readsDuring {
+        for (b <- 0 until 3)
+          Similarity.appendToIvfIndexIdempotent(
+            vecs(batchN, offset = (1L << 40) + b * batchN),
+            "vec_id", "embedding", path, cents, batchId = b.toLong)
+      }
+      val tAppend = (System.nanoTime() - t0) / 1e9
+      val qvec = (1 to dim).map(k => (k % 7).toDouble / 7.0 - 0.5)
+      def probe(): Seq[(Long, Double)] =
+        Similarity.probeIvfIndex(spark, path, "vec_id", "embedding",
+            qvec, queryId = -1L, k = 10, cents, nProbe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val (before, probeReads) = readsDuring(probe())
+      // threshold sweep must converge: a second sweep finds nothing
+      Similarity.compactIvfIndex(spark, path, maxFilesPerCell = 4)
+      assert(Similarity.compactIvfIndex(spark, path, maxFilesPerCell = 4).isEmpty,
+        s"compaction did not converge at n=$m")
+      assert(probe() == before, s"compaction changed probe results at n=$m")
+      (tAppend, appendReads, probeReads, m + 3 * batchN, before)
+    }
+
+    val nSmall = 20000L
+    val (tAppS, readsAppS, readsPrbS, rowsS, topS) = lifecycle(nSmall, "small")
+    val (tAppB, readsAppB, readsPrbB, rowsB, topB) = lifecycle(nSmall * 100, "big")
+    assert(topS.size == 10 && topB.size == 10)
+    // append cost ∝ |batch|: each append reads EXACTLY its batch rows at
+    // either scale — one extra row would mean the existing index (20k
+    // small, 2M big) was scanned
+    assert(readsAppS == 3 * batchN, s"append read $readsAppS rows at n=$nSmall, " +
+      s"expected exactly 3 batches x $batchN")
+    assert(readsAppB == 3 * batchN, s"append read $readsAppB rows at n=${nSmall * 100}, " +
+      s"expected exactly 3 batches x $batchN")
+    // probe reads ∝ nProbe/nCells of the corpus across the whole span
+    // (3x slack for cell imbalance)
+    val bound = (f: Long) => f * nProbe.toLong * 3 / nCells
+    assert(readsPrbS > 0 && readsPrbS <= bound(rowsS),
+      s"probe read $readsPrbS of $rowsS rows at small scale (bound ${bound(rowsS)})")
+    assert(readsPrbB > 0 && readsPrbB <= bound(rowsB),
+      s"probe read $readsPrbB of $rowsB rows at 100x scale (bound ${bound(rowsB)})")
+    info(f"ann lifecycle 100x: append small=$tAppS%.1fs big=$tAppB%.1fs; " +
+      f"probe reads small=$readsPrbS/$rowsS big=$readsPrbB/$rowsB " +
+      f"(fraction ${readsPrbB.toDouble / rowsB}%.3f, nProbe/nCells=${nProbe.toDouble / nCells}%.3f)")
+    // fixed-size appends must not grow with the corpus: generous 6x +
+    // contention slack against the small-scale time
+    assert(tAppB <= tAppS * 6 + 10.0,
+      f"append slowed from $tAppS%.1fs to $tAppB%.1fs on a 100x index — not ∝ |batch|")
+  }
+
   test("dd_corpus_dedup: 100x docs within linear time, recall floor holds at 2M") {
     optIn()
     val n = 20000L

@@ -285,6 +285,46 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == e.count())
   }
 
+  test("indexMaintainSink: exactly-once appends plus bounded per-cell file counts") {
+    import graft.operators.Similarity
+    import graft.streaming.Ingest
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val arrivals = e.filter(col("vec_id") % 4 === 3)
+    val idx = Files.createTempDirectory("graft-maint-idx").toString + "/idx"
+    val dir = Files.createTempDirectory("graft-maint-in").toString
+    val ckpt = Files.createTempDirectory("graft-maint-ckpt").toString
+    // single-file base write → every cell starts at one file, so file
+    // growth below is attributable to the streamed appends alone
+    val cents = Similarity.buildIvfIndex(base.coalesce(1), "vec_id", "embedding", idx, nCells = 8)
+    val q = Ingest.indexMaintainSink(
+      spark.readStream.schema(arrivals.schema).parquet(dir),
+      idx, cents, ckpt, maxFilesPerCell = 1, compactEveryNBatches = 2).start()
+    try {
+      for (r <- Seq(3, 7, 11, 15)) {
+        arrivals.filter(col("vec_id") % 16 === r).coalesce(1)
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // content: union of streamed appends == one-shot assignment of all arrivals
+    val got = spark.read.parquet(idx).select("vec_id", "cell")
+    val want = e
+      .withColumn("cell", element_at(Similarity.nearestCells(col("embedding"), cents, 1), 1))
+      .select("vec_id", "cell")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "maintained index content diverges from the one-shot assignment")
+    // maintenance: the final sweep (after batch 3) left every cell at one
+    // file — four appends did not accumulate four files anywhere
+    val cellDirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    for (c <- cellDirs) {
+      val n = c.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${c.getName} has $n files after maintenance, expected 1")
+    }
+  }
+
   test("index append sink is replay-safe: a re-run batch cannot duplicate index rows") {
     import graft.operators.Similarity
     import org.apache.hadoop.fs.Path
@@ -322,6 +362,17 @@ class StreamingSpec extends SparkTestBase {
       base.filter(col("vec_id") % 16 === 0), "vec_id", "embedding", idx, cents, batchId = 8L)
     assert(snapshot().length == b2base.length +
       base.filter(col("vec_id") % 16 === 0).count(), "second batch must append")
+
+    // compaction must refuse while an UNCOMMITTED append's stage dir
+    // exists (compacting a crashed attempt's renamed files would make the
+    // later replay duplicate them)
+    fs.mkdirs(new Path(s"$idx/_ingest_stage/batch-99"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, idx, maxFilesPerCell = 0)
+    }
+    assert(err.getMessage.contains("batch-99"))
+    fs.delete(new Path(s"$idx/_ingest_stage/batch-99"), true)
+    Similarity.compactIvfIndex(spark, idx, maxFilesPerCell = 0) // drained: compacts fine
   }
 
   test("upsertSink maintains a parquet dimension across micro-batches (MERGE per batch)") {
