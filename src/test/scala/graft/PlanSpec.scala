@@ -34,6 +34,21 @@ class PlanSpec extends SparkTestBase {
     assert(plan(SparkEntry.entry(spark)).contains("BroadcastHashJoin"))
   }
 
+  test("ann_binary_quant: broadcast query, no shuffle before the candidate top-k") {
+    val p = plan(SparkEntry.queries("ann_binary_quant")(spark, sfDir))
+    // first stage: one corpus scan against a broadcast 1-row query — the
+    // only exchanges allowed are the broadcast itself and the top-k merges
+    // (TakeOrderedAndProject plans a partial per-partition top-k; a
+    // ShuffleExchange before it would mean the packed-codes scan shuffled
+    // corpus rows)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be partial:\n$p")
+    assert(!p.contains("ShuffleExchange") || !p.split("TakeOrderedAndProject")(0)
+      .contains("ShuffleExchange"),
+      s"corpus rows shuffled before the hamming top-k:\n$p")
+  }
+
   test("window chain over one partitioning shuffles once (W4)") {
     // naApprox uses two frames (backward + forward) over the same keys —
     // must not introduce a second exchange for the second frame.
