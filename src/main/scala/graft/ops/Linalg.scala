@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed linear algebra over embedding columns, in the engine's
+  * sufficient-statistics style (the [[Stats.groupedOls2]] /
+  * Similarity.trainCodebook philosophy): the ONLY corpus-wide reduction is
+  * an exact integer aggregation, every float step afterwards is a bounded
+  * scalar computation with a pinned operation order — so results are
+  * bit-identical on any IEEE engine and carry a SQL oracle.
+  *
+  * Beyond-reference mandate (SURVEY §2.11): the reference has no vector
+  * analytics at all; these are the embedding-matrix diagnostics a training
+  * corpus needs (dominant direction = "is one axis eating the variance?",
+  * the anisotropy check run before whitening/normalizing embeddings).
+  */
+object Linalg {
+
+  /** Dominant direction of an embedding corpus: the top eigenvector of
+    * the (uncentered) second-moment matrix M = Σ x·xᵀ — the top right
+    * singular direction of the data matrix; for mean-centered embeddings
+    * this IS the first principal component — plus its explained-energy
+    * ratio (Rayleigh quotient over trace).
+    *
+    * Engine-exact by construction, the globalNtile trick applied to
+    * linear algebra:
+    *  - vectors quantize to micro-unit INTEGERS (floor(x·1e6 + 0.5) —
+    *    the trainCodebook rule), so M's d² sums are exact in any
+    *    reduction order (DECIMAL(38,0): |x|≈1e6 → 1e12/row/entry,
+    *    ~1e26 headroom even at 10¹² rows);
+    *  - power iteration runs in exact BigInt fixed-point: w = M·v in
+    *    integers, then renormalization divides by the exact MAX |w_i|
+    *    (order-independent reduction) with truncating division applied
+    *    to non-negative operands only (sign split) — floor-vs-trunc
+    *    divergence between engines cannot arise;
+    *  - the only floats are the FINAL per-component loading (one
+    *    division each) and the Rayleigh/trace ratio (three casts, two
+    *    divisions, fixed order) — replayed verbatim by the oracle.
+    *
+    * Scale shape: ONE aggregation pass with d·(d+1)/2 + d codegen'd sum
+    * columns (map-side combined — sufficient statistics shuffle, never
+    * rows), one driver-side d×d BigInt iteration (an index action:
+    * d=16 → 256 values, same bound as a codebook), zero joins. `iters`
+    * fixed-point steps (3 is plenty for a spectral-gap diagnostic; the
+    * quantization floor is 1e-6 per component per step).
+    *
+    * Returns one row per dimension: (pos, loading, explained_ratio) with
+    * loading scaled so max |loading| = 1 and the sign fixed by the
+    * iteration itself (deterministic given the data).
+    */
+  def dominantDirection(
+      df: DataFrame,
+      vec: String,
+      d: Int,
+      iters: Int = 3): DataFrame = {
+    require(d >= 2, s"need at least 2 dimensions, got $d")
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val spark = df.sparkSession
+    // micro-unit quantized components as named columns (x0..x{d-1}):
+    // element picks + one floor each, all codegen'd, no explode
+    val xq = (0 until d).map(i =>
+      floor(element_at(col(vec), i + 1).cast("double") * 1e6 + 0.5)
+        .cast("long").as(s"x$i"))
+    val base = df.select(xq: _*)
+    // the single corpus-wide pass: upper-triangle second-moment sums
+    // (M is symmetric — d(d+1)/2 sums instead of d²), decimal-exact
+    val sums = (for { i <- 0 until d; j <- i until d } yield
+      sum((col(s"x$i") * col(s"x$j")).cast(DecimalType(38, 0))).as(s"m_${i}_$j"))
+    val row = base.agg(sums.head, sums.tail: _*).head()
+    val m = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      BigInt(row.getDecimal(a * d - a * (a - 1) / 2 + (b - a)).toBigInteger)
+    }
+    // exact fixed-point power iteration (BigInt ≡ the oracle's HUGEINT)
+    val scale = BigInt(1000000)
+    var v = Array.fill(d)(scale)
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      require(mx > 0, "dominantDirection: zero second-moment matrix")
+      v = w.map(x => if (x < 0) -((-x) * scale / mx) else x * scale / mx)
+    }
+    val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+    val num = (0 until d).map(i => v(i) * w(i)).sum
+    val den = (0 until d).map(i => v(i) * v(i)).sum
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    // the only float arithmetic — same casts, same order as the oracle:
+    // (num/den) / trace
+    val explained = (num.toDouble / den.toDouble) / trace.toDouble
+    val out = (0 until d).map(i => Row(i, v(i).toDouble / 1e6, explained))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("pos", IntegerType, nullable = false),
+        StructField("loading", DoubleType, nullable = false),
+        StructField("explained_ratio", DoubleType, nullable = false))))
+      .orderBy("pos")
+  }
+}

@@ -711,6 +711,58 @@ object Extensions {
         .orderBy("bin")
     },
 
+    // ---- ML: dominant direction of the embedding corpus ----------------
+    Q("ml_dominant_dir",
+      // engine-exact power iteration, fully replayed: micro-unit
+      // quantized components, HUGEINT second-moment sums (≡ the Spark
+      // side's DECIMAL(38,0) / driver BigInt — all exact, so equal),
+      // fixed-point renormalization by the exact max |w| with the sign
+      // split keeping truncating division on non-negative operands, and
+      // the final three-cast two-division ratio in the same order.
+      {
+        def matvec(wName: String, vFrom: String): String =
+          s"$wName AS (SELECT m.i, SUM(m.mij * v.vq) AS w FROM m JOIN $vFrom v ON m.j = v.i GROUP BY m.i)"
+        def renorm(vName: String, wFrom: String, xName: String): String =
+          s"""$xName AS (SELECT MAX(ABS(w)) AS mx FROM $wFrom),
+             |$vName AS (SELECT i, CASE WHEN w < 0 THEN -(((-w) * 1000000) // mx)
+             |  ELSE (w * 1000000) // mx END AS vq FROM $wFrom, $xName)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |t AS (SELECT vec_id, u.i AS i,
+           |    CAST(FLOOR(v[CAST(u.i + 1 AS INTEGER)] * 1000000 + 0.5) AS HUGEINT) AS xq
+           |  FROM e, unnest(range(16)) AS u(i)),
+           |m AS (SELECT a.i AS i, b.i AS j, SUM(a.xq * b.xq) AS mij
+           |  FROM t a JOIN t b USING (vec_id) GROUP BY 1, 2),
+           |w1 AS (SELECT i, SUM(mij) * 1000000 AS w FROM m GROUP BY i),
+           |${renorm("v1", "w1", "x1")},
+           |${matvec("w2", "v1")},
+           |${renorm("v2", "w2", "x2")},
+           |${matvec("w3", "v2")},
+           |${renorm("v3", "w3", "x3")},
+           |${matvec("w4", "v3")},
+           |r AS (SELECT
+           |    (SELECT SUM(v3.vq * w4.w) FROM v3 JOIN w4 USING (i)) AS num,
+           |    (SELECT SUM(vq * vq) FROM v3) AS den,
+           |    (SELECT SUM(mij) FROM m WHERE i = j) AS trace)
+           |SELECT CAST(v3.i AS INTEGER) AS pos,
+           |  CAST(v3.vq AS DOUBLE) / 1000000 AS loading,
+           |  (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / CAST(trace AS DOUBLE)
+           |    AS explained_ratio
+           |FROM v3, r ORDER BY pos""".stripMargin
+      }) { (s, d) =>
+      // Dominant direction of the embedding corpus (ops/Linalg): the top
+      // eigenvector of the uncentered second-moment matrix over the
+      // first 16 (MRL) dimensions — the anisotropy diagnostic run before
+      // whitening/normalizing embeddings ("is one axis eating the
+      // energy?"). ONE aggregation pass of d(d+1)/2 exact decimal sums
+      // (map-side combined; sufficient statistics shuffle, never rows),
+      // then a bounded driver-side BigInt fixed-point power iteration —
+      // an index action, the codebook bound. Every reduction is exact
+      // integer arithmetic, so the oracle replays it bit-for-bit.
+      graft.ops.Linalg.dominantDirection(
+        embeddings(s, d).select(slice(col("embedding"), 1, 16).as("emb16")),
+        "emb16", d = 16, iters = 3)
+    },
+
     // ---- profiling: Benford first-digit QA ------------------------------
     Q("pf_benford",
       """WITH v AS (SELECT CAST(round(SUM(CAST(value AS DECIMAL(30,6)) * 1000)) AS BIGINT) AS m
