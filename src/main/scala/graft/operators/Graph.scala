@@ -64,6 +64,46 @@ object Graph {
       (col("r").cast("double") / Scale.toDouble).as("rank"))
   }
 
+  /** Synchronized k-core peeling over an undirected view of `edges`:
+    * each round drops every node whose degree in the CURRENT induced
+    * subgraph is below `k`, simultaneously (the Pregel-style peel —
+    * matches the sequential k-core fixpoint when run to convergence;
+    * `rounds` bounds the iteration the way [[pageRankFixedPoint]]'s
+    * `iters` does, and each round is monotone, so survivors of round r
+    * always contain the true k-core). The density gate graph curation
+    * needs: spam/link-farm cores surface as high-k survivors, leaf
+    * chains peel away in the first rounds.
+    *
+    * Scale shape per round: one hash-aggregate degree count plus two
+    * LEFT SEMI joins of the edge list against the ≥k survivor set — all
+    * keyed on node ids, nothing quadratic; integer-exact throughout, so
+    * the result is engine-replayable.
+    *
+    * Returns the round-`rounds` survivors (node, deg) where `deg` is the
+    * node's degree in the subgraph that round's filter ran on (≥ k by
+    * construction).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "need at least one peeling round")
+    val und = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var cur = und
+    var alive = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+    for (_ <- 1 until rounds) {
+      cur = cur
+        .join(alive.select("src"), Seq("src"), "left_semi")
+        .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
+      alive = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+    }
+    alive.select(col("src").as("node"), col("deg"))
+  }
+
   /** Exact per-node triangle counts over an undirected view of `edges`,
     * DEGREE-ORIENTED (the MapReduce triangle algorithm of Cohen 2009 /
     * Suri–Vassilvitskii 2011): each canonical edge is directed from its

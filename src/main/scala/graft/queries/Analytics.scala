@@ -933,6 +933,33 @@ object Analytics {
         .select(col("n_edges"), col("n_reciprocal"),
           (col("n_reciprocal").cast("double") / col("n_edges")).as("reciprocity"))
     },
+    Q("g5_kcore",
+      """WITH de AS (SELECT DISTINCT o_custkey % 500 AS src, o_orderkey % 500 AS dst
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 500 <> o_orderkey % 500),
+        |e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+        |d0 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |a1 AS (SELECT src FROM d0 WHERE deg >= 7),
+        |e1 AS (SELECT e.src, e.dst FROM e
+        |  JOIN a1 x ON e.src = x.src JOIN a1 y ON e.dst = y.src),
+        |d1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e1 GROUP BY 1)
+        |SELECT src AS node, deg FROM d1 WHERE deg >= 7
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      // k-core peeling (k=7, two synchronized rounds) over a sparser
+      // 500-node undirected view of the order graph — the density gate
+      // of graph-based corpus curation: leaf chains peel away, dense
+      // (spam/link-farm-like) cores survive. Per round: one degree
+      // aggregate + two LEFT SEMI joins on node ids (Graph.kCorePeel),
+      // integer-exact throughout — the oracle unrolls both rounds as
+      // plain CTEs. The fixture peels 500 -> 418 -> 357 nodes at sf0.01,
+      // so both rounds do real work.
+      val edges = orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_custkey") % 500).as("src"), (col("o_orderkey") % 500).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.operators.Graph.kCorePeel(edges, k = 7, rounds = 2)
+        .orderBy("node")
+    },
     Q("g1_pagerank",
       """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
         |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),

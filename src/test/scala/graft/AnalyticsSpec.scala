@@ -25,6 +25,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 0L), (5L, 0L)), s"got $out")
   }
 
+  test("kCorePeel: hand-checkable cascade — a chain peels, the clique survives") {
+    // K4 on {0,1,2,3} (every degree 3) with a tail 3—4—5: at k=2, round 1
+    // drops only the leaf 5 (degree 1); in the induced graph node 4's
+    // degree falls to 1, so round 2 drops 4 — the cascade a one-shot
+    // degree filter misses. K4 survives both rounds at degree 3.
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L),
+      (1L, 0L)) // reverse duplicate — must not inflate degrees
+      .toDF("src", "dst")
+    val r1 = graft.operators.Graph.kCorePeel(edges, k = 2, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 2L)), s"round 1: $r1")
+    val r2 = graft.operators.Graph.kCorePeel(edges, k = 2, rounds = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r2 == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 4L)), s"round 2: $r2")
+    // round 3 reaches the true 2-core: degrees settle at the K4's 3s
+    val r3 = graft.operators.Graph.kCorePeel(edges, k = 2, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r3 == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)), s"round 3: $r3")
+  }
+
   test("snapshotDiff: null-safe value compare, all four statuses") {
     import graft.operators.Maintenance
     val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
