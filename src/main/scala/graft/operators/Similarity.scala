@@ -387,16 +387,54 @@ object Similarity {
       vec: String,
       path: String,
       cents: Seq[(Int, Seq[Double])],
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    idempotentCellAppend(batch.sparkSession, path, batchId) { stage =>
+      graft.plans.Sketches.ensureRegistered(batch.sparkSession)
+      batch.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    }
+
+  /** PQ twin of [[appendToIvfIndexIdempotent]] — the identical
+    * staged-rename protocol around the frozen-codebook PQ encode, so the
+    * codes-only index gets the same exactly-once-per-batchId contract.
+    */
+  def appendToIvfPqIndexIdempotent(
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      path: String,
+      cents: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      subDim: Int,
+      batchId: Long): Unit =
+    idempotentCellAppend(batch.sparkSession, path, batchId) { stage =>
+      graft.plans.Sketches.ensureRegistered(batch.sparkSession)
+      pqEncode(
+          batch.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
+            .select(col(id), col("cell"), col(vec)),
+          vec, codebooks, subDim)
+        .drop(vec)
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    }
+
+  /** The staged-rename protocol both idempotent appends share (doc on
+    * [[appendToIvfIndexIdempotent]]). `writeStage` must write the batch's
+    * cell-partitioned rows under the given stage path in OVERWRITE mode —
+    * restaging after a crash is then itself idempotent, and since the
+    * cell assignment is deterministic under the frozen codebook, a
+    * replayed batch stages exactly the same cell set the crashed attempt
+    * renamed from.
+    */
+  private def idempotentCellAppend(
+      spark: SparkSession,
+      path: String,
+      batchId: Long)(writeStage: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
-    val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = new Path(s"$path/_ingest_commits/batch-$batchId.done")
     if (fs.exists(done)) return
-    graft.plans.Sketches.ensureRegistered(spark)
     val stage = new Path(s"$path/_ingest_stage/batch-$batchId")
-    batch.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
-      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    writeStage(stage.toString)
     val prefix = s"ingest-b$batchId-"
     fs.listStatus(stage)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))

@@ -363,6 +363,26 @@ class StreamingSpec extends SparkTestBase {
     assert(snapshot().length == b2base.length +
       base.filter(col("vec_id") % 16 === 0).count(), "second batch must append")
 
+    // PQ twin: same protocol, same convergence under replay
+    val pqIdx = Files.createTempDirectory("graft-replay-pq").toString + "/idx"
+    val (pqCents, cbs) = Similarity.buildIvfPqIndex(
+      base, "vec_id", "embedding", pqIdx, dim = 64, nCells = 8,
+      trainIters = 3, m = 4, ksub = 8, pqIters = 2)
+    val pqSnap = () => spark.read.parquet(pqIdx).select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    Similarity.appendToIvfPqIndexIdempotent(
+      batch, "vec_id", "embedding", pqIdx, pqCents, cbs, subDim = 16, batchId = 3L)
+    val pqOnce = pqSnap()
+    assert(pqOnce.length == e.count(), "PQ append must cover base ∪ batch")
+    Similarity.appendToIvfPqIndexIdempotent(
+      batch, "vec_id", "embedding", pqIdx, pqCents, cbs, subDim = 16, batchId = 3L)
+    assert(pqSnap() == pqOnce, "PQ replay of a committed batch changed the index")
+    val pqFs = new Path(pqIdx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(pqFs.delete(new Path(s"$pqIdx/_ingest_commits/batch-3.done"), false))
+    Similarity.appendToIvfPqIndexIdempotent(
+      batch, "vec_id", "embedding", pqIdx, pqCents, cbs, subDim = 16, batchId = 3L)
+    assert(pqSnap() == pqOnce, "PQ crash-window replay duplicated or lost index rows")
+
     // compaction must refuse while an UNCOMMITTED append's stage dir
     // exists (compacting a crashed attempt's renamed files would make the
     // later replay duplicate them)
