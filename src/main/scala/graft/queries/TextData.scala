@@ -1643,6 +1643,67 @@ object TextData {
           VectorFns.cosine(col("embedding"), col("qv")).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     },
+    Q("ann_cell_stats",
+      // IVF index DIAGNOSTICS — the profile that drives nProbe and
+      // compaction/re-train decisions: per-cell occupancy (balance: a
+      // skewed inverted file makes probe cost variance explode) and
+      // exact fixed-point inertia (mean squared distance to the cell
+      // centroid — rising inertia is the centroid-drift signal that
+      // schedules the periodic re-train). Engine-exact by the Linalg
+      // rule: components AND centroids quantize to micro-units, per-row
+      // squared distance is exact BIGINT, the per-cell sum is exact
+      // decimal, and the two output ratios are fixed-order IEEE
+      // divisions — the oracle replays the full kmeans chain plus the
+      // quantized distance algebra bit-for-bit.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |cq AS (SELECT cell, list_transform(c, x ->
+         |    CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS cq FROM c3),
+         |r AS (SELECT a.cell,
+         |    CAST(list_sum(list_transform(range(64), i ->
+         |      (CAST(FLOOR(a.v[CAST(i + 1 AS INTEGER)] * 1000000 + 0.5) AS BIGINT)
+         |        - cq.cq[CAST(i + 1 AS INTEGER)])
+         |      * (CAST(FLOOR(a.v[CAST(i + 1 AS INTEGER)] * 1000000 + 0.5) AS BIGINT)
+         |        - cq.cq[CAST(i + 1 AS INTEGER)]))) AS HUGEINT) AS d2
+         |  FROM af a JOIN cq USING (cell)),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM af),
+         |g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    SUM(d2) AS inertia FROM r GROUP BY cell)
+         |SELECT CAST(g.cell AS INTEGER) AS cell, g.n_vecs,
+         |  CAST(g.n_vecs AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share,
+         |  (CAST(g.inertia AS DOUBLE) / CAST(g.n_vecs AS DOUBLE)) / 1000000000000.0
+         |    AS mean_dist2
+         |FROM g, tot ORDER BY cell""".stripMargin) { (s, d) =>
+      graft.plans.Sketches.ensureRegistered(s)
+      val e = embeddings(s, d)
+      val cents = Similarity.trainCodebook(e, "vec_id", "embedding", nCells = 8, iters = 3)
+      // micro-quantized centroids as a literal map — same FLOOR(x·1e6+0.5)
+      // rule as the oracle's cq, applied to the identical double means
+      val centQ: Map[Int, Seq[Long]] = cents.map { case (c, arr) =>
+        c -> arr.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      }.toMap
+      val assigned = e.withColumn("cell",
+        element_at(Similarity.nearestCells(col("embedding"), cents, 1), 1).cast("int"))
+      val cq = element_at(typedLit(centQ), col("cell"))
+      val d2 = aggregate(
+        zip_with(col("embedding"), cq, (x, c) => {
+          val xq = floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")
+          (xq - c) * (xq - c)
+        }),
+        lit(0L), (acc, t) => acc + t)
+      val g = assigned
+        .select(col("cell"), d2.cast("decimal(38,0)").as("d2"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+      val tot = assigned.agg(count(lit(1)).as("n_total"))
+      g.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("n_total").cast("double")).as("share"),
+          ((col("inertia").cast("double") / col("n_vecs").cast("double"))
+            / 1000000000000.0).as("mean_dist2"))
+        .orderBy("cell")
+    },
     Q("ann_ivf_append",
       // INCREMENTAL index maintenance (VERDICT r8 top-next #2): the index
       // is built over the 3/4 base slice, then the remaining 1/4 batch is
