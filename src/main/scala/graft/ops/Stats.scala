@@ -314,6 +314,52 @@ object Stats {
         (col("cms_n") - col("true_n")).as("overcount"), col("rk"))
   }
 
+  /** The deterministic CMS as MERGEABLE PARTIAL STATE: the (j, bucket)
+    * counter table of [[cmsHeavyHitters]]'s sketch over `df` alone.
+    * Counters are purely additive, so sketches over disjoint slices
+    * (days, shards, micro-batches) merge by (j, bucket) SUM into exactly
+    * the sketch of the union — the pre-aggregation contract that lets a
+    * 100 TB corpus keep one depth×width frequency summary per partition
+    * and fold them at read time, and that [[graft.streaming.Ingest
+    * .cmsSketchSink]] uses for continuous maintenance. Hashing is the
+    * md5 family shared with the batch sketch (bit-identical buckets).
+    */
+  def cmsCounters(
+      df: DataFrame,
+      key: String,
+      depth: Int = 3,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape d=$depth w=$width")
+    df.select(col(key).cast("string").as("__k"))
+      .select(col("__k"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat_ws("-", col("j"), col("__k"))), 1, 8),
+          16, 10).cast("long") % width)
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate frequencies from a (possibly merged) counter table:
+    * for each distinct key in `keys`, min over rows j of
+    * counter[j, bucket_j(k)] — the CMS upper bound (missing counters
+    * read as 0). Counter tables are depth×width rows, so the join
+    * broadcasts; work is |keys|·depth.
+    */
+  def cmsEstimate(
+      counters: DataFrame,
+      keys: DataFrame,
+      key: String,
+      depth: Int = 3,
+      width: Int = 256): DataFrame =
+    keys.select(col(key)).distinct()
+      .select(col(key), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat_ws("-", col("j"), col(key).cast("string"))), 1, 8),
+          16, 10).cast("long") % width)
+      .join(broadcast(counters), Seq("j", "bucket"), "left")
+      .groupBy(col(key))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
+
   /** Deterministic uniform sample + order-statistic quantiles.
     *
     * Sampling by md5-priority (lowest `k` by the hash of the row key) is

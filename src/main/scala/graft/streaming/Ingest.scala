@@ -169,6 +169,42 @@ object Ingest {
           batch, id, vec, indexPath, cents, batchId)
       }
 
+  /** Continuous frequency-sketch maintenance: every micro-batch writes
+    * its OWN partial CMS counter table ([[graft.ops.Stats.cmsCounters]])
+    * under `sketch_batch=<id>` — idempotent per batch (overwrite mode,
+    * the [[nearDupProbeSink]] write protocol), so at-least-once replays
+    * converge; readers fold partials by (j, bucket) SUM
+    * ([[readCmsCounters]]), which by counter additivity is EXACTLY the
+    * sketch of everything ingested (StreamingSpec pins bit-equality with
+    * the one-shot batch sketch). This is the mergeable-summary pattern a
+    * 100 TB stream needs: per-batch state is depth×width rows no matter
+    * the batch size, no key-cardinality state accrues anywhere, and the
+    * sketch answers point frequency queries ([[graft.ops.Stats
+    * .cmsEstimate]]) without ever re-reading the data.
+    */
+  def cmsSketchSink(
+      items: DataFrame,
+      outPath: String,
+      checkpointDir: String,
+      key: String,
+      depth: Int = 3,
+      width: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    items.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Stats.cmsCounters(batch, key, depth, width)
+          .write.mode("overwrite").parquet(s"$outPath/sketch_batch=$batchId")
+      }
+
+  /** Fold the per-batch partial sketches of [[cmsSketchSink]] into the
+    * single counter table of everything ingested (exact by additivity).
+    */
+  def readCmsCounters(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Self-maintaining ingest: [[indexAppendSink]] plus the compaction
     * trigger, in one sink — every micro-batch is appended exactly-once
     * (the batch-keyed staged-rename protocol), then every

@@ -285,6 +285,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == e.count())
   }
 
+  test("cmsSketchSink: merged per-batch partials equal the one-shot sketch bit-for-bit") {
+    import graft.ops.Stats
+    import graft.streaming.Ingest
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = Files.createTempDirectory("graft-cms-in").toString
+    val out = Files.createTempDirectory("graft-cms-out").toString
+    val ckpt = Files.createTempDirectory("graft-cms-ckpt").toString
+    val items = docs.select(col("doc_id"), col("lang"))
+    val b1 = items.filter(col("doc_id") % 2 === 0)
+    val b2 = items.filter(col("doc_id") % 2 === 1)
+    b1.write.mode("append").parquet(dir)
+    val q = Ingest.cmsSketchSink(
+      spark.readStream.schema(items.schema).parquet(dir),
+      out, ckpt, key = "lang", depth = 3, width = 64).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = Ingest.readCmsCounters(spark, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // additivity: Σ per-batch counters == counters of the union, exactly
+    val oneShot = Stats.cmsCounters(items, "lang", depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(merged == oneShot, "merged partial sketches diverge from the one-shot sketch")
+    // the folded sketch answers point queries: estimates ≥ true counts,
+    // and equal the batch path's estimates
+    val est = Stats.cmsEstimate(Ingest.readCmsCounters(spark, out),
+        items, "lang", depth = 3, width = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = items.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(truth.keySet == est.keySet)
+    for ((k, n) <- truth) assert(est(k) >= n, s"CMS under-counted $k: ${est(k)} < $n")
+  }
+
   test("indexMaintainSink: exactly-once appends plus bounded per-cell file counts") {
     import graft.operators.Similarity
     import graft.streaming.Ingest
