@@ -485,6 +485,61 @@ object Extensions {
         .select("day", "dau", "wau", "stickiness")
         .orderBy("day")
     },
+    Q("ev_seasonal",
+      // Additive seasonal decomposition of the per-type daily series:
+      // value = trend + seasonal + residual, with trend the centered
+      // 7-day moving average (full windows only) and seasonal the
+      // per-weekday mean of the detrended series. Engine-exact without
+      // a single order-dependent float reduction: daily values and
+      // their 7-day window sums are exact decimals, and the seasonal
+      // mean Σ(v − S7/7)/n is reorganized into exact sums
+      // (Σv − ΣS7/7)/n — so each output is a fixed chain of IEEE ops
+      // over exact integers, replayed token-for-token. Scale note: the
+      // raw stream collapses in the FIRST aggregation (one map-side-
+      // combined shuffle to (type, day)); everything after runs on
+      // days×types rows — bounded by the calendar, not the corpus —
+      // which is why the per-type window needs no two-level rank.
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(30,6))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, v,
+        |    SUM(v) OVER win AS s7, COUNT(*) OVER win AS cnt
+        |  FROM dly
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |k AS (SELECT event_type, day, day % 7 AS dow, v, s7 FROM w WHERE cnt = 7),
+        |se AS (SELECT event_type, dow,
+        |    (CAST(SUM(v) AS DOUBLE) - CAST(SUM(s7) AS DOUBLE) / 7)
+        |      / CAST(COUNT(*) AS BIGINT) AS seasonal
+        |  FROM k GROUP BY 1, 2)
+        |SELECT k.event_type, k.day, CAST(k.v AS DOUBLE) AS value,
+        |  CAST(k.s7 AS DOUBLE) / 7 AS trend, se.seasonal,
+        |  (CAST(k.v AS DOUBLE) - CAST(k.s7 AS DOUBLE) / 7) - se.seasonal AS residual
+        |FROM k JOIN se ON k.event_type = se.event_type AND k.dow = se.dow
+        |ORDER BY k.event_type, k.day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(col("value").cast("decimal(30,6)")).as("v"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val k = dly
+        .withColumn("s7", sum(col("v")).over(win))
+        .withColumn("cnt", count(lit(1)).over(win))
+        .filter(col("cnt") === 7)
+        .withColumn("dow", col("day") % 7)
+      val se = k.groupBy(col("event_type"), col("dow"))
+        .agg(((sum(col("v")).cast("double")
+            - sum(col("s7")).cast("double") / 7)
+          / count(lit(1))).as("seasonal"))
+      k.join(se, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("v").cast("double").as("value"),
+          (col("s7").cast("double") / 7).as("trend"), col("seasonal"),
+          ((col("v").cast("double") - col("s7").cast("double") / 7) - col("seasonal"))
+            .as("residual"))
+        .orderBy("event_type", "day")
+    },
     Q("ev_streaks",
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
