@@ -132,6 +132,27 @@ object Relational {
           col("content").cast("string").as("text"))
         .orderBy("doc_id")
     },
+    Q("s17_zip_shards",
+      "SELECT doc_id, text FROM documents ORDER BY doc_id") { (s, d) =>
+      // S17 (beyond-reference): zip shard sink + scan — the OTHER archive
+      // layout image/document datasets ship in, with the s13 tar
+      // contract: distributed write (one shuffle on the shard id, one
+      // sequential STORED-entry stream per shard, temp+rename commit),
+      // entry-streaming scan (one payload in memory at a time). The
+      // oracle is the parquet original: names and UTF-8 payloads must
+      // round-trip losslessly through the container.
+      val base = documents(s, d).select("doc_id", "text")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s17_${graft.core.Tables.pathKey(d)}"
+      graft.sources.Zip.writeShards(
+        base.select((col("doc_id") % 8).as("shard"),
+          col("doc_id").cast("string").as("name"),
+          col("text").cast("binary").as("payload")),
+        path)
+      graft.sources.Zip.read(s, path)
+        .select(col("name").cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+        .orderBy("doc_id")
+    },
     Q("s8_jsonl_roundtrip",
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id") { (s, d) =>
       // S8 (beyond-reference): gzip JSONL sink + scan — the de-facto LLM
