@@ -86,10 +86,14 @@ object Graph {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "need at least one peeling round")
-    val und = edges
+    // drop self-loops and null endpoints BEFORE mirroring — filtering only
+    // the forward branch would let (a, a) re-enter through the reversed
+    // union and inflate a's degree by one
+    val clean = edges
       .select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val und = clean
+      .unionAll(clean.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     var cur = und
     var alive = cur.groupBy("src").agg(count(lit(1)).as("deg"))

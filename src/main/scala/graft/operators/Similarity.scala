@@ -432,8 +432,15 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = new Path(s"$path/_ingest_commits/batch-$batchId.done")
-    if (fs.exists(done)) return
     val stage = new Path(s"$path/_ingest_stage/batch-$batchId")
+    if (fs.exists(done)) {
+      // commit happened but the stage cleanup may not have (steps 4a/4b
+      // are not atomic): drop the committed batch's leftover stage dir
+      // here, or it would wedge the no-inflight-append compaction guard
+      // forever after a one-time crash in that window
+      fs.delete(stage, true)
+      return
+    }
     writeStage(stage.toString)
     val prefix = s"ingest-b$batchId-"
     fs.listStatus(stage)
@@ -540,7 +547,14 @@ object Similarity {
     val stage = new Path(s"$path/_ingest_stage")
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(stage)) {
-      val pending = fs.listStatus(stage).map(_.getPath.getName)
+      val pending = fs.listStatus(stage).map(_.getPath.getName).filter { name =>
+        // a stage dir whose done marker exists is a committed batch's
+        // leftover (crash between marker create and stage delete) — not
+        // in flight; self-heal by dropping it instead of wedging every
+        // future compaction on a one-time crash
+        val committed = fs.exists(new Path(s"$path/_ingest_commits/$name.done"))
+        if (committed) { fs.delete(new Path(stage, name), true); false } else true
+      }
       require(pending.isEmpty,
         s"refusing to compact $path: uncommitted append batch(es) ${pending.mkString(", ")} " +
           "in _ingest_stage — replay them to commit (appendToIvfIndexIdempotent) first")

@@ -177,6 +177,14 @@ object Aggregates {
     * needed for determinism of the OUTPUT (the ranked row picked among
     * tied values differs, its value does not).
     *
+    * Nulls: bounds are order statistics of the NON-NULL values (R
+    * quantile(na.rm=TRUE), the madScale convention — groupedRank's
+    * non-null contract also requires it: unfiltered nulls would land in
+    * the last range bucket yet sort first, silently shifting which row
+    * each rank selects). Null-valued rows pass through with their
+    * group's bounds and a null clamp; an all-null group keeps its rows
+    * with null bounds.
+    *
     * Output: input columns + `<v>_lo`, `<v>_hi`, `<v>_clamped`.
     */
   def winsorize(
@@ -186,17 +194,21 @@ object Aggregates {
       pLo: Double,
       pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
+    val nonNull = df.filter(col(v).isNotNull)
     val rn = graft.core.Cols.fresh(df, "__rn")
     val n = graft.core.Cols.fresh(df.columns.toSeq :+ rn, "__n")
-    val ranked = Stats.groupedRank(df, keys, col(v), Seq.empty, rn, Some(n))
+    val ranked = Stats.groupedRank(nonNull, keys, col(v), Seq.empty, rn, Some(n))
     def bound(p: Double): Column = greatest(ceil(lit(p) * col(n)).cast("long"), lit(1L))
     val bounds = ranked
       .filter(col(rn) === bound(pLo) || col(rn) === bound(pHi))
       .groupBy(keys.map(col): _*)
       .agg(min(col(v)).as(s"${v}_lo"), max(col(v)).as(s"${v}_hi"))
-    ranked.drop(rn, n)
-      .join(bounds, keys)
-      .withColumn(s"${v}_clamped", greatest(col(s"${v}_lo"), least(col(s"${v}_hi"), col(v))))
+    df.join(bounds, keys, "left")
+      .withColumn(s"${v}_clamped",
+        // Spark's greatest/least SKIP nulls, so a null v would otherwise
+        // "clamp" to the hi bound instead of staying null
+        when(col(v).isNotNull,
+          greatest(col(s"${v}_lo"), least(col(s"${v}_hi"), col(v)))))
   }
 
 }

@@ -109,12 +109,17 @@ object Stats {
     * bucket composition (equal values share a bucket, order never
     * inverts) — while the within-bucket window orders by the ORIGINAL
     * typed `value` and `tie`, so decimal tie semantics are exact. Bucket
-    * offsets are a driver-side index action over ≤ groups·buckets rows
-    * (`maxDriverRows` caps it loudly: past the cap, group cardinality is
-    * high enough that the plain per-group window is the right plan).
+    * offsets are a driver-side index action over ≤ groups·buckets rows.
+    * Past `maxDriverRows` cells the machinery FALLS BACK to the plain
+    * per-group rank window automatically: at that group cardinality each
+    * group comfortably fits one reducer, the window IS the right plan,
+    * and the two produce identical ranks — callers never have to choose
+    * (the cardinality probe is one map-side-combined distinct count,
+    * tiny next to the rank work either branch does).
     *
-    * Contract: `value` and the group keys must be non-null and non-NaN
-    * (filter first — the four catalog consumers all do); (`value`, tie…)
+    * Contract: `value` must be non-null and non-NaN (filter first — the
+    * catalog consumers all do); group keys may be null (nulls group
+    * together, as in GROUP BY); (`value`, tie…)
     * need only be a total order if the caller reads rank-at-tie
     * deterministically (same contract as the window it replaces).
     *
@@ -138,8 +143,24 @@ object Stats {
     val lN = graft.core.Cols.fresh(df, "__grl")
     val mnN = graft.core.Cols.fresh(df, "__grmn")
     val mxN = graft.core.Cols.fresh(df, "__grmx")
+    // INJECTIVE composite key: "V" + base64(utf8(value)) per column ("N"
+    // for null) joined on the \u0001 separator — base64's alphabet cannot
+    // contain the separator, so multi-key tuples whose values themselves
+    // contain \u0001 can never collide onto one group the way a plain
+    // cast-and-concat did
     val gkey = concat_ws("\u0001",
-      groupKeys.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+      groupKeys.map(c => when(col(c).isNull, lit("N"))
+        .otherwise(concat(lit("V"), base64(encode(col(c).cast("string"), "UTF-8"))))): _*)
+    // high-cardinality fallback: the two-level machinery's driver offsets
+    // would exceed the cap — rank with the plain per-group window, the
+    // correct plan there (each group is small relative to the data)
+    val nGroups = df.select(gkey.as(kN)).distinct().count()
+    if (nGroups * buckets > maxDriverRows) {
+      val pw = Window.partitionBy(groupKeys.map(col): _*).orderBy(value +: tie: _*)
+      val ranked = df.withColumn(out, row_number().over(pw).cast("long"))
+      return nOut.fold(ranked)(nn => ranked.withColumn(nn,
+        count(lit(1)).over(Window.partitionBy(groupKeys.map(col): _*))))
+    }
     val base = df.withColumn(vN, value.cast("double")).withColumn(kN, gkey)
     val stats = base.groupBy(col(kN)).agg(min(col(vN)).as(mnN), max(col(vN)).as(mxN))
     // equi-width double bucket: monotone (subtraction/scale by a positive

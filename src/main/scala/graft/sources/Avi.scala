@@ -199,7 +199,17 @@ object Avi {
     var handler: String = null
     var bitCount = -1
     var grayPalette = false
+    var strlIdx = -1    // index of the strl list currently being walked
+    var vidStream = -1  // stream number of the honored 'vids' stream
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+
+    // the honored video stream's chunk prefix: '00db' etc. carry the
+    // stream number as two ASCII digits — a second same-geometry video
+    // stream's frames must NOT silently interleave into stream 0's
+    def isOurChunk(c: String, suffix: String): Boolean =
+      c.length == 4 && c.endsWith(suffix) &&
+        c(0) >= '0' && c(0) <= '9' && c(1) >= '0' && c(1) <= '9' &&
+        (c(0) - '0') * 10 + (c(1) - '0') == vidStream
 
     // walk a LIST body [from, until): returns false on a structural error
     def walk(from: Int, until: Int, inMovi: Boolean, inStrl: Boolean): Boolean = {
@@ -214,7 +224,11 @@ object Avi {
           case "LIST" =>
             if (size < 4) return false
             val listType = tag(payload)
-            if (!walk(payload + 4, end, inMovi = listType == "movi",
+            if (listType == "strl") strlIdx += 1
+            // movi propagates INTO nested lists: interleaved AVIs group
+            // frame chunks inside LIST 'rec ' lists within movi — those
+            // must decode, not silently skip
+            if (!walk(payload + 4, end, inMovi = inMovi || listType == "movi",
                 inStrl = inStrl || listType == "strl")) return false
           case "avih" =>
             if (size < 40) return false
@@ -224,11 +238,12 @@ object Avi {
             if (size < 56) return false
             if (tag(payload) == "vids") {
               handler = tag(payload + 4)
+              vidStream = strlIdx
               val scale = le32At(payload + 20).toInt
               val rate = le32At(payload + 24).toInt
               if (scale > 0 && rate % scale == 0) fps = rate / scale
             }
-          case "strf" if inStrl && handler != null && bitCount < 0 =>
+          case "strf" if inStrl && strlIdx == vidStream && handler != null && bitCount < 0 =>
             if (size < 40) return false
             bitCount = u8(payload + 14) | (u8(payload + 15) << 8)
             if (bitCount == 8) {
@@ -244,7 +259,7 @@ object Avi {
                 }
               }
             }
-          case c if inMovi && c.length == 4 && c.endsWith("db") =>
+          case c if inMovi && isOurChunk(c, "db") =>
             if (width <= 0 || height <= 0 || bitCount != 8 || !grayPalette) return false
             val stride = dibStride(width)
             if (size != stride.toLong * height) return false
@@ -259,7 +274,7 @@ object Avi {
               y += 1
             }
             frames += px
-          case c if inMovi && c.length == 4 && c.endsWith("dc") =>
+          case c if inMovi && isOurChunk(c, "dc") =>
             if (width <= 0 || height <= 0) return false
             val img =
               try javax.imageio.ImageIO.read(

@@ -32,7 +32,8 @@ class AnalyticsSpec extends SparkTestBase {
     // degree filter misses. K4 survives both rounds at degree 3.
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
       (3L, 4L), (4L, 5L),
-      (1L, 0L)) // reverse duplicate — must not inflate degrees
+      (1L, 0L), // reverse duplicate — must not inflate degrees
+      (5L, 5L)) // self-loop — must not rescue 5 from the first peel
       .toDF("src", "dst")
     val r1 = graft.operators.Graph.kCorePeel(edges, k = 2, rounds = 1)
       .orderBy("node").as[(Long, Long)].collect().toSeq

@@ -66,6 +66,58 @@ class AviSpec extends AnyFunSuite {
     }
   }
 
+  private def le32b(v: Int): Array[Byte] = Array[Byte](
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def tagAt(b: Array[Byte], i: Int): String = new String(b, i, 4, "US-ASCII")
+  private def sizeAt(b: Array[Byte], i: Int): Int =
+    java.nio.ByteBuffer.wrap(b, i, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+
+  test("frame chunks wrapped in nested LIST 'rec ' lists still decode (interleaved AVIs)") {
+    val px = gray(4, 3, i => i * 3)
+    val good = Avi.encodeGray8Frames(4, 3, 24, Seq(px))
+    // dissect: hdrl LIST at 12, movi LIST after it, the 00db chunk inside
+    assert(tagAt(good, 12) == "LIST")
+    val hdrlSize = sizeAt(good, 16)
+    val hdrl = good.slice(12, 12 + 8 + hdrlSize + (hdrlSize & 1))
+    val moviOff = 12 + hdrl.length
+    assert(tagAt(good, moviOff) == "LIST" && tagAt(good, moviOff + 8) == "movi")
+    val chunkOff = moviOff + 12
+    assert(tagAt(good, chunkOff) == "00db")
+    val chunkSize = sizeAt(good, chunkOff + 4)
+    val chunk = good.slice(chunkOff, chunkOff + 8 + chunkSize + (chunkSize & 1))
+    // rebuild with the chunk wrapped: LIST movi [ LIST 'rec ' [ 00db ] ]
+    val ascii = (s: String) => s.getBytes("US-ASCII")
+    val rec = ascii("LIST") ++ le32b(4 + chunk.length) ++ ascii("rec ") ++ chunk
+    val movi = ascii("LIST") ++ le32b(4 + rec.length) ++ ascii("movi") ++ rec
+    val body = hdrl ++ movi
+    val wrapped = ascii("RIFF") ++ le32b(4 + body.length) ++ ascii("AVI ") ++ body
+    val v = Avi.decodeGrayFrames(wrapped).get
+    assert(v.frames.size == 1, "rec-wrapped frame must decode, not silently skip")
+    assert(v.frames.head.toSeq == px.toSeq)
+  }
+
+  test("a second stream's same-geometry chunks do not interleave into the video stream") {
+    val f0 = gray(4, 3, i => i)
+    val f1 = gray(4, 3, i => 255 - i)
+    val good = Avi.encodeGray8Frames(4, 3, 24, Seq(f0, f1))
+    val hdrlSize = sizeAt(good, 16)
+    val moviOff = 12 + 8 + hdrlSize + (hdrlSize & 1)
+    val chunk1Off = moviOff + 12
+    assert(tagAt(good, chunk1Off) == "00db")
+    val c1 = sizeAt(good, chunk1Off + 4)
+    val chunk2Off = chunk1Off + 8 + c1 + (c1 & 1)
+    assert(tagAt(good, chunk2Off) == "00db")
+    // relabel frame 2 as stream 01 (a second, foreign stream): the
+    // decoder honors only the declared 'vids' stream (00) — the foreign
+    // frame must be SKIPPED, not appended to stream 00's frames
+    val patched = good.clone()
+    patched(chunk2Off + 1) = '1'.toByte
+    val v = Avi.decodeGrayFrames(patched).get
+    assert(v.frames.size == 1, s"foreign-stream chunk interleaved: ${v.frames.size} frames")
+    assert(v.frames.head.toSeq == f0.toSeq)
+  }
+
   test("parser: malformed payloads return None, never throw") {
     val good = Avi.encodeGray8Frames(4, 4, 24, Seq(gray(4, 4, identity)))
     val cases = Seq(

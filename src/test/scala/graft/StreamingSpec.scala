@@ -429,6 +429,21 @@ class StreamingSpec extends SparkTestBase {
     assert(err.getMessage.contains("batch-99"))
     fs.delete(new Path(s"$idx/_ingest_stage/batch-99"), true)
     Similarity.compactIvfIndex(spark, idx, maxFilesPerCell = 0) // drained: compacts fine
+
+    // crash window between commit-marker create and stage delete: the
+    // leftover stage dir of a COMMITTED batch must not wedge compaction
+    // (self-heal) nor make a replay duplicate rows (short-circuit cleans)
+    val preCrash = snapshot()
+    fs.mkdirs(new Path(s"$idx/_ingest_stage/batch-8")) // batch 8 committed above
+    Similarity.compactIvfIndex(spark, idx, maxFilesPerCell = 0) // heals, no throw
+    assert(!fs.exists(new Path(s"$idx/_ingest_stage/batch-8")),
+      "committed batch's stage leftover must be dropped by the guard")
+    fs.mkdirs(new Path(s"$idx/_ingest_stage/batch-8"))
+    Similarity.appendToIvfIndexIdempotent(
+      base.filter(col("vec_id") % 16 === 0), "vec_id", "embedding", idx, cents, batchId = 8L)
+    assert(!fs.exists(new Path(s"$idx/_ingest_stage/batch-8")),
+      "replay of a committed batch must clean its stage leftover")
+    assert(snapshot() == preCrash, "committed-batch replay must not change the index")
   }
 
   test("upsertSink maintains a parquet dimension across micro-batches (MERGE per batch)") {
