@@ -182,6 +182,83 @@ object Multimodal {
       height: Option[Int],
       phash: Option[String])
 
+  /** The aHash bit lattice over a row-major gray raster (the
+    * [[imagePhash]] math, factored so video frames can hash without a
+    * BufferedImage): grid×grid blocks by exact integer floors, one bit
+    * per block via the cross-multiplied integer mean comparison. None
+    * when the raster is smaller than the grid in either dimension.
+    */
+  private def ahashGray(px: Array[Int], w: Int, h: Int, grid: Int): Option[String] = {
+    if (w < grid || h < grid) return None
+    val sums = new Array[Long](grid * grid)
+    val npx = new Array[Long](grid * grid)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y.toLong * grid / h
+      var x = 0
+      while (x < w) {
+        val j = (by * grid + x.toLong * grid / w).toInt
+        val p = px(y * w + x)
+        sums(j) += p
+        npx(j) += 1
+        total += p
+        x += 1
+      }
+      y += 1
+    }
+    val npixAll = w.toLong * h
+    val sb = new java.lang.StringBuilder(grid * grid)
+    var j = 0
+    while (j < grid * grid) {
+      sb.append(if (sums(j) * npixAll >= total * npx(j)) '1' else '0')
+      j += 1
+    }
+    Some(sb.toString)
+  }
+
+  final case class FramePhash(
+      media_id: Long,
+      n_bytes: Int,
+      decoded: Boolean,
+      frame: Int,
+      n_frames: Int,
+      width: Option[Int],
+      height: Option[Int],
+      phash: Option[String])
+
+  /** Per-frame perceptual hashing of AVI videos — the video twin of
+    * [[imagePhash]] and the fingerprint [[graft.operators.Dedup
+    * .phashNearDupPairs]] needs for VIDEO near-dup: decode
+    * ([[graft.sources.Avi]]), aHash every frame with the same exact
+    * integer block-lattice math (planted fixtures replay it in SQL), one
+    * row per frame. Same batch/failure contract as [[decodeAviFrames]]:
+    * corrupt payloads flag one decoded=false row, frames never shuffle
+    * at decode, and the downstream signal is grid²/8 bytes per frame —
+    * pixels stay in their input partition.
+    */
+  def aviFramePhash(spark: SparkSession, media: DataFrame, grid: Int = 8): Dataset[FramePhash] = {
+    require(grid >= 2 && grid * grid <= 64, s"grid in [2,8], got $grid")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val bytes = r.payload
+        graft.sources.Avi.decodeGrayFrames(bytes) match {
+          case Some(v) =>
+            v.frames.zipWithIndex.map { case (px, f) =>
+              FramePhash(r.media_id, bytes.length, decoded = true,
+                frame = f, n_frames = v.frames.size, Some(v.width), Some(v.height),
+                ahashGray(px, v.width, v.height, grid))
+            }
+          case None =>
+            Seq(FramePhash(r.media_id, bytes.length, decoded = false,
+              frame = -1, n_frames = 0, None, None, None))
+        }
+      }
+    }
+  }
+
   /** Perceptual hash (aHash) over REAL decoded pixels: partition the
     * image into a grid×grid block lattice (block of pixel (x,y) is
     * (y·grid)/h, (x·grid)/w — exact integer floors, any image size ≥

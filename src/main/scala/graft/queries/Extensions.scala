@@ -62,6 +62,58 @@ object Extensions {
       |    string_agg(bit, '' ORDER BY j) AS phash
       |  FROM bits GROUP BY media_id)""".stripMargin
 
+  /** Planted AVIs for the video-phash family — the [[plantedPhashPngs]]
+    * content-family scheme lifted to multi-frame video: gid = id % 40
+    * keys the family, delta = id / 40 is the per-copy brightness phase
+    * shift (same-family videos are near-duplicates frame for frame), and
+    * each video carries 1 + id % 3 frames whose pixels also vary by a
+    * per-frame phase (frame · 53). Every formula is replayed verbatim by
+    * the oracles.
+    */
+  private def plantedPhashAvis(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].map { id =>
+      val gid = id % 40
+      val delta = id / 40
+      val w = (24 + (gid % 3) * 8).toInt
+      val h = (16 + (gid % 2) * 8).toInt
+      val nf = (1 + id % 3).toInt
+      val frames = (0 until nf).map(f =>
+        Array.tabulate(w * h)(i => ((gid * 31 + f * 53 + i + delta) % 256).toInt))
+      graft.operators.Multimodal.MediaRow(id, "video",
+        graft.sources.Avi.encodeGray8Frames(w, h, 24, frames))
+    }.toDF()
+  }
+
+  /** The per-(video, frame) phash CTE chain over [[plantedPhashAvis]]'s
+    * formulas — [[phashCtes]] with the frame dimension threaded through.
+    */
+  private val videoPhashCtes: String =
+    """g AS (SELECT doc_id AS media_id, doc_id % 40 AS gid, doc_id // 40 AS delta,
+      |    CAST(1 + doc_id % 3 AS INTEGER) AS nf FROM documents),
+      |dim AS (SELECT media_id, gid, delta, nf,
+      |    CAST(24 + (gid % 3) * 8 AS BIGINT) AS w,
+      |    CAST(16 + (gid % 2) * 8 AS BIGINT) AS h FROM g),
+      |fr AS (SELECT media_id, gid, delta, nf, w, h, CAST(u.f AS INTEGER) AS frame
+      |  FROM dim, unnest(generate_series(0, nf - 1)) AS u(f)),
+      |px AS (SELECT media_id, frame, nf, w, h, u.i % w AS x, u.i // w AS y,
+      |    (gid * 31 + frame * 53 + u.i + delta) % 256 AS p
+      |  FROM fr, unnest(generate_series(0, w * h - 1)) AS u(i)),
+      |blk AS (SELECT media_id, frame, nf, w, h,
+      |    ((y * 8) // h) * 8 + ((x * 8) // w) AS j,
+      |    CAST(SUM(p) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM px GROUP BY media_id, frame, nf, w, h, j),
+      |tot AS (SELECT media_id, frame, CAST(SUM(s) AS BIGINT) AS total
+      |  FROM blk GROUP BY media_id, frame),
+      |bits AS (SELECT blk.media_id, blk.frame, blk.nf, blk.w, blk.h, blk.j,
+      |    CASE WHEN blk.s * (blk.w * blk.h) >= tot.total * blk.np
+      |      THEN '1' ELSE '0' END AS bit
+      |  FROM blk JOIN tot USING (media_id, frame)),
+      |vph AS (SELECT media_id, frame, CAST(MAX(nf) AS INTEGER) AS n_frames,
+      |    CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+      |    string_agg(bit, '' ORDER BY j) AS phash
+      |  FROM bits GROUP BY media_id, frame)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- multimodal: perceptual hash over REAL decoded pixels ----------
@@ -101,6 +153,52 @@ object Extensions {
       // same-family brightness-shifted copies land here, cross-family
       // images do not.
       val hashes = graft.operators.Multimodal.imagePhash(s, plantedPhashPngs(s, d)).toDF()
+      graft.operators.Dedup.phashNearDupPairs(hashes, "media_id", "phash",
+          bands = 8, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- multimodal: per-frame video fingerprints + video near-dup -----
+    Q("mm_video_phash",
+      s"""WITH $videoPhashCtes
+         |SELECT media_id, frame, n_frames, width, height, TRUE AS decoded, phash
+         |FROM vph ORDER BY media_id, frame""".stripMargin) { (s, d) =>
+      // Per-frame aHash over REAL AVI-decoded frames (Multimodal
+      // .aviFramePhash): the video twin of mm_phash, and the fingerprint
+      // video near-dup needs — grid²/8 bytes of signal per frame, pixels
+      // never shuffle. The oracle replays every planted frame's block
+      // lattice and bit from the formulas, per (video, frame).
+      graft.operators.Multimodal.aviFramePhash(s, plantedPhashAvis(s, d)).toDF()
+        .select("media_id", "frame", "n_frames", "width", "height", "decoded", "phash")
+        .orderBy("media_id", "frame")
+    },
+    Q("dd_video_neardup",
+      s"""WITH $videoPhashCtes,
+         |f0 AS (SELECT media_id, phash FROM vph WHERE frame = 0),
+         |bands AS (SELECT media_id, phash, bb.b AS band,
+         |    substr(phash, CAST(bb.b * 8 + 1 AS INTEGER), 8) AS bv
+         |  FROM f0, range(0, 8) AS bb(b)),
+         |cand AS (SELECT DISTINCT a.media_id AS id_a, x.media_id AS id_b,
+         |    a.phash AS pa, x.phash AS pb
+         |  FROM bands a JOIN bands x ON a.band = x.band AND a.bv = x.bv
+         |    AND a.media_id < x.media_id),
+         |h AS (SELECT id_a, id_b, CAST(len(list_filter(range(1, 65), i ->
+         |    substr(pa, CAST(i AS INTEGER), 1) <> substr(pb, CAST(i AS INTEGER), 1)))
+         |    AS INTEGER) AS hamming FROM cand)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // VIDEO near-duplicate pairs — the dedup signal doc-hash families
+      // and even image phash cannot see: anchor-frame (frame 0) aHashes
+      // feed the SAME banded pigeonhole-exact hamming join as
+      // dd_image_neardup, so the output is precisely "all video pairs
+      // whose anchor frames sit at hamming ≤ 6" — planted same-family
+      // brightness-shifted re-encodes land here, cross-family videos do
+      // not. At scale the anchor generalizes to every k-th frame with a
+      // pair-count vote; the plumbing (per-frame hash rows → banded
+      // join) is identical.
+      val hashes = graft.operators.Multimodal.aviFramePhash(s, plantedPhashAvis(s, d))
+        .toDF()
+        .filter(col("frame") === 0)
       graft.operators.Dedup.phashNearDupPairs(hashes, "media_id", "phash",
           bands = 8, maxHamming = 6)
         .orderBy("id_a", "id_b")

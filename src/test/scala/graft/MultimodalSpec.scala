@@ -31,6 +31,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.px_sum.get).toSeq == frames.map(_.map(_.toLong).sum))
   }
 
+  test("aviFramePhash: per-frame hashes, brightness shift moves few bits, corrupt flags") {
+    val base = Array.tabulate(24 * 16)(i => (i * 3) % 256)
+    val shifted = base.map(p => math.min(255, p + 8))
+    val differentFrame = Array.tabulate(24 * 16)(i => 255 - (i * 3) % 256)
+    val m = Seq(
+      Multimodal.MediaRow(1L, "video",
+        graft.sources.Avi.encodeGray8Frames(24, 16, 24, Seq(base, differentFrame))),
+      Multimodal.MediaRow(2L, "video",
+        graft.sources.Avi.encodeGray8Frames(24, 16, 24, Seq(shifted))),
+      Multimodal.MediaRow(3L, "video", "not an avi".getBytes("UTF-8"))).toDF()
+    val out = Multimodal.aviFramePhash(spark, m).collect()
+      .sortBy(r => (r.media_id, r.frame))
+    assert(out.map(r => (r.media_id, r.frame)).toSeq ==
+      Seq((1L, 0), (1L, 1), (2L, 0), (3L, -1)))
+    assert(!out.last.decoded && out.last.phash.isEmpty)
+    val h10 = out(0).phash.get
+    val h11 = out(1).phash.get
+    val h20 = out(2).phash.get
+    // near-dup anchor frames: few differing bits; unrelated frames: many
+    val near = h10.zip(h20).count { case (a, b) => a != b }
+    val far = h10.zip(h11).count { case (a, b) => a != b }
+    assert(near <= 6, s"brightness shift moved $near bits")
+    assert(far > 6, s"inverted frame should differ widely, moved $far bits")
+    // frame hashes match the still-image hash of the same raster
+    val still = Multimodal.imagePhash(spark, Seq(Multimodal.MediaRow(9L, "image",
+      graft.sources.Png.encodeGray(24, 16, base))).toDF()).collect().head
+    assert(still.phash.contains(h10), "frame aHash must equal the image aHash of the raster")
+  }
+
   test("decodeAviFrames: corrupt payload flags one row, never kills the pass") {
     val m = Seq(
       Multimodal.MediaRow(1L, "video",
