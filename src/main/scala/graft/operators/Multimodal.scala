@@ -293,37 +293,19 @@ object Multimodal {
         else {
           val w = img.getWidth
           val h = img.getHeight
-          if (w < grid || h < grid)
-            ImagePhash(r.media_id, bytes.length, decoded = true, Some(w), Some(h), None)
-          else {
-            val raster = img.getRaster
-            val sums = new Array[Long](grid * grid)
-            val npx = new Array[Long](grid * grid)
-            var total = 0L
-            var y = 0
-            while (y < h) {
-              val by = y.toLong * grid / h
-              var x = 0
-              while (x < w) {
-                val j = (by * grid + x.toLong * grid / w).toInt
-                val p = raster.getSample(x, y, 0)
-                sums(j) += p
-                npx(j) += 1
-                total += p
-                x += 1
-              }
-              y += 1
-            }
-            val npixAll = w.toLong * h
-            val sb = new java.lang.StringBuilder(grid * grid)
-            var j = 0
-            while (j < grid * grid) {
-              sb.append(if (sums(j) * npixAll >= total * npx(j)) '1' else '0')
-              j += 1
-            }
-            ImagePhash(r.media_id, bytes.length, decoded = true, Some(w), Some(h),
-              Some(sb.toString))
+          // one shared lattice implementation ([[ahashGray]]) — video
+          // frame hashes and image hashes must stay bit-identical, which
+          // two copies of the math cannot guarantee
+          val raster = img.getRaster
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
           }
+          ImagePhash(r.media_id, bytes.length, decoded = true, Some(w), Some(h),
+            ahashGray(px, w, h, grid))
         }
       }
     }

@@ -203,7 +203,19 @@ object Aggregates {
       .filter(col(rn) === bound(pLo) || col(rn) === bound(pHi))
       .groupBy(keys.map(col): _*)
       .agg(min(col(v)).as(s"${v}_lo"), max(col(v)).as(s"${v}_hi"))
-    df.join(bounds, keys, "left")
+    // NULL-SAFE key equality: groupedRank groups null keys together (the
+    // GROUP BY convention), so the join back must too — a plain equi-join
+    // would never match the null-key group's bounds row and return its
+    // rows silently unclamped
+    val bk = keys.zipWithIndex.map { case (k, i) =>
+      graft.core.Cols.fresh(df.columns.toSeq ++ keys, s"__wb$i$k")
+    }
+    val b = bounds.select(
+      keys.zip(bk).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(s"${v}_lo"), col(s"${v}_hi")): _*)
+    val cond = keys.zip(bk).map { case (k, a) => df(k) <=> b(a) }.reduce(_ && _)
+    df.join(b, cond, "left")
+      .drop(bk: _*)
       .withColumn(s"${v}_clamped",
         // Spark's greatest/least SKIP nulls, so a null v would otherwise
         // "clamp" to the hi bound instead of staying null

@@ -176,12 +176,10 @@ object Stats {
       .drop(mnN, mxN)
     val w = Window.partitionBy(col(kN), col(bN)).orderBy(value +: tie: _*)
     val local = bucketed.withColumn(lN, row_number().over(w))
+    // the fallback probe above already bounded nGroups·buckets, and
+    // totals.length <= nGroups·buckets, so this collect is ≤ maxDriverRows
     val totals = bucketed.groupBy(col(kN), col(bN)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    require(totals.length <= maxDriverRows,
-      s"groupedRank: ${totals.length} (group, bucket) cells exceed the $maxDriverRows " +
-        "driver cap — group cardinality is high enough that each group fits a reducer; " +
-        "use a plain per-group rank window instead")
     val off = scala.collection.mutable.Map.empty[String, Long]
     val gn = scala.collection.mutable.Map.empty[String, Long]
     totals.sortBy(t => (t._1, t._2)).foreach { case (g, b, n) =>

@@ -152,7 +152,11 @@ object Extensions {
       // so the output is precisely "all pairs at hamming ≤ 6" — planted
       // same-family brightness-shifted copies land here, cross-family
       // images do not.
+      // phashNearDupPairs contracts non-null 64-bit hashes (it
+      // assert_true's): corrupt or sub-grid media carry a null phash and
+      // must be screened out, not kill the corpus pass
       val hashes = graft.operators.Multimodal.imagePhash(s, plantedPhashPngs(s, d)).toDF()
+        .filter(col("phash").isNotNull)
       graft.operators.Dedup.phashNearDupPairs(hashes, "media_id", "phash",
           bands = 8, maxHamming = 6)
         .orderBy("id_a", "id_b")
@@ -196,9 +200,12 @@ object Extensions {
       // not. At scale the anchor generalizes to every k-th frame with a
       // pair-count vote; the plumbing (per-frame hash rows → banded
       // join) is identical.
+      // null-phash screen (corrupt payloads, sub-grid frames): the
+      // banded join contracts non-null 64-bit hashes — flag-and-skip,
+      // never kill the pass
       val hashes = graft.operators.Multimodal.aviFramePhash(s, plantedPhashAvis(s, d))
         .toDF()
-        .filter(col("frame") === 0)
+        .filter(col("frame") === 0 && col("phash").isNotNull)
       graft.operators.Dedup.phashNearDupPairs(hashes, "media_id", "phash",
           bands = 8, maxHamming = 6)
         .orderBy("id_a", "id_b")
@@ -586,11 +593,13 @@ object Extensions {
     Q("ev_seasonal",
       // Additive seasonal decomposition of the per-type daily series:
       // value = trend + seasonal + residual, with trend the centered
-      // 7-day moving average (full windows only) and seasonal the
-      // per-weekday mean of the detrended series. Engine-exact without
-      // a single order-dependent float reduction: daily values and
-      // their 7-day window sums are exact decimals, and the seasonal
-      // mean Σ(v − S7/7)/n is reorganized into exact sums
+      // 7-day moving average (full CALENDAR windows only: the 7-row
+      // frame must also span exactly 6 days — a gap day would otherwise
+      // silently widen the "7-day" average to 8+ calendar days) and
+      // seasonal the per-weekday mean of the detrended series.
+      // Engine-exact without a single order-dependent float reduction:
+      // daily values and their 7-day window sums are exact decimals, and
+      // the seasonal mean Σ(v − S7/7)/n is reorganized into exact sums
       // (Σv − ΣS7/7)/n — so each output is a fixed chain of IEEE ops
       // over exact integers, replayed token-for-token. Scale note: the
       // raw stream collapses in the FIRST aggregation (one map-side-
@@ -601,11 +610,13 @@ object Extensions {
         |    SUM(CAST(value AS DECIMAL(30,6))) AS v
         |  FROM events GROUP BY 1, 2),
         |w AS (SELECT event_type, day, v,
-        |    SUM(v) OVER win AS s7, COUNT(*) OVER win AS cnt
+        |    SUM(v) OVER win AS s7, COUNT(*) OVER win AS cnt,
+        |    MIN(day) OVER win AS d_lo, MAX(day) OVER win AS d_hi
         |  FROM dly
         |  WINDOW win AS (PARTITION BY event_type ORDER BY day
         |                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |k AS (SELECT event_type, day, day % 7 AS dow, v, s7 FROM w WHERE cnt = 7),
+        |k AS (SELECT event_type, day, day % 7 AS dow, v, s7 FROM w
+        |  WHERE cnt = 7 AND d_hi - d_lo = 6),
         |se AS (SELECT event_type, dow,
         |    (CAST(SUM(v) AS DOUBLE) - CAST(SUM(s7) AS DOUBLE) / 7)
         |      / CAST(COUNT(*) AS BIGINT) AS seasonal
@@ -625,7 +636,10 @@ object Extensions {
       val k = dly
         .withColumn("s7", sum(col("v")).over(win))
         .withColumn("cnt", count(lit(1)).over(win))
-        .filter(col("cnt") === 7)
+        .withColumn("d_lo", min(col("day")).over(win))
+        .withColumn("d_hi", max(col("day")).over(win))
+        .filter(col("cnt") === 7 && col("d_hi") - col("d_lo") === 6)
+        .drop("d_lo", "d_hi")
         .withColumn("dow", col("day") % 7)
       val se = k.groupBy(col("event_type"), col("dow"))
         .agg(((sum(col("v")).cast("double")
