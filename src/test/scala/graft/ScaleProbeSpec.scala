@@ -420,6 +420,39 @@ class ScaleProbeSpec extends SparkTestBase {
     small.unpersist(); big.unpersist()
   }
 
+  test("kCorePeel: 10x edges within linear time") {
+    // hash-derived sparse graph: ~4 edges per node, non-trivial peel
+    def edges(n: Long): DataFrame =
+      spark.range(n * 4).select(
+        pmod(xxhash64(col("id")), lit(n)).as("src"),
+        pmod(xxhash64(col("id") + lit(1L << 40)), lit(n)).as("dst"))
+    def run(n: Long): (Long, Double) =
+      timed(graft.operators.Graph.kCorePeel(edges(n), k = 5, rounds = 2).count())
+    run(20000L) // warm
+    val (rowsSmall, tSmall) = run(20000L)
+    val (rowsBig, tBig) = run(200000L)
+    assert(rowsSmall > 0 && rowsBig > 0, "fixture sanity: peel must leave survivors")
+    // no exchange-count pin here: the survivor sets shrink per round, so
+    // AQE legitimately broadcasts the semi-join side at small n and
+    // shuffles it at 10x — the adaptive choice is the point, and the
+    // linear gate below is what a real reshape would fail
+    assertLinear("kCorePeel", tSmall, tBig)
+  }
+
+  test("dominantDirection: 10x vectors within linear time (one sufficient-stats pass)") {
+    def run(n: Long): (Long, Double) = timed {
+      val out = graft.ops.Linalg.dominantDirection(
+        syntheticVecs(n, dim = 16).select(col("embedding").as("emb")), "emb", d = 16)
+      out.count()
+    }
+    run(nVecs) // warm
+    val (_, tSmall) = run(nVecs)
+    val (_, tBig) = run(nVecs * 10)
+    // the output is always d rows; the work is the single d(d+1)/2-column
+    // aggregation pass over the corpus — nothing else touches n
+    assertLinear("dominantDirection", tSmall, tBig)
+  }
+
   test("pf_ks_test: 10x rows within linear time, same exchange count, bounded offsets") {
     import graft.ops.Stats
     // two planted distributions: side A ~ id%1000, side B ~ (id%1000)+50
