@@ -229,10 +229,14 @@ object Similarity {
   }
 
   /** Materialize the inverted file: corpus + trained cell assignment,
-    * written `partitionBy("cell")`. Returns the codebook (persist it
-    * alongside the index in real deployments). `sampleMod` passes through
-    * to [[trainCodebook]] — at 100 TB you train the codebook on a
-    * deterministic hash-slice, while the assignment pass still covers
+    * written `partitionBy("cell")`, with the codebook PERSISTED alongside
+    * under `_codebook` (underscore-prefixed: invisible to parquet
+    * discovery of the index itself) — an index whose codebook dies with
+    * the building JVM cannot be probed, appended to, or compacted by any
+    * other process, so persistence is part of the build, not an
+    * afterthought. [[loadCodebook]] reads it back. `sampleMod` passes
+    * through to [[trainCodebook]] — at 100 TB you train the codebook on
+    * a deterministic hash-slice, while the assignment pass still covers
     * every vector.
     */
   def buildIvfIndex(
@@ -247,8 +251,37 @@ object Similarity {
     val cents = trainCodebook(df, id, vec, nCells, trainIters, sampleMod)
     df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    saveCodebook(df.sparkSession, path, cents)
     cents
   }
+
+  /** Persist a codebook next to its index (one tiny parquet under
+    * `_codebook/<name>`; nCells rows — an index action, not a data
+    * write). Used by every index build; also callable directly when a
+    * codebook is trained separately from the materialization.
+    */
+  def saveCodebook(
+      spark: SparkSession,
+      path: String,
+      cents: Seq[(Int, Seq[Double])],
+      name: String = "coarse"): Unit = {
+    import spark.implicits._
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook/$name")
+  }
+
+  /** Read a persisted codebook back — the cross-process half of the
+    * index contract: any JVM can [[probeIvfIndex]] / [[appendToIvfIndex]]
+    * / [[compactIvfIndex]] a materialized index without retraining.
+    */
+  def loadCodebook(
+      spark: SparkSession,
+      path: String,
+      name: String = "coarse"): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"$path/_codebook/$name")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
 
   /** Probe a materialized IVF index. The probed cells are computed
     * driver-side from the codebook and pushed as a literal `isin` filter,
@@ -656,8 +689,10 @@ object Similarity {
     * SQ8 codes, the float32 vectors DROPPED, written `partitionBy("cell")`
     * — a probe reads ~nProbe/nCells of the corpus at 4x fewer bytes per
     * vector, the compound IO bound of a billion-vector deployment.
-    * Returns the codebook and the per-dimension SQ8 ranges (persist both
-    * alongside the index in real deployments).
+    * Returns the codebook and the per-dimension SQ8 ranges; BOTH are
+    * persisted alongside the index (`_codebook/coarse`,
+    * `_codebook/sq8_ranges` — read back via [[loadCodebook]] /
+    * [[loadSq8Ranges]]), so any other process can probe the codes.
     */
   def buildIvfSq8Index(
       df: DataFrame,
@@ -674,8 +709,26 @@ object Similarity {
         vec, stats)
       .drop(vec)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    saveCodebook(df.sparkSession, path, cents)
+    saveSq8Ranges(df.sparkSession, path, stats)
     (cents, stats)
   }
+
+  /** Persist the per-dimension SQ8 (min, max) ranges next to the
+    * codes-only index (the decode half of the SQ8 contract).
+    */
+  def saveSq8Ranges(spark: SparkSession, path: String, stats: Seq[(Double, Double)]): Unit = {
+    import spark.implicits._
+    stats.zipWithIndex.map { case ((lo, hi), i) => (i, lo, hi) }
+      .toDF("pos", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook/sq8_ranges")
+  }
+
+  /** Read the persisted SQ8 ranges back, in dimension order. */
+  def loadSq8Ranges(spark: SparkSession, path: String): Seq[(Double, Double)] =
+    spark.read.parquet(s"$path/_codebook/sq8_ranges")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
 
   // codes-only indexes materialized by THIS JVM — same build-once shape as
   // ivfIndexCache, but the cached value also carries the SQ8 ranges
@@ -759,8 +812,18 @@ object Similarity {
         vec, cbs, dim / m)
       .drop(vec)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    saveCodebook(df.sparkSession, path, cents)
+    cbs.zipWithIndex.foreach { case (cb, sub) =>
+      saveCodebook(df.sparkSession, path, cb, name = s"pq_sub$sub")
+    }
     (cents, cbs)
   }
+
+  /** Read a PQ index's per-subspace codebooks back ([[buildIvfPqIndex]]
+    * persists one `_codebook/pq_subN` per subspace).
+    */
+  def loadPqCodebooks(spark: SparkSession, path: String, m: Int): Seq[Seq[(Int, Seq[Double])]] =
+    (0 until m).map(sub => loadCodebook(spark, path, name = s"pq_sub$sub"))
 
   private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]])]()
