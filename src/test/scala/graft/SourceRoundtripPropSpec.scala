@@ -105,4 +105,51 @@ class SourceRoundtripPropSpec extends SparkTestBase {
     val err = intercept[IllegalArgumentException](graft.sources.Avro.avroSchema(nested))
     assert(err.getMessage.contains("flat primitive"))
   }
+
+  test("zip shards roundtrip scalacheck-adversarial names and all-byte payloads") {
+    import org.apache.spark.sql.functions._
+    // names: adversarial unicode (no '/' — zip paths — and no NUL); payloads:
+    // arbitrary bytes including empty, 0x00 runs and high-bit values
+    val nameGen = Gen.chooseNum(1, 12).flatMap(k => Gen.listOfN(k, Gen.oneOf(
+      "a", "Z", "9", "_", " ", "é", "中", "🙂", ".", "-", "=", "&", "]", "[")).map(_.mkString))
+    val payloadGen = Gen.chooseNum(0, 600)
+      .flatMap(k => Gen.listOfN(k, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val n = 120
+    val names = sample(nameGen, n, 7L).zipWithIndex.map { case (s, i) => s"$i-$s" } // unique
+    val payloads = sample(payloadGen, n, 8L)
+    val rows = (0 until n).map(i => Row((i % 5).toLong, names(i), payloads(i)))
+    val schema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(new java.util.ArrayList[Row](rows.asJavaList), schema)
+    val dir = java.nio.file.Files.createTempDirectory("prop-zip").toString
+    graft.sources.Zip.writeShards(df, dir)
+    val back = graft.sources.Zip.read(spark, dir)
+      .select(col("name"), col("content")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(back.size == n)
+    (0 until n).foreach(i => assert(back(names(i)) == payloads(i).toSeq,
+      s"payload diverged for '${names(i)}'"))
+  }
+
+  test("avi gray8 roundtrip survives scalacheck geometries and frame counts") {
+    val cases = sample(for {
+      w <- Gen.chooseNum(1, 37)
+      h <- Gen.chooseNum(1, 23)
+      nf <- Gen.chooseNum(1, 5)
+      seedPx <- Gen.chooseNum(0, 1000)
+    } yield (w, h, nf, seedPx), 60, 11L)
+    cases.foreach { case (w, h, nf, seedPx) =>
+      val frames = (0 until nf).map(f =>
+        Array.tabulate(w * h)(i => (seedPx + f * 41 + i * 7) % 256))
+      val v = graft.sources.Avi.decodeGrayFrames(
+        graft.sources.Avi.encodeGray8Frames(w, h, 24, frames)).get
+      assert(v.width == w && v.height == h && v.frames.size == nf,
+        s"geometry/frames diverged at ${w}x$h nf=$nf")
+      v.frames.zip(frames).foreach { case (got, want) =>
+        assert(got.toSeq == want.toSeq, s"pixels diverged at ${w}x$h nf=$nf")
+      }
+    }
+  }
 }
