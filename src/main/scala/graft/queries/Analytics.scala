@@ -21,6 +21,57 @@ import graft.ops.{Funnel, Joins}
   */
 object Analytics {
 
+  /** The shared log-free BM25 pipeline (k1=1.2, b=0.75, fixed query
+    * terms; per-term scores floored to integer micro-units BEFORE the
+    * per-doc sum, so the reduction is order-independent) — tx_bm25's
+    * body, factored so the hybrid-fusion entry ranks the identical
+    * lexical leg. Returns (doc_id, n_terms, bm25_micro), unsorted.
+    */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dt = toks
+      .filter(col("term").isin("hash", "join", "spark", "window"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfPart = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))
+    dt.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), floor(idf * tfPart * lit(1000000.0)).as("micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("bm25_micro"))
+  }
+
+  /** tx_bm25's oracle CTE chain, shared with ann_hybrid_rrf. Yields
+    * `scored_docs(doc_id, n_terms, bm25_micro)`.
+    */
+  private val bm25Ctes: String =
+    """toks AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      |dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |  WHERE term IN ('hash', 'join', 'spark', 'window') GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
+      |scored AS (SELECT dt.doc_id,
+      |    CAST(floor(((CAST(stats.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+      |      * ((CAST(dt.tf AS DOUBLE) * 2.2) / (CAST(dt.tf AS DOUBLE)
+      |          + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))))
+      |      * 1000000.0) AS BIGINT) AS micro
+      |  FROM dt JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+      |scored_docs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(micro) AS BIGINT) AS bm25_micro
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- subtotal aggregation (rollup / cube) --------------------------
@@ -225,23 +276,10 @@ object Analytics {
 
     // ---- BM25 corpus ranking (log-free, integer-exact sum) -------------
     Q("tx_bm25",
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-        |dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-        |  WHERE term IN ('hash', 'join', 'spark', 'window') GROUP BY doc_id, term),
-        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
-        |scored AS (SELECT dt.doc_id,
-        |    CAST(floor(((CAST(stats.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
-        |      * ((CAST(dt.tf AS DOUBLE) * 2.2) / (CAST(dt.tf AS DOUBLE)
-        |          + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))))
-        |      * 1000000.0) AS BIGINT) AS micro
-        |  FROM dt JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(micro) AS BIGINT) AS bm25_micro
-        |FROM scored GROUP BY doc_id
-        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, bm25_micro
+         |FROM scored_docs
+         |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       // BM25 (Robertson/Spärck Jones probabilistic ranking, k1=1.2,
       // b=0.75) for a fixed query over the corpus, LOG-FREE: the raw
       // idf ratio (N-df+0.5)/(df+0.5) replaces ln(...) — ln is not
@@ -252,27 +290,63 @@ object Analytics {
       // are map-side-combined aggregates, the scoring join is keyed on
       // (doc_id, term) with df and corpus stats broadcast, and the final
       // top-20 is TakeOrdered — no global sort/window materializes.
-      val docs = documents(s, d)
-      val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val dt = toks
-        .filter(col("term").isin("hash", "join", "spark", "window"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))
-      val tfPart = (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))
-      dt.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), floor(idf * tfPart * lit(1000000.0)).as("micro"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("bm25_micro"))
+      bm25Scores(s, d)
         .orderBy(col("bm25_micro").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ---- hybrid retrieval: reciprocal-rank fusion ----------------------
+    Q("ann_hybrid_rrf",
+      // HYBRID search (the modern retrieval default: lexical + vector
+      // legs fused by reciprocal rank, Cormack et al. RRF, k=60): the
+      // BM25 top-50 and the embedding-cosine top-50 over the SAME doc
+      // universe each contribute 1/(60 + rank); docs found by only one
+      // leg keep that single term. Rank fusion is scale-free — it needs
+      // no score normalization across incomparable scales, which is why
+      // RRF beats score mixing in production hybrid stacks. Engine-exact:
+      // ranks are integers from total orders, each term is one IEEE
+      // division, and the two-term sum is written in fixed order
+      // (IEEE + is commutative, so the ≤2-row aggregation cannot drift).
+      // Scale shape: both legs end in TakeOrdered top-50 (partial per
+      // partition, no global sort); the rank windows then run on ≤50
+      // rows each, and the fusion join is 50x50-bounded.
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INTEGER) AS lex_rank
+         |  FROM (SELECT * FROM scored_docs ORDER BY bm25_micro DESC, doc_id LIMIT 50)),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id < 500),
+         |q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+         |vtop AS (SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS vec_rank
+         |  FROM (SELECT ev.vec_id, list_cosine_similarity(ev.v, q.qv) AS cosine
+         |        FROM ev, q ORDER BY cosine DESC, ev.vec_id LIMIT 50)),
+         |fused AS (SELECT COALESCE(lex.doc_id, vtop.doc_id) AS doc_id,
+         |    lex.lex_rank, vtop.vec_rank,
+         |    COALESCE(1.0 / (60 + lex.lex_rank), 0.0)
+         |      + COALESCE(1.0 / (60 + vtop.vec_rank), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN vtop ON lex.doc_id = vtop.doc_id)
+         |SELECT doc_id, lex_rank, vec_rank, rrf
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      graft.plans.Sketches.ensureRegistered(s)
+      val lex = bm25Scores(s, d)
+        .orderBy(col("bm25_micro").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+        .select("doc_id", "lex_rank")
+      val ev = embeddings(s, d).filter(col("vec_id") < 500)
+      val q = ev.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val vtop = ev.crossJoin(broadcast(q))
+        .withColumn("cosine", graft.functions.VectorFns.cosine(col("embedding"), col("qv")))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(50)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      lex.join(vtop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
     },
 
