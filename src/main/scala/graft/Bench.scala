@@ -52,7 +52,8 @@ object Bench {
     // bit-packed binary-quantization scan
     "ann_ivf_compact",    // append + cell compaction + pruned probe
     "ev_rfm",             // globalNtile two-level exact quintiles
-    "ann_binary_quant"    // packed sign-bit codes, bit_count(xor) hamming scan
+    "ann_binary_quant",   // packed sign-bit codes, bit_count(xor) hamming scan
+    "ann_hybrid_rrf"      // BM25 + vector legs, reciprocal-rank fusion
   )
 
   def main(args: Array[String]): Unit = {
