@@ -108,6 +108,62 @@ object Graph {
     alive.select(col("src").as("node"), col("deg"))
   }
 
+  /** Synchronized label propagation (Raghavan et al. 2007, the LPA
+    * community detector) over an undirected view of `edges`, made fully
+    * DETERMINISTIC: labels start as node ids, and each round every node
+    * simultaneously adopts the label most frequent among its neighbors,
+    * ties broken by the SMALLEST label — no random visit order, no
+    * random tie coin, so the result is bit-identical across engines,
+    * partitionings and retries (classic LPA's randomness is what keeps
+    * it out of reproducible pipelines). `rounds` bounds the fixpoint the
+    * way [[pageRankFixedPoint]]'s `iters` does; synchronized LPA can
+    * two-cycle on bipartite structure, and a bounded round count is the
+    * standard guard. Use case: community structure of a link/interaction
+    * graph for corpus curation — content farms and topic clusters
+    * surface as large communities, and the community id is a grouping
+    * key downstream mixing stages can balance on.
+    *
+    * Scale shape per round: one join of the (mirrored, deduplicated)
+    * edge list against the current label vector on the neighbor id, one
+    * map-side-combined (node, label) count, and an argmax aggregate via
+    * max(struct(count, -label)) — NO per-node rank window, so no
+    * single-reducer risk; everything keys on node ids. The label vector
+    * is one row per node; at web scale you would checkpoint it every few
+    * rounds exactly like the PageRank vector.
+    *
+    * Returns (node, community) after `rounds` rounds; isolated nodes
+    * (none, when nodes are derived from edge endpoints) keep their id.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one propagation round")
+    // same cleaning as kCorePeel: self-loops and null endpoints out
+    // BEFORE mirroring
+    val clean = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val und = clean
+      .unionAll(clean.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = und.select(col("src").as("v")).distinct()
+    var labels = nodes.select(col("v"), col("v").as("lab"))
+    for (_ <- 0 until rounds) {
+      val nb = und
+        .join(labels.select(col("v").as("dst"), col("lab")), Seq("dst"))
+        .select(col("src").as("v"), col("lab"))
+      val cnt = nb.groupBy("v", "lab").agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC): max over (c, -lab) structs —
+      // an aggregate, not a rank window, so hot nodes don't serialize
+      val pick = cnt
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("b"))
+        .select(col("v"), (-col("b.nl")).as("lab"))
+      labels = nodes
+        .join(pick, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lab"), col("v")).as("lab"))
+    }
+    labels.select(col("v").as("node"), col("lab").as("community"))
+  }
+
   /** Exact per-node triangle counts over an undirected view of `edges`,
     * DEGREE-ORIENTED (the MapReduce triangle algorithm of Cohen 2009 /
     * Suri–Vassilvitskii 2011): each canonical edge is directed from its

@@ -1034,6 +1034,51 @@ object Analytics {
       graft.operators.Graph.kCorePeel(edges, k = 7, rounds = 2)
         .orderBy("node")
     },
+    Q("g6_label_prop",
+      """WITH de AS (SELECT DISTINCT o_custkey % 300 AS src, o_orderkey % 300 AS dst
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_custkey % 300 <> o_orderkey % 300),
+        |e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+        |nodes AS (SELECT DISTINCT src AS v FROM e),
+        |l0 AS (SELECT v, v AS lab FROM nodes),
+        |n1 AS (SELECT e.src AS v, l0.lab FROM e JOIN l0 ON l0.v = e.dst),
+        |c1 AS (SELECT v, lab, CAST(COUNT(*) AS BIGINT) AS c FROM n1 GROUP BY 1, 2),
+        |p1 AS (SELECT v, lab FROM (SELECT v, lab,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn FROM c1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT nodes.v, COALESCE(p1.lab, nodes.v) AS lab
+        |  FROM nodes LEFT JOIN p1 USING (v)),
+        |n2 AS (SELECT e.src AS v, l1.lab FROM e JOIN l1 ON l1.v = e.dst),
+        |c2 AS (SELECT v, lab, CAST(COUNT(*) AS BIGINT) AS c FROM n2 GROUP BY 1, 2),
+        |p2 AS (SELECT v, lab FROM (SELECT v, lab,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn FROM c2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT nodes.v, COALESCE(p2.lab, nodes.v) AS lab
+        |  FROM nodes LEFT JOIN p2 USING (v)),
+        |cs AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS csize FROM l2 GROUP BY 1)
+        |SELECT l2.v AS node, l2.lab AS community, cs.csize
+        |FROM l2 JOIN cs USING (lab) ORDER BY node""".stripMargin) { (s, d) =>
+      // Deterministic synchronized label propagation (2 rounds) over a
+      // 300-node undirected view of the order graph — LPA community
+      // detection with the randomness removed (mode label, ties to the
+      // SMALLEST label, all nodes update simultaneously), so the oracle
+      // can unroll both rounds as plain CTEs. The Spark side's per-round
+      // argmax is a max(struct(count, -label)) AGGREGATE, not a rank
+      // window (the oracle's row_number spelling is equivalent by the
+      // tie-break order) — no per-node reducer serialization at scale.
+      // The fixture yields 51 communities (largest 51 nodes) at sf0.01,
+      // so both rounds do real re-labeling work. Use case: community
+      // ids as curation/mixing keys over link or co-interaction graphs.
+      val edges = orders(s, d)
+        .filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_custkey") % 300).as("src"), (col("o_orderkey") % 300).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val lp = graft.operators.Graph.labelPropagation(edges, rounds = 2)
+      val sizes = lp.groupBy("community").agg(count(lit(1)).as("csize"))
+      lp.join(sizes, Seq("community"))
+        .select("node", "community", "csize")
+        .orderBy("node")
+    },
     Q("g1_pagerank",
       """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
         |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
