@@ -139,6 +139,30 @@ object TextFns {
   def fingerprint64(c: Column): Column =
     call_function("graft_fingerprint64", c)
 
+  /** Unicode NFC normalization (UAX #15 canonical composition) — custom
+    * expression (graft.plans.Sketches.NfcNormalize, JDK Normalizer);
+    * callers must Sketches.ensureRegistered first. DuckDB's
+    * `nfc_normalize` is the oracle-side twin.
+    */
+  def nfcNormalize(c: Column): Column =
+    call_function("graft_nfc", c)
+
+  /** The invisible-codepoint class every corpus prep strips AFTER NFC:
+    * zero-width space/non-joiner/joiner, word joiner, BOM/zero-width
+    * no-break space, and soft hyphen. Kept as one shared character-class
+    * pattern so the Spark regexp_replace and the DuckDB oracle strip the
+    * identical set (both regex engines treat these as literal class
+    * members).
+    */
+  val InvisibleClass: String =
+    "[\u200B\u200C\u200D\u2060\uFEFF\u00AD]"
+
+  /** Strip invisible codepoints (see [[InvisibleClass]]). Run after NFC
+    * so audit counts measure post-composition codepoints.
+    */
+  def stripInvisible(c: Column): Column =
+    regexp_replace(c, InvisibleClass, "")
+
   /** All `window`-token rolling window hashes of a token array (h60 per
     * window, window order preserved; short docs get one whole-doc window)
     * — the signature stage of substring-level duplicate-span detection

@@ -80,7 +80,12 @@ object Aggregates {
     * `tiebreak` must complete a total order within each group (include a
     * unique id) — same contract as every pinned-survivor operator here.
     */
-  def madScale(df: DataFrame, keys: Seq[String], v: String, tiebreak: Seq[Column]): DataFrame = {
+  def madScale(
+      df: DataFrame,
+      keys: Seq[String],
+      v: String,
+      tiebreak: Seq[Column],
+      knownGroups: Option[Long] = None): DataFrame = {
     // medians are over NON-NULL values (R median(na.rm=TRUE)); without the
     // filter, nulls sort first, inflate __n and can land on the middle
     // ranks — silently skewing or nulling the group median
@@ -88,7 +93,8 @@ object Aggregates {
       val in = in0.filter(value.isNotNull)
       val rn = graft.core.Cols.fresh(in, "__rn")
       val n = graft.core.Cols.fresh(in.columns.toSeq :+ rn, "__n")
-      Stats.groupedRank(in, keys, value, tiebreak, rn, Some(n))
+      Stats.groupedRank(in, keys, value, tiebreak, rn, Some(n),
+          knownGroups = knownGroups)
         .filter(col(rn) === expr(s"($n + 1) div 2") ||
           col(rn) === expr(s"($n + 2) div 2"))
         .groupBy(keys.map(col): _*)
@@ -192,12 +198,14 @@ object Aggregates {
       keys: Seq[String],
       v: String,
       pLo: Double,
-      pHi: Double): DataFrame = {
+      pHi: Double,
+      knownGroups: Option[Long] = None): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
     val nonNull = df.filter(col(v).isNotNull)
     val rn = graft.core.Cols.fresh(df, "__rn")
     val n = graft.core.Cols.fresh(df.columns.toSeq :+ rn, "__n")
-    val ranked = Stats.groupedRank(nonNull, keys, col(v), Seq.empty, rn, Some(n))
+    val ranked = Stats.groupedRank(nonNull, keys, col(v), Seq.empty, rn, Some(n),
+      knownGroups = knownGroups)
     def bound(p: Double): Column = greatest(ceil(lit(p) * col(n)).cast("long"), lit(1L))
     val bounds = ranked
       .filter(col(rn) === bound(pLo) || col(rn) === bound(pHi))

@@ -465,6 +465,31 @@ object Sketches {
     override def prettyName: String = "graft_classifier_score"
   }
 
+  /** Unicode NFC normalization (canonical composition: decomposed
+    * e + COMBINING ACUTE becomes the single é codepoint) via the JDK's
+    * `java.text.Normalizer` — deterministic, engine-portable semantics
+    * (DuckDB's `nfc_normalize` implements the same UAX #15 form, which
+    * is what makes the tx_unicode oracle replayable). The fast path
+    * (`isNormalized`, true for most real text) allocates nothing.
+    * Not expressible with built-in Spark functions — normalization
+    * needs the Unicode composition tables; preference order per the
+    * build rules lands on a custom Expression.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+    override def prettyName: String = "graft_nfc"
+  }
+
   /** Register the sketch expressions in a session's function registry so
     * they are callable via functions.call_function (idempotent).
     */
@@ -490,5 +515,7 @@ object Sketches {
       es => NearestCells(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_classifier_score",
       es => ClassifierScore(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      es => NfcNormalize(es.head), "built-in")
   }
 }

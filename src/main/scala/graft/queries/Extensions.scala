@@ -792,6 +792,13 @@ object Extensions {
         .withColumn("monetary_milli", round(col("__mdec") * 1000, 0).cast("long"))
         .withColumn("monetary", col("__mdec").cast("double"))
         .drop("__mdec")
+        // each globalNtile runs two driver probe actions (min/max, bucket
+        // offsets) plus the ranked plan itself — without this lazy
+        // localCheckpoint the events aggregate above would re-scan the
+        // corpus ~7 times across the three nested quintile passes; with
+        // it, everything after the first action reads the |users|-row
+        // materialization (bit-identical results, lineage truncated)
+        .localCheckpoint(false)
       val scored = Stats.globalNtile(
         Stats.globalNtile(
           Stats.globalNtile(u, col("last_day"), col("user_id"), 5, "r"),

@@ -16,6 +16,14 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   */
 object TextData {
 
+  /** Planted tx_unicode suffix — a decomposed é (e + U+0301 COMBINING
+    * ACUTE, which NFC composes to one codepoint) plus three invisible
+    * codepoints (zero-width space, soft hyphen, BOM). Interpolated
+    * verbatim into BOTH the Spark literal and the oracle's SQL string,
+    * so the planted work is byte-identical on each side.
+    */
+  val UnicodeSuffix: String = " Cafe\u0301\u200Bde\u00ADluxe\uFEFF"
+
   /** Shared oracle CTE: banded-MinHash candidate pairs over `src`
     * (columns doc_id, text) — the exact SQL replay of
     * Dedup.minhashLshPairs' candidate stage with H=64 hashes, 8 bands of
@@ -2248,6 +2256,48 @@ object TextData {
           clean.as("clean_text"),
           (length(col("text")) - length(clean)).cast("long").as("n_chars_removed"),
           (col("text") === clean).as("unchanged"))
+        .orderBy("doc_id")
+    },
+    Q("tx_unicode",
+      s"""WITH a AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 5 = 0 THEN '$UnicodeSuffix' ELSE '' END AS aug
+         |  FROM documents),
+         |n AS (SELECT doc_id, aug, nfc_normalize(aug) AS nfc FROM a),
+         |c AS (SELECT doc_id, aug, nfc,
+         |    regexp_replace(nfc, '${graft.functions.TextFns.InvisibleClass}', '', 'g')
+         |      AS norm_text
+         |  FROM n)
+         |SELECT doc_id, norm_text,
+         |  CAST(length(aug) - length(nfc) AS BIGINT) AS n_composed,
+         |  CAST(length(nfc) - length(norm_text) AS BIGINT) AS n_invisible,
+         |  (aug <> norm_text) AS changed
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Unicode normalization (VERDICT r10 missing #4) — the FIRST
+      // transform of multilingual corpus prep, ahead of tx_normalize's
+      // whitespace pass: NFC canonical composition (decomposed
+      // e + COMBINING ACUTE becomes one é codepoint — dedup/hashing
+      // treats the two spellings as equal only after this) via the
+      // graft_nfc custom expression (JDK Normalizer, UAX #15 — the same
+      // form DuckDB's nfc_normalize implements), then the invisible-
+      // codepoint strip (zero-width space/joiners, word joiner, BOM,
+      // soft hyphen — the confusable-injection channel). Every fifth doc
+      // gets a planted suffix carrying a decomposed accent plus three
+      // invisibles, so both audit counters do real work at any SF. One
+      // narrow projection, no shuffle; audit counts are codepoint
+      // deltas, identical in both engines (both length()s count
+      // codepoints).
+      graft.plans.Sketches.ensureRegistered(s)
+      import graft.functions.TextFns
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(UnicodeSuffix)).otherwise(lit("")))
+      val nfc = TextFns.nfcNormalize(aug)
+      val clean = TextFns.stripInvisible(nfc)
+      documents(s, d).select(
+          col("doc_id"),
+          clean.as("norm_text"),
+          (length(aug) - length(nfc)).cast("long").as("n_composed"),
+          (length(nfc) - length(clean)).cast("long").as("n_invisible"),
+          (aug =!= clean).as("changed"))
         .orderBy("doc_id")
     },
     Q("tx_sentences",

@@ -122,6 +122,14 @@ object Zip {
     ds.flatMap(file => zipEntries(file))(Encoders.row(readSchema))
   }
 
+  /** One-pass entry iterator over a single archive. The stream closes
+    * on whichever comes first: end-of-archive (hasNext first returns
+    * false), a decode error (advance() closes before rethrowing), or
+    * task completion (the TaskContext listener — the executor path's
+    * abandonment guard). Driver-side callers outside a task get the
+    * first two; an abandoned, partially-consumed iterator with no task
+    * is the ONLY leak window, so drain or run inside a task.
+    */
   private def zipEntries(file: String): Iterator[Row] = {
     val p = new Path(file)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -133,7 +141,7 @@ object Zip {
       private var pending: Row = null
       private var done = false
 
-      private def advance(): Unit = {
+      private def advance(): Unit = try {
         while (pending == null && !done) {
           val e = zin.getNextEntry
           if (e == null) { done = true; closeIn() }
@@ -149,6 +157,11 @@ object Zip {
             pending = Row(file, e.getName, buf.toByteArray)
           }
         }
+      } catch {
+        // close BEFORE rethrowing: a corrupt archive must not leave the
+        // underlying filesystem stream open until GC on the driver path
+        // (executors also get the task-completion listener)
+        case t: Throwable => closeIn(); throw t
       }
 
       override def hasNext: Boolean = { advance(); pending != null }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Round-11 graph-operator contracts: convergence-detected connected
+  * components (exact at any diameter, where bounded-round LPA is provably
+  * short), string-node-id support (the r10 tie-break fix), and the
+  * checkpointEvery cadence (bit-identical results, bounded plan depth).
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pathEdges(n: Int) =
+    (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+
+  test("connectedComponents: exact on a long path where bounded LPA is short") {
+    // one 60-node path (diameter 59) + one separate 3-node path
+    val edges = pathEdges(60)
+      .unionAll(Seq((100L, 101L), (101L, 102L)).toDF("src", "dst"))
+    val cc = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 63)
+    assert((0 until 60).forall(i => cc(i.toLong) == 0L),
+      "every path node must reach the minimum label 0 regardless of distance")
+    assert(Seq(100L, 101L, 102L).forall(cc(_) == 100L))
+    // the contrast the operator exists for: min-label propagation at 3
+    // rounds only carries a label 3 hops — the far end of the path
+    // cannot know about node 0, so LPA yields many "communities" where
+    // there is provably one component
+    val lpa = Graph.labelPropagation(edges, rounds = 3).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(lpa.length > 2, s"expected bounded LPA to under-merge the path, got ${lpa.length}")
+  }
+
+  test("connectedComponents: string node ids (generic min-label type)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("q", "q"))
+      .toDF("src", "dst")
+    val cc = Graph.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"),
+      "string ids must flow through least/min; self-loops drop")
+  }
+
+  test("connectedComponents: partitioning-independent") {
+    val edges = pathEdges(40).unionAll(Seq((200L, 201L)).toDF("src", "dst"))
+    val a = Graph.connectedComponents(edges.repartition(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.connectedComponents(edges.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("labelPropagation: string node ids analyze and propagate (r10 #3)") {
+    // triangle a-b-c plus pendant d: after 2 rounds everything adopts the
+    // smallest label of its neighborhood majority
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val lp = Graph.labelPropagation(edges, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lp.keySet == Set("a", "b", "c", "d"))
+    assert(lp.values.forall(Set("a", "b", "c", "d")),
+      "labels must stay within the node-id domain")
+  }
+
+  test("checkpointEvery: results bit-identical, plan depth bounded") {
+    val edges = pathEdges(30)
+    val nodes = (0 until 30).map(_.toLong).toDF("v")
+    val plain = Graph.pageRankFixedPoint(nodes, edges, iters = 20)
+    val chk = Graph.pageRankFixedPoint(nodes, edges, iters = 20, checkpointEvery = 4)
+    val a = plain.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = chk.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b, "checkpoint cadence must not change any rank bit")
+    val plainDepth = plain.queryExecution.analyzed.treeString.linesIterator.size
+    val chkDepth = chk.queryExecution.analyzed.treeString.linesIterator.size
+    assert(chkDepth * 3 < plainDepth,
+      s"checkpointed plan should be far shallower: $chkDepth vs $plainDepth lines")
+
+    val lpPlain = Graph.labelPropagation(edges, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val lpChk = Graph.labelPropagation(edges, rounds = 6, checkpointEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(lpPlain == lpChk)
+
+    val kcPlain = Graph.kCorePeel(edges, k = 2, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val kcChk = Graph.kCorePeel(edges, k = 2, rounds = 6, checkpointEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(kcPlain == kcChk)
+  }
+}

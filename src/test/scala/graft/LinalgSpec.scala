@@ -15,6 +15,27 @@ class LinalgSpec extends SparkTestBase {
     Linalg.dominantDirection(df, "emb", d, iters).collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
 
+  test("guards d > 64 loudly (one-Row aggregate width bound)") {
+    val data = Seq((1L, Array.fill(65)(1.0))).toDF("vec_id", "emb")
+    val e = intercept[IllegalArgumentException](Linalg.dominantDirection(data, "emb", 65))
+    assert(e.getMessage.contains("d <= 64"))
+  }
+
+  test("second moments stay exact past the long-multiply wrap point") {
+    // raw |x| > ~3037 quantizes past 3.0e9 micro-units; the long product
+    // x*x would exceed 2^63 and silently wrap in non-ANSI mode — the
+    // decimal-factor cast keeps it exact (ADVICE r10 #1). Planted axis 0
+    // carries ~5000-magnitude values, so the pre-fix sum was garbage.
+    val data = (0 until 100).map { i =>
+      (i.toLong, Array(5000.0 + (i % 7), 0.001 * (i % 5)))
+    }.toDF("vec_id", "emb")
+    val r = result(data, 2)
+    assert(r.forall { case (_, _, ratio) => ratio > 0.999999 && ratio <= 1.0 },
+      s"axis 0 carries essentially all energy, got ${r.toSeq}")
+    assert(math.abs(r(0)._2) == 1.0 && math.abs(r(1)._2) < 1e-5,
+      s"loading must point at the planted axis, got ${r.toSeq}")
+  }
+
   test("deterministic across runs and partitionings") {
     val data = (0 until 500).map { i =>
       (i.toLong, Array.tabulate(8)(k => math.sin(i * 0.37 + k * 1.3)))

@@ -7,6 +7,44 @@ import graft.sources.{FixedWidth, Wav}
 class StatsSpec extends SparkTestBase {
   import spark.implicits._
 
+  // ---- groupedRank strategy-probe elision ------------------------------
+
+  test("groupedRank: knownGroups hint skips the strategy-probe job, ranks unchanged") {
+    val df = (for (g <- 1 to 3; i <- 1 to 40)
+      yield (s"g$g", ((g * 31 + i * 17) % 50).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    val sc = spark.sparkContext
+    def ranks(hint: Option[Long], group: String): Seq[(String, Long, Long)] = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      val out = graft.ops.Stats
+        .groupedRank(df, Seq("g"), col("v"), Seq(col("id")), "rk", knownGroups = hint)
+        .select("g", "id", "rk").as[(String, Long, Long)].collect()
+      sc.clearJobGroup()
+      out.sortBy(r => (r._1, r._2)).toSeq
+    }
+    val unhinted = ranks(None, "gr_probe_unhinted")
+    val hinted = ranks(Some(3L), "gr_probe_hinted")
+    assert(unhinted == hinted, "the hint must not change a single rank")
+    val jobsUnhinted = sc.statusTracker.getJobIdsForGroup("gr_probe_unhinted").length
+    val jobsHinted = sc.statusTracker.getJobIdsForGroup("gr_probe_hinted").length
+    assert(jobsHinted < jobsUnhinted,
+      s"hinted path must skip the distinct-count probe job: $jobsHinted vs $jobsUnhinted")
+  }
+
+  test("groupedRank: a large knownGroups hint selects the window fallback probe-free") {
+    val df = (for (g <- 1 to 4; i <- 1 to 10)
+      yield (s"g$g", i.toLong, i.toLong)).toDF("g", "v", "id")
+    // hint above maxDriverRows/buckets forces the per-group-window branch
+    val a = graft.ops.Stats
+      .groupedRank(df, Seq("g"), col("v"), Seq(col("id")), "rk",
+        knownGroups = Some(1L << 40))
+      .select("g", "id", "rk").as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val b = graft.ops.Stats
+      .groupedRank(df, Seq("g"), col("v"), Seq(col("id")), "rk")
+      .select("g", "id", "rk").as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq == b.toSeq, "both branches must produce identical ranks")
+  }
+
   // ---- EWMA ------------------------------------------------------------
 
   test("ewma: matches the sequential recursion over the bounded frame") {
