@@ -1541,6 +1541,48 @@ object TextData {
           k = 5, cents, nProbe = 4, excludeSelf = true)
         .orderBy("qid", "vec_id")
     },
+    Q("ann_knn_filtered",
+      // FILTERED batched k-NN (VERDICT r10 top-next #1) — "top-5 nearest
+      // WHERE label < 5", the production retrieval shape: the predicate
+      // is pushed into the partition-pruned cell scan (never post-
+      // filtering a fixed-k result, which silently loses recall), and
+      // the probe OVER-PROBES by the measured selectivity — both sides
+      // derive effProbe = LEAST(16, GREATEST(4, ceil(4/sel))) from the
+      // same counts, so the oracle replays codebook, widened probe set,
+      // filtered candidates and ranks bit-exactly. 16 cells (vs the knn
+      // join's 8) so the widened probe still prunes: sel ~0.5 widens
+      // 4 -> 8 of 16 cells.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 16, iters = 3)},
+         |sel AS (SELECT CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS s FROM embeddings),
+         |np AS (SELECT LEAST(16, GREATEST(4, CAST(ceil(4.0 / s) AS INT))) AS p FROM sel),
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 16 = 0),
+         |qc AS (SELECT t.qid, t.qvec, t.cell FROM (
+         |    SELECT q.qid, q.qvec, u.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC) AS rn
+         |    FROM q CROSS JOIN uf u) t, np WHERE t.rn <= np.p),
+         |sc AS (
+         |  SELECT qc.qid, a.vec_id, list_cosine_similarity(a.v, qc.qvec) AS cosine
+         |  FROM af a JOIN embeddings em ON em.vec_id = a.vec_id
+         |  JOIN qc ON a.cell = qc.cell
+         |  WHERE a.vec_id <> qc.qid AND em.label < 5)
+         |SELECT qid, vec_id, cosine FROM (
+         |  SELECT qid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM sc) WHERE rn <= 5
+         |ORDER BY qid, vec_id""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents) = Similarity.ensureIvfIndex(
+        e, "vec_id", "embedding", cacheKey = d, nCells = 16)
+      val q = e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.knnJoinFiltered(s, path, "vec_id", "embedding", q, "q_id", "q_emb",
+          k = 5, cents, predicate = col("label") < 5, nProbe = 4, excludeSelf = true)
+        .orderBy("qid", "vec_id")
+    },
     Q("ann_knn_join_pq",
       // the same batched retrieval over the IVF×PQ index: candidates are
       // scored from DECODED codes (the scan reads id/codes/cell only —

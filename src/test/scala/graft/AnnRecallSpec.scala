@@ -569,4 +569,54 @@ class AnnRecallSpec extends SparkTestBase {
     info(s"mean recall@10 at nProbe=2/8 cells: $mean")
     assert(mean > 0.2, s"mean recall $mean suspiciously low")
   }
+
+  test("knnJoinFiltered: recall parity with exact filtered truth; predicate pushed into the pruned scan") {
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_filt").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(e, "vec_id", "embedding", path, nCells = 8)
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pred = col("label") < 5 // planted selective attribute, sel ~0.5
+
+    // forced full coverage (selectivity hint far below any real match
+    // rate -> effProbe = nCells): the filtered probe must EQUAL exact
+    // filtered ground truth row for row — recall 1.0, not a floor
+    val full = Similarity.knnJoinFiltered(spark, path, "vec_id", "embedding",
+      q, "q_id", "q_emb", k = 5, cents, predicate = pred,
+      selectivity = Some(0.01), nProbe = 2, excludeSelf = true)
+    val exactFiltered = Similarity.exactKnnJoin(e.filter(pred), "vec_id", "embedding",
+      q, "q_id", "q_emb", k = 5, excludeSelf = true)
+    val mFull = Similarity.rankingMetrics(full, exactFiltered, "qid", "vec_id", "cosine", 5)
+      .agg(min(col("recall"))).head().getDouble(0)
+    assert(mFull == 1.0,
+      s"all-cells filtered probe must match exact filtered ground truth, min recall $mFull")
+
+    // measured-selectivity path: the over-probe (2 -> ~4 of 8 cells)
+    // must beat naive post-filtering of a fixed-k unfiltered result,
+    // which loses slots to candidates the predicate deletes
+    val measured = Similarity.knnJoinFiltered(spark, path, "vec_id", "embedding",
+      q, "q_id", "q_emb", k = 5, cents, predicate = pred, nProbe = 2, excludeSelf = true)
+    val naive = Similarity.knnJoin(spark, path, "vec_id", "embedding",
+        q, "q_id", "q_emb", k = 5, cents, nProbe = 2, excludeSelf = true)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(pred)
+      .select("qid", "vec_id", "cosine")
+    val recallOf = (df: org.apache.spark.sql.DataFrame) =>
+      Similarity.rankingMetrics(df, exactFiltered, "qid", "vec_id", "cosine", 5)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val rMeasured = recallOf(measured)
+    val rNaive = recallOf(naive)
+    info(s"filtered recall@5: over-probed $rMeasured vs post-filtered $rNaive")
+    assert(rMeasured > rNaive,
+      s"over-probed filtered search must beat post-filtering ($rMeasured vs $rNaive)")
+    assert(rMeasured >= 0.5, s"filtered recall floor: $rMeasured")
+
+    // plan pins: the predicate reaches the parquet scan (PushedFilters)
+    // AND the scan still partition-prunes on the probed cells
+    val plan = measured.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,5)"),
+      s"predicate must be pushed to the parquet scan:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell partition pruning must survive the filter:\n$plan")
+  }
 }
