@@ -53,7 +53,16 @@ object Bench {
     "ann_ivf_compact",    // append + cell compaction + pruned probe
     "ev_rfm",             // globalNtile two-level exact quintiles
     "ann_binary_quant",   // packed sign-bit codes, bit_count(xor) hamming scan
-    "ann_hybrid_rrf"      // BM25 + vector legs, reciprocal-rank fusion
+    "ann_hybrid_rrf",     // BM25 + vector legs, reciprocal-rank fusion
+    // round-11 additions (VERDICT r10 #9 + the round's new operators):
+    // the heavy round-10 shapes previously untimed, plus filtered ANN
+    // and convergence-detected components under regression watch
+    "mm_video_frames",    // full AVI decode (DIB + MJPEG), one row per frame
+    "dd_video_neardup",   // per-frame phash pigeonhole bands over AVI fixtures
+    "g5_kcore",           // synchronized k-core peeling rounds
+    "g7_cc_converged",    // large-star/small-star CC to exact fixpoint
+    "ann_knn_filtered",   // predicate-pushed over-probed top-k retrieval
+    "tx_unicode"          // NFC composition + invisible strip corpus pass
   )
 
   def main(args: Array[String]): Unit = {

@@ -113,7 +113,23 @@ object Snapshots {
     * partition carries over from the previous version untouched. Returns
     * the committed version number.
     */
-  def publishPartitions(spark: SparkSession, root: String)(write: String => Unit): Long = {
+  def publishPartitions(spark: SparkSession, root: String)(write: String => Unit): Long =
+    publishImpl(spark, root, full = false)(write)
+
+  /** Publish a FULL replacement of the table as one atomic version: the
+    * new manifest pins only the freshly staged files — nothing carries
+    * over, even partitions the staged tree does not mention. The commit
+    * shape for whole-table rewrites (codebook re-train re-assigns every
+    * row, so a cell the new codebook leaves empty must NOT keep its old
+    * generation's files the way a partial publish would).
+    */
+  def publishFull(spark: SparkSession, root: String)(write: String => Unit): Long =
+    publishImpl(spark, root, full = true)(write)
+
+  private def publishImpl(
+      spark: SparkSession,
+      root: String,
+      full: Boolean)(write: String => Unit): Long = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     fs.mkdirs(rootP)
@@ -147,12 +163,14 @@ object Snapshots {
 
     // previous file set: latest manifest, or — for a legacy table being
     // snapshot-enabled — the current on-disk listing minus what this
-    // publish just added
+    // publish just added. A full publish carries nothing over.
     val prevFiles = latestVersion(spark, root) match {
       case Some(v) => manifestFiles(spark, root, v)
       case None => listDataFiles(fs, rootP).filterNot(fresh.contains)
     }
-    val kept = prevFiles.filterNot(f => replaced.contains(f.takeWhile(_ != '/')))
+    val kept =
+      if (full) Seq.empty
+      else prevFiles.filterNot(f => replaced.contains(f.takeWhile(_ != '/')))
     val manifest = (kept ++ fresh).sorted
 
     // steps 3-4: claim a version atomically, then commit via one rename

@@ -162,7 +162,11 @@ object Dedup {
     * cut lineage — the standard scale pattern when GraphX is unavailable
     * or overkill; duplicate chains in web corpora are shallow, so
     * `maxIter` label hops converge in practice (convergence is checked,
-    * not assumed).
+    * not assumed). The pointer-doubling hop gives O(log diameter)
+    * rounds, same asymptotics as [[Graph.connectedComponents]]'s
+    * alternating large-star/small-star — use that operator when the
+    * input is a raw edge list rather than dedup pairs + an id universe
+    * (it derives nodes from edge endpoints and needs no maxIter tuning).
     */
   def canonicalize(
       ids: DataFrame,

@@ -1728,31 +1728,93 @@ object TextData {
       graft.plans.Sketches.ensureRegistered(s)
       val e = embeddings(s, d)
       val cents = Similarity.trainCodebook(e, "vec_id", "embedding", nCells = 8, iters = 3)
-      // micro-quantized centroids as a literal map — same FLOOR(x·1e6+0.5)
-      // rule as the oracle's cq, applied to the identical double means
-      val centQ: Map[Int, Seq[Long]] = cents.map { case (c, arr) =>
-        c -> arr.map(x => math.floor(x * 1e6 + 0.5).toLong)
-      }.toMap
       val assigned = e.withColumn("cell",
         element_at(Similarity.nearestCells(col("embedding"), cents, 1), 1).cast("int"))
-      val cq = element_at(typedLit(centQ), col("cell"))
-      val d2 = aggregate(
-        zip_with(col("embedding"), cq, (x, c) => {
-          val xq = floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")
-          (xq - c) * (xq - c)
-        }),
-        lit(0L), (acc, t) => acc + t)
-      val g = assigned
-        .select(col("cell"), d2.cast("decimal(38,0)").as("d2"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
-      val tot = assigned.agg(count(lit(1)).as("n_total"))
-      g.crossJoin(broadcast(tot))
-        .select(col("cell"), col("n_vecs"),
-          (col("n_vecs").cast("double") / col("n_total").cast("double")).as("share"),
-          ((col("inertia").cast("double") / col("n_vecs").cast("double"))
-            / 1000000000000.0).as("mean_dist2"))
+      // the profile now lives in Similarity.cellStats — the reusable
+      // operator needsRetrain/rebuildIvfIndex compose (same micro-unit
+      // FLOOR rule on centroids, exact BIGINT distances, decimal sums)
+      Similarity.cellStats(assigned, "embedding", cents)
         .orderBy("cell")
+    },
+    Q("ann_retrain_decision",
+      // The RETRAIN TRIGGER composed (VERDICT r10 missing #3): train on
+      // the even-id half, then append a deliberately DRIFTED batch (odd
+      // ids squeezed to x*0.2 + 0.5 — a different distribution than the
+      // codebook saw). The decision compares corpus-weighted inertia
+      // now vs at-build and the hottest cell's occupancy ratio against
+      // the documented defaults (drift > 1.5, skew > 4.0). Inertia sums
+      // are exact HUGEINT/DECIMAL(38,0) on both sides; the two ratios
+      // are fixed-order IEEE divisions; the drifted fixture pushes
+      // needs_retrain to TRUE non-vacuously (drifted rows collapse onto
+      // few cells far from their centroids). Similarity.needsRetrain /
+      // rebuildIvfIndex run this same signal against the persisted
+      // baseline in the index lifecycle (RetrainSpec).
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+             "WHERE vec_id % 2 = 0",
+           nCells = 8, iters = 3)},
+         |allv AS (SELECT vec_id, v FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.2 + 0.5)
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |${fullAssignCte("uf", "allv", "afull")},
+         |cq AS (SELECT cell, list_transform(c, x ->
+         |    CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS cq FROM c3),
+         |rb AS (SELECT
+         |    CAST(list_sum(list_transform(range(64), i ->
+         |      (CAST(FLOOR(a.v[CAST(i + 1 AS INTEGER)] * 1000000 + 0.5) AS BIGINT)
+         |        - cq.cq[CAST(i + 1 AS INTEGER)])
+         |      * (CAST(FLOOR(a.v[CAST(i + 1 AS INTEGER)] * 1000000 + 0.5) AS BIGINT)
+         |        - cq.cq[CAST(i + 1 AS INTEGER)]))) AS HUGEINT) AS d2
+         |  FROM af a JOIN cq USING (cell)),
+         |rf AS (SELECT
+         |    CAST(list_sum(list_transform(range(64), i ->
+         |      (CAST(FLOOR(a.v[CAST(i + 1 AS INTEGER)] * 1000000 + 0.5) AS BIGINT)
+         |        - cq.cq[CAST(i + 1 AS INTEGER)])
+         |      * (CAST(FLOOR(a.v[CAST(i + 1 AS INTEGER)] * 1000000 + 0.5) AS BIGINT)
+         |        - cq.cq[CAST(i + 1 AS INTEGER)]))) AS HUGEINT) AS d2
+         |  FROM afull a JOIN cq USING (cell)),
+         |gb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(d2) AS inertia FROM rb),
+         |gf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(d2) AS inertia FROM rf),
+         |sh AS (SELECT MAX(CAST(cnt AS DOUBLE)
+         |      / CAST((SELECT COUNT(*) FROM afull) AS DOUBLE)) AS ms
+         |  FROM (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM afull GROUP BY cell)),
+         |m AS (SELECT gb.n AS n_base, gf.n AS n_total,
+         |    (CAST(gf.inertia AS DOUBLE) / CAST(gf.n AS DOUBLE))
+         |      / (CAST(gb.inertia AS DOUBLE) / CAST(gb.n AS DOUBLE)) AS inertia_ratio,
+         |    sh.ms * 8 AS max_share_ratio
+         |  FROM gb, gf, sh)
+         |SELECT n_base, n_total, inertia_ratio, max_share_ratio,
+         |  (inertia_ratio > 1.5 OR max_share_ratio > 4.0) AS needs_retrain
+         |FROM m""".stripMargin) { (s, d) =>
+      graft.plans.Sketches.ensureRegistered(s)
+      val e = embeddings(s, d)
+      val base = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val batch = e.filter(col("vec_id") % 2 === 1)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * 0.2 + 0.5).as("v"))
+      val cents = Similarity.trainCodebook(base, "vec_id", "v", nCells = 8, iters = 3)
+      def assign(df: org.apache.spark.sql.DataFrame) = df.withColumn("cell",
+        element_at(Similarity.nearestCells(col("v"), cents, 1), 1).cast("int"))
+      val b = Similarity.corpusInertia(assign(base), "v", cents)
+        .select(col("n").as("n_base"), col("inertia").as("ib"))
+      val f = Similarity.corpusInertia(assign(base.unionAll(batch)), "v", cents)
+        .select(col("n").as("n_total"), col("inertia").as("if"))
+      val ms = Similarity.cellStats(assign(base.unionAll(batch)), "v", cents)
+        .agg(max(col("share")).as("ms"))
+      b.crossJoin(f).crossJoin(ms)
+        .select(col("n_base"), col("n_total"),
+          ((col("if").cast("double") / col("n_total").cast("double"))
+            / (col("ib").cast("double") / col("n_base").cast("double")))
+            .as("inertia_ratio"),
+          (col("ms") * 8).as("max_share_ratio"))
+        .select(col("n_base"), col("n_total"), col("inertia_ratio"),
+          col("max_share_ratio"),
+          (col("inertia_ratio") > 1.5 || col("max_share_ratio") > 4.0)
+            .as("needs_retrain"))
     },
     Q("ann_ivf_append",
       // INCREMENTAL index maintenance (VERDICT r8 top-next #2): the index

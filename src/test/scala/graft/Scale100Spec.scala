@@ -143,6 +143,26 @@ class Scale100Spec extends SparkTestBase {
       assert(Similarity.compactIvfIndex(spark, path, maxFilesPerCell = 4).isEmpty,
         s"compaction did not converge at n=$m")
       assert(probe() == before, s"compaction changed probe results at n=$m")
+      // profile → retrain closes the lifecycle loop (r10 missing #3):
+      // same-distribution appends must NOT trip the drift trigger, and
+      // the atomic rebuild must keep the index probeable with the same
+      // k-row contract (result set differs only through the re-trained
+      // codebook, so compare against a self-probe, not `before`)
+      Similarity.baselineIvfIndex(spark, path, "embedding")
+      val (needed, ratio, skew) = Similarity.needsRetrain(spark, path, "embedding")
+      assert(!needed,
+        f"same-distribution appends tripped the retrain trigger at n=$m " +
+          f"(inertia ratio $ratio%.3f, skew $skew%.3f)")
+      val (_, newCents) = Similarity.rebuildIvfIndex(
+        spark, path, "vec_id", "embedding",
+        trainIters = 2, sampleMod = math.max(1, (m / 50000L).toInt))
+      graft.core.Snapshots.vacuum(spark, path, keepVersions = 1)
+      val after = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding",
+          qvec, queryId = -1L, k = 10, newCents, nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(after.size == 10, s"rebuilt index must answer a full top-k at n=$m")
+      val (n2, r2, _) = Similarity.needsRetrain(spark, path, "embedding")
+      assert(!n2 && r2 == 1.0, s"rebuild must reset the baseline at n=$m (ratio $r2)")
       (tAppend, appendReads, probeReads, m + 3 * batchN, before)
     }
 
