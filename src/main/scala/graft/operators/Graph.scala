@@ -225,8 +225,10 @@ object Graph {
     * EXACTLY each round: equal distinct-edge counts plus an empty
     * one-sided EXCEPT (sets of equal size with an empty difference are
     * equal) — no hash-collision risk, two bounded jobs on the shrinking
-    * edge set. Lineage is truncated every `checkpointEvery` rounds
-    * (required > 0 here: the loop is open-ended by design).
+    * edge set. Each round localCheckpoints its edge set BEFORE the
+    * fixpoint check: the loop needs per-round materialization anyway
+    * (count + occasional EXCEPT), so checkpoint-first makes the round's
+    * plan execute exactly once and keeps lineage depth constant.
     *
     * Everything is min/least over the node-id type — string ids work
     * (unlike the old numeric-negation LPA tie-break). Scale shape per
@@ -241,11 +243,8 @@ object Graph {
     */
   def connectedComponents(
       edges: DataFrame,
-      maxRounds: Int = 64,
-      checkpointEvery: Int = 2): DataFrame = {
+      maxRounds: Int = 64): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    require(checkpointEvery >= 1,
-      "connectedComponents iterates to convergence — a checkpoint cadence is required")
     val clean = edges
       .select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -261,10 +260,12 @@ object Graph {
         .unionAll(e.select(col("b").as("x"), col("a").as("y")))
       val mins = nbr.groupBy("x").agg(min(col("y")).as("mn"))
         .select(col("x"), least(col("mn"), col("x")).as("m"))
+      // no dedup on the large-star output: duplicates cannot change
+      // small-star's min aggregate, and the round's final distinct
+      // dedups the edge set — one fewer shuffle per round
       val ls = nbr.join(mins, "x")
         .filter(col("y") > col("x"))
         .select(col("y").as("a"), col("m").as("b"))
-        .distinct()
       val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
       val ssRaw = ls.join(mins2, "a")
         .select(col("b").as("x"), col("m"))
@@ -272,7 +273,14 @@ object Graph {
         .filter(col("x") =!= col("m"))
         .select(col("x").as("a"), col("m").as("b"))
         .distinct()
-      val ss = maybeCheckpoint(ssRaw, round, checkpointEvery)
+      // checkpoint FIRST (one execution of the round's plan), so the
+      // count reads the materialized rows and the occasional EXCEPT
+      // re-reads them instead of re-running the round — the earlier
+      // count-then-checkpoint order executed every round's plan twice.
+      // The fixpoint loop needs per-round materialization anyway, so
+      // checkpointEvery > 1 would only deepen the next round's lineage
+      // without saving a job; cadence 1 is the operating point.
+      val ss = ssRaw.localCheckpoint()
       val n2 = ss.count()
       converged = n2 == n && ss.except(e).isEmpty
       e = ss

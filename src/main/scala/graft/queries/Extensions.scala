@@ -18,21 +18,51 @@ import graft.ops.Stats
   */
 object Extensions {
 
-  /** Planted rasters for the phash family: content keyed by gid = id % 40
-    * (so ~13 images share each content family) plus a small per-copy
-    * brightness phase shift delta = id / 40 — same-family images are
-    * NEAR-duplicates (small hamming distance between their aHashes),
-    * cross-family images are far. Sizes are ≥ the 8×8 hash grid.
-    * Every formula is replayed verbatim by the oracles.
+  /** Per-family pattern parameters from the family id's md5: a base
+    * offset (first hex byte) and an odd pixel stride (second byte → 64
+    * strides). The md5 derivation is what keeps cross-family CONTENT
+    * diverse: the earlier plain-ramp scheme (base = fam·31, stride 1)
+    * had only ~256 distinct wrap positions per geometry, so at sf0.1
+    * nearly every pair of the 5000 anchor hashes collided on some band —
+    * 10.7M candidate pairs through the near-dup join (measured; the
+    * md5-parameterized content yields 4,282 distinct hashes and 674k
+    * candidates at the same scale, with the planted same-family pairs
+    * still landing). DuckDB replays it as
+    * CAST('0x' || substr(md5(fam), …) AS BIGINT).
+    */
+  private def famPattern(fam: Long): (Int, Int) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(fam.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (Integer.parseInt(hex.substring(0, 2), 16),
+      1 + 2 * (Integer.parseInt(hex.substring(2, 4), 16) % 64))
+  }
+
+  /** Planted rasters for the phash family: content keyed by
+    * fam = id DIV 5 (exactly 5 images per content family — CONSTANT in
+    * the corpus size, so the banded near-dup join's candidate volume
+    * grows linearly with the table; the old gid = id % 40 scheme let
+    * family size — and candidate pairs, quadratically — grow with SF),
+    * pattern shape from [[famPattern]]'s md5-derived (base, stride)
+    * (cross-family content diversity — see there), plus a small
+    * per-copy brightness phase shift delta = id % 5 — same-family
+    * images are NEAR-duplicates (small hamming distance between their
+    * aHashes), cross-family images are far. Sizes are ≥ the 8×8 hash
+    * grid. Every formula is replayed verbatim by the oracles.
+    * Repartitioned off the single-row-group documents scan so
+    * encode/decode parallelize.
     */
   private def plantedPhashPngs(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    documents(s, d).select("doc_id").as[Long].map { id =>
-      val gid = id % 40
-      val delta = id / 40
-      val w = (24 + (gid % 3) * 8).toInt
-      val h = (16 + (gid % 2) * 8).toInt
-      val px = Array.tabulate(w * h)(i => ((gid * 31 + i + delta) % 256).toInt)
+    documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long].map { id =>
+      val fam = id / 5
+      val delta = id % 5
+      val (fbase, fstride) = famPattern(fam)
+      val w = (24 + (fam % 3) * 8).toInt
+      val h = (16 + (fam % 2) * 8).toInt
+      val px = Array.tabulate(w * h)(i => ((fbase + i * fstride + delta) % 256).toInt)
       graft.operators.Multimodal.MediaRow(id, "image", graft.sources.Png.encodeGray(w, h, px))
     }.toDF()
   }
@@ -41,13 +71,17 @@ object Extensions {
     * exact integer floors → cross-multiplied mean bits → 64-char hash.
     */
   private val phashCtes: String =
-    """g AS (SELECT doc_id AS media_id, doc_id % 40 AS gid, doc_id // 40 AS delta
+    """g AS (SELECT doc_id AS media_id, doc_id // 5 AS fam, doc_id % 5 AS delta
       |  FROM documents),
-      |dim AS (SELECT media_id, gid, delta,
-      |    CAST(24 + (gid % 3) * 8 AS BIGINT) AS w,
-      |    CAST(16 + (gid % 2) * 8 AS BIGINT) AS h FROM g),
+      |fpat AS (SELECT media_id, fam, delta,
+      |    CAST('0x' || substr(md5(CAST(fam AS VARCHAR)), 1, 2) AS BIGINT) AS fbase,
+      |    1 + 2 * (CAST('0x' || substr(md5(CAST(fam AS VARCHAR)), 3, 2) AS BIGINT) % 64)
+      |      AS fstride FROM g),
+      |dim AS (SELECT media_id, fam, delta, fbase, fstride,
+      |    CAST(24 + (fam % 3) * 8 AS BIGINT) AS w,
+      |    CAST(16 + (fam % 2) * 8 AS BIGINT) AS h FROM fpat),
       |px AS (SELECT media_id, w, h, u.i % w AS x, u.i // w AS y,
-      |    (gid * 31 + u.i + delta) % 256 AS p
+      |    (fbase + u.i * fstride + delta) % 256 AS p
       |  FROM dim, unnest(generate_series(0, w * h - 1)) AS u(i)),
       |blk AS (SELECT media_id, w, h, ((y * 8) // h) * 8 + ((x * 8) // w) AS j,
       |    CAST(SUM(p) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS np
@@ -63,23 +97,27 @@ object Extensions {
       |  FROM bits GROUP BY media_id)""".stripMargin
 
   /** Planted AVIs for the video-phash family — the [[plantedPhashPngs]]
-    * content-family scheme lifted to multi-frame video: gid = id % 40
-    * keys the family, delta = id / 40 is the per-copy brightness phase
-    * shift (same-family videos are near-duplicates frame for frame), and
-    * each video carries 1 + id % 3 frames whose pixels also vary by a
-    * per-frame phase (frame · 53). Every formula is replayed verbatim by
-    * the oracles.
+    * content-family scheme lifted to multi-frame video: fam = id DIV 5
+    * keys the family (constant 5-member families, see the PNG twin),
+    * delta = id % 5 is the per-copy brightness phase shift (same-family
+    * videos are near-duplicates frame for frame), and each video
+    * carries 1 + id % 3 frames whose pixels also vary by a per-frame
+    * phase (frame · 53). Every formula is replayed verbatim by the
+    * oracles.
     */
   private def plantedPhashAvis(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    documents(s, d).select("doc_id").as[Long].map { id =>
-      val gid = id % 40
-      val delta = id / 40
-      val w = (24 + (gid % 3) * 8).toInt
-      val h = (16 + (gid % 2) * 8).toInt
+    documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long].map { id =>
+      val fam = id / 5
+      val delta = id % 5
+      val (fbase, fstride) = famPattern(fam)
+      val w = (24 + (fam % 3) * 8).toInt
+      val h = (16 + (fam % 2) * 8).toInt
       val nf = (1 + id % 3).toInt
       val frames = (0 until nf).map(f =>
-        Array.tabulate(w * h)(i => ((gid * 31 + f * 53 + i + delta) % 256).toInt))
+        Array.tabulate(w * h)(i => ((fbase + f * 53 + i * fstride + delta) % 256).toInt))
       graft.operators.Multimodal.MediaRow(id, "video",
         graft.sources.Avi.encodeGray8Frames(w, h, 24, frames))
     }.toDF()
@@ -89,15 +127,20 @@ object Extensions {
     * formulas — [[phashCtes]] with the frame dimension threaded through.
     */
   private val videoPhashCtes: String =
-    """g AS (SELECT doc_id AS media_id, doc_id % 40 AS gid, doc_id // 40 AS delta,
+    """g AS (SELECT doc_id AS media_id, doc_id // 5 AS fam, doc_id % 5 AS delta,
       |    CAST(1 + doc_id % 3 AS INTEGER) AS nf FROM documents),
-      |dim AS (SELECT media_id, gid, delta, nf,
-      |    CAST(24 + (gid % 3) * 8 AS BIGINT) AS w,
-      |    CAST(16 + (gid % 2) * 8 AS BIGINT) AS h FROM g),
-      |fr AS (SELECT media_id, gid, delta, nf, w, h, CAST(u.f AS INTEGER) AS frame
+      |fpat AS (SELECT media_id, fam, delta, nf,
+      |    CAST('0x' || substr(md5(CAST(fam AS VARCHAR)), 1, 2) AS BIGINT) AS fbase,
+      |    1 + 2 * (CAST('0x' || substr(md5(CAST(fam AS VARCHAR)), 3, 2) AS BIGINT) % 64)
+      |      AS fstride FROM g),
+      |dim AS (SELECT media_id, fam, delta, nf, fbase, fstride,
+      |    CAST(24 + (fam % 3) * 8 AS BIGINT) AS w,
+      |    CAST(16 + (fam % 2) * 8 AS BIGINT) AS h FROM fpat),
+      |fr AS (SELECT media_id, fam, delta, nf, fbase, fstride, w, h,
+      |    CAST(u.f AS INTEGER) AS frame
       |  FROM dim, unnest(generate_series(0, nf - 1)) AS u(f)),
       |px AS (SELECT media_id, frame, nf, w, h, u.i % w AS x, u.i // w AS y,
-      |    (gid * 31 + frame * 53 + u.i + delta) % 256 AS p
+      |    (fbase + frame * 53 + u.i * fstride + delta) % 256 AS p
       |  FROM fr, unnest(generate_series(0, w * h - 1)) AS u(i)),
       |blk AS (SELECT media_id, frame, nf, w, h,
       |    ((y * 8) // h) * 8 + ((x * 8) // w) AS j,

@@ -2586,7 +2586,11 @@ object TextData {
       // hash-gated. The lossy Motion-JPEG path of the same container is
       // spec-pinned (AviSpec) rather than formula-oracled.
       import s.implicits._
-      val avis = documents(s, d).select("doc_id").as[Long].map { id =>
+      // repartition off the single-row-group documents scan so the
+      // encode/decode pipeline parallelizes instead of running one task
+      val avis = documents(s, d).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[Long].map { id =>
         val w = (8 + id % 5).toInt
         val h = (6 + id % 3).toInt
         val nf = (1 + id % 4).toInt
