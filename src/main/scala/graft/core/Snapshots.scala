@@ -187,6 +187,37 @@ object Snapshots {
     v
   }
 
+  /** Publish PURELY ADDITIVE files (already renamed into the live
+    * layout, paths relative to `root`) as a new version: manifest =
+    * previous ∪ added — nothing is replaced or removed. The commit shape
+    * for APPENDS on a snapshot-managed table (an ingest batch's files
+    * are invisible to manifest readers until a manifest references
+    * them). The union deduplicates, so re-publishing the same
+    * deterministic file names after a crash replay cannot double-count
+    * a file. Requires an existing version (a plain table's appends are
+    * visible to its plain readers already — nothing to commit).
+    */
+  def publishAddedFiles(spark: SparkSession, root: String, files: Seq[String]): Long = {
+    require(files.nonEmpty, "publishAddedFiles: no files")
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val prev = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"publishAddedFiles: $root has no published version — additive commits " +
+          "only apply to snapshot-managed tables"))
+    val manifest = (manifestFiles(spark, root, prev) ++ files).distinct.sorted
+    var v = prev + 1
+    while (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim")))
+      v += 1
+    val tmp = new Path(s"$root/$ManifestDir/.tmp-add-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, manifestPath(root, v)),
+      s"publishAddedFiles: manifest commit rename failed for version $v")
+    v
+  }
+
   /** Read a pinned version (default: latest). Plans from the manifest's
     * explicit file list with the table root as basePath, so hive
     * partition columns resolve exactly as a plain root read would.

@@ -283,6 +283,22 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).toSeq
 
+  /** The index's current row set, SNAPSHOT-AWARE: an index operated in
+    * snapshot mode (a `_manifests` dir exists — see
+    * [[compactIvfCellsSnapshot]] / [[rebuildIvfIndex]]) resolves the
+    * latest manifest's exact file list, so probes never observe the
+    * superseded generation a publish left on disk for pinned readers
+    * (a plain root read would double-count every compacted cell until
+    * vacuum). A plain index reads the root directly. Partition pruning
+    * is unaffected either way: the manifest read keeps the table root
+    * as basePath, so `cell` stays a partition column and literal `isin`
+    * filters prune at planning.
+    */
+  private def indexScan(spark: SparkSession, path: String): DataFrame =
+    graft.core.Snapshots.latestVersion(spark, path)
+      .map(v => graft.core.Snapshots.readSnapshot(spark, path, Some(v)))
+      .getOrElse(spark.read.parquet(path))
+
   /** Probe a materialized IVF index. The probed cells are computed
     * driver-side from the codebook and pushed as a literal `isin` filter,
     * so the parquet scan partition-prunes to ~nProbe/nCells of the data —
@@ -300,7 +316,7 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     graft.plans.Sketches.ensureRegistered(spark)
     val cells = nearestCellsLocal(qvec, cents, nProbe)
-    spark.read.parquet(path)
+    indexScan(spark, path)
       .filter(col("cell").isin(cells: _*))
       .filter(col(id) =!= queryId)
       .withColumn("cosine", VectorFns.cosine(col(vec), typedLit(qvec)))
@@ -486,20 +502,35 @@ object Similarity {
     // after the lock clears is the normal idempotent path
     requireNoCompactionInFlight(fs, path)
     val prefix = s"ingest-b$batchId-"
-    fs.listStatus(stage)
+    val renamed = fs.listStatus(stage)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .foreach { cd =>
+      .flatMap { cd =>
         val tgt = new Path(path, cd.getPath.getName)
         fs.mkdirs(tgt)
         fs.listStatus(tgt).filter(_.getPath.getName.startsWith(prefix))
           .foreach(f => fs.delete(f.getPath, false))
         fs.listStatus(cd.getPath).map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
-          .sortBy(_.getName).zipWithIndex.foreach { case (src, i) =>
-            require(fs.rename(src, new Path(tgt, s"$prefix$i.snappy.parquet")),
+          .sortBy(_.getName).zipWithIndex.map { case (src, i) =>
+            val name = s"$prefix$i.snappy.parquet"
+            require(fs.rename(src, new Path(tgt, name)),
               s"ivf append: rename of $src into $tgt failed")
+            s"${cd.getPath.getName}/$name"
           }
-      }
+      }.toSeq
+    // SNAPSHOT-MODE commit: a manifest-managed index (see
+    // compactIvfCellsSnapshot / rebuildIvfIndex) makes the batch visible
+    // to snapshot readers through an additive manifest version — without
+    // it the renamed files would be invisible to every probe until the
+    // next compaction republished the cells. File names are
+    // batch-deterministic and the additive publish deduplicates, so a
+    // crash replay re-publishing the same names cannot double-count.
+    // Known narrow window: a replay that crashed between this publish
+    // and the done marker deletes-and-recreates the batch's files under
+    // the same names — a reader pinned across exactly that window can
+    // fail and should retry.
+    if (graft.core.Snapshots.latestVersion(spark, path).nonEmpty)
+      graft.core.Snapshots.publishAddedFiles(spark, path, renamed)
     fs.mkdirs(done.getParent)
     fs.create(done, true).close()
     fs.delete(stage, true)
@@ -654,6 +685,14 @@ object Similarity {
     // left its stage dir (we refuse below) or sees our lock before its
     // first live rename and backs off — no interleaving can slip a
     // committed batch's rows between our snapshot and the overwrite
+    // a snapshot-mode index must compact through the manifest layer: the
+    // dynamic overwrite below DELETES the replaced cells' old files,
+    // which older manifests still reference — a pinned reader would
+    // break mid-read
+    require(graft.core.Snapshots.latestVersion(spark, path).isEmpty,
+      s"$path is snapshot-managed (_manifests exists) — use " +
+        "compactIvfCellsSnapshot, which publishes a new version instead of " +
+        "deleting files under pinned readers")
     acquireCompactionLock(spark, path)
     try {
       requireNoInflightAppend(spark, path)
@@ -713,7 +752,10 @@ object Similarity {
     * one listStatus per cell directory, no data read, cost ∝ number of
     * cells — nCells, not corpus size), so a scheduler can run it every
     * few batches for free and feed the result straight to
-    * [[compactIvfCells]].
+    * [[compactIvfCells]]. On a snapshot-managed index the listing also
+    * counts superseded (pre-vacuum) generations — conservative: the
+    * trigger can only over-fire, and the snapshot compaction it feeds
+    * reads via the manifest, never the stale files.
     */
   def cellsNeedingCompaction(
       spark: SparkSession,
@@ -1062,7 +1104,7 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     graft.plans.Sketches.ensureRegistered(spark)
     val cells = nearestCellsLocal(qvec, cents, nProbe)
-    spark.read.parquet(path)
+    indexScan(spark, path)
       .filter(col("cell").isin(cells: _*))
       .filter(col(id) =!= queryId)
       .withColumn("cosine", VectorFns.cosine(sq8Decode(col("codes"), stats), typedLit(qvec)))
@@ -1161,7 +1203,7 @@ object Similarity {
     graft.plans.Sketches.ensureRegistered(spark)
     val cells = nearestCellsLocal(qvec, cents, nProbe)
     val decoded = pqDecode(codebooks)
-    spark.read.parquet(path)
+    indexScan(spark, path)
       .filter(col("cell").isin(cells: _*))
       .filter(col(id) =!= queryId)
       .withColumn("cosine", VectorFns.cosine(typedLit(qvec), decoded))
@@ -1275,7 +1317,7 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val nCells = cents.size
     val sel = selectivity.getOrElse {
-      val r = spark.read.parquet(path)
+      val r = indexScan(spark, path)
         .agg(count(lit(1)).as("n"),
           sum(when(predicate, 1L).otherwise(0L)).as("m"))
         .head()
@@ -1386,7 +1428,7 @@ object Similarity {
       path: String,
       probes: DataFrame): DataFrame = {
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    spark.read.parquet(path).filter(col("cell").isin(cells.toSeq: _*))
+    indexScan(spark, path).filter(col("cell").isin(cells.toSeq: _*))
   }
 
   /** Per-query top-k: row_number over (cosine desc, id) partitioned by

@@ -107,6 +107,46 @@ class SnapshotSpec extends SparkTestBase {
     Similarity.clearCompactionLock(spark, root)
   }
 
+  test("snapshot mode: probes dedupe pre-vacuum, appends commit additively, plain compact refuses") {
+    val e = core.Tables.embeddings(spark, sfDir)
+    val root = freshRoot("snap_mode") + "/idx"
+    val cents = Similarity.buildIvfIndex(e, "vec_id", "embedding", root, nCells = 4)
+    val b1 = e.limit(4).withColumn("vec_id", col("vec_id") + 1000)
+    Similarity.appendToIvfIndexIdempotent(b1, "vec_id", "embedding", root, cents, 1L)
+    val expected1 = (spark.read.parquet(root).select("vec_id").as[Long].collect()).sorted.toSeq
+
+    // compaction publishes v1 — the superseded generation stays on disk,
+    // but the SNAPSHOT-AWARE probe must see exactly-once rows pre-vacuum
+    Similarity.compactIvfCellsSnapshot(spark, root, Seq(0, 1, 2, 3))
+    val qvec = e.limit(1).select("embedding").collect()(0)
+      .getSeq[Number](0).map(_.doubleValue()).toSeq
+    def probeAll() = Similarity.probeIvfIndex(spark, root, "vec_id", "embedding",
+        qvec, queryId = -1L, k = 100000, cents, nProbe = 4)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(probeAll() == expected1,
+      "a probe on a snapshot-managed index must not double-count the superseded generation")
+
+    // an idempotent append on the snapshot-managed index commits an
+    // additive manifest version — snapshot readers see the batch at once
+    val vBefore = Snapshots.latestVersion(spark, root).get
+    val b2 = e.limit(3).withColumn("vec_id", col("vec_id") + 2000)
+    Similarity.appendToIvfIndexIdempotent(b2, "vec_id", "embedding", root, cents, 2L)
+    assert(Snapshots.latestVersion(spark, root).get == vBefore + 1)
+    val expected2 = (expected1 ++ b2.select("vec_id").as[Long].collect()).sorted
+    assert(probeAll() == expected2.toSeq,
+      "snapshot readers must see appended rows through the additive manifest")
+    // replaying the same batch must not add a duplicate version or rows
+    Similarity.appendToIvfIndexIdempotent(b2, "vec_id", "embedding", root, cents, 2L)
+    assert(Snapshots.latestVersion(spark, root).get == vBefore + 1)
+    assert(probeAll() == expected2.toSeq)
+
+    // the in-place dynamic overwrite would delete manifest-referenced
+    // files under pinned readers — it must refuse on a managed index
+    val err = intercept[IllegalArgumentException](
+      Similarity.compactIvfCells(spark, root, Seq(0)))
+    assert(err.getMessage.contains("compactIvfCellsSnapshot"))
+  }
+
   test("snapshot compaction: rows preserved, files drop, pinned reader unharmed") {
     val e = core.Tables.embeddings(spark, sfDir)
     val root = freshRoot("snap_comp") + "/idx"
