@@ -1132,13 +1132,18 @@ object Similarity {
       trainIters: Int = 3,
       m: Int = 4,
       ksub: Int = 8,
-      pqIters: Int = 2): (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
+      pqIters: Int = 2,
+      keepCols: Seq[String] = Nil): (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val cents = trainCodebook(df, id, vec, nCells, trainIters)
     val cbs = pqTrain(df, id, vec, dim, m, ksub, pqIters)
+    // keepCols: metadata the codes-only rows carry (language, label,
+    // date…) — the filtered probe (knnJoinFilteredPq) needs its
+    // predicate columns IN the index, or filtering would force a join
+    // against the full-width corpus and forfeit the codes-only IO win
     pqEncode(
         df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1))
-          .select(col(id), col("cell"), col(vec)),
+          .select(col(id) +: col("cell") +: col(vec) +: keepCols.map(col): _*),
         vec, cbs, dim / m)
       .drop(vec)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -1171,15 +1176,18 @@ object Similarity {
       trainIters: Int = 3,
       m: Int = 4,
       ksub: Int = 8,
-      pqIters: Int = 2): (String, Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
+      pqIters: Int = 2,
+      keepCols: Seq[String] = Nil): (String, Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
     val fingerprint = corpusFingerprint(df.sparkSession, cacheKey)
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"pq|$cacheKey|$fingerprint|$dim|$nCells|$trainIters|$m|$ksub|$pqIters"
-        .getBytes("UTF-8"))
+      .digest(
+        (s"pq|$cacheKey|$fingerprint|$dim|$nCells|$trainIters|$m|$ksub|$pqIters|" +
+          keepCols.mkString(",")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = System.getProperty("java.io.tmpdir") + s"/graft_ivf_pq_idx_$digest"
     val (cents, cbs) = ivfPqIndexCache.computeIfAbsent(path,
-      _ => buildIvfPqIndex(df, id, vec, path, dim, nCells, trainIters, m, ksub, pqIters))
+      _ => buildIvfPqIndex(df, id, vec, path, dim, nCells, trainIters, m, ksub, pqIters,
+        keepCols))
     (path, cents, cbs)
   }
 
@@ -1363,6 +1371,51 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val probes = knnProbes(queries, qid, qvec, cents, nProbe)
     val idx = knnPrunedIndex(spark, path, probes)
+    val scored = idx.join(probes, Seq("cell"))
+      .filter(if (excludeSelf) col(id) =!= col("__qid") else lit(true))
+      .withColumn("cosine", VectorFns.cosine(col("__qv"), pqDecode(codebooks)))
+    knnRank(scored, id, k)
+  }
+
+  /** [[knnJoinFiltered]] over the codes-only IVF×PQ index: the same
+    * predicate-pushed, selectivity-over-probed retrieval, scoring
+    * candidates from decoded codes — the scan reads (id, codes, cell)
+    * plus the predicate's metadata columns ONLY (the builder must have
+    * kept them via `buildIvfPqIndex(keepCols = …)`; a predicate over an
+    * absent column fails at analysis, loudly). The filtered production
+    * shape at the codes-only IO budget; compose with an exact re-rank of
+    * the survivors (ann_pq_rerank shape) when exact quality is required.
+    */
+  def knnJoinFilteredPq(
+      spark: SparkSession,
+      path: String,
+      id: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      cents: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      predicate: Column,
+      selectivity: Option[Double] = None,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.Sketches.ensureRegistered(spark)
+    require(k >= 1, "k must be >= 1")
+    val nCells = cents.size
+    val sel = selectivity.getOrElse {
+      val r = indexScan(spark, path)
+        .agg(count(lit(1)).as("n"),
+          sum(when(predicate, 1L).otherwise(0L)).as("m"))
+        .head()
+      require(r.getLong(0) > 0, "knnJoinFilteredPq: empty index")
+      (if (r.isNullAt(1)) 0L else r.getLong(1)).toDouble / r.getLong(0).toDouble
+    }
+    val effProbe =
+      if (sel <= 0) nCells
+      else math.min(nCells, math.max(nProbe, math.ceil(nProbe / sel).toInt))
+    val probes = knnProbes(queries, qid, qvec, cents, effProbe)
+    val idx = knnPrunedIndex(spark, path, probes).filter(predicate)
     val scored = idx.join(probes, Seq("cell"))
       .filter(if (excludeSelf) col(id) =!= col("__qid") else lit(true))
       .withColumn("cosine", VectorFns.cosine(col("__qv"), pqDecode(codebooks)))

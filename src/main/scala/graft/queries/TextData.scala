@@ -1605,6 +1605,52 @@ object TextData {
           k = 5, cents, cbs, nProbe = 4, excludeSelf = true)
         .orderBy("qid", "vec_id")
     },
+    Q("ann_knn_filtered_pq",
+      // the FILTERED retrieval shape at the codes-only IO budget:
+      // ann_knn_filtered's predicate-pushed, selectivity-over-probed
+      // probe over the IVF×PQ index — the builder keeps the predicate's
+      // metadata column in the codes-only rows (keepCols), so the scan
+      // reads (id, codes, cell, label) and never a float vector. Both
+      // engines derive effProbe = LEAST(8, GREATEST(2, ceil(2/sel)))
+      // from the same counts (~0.5 sel widens 2 -> 4 of 8 cells —
+      // pruning survives the widening), and candidates score from
+      // decoded centroids exactly as ann_knn_join_pq.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |${pqDecCtes()},
+         |sel AS (SELECT CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS s FROM embeddings),
+         |np AS (SELECT LEAST(8, GREATEST(2, CAST(ceil(2.0 / s) AS INT))) AS p FROM sel),
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 16 = 0),
+         |qc AS (SELECT t.qid, t.qvec, t.cell FROM (
+         |    SELECT q.qid, q.qvec, u.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC) AS rn
+         |    FROM q CROSS JOIN uf u) t, np WHERE t.rn <= np.p),
+         |sc AS (
+         |  SELECT qc.qid, a.vec_id, list_cosine_similarity(qc.qvec, d.dvec) AS cosine
+         |  FROM af a JOIN dec d ON a.vec_id = d.vec_id
+         |  JOIN embeddings em ON em.vec_id = a.vec_id
+         |  JOIN qc ON a.cell = qc.cell
+         |  WHERE a.vec_id <> qc.qid AND em.label < 5)
+         |SELECT qid, vec_id, cosine FROM (
+         |  SELECT qid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM sc) WHERE rn <= 5
+         |ORDER BY qid, vec_id""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents, cbs) = Similarity.ensureIvfPqIndex(
+        e, "vec_id", "embedding", cacheKey = d, dim = 64,
+        nCells = 8, trainIters = 3, m = 4, ksub = 8, pqIters = 2,
+        keepCols = Seq("label"))
+      val q = e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.knnJoinFilteredPq(s, path, "vec_id", q, "q_id", "q_emb",
+          k = 5, cents, cbs, predicate = col("label") < 5, nProbe = 2,
+          excludeSelf = true)
+        .orderBy("qid", "vec_id")
+    },
     Q("ann_range_join",
       // batched RANGE search (the threshold twin of ann_knn_join): every
       // (query, corpus) pair with cosine >= 0.3 among the probed cells.

@@ -288,6 +288,64 @@ object Ingest {
     }
   }
 
+  /** One micro-batch of [[snapshotPublishSink]], exposed for replay
+    * specs: merge the batch into its target partitions and publish the
+    * result as ONE atomic manifest version. The merge drops any rows a
+    * previous delivery of the SAME `batchId` left in those partitions
+    * (the `ingest_batch_id` column is the dedup key), so an
+    * at-least-once replay converges to identical content — the
+    * staged-rename idea of the index append, lifted to arbitrary
+    * partitioned tables. Only the batch's own partitions rewrite;
+    * everything else carries over by manifest reference, and a reader
+    * pinned to the previous version is untouched.
+    */
+  def applyPublishBatch(
+      batch: DataFrame,
+      targetPath: String,
+      partitionCol: String,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val stamped = batch.withColumn("ingest_batch_id", lit(batchId))
+    val parts = batch.select(partitionCol).distinct().collect().map(_.get(0))
+    val existing = graft.core.Snapshots.latestVersion(spark, targetPath).map { v =>
+      graft.core.Snapshots.readSnapshot(spark, targetPath, Some(v))
+        .filter(col(partitionCol).isin(parts: _*))
+        .filter(col("ingest_batch_id") =!= batchId)
+    }
+    val merged = existing.fold(stamped)(_.unionByName(stamped))
+      // the publish stages from this plan while older generations stay
+      // readable — materialize so the rewrite sees a fixed row set
+      .localCheckpoint(true)
+    graft.core.Snapshots.publishPartitions(spark, targetPath) { stage =>
+      merged.write.partitionBy(partitionCol).parquet(stage)
+    }
+  }
+
+  /** Continuous ATOMIC table maintenance over plain parquet — the
+    * streaming twin of u12_snapshot_publish: every micro-batch merges
+    * into its target partitions and commits through ONE manifest rename
+    * (graft.core.Snapshots), so a concurrent reader either sees the
+    * whole batch or none of it, never a half-written partition set —
+    * the isolation property the plain upsert/append sinks cannot give
+    * without a table format. Exactly-once CONTENT under foreachBatch's
+    * at-least-once delivery via the per-row `ingest_batch_id` dedup
+    * (see [[applyPublishBatch]]); superseded versions accumulate until
+    * `Snapshots.vacuum` (the maintenance scheduler's call, after pinned
+    * readers drain). Readers use `Snapshots.readSnapshot`.
+    */
+  def snapshotPublishSink(
+      updates: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      partitionCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyPublishBatch(batch, targetPath, partitionCol, batchId)
+      }
+
   /** Continuous dimension maintenance: every arriving micro-batch of
     * updates is MERGEd into the parquet target — the streaming twin of the
     * batch u6_upsert. foreachBatch gives exactly-once-per-batch semantics

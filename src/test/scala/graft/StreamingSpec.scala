@@ -474,6 +474,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("snapshotPublishSink: per-batch atomic publishes, pinned isolation, replay converges") {
+    import graft.core.Snapshots
+    import graft.streaming.Ingest
+    val items = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val b1 = items.filter(col("event_id") % 2 === 0)
+    val b2 = items.filter(col("event_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft-pub-in").toString
+    val target = Files.createTempDirectory("graft-pub-out").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft-pub-ckpt").toString
+    b1.write.mode("append").parquet(dir)
+    val q = Ingest.snapshotPublishSink(
+      spark.readStream.schema(items.schema).parquet(dir),
+      target, ckpt, partitionCol = "event_type").start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "event_id", "value")
+    val latest = content(Snapshots.readSnapshot(spark, target))
+    assert(latest.exceptAll(items).isEmpty && items.exceptAll(latest).isEmpty,
+      "streamed publishes diverge from the one-shot content")
+    // batch 1's version is pinned history: exactly the first half
+    val v = Snapshots.latestVersion(spark, target).get
+    assert(v >= 2)
+    val pinned = content(Snapshots.readSnapshot(spark, target, Some(v - 1)))
+    assert(pinned.exceptAll(b1).isEmpty && b1.exceptAll(pinned).isEmpty,
+      "the previous version must still read as exactly batch 1")
+    // at-least-once replay of the second batch: content converges (one
+    // more superseded version is the only residue)
+    Ingest.applyPublishBatch(b2, target, "event_type", batchId = 1L)
+    val replayed = content(Snapshots.readSnapshot(spark, target))
+    assert(replayed.exceptAll(items).isEmpty && items.exceptAll(replayed).isEmpty,
+      "a replayed batch must not duplicate rows")
+  }
+
   test("userRunningTotals keeps per-user state across a micro-batch") {
     val stream = Events.readEventStream(spark, eventsDir)
     val q = Events.userRunningTotals(spark, stream)
