@@ -22,7 +22,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   <root>/<part>=<v>/pub-<uuid>-N.parquet   data files, IMMUTABLE once
   *                                            published, unique names
-  *   <root>/_manifests/v%012d.manifest        one line per data file
+  *   <root>/_manifests/v%012d.manifest        `#key=value` header lines
+  *                                            (version metadata), then
+  *                                            one line per data file
   *                                            (relative path), sorted
   *   <root>/_manifests/v%012d.claim           writer's version claim
   *
@@ -35,11 +37,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   3. the version is claimed with an atomic create-if-absent
   *      (`FileSystem.createNewFile`) — concurrent publishers serialize by
   *      skipping to the next free number;
-  *   4. the manifest (previous version's files for untouched partitions +
-  *      the fresh files for replaced ones) is written to a temp name and
-  *      RENAMED to `vNNN.manifest` — the single atomic commit point. A
-  *      crash anywhere before it leaves the previous version current and
-  *      only unreferenced garbage behind (cleared by [[vacuum]]).
+  *   4. the previous committed file set is resolved AFTER the claim (so a
+  *      publish that committed before this writer's claim is carried
+  *      over, not silently reverted), the manifest (carry-over files for
+  *      untouched partitions + the fresh files for replaced ones) is
+  *      written to a temp name and RENAMED to `vNNN.manifest` — the
+  *      single atomic commit point. A crash anywhere before it leaves the
+  *      previous version current and only unreferenced garbage behind
+  *      (cleared by [[vacuum]]).
   *
   * Readers ([[readSnapshot]]) resolve the highest manifest (or a pinned
   * version) and read exactly its file list with the table root as
@@ -51,12 +56,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * data-scale; publish moves bytes only for the partitions it replaces;
   * reads plan from an explicit file list (no eager recursive listing of
   * the whole tree). [[vacuum]] bounds history by deleting files no kept
-  * manifest references.
+  * manifest references, with an age grace so it cannot reap the files an
+  * in-flight publish has renamed but not yet committed.
   *
   * Out of scope (documented, not implied): cross-table transactions and
-  * concurrent-writer conflict RESOLUTION — two writers replacing the
-  * same partition serialize by version claim, last manifest wins; the
-  * loser's files become vacuum garbage, its rows are NOT merged.
+  * concurrent-writer conflict RESOLUTION. Writers serialize by version
+  * claim and resolve their carry-over set after claiming, so
+  * sequentially-committing writers (including disjoint-partition ones)
+  * compose; but a publish that commits in the window between another
+  * writer's carry-over resolution and its manifest rename is still
+  * overwritten by that writer's manifest — multi-writer tables should
+  * serialize publishes externally. Two writers replacing the SAME
+  * partition always resolve to last-manifest-wins, rows un-merged.
   */
 object Snapshots {
 
@@ -80,8 +91,7 @@ object Snapshots {
       .reduceOption(_ max _)
   }
 
-  /** The data-file list (paths relative to `root`) a version pins. */
-  def manifestFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
+  private def manifestLines(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val p = manifestPath(root, version)
     val fs = fsOf(spark, p)
     require(fs.exists(p), s"no manifest for version $version under $root")
@@ -89,6 +99,25 @@ object Snapshots {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** The data-file list (paths relative to `root`) a version pins. */
+  def manifestFiles(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestLines(spark, root, version).filterNot(_.startsWith("#"))
+
+  /** A version's metadata header (`#key=value` lines) — the hook that
+    * lets a publish bind SIDECAR state to the data commit atomically:
+    * e.g. the IVF rebuild records which persisted codebook matches this
+    * version's cell assignment, closing the crash window where new
+    * partitions paired with a stale codebook.
+    */
+  def manifestMeta(spark: SparkSession, root: String, version: Long): Map[String, String] =
+    manifestLines(spark, root, version)
+      .filter(_.startsWith("#"))
+      .flatMap { l =>
+        val body = l.drop(1)
+        val i = body.indexOf('=')
+        if (i <= 0) None else Some(body.take(i) -> body.drop(i + 1))
+      }.toMap
 
   /** All data files currently on disk (relative paths), hive layout:
     * `<part>=<v>/<file>.parquet`. The bootstrap manifest of a legacy
@@ -104,17 +133,55 @@ object Snapshots {
       }
       .sorted.toSeq
 
+  /** Claim the next free version number atomically, then commit the
+    * manifest built by `manifestFor` (which receives the previous
+    * COMMITTED file set, resolved after the claim) through one rename.
+    */
+  private def claimAndCommit(
+      spark: SparkSession,
+      root: String,
+      fallbackPrev: => Seq[String],
+      meta: Map[String, String])(manifestFor: Seq[String] => Seq[String]): Long = {
+    val fs = fsOf(spark, new Path(root))
+    fs.mkdirs(new Path(s"$root/$ManifestDir"))
+    var v = latestVersion(spark, root).getOrElse(0L) + 1
+    while (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim")))
+      v += 1
+    // resolve carry-over AFTER the claim: any manifest committed before
+    // this writer claimed is now visible and carries over correctly
+    val prev = latestVersion(spark, root) match {
+      case Some(pv) => manifestFiles(spark, root, pv)
+      case None => fallbackPrev
+    }
+    require(meta.keys.forall(k => !k.contains('=') && !k.contains('\n')) &&
+      meta.values.forall(x => !x.contains('\n')), "manifest meta must be line-safe")
+    val header = meta.toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
+    val body = header ++ manifestFor(prev).sorted
+    val tmp = new Path(
+      s"$root/$ManifestDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, manifestPath(root, v)),
+      s"snapshot publish: manifest commit rename failed for version $v")
+    v
+  }
+
   /** Publish a set of replaced partitions as one atomic version.
     *
     * `write` must materialize the REPLACEMENT content of the affected
     * partitions into the staging dir it is handed, in hive layout (e.g.
     * `df.write.partitionBy("cell").parquet(stage)`) — exactly the
     * partitions present in the staged tree are replaced; every other
-    * partition carries over from the previous version untouched. Returns
-    * the committed version number.
+    * partition carries over from the previous version untouched. `meta`
+    * becomes the version's `#key=value` manifest header
+    * ([[manifestMeta]]). Returns the committed version number.
     */
-  def publishPartitions(spark: SparkSession, root: String)(write: String => Unit): Long =
-    publishImpl(spark, root, full = false)(write)
+  def publishPartitions(
+      spark: SparkSession,
+      root: String,
+      meta: Map[String, String] = Map.empty)(write: String => Unit): Long =
+    publishImpl(spark, root, full = false, meta)(write)
 
   /** Publish a FULL replacement of the table as one atomic version: the
     * new manifest pins only the freshly staged files — nothing carries
@@ -123,13 +190,17 @@ object Snapshots {
     * row, so a cell the new codebook leaves empty must NOT keep its old
     * generation's files the way a partial publish would).
     */
-  def publishFull(spark: SparkSession, root: String)(write: String => Unit): Long =
-    publishImpl(spark, root, full = true)(write)
+  def publishFull(
+      spark: SparkSession,
+      root: String,
+      meta: Map[String, String] = Map.empty)(write: String => Unit): Long =
+    publishImpl(spark, root, full = true, meta)(write)
 
   private def publishImpl(
       spark: SparkSession,
       root: String,
-      full: Boolean)(write: String => Unit): Long = {
+      full: Boolean,
+      meta: Map[String, String])(write: String => Unit): Long = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     fs.mkdirs(rootP)
@@ -161,61 +232,49 @@ object Snapshots {
     }.toSeq
     fs.delete(stage, true)
 
-    // previous file set: latest manifest, or — for a legacy table being
-    // snapshot-enabled — the current on-disk listing minus what this
-    // publish just added. A full publish carries nothing over.
-    val prevFiles = latestVersion(spark, root) match {
-      case Some(v) => manifestFiles(spark, root, v)
-      case None => listDataFiles(fs, rootP).filterNot(fresh.contains)
+    // legacy bootstrap: a table without manifests snapshots its current
+    // on-disk listing (minus what this publish just added)
+    claimAndCommit(spark, root,
+      fallbackPrev = listDataFiles(fs, rootP).filterNot(fresh.contains), meta) { prev =>
+      val kept =
+        if (full) Seq.empty
+        else prev.filterNot(f => replaced.contains(f.takeWhile(_ != '/')))
+      kept ++ fresh
     }
-    val kept =
-      if (full) Seq.empty
-      else prevFiles.filterNot(f => replaced.contains(f.takeWhile(_ != '/')))
-    val manifest = (kept ++ fresh).sorted
-
-    // steps 3-4: claim a version atomically, then commit via one rename
-    var v = latestVersion(spark, root).getOrElse(0L) + 1
-    fs.mkdirs(new Path(s"$root/$ManifestDir"))
-    while (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim")))
-      v += 1
-    val tmp = new Path(s"$root/$ManifestDir/.tmp-$uuid")
-    val out = fs.create(tmp, true)
-    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(tmp, manifestPath(root, v)),
-      s"publishPartitions: manifest commit rename failed for version $v")
-    v
   }
 
   /** Publish PURELY ADDITIVE files (already renamed into the live
     * layout, paths relative to `root`) as a new version: manifest =
-    * previous ∪ added — nothing is replaced or removed. The commit shape
-    * for APPENDS on a snapshot-managed table (an ingest batch's files
-    * are invisible to manifest readers until a manifest references
-    * them). The union deduplicates, so re-publishing the same
-    * deterministic file names after a crash replay cannot double-count
-    * a file. Requires an existing version (a plain table's appends are
+    * previous ∪ added — no partition is replaced. The commit shape for
+    * APPENDS on a snapshot-managed table (an ingest batch's files are
+    * invisible to manifest readers until a manifest references them).
+    *
+    * `replacingFilePrefix`: when set, previous entries whose FILE NAME
+    * starts with it are dropped before the union — the crash-replay
+    * contract of the batch-keyed index append, where a replay may
+    * restage the same batch as a DIFFERENT number of part files: without
+    * the drop, the union would keep pinning the crashed attempt's extra
+    * file names that the replay's sweep just deleted. The union also
+    * deduplicates, so re-publishing identical names is a no-op in
+    * content. Requires an existing version (a plain table's appends are
     * visible to its plain readers already — nothing to commit).
     */
-  def publishAddedFiles(spark: SparkSession, root: String, files: Seq[String]): Long = {
+  def publishAddedFiles(
+      spark: SparkSession,
+      root: String,
+      files: Seq[String],
+      replacingFilePrefix: Option[String] = None): Long = {
     require(files.nonEmpty, "publishAddedFiles: no files")
-    val rootP = new Path(root)
-    val fs = fsOf(spark, rootP)
-    val prev = latestVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(
-        s"publishAddedFiles: $root has no published version — additive commits " +
-          "only apply to snapshot-managed tables"))
-    val manifest = (manifestFiles(spark, root, prev) ++ files).distinct.sorted
-    var v = prev + 1
-    while (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim")))
-      v += 1
-    val tmp = new Path(s"$root/$ManifestDir/.tmp-add-${java.util.UUID.randomUUID().toString.take(12)}")
-    val out = fs.create(tmp, true)
-    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(tmp, manifestPath(root, v)),
-      s"publishAddedFiles: manifest commit rename failed for version $v")
-    v
+    require(latestVersion(spark, root).nonEmpty,
+      s"publishAddedFiles: $root has no published version — additive commits " +
+        "only apply to snapshot-managed tables")
+    claimAndCommit(spark, root,
+      fallbackPrev = Seq.empty, meta = Map.empty) { prev =>
+      val base = replacingFilePrefix.fold(prev) { p =>
+        prev.filterNot(f => f.drop(f.indexOf('/') + 1).startsWith(p))
+      }
+      (base ++ files).distinct
+    }
   }
 
   /** Read a pinned version (default: latest). Plans from the manifest's
@@ -235,29 +294,54 @@ object Snapshots {
   }
 
   /** Delete data files referenced by NO kept manifest and drop the old
-    * manifests: `keepVersions` most recent versions survive (≥ 1). The
-    * history bound that keeps additive publishing from growing without
-    * limit; run it from the maintenance scheduler, after readers of old
-    * versions have drained (the retention contract is the caller's).
+    * manifests: the `keepVersions` most recently COMMITTED versions
+    * survive (≥ 1; version-number gaps from crashed claims don't shrink
+    * the kept set). Also reclaims crashed publish residue: abandoned
+    * `_publish_stage` trees and orphaned `_manifests/.tmp-*` files.
+    *
+    * `graceMs` guards the race against an IN-FLIGHT publish or append,
+    * whose files are renamed into the live layout before their manifest
+    * commits: anything younger than the grace is never deleted, so set
+    * it above the longest plausible publish duration (default 15 min).
+    * Pass 0 only when no concurrent writer can exist (tests, a paused
+    * pipeline). Run from the maintenance scheduler after readers of old
+    * versions have drained — the retention contract is the caller's.
     */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[String] = {
+  def vacuum(
+      spark: SparkSession,
+      root: String,
+      keepVersions: Int = 2,
+      graceMs: Long = 15L * 60 * 1000): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
-    val latest = latestVersion(spark, root)
-      .getOrElse(return Seq.empty) // nothing published: nothing to vacuum
+    if (latestVersion(spark, root).isEmpty) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
+    def oldEnough(p: Path): Boolean = fs.getFileStatus(p).getModificationTime <= cutoff
     val dir = new Path(s"$root/$ManifestDir")
     val versions = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
-    val keep = versions.filter(_ > latest - keepVersions)
+    // the newest keepVersions COMMITTED versions — not a numeric window,
+    // which version-number gaps (crashed claims) would silently shrink
+    val keep = versions.takeRight(keepVersions)
     val referenced = keep.flatMap(v => manifestFiles(spark, root, v)).toSet
-    val removed = listDataFiles(fs, rootP).filterNot(referenced.contains)
+    val removed = listDataFiles(fs, rootP)
+      .filterNot(referenced.contains)
+      .filter(f => oldEnough(new Path(rootP, f)))
     removed.foreach(f => fs.delete(new Path(rootP, f), false))
     versions.filterNot(keep.contains).foreach { v =>
       fs.delete(manifestPath(root, v), false)
       fs.delete(new Path(f"$root/$ManifestDir/v$v%012d.claim"), false)
     }
+    // crashed-writer residue: abandoned stage trees and tmp manifests
+    val stage = new Path(s"$root/$StageDir")
+    if (fs.exists(stage))
+      fs.listStatus(stage).map(_.getPath).filter(oldEnough)
+        .foreach(p => fs.delete(p, true))
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith(".tmp-") && oldEnough(p))
+      .foreach(p => fs.delete(p, false))
     removed
   }
 }

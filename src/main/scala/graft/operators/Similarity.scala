@@ -530,7 +530,8 @@ object Similarity {
     // the same names — a reader pinned across exactly that window can
     // fail and should retry.
     if (graft.core.Snapshots.latestVersion(spark, path).nonEmpty)
-      graft.core.Snapshots.publishAddedFiles(spark, path, renamed)
+      graft.core.Snapshots.publishAddedFiles(spark, path, renamed,
+        replacingFilePrefix = Some(prefix))
     fs.mkdirs(done.getParent)
     fs.create(done, true).close()
     fs.delete(stage, true)
@@ -685,16 +686,18 @@ object Similarity {
     // left its stage dir (we refuse below) or sees our lock before its
     // first live rename and backs off — no interleaving can slip a
     // committed batch's rows between our snapshot and the overwrite
-    // a snapshot-mode index must compact through the manifest layer: the
-    // dynamic overwrite below DELETES the replaced cells' old files,
-    // which older manifests still reference — a pinned reader would
-    // break mid-read
-    require(graft.core.Snapshots.latestVersion(spark, path).isEmpty,
-      s"$path is snapshot-managed (_manifests exists) — use " +
-        "compactIvfCellsSnapshot, which publishes a new version instead of " +
-        "deleting files under pinned readers")
     acquireCompactionLock(spark, path)
     try {
+      // a snapshot-mode index must compact through the manifest layer:
+      // the dynamic overwrite below DELETES the replaced cells' old
+      // files, which older manifests still reference — a pinned reader
+      // would break mid-read. Checked INSIDE the lock: a concurrent
+      // snapshot compaction could otherwise commit the table's first
+      // manifest between an outside check and our overwrite
+      require(graft.core.Snapshots.latestVersion(spark, path).isEmpty,
+        s"$path is snapshot-managed (_manifests exists) — use " +
+          "compactIvfCellsSnapshot, which publishes a new version instead of " +
+          "deleting files under pinned readers")
       requireNoInflightAppend(spark, path)
       // localCheckpoint breaks the read lineage: Spark refuses to
       // overwrite a path it is also reading, and the rewrite must see a
@@ -733,9 +736,7 @@ object Similarity {
     acquireCompactionLock(spark, path)
     try {
       requireNoInflightAppend(spark, path)
-      val snapshot = graft.core.Snapshots.latestVersion(spark, path)
-        .map(v => graft.core.Snapshots.readSnapshot(spark, path, Some(v)))
-        .getOrElse(spark.read.parquet(path))
+      val snapshot = indexScan(spark, path)
         .filter(col("cell").isin(cells: _*))
         .localCheckpoint(true)
       graft.core.Snapshots.publishPartitions(spark, path) { stage =>
@@ -870,11 +871,8 @@ object Similarity {
     * automatically by [[rebuildIvfIndex]] after each re-train.
     */
   def baselineIvfIndex(spark: SparkSession, path: String, vec: String): Unit = {
-    val cents = loadCodebook(spark, path)
-    val idx = graft.core.Snapshots.latestVersion(spark, path)
-      .map(v => graft.core.Snapshots.readSnapshot(spark, path, Some(v)))
-      .getOrElse(spark.read.parquet(path))
-    saveStatsBaseline(spark, path, cellStats(idx, vec, cents))
+    val cents = loadCurrentCodebook(spark, path)
+    saveStatsBaseline(spark, path, cellStats(indexScan(spark, path), vec, cents))
   }
 
   /** The retrain decision (VERDICT r10 missing #3 — the loop from
@@ -905,10 +903,8 @@ object Similarity {
       vec: String,
       driftThreshold: Double = 1.5,
       skewThreshold: Double = 4.0): (Boolean, Double, Double) = {
-    val cents = loadCodebook(spark, path)
-    val idx = graft.core.Snapshots.latestVersion(spark, path)
-      .map(v => graft.core.Snapshots.readSnapshot(spark, path, Some(v)))
-      .getOrElse(spark.read.parquet(path))
+    val cents = loadCurrentCodebook(spark, path)
+    val idx = indexScan(spark, path)
     // cell-sorted so the driver-side weighted mean folds in a fixed
     // order — identical profiles yield EXACTLY ratio 1.0
     val cur = cellStats(idx, vec, cents)
@@ -962,7 +958,7 @@ object Similarity {
     try {
       requireNoInflightAppend(spark, path)
       val prevV = graft.core.Snapshots.latestVersion(spark, path)
-      val nCells = loadCodebook(spark, path).size
+      val nCells = loadCurrentCodebook(spark, path).size
       // snapshot-mode reads plan from a pinned file list (no
       // self-overwrite hazard — the stage is a disjoint directory);
       // a legacy plain read materializes first, same as compaction
@@ -971,20 +967,50 @@ object Similarity {
         .getOrElse(spark.read.parquet(path).localCheckpoint(true))
         .drop("cell")
       val newCents = trainCodebook(rows0, id, vec, nCells, trainIters, sampleMod)
-      val v = graft.core.Snapshots.publishFull(spark, path) { stage =>
+      // codebook-to-version binding is ATOMIC with the data commit: the
+      // new codebook persists under a unique name BEFORE the publish,
+      // and the manifest header records it — a crash (or a concurrent
+      // cross-process reader) between the publish and the `coarse`
+      // convenience swap below can never pair the new cell assignment
+      // with the stale codebook, because loadCurrentCodebook resolves
+      // through the committed manifest's header
+      val cbName = s"coarse_r${java.util.UUID.randomUUID().toString.take(12)}"
+      saveCodebook(spark, path, newCents, cbName)
+      // preserve the superseded codebook for readers pinned to prevV
+      // (pre-rebuild versions carry no header; coarse_v<N> is their
+      // documented lookup)
+      prevV.foreach { pv =>
+        val old = loadCurrentCodebook(spark, path)
+        saveCodebook(spark, path, old, s"coarse_v$pv")
+      }
+      val v = graft.core.Snapshots.publishFull(spark, path,
+        meta = Map("codebook" -> cbName)) { stage =>
         rows0.withColumn("cell", element_at(nearestCells(col(vec), newCents, 1), 1))
           .write.partitionBy("cell").parquet(stage)
       }
-      prevV.foreach { pv =>
-        val old = loadCodebook(spark, path)
-        saveCodebook(spark, path, old, s"coarse_v$pv")
-      }
+      // convenience copies for name-based consumers; correctness never
+      // depends on them landing (the manifest header is authoritative)
       saveCodebook(spark, path, newCents)
       saveCodebook(spark, path, newCents, s"coarse_v$v")
       val fresh = graft.core.Snapshots.readSnapshot(spark, path, Some(v))
       saveStatsBaseline(spark, path, cellStats(fresh, vec, newCents))
       (v, newCents)
     } finally releaseCompactionLock(spark, path)
+  }
+
+  /** The codebook matching the index's CURRENT committed state: a
+    * snapshot-managed index whose latest manifest header names its
+    * codebook (rebuilds do — see [[rebuildIvfIndex]]) resolves through
+    * the header, so data version and codebook can never be observed
+    * mismatched; otherwise the conventional `_codebook/coarse`. Use this
+    * (not [[loadCodebook]] directly) whenever probing an index another
+    * process may rebuild.
+    */
+  def loadCurrentCodebook(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] = {
+    val name = graft.core.Snapshots.latestVersion(spark, path)
+      .flatMap(v => graft.core.Snapshots.manifestMeta(spark, path, v).get("codebook"))
+      .getOrElse("coarse")
+    loadCodebook(spark, path, name)
   }
 
   /** PQ twin of [[ensureIvfAppendedIndex]] — same batchKey contract. */

@@ -311,7 +311,10 @@ object Ingest {
     val existing = graft.core.Snapshots.latestVersion(spark, targetPath).map { v =>
       graft.core.Snapshots.readSnapshot(spark, targetPath, Some(v))
         .filter(col(partitionCol).isin(parts: _*))
-        .filter(col("ingest_batch_id") =!= batchId)
+        // NULL-SAFE inequality: a row with a null ingest_batch_id (a
+        // backfill that added the column) must SURVIVE the replay sweep
+        // — plain =!= evaluates null and would silently drop it
+        .filter(!(col("ingest_batch_id") <=> lit(batchId)))
     }
     val merged = existing.fold(stamped)(_.unionByName(stamped))
       // the publish stages from this plan while older generations stay

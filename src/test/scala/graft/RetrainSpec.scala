@@ -44,7 +44,7 @@ class RetrainSpec extends SparkTestBase {
 
     // probe equality: after vacuum(keep=1) the rebuilt index's plain
     // layout equals the fresh build's — every query's top-k matches
-    Snapshots.vacuum(spark, root, keepVersions = 1)
+    Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
     val q = union.filter(col("vec_id") % 7 === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     def topk(path: String, cs: Seq[(Int, Seq[Double])]) =
@@ -61,5 +61,16 @@ class RetrainSpec extends SparkTestBase {
     assert(!need2 && ratio2 == 1.0, s"rebuild must reset the drift baseline, got $ratio2")
     assert(Similarity.loadCodebook(spark, root, s"coarse_v$v") == newCents)
     assert(Similarity.loadCodebook(spark, root) == newCents)
+
+    // codebook-to-version binding is manifest-authoritative: even with
+    // every convenience copy gone (the crash window between publish and
+    // the coarse swap), the committed version still resolves its own
+    // codebook through the manifest header
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/_codebook/coarse"), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/_codebook/coarse_v$v"), true)
+    assert(Similarity.loadCurrentCodebook(spark, root) == newCents,
+      "the manifest header must bind the committed data version to its codebook")
   }
 }

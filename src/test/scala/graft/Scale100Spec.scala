@@ -156,7 +156,7 @@ class Scale100Spec extends SparkTestBase {
       val (_, newCents) = Similarity.rebuildIvfIndex(
         spark, path, "vec_id", "embedding",
         trainIters = 2, sampleMod = math.max(1, (m / 50000L).toInt))
-      graft.core.Snapshots.vacuum(spark, path, keepVersions = 1)
+      graft.core.Snapshots.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
       val after = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding",
           qvec, queryId = -1L, k = 10, newCents, nProbe)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

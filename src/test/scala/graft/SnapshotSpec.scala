@@ -71,7 +71,7 @@ class SnapshotSpec extends SparkTestBase {
     val v2 = Snapshots.publishPartitions(spark, root)(stage =>
       fixture("b" -> 100).write.partitionBy("part").parquet(stage))
     val before = rowsOf(Snapshots.readSnapshot(spark, root, Some(v2)))
-    val removed = Snapshots.vacuum(spark, root, keepVersions = 1)
+    val removed = Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
     assert(removed.nonEmpty, "v1's superseded b-files must be reclaimed")
     assert(removed.forall(_.startsWith("part=b/")),
       s"only the replaced partition's old files are garbage, got $removed")
@@ -81,6 +81,70 @@ class SnapshotSpec extends SparkTestBase {
     assert(rowsOf(spark.read.parquet(root)) == before,
       "after vacuum(keep=1) a plain reader sees exactly the current version")
     intercept[IllegalArgumentException](Snapshots.manifestFiles(spark, root, v2 - 1))
+  }
+
+  test("vacuum: version-number gaps (crashed claims) don't shrink the kept set") {
+    val root = freshRoot("snap_gap")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    val v2 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 2).write.partitionBy("part").parquet(stage))
+    // a writer claims v3 and dies before its manifest rename — the exact
+    // crash window the protocol documents as safe
+    fs(root).createNewFile(new Path(f"$root/_manifests/v${v2 + 1}%012d.claim"))
+    val v4 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 3).write.partitionBy("part").parquet(stage))
+    assert(v4 == v2 + 2, "the crashed claim must be skipped")
+    val pinned = rowsOf(Snapshots.readSnapshot(spark, root, Some(v2)))
+    Snapshots.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
+    // keep = the 2 newest COMMITTED versions {v2, v4}; the numeric-window
+    // form would have kept only {v4} and deleted v2's files
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v2))) == pinned,
+      "the previous committed version must survive vacuum despite the gap")
+    intercept[IllegalArgumentException](Snapshots.manifestFiles(spark, root, v2 - 1))
+  }
+
+  test("vacuum: reclaims crashed-publish residue, respects the age grace") {
+    val root = freshRoot("snap_residue")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    // crashed-writer residue: an abandoned stage tree + a tmp manifest
+    fs(root).mkdirs(new Path(s"$root/_publish_stage/deadbeef/part=a"))
+    fs(root).createNewFile(new Path(s"$root/_publish_stage/deadbeef/part=a/x.parquet"))
+    fs(root).createNewFile(new Path(s"$root/_manifests/.tmp-dead"))
+    // a generous grace protects everything (files are seconds old)
+    Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 60L * 60 * 1000)
+    assert(fs(root).exists(new Path(s"$root/_publish_stage/deadbeef")),
+      "files younger than the grace must never be reclaimed")
+    // grace 0 (single-writer) reclaims the residue
+    Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(!fs(root).exists(new Path(s"$root/_publish_stage/deadbeef")))
+    assert(!fs(root).exists(new Path(s"$root/_manifests/.tmp-dead")))
+  }
+
+  test("publishAddedFiles: a replacing prefix drops a crashed attempt's stale entries") {
+    val root = freshRoot("snap_addrep")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    // first delivery of batch 7 registered two files; the replay swept
+    // them and restaged as ONE file — the manifest must not keep
+    // pinning the deleted second file
+    val d = new Path(s"$root/part=a")
+    Seq("ingest-b7-0.snappy.parquet", "ingest-b7-1.snappy.parquet")
+      .foreach(n => fs(root).createNewFile(new Path(d, n)))
+    Snapshots.publishAddedFiles(spark, root,
+      Seq("part=a/ingest-b7-0.snappy.parquet", "part=a/ingest-b7-1.snappy.parquet"),
+      replacingFilePrefix = Some("ingest-b7-"))
+    fs(root).delete(new Path(d, "ingest-b7-1.snappy.parquet"), false)
+    val v3 = Snapshots.publishAddedFiles(spark, root,
+      Seq("part=a/ingest-b7-0.snappy.parquet"),
+      replacingFilePrefix = Some("ingest-b7-"))
+    val pinned = Snapshots.manifestFiles(spark, root, v3)
+    assert(pinned.contains("part=a/ingest-b7-0.snappy.parquet"))
+    assert(!pinned.contains("part=a/ingest-b7-1.snappy.parquet"),
+      "the replay's manifest must drop the crashed attempt's extra file")
+    assert(pinned.count(_.startsWith("part=a/pub-")) ==
+      Snapshots.manifestFiles(spark, root, v1).size)
   }
 
   test("compaction lock: appends refuse while held; compact releases it") {
@@ -169,7 +233,7 @@ class SnapshotSpec extends SparkTestBase {
     // the superseded generation still exists for plain/pinned readers
     // until vacuum; vacuum(keep=1) then restores plain-read equivalence
     // with fewer files
-    Snapshots.vacuum(spark, root, keepVersions = 1)
+    Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
     val plain = spark.read.parquet(root)
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(plain == before)
