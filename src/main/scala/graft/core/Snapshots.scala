@@ -133,15 +133,73 @@ object Snapshots {
       }
       .sorted.toSeq
 
+  /** Per-file column statistics a version records (`#stat=` header
+    * lines): (file, column, min, max) — collected from PARQUET FOOTERS
+    * at publish time (no data IO) and used by [[readSnapshotRange]] to
+    * skip files whose range cannot intersect a predicate. Files with no
+    * recorded stat for a column are treated as "could match"
+    * (conservative).
+    */
+  def fileStats(spark: SparkSession, root: String, version: Long)
+      : Seq[(String, String, Double, Double)] =
+    manifestLines(spark, root, version)
+      .filter(_.startsWith("#stat="))
+      .flatMap { l =>
+        l.stripPrefix("#stat=").split('|') match {
+          case Array(f, c, mn, mx) => Some((f, c, mn.toDouble, mx.toDouble))
+          case _ => None
+        }
+      }
+
+  /** (min, max) of a numeric column across a parquet file's row groups,
+    * read from the FOOTER only. None when the column is absent,
+    * non-numeric, or statless — the file then never skips.
+    */
+  private def footerRange(
+      fs: FileSystem,
+      rootP: Path,
+      file: String,
+      column: String): Option[(Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(rootP, file), fs.getConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val ranges = r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        b.getColumns.asScala.filter(_.getPath.toDotString == column).flatMap { c =>
+          // the wildcarded Statistics[_] is an existential — bind it
+          // explicitly rather than enable the language feature globally
+          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: Number, mx: Number) => Some((mn.doubleValue(), mx.doubleValue()))
+            case _ => None
+          }
+        }
+      }
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally r.close()
+  }
+
+  private def statLines(
+      fs: FileSystem,
+      rootP: Path,
+      files: Seq[String],
+      statsCols: Seq[String]): Seq[String] =
+    for {
+      f <- files
+      c <- statsCols
+      (mn, mx) <- footerRange(fs, rootP, f, c)
+    } yield s"#stat=$f|$c|$mn|$mx"
+
   /** Claim the next free version number atomically, then commit the
-    * manifest built by `manifestFor` (which receives the previous
-    * COMMITTED file set, resolved after the claim) through one rename.
+    * manifest whose lines `bodyFor` builds from the previous COMMITTED
+    * version (resolved after the claim) through one rename.
     */
   private def claimAndCommit(
       spark: SparkSession,
-      root: String,
-      fallbackPrev: => Seq[String],
-      meta: Map[String, String])(manifestFor: Seq[String] => Seq[String]): Long = {
+      root: String)(bodyFor: Option[Long] => Seq[String]): Long = {
     val fs = fsOf(spark, new Path(root))
     fs.mkdirs(new Path(s"$root/$ManifestDir"))
     var v = latestVersion(spark, root).getOrElse(0L) + 1
@@ -149,14 +207,7 @@ object Snapshots {
       v += 1
     // resolve carry-over AFTER the claim: any manifest committed before
     // this writer claimed is now visible and carries over correctly
-    val prev = latestVersion(spark, root) match {
-      case Some(pv) => manifestFiles(spark, root, pv)
-      case None => fallbackPrev
-    }
-    require(meta.keys.forall(k => !k.contains('=') && !k.contains('\n')) &&
-      meta.values.forall(x => !x.contains('\n')), "manifest meta must be line-safe")
-    val header = meta.toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
-    val body = header ++ manifestFor(prev).sorted
+    val body = bodyFor(latestVersion(spark, root))
     val tmp = new Path(
       s"$root/$ManifestDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
@@ -165,6 +216,12 @@ object Snapshots {
     require(fs.rename(tmp, manifestPath(root, v)),
       s"snapshot publish: manifest commit rename failed for version $v")
     v
+  }
+
+  private def metaHeader(meta: Map[String, String]): Seq[String] = {
+    require(meta.keys.forall(k => !k.contains('=') && !k.contains('\n')) &&
+      meta.values.forall(x => !x.contains('\n')), "manifest meta must be line-safe")
+    meta.toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
   }
 
   /** Publish a set of replaced partitions as one atomic version.
@@ -180,8 +237,9 @@ object Snapshots {
   def publishPartitions(
       spark: SparkSession,
       root: String,
-      meta: Map[String, String] = Map.empty)(write: String => Unit): Long =
-    publishImpl(spark, root, full = false, meta)(write)
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil)(write: String => Unit): Long =
+    publishImpl(spark, root, full = false, meta, statsCols)(write)
 
   /** Publish a FULL replacement of the table as one atomic version: the
     * new manifest pins only the freshly staged files — nothing carries
@@ -193,14 +251,16 @@ object Snapshots {
   def publishFull(
       spark: SparkSession,
       root: String,
-      meta: Map[String, String] = Map.empty)(write: String => Unit): Long =
-    publishImpl(spark, root, full = true, meta)(write)
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil)(write: String => Unit): Long =
+    publishImpl(spark, root, full = true, meta, statsCols)(write)
 
   private def publishImpl(
       spark: SparkSession,
       root: String,
       full: Boolean,
-      meta: Map[String, String])(write: String => Unit): Long = {
+      meta: Map[String, String],
+      statsCols: Seq[String])(write: String => Unit): Long = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     fs.mkdirs(rootP)
@@ -234,12 +294,21 @@ object Snapshots {
 
     // legacy bootstrap: a table without manifests snapshots its current
     // on-disk listing (minus what this publish just added)
-    claimAndCommit(spark, root,
-      fallbackPrev = listDataFiles(fs, rootP).filterNot(fresh.contains), meta) { prev =>
+    claimAndCommit(spark, root) { prevV =>
+      val prev = prevV.map(pv => manifestFiles(spark, root, pv))
+        .getOrElse(listDataFiles(fs, rootP).filterNot(fresh.contains))
       val kept =
         if (full) Seq.empty
         else prev.filterNot(f => replaced.contains(f.takeWhile(_ != '/')))
-      kept ++ fresh
+      // carried-over files keep their recorded stats; fresh files get
+      // footer-derived stats for the requested columns
+      val keptSet = kept.toSet
+      val keptStats = prevV.toSeq
+        .flatMap(pv => fileStats(spark, root, pv))
+        .filter(s => keptSet.contains(s._1))
+        .map(s => s"#stat=${s._1}|${s._2}|${s._3}|${s._4}")
+      metaHeader(meta) ++ keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
+        (kept ++ fresh).sorted
     }
   }
 
@@ -263,17 +332,26 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       files: Seq[String],
-      replacingFilePrefix: Option[String] = None): Long = {
+      replacingFilePrefix: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
     require(files.nonEmpty, "publishAddedFiles: no files")
     require(latestVersion(spark, root).nonEmpty,
       s"publishAddedFiles: $root has no published version — additive commits " +
         "only apply to snapshot-managed tables")
-    claimAndCommit(spark, root,
-      fallbackPrev = Seq.empty, meta = Map.empty) { prev =>
-      val base = replacingFilePrefix.fold(prev) { p =>
-        prev.filterNot(f => f.drop(f.indexOf('/') + 1).startsWith(p))
-      }
-      (base ++ files).distinct
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    claimAndCommit(spark, root) { prevV =>
+      val prev = prevV.map(pv => manifestFiles(spark, root, pv)).getOrElse(Seq.empty)
+      def dropped(f: String): Boolean =
+        replacingFilePrefix.exists(p => f.drop(f.indexOf('/') + 1).startsWith(p))
+      val base = prev.filterNot(dropped)
+      val body = (base ++ files).distinct.sorted
+      val baseSet = base.toSet
+      val keptStats = prevV.toSeq
+        .flatMap(pv => fileStats(spark, root, pv))
+        .filter(s => baseSet.contains(s._1))
+        .map(s => s"#stat=${s._1}|${s._2}|${s._3}|${s._4}")
+      keptStats ++ statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++ body
     }
   }
 
@@ -291,6 +369,83 @@ object Snapshots {
     val files = manifestFiles(spark, root, v).map(f => s"$root/$f")
     require(files.nonEmpty, s"readSnapshot: version $v pins an empty file set")
     spark.read.option("basePath", root).parquet(files: _*)
+  }
+
+  /** Range read with FILE SKIPPING from manifest stats: rows of the
+    * pinned version whose `column` lies in [lo, hi], planning ONLY the
+    * files whose recorded footer range intersects the predicate — the
+    * manifest-level analogue of parquet row-group pruning, one level
+    * earlier (files that cannot match are never opened, never even
+    * footer-read at query time). Requires the publishes to have recorded
+    * stats for `column` (`statsCols` at publish); files without a
+    * recorded stat stay in the plan (conservative), so the result is
+    * EXACT regardless — the row filter is applied on top. Pair with a
+    * range-clustered write (`repartitionByRange` before the partitionBy)
+    * so per-file ranges are narrow and skipping bites.
+    */
+  def readSnapshotRange(
+      spark: SparkSession,
+      root: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"readSnapshotRange: no published version under $root"))
+    val files = manifestFiles(spark, root, v)
+    val ranges = fileStats(spark, root, v)
+      .filter(_._2 == column).map(s => s._1 -> (s._3, s._4)).toMap
+    val keep = files.filter(f =>
+      ranges.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val base =
+      if (keep.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
+      else spark.read.option("basePath", root).parquet(keep.map(f => s"$root/$f"): _*)
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Row-level changes between two committed versions, computed from the
+    * MANIFEST DIFF: files present in both versions are immutable and
+    * identical by the layer's contract, so only the symmetric difference
+    * of the two file lists is ever read — IO is proportional to the
+    * CHURN between the versions, never the table (the property that
+    * makes incremental downstream maintenance viable at 100 TB; a
+    * row-diff of two full table reads is the u8_snapshot_diff shape this
+    * generalizes past). Within the changed files, rows are net-diffed as
+    * multisets (`exceptAll` both ways), so a partition rewrite that
+    * carries a row unchanged emits nothing for it.
+    *
+    * Returns the changed rows with a `change` column ('added' |
+    * 'removed'): added = in `toVersion` only, removed = in `fromVersion`
+    * only. `fromVersion < toVersion` is the forward-CDC convention;
+    * reversed arguments invert the labels, which is also correct.
+    */
+  def snapshotChanges(
+      spark: SparkSession,
+      root: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = manifestFiles(spark, root, fromVersion).toSet
+    val to = manifestFiles(spark, root, toVersion).toSet
+    val addedFiles = (to -- from).toSeq.sorted
+    val removedFiles = (from -- to).toSeq.sorted
+    def read(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", root)
+        .parquet(files.map(f => s"$root/$f"): _*))
+    (read(addedFiles), read(removedFiles)) match {
+      case (None, None) =>
+        readSnapshot(spark, root, Some(toVersion)).limit(0)
+          .withColumn("change", lit("added"))
+      case (Some(a), None) => a.withColumn("change", lit("added"))
+      case (None, Some(r)) => r.withColumn("change", lit("removed"))
+      case (Some(a), Some(r)) =>
+        a.exceptAll(r).withColumn("change", lit("added"))
+          .unionByName(r.exceptAll(a).withColumn("change", lit("removed")))
+    }
   }
 
   /** Delete data files referenced by NO kept manifest and drop the old

@@ -738,6 +738,81 @@ object Analytics {
         .select("version", "event_type", "n", "value_sum")
         .orderBy("version", "event_type")
     },
+    Q("s18_stats_skipping",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM events WHERE value >= 25 AND value <= 45
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // MANIFEST-LEVEL data skipping: the publish records each data
+      // file's footer (min, max) for `value` as manifest stat lines (no
+      // data IO — footers only), the write range-clusters on value
+      // (repartitionByRange before the partitionBy) so per-file ranges
+      // are narrow, and the range read plans ONLY files whose recorded
+      // range intersects [25, 45] — files that cannot match are never
+      // opened, one level above parquet's own row-group pruning.
+      // Exactness never depends on the stats (the row filter applies on
+      // top; statless files stay in the plan), so the oracle is the
+      // plain filtered aggregate. SnapshotSpec pins the skip itself
+      // (planned input files a strict subset, same rows).
+      import graft.core.{Num, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s18_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_type", "event_id", "value")
+      Snapshots.publishPartitions(s, root, statsCols = Seq("value")) { stage =>
+        ev.repartitionByRange(8, col("value"))
+          .write.partitionBy("event_type").parquet(stage)
+      }
+      Snapshots.readSnapshotRange(s, root, "value", 25.0, 45.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    },
+    Q("u13_snapshot_cdc",
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |ch AS (
+        |  SELECT 'added' AS change, event_type, event_id, value * 2 AS value
+        |  FROM e WHERE event_type = 'click' AND value <> 0
+        |  UNION ALL
+        |  SELECT 'removed', event_type, event_id, value
+        |  FROM e WHERE event_type = 'click' AND value <> 0)
+        |SELECT change, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM ch GROUP BY 1, 2
+        |ORDER BY change, event_type""".stripMargin) { (s, d) =>
+      // Incremental CHANGE CAPTURE from the manifest diff: version 2
+      // replaced only the 'click' partition (value-doubled rows), and
+      // snapshotChanges reads ONLY the files in the two manifests'
+      // symmetric difference — IO proportional to the churn, never the
+      // table (the four untouched partitions' files are identical
+      // entries in both manifests and are never opened; SnapshotSpec
+      // pins the input-file set). Within the changed files rows
+      // net-diff as multisets, so the zero-valued click rows — whose
+      // doubling is a fixpoint — correctly emit NO change, which the
+      // oracle mirrors with its value <> 0 guard. This is u8's
+      // two-full-scan diff upgraded to the incremental form a 100 TB
+      // downstream maintains on.
+      import graft.core.{Num, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u13_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_type", "event_id", "value")
+      val v1 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      val v2 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.partitionBy("event_type").parquet(stage))
+      Snapshots.snapshotChanges(s, root, v1, v2)
+        .groupBy("change", "event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+        .orderBy("change", "event_type")
+    },
 
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",

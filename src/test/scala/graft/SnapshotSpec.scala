@@ -147,6 +147,46 @@ class SnapshotSpec extends SparkTestBase {
       Snapshots.manifestFiles(spark, root, v1).size)
   }
 
+  test("readSnapshotRange: manifest stats skip non-matching files, rows exact") {
+    val root = freshRoot("snap_skip")
+    // 4 range-clustered files per partition: each covers ~1/4 of v's span
+    val wide = (0 until 400).map(i => ("a", i.toLong, i.toLong)).toDF("part", "id", "v")
+    Snapshots.publishPartitions(spark, root, statsCols = Seq("v"))(stage =>
+      wide.repartitionByRange(4, col("v")).write.partitionBy("part").parquet(stage))
+    val all = Snapshots.readSnapshot(spark, root)
+    val ranged = Snapshots.readSnapshotRange(spark, root, "v", 10.0, 60.0)
+    assert(ranged.inputFiles.length < all.inputFiles.length,
+      s"stats must prune files: ${ranged.inputFiles.length} of ${all.inputFiles.length}")
+    val got = ranged.select("id").as[Long].collect().sorted.toSeq
+    assert(got == (10L to 60L).toSeq, "skipping must never change the row set")
+    // a range beyond every file's span plans nothing and returns nothing
+    assert(Snapshots.readSnapshotRange(spark, root, "v", 1e9, 2e9).isEmpty)
+  }
+
+  test("snapshotChanges: churn-proportional IO, net multiset diff") {
+    val root = freshRoot("snap_cdc")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 1, "c" -> 1).write.partitionBy("part").parquet(stage))
+    // v2 rewrites ONLY partition b: ids 0..9 with v doubled, id 0 (v=0)
+    // unchanged by the doubling — a net no-op row
+    val v2 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("b" -> 2).write.partitionBy("part").parquet(stage))
+    val ch = Snapshots.snapshotChanges(spark, root, v1, v2)
+    // IO pin: only the replaced partition's files are ever opened —
+    // the untouched a/c files are identical manifest entries
+    assert(ch.inputFiles.nonEmpty && ch.inputFiles.forall(_.contains("part=b/")),
+      s"change capture must read only the churn, got ${ch.inputFiles.mkString(", ")}")
+    val got = ch.select(col("change"), col("part"), col("id"), col("v"))
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // id 0 has v = 0 on both sides (0*2 = 0): no change emitted for it
+    val added = (1 until 10).map(i => ("added", "b", i.toLong, i.toLong * 2))
+    val removed = (1 until 10).map(i => ("removed", "b", i.toLong, i.toLong))
+    assert(got == (added ++ removed),
+      "net multiset diff must emit exactly the changed rows")
+    // identical versions diff to nothing (and read nothing)
+    assert(Snapshots.snapshotChanges(spark, root, v2, v2).isEmpty)
+  }
+
   test("compaction lock: appends refuse while held; compact releases it") {
     val e = core.Tables.embeddings(spark, sfDir)
     val root = freshRoot("snap_lock") + "/idx"
