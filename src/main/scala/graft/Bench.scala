@@ -62,7 +62,8 @@ object Bench {
     "g5_kcore",           // synchronized k-core peeling rounds
     "g7_cc_converged",    // large-star/small-star CC to exact fixpoint
     "ann_knn_filtered",   // predicate-pushed over-probed top-k retrieval
-    "tx_unicode"          // NFC composition + invisible strip corpus pass
+    "tx_unicode",         // NFC composition + invisible strip corpus pass
+    "u12_snapshot_publish" // manifest-commit publish + two pinned reads
   )
 
   def main(args: Array[String]): Unit = {

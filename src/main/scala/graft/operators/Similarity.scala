@@ -998,6 +998,25 @@ object Similarity {
     } finally releaseCompactionLock(spark, path)
   }
 
+  /** The streaming maintenance sink's retrain request, if one is
+    * standing: the content of the `_needs_retrain` marker
+    * ([[graft.streaming.Ingest.indexMaintainSink]]'s profile step writes
+    * it while the drift/skew trigger fires, clears it when drift
+    * subsides). The maintenance scheduler polls this and answers with
+    * [[rebuildIvfIndex]] — which leaves a fresh baseline, so the next
+    * profile clears the marker.
+    */
+  def retrainRequested(spark: SparkSession, path: String): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_needs_retrain")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   /** The codebook matching the index's CURRENT committed state: a
     * snapshot-managed index whose latest manifest header names its
     * codebook (rebuilds do — see [[rebuildIvfIndex]]) resolves through

@@ -224,6 +224,19 @@ object Ingest {
     * between append-commit and compaction just defers the sweep to the
     * next trigger — compaction is idempotent maintenance, not data.
     */
+  /** `profileEveryNBatches` (0 = off) closes the unattended lifecycle's
+    * last edge: every N batches the sink profiles the index
+    * (Similarity.cellStats). The FIRST profile persists the drift
+    * baseline; later ones run the needsRetrain trigger against it and
+    * maintain a `_needs_retrain` marker — present (with the measured
+    * ratios) while the trigger fires, absent otherwise — which the
+    * maintenance scheduler polls ([[graft.operators.Similarity
+    * .retrainRequested]]) to launch the BATCH rebuildIvfIndex. The
+    * stream itself never rebuilds: a rebuild swaps the codebook, and
+    * this sink assigns with the codebook it was started with — restart
+    * the sink with the new codebook after a rebuild (the same contract
+    * as any frozen-codebook consumer).
+    */
   def indexMaintainSink(
       vectors: DataFrame,
       indexPath: String,
@@ -232,18 +245,42 @@ object Ingest {
       id: String = "vec_id",
       vec: String = "embedding",
       maxFilesPerCell: Int = 8,
-      compactEveryNBatches: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      compactEveryNBatches: Int = 4,
+      profileEveryNBatches: Int = 0,
+      driftThreshold: Double = 1.5,
+      skewThreshold: Double = 4.0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.appendToIvfIndexIdempotent(
+        import graft.operators.Similarity
+        val spark = batch.sparkSession
+        Similarity.appendToIvfIndexIdempotent(
           batch, id, vec, indexPath, cents, batchId)
         if ((batchId + 1) % compactEveryNBatches == 0) {
-          graft.operators.Similarity.compactIvfIndex(
-            batch.sparkSession, indexPath, maxFilesPerCell)
+          Similarity.compactIvfIndex(spark, indexPath, maxFilesPerCell)
           ()
         }
+        if (profileEveryNBatches > 0 && (batchId + 1) % profileEveryNBatches == 0) {
+          val fs = new org.apache.hadoop.fs.Path(indexPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val baseline =
+            new org.apache.hadoop.fs.Path(s"$indexPath/_codebook/stats_baseline")
+          if (!fs.exists(baseline)) Similarity.baselineIvfIndex(spark, indexPath, vec)
+          else {
+            val (needed, ratio, skew) =
+              Similarity.needsRetrain(spark, indexPath, vec, driftThreshold, skewThreshold)
+            val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_needs_retrain")
+            if (needed) {
+              val out = fs.create(marker, true)
+              try out.write(
+                s"inertia_ratio=$ratio\nmax_share_ratio=$skew\nbatch=$batchId\n"
+                  .getBytes("UTF-8"))
+              finally out.close()
+            } else fs.delete(marker, false)
+          }
+        }
+        ()
       }
 
   /** Apply one micro-batch of dimension updates to a parquet target with

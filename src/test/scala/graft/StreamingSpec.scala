@@ -513,6 +513,50 @@ class StreamingSpec extends SparkTestBase {
       "a replayed batch must not duplicate rows")
   }
 
+  test("indexMaintainSink: the profile step raises and clears the retrain marker") {
+    import graft.operators.Similarity
+    import graft.streaming.Ingest
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val root = Files.createTempDirectory("graft-maint-rt").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(e, "vec_id", "emb", root, nCells = 4)
+    val dir = Files.createTempDirectory("graft-maint-in").toString
+    val ckpt = Files.createTempDirectory("graft-maint-ckpt").toString
+    def sink(cs: Seq[(Int, Seq[Double])]) = Ingest.indexMaintainSink(
+      spark.readStream.schema(e.schema).parquet(dir), root, cs, ckpt,
+      id = "vec_id", vec = "emb",
+      compactEveryNBatches = 100, profileEveryNBatches = 1)
+
+    // batch 0: same distribution — first profile writes the baseline
+    e.limit(10).withColumn("vec_id", col("vec_id") + 5000)
+      .write.mode("append").parquet(dir)
+    val q1 = sink(cents).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Similarity.retrainRequested(spark, root).isEmpty,
+      "the bootstrap profile must only write the baseline")
+
+    // batch 1: a drifted slab — the trigger fires and the marker appears
+    e.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 6000).as("vec_id"),
+        transform(col("emb"), x => x * 0.2 + 0.5).as("emb"))
+      .write.mode("append").parquet(dir)
+    val q2 = sink(cents).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val req = Similarity.retrainRequested(spark, root)
+    assert(req.exists(_.contains("inertia_ratio=")),
+      s"drift must raise the marker with its measured ratios, got $req")
+
+    // the scheduler answers with the batch rebuild; the restarted sink's
+    // next profile measures a fresh baseline and clears the marker
+    val (_, newCents) = Similarity.rebuildIvfIndex(spark, root, "vec_id", "emb")
+    e.limit(3).withColumn("vec_id", col("vec_id") + 7000)
+      .write.mode("append").parquet(dir)
+    val q3 = sink(newCents).start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(Similarity.retrainRequested(spark, root).isEmpty,
+      "a completed rebuild must clear the standing request at the next profile")
+  }
+
   test("userRunningTotals keeps per-user state across a micro-batch") {
     val stream = Events.readEventStream(spark, eventsDir)
     val q = Events.userRunningTotals(spark, stream)
