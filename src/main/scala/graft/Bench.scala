@@ -63,7 +63,9 @@ object Bench {
     "g7_cc_converged",    // large-star/small-star CC to exact fixpoint
     "ann_knn_filtered",   // predicate-pushed over-probed top-k retrieval
     "tx_unicode",         // NFC composition + invisible strip corpus pass
-    "u12_snapshot_publish" // manifest-commit publish + two pinned reads
+    "u12_snapshot_publish", // manifest-commit publish + two pinned reads
+    "ml_auc",             // exact rank-sum AUC via the two-level cumsum machinery
+    "g8_bfs_dist"         // convergence-detected frontier BFS
   )
 
   def main(args: Array[String]): Unit = {

@@ -355,6 +355,36 @@ object Snapshots {
     }
   }
 
+  /** ROLL BACK to an earlier committed version — as a FORWARD commit: a
+    * new version whose manifest is a byte-level copy of `toVersion`'s
+    * file list, stats and metadata, plus a `rollback_of` header marking
+    * provenance. Nothing is deleted and no data moves (data files are
+    * immutable and shared across manifests), so the bad version stays
+    * pinned-readable for forensics, readers already holding it are
+    * unaffected, and history stays linear — the undo button a bad
+    * publish needs, at manifest (listing) cost.
+    *
+    * Fails loudly if any of the target version's files has already been
+    * vacuumed (rollback past the retention horizon is impossible by
+    * construction — [[vacuum]]'s keepVersions is the rollback window).
+    */
+  def rollbackTo(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val files = manifestFiles(spark, root, toVersion)
+    val gone = files.filterNot(f => fs.exists(new Path(rootP, f)))
+    require(gone.isEmpty,
+      s"rollbackTo($toVersion): ${gone.size} of its ${files.size} data files " +
+        s"were vacuumed (first: ${gone.headOption.getOrElse("")}) — the version " +
+        "is past the retention horizon and cannot be restored")
+    val stats = fileStats(spark, root, toVersion)
+      .map(s => s"#stat=${s._1}|${s._2}|${s._3}|${s._4}")
+    val meta = manifestMeta(spark, root, toVersion) + ("rollback_of" -> toVersion.toString)
+    claimAndCommit(spark, root) { _ =>
+      metaHeader(meta) ++ stats ++ files.sorted
+    }
+  }
+
   /** Read a pinned version (default: latest). Plans from the manifest's
     * explicit file list with the table root as basePath, so hive
     * partition columns resolve exactly as a plain root read would.

@@ -302,6 +302,64 @@ object Graph {
       .select(col("node"), coalesce(col("p"), col("node")).as("component"))
   }
 
+  /** Multi-source BFS hop distances over an undirected view of `edges`:
+    * for every node reachable from `sources` (single column `v`), the
+    * exact minimum hop count to the NEAREST source — the link-distance
+    * feature of crawl curation (hops from a trusted seed set) and the
+    * blast-radius query of incident response, convergence-detected like
+    * [[connectedComponents]] (the loop stops when a round's frontier is
+    * empty — no bounded-round approximation to get wrong).
+    *
+    * Frontier iteration: only the rows SETTLED LAST ROUND join the edge
+    * set each round, and newly reached nodes are the expansion MINUS
+    * everything already settled (one anti-join) — per-round work is
+    * edges-touching-the-frontier, not the graph, which is what makes BFS
+    * viable on a 100 TB edge list where diameter is small (real link
+    * graphs: 10-20). Every round's frontier localCheckpoints: the loop
+    * needs per-round materialization anyway (the emptiness check), so
+    * lineage depth stays constant. The settled set accumulates as a
+    * union of checkpointed frontiers (shallow by construction).
+    *
+    * Returns (node, dist BIGINT) for REACHED nodes only (sources at 0);
+    * unreachable nodes are absent — the caller left-joins if it wants
+    * nulls. Throws past `maxRounds` (default 1024) — that is a graph
+    * with a 1024-hop shortest path, which no curation feature wants
+    * silently truncated.
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxRounds: Int = 1024): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val clean = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val und = clean
+      .unionAll(clean.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round — materialize once
+    var settled = sources.select(col("v")).distinct()
+      .select(col("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = settled
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      val expanded = und
+        .join(frontier.select(col("v").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+      frontier = expanded
+        .join(settled, Seq("v"), "left_anti")
+        .localCheckpoint()
+      settled = settled.unionAll(frontier)
+      round += 1
+    }
+    require(round < maxRounds || frontier.isEmpty,
+      s"bfsDistances did not settle in $maxRounds rounds — raise maxRounds " +
+        "only if a shortest path that long is genuinely expected")
+    settled.select(col("v").as("node"), col("dist"))
+  }
+
   /** Exact per-node triangle counts over an undirected view of `edges`,
     * DEGREE-ORIENTED (the MapReduce triangle algorithm of Cohen 2009 /
     * Suri–Vassilvitskii 2011): each canonical edge is directed from its

@@ -507,6 +507,81 @@ object Stats {
       .selectExpr((Seq(group, "n") ++ olsCastSql): _*)
       .selectExpr((Seq(group, "n") ++ olsSolveSql): _*)
 
+  /** Exact ROC AUC of an integer-valued score against a binary label —
+    * the rank-sum (Mann–Whitney) identity with midrank tie handling:
+    *
+    *   AUC = [ Σ_s nPos(s)·(2·cumNegBelow(s) + nNeg(s)) ] / (2·P·N)
+    *
+    * evaluated per DISTINCT score s, where cumNegBelow is the count of
+    * negatives with a strictly smaller score. The numerator is exact
+    * BIGINT (ties contribute the standard ½ through the ×2 scaling), so
+    * the only float operation is the final division — engine-exact, the
+    * catalog parity rule.
+    *
+    * Scale shape: identical to [[ksTest]] — the scores aggregate once
+    * per distinct value (hash agg, map-side combined), the corpus-wide
+    * cumulative negative count is two-level (equi-width integer buckets,
+    * within-bucket window keyed ON THE BUCKET, driver-side offsets over
+    * ≤ `buckets` rows). No unpartitioned window, no per-row rank: the
+    * eval metric every retrieval/classifier pipeline reports, computable
+    * at 100 TB in two hash aggregations + one bounded window.
+    *
+    * `valueCents` must be integer-valued (quantize doubles first, e.g.
+    * `round(x * 100)`); `pos` is the boolean label. Returns one row:
+    * (n_pos, n_neg, auc_num, auc) with auc = auc_num / (2·n_pos·n_neg).
+    */
+  def rocAuc(
+      df: DataFrame,
+      pos: Column,
+      valueCents: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val v = df.select(valueCents.cast("long").as("v"), pos.cast("boolean").as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull)
+    // the machinery takes three driver actions (min/max probe, bucket
+    // totals, final aggregate) — materialize the distinct-score table
+    // once so the corpus scan+groupBy runs ONE time, not three (the
+    // groupedRank strategy-probe lesson, r10 "What's wrong" #1); the
+    // checkpointed set is |distinct scores| rows, never the corpus
+    val perValue = v.groupBy(col("v")).agg(
+      sum(when(col("p"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("p"), 1L).otherwise(0L)).as("cn"))
+      .localCheckpoint(true)
+    val m = perValue.agg(min(col("v")), max(col("v"))).head()
+    require(!m.isNullAt(0), "rocAuc: empty input")
+    val bucketed = perValue.withColumn("b", rangeBucket("v", m.getLong(0), m.getLong(1), buckets))
+    val w = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("ln", sum(col("cn")).over(w))
+    // per-bucket negative totals: an index action over <= buckets rows
+    val totals = bucketed.groupBy(col("b")).agg(sum(col("cn")).as("tn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var accN = 0L
+    val offN = scala.collection.mutable.Map.empty[Int, Long]
+    totals.foreach { case (bk, tn) => offN(bk) = accN; accN += tn }
+    // the numerator multiplies two counts that are each corpus-bounded —
+    // cast each FACTOR to DECIMAL(19,0) before the product (the Linalg
+    // rule: a long×long product would silently wrap past 2^63 in
+    // non-ANSI mode), sum exactly in DECIMAL(38,0)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    local
+      // strictly-below = inclusive cumulative minus the current value's own
+      .withColumn("below", element_at(typedLit(offN.toMap), col("b")) + col("ln") - col("cn"))
+      .agg(
+        sum(col("cp")).as("n_pos"),
+        sum(col("cn")).as("n_neg"),
+        sum((col("cp").cast(dec19) * (col("below") * 2 + col("cn")).cast(dec19))
+          .cast(dec38)).as("num"))
+      .select(col("n_pos"), col("n_neg"),
+        // exact integer, surfaced as DOUBLE (rounds identically past 2^53
+        // in both engines — nearest-even, the olsCastSql convention)
+        col("num").cast("double").as("auc_num"),
+        (col("num").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `value`
     * distributions of two slices (`sideA` vs `sideB` of column `side`):
     * D = sup_x |F_A(x) − F_B(x)|, evaluated at every observed value —
@@ -541,9 +616,11 @@ object Stats {
     require(buckets > 0, "buckets must be positive")
     val v = df.filter(side.isin(sideA, sideB))
       .select(valueCents.cast("long").as("v"), side.as("s"))
+    // one corpus scan, not three — see the note in [[rocAuc]]
     val perValue = v.groupBy(col("v")).agg(
       sum(when(col("s") === sideA, 1L).otherwise(0L)).as("ca"),
       sum(when(col("s") === sideB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(true)
     val m = perValue.agg(min(col("v")), max(col("v"))).head()
     require(!m.isNullAt(0), "ksTest: no rows on either side")
     val bucketed = perValue.withColumn("b", rangeBucket("v", m.getLong(0), m.getLong(1), buckets))

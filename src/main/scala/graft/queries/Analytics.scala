@@ -813,6 +813,52 @@ object Analytics {
         .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
         .orderBy("change", "event_type")
     },
+    Q("u14_rollback",
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |v1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY 1),
+        |v2 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+        |                       ELSE value END AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY 1)
+        |SELECT 'latest_after_rollback' AS phase, event_type, n, value_sum FROM v1
+        |UNION ALL
+        |SELECT 'pinned_bad_version' AS phase, event_type, n, value_sum FROM v2
+        |ORDER BY phase, event_type""".stripMargin) { (s, d) =>
+      // ROLLBACK as a forward commit (Snapshots.rollbackTo): version 2
+      // is a bad publish (the doubled 'click' partition); rolling back
+      // to v1 commits version 3 whose manifest is a copy of v1's file
+      // list — no data moves, nothing is deleted, history stays linear.
+      // The result proves both halves of the contract: the LATEST read
+      // after the rollback equals v1's content exactly (the oracle
+      // computes it from the raw table — any leakage of v2's rewrite
+      // breaks the hash), and the bad version REMAINS pinned-readable
+      // for forensics. The rollback window is vacuum's keepVersions by
+      // construction (rollbackTo fails loudly past it).
+      import graft.core.{Num, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u14_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_type", "event_id", "value")
+      val v1 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      val v2 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.partitionBy("event_type").parquet(stage))
+      Snapshots.rollbackTo(s, root, v1)
+      def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+          .withColumn("phase", lit(phase))
+      agg(Snapshots.readSnapshot(s, root), "latest_after_rollback")
+        .unionByName(agg(Snapshots.readSnapshot(s, root, Some(v2)), "pinned_bad_version"))
+        .select("phase", "event_type", "n", "value_sum")
+        .orderBy("phase", "event_type")
+    },
 
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",
@@ -1249,6 +1295,41 @@ object Analytics {
         .select("node", "component", "csize")
         .orderBy("node")
     },
+    Q("g8_bfs_dist",
+      """WITH RECURSIVE
+        |de AS (SELECT DISTINCT o_custkey % 400 AS src, o_orderkey % 400 AS dst
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_custkey % 400 <> o_orderkey % 400),
+        |e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+        |nodes AS (SELECT DISTINCT src AS v FROM e),
+        |seeds AS (SELECT v FROM nodes WHERE v % 100 = 0),
+        |walk(v, dd) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.dd + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.dd < 20)
+        |SELECT v AS node, CAST(MIN(dd) AS BIGINT) AS dist
+        |FROM walk GROUP BY v ORDER BY node""".stripMargin) { (s, d) =>
+      // Multi-source BFS hop distance from a trusted seed set — the
+      // link-distance quality feature of crawl curation (pages near
+      // seeds rank higher) — CONVERGENCE-DETECTED frontier expansion
+      // (Graph.bfsDistances): per round only frontier-touching edges
+      // join, newly reached nodes anti-join the settled set, and the
+      // loop stops when a frontier comes back empty — exact distances
+      // at any diameter. The oracle's capped recursive CTE is the
+      // semantic spec (the fixture's dense 400-node order graph has
+      // eccentricity ≪ 20 from the four seeds); the engine needs no
+      // cap. Seeds are every node ≡ 0 (mod 100).
+      val edges = orders(s, d)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select((col("o_custkey") % 400).as("src"), (col("o_orderkey") % 400).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("v"))
+        .unionAll(edges.select(col("dst").as("v")))
+        .distinct()
+      val seeds = nodes.filter(col("v") % 100 === 0)
+      graft.operators.Graph.bfsDistances(edges, seeds)
+        .orderBy("node")
+    },
     Q("g1_pagerank",
       """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
         |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
@@ -1575,6 +1656,41 @@ object Analytics {
             TextFns.langId(col("text")).as("pred"), col("lang")),
           "pred", "lang")
         .orderBy("label")
+    },
+    Q("ml_auc",
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    (o_orderstatus = 'F') AS p FROM orders),
+        |g AS (SELECT v,
+        |    CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM c GROUP BY v),
+        |r AS (SELECT v, cp, cn,
+        |    COALESCE(SUM(cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cn) AS BIGINT) AS n_neg,
+        |    SUM(CAST(cp AS DECIMAL(19,0))
+        |        * CAST(below * 2 + cn AS DECIMAL(19,0))) AS num
+        |  FROM r)
+        |SELECT n_pos, n_neg, CAST(num AS DOUBLE) AS auc_num,
+        |  CAST(num AS DOUBLE)
+        |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        |FROM t""".stripMargin) { (s, d) =>
+      // Exact ROC AUC of order price as a classifier of fulfilled status
+      // — the rank-sum (Mann–Whitney) identity with midrank ties, the
+      // eval metric every classifier/retrieval pipeline reports. The
+      // numerator Σ nPos(s)·(2·cumNegBelow(s) + nNeg(s)) is exact
+      // integer/decimal arithmetic per DISTINCT score; the only float op
+      // is the final division. The corpus-wide cumulative-negatives is
+      // two-level (bucket window + driver offsets — Stats.rocAuc, the
+      // ksTest machinery), so no unpartitioned window anywhere; the
+      // oracle's single-window spelling is the semantic spec, not the
+      // plan. Heavy ties (cent-quantized prices) exercise the midrank
+      // path by construction.
+      graft.ops.Stats.rocAuc(orders(s, d),
+        col("o_orderstatus") === "F",
+        round(col("o_totalprice") * 100))
     },
     Q("pf_gini",
       """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o

@@ -88,4 +88,33 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(kcPlain == kcChk)
   }
+
+  test("bfsDistances: exact multi-source hops, unreachable absent, empty-frontier stop") {
+    import spark.implicits._
+    // a 10-node path with seeds at both ends, plus a disconnected pair
+    val edges = pathEdges(10)
+      .unionAll(Seq((100L, 101L)).toDF("src", "dst"))
+    val seeds = Seq(0L, 9L).toDF("v")
+    val got = Graph.bfsDistances(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dist = min hops to the NEAREST seed: 0..4 from the left, 4..0 from
+    // the right — node i settles at min(i, 9 - i)
+    assert(got == (0 to 9).map(i => i.toLong -> math.min(i, 9 - i).toLong).toMap,
+      got.toString)
+    assert(!got.contains(100L) && !got.contains(101L),
+      "nodes unreachable from any seed must be absent, not defaulted")
+
+    // single seed on the long path: exact linear distances (the shape a
+    // bounded-round variant would truncate), and the round count equals
+    // the eccentricity + 1 — convergence, not a cap
+    val one = Graph.bfsDistances(pathEdges(10), Seq(0L).toDF("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == (0 to 9).map(i => i.toLong -> i.toLong).toMap)
+
+    // string node ids work (no numeric assumptions anywhere)
+    val sEdges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val sGot = Graph.bfsDistances(sEdges, Seq("a").toDF("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sGot == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
 }

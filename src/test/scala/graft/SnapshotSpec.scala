@@ -281,4 +281,53 @@ class SnapshotSpec extends SparkTestBase {
     assert(filesAfter < filesBefore,
       s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
   }
+
+  test("rollbackTo: forward-commit undo — latest equals the target, bad version stays readable") {
+    val root = freshRoot("snap_rb")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 2).write.partitionBy("part").parquet(stage))
+    val v2 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 100).write.partitionBy("part").parquet(stage)) // the bad publish
+    val v3 = Snapshots.rollbackTo(spark, root, v1)
+    assert(v3 > v2, "rollback must commit a NEW version, not rewrite history")
+    assert(Snapshots.latestVersion(spark, root).contains(v3))
+    // latest read == v1's content, bit for bit
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) ==
+      rowsOf(Snapshots.readSnapshot(spark, root, Some(v1))))
+    // the bad version remains pinned-readable for forensics
+    val bad = rowsOf(Snapshots.readSnapshot(spark, root, Some(v2)))
+    assert(bad.filter(_._1 == "a").forall(r => r._3 == r._2 * 100))
+    // provenance header
+    assert(Snapshots.manifestMeta(spark, root, v3).get("rollback_of").contains(v1.toString))
+    // a rollback carries over recorded file stats — none here, but the
+    // manifest must stay parseable with an empty stat set
+    assert(Snapshots.fileStats(spark, root, v3).isEmpty)
+  }
+
+  test("rollbackTo: refuses loudly past the vacuum retention horizon") {
+    val root = freshRoot("snap_rb_gone")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    // a full replacement: v2 shares no files with v1
+    Snapshots.publishFull(spark, root)(stage =>
+      fixture("a" -> 3, "b" -> 4).write.partitionBy("part").parquet(stage))
+    Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    // vacuum dropped v1's manifest with its files — the lookup itself
+    // refuses (retention horizon = the rollback window, by construction)
+    val err = intercept[IllegalArgumentException](
+      Snapshots.rollbackTo(spark, root, v1))
+    assert(err.getMessage.contains("no manifest"), err.getMessage)
+
+    // the defensive second layer: a manifest that survived but whose
+    // data file was reaped externally must also refuse, not commit a
+    // version pinning ghosts
+    val root2 = freshRoot("snap_rb_ghost")
+    val w1 = Snapshots.publishPartitions(spark, root2)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    val f = Snapshots.manifestFiles(spark, root2, w1).head
+    fs(root2).delete(new Path(s"$root2/$f"), false)
+    val err2 = intercept[IllegalArgumentException](
+      Snapshots.rollbackTo(spark, root2, w1))
+    assert(err2.getMessage.contains("vacuumed"), err2.getMessage)
+  }
 }

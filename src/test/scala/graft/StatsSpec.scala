@@ -455,6 +455,33 @@ class StatsSpec extends SparkTestBase {
     assert(got == Seq(1, 2, 3, 4, 5), got.toString)
   }
 
+  test("rocAuc: hand-computed fixture with heavy ties (midrank), perfect and inverted edges") {
+    // scores: pos = {3, 5, 5, 8}, neg = {1, 5, 7}
+    // pairs (pos, neg): concordant = pos>neg, tie = 0.5
+    //   3: >1                 -> 1
+    //   5: >1, =5 (0.5)       -> 1.5  (x2 positives at 5 -> 3)
+    //   8: >1, >5, >7         -> 3
+    // AUC = (1 + 3 + 3) / (4*3) = 7/12
+    val df = Seq(
+      (3L, true), (5L, true), (5L, true), (8L, true),
+      (1L, false), (5L, false), (7L, false)).toDF("v", "p")
+    val r = graft.ops.Stats.rocAuc(df, col("p"), col("v")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 14.0, s"auc_num 2*7: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 14.0 / 24.0, s"auc: ${r.getDouble(3)}")
+
+    // a perfect separator scores 1.0; the inverted one 0.0
+    val sep = Seq((10L, true), (11L, true), (1L, false), (2L, false)).toDF("v", "p")
+    assert(graft.ops.Stats.rocAuc(sep, col("p"), col("v")).head().getDouble(3) == 1.0)
+    assert(graft.ops.Stats.rocAuc(sep, !col("p"), col("v")).head().getDouble(3) == 0.0)
+
+    // bucketed two-level path == tiny-bucket path (offsets exercised)
+    val wide = (1 to 500).map(i => (i.toLong * 37 % 211, i % 3 == 0)).toDF("v", "p")
+    val a = graft.ops.Stats.rocAuc(wide, col("p"), col("v"), buckets = 256).head()
+    val b = graft.ops.Stats.rocAuc(wide, col("p"), col("v"), buckets = 3).head()
+    assert(a.getDouble(3) == b.getDouble(3) && a.getDouble(2) == b.getDouble(2))
+  }
+
   // ---- edit distance dedup ------------------------------------------------
 
   test("editDistancePairs: catches boundary-straddling near-dups, skips far pairs") {
