@@ -360,6 +360,58 @@ object Graph {
     settled.select(col("v").as("node"), col("dist"))
   }
 
+  /** Link prediction candidates by common-neighbor count: non-adjacent
+    * node pairs that share at least `minCommon` neighbors, with the
+    * Jaccard overlap of their neighborhoods — the classic missing-link /
+    * related-entity signal over co-interaction graphs.
+    *
+    * Wedge generation is the quadratic danger zone (Σ deg² pairs), so
+    * apexes above `maxApexDegree` are SKIPPED as wedge centers — the
+    * standard mitigation, principled here: a shared hub neighbor is the
+    * weakest evidence of relatedness (every pair shares the celebrity),
+    * and dropping it bounds total wedge work by maxApexDegree·|edges|.
+    * Degrees in the Jaccard denominator stay FULL (the cap only limits
+    * which midpoints generate candidates, never the normalization), and
+    * a pair's `cn` counts only its ≤cap-degree shared neighbors — the
+    * oracle replays the same cap, so the semantics is explicit, not a
+    * silent approximation.
+    *
+    * Plan shape: degree aggregate, one self-join of the capped adjacency
+    * on the apex, one (pair)-keyed count, one anti-join against the
+    * canonical edge set, two degree joins — all node/pair-keyed
+    * equi-joins, nothing O(N²) in nodes.
+    *
+    * Returns (a, b, cn, deg_a, deg_b, jaccard) with a < b, cn ≥
+    * `minCommon`, jaccard = cn / (deg_a + deg_b − cn).
+    */
+  def commonNeighborCandidates(
+      edges: DataFrame,
+      maxApexDegree: Int,
+      minCommon: Long = 2L): DataFrame = {
+    require(maxApexDegree >= 1, "maxApexDegree must be >= 1")
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val capped = adj.join(deg.filter(col("deg") <= maxApexDegree).select("u"), Seq("u"))
+    val wedges = capped.select(col("u"), col("v").as("a"))
+      .join(capped.select(col("u"), col("v").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+    val cn = wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(e, Seq("a", "b"), "left_anti")
+    cn
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        (col("cn").cast("double")
+          / (col("deg_a") + col("deg_b") - col("cn")).cast("double")).as("jaccard"))
+  }
+
   /** Exact per-node triangle counts over an undirected view of `edges`,
     * DEGREE-ORIENTED (the MapReduce triangle algorithm of Cohen 2009 /
     * Suri–Vassilvitskii 2011): each canonical edge is directed from its

@@ -1330,6 +1330,51 @@ object Analytics {
       graft.operators.Graph.bfsDistances(edges, seeds)
         .orderBy("node")
     },
+    Q("g9_link_predict",
+      """WITH de AS (SELECT DISTINCT o_custkey % 500 AS src, o_orderkey % 500 AS dst
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 500 <> o_orderkey % 500),
+        |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM de),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |cap AS (SELECT adj.u, adj.v FROM adj JOIN dg USING (u) WHERE dg.deg <= 12),
+        |w AS (SELECT x.v AS a, y.v AS b FROM cap x JOIN cap y
+        |  ON x.u = y.u AND x.v < y.v),
+        |cn AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn FROM w GROUP BY 1, 2),
+        |ne AS (SELECT cn.a, cn.b, cn.cn FROM cn
+        |  WHERE cn.cn >= 2 AND NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)),
+        |j AS (SELECT ne.a, ne.b, ne.cn, da.deg AS deg_a, db.deg AS deg_b,
+        |    CAST(ne.cn AS DOUBLE) / CAST(da.deg + db.deg - ne.cn AS DOUBLE) AS jaccard
+        |  FROM ne JOIN dg da ON ne.a = da.u JOIN dg db ON ne.b = db.u),
+        |r AS (SELECT a, b, cn, deg_a, deg_b, jaccard,
+        |    CAST(row_number() OVER (ORDER BY cn DESC, a, b) AS INTEGER) AS rk
+        |  FROM j)
+        |SELECT rk, a, b, cn, deg_a, deg_b, jaccard
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, d) =>
+      // Link prediction over the g5 order graph: the top-20 non-adjacent
+      // pairs by common-neighbor count (Jaccard-normalized against FULL
+      // degrees) — the related-entity signal of co-interaction graphs.
+      // Wedge apexes cap at degree 12 (Graph.commonNeighborCandidates):
+      // hubs generate deg² wedges and carry the weakest signal, so the
+      // cap bounds wedge work by cap·|edges| — replayed by the oracle,
+      // explicit semantics rather than a silent approximation (the g5
+      // fixture has hubs past 12, so the cap does real work at sf0.01).
+      // Top-k is TakeOrdered (per-partition partial top-k); the rank
+      // window runs on the 20 survivors only.
+      import org.apache.spark.sql.expressions.Window
+      val edges = orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_custkey") % 500).as("src"), (col("o_orderkey") % 500).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.operators.Graph.commonNeighborCandidates(edges,
+          maxApexDegree = 12, minCommon = 2L)
+        .orderBy(col("cn").desc, col("a"), col("b")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cn").desc, col("a"), col("b"))))
+        .select("rk", "a", "b", "cn", "deg_a", "deg_b", "jaccard")
+        .orderBy("rk")
+    },
     Q("g1_pagerank",
       """WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
         |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),

@@ -695,6 +695,64 @@ object Extensions {
             .as("residual"))
         .orderBy("event_type", "day")
     },
+    Q("ev_changepoint",
+      // CUSUM changepoint per event-type daily series: the day where the
+      // cumulative deviation from the series mean peaks — the standard
+      // level-shift locator of pipeline monitoring (a source going dark
+      // or doubling shows up as the |CUSUM| maximum). Mean-free integer
+      // form: S_d = Σ_{i≤d} n_i − d·(T/D) scaled by D gives
+      // num_d = D·cum_d − rank_d·T — EXACT decimal arithmetic (each
+      // factor cast to DECIMAL(19,0) before the product, the no-wrap
+      // rule), no float until the read-out cast. Scale shape: the
+      // stream collapses in the first map-side-combined (type, day)
+      // aggregate; every window after runs on calendar-bounded rows
+      // (the ev_seasonal argument).
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(n) AS BIGINT) AS n_events FROM dly GROUP BY 1),
+        |c AS (SELECT event_type, day, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rk
+        |  FROM dly),
+        |s AS (SELECT c.event_type, c.day, t.n_days, t.n_events,
+        |    CAST(t.n_days AS DECIMAL(19,0)) * CAST(c.cum AS DECIMAL(19,0))
+        |      - CAST(c.rk AS DECIMAL(19,0)) * CAST(t.n_events AS DECIMAL(19,0)) AS num
+        |  FROM c JOIN t USING (event_type)),
+        |p AS (SELECT event_type, day AS change_day, num, n_days, n_events,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(num) DESC, day) AS prk
+        |  FROM s)
+        |SELECT event_type, change_day, CAST(num AS DOUBLE) AS cusum,
+        |  n_days, n_events
+        |FROM p WHERE prk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val t = dly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val c = dly
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rk", row_number().over(w).cast("long"))
+      val sNum = c.join(t, Seq("event_type"))
+        .withColumn("num",
+          col("n_days").cast(dec19) * col("cum").cast(dec19)
+            - col("rk").cast(dec19) * col("n_events").cast(dec19))
+      sNum
+        .withColumn("prk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(abs(col("num")).desc, col("day"))))
+        .filter(col("prk") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          col("num").cast("double").as("cusum"), col("n_days"), col("n_events"))
+        .orderBy("event_type")
+    },
     Q("ev_streaks",
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

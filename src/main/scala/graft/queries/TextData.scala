@@ -2347,6 +2347,61 @@ object TextData {
         .filter(col("rk") <= 10)
         .orderBy("lang", "rk")
     },
+    Q("tx_collocations",
+      """WITH t AS (SELECT
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |u AS (SELECT un.t AS w FROM t, unnest(ws) AS un(t)),
+        |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM u GROUP BY 1),
+        |b AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+        |  WHERE len(ws) >= 2),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM b GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS total FROM bc),
+        |l AS (SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.n_pair,
+        |    u1.cw AS n_w1, u2.cw AS n_w2,
+        |    (CAST(bc.n_pair AS DOUBLE) * CAST(nb.total AS DOUBLE))
+        |      / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE)) AS lift
+        |  FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, nb
+        |  WHERE bc.n_pair >= 5),
+        |r AS (SELECT bigram, n_pair, n_w1, n_w2, lift,
+        |    CAST(row_number() OVER (ORDER BY lift DESC, bigram) AS INTEGER) AS rk
+        |  FROM l)
+        |SELECT rk, bigram, n_pair, n_w1, n_w2, lift
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, d) =>
+      // Collocation extraction: the top-20 word bigrams by LIFT —
+      // P(w1 w2) / (P(w1)·P(w2)) = n_pair·N / (n_w1·n_w2) — the phrase/
+      // named-entity miner of corpus analysis (PMI without the log: lift
+      // ranks identically since log is monotone, and the catalog's
+      // log-free rule keeps it engine-exact — integer counts, one fixed
+      // product-over-product IEEE division). A min support of 5 kills
+      // the rare-pair degeneracy PMI is notorious for. Scale shape:
+      // token/bigram explodes are linear and map-side combined; the two
+      // unigram joins key on vocabulary-sized tables; top-k is
+      // TakeOrdered and the rank window runs on the 20 survivors.
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextFns.tokens(col("text"))
+      val docs = documents(s, d)
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val bi = docs.select(explode(TextFns.strictWordShingles(toks, 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      val total = bi.agg(sum(col("n_pair")).cast("long").as("total"))
+      bi.filter(col("n_pair") >= 5)
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("cw").as("n_w1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("n_w2")), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .withColumn("lift",
+          (col("n_pair").cast("double") * col("total").cast("double"))
+            / (col("n_w1").cast("double") * col("n_w2").cast("double")))
+        .orderBy(col("lift").desc, col("bigram")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("lift").desc, col("bigram"))))
+        .select("rk", "bigram", "n_pair", "n_w1", "n_w2", "lift")
+        .orderBy("rk")
+    },
     Q("tx_zipf",
       """WITH tok AS (SELECT u.t AS tok FROM (
         |    SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w

@@ -117,4 +117,28 @@ class GraphSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sGot == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
+
+  test("commonNeighborCandidates: exact counts, edge anti-join, apex cap semantics") {
+    import spark.implicits._
+    // a 4-cycle 0-1-2-3-0 plus a hub 9 adjacent to all four
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (9L, 0L), (9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    def rows(cap: Int) = Graph.commonNeighborCandidates(edges, cap, minCommon = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+
+    // cap 3 excludes the hub (deg 4) as a wedge APEX: the opposite-corner
+    // pairs count only their two cycle apexes; every pair THROUGH an
+    // allowed apex that is already an edge (all the hub spokes) anti-joins
+    // away; degrees in the Jaccard stay FULL
+    val capped = rows(3)
+    assert(capped.keySet == Set((0L, 2L), (1L, 3L)), capped.toString)
+    assert(capped((0L, 2L)) == ((2L, 3L, 3L, 2.0 / 4.0)))
+    assert(capped((1L, 3L)) == ((2L, 3L, 3L, 2.0 / 4.0)))
+
+    // no binding cap: the hub is a third shared neighbor
+    val full = rows(10)
+    assert(full((0L, 2L)) == ((3L, 3L, 3L, 1.0)))
+    assert(full((1L, 3L)) == ((3L, 3L, 3L, 1.0)))
+  }
 }
