@@ -476,4 +476,81 @@ class ScaleProbeSpec extends SparkTestBase {
     val r = ks(nDocs * 10).collect().head
     assert(r.getAs[Double]("d") > 0.02, "planted shift must be detected")
   }
+
+  test("ml_auc: 10x rows within linear time, same exchange count") {
+    import graft.ops.Stats
+    // scores spread over 10007 distinct values, ~1/3 positives whose
+    // scores skew higher (id%3==0 adds 2000) -> AUC visibly above 0.5
+    def rows(n: Long): DataFrame =
+      spark.range(n).select(
+        (col("id") % 3 === 0).as("p"),
+        (col("id") % 10007 + when(col("id") % 3 === 0, 2000).otherwise(0)).as("v"))
+    def auc(n: Long): DataFrame = Stats.rocAuc(rows(n), col("p"), col("v"))
+    def run(n: Long): (Long, Double) = timed { auc(n).collect(); 1L }
+    run(nDocs)
+    val (_, tSmall) = run(nDocs)
+    val (_, tBig) = run(nDocs * 10)
+    assertLinear("ml_auc", tSmall, tBig)
+    assert(exchanges(auc(nDocs)) == exchanges(auc(nDocs * 10)),
+      "auc plan changed shape at 10x")
+    val r = auc(nDocs * 10).collect().head
+    assert(r.getAs[Double]("auc") > 0.55, "planted score shift must be detected")
+  }
+
+  test("snapshotChanges: IO and time track the CHURN, not the table (10x table, fixed churn)") {
+    import graft.core.Snapshots
+    // table = one FIXED-SIZE hot partition (the churn) + cold partitions
+    // carrying the 10x growth; v2 rewrites only the hot partition
+    def publishPair(root: String, coldRows: Long): (Long, Long) = {
+      def tbl(hotMult: Int) =
+        spark.range(1000).select(lit("hot").as("part"), col("id"),
+            (col("id") * hotMult).as("v"))
+          .unionByName(spark.range(coldRows).select(
+            concat(lit("c"), pmod(col("id"), lit(8))).as("part"), col("id"),
+            col("id").as("v")))
+      val v1 = Snapshots.publishPartitions(spark, root) { stage =>
+        tbl(1).write.partitionBy("part").parquet(stage)
+      }
+      val v2 = Snapshots.publishPartitions(spark, root) { stage =>
+        tbl(2).filter(col("part") === "hot")
+          .write.partitionBy("part").parquet(stage)
+      }
+      (v1, v2)
+    }
+    def changes(root: String, v1: Long, v2: Long): (Long, Double) =
+      timed(Snapshots.snapshotChanges(spark, root, v1, v2).count())
+    val rootS = java.nio.file.Files.createTempDirectory("cdc_s").toString + "/t"
+    val rootB = java.nio.file.Files.createTempDirectory("cdc_b").toString + "/t"
+    val (s1, s2) = publishPair(rootS, nDocs)
+    val (b1, b2) = publishPair(rootB, nDocs * 10)
+    changes(rootS, s1, s2) // warm
+    val (rowsSmall, tSmall) = changes(rootS, s1, s2)
+    val (rowsBig, tBig) = changes(rootB, b1, b2)
+    // the net diff is the hot partition's non-fixpoint rows, both sides:
+    // id*1 -> id*2 changes every row except id=0 -> 999 added + 999
+    // removed + the id=0 fixpoint emits nothing
+    assert(rowsSmall == 1998L && rowsBig == 1998L, s"$rowsSmall / $rowsBig")
+    val ratio = tBig / math.max(tSmall, 0.2)
+    info(f"snapshotChanges: small-table=$tSmall%.2fs 10x-table=$tBig%.2fs ratio=$ratio%.1fx")
+    assert(ratio <= 3.0,
+      f"snapshotChanges grew $ratio%.1fx on a 10x TABLE with identical churn — " +
+        "IO must be manifest-diff-bounded, never table-bounded")
+  }
+
+  test("bfsDistances: 10x nodes within linear time, logarithmic diameter covered") {
+    import graft.operators.Graph
+    // ring + doubling chords: diameter O(log n), every node reachable
+    def edges(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        .unionByName(spark.range(n).select(col("id").as("src"),
+          ((col("id") * 2 + 1) % n).as("dst")))
+    def run(n: Long): (Long, Double) =
+      timed(Graph.bfsDistances(edges(n), Seq(0L).toDF("v")).count())
+    run(nVecs)
+    val (reachedSmall, tSmall) = run(nVecs)
+    val (reachedBig, tBig) = run(nVecs * 10)
+    assert(reachedSmall == nVecs && reachedBig == nVecs * 10,
+      "every ring node must be reached from the seed")
+    assertLinear("bfsDistances", tSmall, tBig)
+  }
 }
