@@ -534,18 +534,40 @@ object Stats {
       df: DataFrame,
       pos: Column,
       valueCents: Column,
-      buckets: Int = 256): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    val v = df.select(valueCents.cast("long").as("v"), pos.cast("boolean").as("p"))
+      buckets: Int = 256): DataFrame =
+    rocAucFromPartials(aucPartials(df, pos, valueCents), buckets)
+
+  /** The AUC's MERGEABLE PARTIAL STATE: per distinct score, the positive
+    * and negative counts (v, cp, cn). Purely additive, so partials over
+    * disjoint slices (days, shards, micro-batches) merge by per-v SUM
+    * into exactly the partial of the union — the same pre-aggregation
+    * contract as [[cmsCounters]], and what lets a scored stream keep a
+    * continuously-updated EXACT eval metric
+    * ([[graft.streaming.Ingest.aucSink]]) without ever re-reading
+    * history: state is |distinct scores| rows, never the corpus.
+    */
+  def aucPartials(df: DataFrame, pos: Column, valueCents: Column): DataFrame =
+    df.select(valueCents.cast("long").as("v"), pos.cast("boolean").as("p"))
       .filter(col("v").isNotNull && col("p").isNotNull)
+      .groupBy(col("v")).agg(
+        sum(when(col("p"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("p"), 1L).otherwise(0L)).as("cn"))
+
+  /** Fold (possibly pre-merged) [[aucPartials]] into the exact AUC —
+    * identical to [[rocAuc]] over the union by count additivity. Both
+    * classes must be present (an all-positive or all-negative input puts
+    * 0 in the denominator — IEEE Inf/NaN, per the engine's non-ANSI
+    * division contract; gate upstream if that matters).
+    */
+  def rocAucFromPartials(partials: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
     // the machinery takes three driver actions (min/max probe, bucket
     // totals, final aggregate) — materialize the distinct-score table
-    // once so the corpus scan+groupBy runs ONE time, not three (the
+    // once so the upstream scan+groupBy runs ONE time, not three (the
     // groupedRank strategy-probe lesson, r10 "What's wrong" #1); the
     // checkpointed set is |distinct scores| rows, never the corpus
-    val perValue = v.groupBy(col("v")).agg(
-      sum(when(col("p"), 1L).otherwise(0L)).as("cp"),
-      sum(when(!col("p"), 1L).otherwise(0L)).as("cn"))
+    val perValue = partials
+      .groupBy(col("v")).agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
       .localCheckpoint(true)
     val m = perValue.agg(min(col("v")), max(col("v"))).head()
     require(!m.isNullAt(0), "rocAuc: empty input")

@@ -205,6 +205,35 @@ object Ingest {
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Continuous EXACT eval-metric maintenance over a scored stream: each
+    * micro-batch writes its own per-score (v, cp, cn) AUC partial
+    * (`Stats.aucPartials` — additive, so idempotent batch-keyed
+    * overwrite gives exactly-once content under replay, the
+    * [[cmsSketchSink]] contract), and [[readAuc]] folds all partials
+    * into the EXACT ROC AUC of everything ingested so far — bit-equal
+    * to the one-shot `Stats.rocAuc` over the union (StreamingSpec).
+    * State per batch is |distinct scores in the batch| rows; no history
+    * is ever re-read. `pos`/`valueCents` are column names on the stream
+    * (pre-quantize scores to integer cents upstream).
+    */
+  def aucSink(
+      scored: DataFrame,
+      outPath: String,
+      checkpointDir: String,
+      pos: String,
+      valueCents: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scored.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Stats.aucPartials(batch, col(pos), col(valueCents))
+          .write.mode("overwrite").parquet(s"$outPath/auc_batch=$batchId")
+      }
+
+  /** The exact AUC of everything [[aucSink]] has ingested. */
+  def readAuc(spark: SparkSession, path: String, buckets: Int = 256): DataFrame =
+    graft.ops.Stats.rocAucFromPartials(spark.read.parquet(path), buckets)
+
   /** Self-maintaining ingest: [[indexAppendSink]] plus the compaction
     * trigger, in one sink — every micro-batch is appended exactly-once
     * (the batch-keyed staged-rename protocol), then every

@@ -321,6 +321,39 @@ class StreamingSpec extends SparkTestBase {
     for ((k, n) <- truth) assert(est(k) >= n, s"CMS under-counted $k: ${est(k)} < $n")
   }
 
+  test("aucSink: folded per-batch partials equal the one-shot exact AUC bit-for-bit") {
+    import graft.ops.Stats
+    import graft.streaming.Ingest
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val dir = Files.createTempDirectory("graft-auc-in").toString
+    val out = Files.createTempDirectory("graft-auc-out").toString
+    val ckpt = Files.createTempDirectory("graft-auc-ckpt").toString
+    // pre-quantized score + boolean label, the sink's column contract
+    val scored = orders.select(
+      (col("o_orderstatus") === "F").as("p"),
+      round(col("o_totalprice") * 100).cast("long").as("v"))
+    val b1 = scored.filter(col("v") % 2 === 0)
+    val b2 = scored.filter(col("v") % 2 =!= 0)
+    b1.write.mode("append").parquet(dir)
+    val q = Ingest.aucSink(
+      spark.readStream.schema(scored.schema).parquet(dir),
+      out, ckpt, pos = "p", valueCents = "v").start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Ingest.readAuc(spark, out).head()
+    val oneShot = Stats.rocAuc(scored, col("p"), col("v")).head()
+    assert(streamed == oneShot,
+      s"streamed AUC $streamed diverges from one-shot $oneShot")
+    // and the mid-stream state was already the exact AUC of batch 1
+    val afterB1 = Stats.rocAuc(b1, col("p"), col("v")).head()
+    val partial1 = Stats.rocAucFromPartials(
+      spark.read.parquet(s"$out/auc_batch=0")).head()
+    assert(partial1 == afterB1)
+  }
+
   test("indexMaintainSink: exactly-once appends plus bounded per-cell file counts") {
     import graft.operators.Similarity
     import graft.streaming.Ingest
