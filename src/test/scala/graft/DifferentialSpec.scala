@@ -346,4 +346,78 @@ class DifferentialSpec extends SparkTestBase {
       assert(got.size == expectedRows, s"trial=$trial row count ${got.size} vs $expectedRows")
     }
   }
+
+  test("rocAuc matches brute-force pair counting (midrank ties) on random inputs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(7000 + trial)
+      // small value range forces heavy ties; both classes guaranteed
+      val rows = (0 until 40).map(_ => (rnd.nextInt(12).toLong, rnd.nextBoolean())) ++
+        Seq((3L, true), (4L, false))
+      val df = rows.toDF("v", "p")
+      val r = graft.ops.Stats.rocAuc(df, col("p"), col("v")).head()
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      // brute force over all pos×neg pairs: win = 2, tie = 1 (the ×2 scale)
+      val num = (for (a <- pos; b <- neg)
+        yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+      assert(r.getLong(0) == pos.size && r.getLong(1) == neg.size, s"trial=$trial counts")
+      assert(r.getDouble(2) == num.toDouble, s"trial=$trial num ${r.getDouble(2)} vs $num")
+      val expected = num.toDouble / (2.0 * pos.size * neg.size)
+      assert(r.getDouble(3) == expected, s"trial=$trial auc ${r.getDouble(3)} vs $expected")
+    }
+  }
+
+  test("bfsDistances matches brute-force BFS on random graphs") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(8000 + trial)
+      val n = 25
+      val edges = (0 until 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val seeds = (0 until 3).map(_ => rnd.nextInt(n).toLong).distinct
+      val got = graft.operators.Graph.bfsDistances(
+          edges.toDF("src", "dst"), seeds.toDF("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force BFS over the cleaned undirected view
+      val und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).groupBy(_._1).map { case (k, v) =>
+          k -> v.map(_._2).toSet
+        }
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(v => und.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        next.foreach(v => dist += v -> (dist(frontier.find(f =>
+          und.getOrElse(f, Set.empty).contains(v)).get) + 1))
+        frontier = next
+      }
+      assert(got == dist, s"trial=$trial: $got vs $dist")
+    }
+  }
+
+  test("commonNeighborCandidates matches brute force on random graphs (cap + full degrees)") {
+    for (trial <- 0 until Trials) {
+      val rnd = new scala.util.Random(9000 + trial)
+      val n = 16
+      val cap = 4 + rnd.nextInt(4)
+      val edgesRaw = (0 until 30).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = graft.operators.Graph.commonNeighborCandidates(
+          edgesRaw.toDF("src", "dst"), maxApexDegree = cap, minCommon = 2L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      // brute force: canonical edge set, full adjacency, capped apexes
+      val e = edgesRaw.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).toSet
+      val adj = e.toSeq.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      val expected = (for {
+        a <- adj.keys; b <- adj.keys
+        if a < b && !e.contains((a, b))
+        shared = adj(a).intersect(adj(b)).count(u => adj(u).size <= cap)
+        if shared >= 2
+      } yield (a, b) -> ((shared.toLong, adj(a).size.toLong, adj(b).size.toLong,
+        shared.toDouble / (adj(a).size + adj(b).size - shared)))).toMap
+      assert(got == expected, s"trial=$trial cap=$cap: $got vs $expected")
+    }
+  }
 }
