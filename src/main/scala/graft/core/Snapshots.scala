@@ -388,17 +388,28 @@ object Snapshots {
   /** Read a pinned version (default: latest). Plans from the manifest's
     * explicit file list with the table root as basePath, so hive
     * partition columns resolve exactly as a plain root read would.
+    *
+    * `mergeSchema` handles SCHEMA EVOLUTION across publishes: a version
+    * whose file set spans generations with different (compatible)
+    * schemas — a later publish added a column — reads as the union
+    * schema, old files yielding nulls for the new columns. Off by
+    * default (schema inference from one footer, the cheap path for the
+    * overwhelmingly common homogeneous table).
     */
   def readSnapshot(
       spark: SparkSession,
       root: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(
         s"readSnapshot: no published version under $root"))
     val files = manifestFiles(spark, root, v).map(f => s"$root/$f")
     require(files.nonEmpty, s"readSnapshot: version $v pins an empty file set")
-    spark.read.option("basePath", root).parquet(files: _*)
+    spark.read
+      .option("basePath", root)
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*)
   }
 
   /** Range read with FILE SKIPPING from manifest stats: rows of the

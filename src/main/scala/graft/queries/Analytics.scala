@@ -859,6 +859,45 @@ object Analytics {
         .select("phase", "event_type", "n", "value_sum")
         .orderBy("phase", "event_type")
     },
+    Q("u15_snapshot_evolve",
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 0.25
+        |                     ELSE NULL END AS DECIMAL(30,6))) AS DOUBLE) AS eur_sum
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // SCHEMA EVOLUTION across snapshot versions: version 2 rewrites
+      // the 'click' partition with an ADDED column (value_eur) the v1
+      // files never had. The merged-schema snapshot read plans both
+      // generations' files as the union schema — old files yield NULL
+      // for the new column, new files carry it — so a table can evolve
+      // column-by-column under the manifest layer without rewriting
+      // untouched partitions (the additive-evolution contract every
+      // long-lived 100 TB table needs; u10 proves the same for plain
+      // trees, this composes it with version pinning). The oracle states
+      // the expected union-schema aggregate from the raw table: any
+      // leakage (v1 clicks surviving, eur values on non-click rows)
+      // breaks the hash.
+      import graft.core.{Num, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u15_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_type", "event_id", "value")
+      Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      Snapshots.publishPartitions(s, root)(stage =>
+        ev.filter(col("event_type") === "click")
+          .withColumn("value_eur", col("value") * 0.25)
+          .write.partitionBy("event_type").parquet(stage))
+      Snapshots.readSnapshot(s, root, mergeSchema = true)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Num.dsum(col("value")).as("value_sum"),
+          Num.dsum(col("value_eur")).as("eur_sum"))
+        .orderBy("event_type")
+    },
 
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",

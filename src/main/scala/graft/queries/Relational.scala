@@ -556,6 +556,41 @@ object Relational {
           rightVals = Seq("click_value"), toleranceMicros = 3600L * 1000000L)
         .orderBy("event_id")
     },
+    Q("j21_nullsafe_join",
+      """WITH a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS qty_sum
+        |  FROM (SELECT CASE WHEN l_partkey % 7 = 0 THEN NULL
+        |                    ELSE l_partkey % 50 END AS k, l_quantity
+        |        FROM lineitem) GROUP BY k),
+        |b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM (SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL
+        |                    ELSE o_custkey % 50 END AS k FROM orders) GROUP BY k)
+        |SELECT a.k, a.n_items, a.qty_sum, b.n_orders
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin) { (s, d) =>
+      // J21: NULL-SAFE equi-join — R-parity the standard SQL join gets
+      // WRONG: dplyr's joins match NA keys to NA keys by default
+      // (na_matches = "na"), so a reference pipeline joining on a
+      // column with missing codes keeps the missing-key group; plain
+      // `=` silently drops it. Spark's `<=>` (IS NOT DISTINCT FROM)
+      // states the same semantics declaratively and stays a hash
+      // equi-join — no plan penalty, same shuffle-on-key shape as J1
+      // (the null key hashes like any value). The fixture plants a
+      // null key on BOTH sides (every 7th part / 11th customer), so
+      // the null-matches-null row exists non-vacuously.
+      val a = lineitem(s, d)
+        .select(when(col("l_partkey") % 7 === 0, lit(null))
+          .otherwise(col("l_partkey") % 50).as("k"), col("l_quantity"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("qty_sum"))
+      val b = orders(s, d)
+        .select(when(col("o_custkey") % 11 === 0, lit(null))
+          .otherwise(col("o_custkey") % 50).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_orders"))
+      a.as("a").join(b.as("b"), col("a.k") <=> col("b.k"))
+        .select(col("a.k").as("k"), col("n_items"), col("qty_sum"), col("n_orders"))
+        .orderBy(col("k").asc_nulls_first)
+    },
     Q("j15_range_join",
       """SELECT p.p_partkey, p.p_retailprice, b.band_brand, b.lo, b.hi
         |FROM part p
