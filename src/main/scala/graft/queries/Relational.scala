@@ -165,6 +165,51 @@ object Relational {
       base.write.mode("overwrite").option("compression", "gzip").json(path)
       s.read.schema(base.schema).json(path).orderBy("doc_id")
     },
+    Q("s19_corrupt_quarantine",
+      """WITH g AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS one
+        |  FROM documents GROUP BY doc_id, lang),
+        |good AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_good,
+        |    CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM g GROUP BY lang),
+        |bad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corrupt
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT good.lang, good.n_good, good.id_sum, bad.n_corrupt
+        |FROM good, bad ORDER BY good.lang""".stripMargin) { (s, d) =>
+      // S19 (beyond-reference): ERROR-TOLERANT ingestion with a corrupt-
+      // record quarantine — what 100 TB of real-world JSONL demands (a
+      // crawler's output always carries truncated/garbled lines, and a
+      // FAILFAST read of a petabyte that dies at row 10¹² wastes the
+      // cluster-day). PERMISSIVE mode parses what it can; unparseable
+      // lines land whole in the _corrupt_record side-channel column, so
+      // good rows flow on while the quarantine is counted (and could be
+      // routed to a dead-letter sink). The fixture plants one garbage
+      // line per 13th doc (truncated JSON — no closing brace, the
+      // classic cut-mid-write shape); the oracle states the expected
+      // survivor aggregate and quarantine count from the parquet
+      // original: a dropped good row, a swallowed corrupt line, or a
+      // corrupt line parsed as data all break the hash.
+      import org.apache.spark.sql.types.{StringType, StructField, StructType, LongType}
+      val base = documents(s, d).select("doc_id", "lang")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s19_${graft.core.Tables.pathKey(d)}"
+      val lines = base.select(to_json(struct(col("doc_id"), col("lang"))).as("value"))
+        .unionAll(base.filter(col("doc_id") % 13 === 0)
+          .select(concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+            lit(",\"lang\":\"truncat")).as("value")))
+      lines.write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("_corrupt_record", StringType)))
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .localCheckpoint(true) // one pass; quarantine + survivors split from it
+      val good = read.filter(col("_corrupt_record").isNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_good"), sum(col("doc_id")).as("id_sum"))
+      val bad = read.filter(col("_corrupt_record").isNotNull)
+        .agg(count(lit(1)).as("n_corrupt"))
+      good.crossJoin(broadcast(bad)).orderBy("lang")
+    },
     Q("s7_literal_table",
       """SELECT t.code, t.label, r.r_name
         |FROM (VALUES (0,'zero'),(1,'one'),(2,'two')) t(code, label)
