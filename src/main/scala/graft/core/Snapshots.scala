@@ -108,11 +108,13 @@ object Snapshots {
     * lets a publish bind SIDECAR state to the data commit atomically:
     * e.g. the IVF rebuild records which persisted codebook matches this
     * version's cell assignment, closing the crash window where new
-    * partitions paired with a stale codebook.
+    * partitions paired with a stale codebook. `stat` is a RESERVED
+    * header name (`#stat=` lines are the per-file statistics block, see
+    * [[fileStats]]) and never surfaces as a meta key.
     */
   def manifestMeta(spark: SparkSession, root: String, version: Long): Map[String, String] =
     manifestLines(spark, root, version)
-      .filter(_.startsWith("#"))
+      .filter(l => l.startsWith("#") && !l.startsWith("#stat="))
       .flatMap { l =>
         val body = l.drop(1)
         val i = body.indexOf('=')
@@ -182,6 +184,13 @@ object Snapshots {
     } finally r.close()
   }
 
+  /** The one serializer for a `#stat=` manifest line — every writer path
+    * (publish, additive publish, rollback) goes through it, so the
+    * format [[fileStats]] parses can never fork.
+    */
+  private def statLine(s: (String, String, Double, Double)): String =
+    s"#stat=${s._1}|${s._2}|${s._3}|${s._4}"
+
   private def statLines(
       fs: FileSystem,
       rootP: Path,
@@ -191,7 +200,7 @@ object Snapshots {
       f <- files
       c <- statsCols
       (mn, mx) <- footerRange(fs, rootP, f, c)
-    } yield s"#stat=$f|$c|$mn|$mx"
+    } yield statLine((f, c, mn, mx))
 
   /** Claim the next free version number atomically, then commit the
     * manifest whose lines `bodyFor` builds from the previous COMMITTED
@@ -306,7 +315,7 @@ object Snapshots {
       val keptStats = prevV.toSeq
         .flatMap(pv => fileStats(spark, root, pv))
         .filter(s => keptSet.contains(s._1))
-        .map(s => s"#stat=${s._1}|${s._2}|${s._3}|${s._4}")
+        .map(statLine)
       metaHeader(meta) ++ keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
         (kept ++ fresh).sorted
     }
@@ -350,7 +359,7 @@ object Snapshots {
       val keptStats = prevV.toSeq
         .flatMap(pv => fileStats(spark, root, pv))
         .filter(s => baseSet.contains(s._1))
-        .map(s => s"#stat=${s._1}|${s._2}|${s._3}|${s._4}")
+        .map(statLine)
       keptStats ++ statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++ body
     }
   }
@@ -365,22 +374,26 @@ object Snapshots {
     * publish needs, at manifest (listing) cost.
     *
     * Fails loudly if any of the target version's files has already been
-    * vacuumed (rollback past the retention horizon is impossible by
-    * construction — [[vacuum]]'s keepVersions is the rollback window).
+    * vacuumed — [[vacuum]]'s keepVersions is the rollback window.
+    * The existence check runs AFTER the version claim (the narrowest
+    * window a filesystem gives), but rollback and vacuum are both
+    * maintenance operations and share vacuum's single-maintenance-writer
+    * contract: a vacuum running CONCURRENTLY with a rollback to a
+    * version it is reaping can still win the race — schedule them from
+    * the same serialized maintenance loop.
     */
   def rollbackTo(spark: SparkSession, root: String, toVersion: Long): Long = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
-    val files = manifestFiles(spark, root, toVersion)
-    val gone = files.filterNot(f => fs.exists(new Path(rootP, f)))
-    require(gone.isEmpty,
-      s"rollbackTo($toVersion): ${gone.size} of its ${files.size} data files " +
-        s"were vacuumed (first: ${gone.headOption.getOrElse("")}) — the version " +
-        "is past the retention horizon and cannot be restored")
-    val stats = fileStats(spark, root, toVersion)
-      .map(s => s"#stat=${s._1}|${s._2}|${s._3}|${s._4}")
-    val meta = manifestMeta(spark, root, toVersion) + ("rollback_of" -> toVersion.toString)
     claimAndCommit(spark, root) { _ =>
+      val files = manifestFiles(spark, root, toVersion)
+      val gone = files.filterNot(f => fs.exists(new Path(rootP, f)))
+      require(gone.isEmpty,
+        s"rollbackTo($toVersion): ${gone.size} of its ${files.size} data files " +
+          s"were vacuumed (first: ${gone.headOption.getOrElse("")}) — the version " +
+          "is past the retention horizon and cannot be restored")
+      val stats = fileStats(spark, root, toVersion).map(statLine)
+      val meta = manifestMeta(spark, root, toVersion) + ("rollback_of" -> toVersion.toString)
       metaHeader(meta) ++ stats ++ files.sorted
     }
   }
@@ -406,9 +419,11 @@ object Snapshots {
         s"readSnapshot: no published version under $root"))
     val files = manifestFiles(spark, root, v).map(f => s"$root/$f")
     require(files.nonEmpty, s"readSnapshot: version $v pins an empty file set")
-    spark.read
-      .option("basePath", root)
-      .option("mergeSchema", mergeSchema.toString)
+    // only SET the option when asked: an unconditional "false" would
+    // override a session-level spark.sql.parquet.mergeSchema=true that
+    // plain readers were relying on
+    val reader = spark.read.option("basePath", root)
+    (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
       .parquet(files: _*)
   }
 

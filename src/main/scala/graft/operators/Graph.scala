@@ -338,7 +338,10 @@ object Graph {
       .unionAll(clean.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint() // reused every round — materialize once
-    var settled = sources.select(col("v")).distinct()
+    var settled = sources.select(col("v"))
+      .filter(col("v").isNotNull) // same hygiene as the edge cleaning —
+      // a null seed would otherwise surface as a phantom (null, 0) row
+      .distinct()
       .select(col("v"), lit(0L).as("dist"))
       .localCheckpoint()
     var frontier = settled

@@ -116,6 +116,13 @@ class GraphSpec extends SparkTestBase {
     val sGot = Graph.bfsDistances(sEdges, Seq("a").toDF("v")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sGot == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+
+    // a null seed (outer-join residue) is dropped, not returned as a
+    // phantom (null, 0) node — same hygiene as the edge cleaning
+    val nullSeeds = Seq(Some("a"), None).toDF("v")
+    val nGot = Graph.bfsDistances(sEdges, nullSeeds).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nGot == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
 
   test("commonNeighborCandidates: exact counts, edge anti-join, apex cap semantics") {

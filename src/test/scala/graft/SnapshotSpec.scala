@@ -304,6 +304,49 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.fileStats(spark, root, v3).isEmpty)
   }
 
+  test("rollbackTo: file stats round-trip exactly; '#stat=' never pollutes manifest meta") {
+    val root = freshRoot("snap_rb_stats")
+    val v1 = Snapshots.publishPartitions(spark, root,
+      meta = Map("source" -> "unit"), statsCols = Seq("v")) { stage =>
+      fixture("a" -> 1, "b" -> 2).write.partitionBy("part").parquet(stage)
+    }
+    // the stats block must not leak into the meta map as a 'stat' key
+    assert(Snapshots.manifestMeta(spark, root, v1) == Map("source" -> "unit"))
+    Snapshots.publishPartitions(spark, root, statsCols = Seq("v")) { stage =>
+      fixture("a" -> 7).write.partitionBy("part").parquet(stage)
+    }
+    val v3 = Snapshots.rollbackTo(spark, root, v1)
+    // stats survive the rollback EXACTLY (no duplication, no loss) and
+    // the provenance header joins the carried-over meta
+    assert(Snapshots.fileStats(spark, root, v3).sorted ==
+      Snapshots.fileStats(spark, root, v1).sorted)
+    assert(Snapshots.manifestMeta(spark, root, v3) ==
+      Map("source" -> "unit", "rollback_of" -> v1.toString))
+    // and range reads over the rollback version still skip on the stats
+    assert(rowsOf(Snapshots.readSnapshotRange(spark, root, "v", 0, 1000, Some(v3))) ==
+      rowsOf(Snapshots.readSnapshot(spark, root, Some(v1))))
+  }
+
+  test("readSnapshot: merged-schema reads — explicit param or inherited session conf") {
+    val root = freshRoot("snap_evolve")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 2).write.partitionBy("part").parquet(stage))
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).withColumn("extra", col("v") * 10)
+        .write.partitionBy("part").parquet(stage))
+    // explicit param: union schema, old files null-fill the new column
+    val merged = Snapshots.readSnapshot(spark, root, mergeSchema = true)
+    assert(merged.columns.contains("extra"))
+    assert(merged.filter(col("part") === "b" && col("extra").isNotNull).count() == 0)
+    assert(merged.filter(col("part") === "a" && col("extra") =!= col("v") * 10).count() == 0)
+    // the default must INHERIT a session-level mergeSchema=true, not
+    // override it with an explicit false (the pre-existing deployment
+    // contract of plain parquet readers)
+    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
+    try assert(Snapshots.readSnapshot(spark, root).columns.contains("extra"))
+    finally spark.conf.unset("spark.sql.parquet.mergeSchema")
+  }
+
   test("rollbackTo: refuses loudly past the vacuum retention horizon") {
     val root = freshRoot("snap_rb_gone")
     val v1 = Snapshots.publishPartitions(spark, root)(stage =>
