@@ -398,6 +398,33 @@ object Snapshots {
     }
   }
 
+  /** The table's version log, oldest first: (version, committed_at epoch
+    * millis, n_files, meta) — the DESCRIBE HISTORY verb. Listing-scale
+    * (one listStatus + one manifest read per version; history is bounded
+    * by vacuum's keepVersions), driver-side rows.
+    */
+  def history(spark: SparkSession, root: String): Seq[(Long, Long, Int, Map[String, String])] = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir)
+      .filter(s => s.getPath.getName.startsWith("v") &&
+        s.getPath.getName.endsWith(".manifest"))
+      .map { s =>
+        val v = s.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong
+        (v, s.getModificationTime,
+          manifestFiles(spark, root, v).size, manifestMeta(spark, root, v))
+      }
+      .sortBy(_._1).toSeq
+  }
+
+  /** TIME TRAVEL: the newest version committed at or before `tsMillis`
+    * (manifest commit = the atomic rename, so its mtime IS the commit
+    * instant). None when the table has no version that old.
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] =
+    history(spark, root).filter(_._2 <= tsMillis).map(_._1).reduceOption(_ max _)
+
   /** Read a pinned version (default: latest). Plans from the manifest's
     * explicit file list with the table root as basePath, so hive
     * partition columns resolve exactly as a plain root read would.

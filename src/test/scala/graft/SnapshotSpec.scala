@@ -327,6 +327,29 @@ class SnapshotSpec extends SparkTestBase {
       rowsOf(Snapshots.readSnapshot(spark, root, Some(v1))))
   }
 
+  test("history + versionAsOf: the version log and time travel by commit instant") {
+    val root = freshRoot("snap_hist")
+    val v1 = Snapshots.publishPartitions(spark, root, meta = Map("job" -> "j1"))(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20) // distinct commit instants
+    val v2 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("b" -> 2).write.partitionBy("part").parquet(stage))
+    val h = Snapshots.history(spark, root)
+    assert(h.map(_._1) == Seq(v1, v2), h.toString)
+    assert(h.head._4 == Map("job" -> "j1") && h.last._4.isEmpty)
+    assert(h.head._3 <= h.last._3, "v2 carries v1's partition plus its own")
+    assert(h.head._2 <= h.last._2, "commit instants must be monotone")
+    // time travel: a timestamp between the commits resolves to v1; one
+    // after both resolves to v2; one before everything resolves to none
+    assert(Snapshots.versionAsOf(spark, root, t1).contains(v1))
+    assert(Snapshots.versionAsOf(spark, root, System.currentTimeMillis()).contains(v2))
+    assert(Snapshots.versionAsOf(spark, root, 0L).isEmpty)
+    assert(rowsOf(Snapshots.readSnapshot(spark, root,
+      Snapshots.versionAsOf(spark, root, t1))) ==
+      rowsOf(Snapshots.readSnapshot(spark, root, Some(v1))))
+  }
+
   test("readSnapshot: merged-schema reads — explicit param or inherited session conf") {
     val root = freshRoot("snap_evolve")
     Snapshots.publishPartitions(spark, root)(stage =>
