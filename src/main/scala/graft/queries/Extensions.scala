@@ -753,6 +753,41 @@ object Extensions {
           col("num").cast("double").as("cusum"), col("n_days"), col("n_events"))
         .orderBy("event_type")
     },
+    Q("ev_forecast_eval",
+      // Seasonal-naive forecast baseline + exact MAE: predict each day's
+      // event count by the SAME WEEKDAY LAST WEEK (n̂_d = n_{d−7}) and
+      // score |n_d − n̂_d| over the days that have a 7-day predecessor —
+      // the sanity floor every real forecasting pipeline must beat, and
+      // the cheapest drift alarm (MAE jumping means the weekly pattern
+      // broke). Exact arithmetic end-to-end: counts and the absolute
+      // errors are BIGINT, the MAE is one final division. Scale shape:
+      // the stream collapses in the first (type, day) aggregate; the
+      // lag is a self-equi-join on (type, day−7) — calendar-bounded
+      // rows, no window needed at all.
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.day, a.n, b.n AS pred
+        |  FROM dly a JOIN dly b
+        |    ON a.event_type = b.event_type AND b.day = a.day - 7)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(SUM(abs(n - pred)) AS BIGINT) AS total_abs_err,
+        |  CAST(SUM(abs(n - pred)) AS DOUBLE) / COUNT(*) AS mae
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val pred = dly.select(col("event_type"),
+        (col("day") + 7).as("day"), col("n").as("pred"))
+      dly.join(pred, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("n") - col("pred"))).as("total_abs_err"))
+        .select(col("event_type"), col("n_scored"), col("total_abs_err"),
+          (col("total_abs_err").cast("double") / col("n_scored")).as("mae"))
+        .orderBy("event_type")
+    },
     Q("ev_streaks",
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
