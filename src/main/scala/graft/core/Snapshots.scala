@@ -80,16 +80,34 @@ object Snapshots {
   private def manifestPath(root: String, v: Long): Path =
     new Path(f"$root/$ManifestDir/v$v%012d.manifest")
 
-  /** Highest committed version, if any manifest exists. */
-  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+  /** Header names the commit machinery owns — [[metaHeader]] rejects
+    * them in caller meta (a silent drop on read-back, or worse a
+    * pipe-shaped value misparsed as a file statistic, is the
+    * alternative): `stat` is the per-file statistics block,
+    * `committed_at` the commit instant [[claimAndCommit]] stamps.
+    */
+  private val ReservedMetaKeys = Set("stat", "committed_at")
+
+  /** The ONE parser of `vNNN.manifest` names (also used by [[vacuum]]
+    * and [[history]] — the format lives in exactly one filter), sorted
+    * by version. Empty when the manifest dir does not exist.
+    */
+  private def listVersions(fs: FileSystem, root: String)
+      : Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val dir = new Path(s"$root/$ManifestDir")
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-      .reduceOption(_ max _)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("v") && n.endsWith(".manifest")
+      }
+      .map(s => s.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong -> s)
+      .sortBy(_._1).toSeq
   }
+
+  /** Highest committed version, if any manifest exists. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    listVersions(fsOf(spark, new Path(root)), root).lastOption.map(_._1)
 
   private def manifestLines(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val p = manifestPath(root, version)
@@ -108,18 +126,24 @@ object Snapshots {
     * lets a publish bind SIDECAR state to the data commit atomically:
     * e.g. the IVF rebuild records which persisted codebook matches this
     * version's cell assignment, closing the crash window where new
-    * partitions paired with a stale codebook. `stat` is a RESERVED
-    * header name (`#stat=` lines are the per-file statistics block, see
-    * [[fileStats]]) and never surfaces as a meta key.
+    * partitions paired with a stale codebook. [[ReservedMetaKeys]]
+    * (`stat` — the per-file statistics block, see [[fileStats]];
+    * `committed_at` — the commit instant) are infrastructure headers
+    * and never surface as meta keys.
     */
   def manifestMeta(spark: SparkSession, root: String, version: Long): Map[String, String] =
-    manifestLines(spark, root, version)
-      .filter(l => l.startsWith("#") && !l.startsWith("#stat="))
+    metaOf(manifestLines(spark, root, version))
+
+  private def metaOf(lines: Seq[String]): Map[String, String] =
+    lines
+      .filter(_.startsWith("#"))
       .flatMap { l =>
         val body = l.drop(1)
         val i = body.indexOf('=')
         if (i <= 0) None else Some(body.take(i) -> body.drop(i + 1))
-      }.toMap
+      }
+      .filterNot(kv => ReservedMetaKeys.contains(kv._1))
+      .toMap
 
   /** All data files currently on disk (relative paths), hive layout:
     * `<part>=<v>/<file>.parquet`. The bootstrap manifest of a legacy
@@ -220,16 +244,31 @@ object Snapshots {
     val tmp = new Path(
       s"$root/$ManifestDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
-    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+    // the commit instant as an infrastructure header: exact time travel
+    // ([[versionAsOf]]) regardless of filesystem mtime granularity
+    val stamped = s"#committed_at=${System.currentTimeMillis()}" +: body
+    try out.write((stamped.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, manifestPath(root, v)),
       s"snapshot publish: manifest commit rename failed for version $v")
     v
   }
 
-  private def metaHeader(meta: Map[String, String]): Seq[String] = {
+  /** Validated EARLY — before a publish stages or renames anything —
+    * so a refused meta map leaves zero residue behind.
+    */
+  private def validateMeta(meta: Map[String, String]): Unit = {
     require(meta.keys.forall(k => !k.contains('=') && !k.contains('\n')) &&
       meta.values.forall(x => !x.contains('\n')), "manifest meta must be line-safe")
+    val reserved = meta.keySet.intersect(ReservedMetaKeys)
+    require(reserved.isEmpty,
+      s"manifest meta keys ${reserved.mkString(", ")} are reserved by the commit " +
+        "machinery (per-file stats / commit instant) — a caller value here would be " +
+        "dropped on read-back or misparsed as a file statistic")
+  }
+
+  private def metaHeader(meta: Map[String, String]): Seq[String] = {
+    validateMeta(meta)
     meta.toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
   }
 
@@ -270,6 +309,7 @@ object Snapshots {
       full: Boolean,
       meta: Map[String, String],
       statsCols: Seq[String])(write: String => Unit): Long = {
+    validateMeta(meta) // refuse BEFORE staging — no residue on bad meta
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     fs.mkdirs(rootP)
@@ -399,28 +439,32 @@ object Snapshots {
   }
 
   /** The table's version log, oldest first: (version, committed_at epoch
-    * millis, n_files, meta) — the DESCRIBE HISTORY verb. Listing-scale
-    * (one listStatus + one manifest read per version; history is bounded
-    * by vacuum's keepVersions), driver-side rows.
+    * millis, n_files, meta) — the DESCRIBE HISTORY verb. One listStatus
+    * + ONE manifest read per version (files, meta and commit instant all
+    * parse from the same line list; history is bounded by vacuum's
+    * keepVersions), driver-side rows. The commit instant is the
+    * `#committed_at` header [[claimAndCommit]] stamps — exact regardless
+    * of filesystem mtime granularity — with the manifest mtime as the
+    * legacy fallback. Versions a CONCURRENT vacuum reaps between the
+    * listing and their read are SKIPPED, not failed: history iterates
+    * exactly the versions vacuum deletes, so that race is the norm on
+    * any table with scheduled maintenance.
     */
   def history(spark: SparkSession, root: String): Seq[(Long, Long, Int, Map[String, String])] = {
-    val dir = new Path(s"$root/$ManifestDir")
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir)
-      .filter(s => s.getPath.getName.startsWith("v") &&
-        s.getPath.getName.endsWith(".manifest"))
-      .map { s =>
-        val v = s.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong
-        (v, s.getModificationTime,
-          manifestFiles(spark, root, v).size, manifestMeta(spark, root, v))
-      }
-      .sortBy(_._1).toSeq
+    val fs = fsOf(spark, new Path(root))
+    listVersions(fs, root).flatMap { case (v, st) =>
+      scala.util.Try {
+        val lines = manifestLines(spark, root, v)
+        val committedAt = lines.find(_.startsWith("#committed_at="))
+          .map(_.stripPrefix("#committed_at=").toLong)
+          .getOrElse(st.getModificationTime)
+        (v, committedAt, lines.count(!_.startsWith("#")), metaOf(lines))
+      }.toOption // vacuumed mid-listing -> skip
+    }
   }
 
-  /** TIME TRAVEL: the newest version committed at or before `tsMillis`
-    * (manifest commit = the atomic rename, so its mtime IS the commit
-    * instant). None when the table has no version that old.
+  /** TIME TRAVEL: the newest version committed at or before `tsMillis`.
+    * None when the table has no version that old.
     */
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] =
     history(spark, root).filter(_._2 <= tsMillis).map(_._1).reduceOption(_ max _)
@@ -557,9 +601,7 @@ object Snapshots {
     val cutoff = System.currentTimeMillis() - graceMs
     def oldEnough(p: Path): Boolean = fs.getFileStatus(p).getModificationTime <= cutoff
     val dir = new Path(s"$root/$ManifestDir")
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
+    val versions = listVersions(fs, root).map(_._1)
     // the newest keepVersions COMMITTED versions — not a numeric window,
     // which version-number gaps (crashed claims) would silently shrink
     val keep = versions.takeRight(keepVersions)
@@ -572,13 +614,24 @@ object Snapshots {
       fs.delete(manifestPath(root, v), false)
       fs.delete(new Path(f"$root/$ManifestDir/v$v%012d.claim"), false)
     }
-    // crashed-writer residue: abandoned stage trees and tmp manifests
+    // crashed-writer residue: abandoned stage trees, tmp manifests, and
+    // STALE CLAIMS — a claim whose manifest never committed (a crashed
+    // or refused writer, e.g. a rollback past the retention horizon)
+    // would otherwise accumulate forever, since the per-version delete
+    // above only covers claims whose manifest exists
     val stage = new Path(s"$root/$StageDir")
     if (fs.exists(stage))
       fs.listStatus(stage).map(_.getPath).filter(oldEnough)
         .foreach(p => fs.delete(p, true))
+    val committed = versions.toSet
     fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.startsWith(".tmp-") && oldEnough(p))
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith(".tmp-") ||
+          (n.startsWith("v") && n.endsWith(".claim") &&
+            !committed.contains(n.stripPrefix("v").stripSuffix(".claim").toLong))) &&
+          oldEnough(p)
+      }
       .foreach(p => fs.delete(p, false))
     removed
   }

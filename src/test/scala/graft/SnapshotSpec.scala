@@ -116,10 +116,35 @@ class SnapshotSpec extends SparkTestBase {
     Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 60L * 60 * 1000)
     assert(fs(root).exists(new Path(s"$root/_publish_stage/deadbeef")),
       "files younger than the grace must never be reclaimed")
+    // a stale claim with no manifest (a crashed or refused writer — e.g.
+    // a rollback past the retention horizon) must also be reclaimed, or
+    // every refused maintenance op leaks a file forever
+    fs(root).createNewFile(new Path(f"$root/_manifests/v${99L}%012d.claim"))
     // grace 0 (single-writer) reclaims the residue
     Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
     assert(!fs(root).exists(new Path(s"$root/_publish_stage/deadbeef")))
     assert(!fs(root).exists(new Path(s"$root/_manifests/.tmp-dead")))
+    assert(!fs(root).exists(new Path(f"$root/_manifests/v${99L}%012d.claim")),
+      "a claim with no committed manifest is crash residue and must be reclaimed")
+    // the LATEST version's own claim is not residue — it stays
+    assert(Snapshots.latestVersion(spark, root).contains(1L))
+  }
+
+  test("manifest meta: reserved keys are rejected at publish, never silently dropped") {
+    val root = freshRoot("snap_reserved")
+    for (k <- Seq("stat", "committed_at")) {
+      val err = intercept[IllegalArgumentException] {
+        Snapshots.publishPartitions(spark, root, meta = Map(k -> "x"))(stage =>
+          fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+      }
+      assert(err.getMessage.contains("reserved"), err.getMessage)
+    }
+    // and the infrastructure headers never surface as meta keys
+    Snapshots.publishPartitions(spark, root, statsCols = Seq("v"))(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    val v = Snapshots.latestVersion(spark, root).get
+    assert(Snapshots.manifestMeta(spark, root, v).isEmpty)
+    assert(Snapshots.fileStats(spark, root, v).nonEmpty)
   }
 
   test("publishAddedFiles: a replacing prefix drops a crashed attempt's stale entries") {
