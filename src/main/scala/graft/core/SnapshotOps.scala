@@ -1,0 +1,233 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance and write-shaping verbs built ON the manifest-commit
+  * layer ([[Snapshots]]): bin-packed small-file compaction (OPTIMIZE),
+  * keyed three-way MERGE, and constraint-gated publish with quarantine.
+  * Each commits through the same atomic manifest rename as a plain
+  * publish, so pinned readers never observe a half-applied verb and
+  * every verb is undoable with [[Snapshots.rollbackTo]].
+  */
+object SnapshotOps {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Partition dir names and their (fileCount, totalBytes) in a pinned
+    * version — listing-scale (one getFileStatus per manifest entry).
+    */
+  private def partitionProfile(
+      spark: SparkSession,
+      root: String,
+      version: Long): Map[String, (Int, Long)] = {
+    val fs = fsOf(spark, new Path(root))
+    Snapshots.manifestFiles(spark, root, version)
+      .groupBy(_.takeWhile(_ != '/'))
+      .map { case (part, files) =>
+        val bytes = files.map(f => fs.getFileStatus(new Path(s"$root/$f")).getLen).sum
+        part -> (files.size, bytes)
+      }
+  }
+
+  /** OPTIMIZE: rewrite partitions fragmented by repeated appends or
+    * small publishes into bin-packed files of ~`targetFileBytes`,
+    * committed as one atomic version. Content-preserving by
+    * construction (the rewrite is a read→repartition→write of the same
+    * rows); older versions keep their (immutable) small files until
+    * [[Snapshots.vacuum]] reaps them.
+    *
+    * Scale shape: the partitions to compact are picked from the MANIFEST
+    * LISTING (a partition qualifies when its file count exceeds what its
+    * byte size needs, by `minWaste` files) — no data IO decides; the
+    * rewrite then reads ONLY the qualifying partitions' files and
+    * shuffles each partition's rows into its computed bin count
+    * (`pmod(xxhash64(whole row), bins)`), so one oversized partition
+    * still packs into many parallel files while small ones collapse to
+    * one. IO is proportional to the fragmented fraction, never the
+    * table. Carries forward the stat/bloom columns the table already
+    * indexes (fresh files re-derive footer stats; bloom words rebuild
+    * from the same one scan discipline as publish).
+    *
+    * Returns Some(newVersion) or None when nothing qualified (no commit
+    * at all — an idle maintenance tick is free).
+    */
+  def optimize(
+      spark: SparkSession,
+      root: String,
+      targetFileBytes: Long = 128L << 20,
+      minWaste: Int = 2,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[Long] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val v = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"optimize: no published version under $root"))
+    val profile = partitionProfile(spark, root, v)
+    def bins(bytes: Long): Int =
+      math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val frag = profile.filter { case (_, (n, bytes)) => n >= bins(bytes) + minWaste }
+    if (frag.isEmpty) return None
+    val files = Snapshots.manifestFiles(spark, root, v)
+      .filter(f => frag.contains(f.takeWhile(_ != '/')))
+    val partCol = frag.keysIterator.next().takeWhile(_ != '=')
+    val src = spark.read.option("basePath", root)
+      .parquet(files.map(f => s"$root/$f"): _*)
+    import spark.implicits._
+    val binsDf = frag.toSeq
+      .map { case (p, (_, bytes)) => (p.dropWhile(_ != '=').drop(1), bins(bytes)) }
+      .toDF("__pv", "__bins")
+    val totalBins = frag.valuesIterator.map { case (_, bytes) => bins(bytes) }.sum
+    Some(Snapshots.publishPartitions(spark, root,
+      meta = Map("optimize_of" -> v.toString),
+      statsCols = statsCols, bloomCols = bloomCols) { stage =>
+      // range-shuffle on (partition, bin): every (part, bin) pair owns
+      // its task, so a partition's file count lands at exactly its bin
+      // count — a plain hash repartition could collapse distinct bins
+      // into one writer task (or worse, one file)
+      src.join(broadcast(binsDf), src(partCol).cast("string") === col("__pv"))
+        .withColumn("__bin",
+          pmod(xxhash64(src.columns.map(col): _*), col("__bins")))
+        .repartitionByRange(totalBins, col(partCol), col("__bin"))
+        .drop("__pv", "__bins", "__bin")
+        .write.partitionBy(partCol).parquet(stage)
+    })
+  }
+
+  /** Keyed three-way MERGE (upsert + delete) committed atomically:
+    *
+    *   - source rows with `opCol` = 'delete' remove the matching target
+    *     row (by `keyCols`);
+    *   - other source rows REPLACE their matching target row (update) or
+    *     are inserted when no match exists;
+    *   - target rows with no matching source key are untouched.
+    *
+    * Scale shape: the rewrite touches only AFFECTED partitions — those
+    * holding a matching target key (found with a column-pruned
+    * key+partition scan, broadcast-joined against the source keys when
+    * small) plus those the surviving source rows land in. Everything
+    * else carries over via the manifest, unread and unmoved. A delete
+    * that empties a partition drops it from the manifest
+    * (`dropPartitions`), which a staged parquet tree alone cannot
+    * express. Updates may MOVE a row across partitions (the old
+    * partition is affected via its matching key, the new via the source
+    * row) — both rewrite in the same commit, so no intermediate version
+    * ever shows the row twice or zero times.
+    *
+    * `source` must carry `keyCols`, `partitionCol` and the full data
+    * schema of the table (minus `opCol`, which is consumed here).
+    * Returns the committed version.
+    */
+  def merge(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      opCol: String = "op"): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val v = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"merge: no published version under $root"))
+    val target = Snapshots.readSnapshot(spark, root, Some(v))
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // column-pruned probe: which target partitions hold a matching key
+    val matchedParts = target
+      .select((partitionCol +: keyCols).map(col): _*)
+      .join(broadcast(srcKeys), keyCols)
+      .select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val survivors = source.filter(not(col(opCol) === "delete")).drop(opCol)
+    val insertedParts = survivors.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = matchedParts ++ insertedParts
+    require(affected.nonEmpty, "merge: source matches nothing and inserts nothing")
+    val affectedCol = col(partitionCol).cast("string").isin(affected.toSeq: _*)
+    // the affected partitions' new content: target rows not superseded
+    // by a source key, plus the surviving (insert/update) source rows
+    val keptTarget = target.filter(affectedCol)
+      .join(broadcast(srcKeys), keyCols, "left_anti")
+    val merged = keptTarget.unionByName(survivors.filter(affectedCol))
+    // partitions whose content is now EMPTY (all rows deleted) cannot be
+    // staged — they drop from the manifest instead
+    val still = merged.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val emptied = (affected -- still).toSeq.sorted.map(p => s"$partitionCol=$p")
+    val statCols = Snapshots.fileStats(spark, root, v).map(_._2).distinct
+    Snapshots.publishPartitions(spark, root,
+      meta = Map("merge_into" -> v.toString),
+      statsCols = statCols, dropPartitions = emptied) { stage =>
+      if (still.nonEmpty)
+        merged.write.partitionBy(partitionCol).parquet(stage)
+    }
+  }
+
+  /** A named row-level expectation for [[publishExpect]]. */
+  final case class Expect(name: String, predicate: Column)
+
+  /** Constraint-gated publish: stage `df`, but commit ONLY the rows that
+    * satisfy every expectation; violating rows go to
+    * `<root>/_quarantine/<version>` with a `violated` column naming the
+    * failed expectations (comma-joined, declaration order) — the
+    * dead-letter pattern of s19 composed with the atomic commit, so a
+    * bad batch can neither poison the table nor vanish silently. The
+    * committed manifest records `expect_total/expect_clean/
+    * expect_quarantined` counts in its metadata — the audit trail a
+    * scheduled loader alarms on.
+    *
+    * One pass decides (the `violated` array builds from codegen'd
+    * predicates — no second scan of df); `uniqueKey`, when given, also
+    * quarantines every row of any key that appears more than once in the
+    * CLEAN set (both copies — a loader must not silently pick one).
+    * Returns (version, quarantined row count).
+    */
+  def publishExpect(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      partitionBy: String,
+      expectations: Seq[Expect],
+      uniqueKey: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): (Long, Long) = {
+    require(expectations.nonEmpty || uniqueKey.nonEmpty,
+      "publishExpect with no expectations and no unique key is publishPartitions")
+    val named = expectations.map(e =>
+      when(not(coalesce(e.predicate, lit(false))), lit(e.name)))
+    val flagged0 = df.withColumn("violated",
+      concat_ws(",", array_compact(array(named: _*))))
+    val flagged = uniqueKey match {
+      case Nil => flagged0
+      case keys =>
+        // keys counted over the rows that are otherwise clean: a row
+        // already quarantined by a predicate must not drag its key's
+        // clean twin out with it
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(
+          (keys.map(col) :+ (col("violated") === "")): _*)
+        flagged0
+          .withColumn("__kn", count(lit(1)).over(w))
+          .withColumn("violated",
+            when(col("violated") === "" && col("__kn") > 1, lit("unique_key"))
+              .otherwise(col("violated")))
+          .drop("__kn")
+    }
+    val cached = flagged.localCheckpoint(true)
+    val quarantined = cached.filter(col("violated") =!= "")
+    val clean = cached.filter(col("violated") === "").drop("violated")
+    val nQuar = quarantined.count()
+    val nClean = clean.count()
+    require(nClean > 0, "publishExpect: every row violated — refusing an empty publish")
+    val version = Snapshots.publishPartitions(spark, root,
+      meta = Map(
+        "expect_total" -> (nClean + nQuar).toString,
+        "expect_clean" -> nClean.toString,
+        "expect_quarantined" -> nQuar.toString),
+      statsCols = statsCols, bloomCols = bloomCols) { stage =>
+      clean.write.partitionBy(partitionBy).parquet(stage)
+    }
+    if (nQuar > 0)
+      quarantined.write.mode("overwrite")
+        .parquet(s"$root/_quarantine/$version")
+    (version, nQuar)
+  }
+}

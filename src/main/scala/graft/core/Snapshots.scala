@@ -27,6 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                                            one line per data file
   *                                            (relative path), sorted
   *   <root>/_manifests/v%012d.claim           writer's version claim
+  *   <root>/_bloom/v%012d/                    optional per-version bloom
+  *                                            sidecar (sparse bit words
+  *                                            per file × column) for
+  *                                            equality file skipping
   *
   * Protocol, per [[publishPartitions]] commit:
   *   1. the writer materializes the replacement partitions in a private
@@ -73,6 +77,17 @@ object Snapshots {
 
   private val ManifestDir = "_manifests"
   private val StageDir = "_publish_stage"
+  private val BloomDir = "_bloom"
+
+  /** Bloom geometry: m bits per (file, column), k probe positions per
+    * value. The sidecar stores only NON-ZERO 64-bit words (sparse), so a
+    * generous m costs nothing extra on disk — it only spreads the set
+    * bits out. k·n/m at one million bits keeps the false-keep rate
+    * under ~0.3% for files of ≤64k distinct keys and degrades
+    * CONSERVATIVELY (toward "keep the file") as files grow past that.
+    */
+  private val BloomBits = 1 << 20
+  private val BloomK = 4
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -226,13 +241,157 @@ object Snapshots {
       (mn, mx) <- footerRange(fs, rootP, f, c)
     } yield statLine((f, c, mn, mx))
 
+  private def bloomDirPath(root: String, v: Long): Path =
+    new Path(f"$root/$BloomDir/v$v%012d")
+
+  /** The k probe positions of a value in the m-bit filter — the ONE
+    * hashing definition shared by the publish-side builder and the
+    * read-side membership probe (both evaluate it through Spark's
+    * xxhash64 expression, so writer and reader bits can never fork).
+    */
+  private def bloomPositions(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    array((0 until BloomK).map(seed =>
+      pmod(xxhash64(value, lit(seed)), lit(BloomBits.toLong))): _*)
+  }
+
+  /** Build sparse bloom word rows for freshly published files, merge with
+    * the carried rows of the previous version's sidecar (kept files
+    * only), and write `_bloom/vNNN`. Sidecar schema: (file, col,
+    * word_idx, word) storing only NON-ZERO 64-bit words, plus one MARKER
+    * row per (file, col) — word_idx = -1, word = m — distinguishing
+    * "bloom-indexed for col" from "no index: keep conservatively" and
+    * pinning the geometry the bits were built under. One column-pruned
+    * scan of the fresh files per indexed column; the word assembly is
+    * codegen'd bitwise algebra (explode → shiftright bucket → bit_or),
+    * no UDFs and no driver-side bitsets. Tables that never pass
+    * `bloomCols` and have no carried sidecar pay nothing (no dir).
+    *
+    * Becomes VISIBLE only when the caller's manifest rename commits the
+    * version; a crash before that leaves an orphan dir [[vacuum]] reaps.
+    */
+  private def writeBloomSidecar(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      prevV: Option[Long],
+      freshFiles: Seq[String],
+      keptFiles: Set[String],
+      bloomCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = fsOf(spark, new Path(root))
+    val carried = prevV
+      .map(pv => bloomDirPath(root, pv))
+      .filter(fs.exists)
+      .map { p =>
+        import spark.implicits._
+        val kept = keptFiles.toSeq.toDF("file")
+        spark.read.parquet(p.toString).join(kept, Seq("file"), "left_semi")
+      }
+    val freshRows =
+      if (freshFiles.isEmpty || bloomCols.isEmpty) None
+      else {
+        val df = spark.read.option("basePath", root)
+          .parquet(freshFiles.map(f => s"$root/$f"): _*)
+          .withColumn("file",
+            regexp_extract(input_file_name(), "([^/]+=[^/]+/[^/]+)$", 1))
+        val perCol = bloomCols.map { c =>
+          val words = df.where(col(c).isNotNull)
+            .select(col("file"), explode(bloomPositions(col(c))).as("pos"))
+            .groupBy(col("file"), shiftright(col("pos"), 6).as("word_idx"))
+            .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+              .as("word"))
+          // marker for EVERY fresh file (an all-null column still counts
+          // as indexed: zero set bits, lookups correctly skip the file)
+          val markers = df.select(col("file")).distinct()
+            .select(col("file"), lit(-1L).as("word_idx"), lit(BloomBits.toLong).as("word"))
+          words.unionByName(markers).select(
+            col("file"), lit(c).as("col"), col("word_idx"), col("word"))
+        }
+        Some(perCol.reduce(_ unionByName _))
+      }
+    (carried.toSeq ++ freshRows.toSeq).reduceOption(_ unionByName _).foreach { all =>
+      val tmp = new Path(
+        s"$root/$BloomDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      all.coalesce(8).write.parquet(tmp.toString)
+      require(fs.rename(tmp, bloomDirPath(root, v)),
+        s"bloom sidecar rename failed for version $v under $root")
+    }
+  }
+
+  /** The version's bloom sidecar (file, col, word_idx, word), when one
+    * was published. Sparse: absent (file, word_idx) rows mean all-zero
+    * words; the word_idx = -1 marker rows list the indexed files.
+    */
+  def fileBlooms(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
+    val p = bloomDirPath(root, version)
+    if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Equality (point-lookup) read with BLOOM file skipping: rows of the
+    * pinned version where `column` = `value`, planning only the files
+    * whose published bloom filter might contain the value — the
+    * equality analogue of [[readSnapshotRange]]'s min/max skipping, for
+    * high-cardinality keys whose per-file RANGES all overlap (where
+    * min/max can never prune). The sidecar probe reads the ≤ k probed
+    * words plus the marker rows (a pushed-down point read, never the
+    * whole index); files without a bloom for `column` — or built under
+    * a different geometry — stay in the plan, so the result is EXACT
+    * regardless: the row filter applies on top. `value` must be a
+    * literal of the STORED column type (hashing is typed).
+    */
+  def readSnapshotEquals(
+      spark: SparkSession,
+      root: String,
+      column: String,
+      value: org.apache.spark.sql.Column,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"readSnapshotEquals: no published version under $root"))
+    val files = manifestFiles(spark, root, v)
+    val keep = fileBlooms(spark, root, v) match {
+      case None => files
+      case Some(bl) =>
+        val pos = spark.range(1).select(bloomPositions(value).as("p"))
+          .head().getSeq[Long](0)
+        val idxs = pos.map(_ >> 6).distinct
+        val rows = bl.filter(col("col") === column &&
+            (col("word_idx") === -1L || col("word_idx").isin(idxs: _*)))
+          .collect()
+        // a marker whose recorded m differs from the current geometry
+        // was built by other code — treat its file as unindexed
+        val indexed = rows
+          .filter(r => r.getAs[Long]("word_idx") == -1L &&
+            r.getAs[Long]("word") == BloomBits.toLong)
+          .map(_.getAs[String]("file")).toSet
+        val words = rows.filter(_.getAs[Long]("word_idx") != -1L)
+          .map(r => (r.getAs[String]("file"), r.getAs[Long]("word_idx")) ->
+            r.getAs[Long]("word")).toMap
+        files.filter { f =>
+          !indexed.contains(f) || pos.forall { p =>
+            (words.getOrElse((f, p >> 6), 0L) & (1L << (p & 63).toInt)) != 0L
+          }
+        }
+    }
+    val base =
+      if (keep.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
+      else spark.read.option("basePath", root).parquet(keep.map(f => s"$root/$f"): _*)
+    base.filter(col(column) === value)
+  }
+
   /** Claim the next free version number atomically, then commit the
-    * manifest whose lines `bodyFor` builds from the previous COMMITTED
-    * version (resolved after the claim) through one rename.
+    * manifest whose lines `bodyFor` builds from the claimed version and
+    * the previous COMMITTED version (resolved after the claim) through
+    * one rename. `bodyFor` may write version-named SIDECARS (the bloom
+    * index) before returning: they become visible only once the manifest
+    * rename lands, and a crash before it leaves residue [[vacuum]]
+    * reaps.
     */
   private def claimAndCommit(
       spark: SparkSession,
-      root: String)(bodyFor: Option[Long] => Seq[String]): Long = {
+      root: String)(bodyFor: (Long, Option[Long]) => Seq[String]): Long = {
     val fs = fsOf(spark, new Path(root))
     fs.mkdirs(new Path(s"$root/$ManifestDir"))
     var v = latestVersion(spark, root).getOrElse(0L) + 1
@@ -240,7 +399,7 @@ object Snapshots {
       v += 1
     // resolve carry-over AFTER the claim: any manifest committed before
     // this writer claimed is now visible and carries over correctly
-    val body = bodyFor(latestVersion(spark, root))
+    val body = bodyFor(v, latestVersion(spark, root))
     val tmp = new Path(
       s"$root/$ManifestDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
@@ -286,8 +445,11 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil)(write: String => Unit): Long =
-    publishImpl(spark, root, full = false, meta, statsCols)(write)
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      dropPartitions: Seq[String] = Nil)(write: String => Unit): Long =
+    publishImpl(spark, root, full = false, meta, statsCols, bloomCols,
+      dropPartitions)(write)
 
   /** Publish a FULL replacement of the table as one atomic version: the
     * new manifest pins only the freshly staged files — nothing carries
@@ -300,16 +462,27 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil)(write: String => Unit): Long =
-    publishImpl(spark, root, full = true, meta, statsCols)(write)
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)(write: String => Unit): Long =
+    publishImpl(spark, root, full = true, meta, statsCols, bloomCols, Nil)(write)
 
+  /** `dropPartitions`: partition dir names (e.g. `"cell=7"`) to replace
+    * with NOTHING — they leave the manifest even though the staged tree
+    * has no dir for them (a partitioned parquet write drops empty
+    * partitions, so "this partition is now empty" cannot be staged; a
+    * MERGE whose deletes empty a partition needs exactly this).
+    */
   private def publishImpl(
       spark: SparkSession,
       root: String,
       full: Boolean,
       meta: Map[String, String],
-      statsCols: Seq[String])(write: String => Unit): Long = {
+      statsCols: Seq[String],
+      bloomCols: Seq[String],
+      dropPartitions: Seq[String])(write: String => Unit): Long = {
     validateMeta(meta) // refuse BEFORE staging — no residue on bad meta
+    require(dropPartitions.forall(_.contains("=")),
+      s"dropPartitions must be <col>=<value> dir names, got: $dropPartitions")
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     fs.mkdirs(rootP)
@@ -317,13 +490,15 @@ object Snapshots {
     val stage = new Path(s"$root/$StageDir/$uuid")
     write(stage.toString)
 
-    // staged partitions and their files
-    val stagedParts = fs.listStatus(stage)
+    // staged partitions and their files (a pure-drop publish may stage
+    // nothing at all — its write callback is free to be a no-op)
+    val stagedParts = (if (fs.exists(stage)) fs.listStatus(stage)
+                       else Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath).sortBy(_.getName)
-    require(stagedParts.nonEmpty,
+    require(stagedParts.nonEmpty || dropPartitions.nonEmpty,
       s"publishPartitions: the staged tree under $stage has no <col>=<value> partition dirs")
-    val replaced = stagedParts.map(_.getName).toSet
+    val replaced = stagedParts.map(_.getName).toSet ++ dropPartitions
 
     // step 2: move staged files into the live partition dirs under fresh
     // names — additive only, so every earlier manifest stays readable
@@ -343,7 +518,7 @@ object Snapshots {
 
     // legacy bootstrap: a table without manifests snapshots its current
     // on-disk listing (minus what this publish just added)
-    claimAndCommit(spark, root) { prevV =>
+    claimAndCommit(spark, root) { (v, prevV) =>
       val prev = prevV.map(pv => manifestFiles(spark, root, pv))
         .getOrElse(listDataFiles(fs, rootP).filterNot(fresh.contains))
       val kept =
@@ -356,6 +531,7 @@ object Snapshots {
         .flatMap(pv => fileStats(spark, root, pv))
         .filter(s => keptSet.contains(s._1))
         .map(statLine)
+      writeBloomSidecar(spark, root, v, prevV, fresh, keptSet, bloomCols)
       metaHeader(meta) ++ keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
         (kept ++ fresh).sorted
     }
@@ -389,7 +565,7 @@ object Snapshots {
         "only apply to snapshot-managed tables")
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
-    claimAndCommit(spark, root) { prevV =>
+    claimAndCommit(spark, root) { (v, prevV) =>
       val prev = prevV.map(pv => manifestFiles(spark, root, pv)).getOrElse(Seq.empty)
       def dropped(f: String): Boolean =
         replacingFilePrefix.exists(p => f.drop(f.indexOf('/') + 1).startsWith(p))
@@ -400,6 +576,8 @@ object Snapshots {
         .flatMap(pv => fileStats(spark, root, pv))
         .filter(s => baseSet.contains(s._1))
         .map(statLine)
+      writeBloomSidecar(spark, root, v, prevV,
+        files.filterNot(baseSet.contains), baseSet, Nil)
       keptStats ++ statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++ body
     }
   }
@@ -425,8 +603,11 @@ object Snapshots {
   def rollbackTo(spark: SparkSession, root: String, toVersion: Long): Long = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
-    claimAndCommit(spark, root) { _ =>
+    claimAndCommit(spark, root) { (v, _) =>
       val files = manifestFiles(spark, root, toVersion)
+      // the restored version's bloom sidecar (if any) is its file set's
+      // index — carry it forward whole
+      writeBloomSidecar(spark, root, v, Some(toVersion), Nil, files.toSet, Nil)
       val gone = files.filterNot(f => fs.exists(new Path(rootP, f)))
       require(gone.isEmpty,
         s"rollbackTo($toVersion): ${gone.size} of its ${files.size} data files " +
@@ -633,6 +814,20 @@ object Snapshots {
           oldEnough(p)
       }
       .foreach(p => fs.delete(p, false))
+    // bloom sidecars of dropped or never-committed versions (plus crashed
+    // .tmp dirs) — kept versions' sidecars survive regardless of age
+    val keepSet = keep.toSet
+    val bdir = new Path(s"$root/$BloomDir")
+    if (fs.exists(bdir))
+      fs.listStatus(bdir).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          val vOpt =
+            if (n.startsWith("v")) scala.util.Try(n.stripPrefix("v").toLong).toOption
+            else None
+          (n.startsWith(".tmp-") || vOpt.forall(!keepSet.contains(_))) && oldEnough(p)
+        }
+        .foreach(p => fs.delete(p, true))
     removed
   }
 }

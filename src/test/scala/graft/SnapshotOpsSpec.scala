@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.core.{SnapshotOps, Snapshots}
+import graft.core.SnapshotOps.Expect
+
+/** Contracts of the table-maintenance verbs over the manifest layer:
+  * OPTIMIZE bin-packs without changing content, MERGE applies
+  * insert/update/delete atomically touching only affected partitions,
+  * publishExpect quarantines instead of poisoning, and bloom sidecars
+  * skip files on point lookups without ever changing results.
+  */
+class SnapshotOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/tbl"
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+    df.select(col("part"), col("id"), col("v")).as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  private def fixture(parts: (String, Int)*): org.apache.spark.sql.DataFrame =
+    parts.flatMap { case (p, mult) =>
+      (0 until 40).map(i => (p, i.toLong, i.toLong * mult))
+    }.toDF("part", "id", "v")
+
+  private def filesPerPart(root: String, v: Long): Map[String, Int] =
+    Snapshots.manifestFiles(spark, root, v)
+      .groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size).toMap
+
+  test("optimize bin-packs fragmented partitions, preserves content and old pins") {
+    val root = freshRoot("snap_opt")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 2).repartition(12)
+        .write.partitionBy("part").parquet(stage))
+    val before = rowsOf(Snapshots.readSnapshot(spark, root))
+    assert(filesPerPart(root, v1).values.forall(_ > 4), "fixture must be fragmented")
+
+    val v2 = SnapshotOps.optimize(spark, root, targetFileBytes = 1L << 30)
+      .getOrElse(fail("fragmented table must optimize"))
+    assert(filesPerPart(root, v2).values.forall(_ == 1),
+      "everything fits one target bin -> one file per partition")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) == before,
+      "optimize must be content-preserving")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v1))) == before,
+      "the pre-optimize pin must stay readable")
+    // idle tick: already packed -> no commit at all
+    assert(SnapshotOps.optimize(spark, root, targetFileBytes = 1L << 30).isEmpty)
+    assert(Snapshots.latestVersion(spark, root).contains(v2))
+  }
+
+  test("optimize splits an oversized partition across multiple bins") {
+    val root = freshRoot("snap_opt_bins")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).repartition(10).write.partitionBy("part").parquet(stage))
+    val before = rowsOf(Snapshots.readSnapshot(spark, root))
+    val bytes = Snapshots.manifestFiles(spark, root, 1L)
+      .map(f => fs(root).getFileStatus(new Path(s"$root/$f")).getLen).sum
+    // target ~ a third of the partition -> 3-4 bins, still < 10 files
+    val v2 = SnapshotOps.optimize(spark, root, targetFileBytes = bytes / 3, minWaste = 2)
+      .getOrElse(fail("10 files vs ~4 bins must qualify"))
+    val n = filesPerPart(root, v2)("part=a")
+    assert(n > 1 && n <= 4, s"bin-packed file count out of range: $n")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) == before)
+  }
+
+  test("merge applies insert/update/delete atomically, carries untouched partitions") {
+    val root = freshRoot("snap_merge")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 1, "c" -> 1).write.partitionBy("part").parquet(stage))
+    // source: update a/id0 (value bump), delete every b row, insert d/id99
+    val source = Seq(
+      ("a", 0L, 777L, "upsert"),
+      ("d", 99L, 1L, "upsert")
+    ).toDF("part", "id", "v", "op")
+      .unionByName((0 until 40).map(i => ("b", i.toLong, 0L, "delete"))
+        .toDF("part", "id", "v", "op"))
+    val v2 = SnapshotOps.merge(spark, root, source, Seq("id", "part"), "part")
+
+    val after = rowsOf(Snapshots.readSnapshot(spark, root))
+    val expected = (rowsOf(fixture("a" -> 1, "c" -> 1))
+      .filterNot(r => r._1 == "a" && r._2 == 0L) ++
+      Seq(("a", 0L, 777L), ("d", 99L, 1L))).sortBy(r => (r._1, r._2))
+    assert(after == expected)
+    // the emptied partition left the manifest; untouched c carried its files
+    val partsNow = Snapshots.manifestFiles(spark, root, v2).map(_.takeWhile(_ != '/')).toSet
+    assert(!partsNow.contains("part=b"), "a fully-deleted partition must drop")
+    val cFiles = (v: Long) => Snapshots.manifestFiles(spark, root, v)
+      .filter(_.startsWith("part=c/")).toSet
+    assert(cFiles(v2) == cFiles(v1), "untouched partition must carry over, not rewrite")
+    // the pre-merge pin still shows partition b
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v1)))
+      .count(_._1 == "b") == 40)
+  }
+
+  test("publishExpect quarantines violations and duplicate keys, commits the clean rows") {
+    val root = freshRoot("snap_expect")
+    val df = Seq(
+      ("a", 1L, 10L),   // clean
+      ("a", 2L, -5L),   // violates nonneg
+      ("a", 3L, 10L),   // clean
+      ("b", 4L, 20L),   // dup key with next -> both quarantined
+      ("b", 4L, 21L),
+      ("b", 5L, -1L)    // violates nonneg (its key stays unique among clean)
+    ).toDF("part", "id", "v")
+    val (v, nQuar) = SnapshotOps.publishExpect(spark, root, df, "part",
+      expectations = Seq(Expect("nonneg", col("v") >= 0)),
+      uniqueKey = Seq("id"))
+    assert(nQuar == 4L)
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) ==
+      Seq(("a", 1L, 10L), ("a", 3L, 10L)))
+    val meta = Snapshots.manifestMeta(spark, root, v)
+    assert(meta("expect_total") == "6" && meta("expect_clean") == "2" &&
+      meta("expect_quarantined") == "4")
+    val quar = spark.read.parquet(s"$root/_quarantine/$v")
+      .select("id", "violated").as[(Long, String)].collect().sortBy(identity).toMap
+    assert(quar == Map(2L -> "nonneg", 4L -> "unique_key", 5L -> "nonneg"))
+    // an all-violating batch refuses rather than committing emptiness
+    intercept[IllegalArgumentException] {
+      SnapshotOps.publishExpect(spark, root,
+        Seq(("a", 9L, -9L)).toDF("part", "id", "v"), "part",
+        expectations = Seq(Expect("nonneg", col("v") >= 0)))
+    }
+  }
+
+  test("bloom sidecar skips files on point lookups, never changes results") {
+    val root = freshRoot("snap_bloom")
+    // key-clustered: 8 files, ids 0..399 in disjoint ranges per file
+    val df = (0 until 400).map(i => ("a", i.toLong, i.toLong * 3)).toDF("part", "id", "v")
+    Snapshots.publishPartitions(spark, root, bloomCols = Seq("id")) { stage =>
+      df.repartitionByRange(8, col("id")).write.partitionBy("part").parquet(stage)
+    }
+    val all = Snapshots.manifestFiles(spark, root, 1L)
+    assert(all.size >= 6, s"fixture should have several files, got ${all.size}")
+
+    val hit = Snapshots.readSnapshotEquals(spark, root, "id", lit(123L))
+    assert(hit.select("v").as[Long].collect().toSeq == Seq(369L))
+    assert(hit.inputFiles.length < all.size,
+      s"bloom must skip files: planned ${hit.inputFiles.length} of ${all.size}")
+    assert(hit.inputFiles.length >= 1)
+
+    // absent key: every file's bloom rejects -> empty plan, empty result
+    val miss = Snapshots.readSnapshotEquals(spark, root, "id", lit(5555L))
+    assert(miss.count() == 0L)
+
+    // a column with no bloom -> conservative full plan, still exact
+    val noIdx = Snapshots.readSnapshotEquals(spark, root, "v", lit(369L))
+    assert(noIdx.select("id").as[Long].collect().toSeq == Seq(123L))
+    assert(noIdx.inputFiles.length == all.size)
+  }
+
+  test("bloom carries across publishes; pre-bloom files stay conservatively planned") {
+    val root = freshRoot("snap_bloom_mix")
+    // v1: partition a published WITHOUT blooms
+    Snapshots.publishPartitions(spark, root)(stage =>
+      (0 until 100).map(i => ("a", i.toLong, i.toLong)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage))
+    // v2: partition b added WITH blooms -> sidecar indexes only b's file
+    Snapshots.publishPartitions(spark, root, bloomCols = Seq("id")) { stage =>
+      (1000 until 1100).map(i => ("b", i.toLong, i.toLong)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage)
+    }
+    val all = Snapshots.manifestFiles(spark, root, 2L)
+    assert(all.size == 2)
+    // id=7 lives in a (unindexed, must stay planned); b's bloom rejects it
+    val r = Snapshots.readSnapshotEquals(spark, root, "id", lit(7L))
+    assert(r.select("v").as[Long].collect().toSeq == Seq(7L))
+    assert(r.inputFiles.length == 1, "b's bloom should reject id=7, a has no bloom")
+    // v3 replaces b; a's (absent) bloom state and b's fresh bloom both correct
+    Snapshots.publishPartitions(spark, root, bloomCols = Seq("id")) { stage =>
+      (2000 until 2100).map(i => ("b", i.toLong, i.toLong)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage)
+    }
+    val r3 = Snapshots.readSnapshotEquals(spark, root, "id", lit(2050L))
+    assert(r3.select("v").as[Long].collect().toSeq == Seq(2050L))
+    // a's file has no bloom -> conservatively planned; b's fresh file
+    // holds the value; b's REPLACED file left the manifest entirely
+    assert(r3.inputFiles.length == 2,
+      "unindexed a stays planned + b's fresh file; nothing else")
+  }
+
+  test("vacuum reaps dropped versions' bloom sidecars, keeps the survivors'") {
+    val root = freshRoot("snap_bloom_vac")
+    def pub(mult: Int): Long =
+      Snapshots.publishPartitions(spark, root, bloomCols = Seq("id")) { stage =>
+        (0 until 50).map(i => ("a", i.toLong, i.toLong * mult)).toDF("part", "id", "v")
+          .coalesce(1).write.partitionBy("part").parquet(stage)
+      }
+    val v1 = pub(1); val v2 = pub(2); val v3 = pub(3)
+    assert(Seq(v1, v2, v3).forall(v =>
+      Snapshots.fileBlooms(spark, root, v).nonEmpty))
+    Snapshots.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
+    assert(Snapshots.fileBlooms(spark, root, v1).isEmpty, "v1 sidecar must be reaped")
+    assert(Snapshots.fileBlooms(spark, root, v2).nonEmpty)
+    assert(Snapshots.fileBlooms(spark, root, v3).nonEmpty)
+    // post-vacuum point read still exact and still skipping
+    val r = Snapshots.readSnapshotEquals(spark, root, "id", lit(10L))
+    assert(r.select("v").as[Long].collect().toSeq == Seq(30L))
+  }
+}
