@@ -899,6 +899,207 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    Q("u16_merge",
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |src AS (
+        |  SELECT event_id, 'signup' AS event_type, value, 'delete' AS op
+        |  FROM e WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT event_id, 'view', value + 100, 'upsert'
+        |  FROM e WHERE event_type = 'click' AND event_id % 11 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000, 'promo', 1.5, 'upsert'
+        |  FROM e WHERE event_type = 'purchase' AND event_id % 13 = 0),
+        |final AS (
+        |  SELECT e.event_id, e.event_type, e.value FROM e
+        |  WHERE e.event_id NOT IN (SELECT event_id FROM src)
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM src WHERE op <> 'delete')
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Keyed three-way MERGE committed as ONE atomic snapshot version
+      // (SnapshotOps.merge): the source batch deletes every 'signup' row
+      // (emptying that partition — it must DROP from the manifest, which
+      // a staged tree alone cannot express), MOVES every 11th click to
+      // the 'view' partition with value+100 (an update that crosses
+      // partitions: both the old and new partition rewrite in the same
+      // commit, so no version ever shows the row twice or zero times),
+      // and INSERTS brand-new 'promo' rows (a partition born in the
+      // merge). Only affected partitions rewrite — 'error' and
+      // 'purchase' carry over via the manifest, unread. The oracle
+      // states the textbook merge semantics (target minus source keys,
+      // union surviving source rows); the hash gates all four paths at
+      // once. Scale shape: the probe for affected partitions is a
+      // column-pruned key scan broadcast-joined against the source keys.
+      import graft.core.{Num, SnapshotOps, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u16_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      val deletes = ev.filter(col("event_type") === "signup")
+        .withColumn("op", lit("delete"))
+      val moves = ev.filter(col("event_type") === "click" && col("event_id") % 11 === 0)
+        .select(col("event_id"), lit("view").as("event_type"),
+          (col("value") + 100).as("value"), lit("upsert").as("op"))
+      val inserts = ev.filter(col("event_type") === "purchase" && col("event_id") % 13 === 0)
+        .select((col("event_id") + 1000000).as("event_id"),
+          lit("promo").as("event_type"), lit(1.5).as("value"), lit("upsert").as("op"))
+      SnapshotOps.merge(s, root, deletes.unionByName(moves).unionByName(inserts),
+        keyCols = Seq("event_id"), partitionCol = "event_type")
+      Snapshots.readSnapshot(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    },
+    Q("u17_optimize",
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY event_type)
+        |SELECT 'after' AS phase, event_type, n, value_sum,
+        |  CAST(1 AS BIGINT) AS n_files FROM agg
+        |UNION ALL
+        |SELECT 'before', event_type, n, value_sum, CAST(12 AS BIGINT) FROM agg
+        |ORDER BY phase, event_type""".stripMargin) { (s, d) =>
+      // OPTIMIZE (bin-packed small-file compaction) as an atomic version:
+      // version 1 deliberately fragments every partition into 12 files
+      // (a round-robin repartition before the write — the shape repeated
+      // small appends leave behind); SnapshotOps.optimize picks the
+      // fragmented partitions FROM THE MANIFEST LISTING (no data IO
+      // decides), rewrites each into its computed bin count (1 here —
+      // the 512 MiB target dwarfs the bytes), and commits. The output
+      // hash-gates three facts at once: content identical before and
+      // after (same n/value_sum per partition — the oracle is the plain
+      // aggregate), the fragmentation was real (n_files=12 in the pinned
+      // v1 read), and the packing landed (n_files=1 in the latest read;
+      // a (partCol, bin) range shuffle makes the file count exactly the
+      // bin count — equal keys never split across range tasks).
+      import graft.core.{Num, SnapshotOps, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u17_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val v1 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.repartition(12).write.partitionBy("event_type").parquet(stage))
+      val v2 = SnapshotOps.optimize(s, root, targetFileBytes = 512L << 20)
+        .getOrElse(sys.error("u17_optimize: nothing qualified for compaction"))
+      def prof(version: Long, phase: String) =
+        Snapshots.readSnapshot(s, root, Some(version))
+          .withColumn("__file", input_file_name())
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"),
+            countDistinct(col("__file")).as("n_files"))
+          .withColumn("phase", lit(phase))
+      prof(v2, "after").unionByName(prof(v1, "before"))
+        .select("phase", "event_type", "n", "value_sum", "n_files")
+        .orderBy("phase", "event_type")
+    },
+    Q("u18_expect_publish",
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |aug AS (SELECT * FROM e
+        |  UNION ALL
+        |  SELECT event_id, event_type, value + 1 FROM e
+        |  WHERE event_id % 997 = 0 AND value <= 400),
+        |f0 AS (SELECT *, CASE WHEN value IS NULL THEN 'value_present'
+        |                      WHEN value > 400 THEN 'value_cap'
+        |                      ELSE '' END AS v0 FROM aug),
+        |f AS (SELECT event_id, event_type, value,
+        |    CASE WHEN v0 = '' AND COUNT(*) OVER (PARTITION BY event_id, v0 = '') > 1
+        |         THEN 'unique_key' ELSE v0 END AS violated FROM f0)
+        |SELECT 'committed' AS phase, event_type AS key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM f WHERE violated = '' GROUP BY event_type
+        |UNION ALL
+        |SELECT 'meta', 'expect_quarantined',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f WHERE violated <> ''), NULL
+        |UNION ALL
+        |SELECT 'quarantined', violated, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM f WHERE violated <> '' GROUP BY violated
+        |ORDER BY phase, key""".stripMargin) { (s, d) =>
+      // Constraint-gated publish (SnapshotOps.publishExpect): the batch
+      // carries planted duplicate keys (every 997th event re-sent with a
+      // drifted value — BOTH copies must quarantine; a loader silently
+      // picking one is corruption) and over-cap values (value > 400).
+      // One pass flags rows; clean rows commit atomically, violators
+      // land in _quarantine/<version> with the failed expectation named,
+      // and the manifest records the audit counts. The result reads all
+      // three surfaces back — committed table, quarantine dir, manifest
+      // metadata — and the oracle restates the gate logic row-for-row.
+      import graft.core.{Num, SnapshotOps, Snapshots}
+      import graft.core.SnapshotOps.Expect
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u18_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      val aug = ev.unionByName(
+        ev.filter(col("event_id") % 997 === 0 && col("value") <= 400)
+          .withColumn("value", col("value") + 1))
+      val (version, nQuar) = SnapshotOps.publishExpect(s, root, aug, "event_type",
+        Seq(Expect("value_present", col("value").isNotNull),
+          Expect("value_cap", col("value").isNull || col("value") <= 400)),
+        uniqueKey = Seq("event_id"))
+      val committed = Snapshots.readSnapshot(s, root, Some(version))
+        .groupBy(col("event_type").as("key"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+        .withColumn("phase", lit("committed"))
+      val quarantined =
+        if (nQuar == 0)
+          committed.limit(0)
+        else
+          s.read.parquet(s"$root/_quarantine/$version")
+            .groupBy(col("violated").as("key"))
+            .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+            .withColumn("phase", lit("quarantined"))
+      val metaN = Snapshots.manifestMeta(s, root, version)("expect_quarantined").toLong
+      val meta = s.range(1).select(lit("expect_quarantined").as("key"),
+        lit(metaN).as("n"), lit(null).cast("double").as("value_sum"),
+        lit("meta").as("phase"))
+      committed.unionByName(quarantined).unionByName(meta)
+        .select("phase", "key", "n", "value_sum")
+        .orderBy("phase", "key")
+    },
+    Q("s20_bloom_point",
+      """WITH k AS (SELECT user_id AS k FROM events WHERE event_id = 42)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM events e JOIN k ON e.user_id = k.k
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      // BLOOM-SIDECAR point lookup: the publish records a per-file bloom
+      // filter over user_id (one extra scan at write time, sparse
+      // non-zero words only), the write range-clusters on user_id so
+      // each file holds few distinct users, and readSnapshotEquals plans
+      // ONLY files whose bloom can contain the probed key — the
+      // needle-in-haystack read ("this user's rows out of 100 TB") costs
+      // IO proportional to the match, not the table. Exactness never
+      // depends on the bloom (the equality filter applies on top; a
+      // false positive just reads one extra file), so the oracle is the
+      // plain key join. SnapshotSpec pins the skip itself (planned input
+      // files a strict subset, same rows).
+      import graft.core.Snapshots
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s20_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).select("event_id", "event_type", "user_id", "value")
+      Snapshots.publishPartitions(s, root, bloomCols = Seq("user_id")) { stage =>
+        ev.repartitionByRange(8, col("user_id"))
+          .write.partitionBy("event_type").parquet(stage)
+      }
+      val key = ev.filter(col("event_id") === 42).select("user_id").head().getLong(0)
+      Snapshots.readSnapshotEquals(s, root, "user_id", lit(key))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
