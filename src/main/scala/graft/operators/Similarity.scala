@@ -1641,6 +1641,66 @@ object Similarity {
         coalesce(lit(1.0) / col("__nn_rank"), lit(0.0)).as("rr"))
   }
 
+  /** NDCG@k of an approximate ranking against its exact ground truth —
+    * the graded companion to [[rankingMetrics]]' binary recall/MRR.
+    * Relevance grades derive from the EXACT rank in bands of
+    * `gradeBands` (exact rank 1..gradeBands → grade `maxGrade`, the next
+    * band → maxGrade−1, …, 0 past `maxGrade·gradeBands`), so ground
+    * truth needs no external labels.
+    *
+    * Engine-exact by construction: the classic 1/log2(rank+1) discount
+    * is replaced with the reciprocal-rank discount scaled by
+    * lcm(1..k), making every per-position term an INTEGER
+    * (grade · lcm/rank) — DCG and ideal DCG are exact BIGINT sums in any
+    * reduction order, and the only float op is the final correctly-
+    * rounded dcg/idcg division. Returns (qid, dcg_num, idcg_num, ndcg),
+    * one row per query present in `exact`.
+    *
+    * Scale shape: both inputs are already k-bounded per query (the knn
+    * join's TakeOrdered), so every shuffle here is |Q|·k rows keyed on
+    * the query id — never corpus-sized.
+    */
+  def ndcgMetrics(
+      approx: DataFrame,
+      exact: DataFrame,
+      qid: String,
+      id: String,
+      score: String,
+      k: Int,
+      maxGrade: Int = 4,
+      gradeBands: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxGrade >= 1 && gradeBands >= 1, "grades must be positive")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1L to k.toLong).foldLeft(1L)((l, i) => l / gcd(l, i) * i)
+    def ranked(df: DataFrame, rank: String, cutoff: Int): DataFrame =
+      df.withColumn(rank, row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(qid)).orderBy(col(score).desc, col(id))))
+        .filter(col(rank) <= cutoff)
+        .select(col(qid), col(id), col(rank))
+    val a = ranked(approx, "__ar", k)
+    // grades need exact ranks out to the last non-zero band; all integer
+    // arithmetic (DIV, no FP) so the grade and discount are exact
+    val rel = ranked(exact, "__er", maxGrade * gradeBands)
+      .withColumn("__rel",
+        greatest(lit(0L), lit(maxGrade.toLong) - expr(s"(__er - 1) DIV $gradeBands")))
+    val dcg = a.join(rel.drop("__er"), Seq(qid, id), "left")
+      .groupBy(col(qid))
+      .agg(sum(coalesce(col("__rel"), lit(0L)) * expr(s"$scale DIV __ar"))
+        .as("dcg_num"))
+    val idcg = rel.filter(col("__er") <= k)
+      .groupBy(col(qid))
+      .agg(sum(col("__rel") * expr(s"$scale DIV __er")).as("idcg_num"))
+    idcg.join(dcg, Seq(qid), "left")
+      .select(col(qid),
+        coalesce(col("dcg_num"), lit(0L)).as("dcg_num"),
+        col("idcg_num"),
+        (coalesce(col("dcg_num"), lit(0L)).cast("double") /
+          col("idcg_num").cast("double")).as("ndcg"))
+  }
+
   /** The nProbe TUNING CURVE in one plan: mean recall@k and mean
     * reciprocal rank of the batched IVF probe ([[knnJoin]]) at each
     * requested nProbe, against one shared exact ground truth

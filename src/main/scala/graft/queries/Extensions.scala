@@ -889,6 +889,94 @@ object Extensions {
     },
 
     // ---- events: RFM segmentation (two-level global ntile) -------------
+    Q("ev_survival",
+      // Kaplan-Meier survival over the event stream: subjects are users,
+      // origin is each user's first active day, "death" is the first
+      // high-severity error (value > 200), right-censoring at the user's
+      // last active day for users that never die inside the window.
+      // Time is discretized to weeks (capped at 4 — the fixture spans 30
+      // days), and the KM estimator S(w) = Π_{j≤w} (n_j − d_j)/n_j is
+      // computed as an EXACT integer fraction: the cumulative products
+      // run in DECIMAL(38,0) (HUGEINT in the oracle's recursive CTE —
+      // n ≤ |users|, ≤ 5 factors, overflow-free by the week cap), and
+      // the only float op is the final correctly-rounded num/den
+      // division, so the curve is engine-exact with zero FP reductions.
+      // Scale shape: the stream collapses in the first per-user
+      // aggregate (map-side combined); everything after runs on |users|
+      // rows, and the week table is calendar-bounded (≤ 5 rows), so the
+      // ordered cumulative-product window is driver-trivial by
+      // construction, never corpus-sized.
+      """WITH RECURSIVE d AS (SELECT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    event_type, value FROM events),
+        |u AS (SELECT user_id, MIN(day) AS t0, MAX(day) AS t1 FROM d GROUP BY user_id),
+        |death AS (SELECT user_id, MIN(day) AS td FROM d
+        |  WHERE event_type = 'error' AND value > 200 GROUP BY user_id),
+        |uu AS (SELECT u.user_id,
+        |    CASE WHEN death.td IS NOT NULL THEN LEAST((death.td - u.t0) // 7, 4)
+        |         ELSE LEAST((u.t1 - u.t0) // 7, 4) END AS week,
+        |    (death.td IS NOT NULL) AS died
+        |  FROM u LEFT JOIN death USING (user_id)),
+        |wk AS (SELECT UNNEST(range(0, 5)) AS wkn),
+        |b AS (SELECT wk.wkn AS week,
+        |    CAST(SUM(CASE WHEN uu.week >= wk.wkn THEN 1 ELSE 0 END) AS BIGINT) AS n_risk,
+        |    CAST(SUM(CASE WHEN uu.week = wk.wkn AND uu.died THEN 1 ELSE 0 END) AS BIGINT) AS n_died,
+        |    CAST(SUM(CASE WHEN uu.week = wk.wkn AND NOT uu.died THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |  FROM wk CROSS JOIN uu GROUP BY wk.wkn),
+        |bb AS (SELECT * FROM b WHERE n_risk > 0),
+        |km AS (
+        |  SELECT week, n_risk, n_died, n_censored,
+        |    CAST(n_risk - n_died AS HUGEINT) AS snum,
+        |    CAST(n_risk AS HUGEINT) AS sden
+        |  FROM bb WHERE week = 0
+        |  UNION ALL
+        |  SELECT bb.week, bb.n_risk, bb.n_died, bb.n_censored,
+        |    km.snum * (bb.n_risk - bb.n_died), km.sden * bb.n_risk
+        |  FROM bb JOIN km ON bb.week = km.week + 1)
+        |SELECT week, n_risk, n_died, n_censored,
+        |  CAST(snum AS DOUBLE) AS surv_num, CAST(sden AS DOUBLE) AS surv_den,
+        |  CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE) AS survival
+        |FROM km ORDER BY week""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dd = events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        col("event_type"), col("value"))
+      val u = dd.groupBy("user_id").agg(min("day").as("t0"), max("day").as("t1"))
+      val death = dd.filter(col("event_type") === "error" && col("value") > 200)
+        .groupBy("user_id").agg(min("day").as("td"))
+      val uu = u.join(death, Seq("user_id"), "left")
+        .select(
+          when(col("td").isNotNull, least(expr("(td - t0) DIV 7"), lit(4L)))
+            .otherwise(least(expr("(t1 - t0) DIV 7"), lit(4L))).as("week"),
+          col("td").isNotNull.as("died"))
+      val wk = s.range(0, 5).select(col("id").as("wkn"))
+      val b = uu.crossJoin(broadcast(wk))
+        .groupBy(col("wkn").as("week"))
+        .agg(
+          sum(when(col("week") >= col("wkn"), 1L).otherwise(0L)).as("n_risk"),
+          sum(when(col("week") === col("wkn") && col("died"), 1L).otherwise(0L))
+            .as("n_died"),
+          sum(when(col("week") === col("wkn") && !col("died"), 1L).otherwise(0L))
+            .as("n_censored"))
+        .filter(col("n_risk") > 0)
+      // ≤ 5 calendar-bounded rows: the unpartitioned ordered window and
+      // the in-order decimal fold are exact and trivially single-task
+      val wnd = Window.orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val one = lit(1).cast("decimal(38,0)")
+      b.withColumn("snum",
+          aggregate(
+            collect_list((col("n_risk") - col("n_died")).cast("decimal(38,0)")).over(wnd),
+            one, (acc, x) => acc * x))
+        .withColumn("sden",
+          aggregate(collect_list(col("n_risk").cast("decimal(38,0)")).over(wnd),
+            one, (acc, x) => acc * x))
+        .select(col("week"), col("n_risk"), col("n_died"), col("n_censored"),
+          col("snum").cast("double").as("surv_num"),
+          col("sden").cast("double").as("surv_den"),
+          (col("snum").cast("double") / col("sden").cast("double")).as("survival"))
+        .orderBy("week")
+    },
     Q("ev_rfm",
       """WITH u AS (SELECT user_id,
         |    CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,

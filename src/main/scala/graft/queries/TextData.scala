@@ -2021,6 +2021,64 @@ object TextData {
       Similarity.rankingMetrics(approx, exact, "qid", "vec_id", "cosine", k = 10)
         .orderBy("qid")
     },
+    Q("ml_ndcg",
+      // GRADED ranking quality (NDCG@10) of the lossy IVF probe
+      // (nProbe=2 of 8) against exact ground truth — the companion to
+      // ml_retrieval_eval's binary recall/MRR: a near-miss that returns
+      // the #2 neighbor instead of #1 is now partial credit, not a zero.
+      // Grades derive from the exact rank (1-3 → 4, 4-6 → 3, 7-9 → 2,
+      // 10-12 → 1, else 0); the 1/log2 discount is replaced by the
+      // reciprocal-rank discount scaled by lcm(1..10)=2520 so every DCG
+      // term is an INTEGER — both sides sum exact BIGINTs and the only
+      // float op is the final dcg/idcg division. The oracle replays the
+      // probe (codebook CTEs), the exact ranks, the banded grades, and
+      // the integer discount token-for-token.
+      s"""WITH ${ivfCodebookCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+           nCells = 8, iters = 3)},
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 16 = 0),
+         |qc AS (SELECT qid, qvec, cell FROM (
+         |    SELECT q.qid, q.qvec, u.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qvec, u.uc) DESC, u.cell DESC) AS rn
+         |    FROM q CROSS JOIN uf u) WHERE rn <= 2),
+         |sc AS (
+         |  SELECT qc.qid, a.vec_id, list_cosine_similarity(a.v, qc.qvec) AS cosine
+         |  FROM af a JOIN qc ON a.cell = qc.cell
+         |  WHERE a.vec_id <> qc.qid),
+         |ar AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS arank
+         |  FROM sc),
+         |er AS (SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(e.v, q.qvec) DESC, e.vec_id) AS erank
+         |  FROM e, q WHERE e.vec_id <> q.qid),
+         |rel AS (SELECT qid, vec_id, erank,
+         |    GREATEST(0, 4 - (erank - 1) // 3) AS rel
+         |  FROM er WHERE erank <= 12),
+         |dcg AS (SELECT ar.qid,
+         |    CAST(SUM(COALESCE(rel.rel, 0) * (2520 // ar.arank)) AS BIGINT) AS dcg_num
+         |  FROM ar LEFT JOIN rel ON ar.qid = rel.qid AND ar.vec_id = rel.vec_id
+         |  WHERE ar.arank <= 10 GROUP BY ar.qid),
+         |idcg AS (SELECT qid, CAST(SUM(rel * (2520 // erank)) AS BIGINT) AS idcg_num
+         |  FROM rel WHERE erank <= 10 GROUP BY qid)
+         |SELECT idcg.qid, COALESCE(dcg.dcg_num, 0) AS dcg_num, idcg.idcg_num,
+         |  CAST(COALESCE(dcg.dcg_num, 0) AS DOUBLE) / CAST(idcg.idcg_num AS DOUBLE) AS ndcg
+         |FROM idcg LEFT JOIN dcg ON idcg.qid = dcg.qid
+         |ORDER BY idcg.qid""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val (path, cents) = Similarity.ensureIvfIndex(
+        e, "vec_id", "embedding", cacheKey = d, nCells = 8)
+      val q = e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val approx = Similarity.knnJoin(s, path, "vec_id", "embedding",
+        q, "q_id", "q_emb", k = 10, cents, nProbe = 2, excludeSelf = true)
+      val exact = Similarity.exactKnnJoin(e, "vec_id", "embedding",
+        q, "q_id", "q_emb", k = 12, excludeSelf = true)
+      Similarity.ndcgMetrics(approx, exact, "qid", "vec_id", "cosine",
+          k = 10, maxGrade = 4, gradeBands = 3)
+        .orderBy("qid")
+    },
     Q("ann_recall_curve", {
       // the nProbe TUNING CURVE: mean recall@10 / MRR at nProbe 1,2,4,8
       // over 8 cells, one shared exact ground truth. nProbe=8 probes

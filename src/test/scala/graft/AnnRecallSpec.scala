@@ -522,6 +522,36 @@ class AnnRecallSpec extends SparkTestBase {
     assert(empty(0) == ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("ndcgMetrics: perfect approx scores 1.0; planted swaps score the exact fraction") {
+    // k=3 -> lcm(1..3)=6; grades from exact rank with maxGrade=2,
+    // gradeBands=1: rank 1 -> 2, rank 2 -> 1, rank 3+ -> 0
+    val exact = Seq(
+      (1L, 11L, 0.9), (1L, 12L, 0.8), (1L, 13L, 0.7),
+      (2L, 21L, 0.9), (2L, 22L, 0.8), (2L, 23L, 0.7)
+    ).toDF("qid", "vec_id", "cosine")
+    val perfect = Similarity.ndcgMetrics(exact, exact, "qid", "vec_id", "cosine",
+        k = 3, maxGrade = 2, gradeBands = 1)
+      .orderBy("qid").as[(Long, Long, Long, Double)].collect()
+    // idcg = 2*(6/1) + 1*(6/2) + 0*(6/3) = 15, every query
+    assert(perfect.toSeq == Seq((1L, 15L, 15L, 1.0), (2L, 15L, 15L, 1.0)))
+    // query 1 swaps the top two: dcg = 1*6 + 2*3 + 0*2 = 12 -> 12/15;
+    // query 2 returns strangers below the true NN: dcg = 2*6 = 12 -> 12/15
+    val approx = Seq(
+      (1L, 12L, 0.9), (1L, 11L, 0.8), (1L, 13L, 0.7),
+      (2L, 21L, 0.9), (2L, 98L, 0.8), (2L, 99L, 0.7)
+    ).toDF("qid", "vec_id", "cosine")
+    val got = Similarity.ndcgMetrics(approx, exact, "qid", "vec_id", "cosine",
+        k = 3, maxGrade = 2, gradeBands = 1)
+      .orderBy("qid").as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 12L, 15L, 12.0 / 15.0), (2L, 12L, 15L, 12.0 / 15.0)))
+    // a query with no approx rows still reports, at ndcg 0
+    val empty = Similarity.ndcgMetrics(
+      approx.filter(col("qid") === 2), exact, "qid", "vec_id", "cosine",
+        k = 3, maxGrade = 2, gradeBands = 1)
+      .orderBy("qid").as[(Long, Long, Long, Double)].collect()
+    assert(empty(0) == ((1L, 0L, 15L, 0.0)))
+  }
+
   test("recallCurve: monotone in nProbe; the all-cells point is exactly (1.0, 1.0)") {
     val e = Tables.embeddings(spark, sfDir)
     val (path, cents) = Similarity.ensureIvfIndex(
