@@ -2405,6 +2405,71 @@ object TextData {
         .filter(col("rk") <= 10)
         .orderBy("lang", "rk")
     },
+    Q("tx_keywords",
+      // RAKE keyword extraction (Rose et al. 2010), log-free: candidate
+      // phrases are maximal stopword-free token runs (gaps-and-islands
+      // on token position), each word scores degree/freq — degree the
+      // summed length of the phrases it appears in, freq its occurrence
+      // count — and a phrase scores the sum of its words' scores. The
+      // division is floored to integer MICRO-UNITS before the per-phrase
+      // sum ((degree·1e6) DIV freq — pure integer arithmetic, zero FP
+      // anywhere), so the reduction is order-independent and the top-20
+      // ranking engine-exact. Scale shape: tokens shuffle once per
+      // doc-keyed window, once to word stats, once to phrase scores —
+      // all key-partitioned, nothing corpus-global but the final top-20
+      // TakeOrdered.
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |toks AS (SELECT doc_id, u.pos, arr[u.pos] AS term
+        |  FROM tk, unnest(generate_series(1, len(arr))) AS u(pos)),
+        |ns AS (SELECT doc_id, pos, term,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM toks WHERE term NOT IN ('a', 'the')),
+        |ph AS (SELECT doc_id, grp, string_agg(term, ' ' ORDER BY pos) AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS n_words
+        |  FROM ns GROUP BY doc_id, grp),
+        |ws AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(n_words) AS BIGINT) AS degree
+        |  FROM ns JOIN ph USING (doc_id, grp) GROUP BY term),
+        |wsc AS (SELECT term, (degree * 1000000) // freq AS score_micro FROM ws),
+        |pd AS (SELECT DISTINCT phrase, n_words FROM ph),
+        |pw AS (SELECT phrase, n_words, u.term
+        |  FROM (SELECT phrase, n_words, string_split(phrase, ' ') AS warr FROM pd),
+        |       unnest(warr) AS u(term)),
+        |psc AS (SELECT pw.phrase, MAX(pw.n_words) AS n_words,
+        |    CAST(SUM(wsc.score_micro) AS BIGINT) AS score_micro
+        |  FROM pw JOIN wsc USING (term) GROUP BY pw.phrase)
+        |SELECT phrase, n_words, score_micro FROM psc
+        |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+      val ns = toks.filter(!col("term").isin("a", "the"))
+        .withColumn("grp",
+          col("pos") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+      val ph = ns.groupBy("doc_id", "grp")
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+              x => x.getField("term")), " ").as("phrase"),
+          count(lit(1)).as("n_words"))
+      val ws = ns.join(ph, Seq("doc_id", "grp"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("degree"))
+      val wsc = ws.select(col("term"),
+        expr("(degree * 1000000) DIV freq").as("score_micro"))
+      val pd = ph.select("phrase", "n_words").distinct()
+      val pw = pd.select(col("phrase"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("term"))
+      pw.join(wsc, "term")
+        .groupBy("phrase")
+        .agg(max(col("n_words")).as("n_words"),
+          sum(col("score_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(20)
+    },
     Q("tx_collocations",
       """WITH t AS (SELECT
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
