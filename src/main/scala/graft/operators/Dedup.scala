@@ -1168,19 +1168,35 @@ object Dedup {
             lit("phashNearDupPairs: null or non-64-bit phash (decode failed or " +
               "sub-grid image); filter those rows explicitly first"))
             .cast("boolean")))
-    val banded = base.select(col(id), col("__ph"), explode(sequence(lit(0), lit(bands - 1))).as("__b"))
-      .withColumn("__bv", expr(s"substring(__ph, __b * $bandLen + 1, $bandLen)"))
-    val a = banded.select(col(id).as("id_a"), col("__ph").as("__pa"), col("__b"), col("__bv"))
-    val b = banded.select(col(id).as("id_b"), col("__ph").as("__pb"), col("__b"), col("__bv"))
+    // bit-pack the 64-char bit string into two 32-bit words once at the
+    // source: band values become integer shift+mask (no 8-char string
+    // keys in the join), the candidate distinct carries 4 longs instead
+    // of two 64-char strings, and hamming is two bit_count(xor) ops
+    // instead of 64 substring compares — the same packing that made
+    // ann_binary_quant's scan the cheapest ANN first stage
+    val bandsPerHalf = 32 / bandLen // bands divides 64 => bandLen divides 32
+    val mask = (1L << bandLen) - 1
+    val packed = base.select(col(id),
+      conv(substring(col("__ph"), 1, 32), 2, 10).cast("long").as("__hi"),
+      conv(substring(col("__ph"), 33, 32), 2, 10).cast("long").as("__lo"))
+    val banded = packed
+      .select(col(id), col("__hi"), col("__lo"),
+        explode(sequence(lit(0), lit(bands - 1))).as("__b"))
+      .withColumn("__bv",
+        expr(s"shiftright(IF(__b < $bandsPerHalf, __hi, __lo), " +
+          s"(${bandsPerHalf - 1} - pmod(__b, $bandsPerHalf)) * $bandLen) & ${mask}L"))
+    val a = banded.select(col(id).as("id_a"),
+      col("__hi").as("__ha"), col("__lo").as("__la"), col("__b"), col("__bv"))
+    val b = banded.select(col(id).as("id_b"),
+      col("__hi").as("__hb"), col("__lo").as("__lb"), col("__b"), col("__bv"))
     val cand = a.join(b, Seq("__b", "__bv"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__pa", "__pb")
+      .select("id_a", "id_b", "__ha", "__la", "__hb", "__lb")
       .distinct() // pairs sharing several clean bands would otherwise repeat
-    val ham = (0 until 64).map { i =>
-      when(substring(col("__pa"), i + 1, 1) =!= substring(col("__pb"), i + 1, 1), 1)
-        .otherwise(0)
-    }.reduce(_ + _)
-    cand.withColumn("hamming", ham.cast("int"))
+    cand
+      .withColumn("hamming",
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+          bit_count(col("__la").bitwiseXOR(col("__lb")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
