@@ -118,6 +118,13 @@ object SnapshotOps {
     * `source` must carry `keyCols`, `partitionCol` and the full data
     * schema of the table (minus `opCol`, which is consumed here).
     * Returns the committed version.
+    *
+    * `allowNoop`: a source that matches nothing and inserts nothing is
+    * an error by default (a batch caller merging nothing is almost
+    * always a bug); the streaming sink sets it true because an
+    * at-least-once REPLAY of a delete-only batch legitimately finds its
+    * keys already gone — the no-op returns the current version with no
+    * commit.
     */
   def merge(
       spark: SparkSession,
@@ -125,7 +132,8 @@ object SnapshotOps {
       source: DataFrame,
       keyCols: Seq[String],
       partitionCol: String,
-      opCol: String = "op"): Long = {
+      opCol: String = "op",
+      allowNoop: Boolean = false): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = Snapshots.latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"merge: no published version under $root"))
@@ -141,6 +149,7 @@ object SnapshotOps {
     val insertedParts = survivors.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     val affected = matchedParts ++ insertedParts
+    if (affected.isEmpty && allowNoop) return v
     require(affected.nonEmpty, "merge: source matches nothing and inserts nothing")
     val affectedCol = col(partitionCol).cast("string").isin(affected.toSeq: _*)
     // the affected partitions' new content: target rows not superseded

@@ -433,4 +433,61 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyUpsertBatch(batch, targetPath, keys, versionCol)
       }
+
+  /** One micro-batch of [[mergeSink]], exposed for replay specs: collapse
+    * the batch to one op per key (highest `seqCol` wins; ties break on op
+    * then payload so the survivor is total-order deterministic), then
+    * three-way MERGE it into the snapshot table as ONE atomic version
+    * (graft.core.SnapshotOps.merge — deletes drop rows and possibly whole
+    * partitions from the manifest, upserts replace-or-insert, untouched
+    * partitions carry over unread).
+    *
+    * Replay safety under foreachBatch's at-least-once delivery: a
+    * replayed upsert re-replaces the key with identical rows (no-op on
+    * content), a replayed delete finds its key already gone and merges
+    * nothing (`allowNoop` — no commit at all). The only replay residue is
+    * at most one extra superseded version; content converges.
+    */
+  def applyMergeBatch(
+      batch: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      partitionCol: String,
+      opCol: String = "op",
+      seqCol: String = "seq"): Unit = {
+    if (batch.isEmpty) return
+    val payloadCols = batch.columns
+      .filterNot(keys.contains).filterNot(c => c == seqCol)
+      .sorted.map(col(_).asc)
+    val latest = graft.ops.Joins.dedupKeepFirst(batch, keys,
+        Seq(col(seqCol).desc) ++ payloadCols)
+      .drop(seqCol)
+    graft.core.SnapshotOps.merge(batch.sparkSession, targetPath, latest,
+      keys, partitionCol, opCol, allowNoop = true)
+    ()
+  }
+
+  /** Continuous keyed CHANGE-STREAM maintenance: every micro-batch of
+    * (key, op, payload, seq) rows MERGEs into the snapshot table through
+    * one atomic manifest commit — the streaming twin of the batch
+    * u16_merge, and the upgrade over [[upsertSink]] a CDC feed needs
+    * (deletes are first-class; a reader pinned to version N never sees a
+    * half-applied batch). Per batch: in-batch collapse to the final op
+    * per key, then [[graft.core.SnapshotOps.merge]] — IO proportional to
+    * the affected partitions, never the table.
+    */
+  def mergeSink(
+      updates: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      partitionCol: String,
+      opCol: String = "op",
+      seqCol: String = "seq"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyMergeBatch(batch, targetPath, keys, partitionCol, opCol, seqCol)
+      }
 }

@@ -507,6 +507,64 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mergeSink: CDC stream with deletes maintains the snapshot table exactly") {
+    import graft.core.{SnapshotOps, Snapshots}
+    import graft.streaming.Ingest
+    import org.apache.spark.sql.types._
+    val updDir = Files.createTempDirectory("graft-mrg-in").toString
+    val target = Files.createTempDirectory("graft-mrg-out").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft-mrg-ckpt").toString
+    // seed table: two partitions
+    Snapshots.publishPartitions(spark, target) { stage =>
+      Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+        .toDF("k", "part", "v").write.partitionBy("part").parquet(stage)
+    }
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("part", StringType), StructField("v", DoubleType),
+      StructField("op", StringType), StructField("seq", LongType)))
+    // batch 1: update k=1, insert k=4 into a NEW partition, plus an
+    // in-batch supersede of k=4 (seq 2 must win over seq 1)
+    Seq((1L, "p1", 11.0, "upsert", 1L), (4L, "p3", 40.0, "upsert", 1L),
+        (4L, "p3", 44.0, "upsert", 2L))
+      .toDF("k", "part", "v", "op", "seq").write.mode("append").parquet(updDir)
+    val q = Ingest.mergeSink(
+      spark.readStream.schema(schema).parquet(updDir),
+      target, ckpt, Seq("k"), "part").start()
+    try {
+      q.processAllAvailable()
+      val after1 = Snapshots.readSnapshot(spark, target)
+        .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+      assert(after1 == Set((1L, "p1", 11.0), (2L, "p1", 20.0),
+        (3L, "p2", 30.0), (4L, "p3", 44.0)))
+      // batch 2: delete k=3 — its partition p2 empties and must DROP
+      Seq((3L, "p2", 30.0, "delete", 1L))
+        .toDF("k", "part", "v", "op", "seq").write.mode("append").parquet(updDir)
+      q.processAllAvailable()
+      val after2 = Snapshots.readSnapshot(spark, target)
+        .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+      assert(after2 == Set((1L, "p1", 11.0), (2L, "p1", 20.0), (4L, "p3", 44.0)))
+    } finally q.stop()
+    val vFinal = Snapshots.latestVersion(spark, target).get
+    // at-least-once REPLAYS converge: a replayed upsert batch re-commits
+    // identical content; a replayed delete-only batch merges nothing
+    // (allowNoop) and must not even commit a version
+    Ingest.applyMergeBatch(
+      Seq((1L, "p1", 11.0, "upsert", 1L), (4L, "p3", 44.0, "upsert", 2L))
+        .toDF("k", "part", "v", "op", "seq"), target, Seq("k"), "part")
+    val replayed = Snapshots.readSnapshot(spark, target)
+      .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+    assert(replayed == Set((1L, "p1", 11.0), (2L, "p1", 20.0), (4L, "p3", 44.0)),
+      "replayed upsert batch changed content")
+    Ingest.applyMergeBatch(
+      Seq((3L, "p2", 30.0, "delete", 1L)).toDF("k", "part", "v", "op", "seq"),
+      target, Seq("k"), "part")
+    assert(Snapshots.latestVersion(spark, target).get == vFinal + 1,
+      "replayed delete-only batch should no-op without committing")
+    val afterReplay = Snapshots.readSnapshot(spark, target)
+      .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+    assert(afterReplay == replayed, "replayed delete batch changed content")
+  }
+
   test("snapshotPublishSink: per-batch atomic publishes, pinned isolation, replay converges") {
     import graft.core.Snapshots
     import graft.streaming.Ingest
