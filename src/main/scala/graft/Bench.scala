@@ -65,7 +65,15 @@ object Bench {
     "tx_unicode",         // NFC composition + invisible strip corpus pass
     "u12_snapshot_publish", // manifest-commit publish + two pinned reads
     "ml_auc",             // exact rank-sum AUC via the two-level cumsum machinery
-    "g8_bfs_dist"         // convergence-detected frontier BFS
+    "g8_bfs_dist",        // convergence-detected frontier BFS
+    // round-11 second tranche: the lakehouse maintenance verbs and the
+    // round's new analytics, under regression watch from birth
+    "u16_merge",          // keyed three-way MERGE, affected-partition rewrite
+    "u17_optimize",       // manifest-picked bin-packed compaction
+    "s20_bloom_point",    // bloom-sidecar point lookup (needle read)
+    "ev_survival",        // Kaplan-Meier with exact integer products
+    "ml_ndcg",            // graded NDCG@10 via lcm-scaled integer DCG
+    "tx_keywords"         // RAKE phrase extraction, integer micro-scores
   )
 
   def main(args: Array[String]): Unit = {
