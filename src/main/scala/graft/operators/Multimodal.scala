@@ -448,4 +448,39 @@ object Multimodal {
       aggregate(col("samples"), lit(0L), (a, s) => a + s.cast("long") * s.cast("long"))
         .as("energy"),
       aggregate(col("samples"), lit(0L), (a, s) => a + s.cast("long")).as("sum_amp"))
+
+  /** Silence-run profile over decoded PCM: per media, the number of
+    * maximal runs of ≥ `minRun` consecutive samples with |v| <
+    * `threshold`, the longest such run (any length), and the total
+    * silent-sample count — the segmentation signal an audio pipeline
+    * gates on (dead air, trims, VAD pre-filter). One in-order fold over
+    * the samples array (codegen'd HOF, struct accumulator) — the runs
+    * never materialize as rows, pixels/samples never shuffle; per-row
+    * cost is O(n_samples), output is 4 integers per media.
+    */
+  def silenceRuns(
+      decoded: DataFrame,
+      threshold: Int = 8192,
+      minRun: Int = 3): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    require(minRun >= 1, "minRun must be >= 1")
+    val init = struct(lit(0).as("cur"), lit(0).as("runs"),
+      lit(0).as("maxr"), lit(0).as("sil"))
+    val folded = aggregate(col("samples"), init, (acc, v) => {
+      val isSil = abs(v.cast("long")) < threshold
+      val cur = when(isSil, acc.getField("cur") + 1).otherwise(lit(0))
+      struct(
+        cur.as("cur"),
+        // a run is counted exactly once: at the step where it reaches minRun
+        (acc.getField("runs") +
+          when(isSil && acc.getField("cur") === (minRun - 1), 1).otherwise(0)).as("runs"),
+        greatest(acc.getField("maxr"), cur).as("maxr"),
+        (acc.getField("sil") + when(isSil, 1).otherwise(0)).as("sil"))
+    })
+    decoded.filter(col("decoded"))
+      .select(col("media_id"), size(col("samples")).as("n_samples"), folded.as("__f"))
+      .select(col("media_id"), col("n_samples"),
+        col("__f.runs").as("n_runs"), col("__f.maxr").as("max_run"),
+        col("__f.sil").as("silent_samples"))
+  }
 }

@@ -604,6 +604,58 @@ object Stats {
           .as("auc"))
   }
 
+  /** Exact precision-recall curve of a score against a boolean label —
+    * one point per DISTINCT score s (predict positive when score ≥ s):
+    * (score_cents, tp, fp, prec, recall). ROC's rank-sum companion for
+    * imbalanced gates (a quality filter passing 0.1% of a corpus lives
+    * on this curve, not on AUC). tp/fp are exact BIGINTs from the same
+    * two-level descending cumulative as [[rocAuc]] (bucket window +
+    * driver offsets over ≤`buckets` rows — no unpartitioned window);
+    * prec = tp/(tp+fp) and recall = tp/n_pos are one IEEE division each,
+    * per row. tp+fp ≥ 1 at every emitted point (the score itself was
+    * observed), so prec never divides by zero; recall is IEEE Inf/NaN if
+    * no positives exist (non-ANSI contract — gate upstream).
+    */
+  def prCurve(
+      df: DataFrame,
+      pos: Column,
+      valueCents: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val perValue = aucPartials(df, pos, valueCents).localCheckpoint(true)
+    val m = perValue.agg(min(col("v")), max(col("v"))).head()
+    require(!m.isNullAt(0), "prCurve: empty input")
+    val bucketed = perValue.withColumn("b",
+      rangeBucket("v", m.getLong(0), m.getLong(1), buckets))
+    val w = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("lp", sum(col("cp")).over(w))
+      .withColumn("ln", sum(col("cn")).over(w))
+    val totals = bucketed.groupBy(col("b"))
+      .agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var accP = 0L
+    var accN = 0L
+    val offP = scala.collection.mutable.Map.empty[Int, Long]
+    val offN = scala.collection.mutable.Map.empty[Int, Long]
+    totals.foreach { case (bk, tp, tn) =>
+      offP(bk) = accP; accP += tp
+      offN(bk) = accN; accN += tn
+    }
+    val nPos = accP
+    val nNeg = accN
+    local
+      // "at or above the threshold" = total minus strictly-below
+      .withColumn("tp",
+        lit(nPos) - (element_at(typedLit(offP.toMap), col("b")) + col("lp") - col("cp")))
+      .withColumn("fp",
+        lit(nNeg) - (element_at(typedLit(offN.toMap), col("b")) + col("ln") - col("cn")))
+      .select(col("v").as("score_cents"), col("tp"), col("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("prec"),
+        (col("tp").cast("double") / lit(nPos).cast("double")).as("recall"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `value`
     * distributions of two slices (`sideA` vs `sideB` of column `side`):
     * D = sup_x |F_A(x) − F_B(x)|, evaluated at every observed value —

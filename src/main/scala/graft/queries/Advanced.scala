@@ -423,6 +423,50 @@ object Advanced {
       val wav = Multimodal.encodeWav(s, gen)
       Multimodal.audioFeatures(Multimodal.decodeWav(s, wav).toDF())
         .orderBy("media_id")
+    },
+    Q("mm_audio_silence",
+      """WITH s AS (SELECT doc_id AS media_id, 64 + doc_id % 193 AS n FROM documents),
+        |x AS (SELECT media_id, n, CAST(i AS BIGINT) AS i,
+        |    CAST('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |      1, 4) AS BIGINT) - 32768 AS v
+        |  FROM s, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS u(i)),
+        |sl AS (SELECT media_id, i, (abs(v) < 8192) AS sil FROM x),
+        |isl AS (SELECT media_id, i, sil,
+        |    i - row_number() OVER (PARTITION BY media_id, sil ORDER BY i) AS grp
+        |  FROM sl),
+        |runs AS (SELECT media_id, grp, CAST(COUNT(*) AS INTEGER) AS rl
+        |  FROM isl WHERE sil GROUP BY media_id, grp),
+        |agg AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN rl >= 3 THEN 1 ELSE 0 END) AS INTEGER) AS n_runs,
+        |    CAST(MAX(rl) AS INTEGER) AS max_run,
+        |    CAST(SUM(rl) AS INTEGER) AS silent_samples
+        |  FROM runs GROUP BY media_id)
+        |SELECT s.media_id, CAST(s.n AS INTEGER) AS n_samples,
+        |  COALESCE(a.n_runs, 0) AS n_runs, COALESCE(a.max_run, 0) AS max_run,
+        |  COALESCE(a.silent_samples, 0) AS silent_samples
+        |FROM s LEFT JOIN agg a USING (media_id)
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      // Silence segmentation over REAL decoded audio (the WAV round-trip
+      // of mm_audio_stats): maximal |v| < 8192 runs found by ONE in-order
+      // HOF fold per media (Multimodal.silenceRuns — no per-sample rows,
+      // no shuffle of samples; the oracle's gaps-and-islands window is
+      // the semantic spec, the engine's fold is the plan). Counts are
+      // pure integers; ~25% of uniform samples sit under the threshold,
+      // so ≥3-sample runs exist but are not universal — both the
+      // "has dead air" and the all-zero branches are exercised.
+      val gen = documents(s, d).select(
+          col("doc_id").cast("long").as("media_id"),
+          lit(16000).as("sample_rate"),
+          (lit(64) + col("doc_id") % 193).cast("int").as("n"))
+        .withColumn("samples", transform(
+          sequence(lit(0), col("n") - 1),
+          i => (conv(substring(md5(concat_ws(":", col("media_id"), i)), 1, 4), 16, 10)
+            .cast("long") - 32768).cast("int")))
+        .select("media_id", "sample_rate", "samples")
+      val wav = Multimodal.encodeWav(s, gen)
+      Multimodal.silenceRuns(Multimodal.decodeWav(s, wav).toDF(),
+          threshold = 8192, minRun = 3)
+        .orderBy("media_id")
     }
   )
 }

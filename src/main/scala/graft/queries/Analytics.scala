@@ -1977,6 +1977,39 @@ object Analytics {
         col("o_orderstatus") === "F",
         round(col("o_totalprice") * 100))
     },
+    Q("ml_pr_curve",
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    (o_orderstatus = 'F') AS p FROM orders),
+        |g AS (SELECT v,
+        |    CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM c GROUP BY v),
+        |r AS (SELECT v, cp, cn,
+        |    COALESCE(SUM(cp) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp,
+        |    COALESCE(SUM(cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bn
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn FROM g)
+        |SELECT r.v AS score_cents,
+        |  CAST(t.np - r.bp AS BIGINT) AS tp, CAST(t.nn - r.bn AS BIGINT) AS fp,
+        |  CAST(t.np - r.bp AS DOUBLE)
+        |    / (CAST(t.np - r.bp AS DOUBLE) + CAST(t.nn - r.bn AS DOUBLE)) AS prec,
+        |  CAST(t.np - r.bp AS DOUBLE) / CAST(t.np AS DOUBLE) AS recall
+        |FROM r, t ORDER BY score_cents DESC""".stripMargin) { (s, d) =>
+      // Exact PRECISION-RECALL curve — one point per distinct score
+      // threshold (predict fulfilled when price ≥ s), tp/fp exact
+      // BIGINTs, one IEEE division per output value. ROC AUC's
+      // companion for the imbalanced-gate regime every corpus quality
+      // filter lives in. Same two-level descending-cumulative machinery
+      // as ml_auc (Stats.prCurve — bucket window + driver offsets, no
+      // unpartitioned window); the oracle's single-window spelling is
+      // the semantic spec, not the plan.
+      graft.ops.Stats.prCurve(orders(s, d),
+          col("o_orderstatus") === "F",
+          round(col("o_totalprice") * 100))
+        .orderBy(col("score_cents").desc)
+    },
     Q("pf_gini",
       """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
         |  FROM documents GROUP BY 1, 2)
