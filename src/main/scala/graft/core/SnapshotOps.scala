@@ -139,12 +139,27 @@ object SnapshotOps {
       throw new IllegalArgumentException(s"merge: no published version under $root"))
     val target = Snapshots.readSnapshot(spark, root, Some(v))
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    // column-pruned probe: which target partitions hold a matching key
-    val matchedParts = target
-      .select((partitionCol +: keyCols).map(col): _*)
-      .join(broadcast(srcKeys), keyCols)
-      .select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // which target partitions hold a matching key: when the table keeps a
+    // bloom sidecar on the (single) key column, the probe is a sidecar
+    // membership join — no data file opens at all (a CDC batch against a
+    // 100 TB table must not pay a full key scan to find its partitions;
+    // false positives only cost a content-preserving extra rewrite).
+    // Otherwise, a column-pruned key+partition scan.
+    val bloomProbe: Option[Set[String]] =
+      if (keyCols.size != 1) None
+      else Snapshots.bloomCandidateFiles(spark, root, v, keyCols.head,
+          srcKeys.select(col(keyCols.head)))
+        // candidate file -> its partition VALUE (dir names are
+        // "<partitionCol>=<value>/part-...", same naive mapping the
+        // emptied-partition path uses)
+        .map(_.map(_.takeWhile(_ != '/').dropWhile(_ != '=').drop(1)).toSet)
+    val matchedParts = bloomProbe.getOrElse {
+      target
+        .select((partitionCol +: keyCols).map(col): _*)
+        .join(broadcast(srcKeys), keyCols)
+        .select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+    }
     val survivors = source.filter(not(col(opCol) === "delete")).drop(opCol)
     val insertedParts = survivors.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
@@ -163,9 +178,16 @@ object SnapshotOps {
       .distinct().collect().map(_.getString(0)).toSet
     val emptied = (affected -- still).toSeq.sorted.map(p => s"$partitionCol=$p")
     val statCols = Snapshots.fileStats(spark, root, v).map(_._2).distinct
+    // keep the table's bloom coverage: rewritten partitions' fresh files
+    // re-index the same columns (unindexed fresh files would stay exact
+    // but decay every future probe to conservative planning)
+    val bloomColsOf = Snapshots.fileBlooms(spark, root, v)
+      .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
+      .getOrElse(Nil)
     Snapshots.publishPartitions(spark, root,
       meta = Map("merge_into" -> v.toString),
-      statsCols = statCols, dropPartitions = emptied) { stage =>
+      statsCols = statCols, bloomCols = bloomColsOf,
+      dropPartitions = emptied) { stage =>
       if (still.nonEmpty)
         merged.write.partitionBy(partitionCol).parquet(stage)
     }

@@ -350,35 +350,71 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(
         s"readSnapshotEquals: no published version under $root"))
-    val files = manifestFiles(spark, root, v)
-    val keep = fileBlooms(spark, root, v) match {
-      case None => files
-      case Some(bl) =>
-        val pos = spark.range(1).select(bloomPositions(value).as("p"))
-          .head().getSeq[Long](0)
-        val idxs = pos.map(_ >> 6).distinct
-        val rows = bl.filter(col("col") === column &&
-            (col("word_idx") === -1L || col("word_idx").isin(idxs: _*)))
-          .collect()
-        // a marker whose recorded m differs from the current geometry
-        // was built by other code — treat its file as unindexed
-        val indexed = rows
-          .filter(r => r.getAs[Long]("word_idx") == -1L &&
-            r.getAs[Long]("word") == BloomBits.toLong)
-          .map(_.getAs[String]("file")).toSet
-        val words = rows.filter(_.getAs[Long]("word_idx") != -1L)
-          .map(r => (r.getAs[String]("file"), r.getAs[Long]("word_idx")) ->
-            r.getAs[Long]("word")).toMap
-        files.filter { f =>
-          !indexed.contains(f) || pos.forall { p =>
-            (words.getOrElse((f, p >> 6), 0L) & (1L << (p & 63).toInt)) != 0L
-          }
-        }
-    }
+    val values = spark.range(1).select(value.as("__v"))
+    val keep = bloomCandidateFiles(spark, root, v, column, values)
+      .getOrElse(manifestFiles(spark, root, v))
     val base =
       if (keep.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
       else spark.read.option("basePath", root).parquet(keep.map(f => s"$root/$f"): _*)
     base.filter(col(column) === value)
+  }
+
+  /** The manifest files of `version` that MIGHT contain any of `values`
+    * in `column`, per the bloom sidecar: the batch membership probe
+    * behind [[readSnapshotEquals]] and SnapshotOps.merge's affected-
+    * partition discovery. `values` is a single-column DataFrame of probe
+    * values in the STORED column type (hashing is typed). Returns None
+    * when the version has no bloom sidecar at all — the caller falls
+    * back to its unpruned path.
+    *
+    * Exactness contract: false POSITIVES only. Files without a bloom for
+    * `column` — or whose marker pins a different geometry — are always
+    * candidates (conservative); an indexed file is dropped only when NO
+    * probe value has all its k bits set. The membership test runs as one
+    * word_idx-keyed join between the sidecar's sparse non-zero words and
+    * the values' OR-folded per-word probe masks — |sidecar| × k rows,
+    * never the table, and nothing corpus-sized ever reaches the driver.
+    */
+  def bloomCandidateFiles(
+      spark: SparkSession,
+      root: String,
+      version: Long,
+      column: String,
+      values: DataFrame): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.{column => _, version => _, _}
+    fileBlooms(spark, root, version).map { bl =>
+      val files = manifestFiles(spark, root, version)
+      val blc = bl.filter(col("col") === column)
+      // one row per (value, word_idx): the OR of the value's probe bits
+      // falling in that word, plus how many distinct words the value needs
+      val vcol = values.columns.head
+      val masks = values.select(col(vcol).as("__v")).distinct()
+        .select(col("__v"), explode(bloomPositions(col("__v"))).as("__p"))
+        .groupBy(col("__v"), shiftright(col("__p"), 6).as("word_idx"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT)))")
+          .as("__mask"))
+        .withColumn("__nw", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))))
+      // a marker whose recorded m differs from the current geometry was
+      // built by other code — treat its file as unindexed
+      val indexed = blc
+        .filter(col("word_idx") === -1L && col("word") === BloomBits.toLong)
+        .select(col("file")).distinct()
+      val words = blc.filter(col("word_idx") =!= -1L)
+      // a (file, value, word_idx) join row survives iff every probe bit of
+      // that word is set; a value hits a file iff ALL its words survive
+      // (absent sidecar rows are all-zero words and correctly never join)
+      val hits = words.join(masks, Seq("word_idx"))
+        .filter((col("word").bitwiseAND(col("__mask"))) === col("__mask"))
+        .groupBy(col("file"), col("__v"), col("__nw"))
+        .agg(count(lit(1)).as("__ok"))
+        .filter(col("__ok") === col("__nw"))
+        .select(col("file")).distinct()
+      val keepIndexed = indexed.join(hits, Seq("file"), "left_semi")
+        .collect().map(_.getString(0)).toSet
+      val indexedSet = indexed.collect().map(_.getString(0)).toSet
+      files.filter(f => !indexedSet.contains(f) || keepIndexed.contains(f))
+    }
   }
 
   /** Claim the next free version number atomically, then commit the

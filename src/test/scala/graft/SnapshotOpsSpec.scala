@@ -98,6 +98,56 @@ class SnapshotOpsSpec extends SparkTestBase {
       .count(_._1 == "b") == 40)
   }
 
+  test("merge with a bloom-indexed key never opens unaffected partitions' data") {
+    val root = freshRoot("snap_merge_bloom")
+    // keys clustered per partition (bloom-selective); partition "zz"
+    // sorts LAST so the snapshot read's schema-inference footer never
+    // lands on it (the corruption below must only prove merge planned
+    // around it, not break unrelated footer sampling)
+    val rows = (0L until 40L).map(i => ("p1", i, i)) ++
+      (100L until 140L).map(i => ("p2", i, i)) ++
+      (200L until 240L).map(i => ("zz", i, i))
+    val v1 = Snapshots.publishPartitions(spark, root, bloomCols = Seq("id"))(stage =>
+      rows.toDF("part", "id", "v").write.partitionBy("part").parquet(stage))
+    // corrupt partition zz's data file ON DISK: any attempt to read it
+    // from here on throws — a passing merge is PROOF the probe went
+    // through the bloom sidecar and the rewrite planned only p1/p2
+    val zzFile = Snapshots.manifestFiles(spark, root, v1)
+      .find(_.startsWith("part=zz/")).get
+    val out = fs(root).create(new Path(s"$root/$zzFile"), true)
+    out.write("not a parquet file".getBytes("UTF-8")); out.close()
+    val source = Seq(
+      ("p1", 0L, 777L, "upsert"),   // update inside p1
+      ("p2", 555L, 1L, "upsert")    // insert into p2
+    ).toDF("part", "id", "v", "op")
+    val v2 = SnapshotOps.merge(spark, root, source, Seq("id"), "part")
+    // content correct on the readable partitions; zz carried over unread
+    val got = Snapshots.readSnapshot(spark, root, Some(v2))
+      .filter(col("part") =!= "zz")
+      .select(col("part"), col("id"), col("v")).as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = (Seq(("p1", 0L, 777L), ("p2", 555L, 1L)) ++
+      (1L until 40L).map(i => ("p1", i, i)) ++
+      (100L until 140L).map(i => ("p2", i, i))).sortBy(r => (r._1, r._2))
+    assert(got == expected)
+    assert(Snapshots.manifestFiles(spark, root, v2).contains(zzFile),
+      "untouched partition must carry over by manifest reference")
+    // the rewrite re-indexed its fresh files: the sidecar has markers for
+    // every v2 file outside zz, so point reads keep pruning after merges
+    val fresh = Snapshots.manifestFiles(spark, root, v2).filterNot(_ == zzFile).toSet
+    val markers = Snapshots.fileBlooms(spark, root, v2).get
+      .filter(col("word_idx") === -1L && col("col") === "id")
+      .select("file").as[String].collect().toSet
+    assert(fresh.subsetOf(markers), "merged partitions' fresh files must re-index")
+    // false-negative check: a delete of a zz-resident key MUST plan zz
+    // (and therefore crash on the corrupted bytes) — the bloom probe may
+    // over-approximate but never under-approximate
+    intercept[Exception] {
+      SnapshotOps.merge(spark, root,
+        Seq(("zz", 200L, 0L, "delete")).toDF("part", "id", "v", "op"), Seq("id"), "part")
+    }
+  }
+
   test("publishExpect quarantines violations and duplicate keys, commits the clean rows") {
     val root = freshRoot("snap_expect")
     val df = Seq(
