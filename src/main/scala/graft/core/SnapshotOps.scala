@@ -25,9 +25,12 @@ object SnapshotOps {
       version: Long): Map[String, (Int, Long)] = {
     val fs = fsOf(spark, new Path(root))
     Snapshots.manifestFiles(spark, root, version)
-      .groupBy(_.takeWhile(_ != '/'))
+      .groupBy(f => Snapshots.relSuffix(f).takeWhile(_ != '/'))
       .map { case (part, files) =>
-        val bytes = files.map(f => fs.getFileStatus(new Path(s"$root/$f")).getLen).sum
+        val bytes = files.map { f =>
+          val full = if (f.startsWith("/") || f.contains("://")) f else s"$root/$f"
+          fs.getFileStatus(new Path(full)).getLen
+        }.sum
         part -> (files.size, bytes)
       }
   }
@@ -70,10 +73,9 @@ object SnapshotOps {
     val frag = profile.filter { case (_, (n, bytes)) => n >= bins(bytes) + minWaste }
     if (frag.isEmpty) return None
     val files = Snapshots.manifestFiles(spark, root, v)
-      .filter(f => frag.contains(f.takeWhile(_ != '/')))
+      .filter(f => frag.contains(Snapshots.relSuffix(f).takeWhile(_ != '/')))
     val partCol = frag.keysIterator.next().takeWhile(_ != '=')
-    val src = spark.read.option("basePath", root)
-      .parquet(files.map(f => s"$root/$f"): _*)
+    val src = Snapshots.readFileGroups(spark, root, files)
     import spark.implicits._
     val binsDf = frag.toSeq
       .map { case (p, (_, bytes)) => (p.dropWhile(_ != '=').drop(1), bins(bytes)) }
@@ -149,10 +151,11 @@ object SnapshotOps {
       if (keyCols.size != 1) None
       else Snapshots.bloomCandidateFiles(spark, root, v, keyCols.head,
           srcKeys.select(col(keyCols.head)))
-        // candidate file -> its partition VALUE (dir names are
+        // candidate file -> its partition VALUE (rel suffixes are
         // "<partitionCol>=<value>/part-...", same naive mapping the
-        // emptied-partition path uses)
-        .map(_.map(_.takeWhile(_ != '/').dropWhile(_ != '=').drop(1)).toSet)
+        // emptied-partition path uses; relSuffix handles clone lines)
+        .map(_.map(f =>
+          Snapshots.relSuffix(f).takeWhile(_ != '/').dropWhile(_ != '=').drop(1)).toSet)
     val matchedParts = bloomProbe.getOrElse {
       target
         .select((partitionCol +: keyCols).map(col): _*)

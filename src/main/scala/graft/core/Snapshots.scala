@@ -137,6 +137,50 @@ object Snapshots {
   def manifestFiles(spark: SparkSession, root: String, version: Long): Seq[String] =
     manifestLines(spark, root, version).filterNot(_.startsWith("#"))
 
+  /** True when a manifest data line is an ABSOLUTE reference (a clone's
+    * pointer into its source table's layout) rather than root-relative.
+    */
+  private def isAbsoluteLine(f: String): Boolean =
+    f.startsWith("/") || f.contains("://")
+
+  /** A manifest line's `<col>=<value>/<file>` suffix — the line itself
+    * for relative entries, the last two path segments for a clone's
+    * absolute entries. Partition identity, stat keys and bloom-sidecar
+    * keys all speak this form (fresh file names embed a publish UUID,
+    * so suffixes never collide across bases).
+    */
+  private[core] def relSuffix(f: String): String =
+    if (isAbsoluteLine(f)) f.split('/').takeRight(2).mkString("/") else f
+
+  /** Resolve a manifest line to (basePath, fullPath): relative lines
+    * live under `root`; absolute (clone) lines carry their own base —
+    * the source table's root — which partition-value inference needs.
+    */
+  private def resolveLine(root: String, f: String): (String, String) =
+    if (isAbsoluteLine(f)) (f.split('/').dropRight(2).mkString("/"), f)
+    else (root, s"$root/$f")
+
+  /** Plan a set of manifest lines as ONE DataFrame, grouping by base so
+    * every scan keeps hive partition-value inference and partition
+    * pruning (one group per source table — a non-clone table is exactly
+    * one group, the pre-clone fast path; a clone is at most
+    * 1 + clone-chain-depth groups).
+    */
+  private[core] def readFileGroups(
+      spark: SparkSession,
+      root: String,
+      lines: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    require(lines.nonEmpty, "readFileGroups: empty file set")
+    val groups = lines.map(resolveLine(root, _)).groupBy(_._1).toSeq.sortBy(_._1)
+    val dfs = groups.map { case (base, fs) =>
+      val reader = spark.read.option("basePath", base)
+      (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+        .parquet(fs.map(_._2): _*)
+    }
+    dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+  }
+
   /** A version's metadata header (`#key=value` lines) — the hook that
     * lets a publish bind SIDECAR state to the data commit atomically:
     * e.g. the IVF rebuild records which persisted codebook matches this
@@ -355,7 +399,7 @@ object Snapshots {
       .getOrElse(manifestFiles(spark, root, v))
     val base =
       if (keep.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
-      else spark.read.option("basePath", root).parquet(keep.map(f => s"$root/$f"): _*)
+      else readFileGroups(spark, root, keep)
     base.filter(col(column) === value)
   }
 
@@ -413,7 +457,9 @@ object Snapshots {
       val keepIndexed = indexed.join(hits, Seq("file"), "left_semi")
         .collect().map(_.getString(0)).toSet
       val indexedSet = indexed.collect().map(_.getString(0)).toSet
-      files.filter(f => !indexedSet.contains(f) || keepIndexed.contains(f))
+      // sidecar keys are rel suffixes; clones' absolute lines match on it
+      files.filter(f =>
+        !indexedSet.contains(relSuffix(f)) || keepIndexed.contains(relSuffix(f)))
     }
   }
 
@@ -559,15 +605,17 @@ object Snapshots {
         .getOrElse(listDataFiles(fs, rootP).filterNot(fresh.contains))
       val kept =
         if (full) Seq.empty
-        else prev.filterNot(f => replaced.contains(f.takeWhile(_ != '/')))
+        // partition identity via relSuffix: replacing a partition also
+        // drops a clone's absolute entries for it (copy-on-write)
+        else prev.filterNot(f => replaced.contains(relSuffix(f).takeWhile(_ != '/')))
       // carried-over files keep their recorded stats; fresh files get
       // footer-derived stats for the requested columns
-      val keptSet = kept.toSet
+      val keptRel = kept.map(relSuffix).toSet
       val keptStats = prevV.toSeq
         .flatMap(pv => fileStats(spark, root, pv))
-        .filter(s => keptSet.contains(s._1))
+        .filter(s => keptRel.contains(s._1))
         .map(statLine)
-      writeBloomSidecar(spark, root, v, prevV, fresh, keptSet, bloomCols)
+      writeBloomSidecar(spark, root, v, prevV, fresh, keptRel, bloomCols)
       metaHeader(meta) ++ keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
         (kept ++ fresh).sorted
     }
@@ -608,12 +656,13 @@ object Snapshots {
       val base = prev.filterNot(dropped)
       val body = (base ++ files).distinct.sorted
       val baseSet = base.toSet
+      val baseRel = base.map(relSuffix).toSet
       val keptStats = prevV.toSeq
         .flatMap(pv => fileStats(spark, root, pv))
-        .filter(s => baseSet.contains(s._1))
+        .filter(s => baseRel.contains(s._1))
         .map(statLine)
       writeBloomSidecar(spark, root, v, prevV,
-        files.filterNot(baseSet.contains), baseSet, Nil)
+        files.filterNot(baseSet.contains), baseRel, Nil)
       keptStats ++ statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++ body
     }
   }
@@ -642,9 +691,10 @@ object Snapshots {
     claimAndCommit(spark, root) { (v, _) =>
       val files = manifestFiles(spark, root, toVersion)
       // the restored version's bloom sidecar (if any) is its file set's
-      // index — carry it forward whole
-      writeBloomSidecar(spark, root, v, Some(toVersion), Nil, files.toSet, Nil)
-      val gone = files.filterNot(f => fs.exists(new Path(rootP, f)))
+      // index — carry it forward whole (sidecar keys are rel suffixes)
+      writeBloomSidecar(spark, root, v, Some(toVersion), Nil,
+        files.map(relSuffix).toSet, Nil)
+      val gone = files.filterNot(f => fs.exists(new Path(resolveLine(root, f)._2)))
       require(gone.isEmpty,
         s"rollbackTo($toVersion): ${gone.size} of its ${files.size} data files " +
           s"were vacuumed (first: ${gone.headOption.getOrElse("")}) — the version " +
@@ -652,6 +702,59 @@ object Snapshots {
       val stats = fileStats(spark, root, toVersion).map(statLine)
       val meta = manifestMeta(spark, root, toVersion) + ("rollback_of" -> toVersion.toString)
       metaHeader(meta) ++ stats ++ files.sorted
+    }
+  }
+
+  /** ZERO-COPY CLONE: create a new snapshot table at `dstRoot` whose
+    * version 1 pins exactly the SOURCE version's file set by ABSOLUTE
+    * reference — no data moves, no bytes copy (manifest + sidecar
+    * listing cost only), the shallow-clone verb of every table format.
+    * The clone then evolves independently: a publish/merge/optimize on
+    * it stages fresh files UNDER dstRoot and copy-on-writes only the
+    * partitions it touches, while untouched partitions keep reading the
+    * source's immutable files; the source table never observes any of
+    * it. Stats carry verbatim (keys are rel suffixes) and the source's
+    * bloom sidecar is copied (bounded: sparse non-zero words), so range
+    * and point skipping keep working on the clone from birth.
+    *
+    * Retention caveat (the shallow-clone contract everywhere): the
+    * source's `vacuum` does not know about clones — it only keeps ITS
+    * OWN last keepVersions. Clone from a version the source retains,
+    * and re-point or deep-copy before vacuuming the source past it.
+    * The clone's own vacuum is safe: it deletes only under `dstRoot`.
+    */
+  def cloneTable(
+      spark: SparkSession,
+      srcRoot: String,
+      dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val sv = version.orElse(latestVersion(spark, srcRoot))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cloneTable: no published version under $srcRoot"))
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"cloneTable: $dstRoot already has published versions")
+    val fs = fsOf(spark, new Path(dstRoot))
+    val absLines = manifestFiles(spark, srcRoot, sv)
+      .map(f => resolveLine(srcRoot, f)._2)
+    val stats = fileStats(spark, srcRoot, sv).map(statLine)
+    val meta = manifestMeta(spark, srcRoot, sv) +
+      ("clone_of" -> s"$srcRoot@$sv")
+    claimAndCommit(spark, dstRoot) { (v, _) =>
+      // carry the source's bloom sidecar (keys are rel suffixes, which
+      // the clone's absolute lines resolve through)
+      fileBlooms(spark, srcRoot, sv).foreach { _ =>
+        val src = bloomDirPath(srcRoot, sv)
+        val tmp = new Path(
+          s"$dstRoot/$BloomDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+        fs.mkdirs(tmp.getParent)
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          fsOf(spark, src), src, fs, tmp, false,
+          spark.sparkContext.hadoopConfiguration),
+          s"cloneTable: bloom sidecar copy from $src failed")
+        require(fs.rename(tmp, bloomDirPath(dstRoot, v)),
+          s"cloneTable: bloom sidecar rename failed for version $v")
+      }
+      metaHeader(meta) ++ stats ++ absLines.sorted
     }
   }
 
@@ -705,14 +808,12 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(
         s"readSnapshot: no published version under $root"))
-    val files = manifestFiles(spark, root, v).map(f => s"$root/$f")
+    val files = manifestFiles(spark, root, v)
     require(files.nonEmpty, s"readSnapshot: version $v pins an empty file set")
-    // only SET the option when asked: an unconditional "false" would
+    // mergeSchema is only SET when asked: an unconditional "false" would
     // override a session-level spark.sql.parquet.mergeSchema=true that
     // plain readers were relying on
-    val reader = spark.read.option("basePath", root)
-    (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
-      .parquet(files: _*)
+    readFileGroups(spark, root, files, mergeSchema)
   }
 
   /** Range read with FILE SKIPPING from manifest stats: rows of the
@@ -740,13 +841,15 @@ object Snapshots {
       .getOrElse(throw new IllegalArgumentException(
         s"readSnapshotRange: no published version under $root"))
     val files = manifestFiles(spark, root, v)
+    // stat lines key on the rel suffix (clones carry their source's
+    // stats verbatim; relSuffix(f) == f for plain tables)
     val ranges = fileStats(spark, root, v)
       .filter(_._2 == column).map(s => s._1 -> (s._3, s._4)).toMap
     val keep = files.filter(f =>
-      ranges.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      ranges.get(relSuffix(f)).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val base =
       if (keep.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
-      else spark.read.option("basePath", root).parquet(keep.map(f => s"$root/$f"): _*)
+      else readFileGroups(spark, root, keep)
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -778,8 +881,7 @@ object Snapshots {
     val removedFiles = (from -- to).toSeq.sorted
     def read(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(spark.read.option("basePath", root)
-        .parquet(files.map(f => s"$root/$f"): _*))
+      else Some(readFileGroups(spark, root, files))
     (read(addedFiles), read(removedFiles)) match {
       case (None, None) =>
         readSnapshot(spark, root, Some(toVersion)).limit(0)

@@ -1068,6 +1068,104 @@ object Analytics {
         .select("phase", "key", "n", "value_sum")
         .orderBy("phase", "key")
     },
+    Q("u19_incr_view",
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+        |                     ELSE value END AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // INCREMENTAL VIEW MAINTENANCE closed over the snapshot layer: the
+      // materialized aggregate of version 1 is advanced to version 2
+      // using ONLY the manifest diff — snapshotChanges reads just the
+      // rewritten partition's files (u13's contract), its added/removed
+      // rows become SIGNED partials (+n/+sum for added, −n/−sum for
+      // removed), and one partial-merge yields v2's view without ever
+      // re-reading the table. The oracle is the FULL v2 recompute from
+      // the raw rows: a hash match proves the IVM identity
+      // view(v1) ⊕ Δ(v1→v2) == view(v2) exactly (decimal sums — no FP
+      // drift to hide behind). This is a16's merge identity composed
+      // with u13's change capture: the maintenance loop a 100 TB
+      // downstream aggregate actually runs on each commit.
+      import graft.core.{Num, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u19_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_type", "event_id", "value")
+      val v1 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      val v2 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.partitionBy("event_type").parquet(stage))
+      val dec = "decimal(30,6)"
+      val base = Snapshots.readSnapshot(s, root, Some(v1))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("vs"))
+      val delta = Snapshots.snapshotChanges(s, root, v1, v2)
+        .withColumn("sgn", when(col("change") === "added", 1L).otherwise(-1L))
+        .groupBy("event_type")
+        .agg(sum(col("sgn")).as("n"),
+          sum(col("value").cast(dec) * col("sgn")).as("vs"))
+      graft.ops.Aggregates.mergePartialAggs(Seq(base, delta),
+          Seq("event_type"), Seq("n", "vs"))
+        .filter(col("n") > 0)
+        .select(col("event_type"), col("n"),
+          col("vs").cast("double").as("value_sum"))
+        .orderBy("event_type")
+    },
+    Q("u20_clone",
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |src AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY event_type),
+        |cln AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+        |                       ELSE value END AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY event_type)
+        |SELECT 'clone' AS side, event_type, n, value_sum FROM cln
+        |UNION ALL
+        |SELECT 'source', event_type, n, value_sum FROM src
+        |ORDER BY side, event_type""".stripMargin) { (s, d) =>
+      // ZERO-COPY CLONE (Snapshots.cloneTable): the clone's first version
+      // pins the source's files by absolute manifest reference — no data
+      // moves — and then DIVERGES copy-on-write: rewriting the 'click'
+      // partition on the clone stages fresh files under the clone root
+      // while the four untouched partitions keep reading the source's
+      // immutable files, and the source never observes any of it. The
+      // result reads BOTH tables after the divergence: the source row
+      // group proving isolation (any leakage of the clone's doubled
+      // values breaks the hash), the clone group proving the reference +
+      // local mix reads as one table. The dev/staging fork workflow
+      // ("experiment on prod data without copying 100 TB") in one verb.
+      import graft.core.{Num, Snapshots}
+      val tmp = sys.props("java.io.tmpdir")
+      val key = graft.core.Tables.pathKey(d)
+      val src = s"$tmp/graft_u20s_$key"
+      val dst = s"$tmp/graft_u20c_$key"
+      Seq(src, dst).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_type", "event_id", "value")
+      Snapshots.publishPartitions(s, src)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      Snapshots.cloneTable(s, src, dst)
+      Snapshots.publishPartitions(s, dst)(stage =>
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.partitionBy("event_type").parquet(stage))
+      def agg(root: String, side: String) = Snapshots.readSnapshot(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+        .withColumn("side", lit(side))
+      agg(dst, "clone").unionByName(agg(src, "source"))
+        .select("side", "event_type", "n", "value_sum")
+        .orderBy("side", "event_type")
+    },
     Q("s20_bloom_point",
       """WITH k AS (SELECT user_id AS k FROM events WHERE event_id = 42)
         |SELECT e.event_id, e.event_type, e.value

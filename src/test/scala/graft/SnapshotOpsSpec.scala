@@ -148,6 +148,54 @@ class SnapshotOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cloneTable: zero-copy, pinned against source churn, copy-on-write, safe vacuum") {
+    val src = freshRoot("snap_clone_src")
+    val dst = freshRoot("snap_clone_dst")
+    val rows = (0L until 40L).map(i => ("a", i, i)) ++
+      (100L until 140L).map(i => ("b", i, i))
+    Snapshots.publishPartitions(spark, src,
+      statsCols = Seq("v"), bloomCols = Seq("id"))(stage =>
+      rows.toDF("part", "id", "v").write.partitionBy("part").parquet(stage))
+    Snapshots.cloneTable(spark, src, dst)
+    def content(root: String) = rowsOf(Snapshots.readSnapshot(spark, root))
+    assert(content(dst) == content(src), "clone must read the source content")
+    // ZERO data files under the clone root — manifest-only
+    val dataDirs = fs(dst).listStatus(new Path(dst))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    assert(dataDirs.isEmpty, "clone must not copy data files")
+    // the copied bloom sidecar prunes point reads on the clone from birth
+    val probe = Snapshots.readSnapshotEquals(spark, dst, "id", lit(5L))
+    assert(probe.count() == 1)
+    assert(probe.inputFiles.length == 1,
+      "clone point read should prune to the one candidate source file")
+    // the clone is PINNED: source churn after the clone is invisible
+    Snapshots.publishPartitions(spark, src)(stage =>
+      Seq(("b", 999L, 9L)).toDF("part", "id", "v")
+        .write.partitionBy("part").parquet(stage))
+    assert(content(dst) == rowsOf(rows.toDF("part", "id", "v")),
+      "source publish leaked into the clone")
+    // copy-on-write: replacing partition a ON THE CLONE stages local
+    // files; partition b keeps reading the source's immutable files
+    Snapshots.publishPartitions(spark, dst)(stage =>
+      Seq(("a", 500L, 1L)).toDF("part", "id", "v")
+        .write.partitionBy("part").parquet(stage))
+    val expected = (Seq(("a", 500L, 1L)) ++ (100L until 140L).map(i => ("b", i, i)))
+      .sortBy(r => (r._1, r._2))
+    assert(content(dst) == expected)
+    val lines = Snapshots.manifestFiles(spark, dst,
+      Snapshots.latestVersion(spark, dst).get)
+    assert(lines.exists(_.startsWith("part=a/")), "rewritten partition must be local")
+    assert(lines.filter(f => f.startsWith("/") || f.contains("://"))
+      .forall(f => f.contains("part=b")), "untouched partition must stay by reference")
+    // the clone's vacuum deletes only under its own root — the source
+    // table (including the clone-referenced b files) stays intact
+    Snapshots.vacuum(spark, dst, keepVersions = 1, graceMs = 0)
+    assert(content(dst) == expected, "clone vacuum broke the clone")
+    val srcNow = rowsOf(Snapshots.readSnapshot(spark, src))
+    assert(srcNow.contains(("b", 999L, 9L)) && srcNow.count(_._1 == "a") == 40,
+      "clone activity must never touch the source")
+  }
+
   test("publishExpect quarantines violations and duplicate keys, commits the clean rows") {
     val root = freshRoot("snap_expect")
     val df = Seq(
