@@ -439,12 +439,24 @@ object Snapshots {
           .as("__mask"))
         .withColumn("__nw", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))))
+        .localCheckpoint(true)
+      // push the probed word positions INTO the sidecar scan when the
+      // probe set is collectable (a CDC batch probes |keys|·k positions):
+      // the sidecar read becomes a pushed-down point scan instead of a
+      // full O(set-bits) pass — the same idxs-isin discipline the
+      // single-value read always had
+      val idxs = masks.select(col("word_idx")).distinct()
+        .limit(16385).collect().map(_.getLong(0))
+      val idxFilter =
+        if (idxs.length <= 16384)
+          col("word_idx") === -1L || col("word_idx").isin(idxs: _*)
+        else lit(true)
       // a marker whose recorded m differs from the current geometry was
       // built by other code — treat its file as unindexed
-      val indexed = blc
+      val indexed = blc.filter(idxFilter)
         .filter(col("word_idx") === -1L && col("word") === BloomBits.toLong)
         .select(col("file")).distinct()
-      val words = blc.filter(col("word_idx") =!= -1L)
+      val words = blc.filter(idxFilter).filter(col("word_idx") =!= -1L)
       // a (file, value, word_idx) join row survives iff every probe bit of
       // that word is set; a value hits a file iff ALL its words survive
       // (absent sidecar rows are all-zero words and correctly never join)
