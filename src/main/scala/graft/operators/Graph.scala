@@ -363,6 +363,66 @@ object Graph {
     settled.select(col("v").as("node"), col("dist"))
   }
 
+  /** Single/multi-source shortest WEIGHTED paths (non-negative integer
+    * weights) — frontier-driven Bellman-Ford, convergence-detected: per
+    * round only edges out of nodes whose distance IMPROVED last round
+    * relax (candidate min-agg, keyed join against the settled table),
+    * and the loop stops when a round improves nothing — exact distances
+    * with no round cap doing semantic work (non-negative weights bound
+    * rounds by the longest shortest-path hop count ≤ |V|−1). The
+    * weighted upgrade of [[bfsDistances]]: same frontier discipline,
+    * `dist + w` instead of `dist + 1`, and an improved node RE-ENTERS
+    * the frontier (a cheaper path may arrive after a node settled —
+    * hop-count settling would be Dijkstra's mistake without a queue).
+    *
+    * `edges` needs (src, dst, w); pass both directions for an
+    * undirected graph. Scale shape per round: one frontier×edges
+    * equi-join + one candidate min-agg + one keyed anti/union merge —
+    * work ∝ frontier degree sum, never the graph; localCheckpoint per
+    * round keeps lineage flat (the CC/BFS discipline).
+    */
+  def ssspDistances(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxRounds: Int = 1024): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = edges
+      .select(col("src"), col("dst"), col("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst") && col("w").isNotNull)
+      .localCheckpoint() // reused every round
+    require(e.filter(col("w") < 0).isEmpty,
+      "ssspDistances needs non-negative weights (negative edges break the " +
+        "frontier-relaxation termination bound)")
+    var dist = sources.select(col("v"))
+      .filter(col("v").isNotNull)
+      .distinct()
+      .select(col("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      val cand = e
+        .join(frontier.select(col("v").as("src"), col("dist").as("fd")), Seq("src"))
+        .select(col("dst").as("v"), (col("fd") + col("w")).as("nd"))
+        .groupBy("v").agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(dist, Seq("v"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("v"), col("nd").as("dist"))
+        .localCheckpoint()
+      dist = dist.join(improved, Seq("v"), "left_anti")
+        .unionAll(improved)
+        .localCheckpoint()
+      frontier = improved
+      round += 1
+    }
+    require(round < maxRounds || frontier.isEmpty,
+      s"ssspDistances did not converge in $maxRounds rounds — with non-negative " +
+        "weights this indicates a bug, not a data property")
+    dist.select(col("v").as("node"), col("dist"))
+  }
+
   /** Link prediction candidates by common-neighbor count: non-adjacent
     * node pairs that share at least `minCommon` neighbors, with the
     * Jaccard overlap of their neighborhoods — the classic missing-link /

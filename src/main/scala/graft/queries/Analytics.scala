@@ -1668,6 +1668,46 @@ object Analytics {
       graft.operators.Graph.bfsDistances(edges, seeds)
         .orderBy("node")
     },
+    Q("g10_sssp",
+      """WITH RECURSIVE
+        |de AS (SELECT DISTINCT o_custkey % 300 AS src, o_orderkey % 300 AS dst
+        |  FROM orders WHERE o_orderkey % 23 = 0 AND o_custkey % 300 <> o_orderkey % 300),
+        |e AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM de
+        |  UNION SELECT dst, src, 1 + (src + dst) % 7 FROM de),
+        |nodes AS (SELECT DISTINCT src AS v FROM e),
+        |seeds AS (SELECT v FROM nodes WHERE v % 150 = 0),
+        |walk(v, dd) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.dd + e.w FROM walk w JOIN e ON e.src = w.v
+        |  WHERE w.dd < 100)
+        |SELECT v AS node, CAST(MIN(dd) AS BIGINT) AS dist
+        |FROM walk GROUP BY v ORDER BY node""".stripMargin) { (s, d) =>
+      // WEIGHTED shortest paths from a seed set (frontier Bellman-Ford,
+      // Graph.ssspDistances) — BFS hop distance upgraded to edge costs
+      // (latency, toll, dissimilarity): per round only nodes whose
+      // distance IMPROVED relax their edges, improved nodes re-enter the
+      // frontier (a cheaper path may arrive after first discovery), and
+      // the loop stops when a round improves nothing — exact at any
+      // diameter, rounds bounded by the longest shortest-path hop count.
+      // Weights are deterministic ints (1 + (src+dst) % 7), so distances
+      // are engine-exact integers. The oracle's cost-capped recursive
+      // CTE is the semantic spec (the fixture's 300-node order graph has
+      // weighted eccentricity ≪ 100 from its two seeds); the engine
+      // needs no cap.
+      val de = orders(s, d)
+        .filter(col("o_orderkey") % 23 === 0)
+        .select((col("o_custkey") % 300).as("src"), (col("o_orderkey") % 300).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val edges = de.unionAll(de.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("src"), col("dst"), (lit(1) + (col("src") + col("dst")) % 7).as("w"))
+        .distinct()
+      val nodes = edges.select(col("src").as("v")).distinct()
+      val seeds = nodes.filter(col("v") % 150 === 0)
+      graft.operators.Graph.ssspDistances(edges, seeds)
+        .orderBy("node")
+    },
     Q("g9_link_predict",
       """WITH de AS (SELECT DISTINCT o_custkey % 500 AS src, o_orderkey % 500 AS dst
         |  FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 500 <> o_orderkey % 500),

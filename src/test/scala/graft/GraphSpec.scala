@@ -125,6 +125,33 @@ class GraphSpec extends SparkTestBase {
     assert(nGot == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
 
+  test("ssspDistances: cheaper-but-longer paths win, re-relaxation, negative refusal") {
+    import spark.implicits._
+    // directed: 0→4 direct costs 10; the 4-hop chain costs 4; 0→2 direct
+    // costs 9 but improves to 2 via the chain AFTER 2 is first reached —
+    // the re-relaxation case hop-settling (BFS-style) would get wrong
+    val edges = Seq(
+      (0L, 4L, 10L), (0L, 2L, 9L),
+      (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (100L, 101L, 1L) // disconnected from the seed
+    ).toDF("src", "dst", "w")
+    val got = Graph.ssspDistances(edges, Seq(0L).toDF("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L), got.toString)
+    assert(!got.contains(100L) && !got.contains(101L),
+      "unreachable nodes must be absent, not defaulted")
+    // zero-weight edges are fine (non-negative, not strictly positive)
+    val z = Graph.ssspDistances(
+      Seq((0L, 1L, 0L), (1L, 2L, 5L)).toDF("src", "dst", "w"), Seq(0L).toDF("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z == Map(0L -> 0L, 1L -> 0L, 2L -> 5L))
+    // negative weights refuse loudly instead of silently not converging
+    val err = intercept[IllegalArgumentException] {
+      Graph.ssspDistances(Seq((0L, 1L, -1L)).toDF("src", "dst", "w"), Seq(0L).toDF("v"))
+    }
+    assert(err.getMessage.contains("non-negative"))
+  }
+
   test("commonNeighborCandidates: exact counts, edge anti-join, apex cap semantics") {
     import spark.implicits._
     // a 4-cycle 0-1-2-3-0 plus a hub 9 adjacent to all four
