@@ -620,9 +620,21 @@ object Stats {
       df: DataFrame,
       pos: Column,
       valueCents: Column,
+      buckets: Int = 256): DataFrame =
+    prCurveFromPartials(aucPartials(df, pos, valueCents), buckets)
+
+  /** Fold (possibly pre-merged) [[aucPartials]] into the exact PR curve
+    * — identical to [[prCurve]] over the union by count additivity, the
+    * same mergeable-state contract [[rocAucFromPartials]] gives AUC (so
+    * one streamed partial table serves BOTH metrics).
+    */
+  def prCurveFromPartials(
+      partials: DataFrame,
       buckets: Int = 256): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val perValue = aucPartials(df, pos, valueCents).localCheckpoint(true)
+    val perValue = partials
+      .groupBy(col("v")).agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+      .localCheckpoint(true)
     val m = perValue.agg(min(col("v")), max(col("v"))).head()
     require(!m.isNullAt(0), "prCurve: empty input")
     val bucketed = perValue.withColumn("b",

@@ -2148,6 +2148,85 @@ object Analytics {
           round(col("o_totalprice") * 100))
         .orderBy(col("score_cents").desc)
     },
+    Q("ml_mcc",
+      """WITH c AS (SELECT (o_orderstatus = 'F') AS y,
+        |    (o_totalprice >= 150000) AS p FROM orders),
+        |t AS (SELECT
+        |    CAST(SUM(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM c)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE) AS mcc_num,
+        |  CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+        |    / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn)
+        |        AS DOUBLE)) AS mcc
+        |FROM t""".stripMargin) { (s, d) =>
+      // Matthews correlation of a threshold classifier (price ≥ 150k
+      // predicting fulfilled) — the single-number binary metric that
+      // stays honest under class imbalance where accuracy and F1
+      // inflate. All four cells are exact BIGINTs from one aggregate;
+      // the numerator and the margin product run in exact 128-bit
+      // integers (HUGEINT / DECIMAL(38,0) — four ~n/2 margins overflow
+      // int64 past n ≈ 55k rows), each converts once to the correctly-
+      // rounded nearest double, and sqrt is IEEE correctly-rounded — so
+      // the whole chain is bit-identical across engines.
+      val dec = "decimal(38,0)"
+      orders(s, d)
+        .select((col("o_orderstatus") === "F").as("y"),
+          (col("o_totalprice") >= 150000).as("p"))
+        .agg(
+          sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("p") && col("y"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("p") && !col("y"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast(dec) * col("tn") - col("fp").cast(dec) * col("fn"))
+            .cast("double").as("mcc_num"),
+          ((col("tp").cast(dec) * col("tn") - col("fp").cast(dec) * col("fn"))
+            .cast("double") /
+            sqrt(((col("tp") + col("fp")).cast(dec) * (col("tp") + col("fn")) *
+              (col("tn") + col("fp")) * (col("tn") + col("fn"))).cast("double")))
+            .as("mcc"))
+    },
+    Q("pf_topk_coverage",
+      """WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT key, n,
+        |    row_number() OVER (ORDER BY n DESC, key) AS rank
+        |  FROM c),
+        |top AS (SELECT * FROM r WHERE rank <= 20)
+        |SELECT top.rank, top.key, top.n,
+        |  CAST(SUM(top.n) OVER (ORDER BY top.rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  CAST(SUM(top.n) OVER (ORDER BY top.rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(t.total AS DOUBLE) AS cum_share
+        |FROM top, t ORDER BY rank""".stripMargin) { (s, d) =>
+      // Head-concentration profile: how much of the corpus the top-20
+      // keys own (the skew diagnostic that decides salting, hot-key
+      // caching, and whether per-key quotas are needed before training).
+      // Scale shape: one map-side-combined key count, then TakeOrdered
+      // 20 — the ordered window runs over exactly 20 rows, never the key
+      // space (pf_key_skew's single-hottest-key check widened to the
+      // cumulative curve). Counts exact; one division per row.
+      import org.apache.spark.sql.expressions.Window
+      val cnt = orders(s, d).groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("total"))
+      val top = cnt.orderBy(col("n").desc, col("key")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("key"))))
+      val w = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(tot))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .select(col("rank"), col("key"), col("n"), col("cum_n"),
+          (col("cum_n").cast("double") / col("total").cast("double")).as("cum_share"))
+        .orderBy("rank")
+    },
     Q("pf_gini",
       """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
         |  FROM documents GROUP BY 1, 2)

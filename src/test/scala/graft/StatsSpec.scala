@@ -482,6 +482,44 @@ class StatsSpec extends SparkTestBase {
     assert(a.getDouble(3) == b.getDouble(3) && a.getDouble(2) == b.getDouble(2))
   }
 
+  test("prCurve: hand-computed points, tie handling, bucket-path equality") {
+    // scores: pos = {3, 5, 5, 8}, neg = {1, 5, 7}; threshold = each
+    // distinct score s, predict positive when v >= s:
+    //   s=8: tp=1 fp=0 -> prec 1,    recall 1/4
+    //   s=7: tp=1 fp=1 -> prec 1/2,  recall 1/4
+    //   s=5: tp=3 fp=2 -> prec 3/5,  recall 3/4
+    //   s=3: tp=4 fp=2 -> prec 4/6,  recall 1
+    //   s=1: tp=4 fp=3 -> prec 4/7,  recall 1
+    val df = Seq(
+      (3L, true), (5L, true), (5L, true), (8L, true),
+      (1L, false), (5L, false), (7L, false)).toDF("v", "p")
+    val got = graft.ops.Stats.prCurve(df, col("p"), col("v"))
+      .orderBy(col("score_cents").desc)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (8L, 1L, 0L, 1.0, 0.25),
+      (7L, 1L, 1L, 0.5, 0.25),
+      (5L, 3L, 2L, 3.0 / 5.0, 0.75),
+      (3L, 4L, 2L, 4.0 / 6.0, 1.0),
+      (1L, 4L, 3L, 4.0 / 7.0, 1.0)), got.toString)
+    // MERGEABILITY: the curve folded from per-slice aucPartials (the
+    // aucSink shape) equals the whole-input curve exactly — so a scored
+    // stream can maintain a continuously-updated exact PR curve
+    val s1 = graft.ops.Stats.aucPartials(df.filter(col("v") <= 4), col("p"), col("v"))
+    val s2 = graft.ops.Stats.aucPartials(df.filter(col("v") > 4), col("p"), col("v"))
+    val merged = graft.ops.Stats.prCurveFromPartials(s1.unionByName(s2))
+      .orderBy(col("score_cents").desc)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(merged == got, "merged-partials curve diverged from the whole-input curve")
+    // bucketed two-level path == tiny-bucket path (offsets exercised)
+    val wide = (1 to 500).map(i => (i.toLong * 37 % 211, i % 3 == 0)).toDF("v", "p")
+    val a = graft.ops.Stats.prCurve(wide, col("p"), col("v"), buckets = 256)
+      .orderBy(col("score_cents")).collect().toSeq
+    val b = graft.ops.Stats.prCurve(wide, col("p"), col("v"), buckets = 3)
+      .orderBy(col("score_cents")).collect().toSeq
+    assert(a == b)
+  }
+
   // ---- edit distance dedup ------------------------------------------------
 
   test("editDistancePairs: catches boundary-straddling near-dups, skips far pairs") {
