@@ -27,10 +27,9 @@ object SnapshotOps {
     Snapshots.manifestFiles(spark, root, version)
       .groupBy(f => Snapshots.relSuffix(f).takeWhile(_ != '/'))
       .map { case (part, files) =>
-        val bytes = files.map { f =>
-          val full = if (f.startsWith("/") || f.contains("://")) f else s"$root/$f"
-          fs.getFileStatus(new Path(full)).getLen
-        }.sum
+        val bytes = files
+          .map(f => fs.getFileStatus(new Path(Snapshots.resolveLine(root, f)._2)).getLen)
+          .sum
         part -> (files.size, bytes)
       }
   }
@@ -67,6 +66,19 @@ object SnapshotOps {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val v = Snapshots.latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"optimize: no published version under $root"))
+    // keep the table's index coverage by DEFAULT: unless the caller
+    // overrides, rewritten partitions' fresh files re-derive the stat
+    // and bloom columns the table already records (the merge discipline
+    // — a default maintenance tick must not decay skipping to
+    // conservative planning)
+    val statsAuto =
+      if (statsCols.nonEmpty) statsCols
+      else Snapshots.fileStats(spark, root, v).map(_._2).distinct
+    val bloomAuto =
+      if (bloomCols.nonEmpty) bloomCols
+      else Snapshots.fileBlooms(spark, root, v)
+        .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
+        .getOrElse(Nil)
     val profile = partitionProfile(spark, root, v)
     def bins(bytes: Long): Int =
       math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -77,13 +89,18 @@ object SnapshotOps {
     val partCol = frag.keysIterator.next().takeWhile(_ != '=')
     val src = Snapshots.readFileGroups(spark, root, files)
     import spark.implicits._
+    // dir names are hive-ESCAPED; the join below compares against raw
+    // data values, so unescape (':' partitions would otherwise silently
+    // never compact)
     val binsDf = frag.toSeq
-      .map { case (p, (_, bytes)) => (p.dropWhile(_ != '=').drop(1), bins(bytes)) }
+      .map { case (p, (_, bytes)) =>
+        (Snapshots.unescapePartValue(p.dropWhile(_ != '=').drop(1)), bins(bytes))
+      }
       .toDF("__pv", "__bins")
     val totalBins = frag.valuesIterator.map { case (_, bytes) => bins(bytes) }.sum
     Some(Snapshots.publishPartitions(spark, root,
       meta = Map("optimize_of" -> v.toString),
-      statsCols = statsCols, bloomCols = bloomCols) { stage =>
+      statsCols = statsAuto, bloomCols = bloomAuto) { stage =>
       // range-shuffle on (partition, bin): every (part, bin) pair owns
       // its task, so a partition's file count lands at exactly its bin
       // count — a plain hash repartition could collapse distinct bins
@@ -151,11 +168,12 @@ object SnapshotOps {
       if (keyCols.size != 1) None
       else Snapshots.bloomCandidateFiles(spark, root, v, keyCols.head,
           srcKeys.select(col(keyCols.head)))
-        // candidate file -> its partition VALUE (rel suffixes are
-        // "<partitionCol>=<value>/part-...", same naive mapping the
-        // emptied-partition path uses; relSuffix handles clone lines)
-        .map(_.map(f =>
-          Snapshots.relSuffix(f).takeWhile(_ != '/').dropWhile(_ != '=').drop(1)).toSet)
+        // candidate file -> its partition VALUE: rel suffixes are
+        // "<partitionCol>=<escaped-value>/part-..." (relSuffix handles
+        // clone lines; unescape because everything downstream compares
+        // in raw-value space)
+        .map(_.map(f => Snapshots.unescapePartValue(
+          Snapshots.relSuffix(f).takeWhile(_ != '/').dropWhile(_ != '=').drop(1))).toSet)
     val matchedParts = bloomProbe.getOrElse {
       target
         .select((partitionCol +: keyCols).map(col): _*)
@@ -174,12 +192,18 @@ object SnapshotOps {
     // by a source key, plus the surviving (insert/update) source rows
     val keptTarget = target.filter(affectedCol)
       .join(broadcast(srcKeys), keyCols, "left_anti")
+    // materialized once: the `still` probe below and the staged write
+    // both consume it — without the checkpoint the heaviest stage of
+    // every merge (and every streaming micro-batch) would run twice
     val merged = keptTarget.unionByName(survivors.filter(affectedCol))
+      .localCheckpoint(true)
     // partitions whose content is now EMPTY (all rows deleted) cannot be
-    // staged — they drop from the manifest instead
+    // staged — they drop from the manifest instead (dir names are
+    // hive-escaped; `still`/`affected` live in raw-value space)
     val still = merged.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
-    val emptied = (affected -- still).toSeq.sorted.map(p => s"$partitionCol=$p")
+    val emptied = (affected -- still).toSeq.sorted
+      .map(p => s"$partitionCol=${Snapshots.escapePartValue(p)}")
     val statCols = Snapshots.fileStats(spark, root, v).map(_._2).distinct
     // keep the table's bloom coverage: rewritten partitions' fresh files
     // re-index the same columns (unindexed fresh files would stay exact
@@ -201,7 +225,10 @@ object SnapshotOps {
 
   /** Constraint-gated publish: stage `df`, but commit ONLY the rows that
     * satisfy every expectation; violating rows go to
-    * `<root>/_quarantine/<version>` with a `violated` column naming the
+    * `<root>/_quarantine/<dir>` (bound to the version via the manifest's
+    * `quarantine_dir` metadata — written BEFORE the commit, so a crash
+    * loses the uncommitted version, never the dead letters; read back
+    * with [[readQuarantine]]) with a `violated` column naming the
     * failed expectations (comma-joined, declaration order) — the
     * dead-letter pattern of s19 composed with the atomic commit, so a
     * bad batch can neither poison the table nor vanish silently. The
@@ -251,17 +278,35 @@ object SnapshotOps {
     val nQuar = quarantined.count()
     val nClean = clean.count()
     require(nClean > 0, "publishExpect: every row violated — refusing an empty publish")
+    // quarantine BEFORE the commit: a crash between the two must lose
+    // the (uncommitted) version, never the dead-letter rows — the
+    // manifest's quarantine_dir meta binds the two atomically, and a
+    // crash-orphaned dir (written, never referenced) is vacuum residue
+    val quarName = s"q-${java.util.UUID.randomUUID().toString.take(12)}"
+    if (nQuar > 0)
+      quarantined.write.mode("errorifexists")
+        .parquet(s"$root/${Snapshots.QuarantineDir}/$quarName")
+    val quarMeta = if (nQuar > 0) Map("quarantine_dir" -> quarName) else Map.empty
     val version = Snapshots.publishPartitions(spark, root,
       meta = Map(
         "expect_total" -> (nClean + nQuar).toString,
         "expect_clean" -> nClean.toString,
-        "expect_quarantined" -> nQuar.toString),
+        "expect_quarantined" -> nQuar.toString) ++ quarMeta,
       statsCols = statsCols, bloomCols = bloomCols) { stage =>
       clean.write.partitionBy(partitionBy).parquet(stage)
     }
-    if (nQuar > 0)
-      quarantined.write.mode("overwrite")
-        .parquet(s"$root/_quarantine/$version")
     (version, nQuar)
   }
+
+  /** The dead-letter rows of a [[publishExpect]] version (empty when the
+    * version quarantined nothing) — resolved through the manifest's
+    * `quarantine_dir` metadata, the committed binding between a version
+    * and its rejects.
+    */
+  def readQuarantine(
+      spark: SparkSession,
+      root: String,
+      version: Long): Option[DataFrame] =
+    Snapshots.manifestMeta(spark, root, version).get("quarantine_dir")
+      .map(q => spark.read.parquet(s"$root/${Snapshots.QuarantineDir}/$q"))
 }

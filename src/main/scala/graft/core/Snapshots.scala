@@ -78,6 +78,7 @@ object Snapshots {
   private val ManifestDir = "_manifests"
   private val StageDir = "_publish_stage"
   private val BloomDir = "_bloom"
+  private[core] val QuarantineDir = "_quarantine"
 
   /** Bloom geometry: m bits per (file, column), k probe positions per
     * value. The sidecar stores only NON-ZERO 64-bit words (sparse), so a
@@ -152,11 +153,23 @@ object Snapshots {
   private[core] def relSuffix(f: String): String =
     if (isAbsoluteLine(f)) f.split('/').takeRight(2).mkString("/") else f
 
+  /** Spark's hive partition-dir escaping (':' → '%3A' etc.) — dir names
+    * and DATA VALUES must never compare raw: a value Spark escapes on
+    * write would otherwise mismatch its own partition (whole-partition
+    * loss in a merge, silent no-op in a compaction). One definition,
+    * Spark's own.
+    */
+  private[core] def escapePartValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  private[core] def unescapePartValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+
   /** Resolve a manifest line to (basePath, fullPath): relative lines
     * live under `root`; absolute (clone) lines carry their own base —
     * the source table's root — which partition-value inference needs.
     */
-  private def resolveLine(root: String, f: String): (String, String) =
+  private[core] def resolveLine(root: String, f: String): (String, String) =
     if (isAbsoluteLine(f)) (f.split('/').dropRight(2).mkString("/"), f)
     else (root, s"$root/$f")
 
@@ -628,6 +641,14 @@ object Snapshots {
         .filter(s => keptRel.contains(s._1))
         .map(statLine)
       writeBloomSidecar(spark, root, v, prevV, fresh, keptRel, bloomCols)
+      // a zero-file manifest would brick every reader (readSnapshot has
+      // no schema source without files) — refuse loudly instead of
+      // committing an unreadable version (a delete-EVERYTHING merge is
+      // the one legal caller shape that can reach this)
+      require(kept.nonEmpty || fresh.nonEmpty,
+        s"publish under $root would pin an EMPTY file set (every partition " +
+          "dropped and nothing staged) — an empty table has no readable " +
+          "schema; keep at least one row or drop the table instead")
       metaHeader(meta) ++ keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
         (kept ++ fresh).sorted
     }
@@ -978,6 +999,17 @@ object Snapshots {
           (n.startsWith(".tmp-") || vOpt.forall(!keepSet.contains(_))) && oldEnough(p)
         }
         .foreach(p => fs.delete(p, true))
+    // quarantine dirs referenced by NO kept manifest's metadata (dropped
+    // versions' dead letters, and crash orphans whose commit never
+    // landed) — kept versions' quarantines survive regardless of age
+    val qdir = new Path(s"$root/$QuarantineDir")
+    if (fs.exists(qdir)) {
+      val referencedQ = keep
+        .flatMap(v => manifestMeta(spark, root, v).get("quarantine_dir")).toSet
+      fs.listStatus(qdir).map(_.getPath)
+        .filter(p => !referencedQ.contains(p.getName) && oldEnough(p))
+        .foreach(p => fs.delete(p, true))
+    }
     removed
   }
 }

@@ -1158,6 +1158,9 @@ object Dedup {
       bands: Int = 8,
       maxHamming: Int = 6): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(bands >= 2,
+      "bands=1 is exact-hash equality (maxHamming 0) — group by the hash " +
+        "directly instead of a banded join")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
     val bandLen = 64 / bands

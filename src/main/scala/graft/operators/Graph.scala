@@ -418,8 +418,9 @@ object Graph {
       round += 1
     }
     require(round < maxRounds || frontier.isEmpty,
-      s"ssspDistances did not converge in $maxRounds rounds — with non-negative " +
-        "weights this indicates a bug, not a data property")
+      s"ssspDistances did not converge in $maxRounds rounds — rounds are bounded " +
+        "by the longest shortest-path HOP count, so raise maxRounds only if " +
+        "paths that long are genuinely expected (e.g. a chain graph)")
     dist.select(col("v").as("node"), col("dist"))
   }
 

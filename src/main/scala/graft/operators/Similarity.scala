@@ -1670,6 +1670,9 @@ object Similarity {
       maxGrade: Int = 4,
       gradeBands: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(k <= 42,
+      s"ndcgMetrics supports k <= 42 (got $k): lcm(1..43) overflows Long and " +
+        "the integer discount would silently wrap")
     require(maxGrade >= 1 && gradeBands >= 1, "grades must be positive")
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)

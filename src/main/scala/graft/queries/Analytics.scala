@@ -1030,7 +1030,7 @@ object Analytics {
       // drifted value — BOTH copies must quarantine; a loader silently
       // picking one is corruption) and over-cap values (value > 400).
       // One pass flags rows; clean rows commit atomically, violators
-      // land in _quarantine/<version> with the failed expectation named,
+      // land in the version's quarantine dir with the failure named,
       // and the manifest records the audit counts. The result reads all
       // three surfaces back — committed table, quarantine dir, manifest
       // metadata — and the oracle restates the gate logic row-for-row.
@@ -1056,7 +1056,7 @@ object Analytics {
         if (nQuar == 0)
           committed.limit(0)
         else
-          s.read.parquet(s"$root/_quarantine/$version")
+          SnapshotOps.readQuarantine(s, root, version).get
             .groupBy(col("violated").as("key"))
             .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
             .withColumn("phase", lit("quarantined"))

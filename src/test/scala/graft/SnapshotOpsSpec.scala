@@ -148,6 +148,68 @@ class SnapshotOpsSpec extends SparkTestBase {
     }
   }
 
+  test("merge and optimize survive hive-escaped partition values; empty-table refusal") {
+    val root = freshRoot("snap_escape")
+    // 'a:1' escapes to 'a%3A1' on disk — raw-vs-escaped comparisons
+    // anywhere in merge/optimize would lose the partition or no-op
+    val rows = (0L until 20L).map(i => ("a:1", i, i)) ++
+      (100L until 120L).map(i => ("b 2", i, i))
+    Snapshots.publishPartitions(spark, root)(stage =>
+      rows.toDF("part", "id", "v").repartition(4)
+        .write.partitionBy("part").parquet(stage))
+    // delete every 'a:1' row — the ESCAPED dir must drop from the manifest
+    SnapshotOps.merge(spark, root,
+      (0L until 20L).map(i => ("a:1", i, i, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id"), "part")
+    val v2 = Snapshots.latestVersion(spark, root).get
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) ==
+      (100L until 120L).map(i => ("b 2", i, i)).sortBy(r => (r._1, r._2)))
+    assert(!Snapshots.manifestFiles(spark, root, v2).exists(_.contains("a%3A1")),
+      "fully-deleted escaped partition must leave the manifest")
+    // optimize must compact the remaining escaped-value partition
+    val v3 = SnapshotOps.optimize(spark, root, targetFileBytes = 512L << 20,
+      minWaste = 1).getOrElse(fail("optimize found nothing to compact"))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v3))) ==
+      (100L until 120L).map(i => ("b 2", i, i)).sortBy(r => (r._1, r._2)))
+    assert(filesPerPart(root, v3).values.sum == 1,
+      "escaped partition did not compact (raw-vs-escaped join mismatch)")
+    // a delete-EVERYTHING batch refuses loudly instead of committing an
+    // unreadable zero-file version; the table stays at the old version
+    val err = intercept[IllegalArgumentException] {
+      SnapshotOps.merge(spark, root,
+        (100L until 120L).map(i => ("b 2", i, i, "delete")).toDF("part", "id", "v", "op"),
+        Seq("id"), "part")
+    }
+    assert(err.getMessage.contains("EMPTY file set"))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)).size == 20,
+      "refused merge must leave the table readable at the previous version")
+  }
+
+  test("optimize keeps stat and bloom coverage by default") {
+    val root = freshRoot("snap_opt_cover")
+    val rows = (0L until 40L).map(i => ("a", i, i)) ++
+      (100L until 140L).map(i => ("b", i, i))
+    Snapshots.publishPartitions(spark, root,
+      statsCols = Seq("v"), bloomCols = Seq("id"))(stage =>
+      rows.toDF("part", "id", "v").repartition(6)
+        .write.partitionBy("part").parquet(stage))
+    val v2 = SnapshotOps.optimize(spark, root, targetFileBytes = 512L << 20)
+      .getOrElse(fail("optimize found nothing to compact"))
+    // (entries here are plain tables — manifest lines ARE the rel suffixes)
+    val files = Snapshots.manifestFiles(spark, root, v2).toSet
+    val statFiles = Snapshots.fileStats(spark, root, v2).map(_._1).toSet
+    assert(files.subsetOf(statFiles),
+      s"optimize dropped stat coverage: ${files -- statFiles}")
+    val markers = Snapshots.fileBlooms(spark, root, v2).get
+      .filter(col("word_idx") === -1L && col("col") === "id")
+      .select("file").as[String].collect().toSet
+    assert(files.subsetOf(markers),
+      s"optimize dropped bloom coverage: ${files -- markers}")
+    // and the coverage actually bites: a point read plans one file
+    assert(Snapshots.readSnapshotEquals(spark, root, "id", lit(5L))
+      .inputFiles.length == 1)
+  }
+
   test("cloneTable: zero-copy, pinned against source churn, copy-on-write, safe vacuum") {
     val src = freshRoot("snap_clone_src")
     val dst = freshRoot("snap_clone_dst")
@@ -215,7 +277,13 @@ class SnapshotOpsSpec extends SparkTestBase {
     val meta = Snapshots.manifestMeta(spark, root, v)
     assert(meta("expect_total") == "6" && meta("expect_clean") == "2" &&
       meta("expect_quarantined") == "4")
-    val quar = spark.read.parquet(s"$root/_quarantine/$v")
+    // vacuum reaps a crash-orphaned quarantine dir (written, commit never
+    // landed) but keeps the committed version's referenced one
+    fs(root).mkdirs(new Path(s"$root/_quarantine/q-orphan"))
+    Snapshots.vacuum(spark, root, keepVersions = 1, graceMs = 0)
+    assert(!fs(root).exists(new Path(s"$root/_quarantine/q-orphan")),
+      "orphaned quarantine dir must be vacuumed")
+    val quar = SnapshotOps.readQuarantine(spark, root, v).get
       .select("id", "violated").as[(Long, String)].collect().sortBy(identity).toMap
     assert(quar == Map(2L -> "nonneg", 4L -> "unique_key", 5L -> "nonneg"))
     // an all-violating batch refuses rather than committing emptiness
