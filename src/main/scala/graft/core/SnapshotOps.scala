@@ -54,7 +54,9 @@ object SnapshotOps {
     * from the same one scan discipline as publish).
     *
     * Returns Some(newVersion) or None when nothing qualified (no commit
-    * at all — an idle maintenance tick is free).
+    * at all — an idle maintenance tick is free). Carries `expectedPrev`
+    * (see [[merge]]): a concurrent commit fails the compaction loudly —
+    * rerun the tick.
     */
   def optimize(
       spark: SparkSession,
@@ -100,7 +102,8 @@ object SnapshotOps {
     val totalBins = frag.valuesIterator.map { case (_, bytes) => bins(bytes) }.sum
     Some(Snapshots.publishPartitions(spark, root,
       meta = Map("optimize_of" -> v.toString),
-      statsCols = statsAuto, bloomCols = bloomAuto) { stage =>
+      statsCols = statsAuto, bloomCols = bloomAuto,
+      expectedPrev = Some(v)) { stage =>
       // range-shuffle on (partition, bin): every (part, bin) pair owns
       // its task, so a partition's file count lands at exactly its bin
       // count — a plain hash repartition could collapse distinct bins
@@ -114,7 +117,14 @@ object SnapshotOps {
     })
   }
 
-  /** Keyed three-way MERGE (upsert + delete) committed atomically:
+  /** Keyed three-way MERGE (upsert + delete) committed atomically.
+    * Read-modify-write: the commit carries `expectedPrev`, so an
+    * interleaved commit by another writer fails THIS merge loudly
+    * (java.util.ConcurrentModificationException — re-read and retry)
+    * instead of silently losing the other writer's update on shared
+    * partitions. The streaming sink gets the retry for free (a failed
+    * micro-batch replays).
+    *
     *
     *   - source rows with `opCol` = 'delete' remove the matching target
     *     row (by `keyCols`);
@@ -214,7 +224,7 @@ object SnapshotOps {
     Snapshots.publishPartitions(spark, root,
       meta = Map("merge_into" -> v.toString),
       statsCols = statCols, bloomCols = bloomColsOf,
-      dropPartitions = emptied) { stage =>
+      dropPartitions = emptied, expectedPrev = Some(v)) { stage =>
       if (still.nonEmpty)
         merged.write.partitionBy(partitionCol).parquet(stage)
     }

@@ -554,9 +554,10 @@ object Snapshots {
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      dropPartitions: Seq[String] = Nil)(write: String => Unit): Long =
+      dropPartitions: Seq[String] = Nil,
+      expectedPrev: Option[Long] = None)(write: String => Unit): Long =
     publishImpl(spark, root, full = false, meta, statsCols, bloomCols,
-      dropPartitions)(write)
+      dropPartitions, expectedPrev)(write)
 
   /** Publish a FULL replacement of the table as one atomic version: the
     * new manifest pins only the freshly staged files — nothing carries
@@ -578,6 +579,15 @@ object Snapshots {
     * has no dir for them (a partitioned parquet write drops empty
     * partitions, so "this partition is now empty" cannot be staged; a
     * MERGE whose deletes empty a partition needs exactly this).
+    *
+    * `expectedPrev`: OPTIMISTIC CONCURRENCY for read-modify-write verbs
+    * (merge, optimize) — the commit fails loudly if the latest committed
+    * version at COMMIT time differs from the version the caller read its
+    * content against, instead of silently overwriting the interleaved
+    * commit's effect on shared partitions (the lost-update anomaly).
+    * The failed attempt's staged files become vacuum residue; the caller
+    * re-reads and retries. Blind publishes (content derived from nothing
+    * read) stay last-writer-wins and skip the check.
     */
   private def publishImpl(
       spark: SparkSession,
@@ -586,7 +596,8 @@ object Snapshots {
       meta: Map[String, String],
       statsCols: Seq[String],
       bloomCols: Seq[String],
-      dropPartitions: Seq[String])(write: String => Unit): Long = {
+      dropPartitions: Seq[String],
+      expectedPrev: Option[Long] = None)(write: String => Unit): Long = {
     validateMeta(meta) // refuse BEFORE staging — no residue on bad meta
     require(dropPartitions.forall(_.contains("=")),
       s"dropPartitions must be <col>=<value> dir names, got: $dropPartitions")
@@ -626,6 +637,12 @@ object Snapshots {
     // legacy bootstrap: a table without manifests snapshots its current
     // on-disk listing (minus what this publish just added)
     claimAndCommit(spark, root) { (v, prevV) =>
+      expectedPrev.foreach(exp =>
+        if (!prevV.contains(exp))
+          throw new java.util.ConcurrentModificationException(
+            s"publish under $root computed against version $exp but " +
+              s"${prevV.fold("no version")(p => s"version $p")} is now latest — " +
+              "another writer committed in between; re-read and retry"))
       val prev = prevV.map(pv => manifestFiles(spark, root, pv))
         .getOrElse(listDataFiles(fs, rootP).filterNot(fresh.contains))
       val kept =

@@ -185,6 +185,30 @@ class SnapshotOpsSpec extends SparkTestBase {
       "refused merge must leave the table readable at the previous version")
   }
 
+  test("merge detects an interleaved commit instead of losing its update") {
+    val root = freshRoot("snap_occ")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 1).write.partitionBy("part").parquet(stage))
+    // simulate the race: a publish computed against version 1 tries to
+    // commit AFTER another writer landed version 2 on the same partition
+    Snapshots.publishPartitions(spark, root)(stage =>
+      Seq(("a", 500L, 500L)).toDF("part", "id", "v")
+        .write.partitionBy("part").parquet(stage))
+    val err = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.publishPartitions(spark, root, expectedPrev = Some(1L))(stage =>
+        Seq(("a", 0L, 999L)).toDF("part", "id", "v")
+          .write.partitionBy("part").parquet(stage))
+    }
+    assert(err.getMessage.contains("version 1") && err.getMessage.contains("retry"))
+    // the interleaved writer's content survived untouched
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)).contains(("a", 500L, 500L)))
+    // a merge whose base IS the latest commits fine (the happy path
+    // carries expectedPrev through)
+    SnapshotOps.merge(spark, root,
+      Seq(("b", 0L, 777L, "upsert")).toDF("part", "id", "v", "op"), Seq("id", "part"), "part")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)).contains(("b", 0L, 777L)))
+  }
+
   test("optimize keeps stat and bloom coverage by default") {
     val root = freshRoot("snap_opt_cover")
     val rows = (0L until 40L).map(i => ("a", i, i)) ++
