@@ -117,6 +117,65 @@ object SnapshotOps {
     })
   }
 
+  /** OPTIMIZE ZORDER: rewrite the whole table (every partition, one
+    * atomic version) clustered by the Morton z-value of two numeric
+    * columns, so the recorded per-file footer ranges (`statsCols`)
+    * become narrow on BOTH columns at once and
+    * [[Snapshots.readSnapshotRange]] prunes files for predicates on
+    * EITHER — the multi-dimensional upgrade over single-column range
+    * clustering (which serves one column and scatters the other). The
+    * table's existing stat/bloom coverage carries by default, with the
+    * z columns added to the stat set (they are the point of the verb).
+    *
+    * Scale shape: one (partition, z) range shuffle into
+    * ceil(bytes/targetFileBytes) writer tasks + an in-task sort — two
+    * passes over the data, same as any clustering rewrite; commits with
+    * `expectedPrev` (see [[merge]]), so a concurrent commit fails the
+    * rewrite loudly instead of being lost. z interleaves the LOW 16 bits
+    * of each column (`functions.Layout.zValue`) — pre-bucket wider
+    * domains onto 0..65535 first.
+    */
+  def optimizeZorder(
+      spark: SparkSession,
+      root: String,
+      zCols: (String, String),
+      targetFileBytes: Long = 128L << 20,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val v = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimizeZorder: no published version under $root"))
+    val statsAuto = ((
+      if (statsCols.nonEmpty) statsCols
+      else Snapshots.fileStats(spark, root, v).map(_._2).distinct
+    ) ++ Seq(zCols._1, zCols._2)).distinct
+    val bloomAuto =
+      if (bloomCols.nonEmpty) bloomCols
+      else Snapshots.fileBlooms(spark, root, v)
+        .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
+        .getOrElse(Nil)
+    val profile = partitionProfile(spark, root, v)
+    val partCol = profile.keysIterator.next().takeWhile(_ != '=')
+    val totalBytes = profile.valuesIterator.map(_._2).sum
+    val bins = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val src = Snapshots.readFileGroups(spark, root,
+      Snapshots.manifestFiles(spark, root, v))
+    Snapshots.publishPartitions(spark, root,
+      meta = Map("zorder_of" -> v.toString,
+        "zorder_by" -> s"${zCols._1},${zCols._2}"),
+      statsCols = statsAuto, bloomCols = bloomAuto,
+      expectedPrev = Some(v)) { stage =>
+      src
+        .withColumn("__z",
+          graft.functions.Layout.zValue(col(zCols._1), col(zCols._2)))
+        .repartitionByRange(bins, col(partCol), col("__z"))
+        .sortWithinPartitions(col(partCol), col("__z"))
+        .drop("__z")
+        .write.partitionBy(partCol).parquet(stage)
+    }
+  }
+
   /** Keyed three-way MERGE (upsert + delete) committed atomically.
     * Read-modify-write: the commit carries `expectedPrev`, so an
     * interleaved commit by another writer fails THIS merge loudly

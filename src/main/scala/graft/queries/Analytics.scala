@@ -1166,6 +1166,41 @@ object Analytics {
         .select("side", "event_type", "n", "value_sum")
         .orderBy("side", "event_type")
     },
+    Q("u21_zorder",
+      """WITH e AS (SELECT event_type, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM e WHERE user_id BETWEEN 40 AND 80
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // OPTIMIZE ZORDER: the whole table rewritten in ONE atomic version
+      // clustered by the Morton z-value of (user_id, cents), so the
+      // recorded footer ranges become narrow on BOTH columns and range
+      // reads prune files for predicates on EITHER — multi-dimensional
+      // data skipping where single-column clustering serves one column
+      // and scatters the other (o5's write-time key composed with u17's
+      // compaction and s18's stats pruning). The result reads a user_id
+      // range through readSnapshotRange over the z-ordered table; the
+      // oracle is the plain filtered aggregate — exactness never depends
+      // on the clustering, SnapshotOpsSpec pins the both-column skip.
+      import graft.core.{SnapshotOps, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u21_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Snapshots.publishPartitions(s, root)(stage =>
+        ev.repartition(8).write.partitionBy("event_type").parquet(stage))
+      SnapshotOps.optimizeZorder(s, root, ("user_id", "cents"),
+        targetFileBytes = 64L << 10)
+      Snapshots.readSnapshotRange(s, root, "user_id", 40, 80)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy("event_type")
+    },
     Q("s20_bloom_point",
       """WITH k AS (SELECT user_id AS k FROM events WHERE event_id = 42)
         |SELECT e.event_id, e.event_type, e.value

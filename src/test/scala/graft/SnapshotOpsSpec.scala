@@ -234,6 +234,41 @@ class SnapshotOpsSpec extends SparkTestBase {
       .inputFiles.length == 1)
   }
 
+  test("optimizeZorder: content preserved, range reads prune on BOTH columns") {
+    val root = freshRoot("snap_zorder")
+    import spark.implicits._
+    // a and b are independent; a hash-scattered write gives every file
+    // the full range of both, so nothing can prune before the rewrite
+    val rows = (0L until 4000L).map(i => ("p" + (i % 2), i % 1000, (i * 7919) % 1000, i))
+    Snapshots.publishPartitions(spark, root, statsCols = Seq("a", "b"))(stage =>
+      rows.toDF("part", "a", "b", "v").repartition(8)
+        .write.partitionBy("part").parquet(stage))
+    val v1 = Snapshots.latestVersion(spark, root).get
+    val allFiles = Snapshots.manifestFiles(spark, root, v1).size
+    assert(allFiles >= 8)
+    assert(Snapshots.readSnapshotRange(spark, root, "a", 0, 60).inputFiles.length
+      == allFiles, "scattered layout should not prune (fixture sanity)")
+    val v2 = SnapshotOps.optimizeZorder(spark, root, ("a", "b"),
+      targetFileBytes = 16L << 10)
+    // content identical
+    val got = Snapshots.readSnapshot(spark, root, Some(v2))
+      .select("part", "a", "b", "v").as[(String, Long, Long, Long)]
+      .collect().sortBy(_._4).toSeq
+    assert(got == rows.sortBy(_._4))
+    val nowFiles = Snapshots.manifestFiles(spark, root, v2).size
+    assert(nowFiles >= 4, s"need several files for pruning to mean anything: $nowFiles")
+    // narrow range predicates on EITHER column now plan a strict subset
+    val keepA = Snapshots.readSnapshotRange(spark, root, "a", 0, 60).inputFiles.length
+    val keepB = Snapshots.readSnapshotRange(spark, root, "b", 0, 60).inputFiles.length
+    assert(keepA < nowFiles, s"a-range read planned all $nowFiles files")
+    assert(keepB < nowFiles, s"b-range read planned all $nowFiles files")
+    // and the rows are exact regardless of pruning
+    assert(Snapshots.readSnapshotRange(spark, root, "a", 0, 60).count()
+      == rows.count(_._2 <= 60))
+    assert(Snapshots.readSnapshotRange(spark, root, "b", 0, 60).count()
+      == rows.count(_._3 <= 60))
+  }
+
   test("cloneTable: zero-copy, pinned against source churn, copy-on-write, safe vacuum") {
     val src = freshRoot("snap_clone_src")
     val dst = freshRoot("snap_clone_dst")
