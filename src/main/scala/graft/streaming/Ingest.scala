@@ -467,6 +467,42 @@ object Ingest {
     ()
   }
 
+  /** UNATTENDED snapshot-table maintenance: every micro-batch publishes
+    * atomically (the [[snapshotPublishSink]] replay-safe protocol), and
+    * every `optimizeEveryNBatches`-th batch runs the bin-packed OPTIMIZE
+    * plus a retention vacuum — the table twin of [[indexMaintainSink]]'s
+    * append→compact loop, closing the operational story for streamed
+    * tables: without the tick, small per-batch files accumulate until
+    * reads die of listing and task overhead; with it, file counts stay
+    * bounded and superseded versions reclaim, all from ONE sink. The
+    * optimize commit carries expectedPrev (this sink is the table's
+    * single writer by the streaming-query contract, so the check is a
+    * tripwire for misconfigured concurrent writers, not a retry loop).
+    */
+  def snapshotMaintainSink(
+      updates: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      partitionCol: String,
+      targetFileBytes: Long = 128L << 20,
+      optimizeEveryNBatches: Int = 4,
+      keepVersions: Int = 4,
+      vacuumGraceMs: Long = 15L * 60 * 1000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyPublishBatch(batch, targetPath, partitionCol, batchId)
+        if ((batchId + 1) % optimizeEveryNBatches == 0) {
+          graft.core.SnapshotOps.optimize(
+            batch.sparkSession, targetPath, targetFileBytes)
+          graft.core.Snapshots.vacuum(
+            batch.sparkSession, targetPath, keepVersions, vacuumGraceMs)
+          ()
+        }
+        ()
+      }
+
   /** Continuous keyed CHANGE-STREAM maintenance: every micro-batch of
     * (key, op, payload, seq) rows MERGEs into the snapshot table through
     * one atomic manifest commit — the streaming twin of the batch

@@ -565,6 +565,40 @@ class StreamingSpec extends SparkTestBase {
     assert(afterReplay == replayed, "replayed delete batch changed content")
   }
 
+  test("snapshotMaintainSink: publishes stream, optimize tick bounds files, vacuum reclaims") {
+    import graft.core.Snapshots
+    import graft.streaming.Ingest
+    val items = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val dir = Files.createTempDirectory("graft-mnt-in").toString
+    val target = Files.createTempDirectory("graft-mnt-out").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft-mnt-ckpt").toString
+    // four source files + maxFilesPerTrigger=1 => four micro-batches, so
+    // the every-4th-batch maintenance tick fires exactly once
+    (0 until 4).foreach(i =>
+      items.filter(col("event_id") % 4 === i).coalesce(1)
+        .write.mode("append").parquet(dir))
+    val q = Ingest.snapshotMaintainSink(
+      spark.readStream.schema(items.schema).option("maxFilesPerTrigger", "1").parquet(dir),
+      target, ckpt, partitionCol = "event_type",
+      optimizeEveryNBatches = 4, keepVersions = 2, vacuumGraceMs = 0).start()
+    try q.processAllAvailable() finally q.stop()
+    // content: everything ingested, exactly once
+    val latest = Snapshots.readSnapshot(spark, target)
+      .select("event_type", "event_id", "value")
+    assert(latest.exceptAll(items).isEmpty && items.exceptAll(latest).isEmpty,
+      "maintained table diverged from the ingested content")
+    // the optimize tick ran: each partition packed to its bin count (1)
+    val v = Snapshots.latestVersion(spark, target).get
+    val perPart = Snapshots.manifestFiles(spark, target, v)
+      .groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size)
+    assert(perPart.values.forall(_ == 1),
+      s"optimize tick did not pack the partitions: ${perPart.toMap}")
+    // vacuum reclaimed superseded versions beyond keepVersions
+    val kept = Snapshots.history(spark, target).map(_._1)
+    assert(kept.size <= 2, s"vacuum kept ${kept.size} versions, expected <= 2")
+  }
+
   test("snapshotPublishSink: per-batch atomic publishes, pinned isolation, replay converges") {
     import graft.core.Snapshots
     import graft.streaming.Ingest
