@@ -420,6 +420,44 @@ class ScaleProbeSpec extends SparkTestBase {
     small.unpersist(); big.unpersist()
   }
 
+  test("snapshot merge: fixed CDC batch cost stays flat as the table grows 10x") {
+    import graft.core.{SnapshotOps, Snapshots}
+    // rows-per-partition FIXED, so partitions scale with the table — a
+    // fixed 20-key batch must touch ONE partition's rewrite either way;
+    // bloom-probed, so no data file opens to find it. The gate is far
+    // below linear: 10x data in <= 4x time (the residual growth is the
+    // sidecar listing, not data IO).
+    def build(n: Long, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"probe-mrg-$tag")
+        .toString + "/tbl"
+      val rows = spark.range(n).select(
+        concat(lit("p"), (col("id") / 2000).cast("long")).as("part"),
+        col("id"), (col("id") % 97).as("v"))
+      Snapshots.publishPartitions(spark, root, bloomCols = Seq("id"))(stage =>
+        rows.write.partitionBy("part").parquet(stage))
+      root
+    }
+    def mergeOnce(root: String): Long = {
+      import spark.implicits._
+      SnapshotOps.merge(spark, root,
+        (0L until 20L).map(i => ("p0", i, 1000L + i, "upsert"))
+          .toDF("part", "id", "v", "op"),
+        Seq("id"), "part")
+    }
+    val small = build(20000L, "small")
+    val big = build(200000L, "big")
+    mergeOnce(small) // warm the code paths once
+    val (_, tS) = timed(mergeOnce(small))
+    val (_, tB) = timed(mergeOnce(big))
+    info(f"merge fixed batch: 20k-table=$tS%.2fs 200k-table=$tB%.2fs")
+    assert(tB <= math.max(tS, 0.5) * 4 + 2.0,
+      f"fixed-batch merge grew ${tB / math.max(tS, 0.3)}%.1fx on a 10x table " +
+        "— the probe or rewrite is scanning the table")
+    // and the merged content is right at both scales
+    assert(Snapshots.readSnapshot(spark, big)
+      .filter(col("id") < 20 && col("v") >= 1000L).count() == 20)
+  }
+
   test("kCorePeel: 10x edges within linear time") {
     // hash-derived sparse graph: ~4 edges per node, non-trivial peel
     def edges(n: Long): DataFrame =
