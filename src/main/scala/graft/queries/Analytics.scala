@@ -2318,6 +2318,55 @@ object Analytics {
     },
 
     // ---- distribution drift between two slices -------------------------
+    Q("pf_hellinger",
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    (l_shipdate < TIMESTAMP '1995-01-01') AS is_a
+        |  FROM lineitem),
+        |m AS (SELECT MIN(cents) AS minc, MAX(cents) AS maxc FROM c),
+        |b AS (SELECT CAST(((c.cents - m.minc) * 16) // (m.maxc - m.minc + 1) AS INTEGER) AS bucket,
+        |    CAST(SUM(CASE WHEN c.is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN c.is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM c, m GROUP BY bucket),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM b),
+        |k AS (SELECT CAST(SUM(CAST(floor(
+        |      sqrt(CAST(b.n_a * b.n_b AS DOUBLE) / CAST(t.ta * t.tb AS DOUBLE))
+        |        * 1000000) AS BIGINT)) AS BIGINT) AS bc_micro,
+        |    MAX(t.ta) AS ta, MAX(t.tb) AS tb
+        |  FROM b, t)
+        |SELECT ta AS n_a, tb AS n_b, bc_micro,
+        |  sqrt(1.0 - CAST(bc_micro AS DOUBLE) / 1000000.0) AS hellinger
+        |FROM k""".stripMargin) { (s, d) =>
+      // Hellinger distance between two slices' 16-bucket histograms —
+      // the bounded [0,1] drift metric that (unlike pf_drift's L1) damps
+      // the high-mass buckets and amplifies support mismatches, and
+      // (unlike KS) works on the same fixed binning a dashboard keeps.
+      // The Bhattacharyya terms √(p_a·p_b) are per-bucket doubles from
+      // one identically-written expression chain (IEEE sqrt is correctly
+      // rounded), FLOORED to integer micro-units BEFORE the cross-bucket
+      // sum — so the reduction is order-independent and the final
+      // sqrt(1 − BC) is a fixed two-op chain. Same scale shape as
+      // pf_drift: the corpus collapses in the first bucket aggregate.
+      val c = lineitem(s, d).select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        (col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz")).as("is_a"))
+      val m = c.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"))
+      val b = c.crossJoin(broadcast(m))
+        .select(
+          expr("((cents - minc) * 16) DIV (maxc - minc + 1)").cast("int").as("bucket"),
+          col("is_a"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_a"), 1).otherwise(0)).as("n_a"),
+          sum(when(col("is_a"), 0).otherwise(1)).as("n_b"))
+      val t = b.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      b.crossJoin(broadcast(t))
+        .agg(
+          sum(floor(sqrt((col("n_a") * col("n_b")).cast("double") /
+              (col("ta") * col("tb")).cast("double")) * 1000000).cast("long"))
+            .as("bc_micro"),
+          max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+        .select(col("n_a"), col("n_b"), col("bc_micro"),
+          sqrt(lit(1.0) - col("bc_micro").cast("double") / 1000000.0).as("hellinger"))
+    },
     Q("pf_drift",
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
         |    (l_shipdate < TIMESTAMP '1995-01-01') AS is_a
