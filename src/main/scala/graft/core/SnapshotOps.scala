@@ -16,6 +16,41 @@ object SnapshotOps {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Hive's reserved dir name for a NULL partition value — comparisons
+    * between dir names and data values must treat them as the same key
+    * (a raw equality would silently drop null-partition rows from every
+    * maintenance rewrite).
+    */
+  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** A partition column as the string key hive dir names use: the cast
+    * value, with NULL mapped to the reserved default-partition name.
+    */
+  private def partKey(c: Column): Column =
+    coalesce(c.cast("string"), lit(NullPart))
+
+  /** The stat/bloom columns a rewrite should re-derive: the caller's
+    * explicit list, else whatever the table already records — ONE
+    * definition so optimize/zorder/merge can never drift apart on
+    * coverage inheritance.
+    */
+  private def inheritedCols(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      statsCols: Seq[String],
+      bloomCols: Seq[String]): (Seq[String], Seq[String]) = {
+    val stats =
+      if (statsCols.nonEmpty) statsCols
+      else Snapshots.fileStats(spark, root, v).map(_._2).distinct
+    val blooms =
+      if (bloomCols.nonEmpty) bloomCols
+      else Snapshots.fileBlooms(spark, root, v)
+        .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
+        .getOrElse(Nil)
+    (stats, blooms)
+  }
+
   /** Partition dir names and their (fileCount, totalBytes) in a pinned
     * version — listing-scale (one getFileStatus per manifest entry).
     */
@@ -73,14 +108,7 @@ object SnapshotOps {
     // and bloom columns the table already records (the merge discipline
     // — a default maintenance tick must not decay skipping to
     // conservative planning)
-    val statsAuto =
-      if (statsCols.nonEmpty) statsCols
-      else Snapshots.fileStats(spark, root, v).map(_._2).distinct
-    val bloomAuto =
-      if (bloomCols.nonEmpty) bloomCols
-      else Snapshots.fileBlooms(spark, root, v)
-        .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
-        .getOrElse(Nil)
+    val (statsAuto, bloomAuto) = inheritedCols(spark, root, v, statsCols, bloomCols)
     val profile = partitionProfile(spark, root, v)
     def bins(bytes: Long): Int =
       math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -89,11 +117,17 @@ object SnapshotOps {
     val files = Snapshots.manifestFiles(spark, root, v)
       .filter(f => frag.contains(Snapshots.relSuffix(f).takeWhile(_ != '/')))
     val partCol = frag.keysIterator.next().takeWhile(_ != '=')
-    val src = Snapshots.readFileGroups(spark, root, files)
+    val src0 = Snapshots.readFileGroups(spark, root, files)
+    // a fragmented subset may cover ONLY the null partition, whose
+    // dir-value inference degrades the partition column to VOID — restore
+    // the table's type from the full-version schema before the
+    // partitioned write (schema-only read: no data job)
+    val partType = Snapshots.readSnapshot(spark, root, Some(v)).schema(partCol).dataType
+    val src = src0.withColumn(partCol, col(partCol).cast(partType))
     import spark.implicits._
-    // dir names are hive-ESCAPED; the join below compares against raw
-    // data values, so unescape (':' partitions would otherwise silently
-    // never compact)
+    // dir names are hive-ESCAPED and a null value writes the reserved
+    // default dir; the join compares in dir-key space via partKey, so
+    // ':' partitions compact and null-partition rows are never dropped
     val binsDf = frag.toSeq
       .map { case (p, (_, bytes)) =>
         (Snapshots.unescapePartValue(p.dropWhile(_ != '=').drop(1)), bins(bytes))
@@ -108,7 +142,7 @@ object SnapshotOps {
       // its task, so a partition's file count lands at exactly its bin
       // count — a plain hash repartition could collapse distinct bins
       // into one writer task (or worse, one file)
-      src.join(broadcast(binsDf), src(partCol).cast("string") === col("__pv"))
+      src.join(broadcast(binsDf), partKey(src(partCol)) === col("__pv"))
         .withColumn("__bin",
           pmod(xxhash64(src.columns.map(col): _*), col("__bins")))
         .repartitionByRange(totalBins, col(partCol), col("__bin"))
@@ -146,15 +180,8 @@ object SnapshotOps {
     val v = Snapshots.latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"optimizeZorder: no published version under $root"))
-    val statsAuto = ((
-      if (statsCols.nonEmpty) statsCols
-      else Snapshots.fileStats(spark, root, v).map(_._2).distinct
-    ) ++ Seq(zCols._1, zCols._2)).distinct
-    val bloomAuto =
-      if (bloomCols.nonEmpty) bloomCols
-      else Snapshots.fileBlooms(spark, root, v)
-        .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
-        .getOrElse(Nil)
+    val (stats0, bloomAuto) = inheritedCols(spark, root, v, statsCols, bloomCols)
+    val statsAuto = (stats0 ++ Seq(zCols._1, zCols._2)).distinct
     val profile = partitionProfile(spark, root, v)
     val partCol = profile.keysIterator.next().takeWhile(_ != '=')
     val totalBytes = profile.valuesIterator.map(_._2).sum
@@ -243,20 +270,23 @@ object SnapshotOps {
         // in raw-value space)
         .map(_.map(f => Snapshots.unescapePartValue(
           Snapshots.relSuffix(f).takeWhile(_ != '/').dropWhile(_ != '=').drop(1))).toSet)
+    // all partition values compare in dir-KEY space (partKey: cast to
+    // string, null mapped to the reserved default-partition name) — a
+    // raw cast would NPE on escape and silently drop null-partition rows
     val matchedParts = bloomProbe.getOrElse {
       target
         .select((partitionCol +: keyCols).map(col): _*)
         .join(broadcast(srcKeys), keyCols)
-        .select(col(partitionCol).cast("string"))
+        .select(partKey(col(partitionCol)).as("__pk"))
         .distinct().collect().map(_.getString(0)).toSet
     }
     val survivors = source.filter(not(col(opCol) === "delete")).drop(opCol)
-    val insertedParts = survivors.select(col(partitionCol).cast("string"))
+    val insertedParts = survivors.select(partKey(col(partitionCol)).as("__pk"))
       .distinct().collect().map(_.getString(0)).toSet
     val affected = matchedParts ++ insertedParts
     if (affected.isEmpty && allowNoop) return v
     require(affected.nonEmpty, "merge: source matches nothing and inserts nothing")
-    val affectedCol = col(partitionCol).cast("string").isin(affected.toSeq: _*)
+    val affectedCol = partKey(col(partitionCol)).isin(affected.toSeq: _*)
     // the affected partitions' new content: target rows not superseded
     // by a source key, plus the surviving (insert/update) source rows
     val keptTarget = target.filter(affectedCol)
@@ -269,7 +299,7 @@ object SnapshotOps {
     // partitions whose content is now EMPTY (all rows deleted) cannot be
     // staged — they drop from the manifest instead (dir names are
     // hive-escaped; `still`/`affected` live in raw-value space)
-    val still = merged.select(col(partitionCol).cast("string"))
+    val still = merged.select(partKey(col(partitionCol)).as("__pk"))
       .distinct().collect().map(_.getString(0)).toSet
     val emptied = (affected -- still).toSeq.sorted
       .map(p => s"$partitionCol=${Snapshots.escapePartValue(p)}")

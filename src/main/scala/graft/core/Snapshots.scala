@@ -498,12 +498,30 @@ object Snapshots {
     */
   private def claimAndCommit(
       spark: SparkSession,
-      root: String)(bodyFor: (Long, Option[Long]) => Seq[String]): Long = {
+      root: String,
+      fixedVersion: Option[Long] = None)(
+      bodyFor: (Long, Option[Long]) => Seq[String]): Long = {
     val fs = fsOf(spark, new Path(root))
     fs.mkdirs(new Path(s"$root/$ManifestDir"))
-    var v = latestVersion(spark, root).getOrElse(0L) + 1
-    while (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim")))
+    // fixedVersion is the OPTIMISTIC-CONCURRENCY claim: a read-modify-
+    // write verb that read version e must commit as EXACTLY e+1, and the
+    // atomic create-if-absent of that one claim file is the whole race —
+    // the loser of two concurrent merges fails HERE, before any body
+    // work, instead of both committing and one update silently vanishing
+    // (a claim-then-check at body time would be check-then-act). A claim
+    // held by a CRASHED writer blocks the number until vacuum reclaims
+    // it — the error says so.
+    var v = fixedVersion.getOrElse(latestVersion(spark, root).getOrElse(0L) + 1)
+    if (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim"))) {
+      fixedVersion.foreach(fv =>
+        throw new java.util.ConcurrentModificationException(
+          s"version $fv under $root is already claimed — another writer " +
+            "committed (or crashed mid-commit; vacuum reclaims stale claims) " +
+            "since this read-modify-write verb read its base; re-read and retry"))
       v += 1
+      while (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim")))
+        v += 1
+    }
     // resolve carry-over AFTER the claim: any manifest committed before
     // this writer claimed is now visible and carries over correctly
     val body = bodyFor(v, latestVersion(spark, root))
@@ -636,7 +654,11 @@ object Snapshots {
 
     // legacy bootstrap: a table without manifests snapshots its current
     // on-disk listing (minus what this publish just added)
-    claimAndCommit(spark, root) { (v, prevV) =>
+    claimAndCommit(spark, root, fixedVersion = expectedPrev.map(_ + 1)) { (v, prevV) =>
+      // defense in depth behind the atomic fixed-version claim: a BLIND
+      // publish that claimed past us and already committed would make
+      // the carry-over base newer than what this verb's staged content
+      // was computed against — stale rewrite, fail instead
       expectedPrev.foreach(exp =>
         if (!prevV.contains(exp))
           throw new java.util.ConcurrentModificationException(
@@ -650,6 +672,15 @@ object Snapshots {
         // partition identity via relSuffix: replacing a partition also
         // drops a clone's absolute entries for it (copy-on-write)
         else prev.filterNot(f => replaced.contains(relSuffix(f).takeWhile(_ != '/')))
+      // a zero-file manifest would brick every reader (readSnapshot has
+      // no schema source without files) — refuse loudly instead of
+      // committing an unreadable version (a delete-EVERYTHING merge is
+      // the one legal caller shape that can reach this); checked BEFORE
+      // the sidecar build so a refusal leaves no orphan sidecar job/dir
+      require(kept.nonEmpty || fresh.nonEmpty,
+        s"publish under $root would pin an EMPTY file set (every partition " +
+          "dropped and nothing staged) — an empty table has no readable " +
+          "schema; keep at least one row or drop the table instead")
       // carried-over files keep their recorded stats; fresh files get
       // footer-derived stats for the requested columns
       val keptRel = kept.map(relSuffix).toSet
@@ -658,14 +689,6 @@ object Snapshots {
         .filter(s => keptRel.contains(s._1))
         .map(statLine)
       writeBloomSidecar(spark, root, v, prevV, fresh, keptRel, bloomCols)
-      // a zero-file manifest would brick every reader (readSnapshot has
-      // no schema source without files) — refuse loudly instead of
-      // committing an unreadable version (a delete-EVERYTHING merge is
-      // the one legal caller shape that can reach this)
-      require(kept.nonEmpty || fresh.nonEmpty,
-        s"publish under $root would pin an EMPTY file set (every partition " +
-          "dropped and nothing staged) — an empty table has no readable " +
-          "schema; keep at least one row or drop the table instead")
       metaHeader(meta) ++ keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
         (kept ++ fresh).sorted
     }
@@ -1021,8 +1044,11 @@ object Snapshots {
     // landed) — kept versions' quarantines survive regardless of age
     val qdir = new Path(s"$root/$QuarantineDir")
     if (fs.exists(qdir)) {
+      // keep both the meta-referenced dirs and legacy version-numbered
+      // dirs of still-kept versions (pre-upgrade dead letters)
       val referencedQ = keep
-        .flatMap(v => manifestMeta(spark, root, v).get("quarantine_dir")).toSet
+        .flatMap(v => manifestMeta(spark, root, v).get("quarantine_dir")).toSet ++
+        keep.map(_.toString)
       fs.listStatus(qdir).map(_.getPath)
         .filter(p => !referencedQ.contains(p.getName) && oldEnough(p))
         .foreach(p => fs.delete(p, true))

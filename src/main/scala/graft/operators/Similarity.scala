@@ -1677,6 +1677,13 @@ object Similarity {
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val scale = (1L to k.toLong).foldLeft(1L)((l, i) => l / gcd(l, i) * i)
+    // the worst-case DCG sum is maxGrade · Σ (scale/i) — bound IT, not
+    // just k (k=42 with maxGrade ≥ 10 would still wrap the BIGINT sum)
+    val worstDcg = BigInt(maxGrade) *
+      (1L to k.toLong).map(i => BigInt(scale / i)).sum
+    require(worstDcg <= BigInt(Long.MaxValue),
+      s"ndcgMetrics: maxGrade=$maxGrade at k=$k puts the worst-case integer " +
+        s"DCG sum at $worstDcg > Long.MaxValue — lower k or maxGrade")
     def ranked(df: DataFrame, rank: String, cutoff: Int): DataFrame =
       df.withColumn(rank, row_number().over(
           org.apache.spark.sql.expressions.Window

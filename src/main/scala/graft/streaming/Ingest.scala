@@ -487,13 +487,17 @@ object Ingest {
       targetFileBytes: Long = 128L << 20,
       optimizeEveryNBatches: Int = 4,
       keepVersions: Int = 4,
-      vacuumGraceMs: Long = 15L * 60 * 1000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      vacuumGraceMs: Long = 15L * 60 * 1000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(optimizeEveryNBatches >= 1, "optimizeEveryNBatches must be >= 1")
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyPublishBatch(batch, targetPath, partitionCol, batchId)
-        if ((batchId + 1) % optimizeEveryNBatches == 0) {
+        // the tick is a no-op until something published: a stream of
+        // empty micro-batches must not crash on "no version"
+        if ((batchId + 1) % optimizeEveryNBatches == 0 &&
+            graft.core.Snapshots.latestVersion(batch.sparkSession, targetPath).nonEmpty) {
           graft.core.SnapshotOps.optimize(
             batch.sparkSession, targetPath, targetFileBytes)
           graft.core.Snapshots.vacuum(
@@ -502,6 +506,7 @@ object Ingest {
         }
         ()
       }
+  }
 
   /** Continuous keyed CHANGE-STREAM maintenance: every micro-batch of
     * (key, op, payload, seq) rows MERGEs into the snapshot table through

@@ -185,6 +185,34 @@ class SnapshotOpsSpec extends SparkTestBase {
       "refused merge must leave the table readable at the previous version")
   }
 
+  test("merge and optimize handle NULL partition values (reserved hive dir)") {
+    val root = freshRoot("snap_null_part")
+    val rows: Seq[(Option[String], Long, Long)] = Seq(
+      (Some("a"), 1L, 1L), (Some("a"), 2L, 2L),
+      (None, 3L, 3L), (None, 4L, 4L))
+    Snapshots.publishPartitions(spark, root)(stage =>
+      rows.toDF("part", "id", "v").repartition(4)
+        .write.partitionBy("part").parquet(stage))
+    // update inside the null partition, delete from it, insert into it
+    val src: Seq[(Option[String], Long, Long, String)] = Seq(
+      (None, 3L, 333L, "upsert"), (None, 4L, 0L, "delete"), (None, 5L, 5L, "upsert"))
+    SnapshotOps.merge(spark, root, src.toDF("part", "id", "v", "op"),
+      Seq("id"), "part")
+    val got = Snapshots.readSnapshot(spark, root)
+      .select(col("part"), col("id"), col("v"))
+      .as[(Option[String], Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((Some("a"), 1L, 1L), (Some("a"), 2L, 2L),
+      (None, 3L, 333L), (None, 5L, 5L)), got.toString)
+    // the fragmented null partition must compact, not be silently skipped
+    val v = SnapshotOps.optimize(spark, root, targetFileBytes = 512L << 20,
+      minWaste = 1).getOrElse(fail("optimize found nothing to compact"))
+    assert(Snapshots.readSnapshot(spark, root, Some(v))
+      .select(col("part"), col("id"), col("v"))
+      .as[(Option[String], Long, Long)].collect().sortBy(_._2).toSeq == got)
+    assert(filesPerPart(root, v).values.forall(_ == 1),
+      s"null partition did not compact: ${filesPerPart(root, v)}")
+  }
+
   test("merge detects an interleaved commit instead of losing its update") {
     val root = freshRoot("snap_occ")
     Snapshots.publishPartitions(spark, root)(stage =>
@@ -199,7 +227,7 @@ class SnapshotOpsSpec extends SparkTestBase {
         Seq(("a", 0L, 999L)).toDF("part", "id", "v")
           .write.partitionBy("part").parquet(stage))
     }
-    assert(err.getMessage.contains("version 1") && err.getMessage.contains("retry"))
+    assert(err.getMessage.contains("already claimed") && err.getMessage.contains("retry"))
     // the interleaved writer's content survived untouched
     assert(rowsOf(Snapshots.readSnapshot(spark, root)).contains(("a", 500L, 500L)))
     // a merge whose base IS the latest commits fine (the happy path
