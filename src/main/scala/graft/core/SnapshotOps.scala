@@ -40,13 +40,23 @@ object SnapshotOps {
       v: Long,
       statsCols: Seq[String],
       bloomCols: Seq[String]): (Seq[String], Seq[String]) = {
+    // recorded coverage is keyed by the PHYSICAL names of the files that
+    // recorded it — map through the rename chain so a rewrite after a
+    // renameColumn re-derives stats/blooms under the current names
+    // (fresh files only have those) instead of silently decaying coverage
+    val meta = Snapshots.manifestMeta(spark, root, v)
+    def logical(phys: String): String =
+      Snapshots.columnMapping(meta)._1.foldLeft(phys)((cur, m) =>
+        if (m._1 == cur) m._2 else cur)
+    def logicalSpec(spec: String): String = spec.split(',').map(logical).mkString(",")
     val stats =
       if (statsCols.nonEmpty) statsCols
-      else Snapshots.fileStats(spark, root, v).map(_._2).distinct
+      else Snapshots.fileStats(spark, root, v).map(s => logical(s._2)).distinct
     val blooms =
       if (bloomCols.nonEmpty) bloomCols
       else Snapshots.fileBlooms(spark, root, v)
-        .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
+        .map(_.select(col("col")).distinct().collect()
+          .map(r => logicalSpec(r.getString(0))).toSeq)
         .getOrElse(Nil)
     (stats, blooms)
   }
@@ -117,7 +127,10 @@ object SnapshotOps {
     val files = Snapshots.manifestFiles(spark, root, v)
       .filter(f => frag.contains(Snapshots.relSuffix(f).takeWhile(_ != '/')))
     val partCol = frag.keysIterator.next().takeWhile(_ != '=')
-    val src0 = Snapshots.readFileGroups(spark, root, files)
+    // mapping-aware read: a table compacted after a renameColumn spans
+    // physical generations — the rewrite reads the LOGICAL schema and
+    // its fresh files land under the current names
+    val src0 = Snapshots.readMapped(spark, root, v, files)
     // a fragmented subset may cover ONLY the null partition, whose
     // dir-value inference degrades the partition column to VOID — restore
     // the table's type from the full-version schema before the
@@ -186,7 +199,7 @@ object SnapshotOps {
     val partCol = profile.keysIterator.next().takeWhile(_ != '=')
     val totalBytes = profile.valuesIterator.map(_._2).sum
     val bins = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val src = Snapshots.readFileGroups(spark, root,
+    val src = Snapshots.readMapped(spark, root, v,
       Snapshots.manifestFiles(spark, root, v))
     Snapshots.publishPartitions(spark, root,
       meta = Map("zorder_of" -> v.toString,
@@ -211,24 +224,33 @@ object SnapshotOps {
     * partitions. The streaming sink gets the retry for free (a failed
     * micro-batch replays).
     *
-    *
     *   - source rows with `opCol` = 'delete' remove the matching target
     *     row (by `keyCols`);
     *   - other source rows REPLACE their matching target row (update) or
     *     are inserted when no match exists;
     *   - target rows with no matching source key are untouched.
     *
-    * Scale shape: the rewrite touches only AFFECTED partitions — those
-    * holding a matching target key (found with a column-pruned
-    * key+partition scan, broadcast-joined against the source keys when
-    * small) plus those the surviving source rows land in. Everything
-    * else carries over via the manifest, unread and unmoved. A delete
-    * that empties a partition drops it from the manifest
-    * (`dropPartitions`), which a staged parquet tree alone cannot
-    * express. Updates may MOVE a row across partitions (the old
-    * partition is affected via its matching key, the new via the source
-    * row) — both rewrite in the same commit, so no intermediate version
-    * ever shows the row twice or zero times.
+    * Scale shape — FILE-grain rewrite: the commit replaces only the
+    * FILES that might hold a matching target key; every sibling file —
+    * including siblings inside the same partition — carries over via the
+    * manifest, unread and unmoved, and the surviving source rows land as
+    * additive fresh files. At 100 TB with date-grain partitions, a
+    * 100-key CDC batch rewrites ~100 files, not 100 whole partitions.
+    * Candidate files come from the bloom sidecar when the table indexes
+    * the key — the single key column, or the COMPOSITE spec
+    * (`bloomCols = Seq("k1,k2")` at publish) whose column set equals
+    * `keyCols`; the probe hashes in the STORED column types (xxhash64 is
+    * type-typed — an Int-keyed source against a Long-keyed table would
+    * otherwise bloom-miss every file: silently lost deletes). No data
+    * file opens to find the candidates; false positives only cost a
+    * content-preserving extra file rewrite. Without an index the
+    * fallback is an exact column-pruned key scan annotated with file
+    * identity — still file-grain, one pass over the key column.
+    * A delete that empties a partition (every file replaced, no
+    * surviving rows) drops it from the manifest (`dropPartitions`).
+    * Updates may MOVE a row across partitions — the old file is
+    * replaced, the new row lands additively, both in the same commit, so
+    * no version ever shows the row twice or zero times.
     *
     * `source` must carry `keyCols`, `partitionCol` and the full data
     * schema of the table (minus `opCol`, which is consumed here).
@@ -253,64 +275,79 @@ object SnapshotOps {
     val v = Snapshots.latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"merge: no published version under $root"))
     val target = Snapshots.readSnapshot(spark, root, Some(v))
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    // which target partitions hold a matching key: when the table keeps a
-    // bloom sidecar on the (single) key column, the probe is a sidecar
-    // membership join — no data file opens at all (a CDC batch against a
-    // 100 TB table must not pay a full key scan to find its partitions;
-    // false positives only cost a content-preserving extra rewrite).
-    // Otherwise, a column-pruned key+partition scan.
-    val bloomProbe: Option[Set[String]] =
-      if (keyCols.size != 1) None
-      else Snapshots.bloomCandidateFiles(spark, root, v, keyCols.head,
-          srcKeys.select(col(keyCols.head)))
-        // candidate file -> its partition VALUE: rel suffixes are
-        // "<partitionCol>=<escaped-value>/part-..." (relSuffix handles
-        // clone lines; unescape because everything downstream compares
-        // in raw-value space)
-        .map(_.map(f => Snapshots.unescapePartValue(
-          Snapshots.relSuffix(f).takeWhile(_ != '/').dropWhile(_ != '=').drop(1))).toSet)
-    // all partition values compare in dir-KEY space (partKey: cast to
-    // string, null mapped to the reserved default-partition name) — a
-    // raw cast would NPE on escape and silently drop null-partition rows
-    val matchedParts = bloomProbe.getOrElse {
-      target
-        .select((partitionCol +: keyCols).map(col): _*)
-        .join(broadcast(srcKeys), keyCols)
-        .select(partKey(col(partitionCol)).as("__pk"))
-        .distinct().collect().map(_.getString(0)).toSet
-    }
-    val survivors = source.filter(not(col(opCol) === "delete")).drop(opCol)
-    val insertedParts = survivors.select(partKey(col(partitionCol)).as("__pk"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val affected = matchedParts ++ insertedParts
-    if (affected.isEmpty && allowNoop) return v
-    require(affected.nonEmpty, "merge: source matches nothing and inserts nothing")
-    val affectedCol = partKey(col(partitionCol)).isin(affected.toSeq: _*)
-    // the affected partitions' new content: target rows not superseded
-    // by a source key, plus the surviving (insert/update) source rows
-    val keptTarget = target.filter(affectedCol)
-      .join(broadcast(srcKeys), keyCols, "left_anti")
-    // materialized once: the `still` probe below and the staged write
-    // both consume it — without the checkpoint the heaviest stage of
-    // every merge (and every streaming micro-batch) would run twice
-    val merged = keptTarget.unionByName(survivors.filter(affectedCol))
-      .localCheckpoint(true)
-    // partitions whose content is now EMPTY (all rows deleted) cannot be
-    // staged — they drop from the manifest instead (dir names are
-    // hive-escaped; `still`/`affected` live in raw-value space)
-    val still = merged.select(partKey(col(partitionCol)).as("__pk"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val emptied = (affected -- still).toSeq.sorted
-      .map(p => s"$partitionCol=${Snapshots.escapePartValue(p)}")
-    val statCols = Snapshots.fileStats(spark, root, v).map(_._2).distinct
-    // keep the table's bloom coverage: rewritten partitions' fresh files
-    // re-index the same columns (unindexed fresh files would stay exact
-    // but decay every future probe to conservative planning)
-    val bloomColsOf = Snapshots.fileBlooms(spark, root, v)
+    // probe keys cast to the STORED key types (see scaladoc: typed hashes)
+    val tgtSchema = target.schema
+    val srcKeys = source.select(keyCols.map(k =>
+      col(k).cast(tgtSchema(k).dataType).as(k)): _*).distinct()
+    val allFiles = Snapshots.manifestFiles(spark, root, v)
+
+    // candidate FILES that might hold a matching key
+    val bloomSpecs: Seq[String] = Snapshots.fileBlooms(spark, root, v)
       .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
       .getOrElse(Nil)
-    Snapshots.publishPartitions(spark, root,
+    val spec: Option[String] =
+      if (keyCols.size == 1 && bloomSpecs.contains(keyCols.head)) Some(keyCols.head)
+      else bloomSpecs.find(sp =>
+        sp.contains(',') && sp.split(',').toSeq.sorted == keyCols.sorted)
+    val candFromBloom: Option[Seq[String]] = spec.flatMap { sp =>
+      // composite probe = the same canonical xxhash64-of-columns the
+      // publish-side builder indexed (Snapshots.bloomValueCol), over the
+      // typed keys
+      val probe =
+        if (!sp.contains(',')) srcKeys.select(col(sp))
+        else srcKeys.select(xxhash64(sp.split(',').map(col).toSeq: _*).as("__h"))
+      Snapshots.bloomCandidateFiles(spark, root, v, sp, probe)
+    }
+    val candidateFiles: Seq[String] = candFromBloom.getOrElse {
+      // exact fallback: one column-pruned pass over the key columns with
+      // file identity, semi-joined against the batch keys; scanned
+      // suffixes key back to manifest LINES through the quoting-proof
+      // lookup (input_file_name URI-quotes hive-escaped dirs)
+      val byRel = allFiles.map(f => Snapshots.relSuffix(f) -> f).toMap
+      val lut = Snapshots.suffixLookup(byRel.keys.toSeq)
+      target
+        .withColumn("__suffix",
+          regexp_extract(input_file_name(), "([^/]+=[^/]+/[^/]+)$", 1))
+        .select((keyCols.map(col) :+ col("__suffix")): _*)
+        .join(broadcast(srcKeys), keyCols, "left_semi")
+        .select("__suffix").distinct().collect().map(_.getString(0)).toSeq
+        .map(sfx => byRel.getOrElse(lut.getOrElse(sfx, sfx),
+          throw new IllegalStateException(
+            s"merge: scanned file '$sfx' maps to no manifest line under $root")))
+    }
+    val survivors = source.filter(not(col(opCol) === "delete")).drop(opCol)
+    if (candidateFiles.isEmpty && survivors.isEmpty) {
+      if (allowNoop) return v
+      require(requirement = false, "merge: source matches nothing and inserts nothing")
+    }
+    // the replaced files' new content: their rows not superseded by a
+    // source key, plus ALL surviving (insert/update) source rows —
+    // staged additively into their partitions. Materialized once: the
+    // `still` probe below and the staged write both consume it.
+    val rewritten =
+      if (candidateFiles.isEmpty) survivors
+      else Snapshots.readMapped(spark, root, v, candidateFiles)
+        .join(broadcast(srcKeys), keyCols, "left_anti")
+        .unionByName(survivors)
+    val merged = rewritten.localCheckpoint(true)
+    // partitions whose every file is replaced and which no merged row
+    // re-populates drop from the manifest (dir names are hive-escaped;
+    // `still` lives in raw-value space via partKey)
+    val still = merged.select(partKey(col(partitionCol)).as("__pk"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val candSet = candidateFiles.toSet
+    val emptied = allFiles
+      .groupBy(f => Snapshots.relSuffix(f).takeWhile(_ != '/'))
+      .collect { case (dir, fls) if fls.forall(candSet.contains) &&
+          !still.contains(Snapshots.unescapePartValue(
+            dir.dropWhile(_ != '=').drop(1))) => dir }
+      .toSeq.sorted
+    // keep the table's stat/bloom coverage: fresh files re-index the
+    // same columns (unindexed fresh files would stay exact but decay
+    // every future probe to conservative planning)
+    val (statCols, bloomColsOf) = inheritedCols(spark, root, v, Nil, Nil)
+    Snapshots.publishFileReplacement(spark, root,
+      replaceFiles = candidateFiles,
       meta = Map("merge_into" -> v.toString),
       statsCols = statCols, bloomCols = bloomColsOf,
       dropPartitions = emptied, expectedPrev = Some(v)) { stage =>
@@ -407,5 +444,18 @@ object SnapshotOps {
       root: String,
       version: Long): Option[DataFrame] =
     Snapshots.manifestMeta(spark, root, version).get("quarantine_dir")
+      .map(q => spark.read.parquet(s"$root/${Snapshots.QuarantineDir}/$q"))
+
+  /** The dead-letter rows a version's PERSISTED table constraints
+    * ([[Snapshots.setConstraints]]) quarantined at its publish (empty
+    * when the batch was clean) — resolved through the manifest's
+    * `constraint_quarantine_dir` metadata, with the failed constraint
+    * names in the `violated` column.
+    */
+  def readConstraintQuarantine(
+      spark: SparkSession,
+      root: String,
+      version: Long): Option[DataFrame] =
+    Snapshots.manifestMeta(spark, root, version).get("constraint_quarantine_dir")
       .map(q => spark.read.parquet(s"$root/${Snapshots.QuarantineDir}/$q"))
 }

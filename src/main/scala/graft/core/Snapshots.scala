@@ -100,9 +100,26 @@ object Snapshots {
     * them in caller meta (a silent drop on read-back, or worse a
     * pipe-shaped value misparsed as a file statistic, is the
     * alternative): `stat` is the per-file statistics block,
-    * `committed_at` the commit instant [[claimAndCommit]] stamps.
+    * `committed_at` the commit instant [[claimAndCommit]] stamps, and
+    * `prev` the predecessor version the commit carried over from (the
+    * ancestry chain the post-commit shadow check walks).
     */
-  private val ReservedMetaKeys = Set("stat", "committed_at")
+  private val ReservedMetaKeys = Set("stat", "committed_at", "prev")
+
+  /** TABLE-LEVEL meta keys that persist across publishes: once set, every
+    * subsequent publish carries them into its manifest unless the caller
+    * explicitly overrides the key. `constraint.<name>` rows are enforced
+    * on every write verb ([[setConstraints]]); `colmap`/`coldrop` are the
+    * column-mapping layer ([[renameColumn]]/[[dropColumn]]).
+    */
+  private def isPersistentMetaKey(k: String): Boolean =
+    k.startsWith("constraint.") || k == "colmap" || k == "coldrop"
+
+  /** The persistent table-level meta of a version (empty when none). */
+  private def persistentMeta(
+      spark: SparkSession, root: String, prevV: Option[Long]): Map[String, String] =
+    prevV.map(pv => manifestMeta(spark, root, pv).filter(kv => isPersistentMetaKey(kv._1)))
+      .getOrElse(Map.empty)
 
   /** The ONE parser of `vNNN.manifest` names (also used by [[vacuum]]
     * and [[history]] — the format lives in exactly one filter), sorted
@@ -192,6 +209,77 @@ object Snapshots {
         .parquet(fs.map(_._2): _*)
     }
     dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+  }
+
+  /** Parsed column-mapping state of a version's meta: the ordered rename
+    * chain (`colmap` = `old>new;old2>new2`) and the logically-dropped
+    * names (`coldrop` = comma list). Renames and drops are METADATA
+    * commits ([[renameColumn]]/[[dropColumn]]) — no data file rewrites;
+    * old generations' files keep their physical names and re-map at read.
+    */
+  private[core] def columnMapping(
+      meta: Map[String, String]): (Seq[(String, String)], Seq[String]) = {
+    val renames = meta.get("colmap").toSeq
+      .flatMap(_.split(';').toSeq.filter(_.nonEmpty))
+      .map { kv =>
+        val i = kv.indexOf('>')
+        require(i > 0, s"malformed colmap entry: $kv")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    val drops = meta.get("coldrop").toSeq
+      .flatMap(_.split(',').toSeq.filter(_.nonEmpty))
+    (renames, drops)
+  }
+
+  /** Re-map a physically-read DataFrame to the version's LOGICAL schema:
+    * each rename coalesces the new-name column (fresh generations) with
+    * the old-name column (pre-rename files, null there after a
+    * merged-schema read), then logically-dropped columns go. Old files'
+    * rows surface under the current names with no rewrite — rename is a
+    * metadata operation, the read pays one coalesce per renamed column.
+    */
+  private[core] def applyColumnMapping(
+      df: DataFrame, meta: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val (renames, drops) = columnMapping(meta)
+    var out = df
+    for ((o, n) <- renames) {
+      val has = out.columns.toSet
+      if (has(o) && has(n)) out = out.withColumn(n, coalesce(col(n), col(o))).drop(o)
+      else if (has(o)) out = out.withColumnRenamed(o, n)
+    }
+    drops.foldLeft(out)((d, c) => if (d.columns.contains(c)) d.drop(c) else d)
+  }
+
+  /** Every physical name that resolves to `logical` through the rename
+    * chain (itself included) — how stat-based skipping keeps working on
+    * pre-rename files, whose `#stat=` lines are keyed by the name the
+    * footer was read under.
+    */
+  private[core] def physicalAliases(
+      meta: Map[String, String], logical: String): Set[String] = {
+    val (renames, _) = columnMapping(meta)
+    var all = Set(logical)
+    for ((o, n) <- renames.reverse) if (all.contains(n)) all += o
+    all
+  }
+
+  /** Read a set of a version's manifest lines at the version's LOGICAL
+    * schema: merged-schema planning when a column mapping exists (the
+    * file set spans physical generations by construction), then the
+    * mapping applied. The one read path every mapping-aware verb shares
+    * (snapshot reads, merge's candidate-file read, optimize's rewrite).
+    */
+  private[core] def readMapped(
+      spark: SparkSession,
+      root: String,
+      version: Long,
+      lines: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    val meta = manifestMeta(spark, root, version)
+    val (renames, drops) = columnMapping(meta)
+    val ms = mergeSchema || renames.nonEmpty || drops.nonEmpty
+    applyColumnMapping(readFileGroups(spark, root, lines, ms), meta)
   }
 
   /** A version's metadata header (`#key=value` lines) — the hook that
@@ -312,6 +400,38 @@ object Snapshots {
       pmod(xxhash64(value, lit(seed)), lit(BloomBits.toLong))): _*)
   }
 
+  /** A bloom column SPEC is either one column name or a comma-joined
+    * COMPOSITE (`"id,part"`): the indexed value of a composite is the
+    * xxhash64 of its columns in spec order — the one canonical hashing
+    * both the publish-side builder and a multi-column merge probe
+    * evaluate, in the STORED column types (xxhash64 is type-sensitive;
+    * probe sides must cast, see SnapshotOps.merge).
+    */
+  private[core] def bloomValueCol(spec: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val parts = spec.split(',')
+    if (parts.length == 1) col(spec) else xxhash64(parts.map(col): _*)
+  }
+
+  /** The URI-quoted form of a manifest-relative file path — what
+    * `input_file_name()` reports for it. Hive-escaped partition values
+    * re-encode ('%3A' → '%253A'), so raw suffix compares against
+    * manifest lines silently miss; every scan-to-manifest file keying
+    * goes through this (builder AND merge's fallback probe).
+    */
+  private[core] def uriQuoted(relPath: String): String =
+    new java.net.URI(null, null, s"/$relPath", null).getRawPath.stripPrefix("/")
+
+  /** Map a scanned suffix (last `<part>=<v>/<file>` segments of
+    * input_file_name, possibly URI-quoted) back to its manifest rel
+    * suffix, given the candidate suffixes — both the raw and the quoted
+    * variant match, so the keying survives any encoding the runtime
+    * applies. Unmatched suffixes return themselves (conservative: at
+    * worst the row keys as before the fix).
+    */
+  private[core] def suffixLookup(candidates: Seq[String]): Map[String, String] =
+    candidates.flatMap(f => Set(f, uriQuoted(f)).map(_ -> f)).toMap
+
   /** Build sparse bloom word rows for freshly published files, merge with
     * the carried rows of the previous version's sidecar (kept files
     * only), and write `_bloom/vNNN`. Sidecar schema: (file, col,
@@ -348,13 +468,27 @@ object Snapshots {
     val freshRows =
       if (freshFiles.isEmpty || bloomCols.isEmpty) None
       else {
+        // key scanned rows by MANIFEST suffix, not the raw (possibly
+        // URI-re-quoted) input_file_name suffix: a hive-escaped partition
+        // dir ('a%3A1') reports as 'a%253A1' and would never match the
+        // manifest line — silently losing bloom coverage AND dropping the
+        // file's carried sidecar rows at the next publish's kept-semijoin
+        import spark.implicits._
+        val lutDf = suffixLookup(freshFiles).toSeq.toDF("__variant", "__mfile")
         val df = spark.read.option("basePath", root)
           .parquet(freshFiles.map(f => s"$root/$f"): _*)
-          .withColumn("file",
+          .withColumn("__suffix",
             regexp_extract(input_file_name(), "([^/]+=[^/]+/[^/]+)$", 1))
+          .join(broadcast(lutDf), col("__suffix") === col("__variant"), "left")
+          .withColumn("file", coalesce(col("__mfile"), col("__suffix")))
+          .drop("__suffix", "__variant", "__mfile")
         val perCol = bloomCols.map { c =>
-          val words = df.where(col(c).isNotNull)
-            .select(col("file"), explode(bloomPositions(col(c))).as("pos"))
+          val vc = bloomValueCol(c)
+          // composite values are xxhash64 outputs — never null; single
+          // columns skip their null rows (a null never probes)
+          val nonNull = if (c.contains(',')) lit(true) else col(c).isNotNull
+          val words = df.where(nonNull)
+            .select(col("file"), explode(bloomPositions(vc)).as("pos"))
             .groupBy(col("file"), shiftright(col("pos"), 6).as("word_idx"))
             .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
               .as("word"))
@@ -407,13 +541,19 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(
         s"readSnapshotEquals: no published version under $root"))
-    val values = spark.range(1).select(value.as("__v"))
+    // hash the probe in the STORED column type: xxhash64 is type-typed
+    // (an Int literal against a Long column would silently drop every
+    // matching file — a bloom false negative, the one direction the
+    // contract forbids), so the cast is load-bearing, not cosmetic
+    val storedType = readSnapshot(spark, root, Some(v)).schema(column).dataType
+    val typed = value.cast(storedType)
+    val values = spark.range(1).select(typed.as("__v"))
     val keep = bloomCandidateFiles(spark, root, v, column, values)
       .getOrElse(manifestFiles(spark, root, v))
     val base =
       if (keep.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
-      else readFileGroups(spark, root, keep)
-    base.filter(col(column) === value)
+      else readMapped(spark, root, v, keep)
+    base.filter(col(column) === typed)
   }
 
   /** The manifest files of `version` that MIGHT contain any of `values`
@@ -488,13 +628,107 @@ object Snapshots {
     }
   }
 
+  /** How old an UNCOMMITTED claim must be before other writers treat its
+    * owner as crashed and carry over past it. Tunable per session
+    * (`graft.snapshots.staleClaimMs`): the default matches vacuum's grace
+    * window; single-writer deployments and tests set it to 0.
+    */
+  private def staleClaimMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.snapshots.staleClaimMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+
+  /** How long a writer polls for an in-flight predecessor claim to
+    * commit before failing loudly (`graft.snapshots.claimWaitMs`).
+    */
+  private def claimWaitMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.snapshots.claimWaitMs")
+      .map(_.toLong).getOrElse(120L * 1000)
+
+  /** Uncommitted claim versions strictly inside (lo, hi) that are still
+    * considered IN-FLIGHT (younger than the stale threshold).
+    */
+  private def pendingClaims(
+      fs: FileSystem, root: String, lo: Long, hi: Long, staleMs: Long): Seq[Long] = {
+    val dir = new Path(s"$root/$ManifestDir")
+    if (!fs.exists(dir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - staleMs
+    fs.listStatus(dir).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("v") && n.endsWith(".claim")
+      }
+      .flatMap { s =>
+        val w = s.getPath.getName.stripPrefix("v").stripSuffix(".claim").toLong
+        if (w > lo && w < hi && s.getModificationTime > cutoff &&
+          !fs.exists(manifestPath(root, w))) Some(w)
+        else None
+      }
+  }
+
+  /** Resolve the version this writer's commit carries over from, keeping
+    * the version chain CONTIGUOUS: the newest committed version below the
+    * claimed number, after every in-flight claim between the two has
+    * either committed or gone stale. Without the wait, a blind publish
+    * that claimed past an in-flight lower writer would resolve its
+    * carry-over too early and the lower commit — though successful —
+    * would be invisible at head (the silent-shadow anomaly). A
+    * predecessor that neither commits nor goes stale within the wait
+    * budget fails THIS writer loudly (retryable; the claim is released
+    * by the caller's cleanup).
+    */
+  private def awaitPredecessor(
+      spark: SparkSession, fs: FileSystem, root: String, v: Long): Option[Long] = {
+    val staleMs = staleClaimMs(spark)
+    val deadline = System.currentTimeMillis() + claimWaitMs(spark)
+    while (true) {
+      val committedBelow = listVersions(fs, root).map(_._1).filter(_ < v)
+      val top = committedBelow.lastOption
+      val pending = pendingClaims(fs, root, top.getOrElse(0L), v, staleMs)
+      if (pending.isEmpty) return top
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"publish claimed version $v under $root but version" +
+            s" ${pending.min} is claimed by an in-flight writer that has neither " +
+            "committed nor gone stale within graft.snapshots.claimWaitMs — " +
+            "committing now could make that writer's commit invisible at head; " +
+            "retry, or lower graft.snapshots.staleClaimMs if no concurrent " +
+            "writer can exist")
+      Thread.sleep(50)
+    }
+    None // unreachable
+  }
+
+  /** The `#prev=` predecessor header of a committed version: Some(-1) for
+    * a chain-starting commit, None when the manifest predates the header
+    * (ancestry unknowable) or was vacuumed mid-walk.
+    */
+  private def prevOf(spark: SparkSession, root: String, v: Long): Option[Long] =
+    scala.util.Try {
+      manifestLines(spark, root, v).find(_.startsWith("#prev="))
+        .map(_.stripPrefix("#prev=").toLong)
+    }.toOption.flatten
+
   /** Claim the next free version number atomically, then commit the
     * manifest whose lines `bodyFor` builds from the claimed version and
-    * the previous COMMITTED version (resolved after the claim) through
-    * one rename. `bodyFor` may write version-named SIDECARS (the bloom
-    * index) before returning: they become visible only once the manifest
-    * rename lands, and a crash before it leaves residue [[vacuum]]
-    * reaps.
+    * the previous COMMITTED version through one rename. The predecessor
+    * is resolved by [[awaitPredecessor]] — contiguous chain, so no commit
+    * can skip over an in-flight lower version. `bodyFor` may write
+    * version-named SIDECARS (the bloom index) before returning: they
+    * become visible only once the manifest rename lands, and a crash
+    * before it leaves residue [[vacuum]] reaps.
+    *
+    * A body or rename failure RELEASES the claim this writer created
+    * (safe: the claim is owned by this writer and no manifest committed
+    * under it), so a refused read-modify-write verb — merge's
+    * delete-everything refusal, the OCC defense check — never wedges
+    * every later fixed-version claim until vacuum's grace expires.
+    *
+    * After the rename, the head's `#prev` chain is walked: if a newer
+    * head does NOT descend from this commit (a successor treated this
+    * writer's claim as stale — a stall past staleClaimMs — and carried
+    * over past it), the anomaly surfaces as a loud
+    * ConcurrentModificationException instead of a silently shadowed
+    * write. The committed data stays readable pinned at its version.
     */
   private def claimAndCommit(
       spark: SparkSession,
@@ -508,9 +742,7 @@ object Snapshots {
     // atomic create-if-absent of that one claim file is the whole race —
     // the loser of two concurrent merges fails HERE, before any body
     // work, instead of both committing and one update silently vanishing
-    // (a claim-then-check at body time would be check-then-act). A claim
-    // held by a CRASHED writer blocks the number until vacuum reclaims
-    // it — the error says so.
+    // (a claim-then-check at body time would be check-then-act).
     var v = fixedVersion.getOrElse(latestVersion(spark, root).getOrElse(0L) + 1)
     if (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim"))) {
       fixedVersion.foreach(fv =>
@@ -522,19 +754,56 @@ object Snapshots {
       while (!fs.createNewFile(new Path(f"$root/$ManifestDir/v$v%012d.claim")))
         v += 1
     }
-    // resolve carry-over AFTER the claim: any manifest committed before
-    // this writer claimed is now visible and carries over correctly
-    val body = bodyFor(v, latestVersion(spark, root))
-    val tmp = new Path(
-      s"$root/$ManifestDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-    val out = fs.create(tmp, true)
-    // the commit instant as an infrastructure header: exact time travel
-    // ([[versionAsOf]]) regardless of filesystem mtime granularity
-    val stamped = s"#committed_at=${System.currentTimeMillis()}" +: body
-    try out.write((stamped.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(tmp, manifestPath(root, v)),
-      s"snapshot publish: manifest commit rename failed for version $v")
+    val claim = new Path(f"$root/$ManifestDir/v$v%012d.claim")
+    var committed = false
+    try {
+      // resolve carry-over AFTER the claim and only once the chain below
+      // is contiguous: any manifest committed before this writer claimed
+      // is visible, and no in-flight lower claim can be skipped over
+      val prevV = awaitPredecessor(spark, fs, root, v)
+      val body = bodyFor(v, prevV)
+      val tmp = new Path(
+        s"$root/$ManifestDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      val out = fs.create(tmp, true)
+      // the commit instant as an infrastructure header: exact time travel
+      // ([[versionAsOf]]) regardless of filesystem mtime granularity
+      val stamped = Seq(
+        s"#committed_at=${System.currentTimeMillis()}",
+        s"#prev=${prevV.getOrElse(-1L)}") ++ body
+      try out.write((stamped.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, manifestPath(root, v)),
+        s"snapshot publish: manifest commit rename failed for version $v")
+      committed = true
+    } finally {
+      // a failed body/rename must not leave a claim that wedges every
+      // later fixed-version writer until vacuum — release it (ours, and
+      // no manifest landed under it)
+      if (!committed) fs.delete(claim, false)
+    }
+    // loud-shadow check: a head committed above us while we held the
+    // claim must descend from us (it waited for our manifest) — if its
+    // prev-chain skips v, our stall outlived staleClaimMs and a successor
+    // carried over past us; losing a write without an error is worse
+    // than this exception
+    val head = latestVersion(spark, root).getOrElse(v)
+    if (head > v) {
+      var cur = head
+      var known = true
+      while (known && cur > v) {
+        prevOf(spark, root, cur) match {
+          case Some(p) => cur = p
+          case None => known = false // legacy/vacuumed manifest: unknowable
+        }
+      }
+      if (known && cur != v)
+        throw new java.util.ConcurrentModificationException(
+          s"publish committed as version $v under $root but the current head " +
+            s"($head) does not descend from it — this writer stalled past " +
+            "graft.snapshots.staleClaimMs between claim and commit and a " +
+            "successor carried over without it; the data is readable pinned " +
+            s"at version $v but is NOT part of the head — re-apply it on top")
+    }
     v
   }
 
@@ -592,6 +861,31 @@ object Snapshots {
       bloomCols: Seq[String] = Nil)(write: String => Unit): Long =
     publishImpl(spark, root, full = true, meta, statsCols, bloomCols, Nil)(write)
 
+  /** Publish a FILE-GRAIN replacement: exactly `replaceFiles` (manifest
+    * rel suffixes) leave the manifest, every staged file is ADDITIVE
+    * into its partition, and every sibling file — including siblings
+    * INSIDE the partitions being touched — carries over verbatim. The
+    * commit shape of a row-level rewrite at 100 TB: a CDC batch that
+    * matches 100 keys across 100 large date partitions rewrites only the
+    * ~100 files that hold those keys, not the partitions — IO
+    * proportional to matched FILES (SnapshotOps.merge rides this).
+    * `dropPartitions` still expresses "this partition is now empty"
+    * (every file replaced, no surviving rows). Fails loudly when a
+    * replaceFiles entry is not in the previous manifest (a stale file
+    * list would silently resurrect rows).
+    */
+  def publishFileReplacement(
+      spark: SparkSession,
+      root: String,
+      replaceFiles: Seq[String],
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      dropPartitions: Seq[String] = Nil,
+      expectedPrev: Option[Long] = None)(write: String => Unit): Long =
+    publishImpl(spark, root, full = false, meta, statsCols, bloomCols,
+      dropPartitions, expectedPrev, replaceFiles, fileGrain = true)(write)
+
   /** `dropPartitions`: partition dir names (e.g. `"cell=7"`) to replace
     * with NOTHING — they leave the manifest even though the staged tree
     * has no dir for them (a partitioned parquet write drops empty
@@ -615,7 +909,9 @@ object Snapshots {
       statsCols: Seq[String],
       bloomCols: Seq[String],
       dropPartitions: Seq[String],
-      expectedPrev: Option[Long] = None)(write: String => Unit): Long = {
+      expectedPrev: Option[Long] = None,
+      replaceFiles: Seq[String] = Nil,
+      fileGrain: Boolean = false)(write: String => Unit): Long = {
     validateMeta(meta) // refuse BEFORE staging — no residue on bad meta
     require(dropPartitions.forall(_.contains("=")),
       s"dropPartitions must be <col>=<value> dir names, got: $dropPartitions")
@@ -626,15 +922,30 @@ object Snapshots {
     val stage = new Path(s"$root/$StageDir/$uuid")
     write(stage.toString)
 
+    // persisted CHECK constraints gate EVERY publish verb: violating
+    // staged rows quarantine (never poison, never vanish) and the staged
+    // tree rewrites to its survivors — one aggregate scan of the BATCH
+    // when clean, never the table; carried-over files were gated when
+    // their rows entered. Resolved from the latest committed version
+    // (pre-claim; constraint changes serialize with writers like any
+    // read-modify-write).
+    val consMeta = enforceConstraints(spark, root, fs, stage)
+
     // staged partitions and their files (a pure-drop publish may stage
     // nothing at all — its write callback is free to be a no-op)
     val stagedParts = (if (fs.exists(stage)) fs.listStatus(stage)
                        else Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath).sortBy(_.getName)
-    require(stagedParts.nonEmpty || dropPartitions.nonEmpty,
+    require(stagedParts.nonEmpty || dropPartitions.nonEmpty || replaceFiles.nonEmpty,
       s"publishPartitions: the staged tree under $stage has no <col>=<value> partition dirs")
-    val replaced = stagedParts.map(_.getName).toSet ++ dropPartitions
+    // file-grain mode: staged files are ADDITIVE into their partitions —
+    // only the named files (and dropped partitions) leave the manifest.
+    // The FLAG decides, never replaceFiles.isEmpty: an insert-only
+    // file-grain commit (nothing to replace, fresh rows staged) must not
+    // silently degrade to whole-partition replacement
+    val replaced = dropPartitions.toSet ++
+      (if (fileGrain) Set.empty else stagedParts.map(_.getName).toSet)
 
     // step 2: move staged files into the live partition dirs under fresh
     // names — additive only, so every earlier manifest stays readable
@@ -667,11 +978,24 @@ object Snapshots {
               "another writer committed in between; re-read and retry"))
       val prev = prevV.map(pv => manifestFiles(spark, root, pv))
         .getOrElse(listDataFiles(fs, rootP).filterNot(fresh.contains))
+      // a replace-file entry absent from the previous manifest means the
+      // caller's file list is stale (another writer already swapped the
+      // file) — committing would silently resurrect superseded rows
+      val replaceSet = replaceFiles.map(relSuffix).toSet
+      if (replaceSet.nonEmpty) {
+        val prevSuffixes = prev.map(relSuffix).toSet
+        val missing = replaceSet -- prevSuffixes
+        require(missing.isEmpty,
+          s"publishFileReplacement under $root names ${missing.size} file(s) not in " +
+            s"the previous manifest (first: ${missing.headOption.getOrElse("")}) — " +
+            "stale file list; re-read and retry")
+      }
       val kept =
         if (full) Seq.empty
         // partition identity via relSuffix: replacing a partition also
         // drops a clone's absolute entries for it (copy-on-write)
-        else prev.filterNot(f => replaced.contains(relSuffix(f).takeWhile(_ != '/')))
+        else prev.filterNot(f => replaced.contains(relSuffix(f).takeWhile(_ != '/')) ||
+          replaceSet.contains(relSuffix(f)))
       // a zero-file manifest would brick every reader (readSnapshot has
       // no schema source without files) — refuse loudly instead of
       // committing an unreadable version (a delete-EVERYTHING merge is
@@ -689,9 +1013,162 @@ object Snapshots {
         .filter(s => keptRel.contains(s._1))
         .map(statLine)
       writeBloomSidecar(spark, root, v, prevV, fresh, keptRel, bloomCols)
-      metaHeader(meta) ++ keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
+      // table-level persistent keys (constraints, column mapping) carry
+      // from the previous version; an explicit caller key overrides
+      metaHeader(persistentMeta(spark, root, prevV) ++ meta ++ consMeta) ++
+        keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
         (kept ++ fresh).sorted
     }
+  }
+
+  /** The table's persisted CHECK constraints, newest version's meta:
+    * (name, SQL predicate) pairs, sorted by name. Empty before
+    * [[setConstraints]] ever ran.
+    */
+  def tableConstraints(spark: SparkSession, root: String): Seq[(String, String)] =
+    latestVersion(spark, root).toSeq.flatMap { v =>
+      manifestMeta(spark, root, v).toSeq.collect {
+        case (k, e) if k.startsWith("constraint.") => (k.stripPrefix("constraint."), e)
+      }.sortBy(_._1)
+    }
+
+  /** Persist the table's CHECK constraints (replacing any previous set;
+    * empty clears). A metadata-only commit — no data moves — and from
+    * this version on EVERY publish verb (plain publish, merge, optimize,
+    * the streaming sinks) enforces the set: violating rows quarantine
+    * with the failed constraint named, audit counts land in the manifest
+    * (`constraint_quarantined`), and additive file commits refuse
+    * loudly. The existing table content is NOT retro-scanned (IO
+    * proportionality; run a one-off readSnapshot filter to audit
+    * history). Names must be line-safe and `=`-free; predicates are SQL
+    * expressions over the table's logical columns.
+    */
+  def setConstraints(
+      spark: SparkSession, root: String, constraints: Seq[(String, String)]): Long = {
+    constraints.foreach { case (n, e) =>
+      require(n.nonEmpty && !n.contains('=') && !n.contains('\n') && !e.contains('\n'),
+        s"constraint name/predicate must be line-safe and '='-free: $n")
+    }
+    commitMetaOnly(spark, root) { meta =>
+      meta.filterNot(_._1.startsWith("constraint.")) ++
+        constraints.map { case (n, e) => s"constraint.$n" -> e }
+    }
+  }
+
+  /** RENAME a column as a metadata-only commit: old generations' files
+    * keep their physical column and re-map at read ([[applyColumnMapping]]
+    * through the `colmap` chain); publishes after the rename write the
+    * new name. Pinned reads of pre-rename versions are untouched (their
+    * manifests carry no mapping entry). Partition columns refuse (their
+    * name is baked into every dir — renaming one is a layout rewrite,
+    * not metadata); so does a target name shadowing a live or dropped
+    * column.
+    */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"renameColumn: no published version under $root"))
+    val logical = readSnapshot(spark, root, Some(v), mergeSchema = true).columns.toSet
+    require(logical.contains(from), s"renameColumn: no column '$from' (have: $logical)")
+    require(!logical.contains(to), s"renameColumn: column '$to' already exists")
+    val partCol = manifestFiles(spark, root, v).headOption
+      .map(f => relSuffix(f).takeWhile(_ != '=')).getOrElse("")
+    require(from != partCol && to != partCol,
+      s"renameColumn: '$partCol' is the partition column — its name is baked into " +
+        "every data dir; renaming it is a layout rewrite, not a metadata commit")
+    commitMetaOnly(spark, root) { meta =>
+      val (_, drops) = columnMapping(meta)
+      require(!drops.contains(to),
+        s"renameColumn: '$to' was previously dropped — a dropped physical name is retired")
+      meta + ("colmap" -> (meta.get("colmap").map(_ + ";").getOrElse("") + s"$from>$to"))
+    }
+  }
+
+  /** DROP a column logically, as a metadata-only commit: data files keep
+    * the bytes (older pinned versions still read them); the version's
+    * logical schema excludes the name from here on. The name is retired —
+    * later generations must not re-add it (the mapping layer has no
+    * column ids to disambiguate generations with).
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"dropColumn: no published version under $root"))
+    val logical = readSnapshot(spark, root, Some(v), mergeSchema = true).columns.toSet
+    require(logical.contains(name), s"dropColumn: no column '$name' (have: $logical)")
+    val partCol = manifestFiles(spark, root, v).headOption
+      .map(f => relSuffix(f).takeWhile(_ != '=')).getOrElse("")
+    require(name != partCol, s"dropColumn: '$partCol' is the partition column")
+    commitMetaOnly(spark, root)(meta =>
+      meta + ("coldrop" -> (meta.get("coldrop").map(_ + ",").getOrElse("") + name)))
+  }
+
+  /** Commit a new version whose file list, stats and sidecar are the
+    * previous version's verbatim, with only the metadata transformed —
+    * the commit shape of [[setConstraints]]/[[renameColumn]]/
+    * [[dropColumn]]: listing cost, no data IO, full OCC/chain semantics.
+    */
+  private def commitMetaOnly(
+      spark: SparkSession, root: String)(
+      transform: Map[String, String] => Map[String, String]): Long = {
+    require(latestVersion(spark, root).nonEmpty,
+      s"metadata commit: no published version under $root")
+    claimAndCommit(spark, root) { (v, prevV) =>
+      val base = prevV.getOrElse(throw new IllegalStateException(
+        s"metadata commit under $root lost its base version"))
+      val files = manifestFiles(spark, root, base)
+      val stats = fileStats(spark, root, base).map(statLine)
+      writeBloomSidecar(spark, root, v, Some(base), Nil, files.map(relSuffix).toSet, Nil)
+      metaHeader(transform(manifestMeta(spark, root, base))) ++ stats ++ files.sorted
+    }
+  }
+
+  /** Enforce [[tableConstraints]] on a freshly staged tree (see
+    * [[publishImpl]]): no-op without constraints; otherwise one scan
+    * flags rows, violators land in `_quarantine/qc-*` with a `violated`
+    * column naming the failed constraints, and the stage rewrites to the
+    * clean rows. Returns the audit meta for the manifest. A batch whose
+    * EVERY row violates refuses the publish (an empty rewrite would be
+    * indistinguishable from a no-op batch).
+    */
+  private def enforceConstraints(
+      spark: SparkSession,
+      root: String,
+      fs: FileSystem,
+      stage: Path): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val cons = tableConstraints(spark, root)
+    if (cons.isEmpty || !fs.exists(stage)) return Map.empty
+    val staged = spark.read.parquet(stage.toString)
+    val named = cons.map { case (n, e) =>
+      when(not(coalesce(expr(e), lit(false))), lit(n))
+    }
+    val flagged = staged.withColumn("violated",
+      concat_ws(",", array_compact(array(named: _*))))
+    val nQuar = flagged.filter(col("violated") =!= "").count()
+    if (nQuar == 0) return Map.empty
+    val clean = flagged.filter(col("violated") === "").drop("violated")
+    val nClean = clean.count()
+    require(nClean > 0,
+      s"publish under $root: every staged row violates the table constraints " +
+        s"(${cons.map(_._1).mkString(", ")}) — refusing; fix the batch or the constraints")
+    val partCol = fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName.takeWhile(_ != '=')).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"constraint enforcement: staged tree under $stage has no partition dirs"))
+    val quarName = s"qc-${java.util.UUID.randomUUID().toString.take(12)}"
+    flagged.filter(col("violated") =!= "").write.mode("errorifexists")
+      .parquet(s"$root/$QuarantineDir/$quarName")
+    // rewrite the stage to its survivors through a sibling tree + rename
+    // (the stage path itself must stay stable for the caller's renames)
+    val cleanStage = new Path(stage.getParent, s"${stage.getName}-clean")
+    clean.write.partitionBy(partCol).parquet(cleanStage.toString)
+    fs.delete(stage, true)
+    require(fs.rename(cleanStage, stage),
+      s"constraint enforcement: clean-stage rename failed under $stage")
+    Map(
+      "constraint_quarantine_dir" -> quarName,
+      "constraint_quarantined" -> nQuar.toString,
+      "constraint_clean" -> nClean.toString)
   }
 
   /** Publish PURELY ADDITIVE files (already renamed into the live
@@ -722,6 +1199,22 @@ object Snapshots {
         "only apply to snapshot-managed tables")
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
+    // constraints gate additive commits too — but the files are already
+    // renamed into the live layout, so a violating batch REFUSES (rows
+    // cannot quarantine without rewriting the caller's files); the
+    // common unconstrained table pays nothing
+    val consAdd = tableConstraints(spark, root)
+    if (consAdd.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val bad = spark.read.option("basePath", root)
+        .parquet(files.map(f => s"$root/$f"): _*)
+        .filter(consAdd.map(c => not(coalesce(expr(c._2), lit(false)))).reduce(_ || _))
+        .count()
+      require(bad == 0,
+        s"publishAddedFiles under $root: $bad row(s) violate the table constraints " +
+          s"(${consAdd.map(_._1).mkString(", ")}) — additive commits cannot " +
+          "quarantine; route the batch through publishPartitions/publishExpect")
+    }
     claimAndCommit(spark, root) { (v, prevV) =>
       val prev = prevV.map(pv => manifestFiles(spark, root, pv)).getOrElse(Seq.empty)
       def dropped(f: String): Boolean =
@@ -736,7 +1229,8 @@ object Snapshots {
         .map(statLine)
       writeBloomSidecar(spark, root, v, prevV,
         files.filterNot(baseSet.contains), baseRel, Nil)
-      keptStats ++ statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++ body
+      metaHeader(persistentMeta(spark, root, prevV)) ++ keptStats ++
+        statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++ body
     }
   }
 
@@ -885,8 +1379,10 @@ object Snapshots {
     require(files.nonEmpty, s"readSnapshot: version $v pins an empty file set")
     // mergeSchema is only SET when asked: an unconditional "false" would
     // override a session-level spark.sql.parquet.mergeSchema=true that
-    // plain readers were relying on
-    readFileGroups(spark, root, files, mergeSchema)
+    // plain readers were relying on. A version with a column mapping
+    // forces it (its file set spans physical generations by definition)
+    // and re-maps to the logical schema.
+    readMapped(spark, root, v, files, mergeSchema)
   }
 
   /** Range read with FILE SKIPPING from manifest stats: rows of the
@@ -915,14 +1411,17 @@ object Snapshots {
         s"readSnapshotRange: no published version under $root"))
     val files = manifestFiles(spark, root, v)
     // stat lines key on the rel suffix (clones carry their source's
-    // stats verbatim; relSuffix(f) == f for plain tables)
+    // stats verbatim; relSuffix(f) == f for plain tables); pre-rename
+    // files recorded their stats under the OLD physical name — the
+    // alias set keeps them skipping after a renameColumn
+    val aliases = physicalAliases(manifestMeta(spark, root, v), column)
     val ranges = fileStats(spark, root, v)
-      .filter(_._2 == column).map(s => s._1 -> (s._3, s._4)).toMap
+      .filter(s => aliases.contains(s._2)).map(s => s._1 -> (s._3, s._4)).toMap
     val keep = files.filter(f =>
       ranges.get(relSuffix(f)).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val base =
       if (keep.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
-      else readFileGroups(spark, root, keep)
+      else readMapped(spark, root, v, keep)
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -952,16 +1451,22 @@ object Snapshots {
     val to = manifestFiles(spark, root, toVersion).toSet
     val addedFiles = (to -- from).toSeq.sorted
     val removedFiles = (from -- to).toSeq.sorted
+    // both sides read at the TO version's logical schema (a rename
+    // between the versions otherwise makes the multiset diff compare
+    // physically different column sets)
     def read(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(readFileGroups(spark, root, files))
+      else Some(readMapped(spark, root, toVersion, files))
     (read(addedFiles), read(removedFiles)) match {
       case (None, None) =>
         readSnapshot(spark, root, Some(toVersion)).limit(0)
           .withColumn("change", lit("added"))
       case (Some(a), None) => a.withColumn("change", lit("added"))
-      case (None, Some(r)) => r.withColumn("change", lit("removed"))
-      case (Some(a), Some(r)) =>
+      case (None, Some(r0)) => r0.withColumn("change", lit("removed"))
+      case (Some(a), Some(r0)) =>
+        // exceptAll is positional — pin the removed side to the added
+        // side's column order (mapping/mergeSchema can reorder)
+        val r = r0.select(a.columns.map(org.apache.spark.sql.functions.col): _*)
         a.exceptAll(r).withColumn("change", lit("added"))
           .unionByName(r.exceptAll(a).withColumn("change", lit("removed")))
     }
@@ -1047,7 +1552,10 @@ object Snapshots {
       // keep both the meta-referenced dirs and legacy version-numbered
       // dirs of still-kept versions (pre-upgrade dead letters)
       val referencedQ = keep
-        .flatMap(v => manifestMeta(spark, root, v).get("quarantine_dir")).toSet ++
+        .flatMap(v => manifestMeta(spark, root, v).toSeq.collect {
+          case ("quarantine_dir", d) => d
+          case ("constraint_quarantine_dir", d) => d
+        }).toSet ++
         keep.map(_.toString)
       fs.listStatus(qdir).map(_.getPath)
         .filter(p => !referencedQ.contains(p.getName) && oldEnough(p))

@@ -437,6 +437,265 @@ class SnapshotOpsSpec extends SparkTestBase {
       "unindexed a stays planned + b's fresh file; nothing else")
   }
 
+  test("merge is FILE-grain: untouched sibling files inside an affected partition carry verbatim") {
+    val root = freshRoot("snap_merge_file")
+    // one partition, two key-clustered files (ids 0..39 | 100..139) —
+    // the bloom separates them, so a merge on id=5 must replace only
+    // file 1 and carry file 2's manifest line BYTE-identical
+    val lo = (0L until 40L).map(i => ("a", i, i)).toDF("part", "id", "v")
+    val hi = (100L until 140L).map(i => ("a", i, i)).toDF("part", "id", "v")
+    val v1 = Snapshots.publishPartitions(spark, root, bloomCols = Seq("id")) { stage =>
+      lo.coalesce(1).unionByName(hi.coalesce(1)).repartitionByRange(2, col("id"))
+        .write.partitionBy("part").parquet(stage)
+    }
+    val files1 = Snapshots.manifestFiles(spark, root, v1)
+    assert(files1.size == 2, s"fixture needs exactly 2 files, got $files1")
+    val v2 = SnapshotOps.merge(spark, root,
+      Seq(("a", 5L, 777L, "upsert")).toDF("part", "id", "v", "op"), Seq("id"), "part")
+    val files2 = Snapshots.manifestFiles(spark, root, v2)
+    val carried = files1.toSet.intersect(files2.toSet)
+    assert(carried.size == 1,
+      s"exactly the sibling file must carry over verbatim: v1=$files1 v2=$files2")
+    // content exact
+    val got = rowsOf(Snapshots.readSnapshot(spark, root))
+    val want = (Seq(("a", 5L, 777L)) ++ (0L until 40L).filter(_ != 5L).map(i => ("a", i, i)) ++
+      (100L until 140L).map(i => ("a", i, i))).sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // and the locality is REAL, not just manifest cosmetics: corrupt the
+    // carried sibling on disk — a second merge on a lo-file key must
+    // still pass (it never opens the sibling), while a hi-key merge must
+    // plan (and crash on) it
+    val sibling = carried.head
+    val out = fs(root).create(new Path(s"$root/$sibling"), true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    SnapshotOps.merge(spark, root,
+      Seq(("a", 6L, 888L, "upsert")).toDF("part", "id", "v", "op"), Seq("id"), "part")
+    intercept[Exception] {
+      SnapshotOps.merge(spark, root,
+        Seq(("a", 100L, 0L, "delete")).toDF("part", "id", "v", "op"), Seq("id"), "part")
+    }
+  }
+
+  test("composite-key bloom: multi-column merges probe the sidecar, no data IO to discover") {
+    val root = freshRoot("snap_merge_comp")
+    val rows = (0L until 40L).map(i => ("p1", i, i)) ++
+      (100L until 140L).map(i => ("p2", i, i)) ++
+      (200L until 240L).map(i => ("zz", i, i))
+    val v1 = Snapshots.publishPartitions(spark, root,
+      bloomCols = Seq("id,part"))(stage =>
+      rows.toDF("part", "id", "v").coalesce(1).write.partitionBy("part").parquet(stage))
+    // corrupt zz's file: a passing multi-key merge is PROOF the probe
+    // went through the composite sidecar and never opened it
+    val zzFile = Snapshots.manifestFiles(spark, root, v1).find(_.startsWith("part=zz/")).get
+    val out = fs(root).create(new Path(s"$root/$zzFile"), true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    val src = Seq(("p1", 0L, 777L, "upsert"), ("p2", 555L, 1L, "upsert"))
+      .toDF("part", "id", "v", "op")
+    val v2 = SnapshotOps.merge(spark, root, src, Seq("id", "part"), "part")
+    val got = Snapshots.readSnapshot(spark, root, Some(v2))
+      .filter(col("part") =!= "zz")
+      .select(col("part"), col("id"), col("v")).as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = (Seq(("p1", 0L, 777L), ("p2", 555L, 1L)) ++
+      (1L until 40L).map(i => ("p1", i, i)) ++
+      (100L until 140L).map(i => ("p2", i, i))).sortBy(r => (r._1, r._2))
+    assert(got == expected)
+    assert(Snapshots.manifestFiles(spark, root, v2).contains(zzFile),
+      "the unprobed partition must carry by reference")
+    // false-negative check: a zz-resident composite key must plan zz
+    intercept[Exception] {
+      SnapshotOps.merge(spark, root,
+        Seq(("zz", 200L, 0L, "delete")).toDF("part", "id", "v", "op"),
+        Seq("id", "part"), "part")
+    }
+  }
+
+  test("typed bloom probe: a narrower-typed source never bloom-misses (no lost deletes)") {
+    val root = freshRoot("snap_merge_typed")
+    // stored key is LONG; the CDC batch arrives with an INT key column —
+    // xxhash64 is type-sensitive, so an uncast probe would miss every
+    // file and the delete would silently vanish
+    Snapshots.publishPartitions(spark, root, bloomCols = Seq("id"))(stage =>
+      (0L until 40L).map(i => ("a", i, i)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage))
+    val src = Seq(("a", 7, 0L, "delete")).toDF("part", "id", "v", "op") // id: INT
+    SnapshotOps.merge(spark, root, src, Seq("id"), "part")
+    val ids = Snapshots.readSnapshot(spark, root).select("id").as[Long].collect().toSet
+    assert(!ids.contains(7L), "the Int-keyed delete must land on the Long-keyed table")
+    assert(ids.size == 39)
+    // same footgun on the point read: an Int literal against a Long col
+    val hit = Snapshots.readSnapshotEquals(spark, root, "id", lit(5))
+    assert(hit.select("v").as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("persisted constraints: every publish verb enforces, violators quarantine with audit") {
+    val root = freshRoot("snap_cons")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      Seq(("a", 1L, 10L), ("a", 2L, 20L)).toDF("part", "id", "v")
+        .write.partitionBy("part").parquet(stage))
+    val vc = Snapshots.setConstraints(spark, root,
+      Seq("v_nonneg" -> "v >= 0", "v_cap" -> "v <= 1000"))
+    assert(Snapshots.tableConstraints(spark, root) ==
+      Seq("v_cap" -> "v <= 1000", "v_nonneg" -> "v >= 0"))
+    // a PLAIN publish (not publishExpect) now quarantines its violators
+    val v2 = Snapshots.publishPartitions(spark, root)(stage =>
+      Seq(("b", 3L, 30L), ("b", 4L, -5L), ("b", 5L, 2000L)).toDF("part", "id", "v")
+        .write.partitionBy("part").parquet(stage))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) ==
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)))
+    val meta = Snapshots.manifestMeta(spark, root, v2)
+    assert(meta("constraint_quarantined") == "2" && meta("constraint_clean") == "1")
+    val quar = SnapshotOps.readConstraintQuarantine(spark, root, v2).get
+      .select("id", "violated").as[(Long, String)].collect().toMap
+    assert(quar == Map(4L -> "v_nonneg", 5L -> "v_cap"))
+    // constraints CARRY across versions (v2 was a plain publish, not a
+    // setConstraints) and gate MERGE too
+    val v3 = SnapshotOps.merge(spark, root,
+      Seq(("a", 9L, -1L, "upsert"), ("a", 10L, 40L, "upsert"))
+        .toDF("part", "id", "v", "op"), Seq("id"), "part")
+    val after = rowsOf(Snapshots.readSnapshot(spark, root))
+    assert(after.contains(("a", 10L, 40L)) && !after.exists(_._3 < 0),
+      s"merge must quarantine the violating upsert: $after")
+    assert(Snapshots.manifestMeta(spark, root, v3)("constraint_quarantined") == "1")
+    // additive file commits REFUSE (cannot quarantine already-live files)
+    val d = new Path(s"$root/part=a")
+    Seq(("a", 99L, -77L)).toDF("part", "id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_tmp_add")
+    val src = fs(root).listStatus(new Path(s"$root/_tmp_add"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs(root).rename(src, new Path(d, "ingest-bad-0.snappy.parquet"))
+    val err = intercept[IllegalArgumentException](
+      Snapshots.publishAddedFiles(spark, root, Seq("part=a/ingest-bad-0.snappy.parquet")))
+    assert(err.getMessage.contains("violate"), err.getMessage)
+    // an all-violating batch refuses rather than committing emptiness
+    intercept[IllegalArgumentException] {
+      Snapshots.publishPartitions(spark, root)(stage =>
+        Seq(("c", 50L, -1L)).toDF("part", "id", "v")
+          .write.partitionBy("part").parquet(stage))
+    }
+    // clearing the constraints lifts the gate
+    Snapshots.setConstraints(spark, root, Nil)
+    Snapshots.publishPartitions(spark, root)(stage =>
+      Seq(("c", 50L, -1L)).toDF("part", "id", "v")
+        .write.partitionBy("part").parquet(stage))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)).contains(("c", 50L, -1L)))
+    assert(vc == 2L, "setConstraints must be one metadata-only commit")
+  }
+
+  test("renameColumn/dropColumn: metadata-only evolution, old generations re-map at read") {
+    val root = freshRoot("snap_rename")
+    val v1 = Snapshots.publishPartitions(spark, root, statsCols = Seq("v"))(stage =>
+      (0L until 40L).map(i => ("a", i, i)).toDF("part", "id", "v")
+        .repartitionByRange(4, col("v")).write.partitionBy("part").parquet(stage))
+    val v2 = Snapshots.renameColumn(spark, root, "v", "amount")
+    // the rename is METADATA: no new data files
+    assert(Snapshots.manifestFiles(spark, root, v2) ==
+      Snapshots.manifestFiles(spark, root, v1))
+    // old generation reads under the NEW name
+    val r = Snapshots.readSnapshot(spark, root)
+    assert(r.columns.toSet == Set("part", "id", "amount"))
+    assert(r.select("amount").as[Long].collect().sorted.toSeq == (0L until 40L))
+    // a post-rename publish writes the new name; both generations union
+    Snapshots.publishPartitions(spark, root, statsCols = Seq("amount"))(stage =>
+      (100L until 120L).map(i => ("b", i, i)).toDF("part", "id", "amount")
+        .write.partitionBy("part").parquet(stage))
+    val all = Snapshots.readSnapshot(spark, root)
+    assert(all.select("amount").as[Long].collect().sorted.toSeq ==
+      ((0L until 40L) ++ (100L until 120L)))
+    // pinned pre-rename reads are untouched (old logical schema)
+    assert(Snapshots.readSnapshot(spark, root, Some(v1)).columns.toSet ==
+      Set("part", "id", "v"))
+    // stat skipping still works through the alias chain: v1 files
+    // recorded stats under 'v', fresh files under 'amount'
+    val ranged = Snapshots.readSnapshotRange(spark, root, "amount", 0, 9)
+    assert(ranged.inputFiles.length <
+      Snapshots.readSnapshot(spark, root).inputFiles.length,
+      "range read must keep pruning across the rename")
+    assert(ranged.select("amount").as[Long].collect().sorted.toSeq == (0L to 9L))
+    // optimize reads the LOGICAL schema and compacts across generations
+    val vOpt = SnapshotOps.optimize(spark, root, targetFileBytes = 512L << 20,
+      minWaste = 1).getOrElse(fail("fragmented table must optimize"))
+    assert(Snapshots.readSnapshot(spark, root, Some(vOpt))
+      .select("amount").as[Long].collect().sorted.toSeq ==
+      ((0L until 40L) ++ (100L until 120L)))
+    // dropColumn: logical, old pins unaffected
+    Snapshots.dropColumn(spark, root, "id")
+    assert(Snapshots.readSnapshot(spark, root).columns.toSet == Set("part", "amount"))
+    assert(Snapshots.readSnapshot(spark, root, Some(v1)).columns.contains("id"))
+    // partition column rename refuses; dropped names are retired
+    intercept[IllegalArgumentException](Snapshots.renameColumn(spark, root, "part", "p2"))
+    intercept[IllegalArgumentException](Snapshots.renameColumn(spark, root, "amount", "id"))
+  }
+
+  test("clone chains compose: a clone of a clone diverges at both levels, vacuums safely") {
+    val a = freshRoot("snap_chain_a")
+    val b = freshRoot("snap_chain_b")
+    val c = freshRoot("snap_chain_c")
+    Snapshots.publishPartitions(spark, a, bloomCols = Seq("id"))(stage =>
+      ((0L until 20L).map(i => ("p", i, i)) ++ (100L until 120L).map(i => ("q", i, i)))
+        .toDF("part", "id", "v").write.partitionBy("part").parquet(stage))
+    Snapshots.cloneTable(spark, a, b)
+    // b diverges on partition p
+    Snapshots.publishPartitions(spark, b)(stage =>
+      Seq(("p", 500L, 1L)).toDF("part", "id", "v")
+        .write.partitionBy("part").parquet(stage))
+    Snapshots.cloneTable(spark, b, c)
+    // c sees b's divergence plus a's q files (a 3-deep reference chain)
+    def content(root: String) = rowsOf(Snapshots.readSnapshot(spark, root))
+    val bContent = content(b)
+    assert(content(c) == bContent)
+    assert(bContent.contains(("p", 500L, 1L)) && bContent.count(_._1 == "q") == 20)
+    // the read plans at most 1 + chain-depth groups and keeps pruning:
+    // a point read on c through the carried sidecar plans few files
+    val probe = Snapshots.readSnapshotEquals(spark, c, "id", lit(100L))
+    assert(probe.count() == 1)
+    assert(probe.inputFiles.length < Snapshots.readSnapshot(spark, c).inputFiles.length)
+    // c diverges independently on q — b and a never observe it
+    Snapshots.publishPartitions(spark, c)(stage =>
+      Seq(("q", 900L, 9L)).toDF("part", "id", "v")
+        .write.partitionBy("part").parquet(stage))
+    assert(content(c).contains(("q", 900L, 9L)))
+    assert(content(b) == bContent, "clone-of-clone divergence leaked into its source")
+    assert(content(a).count(_._1 == "q") == 20)
+    // each root's vacuum deletes only under itself
+    Snapshots.vacuum(spark, c, keepVersions = 1, graceMs = 0)
+    Snapshots.vacuum(spark, b, keepVersions = 1, graceMs = 0)
+    assert(content(c).contains(("q", 900L, 9L)) && content(b) == bContent)
+    assert(content(a).count(_._1 == "p") == 20, "chain vacuum must never touch the origin")
+  }
+
+  test("bloom sidecar keys survive hive-escaped partition values") {
+    val root = freshRoot("snap_bloom_esc")
+    // ':' escapes to %3A on disk and input_file_name re-quotes it to
+    // %253A — the sidecar must key by MANIFEST suffix or coverage (and
+    // carried rows at the next publish) silently vanish
+    val v1 = Snapshots.publishPartitions(spark, root, bloomCols = Seq("id")) { stage =>
+      (0L until 40L).map(i => ("a:1", i, i)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage)
+    }
+    // a plain (non-clone) table's manifest lines ARE the rel suffixes
+    val manifestKeys = Snapshots.manifestFiles(spark, root, v1).toSet
+    val markerKeys = Snapshots.fileBlooms(spark, root, v1).get
+      .filter(col("word_idx") === -1L).select("file").as[String].collect().toSet
+    assert(markerKeys == manifestKeys,
+      s"sidecar keys must equal manifest suffixes: $markerKeys vs $manifestKeys")
+    // skipping bites from birth…
+    val miss = Snapshots.readSnapshotEquals(spark, root, "id", lit(5555L))
+    assert(miss.count() == 0 && miss.inputFiles.isEmpty,
+      "an absent key must plan nothing — the escaped file's bloom must reject it")
+    // …and the carried rows survive the next publish's kept-semijoin
+    Snapshots.publishPartitions(spark, root, bloomCols = Seq("id")) { stage =>
+      (100L until 110L).map(i => ("b", i, i)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage)
+    }
+    val miss2 = Snapshots.readSnapshotEquals(spark, root, "id", lit(5555L))
+    assert(miss2.count() == 0 && miss2.inputFiles.isEmpty,
+      "the escaped partition's carried bloom rows must survive the next publish")
+    val hit = Snapshots.readSnapshotEquals(spark, root, "id", lit(7L))
+    assert(hit.select("v").as[Long].collect().toSeq == Seq(7L))
+    assert(hit.inputFiles.length == 1)
+  }
+
   test("vacuum reaps dropped versions' bloom sidecars, keeps the survivors'") {
     val root = freshRoot("snap_bloom_vac")
     def pub(mult: Int): Long =

@@ -90,18 +90,91 @@ class SnapshotSpec extends SparkTestBase {
     val v2 = Snapshots.publishPartitions(spark, root)(stage =>
       fixture("a" -> 2).write.partitionBy("part").parquet(stage))
     // a writer claims v3 and dies before its manifest rename — the exact
-    // crash window the protocol documents as safe
+    // crash window the protocol documents as safe. While the claim is
+    // YOUNG (in-flight by the stale threshold), a successor must NOT
+    // carry over past it — it fails loudly after the wait budget instead
+    // of making the claimant's eventual commit invisible at head
     fs(root).createNewFile(new Path(f"$root/_manifests/v${v2 + 1}%012d.claim"))
-    val v4 = Snapshots.publishPartitions(spark, root)(stage =>
-      fixture("a" -> 3).write.partitionBy("part").parquet(stage))
-    assert(v4 == v2 + 2, "the crashed claim must be skipped")
+    spark.conf.set("graft.snapshots.claimWaitMs", "200")
+    try {
+      intercept[java.util.ConcurrentModificationException](
+        Snapshots.publishPartitions(spark, root)(stage =>
+          fixture("a" -> 3).write.partitionBy("part").parquet(stage)))
+      // once the claim is STALE (owner declared dead), publishes resume
+      // and skip over the dead number
+      spark.conf.set("graft.snapshots.staleClaimMs", "0")
+      val v4 = Snapshots.publishPartitions(spark, root)(stage =>
+        fixture("a" -> 3).write.partitionBy("part").parquet(stage))
+      assert(v4 == v2 + 2, "the stale claim must be skipped")
+    } finally {
+      spark.conf.unset("graft.snapshots.claimWaitMs")
+      spark.conf.unset("graft.snapshots.staleClaimMs")
+    }
+    val v4 = v2 + 2
     val pinned = rowsOf(Snapshots.readSnapshot(spark, root, Some(v2)))
     Snapshots.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
     // keep = the 2 newest COMMITTED versions {v2, v4}; the numeric-window
     // form would have kept only {v4} and deleted v2's files
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v4))).nonEmpty)
     assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v2))) == pinned,
       "the previous committed version must survive vacuum despite the gap")
     intercept[IllegalArgumentException](Snapshots.manifestFiles(spark, root, v2 - 1))
+  }
+
+  test("contiguous chain: a stalled claimant is never silently shadowed") {
+    val root = freshRoot("snap_shadow")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    // writer A claims v2 and stalls past the stale threshold; writer B
+    // then publishes (carrying over past the stale claim, committing v3)
+    fs(root).createNewFile(new Path(f"$root/_manifests/v${2L}%012d.claim"))
+    spark.conf.set("graft.snapshots.staleClaimMs", "0")
+    try {
+      val vb = Snapshots.publishPartitions(spark, root)(stage =>
+        fixture("b" -> 2).write.partitionBy("part").parquet(stage))
+      assert(vb == 3L)
+      // A wakes up and commits its manifest under the stale claim — the
+      // head (v3) does not descend from v2, so A must FAIL LOUDLY rather
+      // than return success for a write that is invisible at head.
+      // Reproduce A's commit through the layer: a fixed-version claim of
+      // v2 fails (claim exists)…
+      intercept[java.util.ConcurrentModificationException](
+        Snapshots.publishPartitions(spark, root, expectedPrev = Some(1L))(stage =>
+          fixture("c" -> 3).write.partitionBy("part").parquet(stage)))
+      // …and a hand-rolled manifest rename in A's position is exactly
+      // what the post-commit ancestry walk catches: simulate by checking
+      // the chain headers the walk uses — v3 must declare prev=1,
+      // skipping 2, which is the precise evidence the walk turns into an
+      // error for the stalled writer
+      val lines = scala.io.Source.fromInputStream(
+        fs(root).open(new Path(f"$root/_manifests/v${3L}%012d.manifest")), "UTF-8")
+        .getLines().toList
+      assert(lines.exists(_.startsWith("#prev=1")),
+        s"v3 must carry over from v1 past the stale claim, got: ${lines.filter(_.startsWith("#"))}")
+    } finally spark.conf.unset("graft.snapshots.staleClaimMs")
+  }
+
+  test("a refused commit releases its claim: RMW verbs retry instead of wedging") {
+    val root = freshRoot("snap_unwedge")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    // a merge that deletes EVERYTHING refuses inside the commit body
+    // (EMPTY file set) — its fixed-version claim must be released, or
+    // every later read-modify-write verb would throw
+    // ConcurrentModificationException until vacuum's grace expired
+    import graft.core.SnapshotOps
+    intercept[IllegalArgumentException] {
+      SnapshotOps.merge(spark, root,
+        (0 until 10).map(i => ("a", i.toLong, 0L, "delete")).toDF("part", "id", "v", "op"),
+        Seq("id"), "part")
+    }
+    assert(!fs(root).exists(new Path(f"$root/_manifests/v${2L}%012d.claim")),
+      "the refused merge must release its claim")
+    // the retry path works immediately — no vacuum needed
+    val v2 = SnapshotOps.merge(spark, root,
+      Seq(("a", 0L, 777L, "upsert")).toDF("part", "id", "v", "op"), Seq("id"), "part")
+    assert(v2 == 2L)
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)).contains(("a", 0L, 777L)))
   }
 
   test("vacuum: reclaims crashed-publish residue, respects the age grace") {
