@@ -1127,6 +1127,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("lev").cast("int").as("lev"))
   }
 
+  /** Soundex-style PHONETIC key as a pure translate/regexp chain —
+    * codegen'd built-ins end to end, and (the point of the chain form)
+    * exactly replayable by any SQL engine with translate + regexp_replace
+    * (the dd_phonetic oracle re-states it verbatim; DuckDB has no native
+    * soundex). Algorithm: letters only, uppercased; consonant classes
+    * B F P V→1, C G J K Q S X Z→2, D T→3, L→4, M N→5, R→6; vowels
+    * (A E I O U Y)→0 act as run separators; H and W are TRANSPARENT
+    * (deleted before run collapsing, so 'Ashcraft' folds S,C into one 2);
+    * adjacent equal codes collapse; the first LETTER is kept, its own
+    * code dropped, zeros removed, right-padded to 4 chars. Empty input
+    * keys to the empty string (callers filter).
+    */
+  def phoneticKey(word: Column): Column = {
+    val u = upper(regexp_replace(word, "[^A-Za-z]", ""))
+    val t = translate(u, "AEIOUYBFPVCGJKQSXZDTLMNRHW", "000000111122222222334556")
+    // collapse each digit's runs; zeros need no collapsing (removed below)
+    val collapsed = (1 to 6).foldLeft(t)((c, dgt) =>
+      regexp_replace(c, s"$dgt{2,}", dgt.toString))
+    val rest = translate(substring(collapsed, 2, 1000000), "0", "")
+    when(u === "", lit(""))
+      .otherwise(concat(substring(u, 1, 1), substring(rpad(rest, 3, "0"), 1, 3)))
+  }
+
+  /** Phonetic-key dedup profile: each row's leading alphabetic word keyed
+    * by [[phoneticKey]], with its phonetic group size — the
+    * blocking-key view of the family (homophone candidates = rows
+    * sharing a code; the groups feed the same neighbor-bucket verify
+    * join as the edit-distance family). One window count over the code —
+    * a single keyed shuffle; the key itself is a zero-shuffle projection.
+    */
+  def phoneticGroups(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("code"))
+    df.select(col(id), regexp_extract(col(text), "[A-Za-z]+", 0).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("code", phoneticKey(col("word")))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("is_dup", col("group_n") > 1)
+  }
+
   /** Near-duplicate IMAGE pairs by banded hamming join over perceptual
     * hashes ([[graft.operators.Multimodal.imagePhash]]'s 64-bit '0'/'1'
     * strings): split each hash into `bands` equal substrings, candidates

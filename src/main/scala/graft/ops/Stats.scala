@@ -278,6 +278,64 @@ object Stats {
     df.withColumn(out, folded)
   }
 
+  /** Holt double-exponential smoothing (level + linear trend) over a
+    * bounded trailing frame — [[ewma]]'s coupled-recursion sibling, the
+    * forecasting upgrade a trending series needs (EWMA systematically
+    * lags a trend; Holt's trend term cancels the lag):
+    *
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * initialized at the frame start (l = first value, b = 0) and folded
+    * left over the lookback window, so the sequential recursion runs as
+    * ONE codegen'd per-row `aggregate` HOF — no driver loop, no
+    * cross-row dependency outside the collected frame, one keyed
+    * shuffle. With α, β exactly representable in binary (0.5, 0.25) the
+    * fold is a fixed IEEE op sequence, bit-replayable by any engine that
+    * states the same expressions (the ev_holt oracle folds the identical
+    * lambda via DuckDB list_reduce). The struct accumulator carries
+    * (l, b); the one-step forecast is l + b.
+    *
+    * Scale shape: identical to w14 — the frame is `lookback` rows (the
+    * collect_list is bounded per row), keys partition the shuffle, and
+    * the fold is O(lookback) per row with no state between rows.
+    */
+  def holt(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[String],
+      value: String,
+      alpha: Double,
+      beta: Double,
+      lookback: Int,
+      outLevel: String = "level",
+      outTrend: String = "trend"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    require(lookback >= 1, s"lookback >= 1, got $lookback")
+    require(keys.nonEmpty, "holt needs partition keys (a global window cannot scale)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val lst = collect_list(col(value).cast("double")).over(w)
+    val zero = struct(element_at(lst, 1).as("l"), lit(0.0).as("b"))
+    // b's expression re-states l_t inline (a lambda has no lets): the
+    // duplicated subtree is the price of an engine-replayable op order
+    val folded = aggregate(
+      slice(lst, lit(2), greatest(size(lst) - 1, lit(0))),
+      zero,
+      (acc, y) => struct(
+        ((lit(alpha) * y) + (lit(1.0 - alpha) * (acc("l") + acc("b")))).as("l"),
+        ((lit(beta) * (((lit(alpha) * y) + (lit(1.0 - alpha) * (acc("l") + acc("b"))))
+          - acc("l"))) + (lit(1.0 - beta) * acc("b"))).as("b")))
+    // one window evaluation, two field extractions (re-stating `folded`
+    // per output column would fold the frame twice)
+    df.withColumn("__holt", folded)
+      .withColumn(outLevel, col("__holt")("l"))
+      .withColumn(outTrend, col("__holt")("b"))
+      .drop("__holt")
+  }
+
   /** Gini–Simpson diversity per group: 1 − Σ pᵢ² over the categories of
     * `cat`, plus the effective category count 1/Σpᵢ² (= N²/Σcᵢ²).
     *

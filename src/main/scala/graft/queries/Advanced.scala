@@ -333,6 +333,44 @@ object Advanced {
         .orderBy("doc_a", "doc_b")
     },
 
+    Q("dd_phonetic",
+      """WITH w AS (SELECT doc_id, regexp_extract(text, '[A-Za-z]+') AS word
+        |  FROM documents),
+        |u AS (SELECT doc_id, word, upper(word) AS uw FROM w WHERE word <> ''),
+        |t AS (SELECT doc_id, word, uw,
+        |    translate(uw, 'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+        |              '000000111122222222334556') AS tz FROM u),
+        |c AS (SELECT doc_id, word, uw,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(tz,
+        |      '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+        |      '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g') AS cz
+        |  FROM t),
+        |k AS (SELECT doc_id, word,
+        |    substr(uw, 1, 1) ||
+        |      substr(rpad(translate(substr(cz, 2), '0', ''), 3, '0'), 1, 3) AS code
+        |  FROM c)
+        |SELECT doc_id, word, code,
+        |  CAST(COUNT(*) OVER (PARTITION BY code) AS BIGINT) AS group_n,
+        |  (COUNT(*) OVER (PARTITION BY code) > 1) AS is_dup
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // PHONETIC-key dedup (soundex as a translate/regexp chain): the
+      // name-matching family minhash and edit distance both miss —
+      // 'Smith'/'Smyth' are 1 apart phonetically but far in shingle
+      // space. The key is a pure chain of codegen'd built-ins (letter
+      // classes via translate with H/W transparent, per-digit run
+      // collapse, zero strip, pad) that the oracle replays VERBATIM in
+      // SQL — DuckDB has no native soundex, and depending on one
+      // engine's soundex variant would make the result untestable.
+      // Each doc's leading word is keyed; group_n is the phonetic-block
+      // size (the blocking key the neighbor-bucket verify join consumes
+      // — DedupSpec pins planted homophones landing in one block).
+      // Scale: zero-shuffle projection + one window count on the code.
+      graft.operators.Dedup.phoneticGroups(documents(s, d), "doc_id", "text")
+        .select("doc_id", "word", "code", "group_n", "is_dup")
+        .orderBy("doc_id")
+    },
+
     // ---- text: LIX readability -----------------------------------------
     Q("tx_readability",
       """WITH t AS (SELECT doc_id,

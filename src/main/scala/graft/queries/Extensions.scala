@@ -788,6 +788,57 @@ object Extensions {
           (col("total_abs_err").cast("double") / col("n_scored")).as("mae"))
         .orderBy("event_type")
     },
+    Q("ev_holt",
+      // Holt double-exponential smoothing (level + linear trend) per
+      // event-type daily series — the forecasting upgrade over w14's
+      // EWMA (which systematically lags a trend). The engine runs the
+      // coupled recursion
+      //   l_t = α·y + (1−α)(l+b);  b_t = β(l_t−l) + (1−β)b
+      // as a per-row left fold over the bounded 8-row trailing frame
+      // (Stats.holt, w14's aggregate-HOF route; α=0.5, β=0.25 exact
+      // binary). The ORACLE states the recursion's exact CLOSED FORM
+      // instead of replaying the fold: over a full 8-row frame, Holt is
+      // a fixed integer-weighted sum with denominator 2^21 (the
+      // symbolically-unrolled recursion — coefficients derived once,
+      // exact by construction), so with integer daily counts BOTH sides
+      // compute the same dyadic rational with zero rounding anywhere and
+      // match bit-for-bit REGARDLESS of op order (a lambda-replay oracle
+      // would instead depend on DuckDB's list_reduce accumulator
+      // semantics). Rows without a full frame are warm-up and excluded
+      // on both sides. Scale: one keyed shuffle; O(8) fold per row.
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, day,
+        |    lag(y, 7) OVER w AS y1, lag(y, 6) OVER w AS y2,
+        |    lag(y, 5) OVER w AS y3, lag(y, 4) OVER w AS y4,
+        |    lag(y, 3) OVER w AS y5, lag(y, 2) OVER w AS y6,
+        |    lag(y, 1) OVER w AS y7, y AS y8
+        |  FROM dly WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |h AS (SELECT event_type, day,
+        |    CAST(-224572*y1 - 28772*y2 + 5792*y3 + 73472*y4 + 190464*y5
+        |         + 376832*y6 + 655360*y7 + 1048576*y8 AS DOUBLE)
+        |      / 2097152 AS level,
+        |    CAST(-139657*y1 - 56143*y2 - 63336*y3 - 61888*y4 - 43520*y5
+        |         + 4096*y6 + 98304*y7 + 262144*y8 AS DOUBLE)
+        |      / 2097152 AS trend
+        |  FROM lg WHERE y1 IS NOT NULL)
+        |SELECT event_type, day, level, trend, level + trend AS forecast
+        |FROM h ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      graft.ops.Stats.holt(dly, keys = Seq("event_type"), order = Seq("day"),
+          value = "y", alpha = 0.5, beta = 0.25, lookback = 8)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") >= 8)
+        .select(col("event_type"), col("day"), col("level"), col("trend"),
+          (col("level") + col("trend")).as("forecast"))
+        .orderBy("event_type", "day")
+    },
     Q("ev_streaks",
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

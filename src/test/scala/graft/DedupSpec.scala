@@ -543,4 +543,28 @@ class DedupSpec extends SparkTestBase {
     assert(tiny.toSeq == Seq((1L, 1L, 2L, "tiny doc")))
     out.unpersist()
   }
+
+  test("phoneticKey: classic codes, H/W transparency, planted homophones block together") {
+    // textbook vectors for the chain (H/W transparent variant)
+    val words = Seq("Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+      "Pfister", "Smith", "Smyth", "Jackson", "Honeyman", "a", "")
+    val got = words.toDF("w")
+      .select(Dedup.phoneticKey(col("w"))).as[String].collect().toSeq
+    // Pfister keys P236: the first letter's own code participates in run
+    // collapsing (P,F share class 1), the census-variant behavior
+    assert(got == Seq("R163", "R163", "A261", "A261", "T522",
+      "P236", "S530", "S530", "J250", "H555", "A000", ""), got.toString)
+    // planted homophone fixture: each cluster lands in ONE phonetic
+    // block; the disjoint name stays singleton
+    val docs = Seq(
+      (1L, "Smith wrote the manual."), (2L, "Smyth wrote the manual."),
+      (3L, "Robert signed off."), (4L, "Rupert signed off."),
+      (5L, "Jackson reviewed it.")).toDF("doc_id", "text")
+    val g = Dedup.phoneticGroups(docs, "doc_id", "text")
+      .select("doc_id", "code", "group_n", "is_dup")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(g.map(_._2) == Seq("S530", "S530", "R163", "R163", "J250"))
+    assert(g.map(_._3) == Seq(2L, 2L, 2L, 2L, 1L))
+    assert(g.map(_._4) == Seq(true, true, true, true, false))
+  }
 }

@@ -82,4 +82,29 @@ class TimeSeriesSpec extends SparkTestBase {
       .orderBy("x").select("vi").as[Double].collect()
     assert(out.toSeq == Seq(10.0, 20.0, 30.0))
   }
+
+  test("holt: the bounded fold equals the reference recursion exactly") {
+    // per-key series with a deliberate trend + a level shock; the fold
+    // (Stats.holt) must equal a driver-side replay of
+    //   l' = a*y + (1-a)(l+b); b' = b*(l'-l) + (1-b)*b
+    // over the same trailing frame, bit for bit (a=0.5, b=0.25 are exact
+    // binary fractions), including the warm-up rows with partial frames
+    val ys = Seq(2.0, 3.0, 10.0, 4.0, 5.0, 6.0, 7.0, 8.0, 20.0, 21.0, 22.0)
+    val df = ys.zipWithIndex.map { case (y, i) => ("k", i, y) }.toDF("k", "i", "y")
+    val got = graft.ops.Stats.holt(df, Seq("k"), Seq("i"), "y",
+        alpha = 0.5, beta = 0.25, lookback = 8)
+      .orderBy("i").select("level", "trend")
+      .as[(Double, Double)].collect().toSeq
+    def ref(frame: Seq[Double]): (Double, Double) =
+      frame.tail.foldLeft((frame.head, 0.0)) { case ((l, b), y) =>
+        val nl = (0.5 * y) + (0.5 * (l + b))
+        (nl, (0.25 * (nl - l)) + (0.75 * b))
+      }
+    val want = ys.indices.map(i => ref(ys.slice(math.max(0, i - 7), i + 1)))
+    assert(got == want, s"fold diverged from the recursion:\n$got\nvs\n$want")
+    // trend actually tracks the planted ramp: after the shock settles the
+    // trend is positive and the one-step forecast exceeds the level
+    val (lvl, tr) = got.last
+    assert(tr > 0 && lvl + tr > lvl)
+  }
 }
