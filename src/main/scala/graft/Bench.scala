@@ -73,7 +73,18 @@ object Bench {
     "s20_bloom_point",    // bloom-sidecar point lookup (needle read)
     "ev_survival",        // Kaplan-Meier with exact integer products
     "ml_ndcg",            // graded NDCG@10 via lcm-scaled integer DCG
-    "tx_keywords"         // RAKE phrase extraction, integer micro-scores
+    "tx_keywords",        // RAKE phrase extraction, integer micro-scores
+    // round-12 additions (VERDICT r11 #10 + the round's new operators):
+    // the remaining lakehouse verbs, previously oracled but untimed, and
+    // the new constraint/rename/holt/phonetic shapes from birth
+    "u18_expect_publish", // constraint-gated publish + quarantine readback
+    "u19_incr_view",      // incremental view maintenance from manifest CDC
+    "u20_clone",          // zero-copy clone + copy-on-write divergence
+    "u21_zorder",         // whole-table Morton rewrite + both-column skip
+    "u22_table_constraints", // persisted-constraint enforcement on publish
+    "u23_rename_evolve",  // metadata rename + two-generation mapped read
+    "ev_holt",            // Holt level+trend fold over the daily series
+    "dd_phonetic"         // phonetic keying + block-size window
   )
 
   def main(args: Array[String]): Unit = {
@@ -160,6 +171,15 @@ object Bench {
       val ts = steadyRuns.flatMap(_.get(name))
       if (ts.size == steadyRuns.size) Some(name -> ts.min) else None
     }.toMap
+    // the artifact defends itself against box contention (VERDICT r11
+    // #8): per-query spread = max−min of the three steady passes. A
+    // large spread marks a contended observation — the min is the
+    // engine's number, the spread says how noisy this box was, so a
+    // round-over-round comparison needs no out-of-band archaeology.
+    val spread: Map[String, Double] = names.flatMap { name =>
+      val ts = steadyRuns.flatMap(_.get(name))
+      if (ts.size == steadyRuns.size) Some(name -> (ts.max - ts.min)) else None
+    }.toMap
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // queries_steady and value_steady must describe the same set: only
@@ -173,9 +193,11 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    val qsSpread = steadyOk.map(k => s"\"" + k + "\":" + spread(k))
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val totalSteady = steadyOk.map(steady).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_steady":$totalSteady,"queries_steady":$qsSteady,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_steady":$totalSteady,"queries_steady":$qsSteady,"queries_spread":$qsSpread,"steady_protocol":"min-of-3","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

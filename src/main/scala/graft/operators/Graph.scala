@@ -386,14 +386,20 @@ object Graph {
       sources: DataFrame,
       maxRounds: Int = 1024): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    // the negative-weight refusal rides the checkpoint materialization
+    // (assert_true evaluates on every row as it caches) instead of a
+    // separate up-front edge pass — zero extra scans, still exact and
+    // loud on ANY negative edge, reachable or not
     val e = edges
-      .select(col("src"), col("dst"), col("w"))
+      .select(col("src"), col("dst"), col("w"),
+        // null-safe: null weights are the filter's to drop, not an error
+        assert_true(col("w").isNull || col("w") >= 0,
+          lit("ssspDistances needs non-negative weights (negative edges break " +
+            "the frontier-relaxation termination bound)")).as("__nonneg"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst") && col("w").isNotNull)
       .localCheckpoint() // reused every round
-    require(e.filter(col("w") < 0).isEmpty,
-      "ssspDistances needs non-negative weights (negative edges break the " +
-        "frontier-relaxation termination bound)")
+      .drop("__nonneg")
     var dist = sources.select(col("v"))
       .filter(col("v").isNotNull)
       .distinct()

@@ -145,11 +145,15 @@ class GraphSpec extends SparkTestBase {
       Seq((0L, 1L, 0L), (1L, 2L, 5L)).toDF("src", "dst", "w"), Seq(0L).toDF("v"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(z == Map(0L -> 0L, 1L -> 0L, 2L -> 5L))
-    // negative weights refuse loudly instead of silently not converging
-    val err = intercept[IllegalArgumentException] {
+    // negative weights refuse loudly instead of silently not converging —
+    // the check rides the edge checkpoint (assert_true), so it surfaces
+    // as a task failure, not a pre-scan IllegalArgumentException
+    val err = intercept[Exception] {
       Graph.ssspDistances(Seq((0L, 1L, -1L)).toDF("src", "dst", "w"), Seq(0L).toDF("v"))
     }
-    assert(err.getMessage.contains("non-negative"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("non-negative")), messages(err).toString)
   }
 
   test("commonNeighborCandidates: exact counts, edge anti-join, apex cap semantics") {
