@@ -83,6 +83,7 @@ object Bench {
     "u21_zorder",         // whole-table Morton rewrite + both-column skip
     "u22_table_constraints", // persisted-constraint enforcement on publish
     "u23_rename_evolve",  // metadata rename + two-generation mapped read
+    "u24_deletion_vectors", // merge-on-read DV commit + subtracting read + purge
     "ev_holt",            // Holt level+trend fold over the daily series
     "dd_phonetic"         // phonetic keying + block-size window
   )

@@ -280,41 +280,8 @@ object SnapshotOps {
     val srcKeys = source.select(keyCols.map(k =>
       col(k).cast(tgtSchema(k).dataType).as(k)): _*).distinct()
     val allFiles = Snapshots.manifestFiles(spark, root, v)
-
-    // candidate FILES that might hold a matching key
-    val bloomSpecs: Seq[String] = Snapshots.fileBlooms(spark, root, v)
-      .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
-      .getOrElse(Nil)
-    val spec: Option[String] =
-      if (keyCols.size == 1 && bloomSpecs.contains(keyCols.head)) Some(keyCols.head)
-      else bloomSpecs.find(sp =>
-        sp.contains(',') && sp.split(',').toSeq.sorted == keyCols.sorted)
-    val candFromBloom: Option[Seq[String]] = spec.flatMap { sp =>
-      // composite probe = the same canonical xxhash64-of-columns the
-      // publish-side builder indexed (Snapshots.bloomValueCol), over the
-      // typed keys
-      val probe =
-        if (!sp.contains(',')) srcKeys.select(col(sp))
-        else srcKeys.select(xxhash64(sp.split(',').map(col).toSeq: _*).as("__h"))
-      Snapshots.bloomCandidateFiles(spark, root, v, sp, probe)
-    }
-    val candidateFiles: Seq[String] = candFromBloom.getOrElse {
-      // exact fallback: one column-pruned pass over the key columns with
-      // file identity, semi-joined against the batch keys; scanned
-      // suffixes key back to manifest LINES through the quoting-proof
-      // lookup (input_file_name URI-quotes hive-escaped dirs)
-      val byRel = allFiles.map(f => Snapshots.relSuffix(f) -> f).toMap
-      val lut = Snapshots.suffixLookup(byRel.keys.toSeq)
-      target
-        .withColumn("__suffix",
-          regexp_extract(input_file_name(), "([^/]+=[^/]+/[^/]+)$", 1))
-        .select((keyCols.map(col) :+ col("__suffix")): _*)
-        .join(broadcast(srcKeys), keyCols, "left_semi")
-        .select("__suffix").distinct().collect().map(_.getString(0)).toSeq
-        .map(sfx => byRel.getOrElse(lut.getOrElse(sfx, sfx),
-          throw new IllegalStateException(
-            s"merge: scanned file '$sfx' maps to no manifest line under $root")))
-    }
+    val candidateFiles =
+      candidateKeyFiles(spark, root, v, srcKeys, keyCols, allFiles)
     val survivors = source.filter(not(col(opCol) === "delete")).drop(opCol)
     if (candidateFiles.isEmpty && survivors.isEmpty) {
       if (allowNoop) return v
@@ -354,6 +321,211 @@ object SnapshotOps {
       if (still.nonEmpty)
         merged.write.partitionBy(partitionCol).parquet(stage)
     }
+  }
+
+  /** The files of version `v` that MIGHT hold a key matching `srcKeys`
+    * (already cast to the stored key types): bloom-probed when the table
+    * indexes the key — the single key column, or the composite spec
+    * whose column set equals `keyCols` — opening NO data file; else one
+    * exact column-pruned key scan with file identity. False positives
+    * only. Shared by [[merge]] (rewrite unit) and [[mergeOnRead]]
+    * (position-probe unit), so the two merge shapes can never drift on
+    * candidate discovery.
+    */
+  private def candidateKeyFiles(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      srcKeys: DataFrame,
+      keyCols: Seq[String],
+      allFiles: Seq[String]): Seq[String] = {
+    val bloomSpecs: Seq[String] = Snapshots.fileBlooms(spark, root, v)
+      .map(_.select(col("col")).distinct().collect().map(_.getString(0)).toSeq)
+      .getOrElse(Nil)
+    val spec: Option[String] =
+      if (keyCols.size == 1 && bloomSpecs.contains(keyCols.head)) Some(keyCols.head)
+      else bloomSpecs.find(sp =>
+        sp.contains(',') && sp.split(',').toSeq.sorted == keyCols.sorted)
+    val candFromBloom: Option[Seq[String]] = spec.flatMap { sp =>
+      // composite probe = the same canonical xxhash64-of-columns the
+      // publish-side builder indexed (Snapshots.bloomValueCol), over the
+      // typed keys
+      val probe =
+        if (!sp.contains(',')) srcKeys.select(col(sp))
+        else srcKeys.select(xxhash64(sp.split(',').map(col).toSeq: _*).as("__h"))
+      Snapshots.bloomCandidateFiles(spark, root, v, sp, probe)
+    }
+    candFromBloom.getOrElse {
+      // exact fallback: one column-pruned pass over the key columns with
+      // row identity (the `_metadata`-based scan — per-relation, so it
+      // composes with a DV'd table's union read, where input_file_name
+      // cannot), semi-joined against the batch keys. Deletion vectors
+      // are NOT subtracted here: a file whose only matches are dead rows
+      // becomes a false-POSITIVE candidate, which both merge shapes
+      // tolerate by construction.
+      val byRel = allFiles.map(f => Snapshots.relSuffix(f) -> f).toMap
+      Snapshots.readMappedWithPos(spark, root, v, allFiles)
+        .select((keyCols.map(col) :+ col("__file")): _*)
+        .join(broadcast(srcKeys), keyCols, "left_semi")
+        .select("__file").distinct().collect().map(_.getString(0)).toSeq
+        .map(sfx => byRel.getOrElse(sfx,
+          throw new IllegalStateException(
+            s"merge: scanned file '$sfx' maps to no manifest line under $root")))
+    }
+  }
+
+  /** Keyed three-way MERGE-ON-READ: same semantics as [[merge]] (delete /
+    * update / insert by `keyCols`), but matched target rows die by
+    * DELETION VECTOR — their (file, row-position) pairs land in the
+    * version's `_dv` sidecar — instead of rewriting their files, and
+    * surviving source rows land as additive fresh files. The commit
+    * moves ~|batch| rows of sidecar and fresh data, NO existing data
+    * file opens for rewrite and none moves: at 100 TB this is the shape
+    * for frequent small CDC batches, where [[merge]]'s copy-on-write
+    * would grind candidate files all day. Reads subtract the positions
+    * (cost proportional to PENDING deletes) until [[purgeDeletes]]
+    * materializes them — schedule it from the maintenance loop like
+    * [[optimize]]. Same OCC (`expectedPrev`) and constraint gating as
+    * every other write verb; same bloom candidate discovery as [[merge]]
+    * (the position probe scans only candidate files).
+    */
+  def mergeOnRead(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      opCol: String = "op",
+      allowNoop: Boolean = false): Long = {
+    require(keyCols.nonEmpty, "mergeOnRead needs at least one key column")
+    val v = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"mergeOnRead: no published version under $root"))
+    val target = Snapshots.readSnapshot(spark, root, Some(v))
+    val tgtSchema = target.schema
+    val srcKeys = source.select(keyCols.map(k =>
+      col(k).cast(tgtSchema(k).dataType).as(k)): _*).distinct()
+    val allFiles = Snapshots.manifestFiles(spark, root, v)
+    val candidateFiles =
+      candidateKeyFiles(spark, root, v, srcKeys, keyCols, allFiles)
+    // every matched LIVE target position within the candidate files —
+    // the column-pruned row-identity scan, minus the already-dead
+    // positions, so a replayed delete-only batch (at-least-once
+    // semantics) correctly detects "nothing live matches" and no-ops
+    // instead of committing an empty version per replay
+    val deletes: Option[DataFrame] =
+      if (candidateFiles.isEmpty) None
+      else {
+        val scan0 = Snapshots.readMappedWithPos(spark, root, v, candidateFiles)
+        val scan = Snapshots.fileDvs(spark, root, v).fold(scan0)(dv =>
+          scan0.join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
+            Seq("__file", "__pos"), "left_anti"))
+        val d = scan
+          .join(broadcast(srcKeys), keyCols, "left_semi")
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+          .localCheckpoint(true)
+        if (d.isEmpty) None else Some(d)
+      }
+    val surv = source.filter(not(col(opCol) === "delete")).drop(opCol)
+      .localCheckpoint(true)
+    val hasSurv = !surv.isEmpty
+    if (deletes.isEmpty && !hasSurv) {
+      if (allowNoop) return v
+      require(requirement = false, "mergeOnRead: source matches nothing and inserts nothing")
+    }
+    val (statCols, bloomColsOf) = inheritedCols(spark, root, v, Nil, Nil)
+    deletes match {
+      case None =>
+        // insert-only: a plain additive file-grain commit, no sidecar
+        Snapshots.publishFileReplacement(spark, root, replaceFiles = Nil,
+          meta = Map("merge_into" -> v.toString),
+          statsCols = statCols, bloomCols = bloomColsOf,
+          expectedPrev = Some(v)) { stage =>
+          surv.write.partitionBy(partitionCol).parquet(stage)
+        }
+      case Some(d) =>
+        Snapshots.publishWithDeletes(spark, root, d,
+          meta = Map("merge_into" -> v.toString),
+          statsCols = statCols, bloomCols = bloomColsOf,
+          expectedPrev = Some(v)) { stage =>
+          if (hasSurv) surv.write.partitionBy(partitionCol).parquet(stage)
+        }
+    }
+  }
+
+  /** Row-level DELETE by arbitrary predicate, merge-on-read: one
+    * column-pruned row-identity scan flags the matching LIVE rows (the
+    * predicate's columns + file/position — never the full width), their
+    * positions commit as deletion vectors, and no data file opens for
+    * rewrite. The predicate-shaped twin of [[mergeOnRead]]'s keyed
+    * deletes — stat/bloom pruning cannot serve an arbitrary predicate,
+    * so the scan walks the manifest's file list, which is exactly what
+    * `DELETE FROM t WHERE p` costs anywhere; the COMMIT still moves only
+    * sidecar bytes. Returns the committed version; a predicate matching
+    * nothing is an error unless `allowNoop` (idempotent retries).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      allowNoop: Boolean = false): Long = {
+    val v = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"deleteWhere: no published version under $root"))
+    val files = Snapshots.manifestFiles(spark, root, v)
+    val scan0 = Snapshots.readMappedWithPos(spark, root, v, files)
+    val scan = Snapshots.fileDvs(spark, root, v).fold(scan0)(dv =>
+      scan0.join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti"))
+    val d = scan.filter(predicate)
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+      .localCheckpoint(true)
+    if (d.isEmpty) {
+      if (allowNoop) return v
+      require(requirement = false, s"deleteWhere: no live row matches under $root")
+    }
+    Snapshots.publishWithDeletes(spark, root, d,
+      meta = Map("delete_where" -> predicate.toString.replace('\n', ' ')),
+      expectedPrev = Some(v))(_ => ())
+  }
+
+  /** Materialize pending deletion vectors: rewrite ONLY the files the
+    * latest version's `_dv` sidecar lists (each file's survivors land as
+    * fresh files; siblings carry verbatim), clearing the sidecar — the
+    * maintenance verb that bounds the read-side DV tax after a run of
+    * [[mergeOnRead]] batches. A partition whose every file is purged to
+    * zero survivors drops from the manifest. Content-preserving by
+    * construction (the rewrite IS the DV-subtracted read). Returns
+    * Some(newVersion), or None when nothing is pending — an idle
+    * maintenance tick commits nothing.
+    */
+  def purgeDeletes(spark: SparkSession, root: String): Option[Long] = {
+    val v = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"purgeDeletes: no published version under $root"))
+    val dv = Snapshots.fileDvs(spark, root, v).getOrElse(return None)
+    val dvFiles = dv.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val files = Snapshots.manifestFiles(spark, root, v)
+      .filter(f => dvFiles.contains(Snapshots.relSuffix(f)))
+    if (files.isEmpty) return None
+    val partCol = Snapshots.relSuffix(files.head).takeWhile(_ != '=')
+    val survivors = Snapshots.readMapped(spark, root, v, files).localCheckpoint(true)
+    val still = survivors.select(partKey(col(partCol)).as("__pk"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val candSet = files.toSet
+    val emptied = Snapshots.manifestFiles(spark, root, v)
+      .groupBy(f => Snapshots.relSuffix(f).takeWhile(_ != '/'))
+      .collect { case (dir, fls) if fls.forall(candSet.contains) &&
+          !still.contains(Snapshots.unescapePartValue(
+            dir.dropWhile(_ != '=').drop(1))) => dir }
+      .toSeq.sorted
+    val (statCols, bloomColsOf) = inheritedCols(spark, root, v, Nil, Nil)
+    Some(Snapshots.publishFileReplacement(spark, root,
+      replaceFiles = files,
+      meta = Map("purge_of" -> v.toString),
+      statsCols = statCols, bloomCols = bloomColsOf,
+      dropPartitions = emptied, expectedPrev = Some(v)) { stage =>
+      if (still.nonEmpty)
+        survivors.write.partitionBy(partCol).parquet(stage)
+    })
   }
 
   /** A named row-level expectation for [[publishExpect]]. */

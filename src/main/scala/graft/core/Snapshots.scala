@@ -78,6 +78,7 @@ object Snapshots {
   private val ManifestDir = "_manifests"
   private val StageDir = "_publish_stage"
   private val BloomDir = "_bloom"
+  private val DvDir = "_dv"
   private[core] val QuarantineDir = "_quarantine"
 
   /** Bloom geometry: m bits per (file, column), k probe positions per
@@ -275,11 +276,21 @@ object Snapshots {
       root: String,
       version: Long,
       lines: Seq[String],
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      dvVersion: Option[Long] = None): DataFrame = {
     val meta = manifestMeta(spark, root, version)
     val (renames, drops) = columnMapping(meta)
     val ms = mergeSchema || renames.nonEmpty || drops.nonEmpty
-    applyColumnMapping(readFileGroups(spark, root, lines, ms), meta)
+    // deletion vectors subtract BEFORE the mapping (row-level, mapping is
+    // column-level — order is free; this keeps the DV path physical).
+    // dvVersion overrides whose sidecar applies: snapshotChanges reads a
+    // REMOVED file at the TO version's logical schema but the FROM
+    // version's deletions (the rows live when the file was last current).
+    val base = fileDvs(spark, root, dvVersion.getOrElse(version)) match {
+      case Some(dv) => readWithDv(spark, root, lines, ms, dv)
+      case None => readFileGroups(spark, root, lines, ms)
+    }
+    applyColumnMapping(base, meta)
   }
 
   /** A version's metadata header (`#key=value` lines) — the hook that
@@ -517,6 +528,149 @@ object Snapshots {
   def fileBlooms(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
     val p = bloomDirPath(root, version)
     if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  // ------------------------------------------------------------------
+  // DELETION VECTORS (merge-on-read): row-level deletes WITHOUT data IO.
+  // A version may carry a `_dv/vNNN` sidecar of (file, pos) rows — the
+  // row positions (parquet `_metadata.row_index`, stable because data
+  // files are immutable) that are logically DELETED from each file. A
+  // CDC delete then commits at sidecar cost: no data file opens, none
+  // rewrites — the read path subtracts the positions. The copy-on-WRITE
+  // merge rewrites ~|matched files|; merge-on-read writes ~|matched
+  // ROWS| and defers the rewrite to [[SnapshotOps.purgeDeletes]] — the
+  // right trade at 100 TB when deletes are frequent and small.
+  // ------------------------------------------------------------------
+
+  private def dvDirPath(root: String, v: Long): Path =
+    new Path(f"$root/$DvDir/v$v%012d")
+
+  /** The version's deletion-vector sidecar (file, pos), when one exists:
+    * `file` is the manifest rel suffix, `pos` the parquet row index
+    * within that file. Rows listed here are NOT part of the version's
+    * logical content.
+    */
+  def fileDvs(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
+    val p = dvDirPath(root, version)
+    if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Carry the previous version's DV rows for kept files, union the new
+    * deletions (if any), and write `_dv/vNNN` — or nothing when the
+    * result is empty (a purge that replaced every DV'd file returns the
+    * table to the DV-free fast path: readers pay zero). Mirrors
+    * [[writeBloomSidecar]]'s kept-semijoin carry: a REPLACED file's DV
+    * rows drop with it (its rewrite read already excluded them), so a
+    * copy-on-write merge/optimize over DV'd files materializes the
+    * deletes for free.
+    */
+  private def writeDvSidecar(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      prevV: Option[Long],
+      keptFiles: Set[String],
+      newDeletes: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, new Path(root))
+    val carried = prevV.flatMap(pv => fileDvs(spark, root, pv)).map { dv =>
+      import spark.implicits._
+      val kept = keptFiles.toSeq.toDF("file")
+      dv.join(kept, Seq("file"), "left_semi")
+    }
+    val fresh = newDeletes.map(_.select(
+      col("file").cast("string").as("file"), col("pos").cast("long").as("pos")))
+    (carried.toSeq ++ fresh.toSeq).reduceOption(_ unionByName _).foreach { all0 =>
+      val all = all0.distinct()
+      // a purge that replaced every DV'd file carries nothing — skip the
+      // dir entirely so later reads take the DV-free fast path
+      if (!all.isEmpty) {
+        val tmp = new Path(
+          s"$root/$DvDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+        all.coalesce(4).write.parquet(tmp.toString)
+        require(fs.rename(tmp, dvDirPath(root, v)),
+          s"deletion-vector sidecar rename failed for version $v under $root")
+      }
+    }
+  }
+
+  /** Scan a set of manifest lines WITH row identity: every data column
+    * plus `__file` (the manifest rel suffix, quoting-proof) and `__pos`
+    * (the parquet row index). The shared primitive of DV application,
+    * DV creation (merge-on-read's position probe) and CDC's DV delta —
+    * writer and reader positions agree because both are the same
+    * `_metadata.row_index` the scan emits.
+    */
+  private[core] def readLinesWithPos(
+      spark: SparkSession,
+      root: String,
+      lines: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lines.nonEmpty, "readLinesWithPos: empty file set")
+    import spark.implicits._
+    val lutDf = suffixLookup(lines.map(relSuffix)).toSeq.toDF("__variant", "__mfile")
+    val groups = lines.map(resolveLine(root, _)).groupBy(_._1).toSeq.sortBy(_._1)
+    val dfs = groups.map { case (base, fs) =>
+      val reader = spark.read.option("basePath", base)
+      (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+        .parquet(fs.map(_._2): _*)
+        .select(col("*"),
+          col("_metadata.row_index").as("__pos"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+=[^/]+/[^/]+)$", 1)
+            .as("__sfx"))
+    }
+    dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+      .join(broadcast(lutDf), col("__sfx") === col("__variant"), "left")
+      .withColumn("__file", coalesce(col("__mfile"), col("__sfx")))
+      .drop("__sfx", "__variant", "__mfile")
+  }
+
+  /** [[readLinesWithPos]] at the version's LOGICAL schema (column
+    * mapping applied; `__file`/`__pos` pass through untouched) — what
+    * merge-on-read's position probe scans, so a post-rename table still
+    * keys by its logical columns. Deletion vectors are NOT subtracted:
+    * re-listing an already-dead position is a harmless no-op (the
+    * sidecar unions distinct), and the probe must never misclassify a
+    * half-applied state.
+    */
+  private[core] def readMappedWithPos(
+      spark: SparkSession,
+      root: String,
+      version: Long,
+      lines: Seq[String]): DataFrame = {
+    val meta = manifestMeta(spark, root, version)
+    val (renames, drops) = columnMapping(meta)
+    val ms = renames.nonEmpty || drops.nonEmpty
+    applyColumnMapping(readLinesWithPos(spark, root, lines, ms), meta)
+  }
+
+  /** Read manifest lines with the version's deletion vectors SUBTRACTED.
+    * Only the files the sidecar actually lists pay the row-identity scan
+    * and the (file, pos) anti-join; every clean file takes the plain
+    * vectorized path — so the cost is proportional to the PENDING
+    * deletes, which [[SnapshotOps.purgeDeletes]] bounds.
+    */
+  private def readWithDv(
+      spark: SparkSession,
+      root: String,
+      lines: Seq[String],
+      mergeSchema: Boolean,
+      dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // the sidecar's file list is bounded by files-with-pending-deletes
+    // (purge is the cap), never table rows
+    val dvFiles = dv.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (hit, clean) = lines.partition(f => dvFiles.contains(relSuffix(f)))
+    if (hit.isEmpty) return readFileGroups(spark, root, lines, mergeSchema)
+    val live = readLinesWithPos(spark, root, hit, mergeSchema)
+      .join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti")
+      .drop("__file", "__pos")
+    if (clean.isEmpty) live
+    else readFileGroups(spark, root, clean, mergeSchema)
+      .unionByName(live, allowMissingColumns = mergeSchema)
   }
 
   /** Equality (point-lookup) read with BLOOM file skipping: rows of the
@@ -886,6 +1040,31 @@ object Snapshots {
     publishImpl(spark, root, full = false, meta, statsCols, bloomCols,
       dropPartitions, expectedPrev, replaceFiles, fileGrain = true)(write)
 
+  /** Publish a MERGE-ON-READ commit: `deletes` — a (file, pos) DataFrame
+    * keyed by manifest rel suffix and parquet row index — joins the
+    * version's deletion-vector sidecar, every previous data file carries
+    * over VERBATIM, and whatever the callback stages lands additively
+    * (the surviving upsert rows). The commit cost is sidecar-scale: a
+    * 100-row CDC delete against a 100 TB table moves zero data bytes and
+    * opens zero data files at commit — reads subtract the positions until
+    * [[SnapshotOps.purgeDeletes]] materializes them. Fails loudly when a
+    * delete targets a file the version does not keep (stale read).
+    */
+  def publishWithDeletes(
+      spark: SparkSession,
+      root: String,
+      deletes: DataFrame,
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      expectedPrev: Option[Long] = None)(write: String => Unit): Long = {
+    require(latestVersion(spark, root).nonEmpty,
+      s"publishWithDeletes: $root has no published version — deletion vectors " +
+        "only apply to snapshot-managed tables")
+    publishImpl(spark, root, full = false, meta, statsCols, bloomCols,
+      Nil, expectedPrev, Nil, fileGrain = true, dvAdd = Some(deletes))(write)
+  }
+
   /** `dropPartitions`: partition dir names (e.g. `"cell=7"`) to replace
     * with NOTHING — they leave the manifest even though the staged tree
     * has no dir for them (a partitioned parquet write drops empty
@@ -911,7 +1090,8 @@ object Snapshots {
       dropPartitions: Seq[String],
       expectedPrev: Option[Long] = None,
       replaceFiles: Seq[String] = Nil,
-      fileGrain: Boolean = false)(write: String => Unit): Long = {
+      fileGrain: Boolean = false,
+      dvAdd: Option[DataFrame] = None)(write: String => Unit): Long = {
     validateMeta(meta) // refuse BEFORE staging — no residue on bad meta
     require(dropPartitions.forall(_.contains("=")),
       s"dropPartitions must be <col>=<value> dir names, got: $dropPartitions")
@@ -937,7 +1117,8 @@ object Snapshots {
                        else Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath).sortBy(_.getName)
-    require(stagedParts.nonEmpty || dropPartitions.nonEmpty || replaceFiles.nonEmpty,
+    require(stagedParts.nonEmpty || dropPartitions.nonEmpty || replaceFiles.nonEmpty ||
+      dvAdd.nonEmpty,
       s"publishPartitions: the staged tree under $stage has no <col>=<value> partition dirs")
     // file-grain mode: staged files are ADDITIVE into their partitions —
     // only the named files (and dropped partitions) leave the manifest.
@@ -1013,6 +1194,20 @@ object Snapshots {
         .filter(s => keptRel.contains(s._1))
         .map(statLine)
       writeBloomSidecar(spark, root, v, prevV, fresh, keptRel, bloomCols)
+      // a DV delete must target a file this version KEEPS — a suffix not
+      // in the kept set means the caller's read is stale (the file was
+      // replaced since): committing would orphan positions that silently
+      // never subtract
+      dvAdd.foreach { dv =>
+        val tgt = dv.select(org.apache.spark.sql.functions.col("file"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val missing = tgt -- keptRel
+        require(missing.isEmpty,
+          s"publish under $root: deletion vector targets ${missing.size} file(s) " +
+            s"not kept by this version (first: ${missing.headOption.getOrElse("")}) — " +
+            "stale file list; re-read and retry")
+      }
+      writeDvSidecar(spark, root, v, prevV, keptRel, dvAdd)
       // table-level persistent keys (constraints, column mapping) carry
       // from the previous version; an explicit caller key overrides
       metaHeader(persistentMeta(spark, root, prevV) ++ meta ++ consMeta) ++
@@ -1117,6 +1312,7 @@ object Snapshots {
       val files = manifestFiles(spark, root, base)
       val stats = fileStats(spark, root, base).map(statLine)
       writeBloomSidecar(spark, root, v, Some(base), Nil, files.map(relSuffix).toSet, Nil)
+      writeDvSidecar(spark, root, v, Some(base), files.map(relSuffix).toSet)
       metaHeader(transform(manifestMeta(spark, root, base))) ++ stats ++ files.sorted
     }
   }
@@ -1229,6 +1425,7 @@ object Snapshots {
         .map(statLine)
       writeBloomSidecar(spark, root, v, prevV,
         files.filterNot(baseSet.contains), baseRel, Nil)
+      writeDvSidecar(spark, root, v, prevV, baseRel)
       metaHeader(persistentMeta(spark, root, prevV)) ++ keptStats ++
         statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++ body
     }
@@ -1261,6 +1458,7 @@ object Snapshots {
       // index — carry it forward whole (sidecar keys are rel suffixes)
       writeBloomSidecar(spark, root, v, Some(toVersion), Nil,
         files.map(relSuffix).toSet, Nil)
+      writeDvSidecar(spark, root, v, Some(toVersion), files.map(relSuffix).toSet)
       val gone = files.filterNot(f => fs.exists(new Path(resolveLine(root, f)._2)))
       require(gone.isEmpty,
         s"rollbackTo($toVersion): ${gone.size} of its ${files.size} data files " +
@@ -1320,6 +1518,20 @@ object Snapshots {
           s"cloneTable: bloom sidecar copy from $src failed")
         require(fs.rename(tmp, bloomDirPath(dstRoot, v)),
           s"cloneTable: bloom sidecar rename failed for version $v")
+      }
+      // pending deletion vectors are part of the source version's logical
+      // content — a clone without them would resurrect the deleted rows
+      fileDvs(spark, srcRoot, sv).foreach { _ =>
+        val src = dvDirPath(srcRoot, sv)
+        val tmp = new Path(
+          s"$dstRoot/$DvDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+        fs.mkdirs(tmp.getParent)
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          fsOf(spark, src), src, fs, tmp, false,
+          spark.sparkContext.hadoopConfiguration),
+          s"cloneTable: deletion-vector sidecar copy from $src failed")
+        require(fs.rename(tmp, dvDirPath(dstRoot, v)),
+          s"cloneTable: deletion-vector sidecar rename failed for version $v")
       }
       metaHeader(meta) ++ stats ++ absLines.sorted
     }
@@ -1446,27 +1658,67 @@ object Snapshots {
       root: String,
       fromVersion: Long,
       toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val from = manifestFiles(spark, root, fromVersion).toSet
     val to = manifestFiles(spark, root, toVersion).toSet
     val addedFiles = (to -- from).toSeq.sorted
     val removedFiles = (from -- to).toSeq.sorted
     // both sides read at the TO version's logical schema (a rename
     // between the versions otherwise makes the multiset diff compare
-    // physically different column sets)
-    def read(files: Seq[String]): Option[DataFrame] =
+    // physically different column sets) — but each side subtracts ITS
+    // OWN endpoint's deletion vectors: an added file carries TO's (a row
+    // born and DV-deleted inside the window was never visible at either
+    // endpoint and nets out), a removed file FROM's (the rows live when
+    // the file was last current; its pre-deleted rows already surfaced
+    // as 'removed' in an earlier window)
+    def read(files: Seq[String], dvV: Long): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(readMapped(spark, root, toVersion, files))
-    (read(addedFiles), read(removedFiles)) match {
+      else Some(readMapped(spark, root, toVersion, files, dvVersion = Some(dvV)))
+    val churnAdded = read(addedFiles, toVersion)
+    val churnRemoved = read(removedFiles, fromVersion)
+    // DV DELTA on COMMON files: the data files are identical by the
+    // layer's contract, but row LIVENESS changed — positions in TO's
+    // sidecar but not FROM's are newly dead ('removed'); the reverse
+    // direction (a reversed-argument call) yields 'added'. IO is one
+    // row-identity scan of the delta's files joined on (file, pos) —
+    // proportional to the churn, never the table.
+    val meta = manifestMeta(spark, root, toVersion)
+    val (renames, drops) = columnMapping(meta)
+    val ms = renames.nonEmpty || drops.nonEmpty
+    val commonRel = from.map(relSuffix) intersect to.map(relSuffix)
+    def dvRows(delta: DataFrame): Option[DataFrame] = {
+      val dvFiles = delta.select(col("file")).distinct()
+        .collect().map(_.getString(0)).filter(commonRel.contains).toSet
+      if (dvFiles.isEmpty) None
+      else {
+        val lines = to.toSeq.filter(f => dvFiles.contains(relSuffix(f))).sorted
+        Some(applyColumnMapping(
+          readLinesWithPos(spark, root, lines, ms)
+            .join(delta.select(col("file").as("__file"), col("pos").as("__pos")),
+              Seq("__file", "__pos"))
+            .drop("__file", "__pos"), meta))
+      }
+    }
+    val dvF = fileDvs(spark, root, fromVersion).map(_.select(col("file"), col("pos")))
+    val dvT = fileDvs(spark, root, toVersion).map(_.select(col("file"), col("pos")))
+    def minus(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
+      a.map(x => b.fold(x)(x.except(_)))
+    val dvRemoved = minus(dvT, dvF).flatMap(dvRows)
+    val dvAdded = minus(dvF, dvT).flatMap(dvRows)
+    val a0 = (churnAdded.toSeq ++ dvAdded.toSeq).reduceOption(_ unionByName _)
+    val r0 = (churnRemoved.toSeq ++ dvRemoved.toSeq).reduceOption(_ unionByName _)
+    (a0, r0) match {
       case (None, None) =>
         readSnapshot(spark, root, Some(toVersion)).limit(0)
           .withColumn("change", lit("added"))
       case (Some(a), None) => a.withColumn("change", lit("added"))
-      case (None, Some(r0)) => r0.withColumn("change", lit("removed"))
-      case (Some(a), Some(r0)) =>
+      case (None, Some(r)) => r.withColumn("change", lit("removed"))
+      case (Some(a), Some(rx)) =>
         // exceptAll is positional — pin the removed side to the added
-        // side's column order (mapping/mergeSchema can reorder)
-        val r = r0.select(a.columns.map(org.apache.spark.sql.functions.col): _*)
+        // side's column order (mapping/mergeSchema can reorder); the net
+        // diff spans BOTH sources, so an update that rewrites a row
+        // unchanged (DV-delete + identical re-insert) emits nothing
+        val r = rx.select(a.columns.map(col): _*)
         a.exceptAll(r).withColumn("change", lit("added"))
           .unionByName(r.exceptAll(a).withColumn("change", lit("removed")))
     }
@@ -1530,20 +1782,23 @@ object Snapshots {
           oldEnough(p)
       }
       .foreach(p => fs.delete(p, false))
-    // bloom sidecars of dropped or never-committed versions (plus crashed
-    // .tmp dirs) — kept versions' sidecars survive regardless of age
+    // bloom and deletion-vector sidecars of dropped or never-committed
+    // versions (plus crashed .tmp dirs) — kept versions' sidecars survive
+    // regardless of age
     val keepSet = keep.toSet
-    val bdir = new Path(s"$root/$BloomDir")
-    if (fs.exists(bdir))
-      fs.listStatus(bdir).map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          val vOpt =
-            if (n.startsWith("v")) scala.util.Try(n.stripPrefix("v").toLong).toOption
-            else None
-          (n.startsWith(".tmp-") || vOpt.forall(!keepSet.contains(_))) && oldEnough(p)
-        }
-        .foreach(p => fs.delete(p, true))
+    for (sidecarDir <- Seq(BloomDir, DvDir)) {
+      val bdir = new Path(s"$root/$sidecarDir")
+      if (fs.exists(bdir))
+        fs.listStatus(bdir).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            val vOpt =
+              if (n.startsWith("v")) scala.util.Try(n.stripPrefix("v").toLong).toOption
+              else None
+            (n.startsWith(".tmp-") || vOpt.forall(!keepSet.contains(_))) && oldEnough(p)
+          }
+          .foreach(p => fs.delete(p, true))
+    }
     // quarantine dirs referenced by NO kept manifest's metadata (dropped
     // versions' dead letters, and crash orphans whose commit never
     // landed) — kept versions' quarantines survive regardless of age

@@ -1365,6 +1365,81 @@ object Analytics {
         .orderBy("phase", "event_type")
     },
 
+    Q("u24_deletion_vectors",
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |src AS (
+        |  SELECT event_id, 'signup' AS event_type, value, 'delete' AS op
+        |  FROM e WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT event_id, 'view', value + 100, 'upsert'
+        |  FROM e WHERE event_type = 'click' AND event_id % 11 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000, 'promo', 1.5, 'upsert'
+        |  FROM e WHERE event_type = 'purchase' AND event_id % 13 = 0),
+        |final AS (
+        |  SELECT e.event_id, e.event_type, e.value FROM e
+        |  WHERE e.event_id NOT IN (SELECT event_id FROM src)
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM src WHERE op <> 'delete'),
+        |fagg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM final GROUP BY event_type)
+        |SELECT 'final' AS phase, event_type, n, value_sum FROM fagg
+        |UNION ALL
+        |SELECT 'pinned_v1', event_type, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM e GROUP BY event_type
+        |UNION ALL
+        |SELECT 'purged', event_type, n, value_sum FROM fagg
+        |ORDER BY phase, event_type""".stripMargin) { (s, d) =>
+      // DELETION VECTORS (merge-on-read): the SAME CDC batch as u16 —
+      // delete every signup, move every 11th click to 'view' with
+      // value+100, insert promos — but committed by SnapshotOps
+      // .mergeOnRead: matched target rows die as (file, row-position)
+      // pairs in the version's _dv sidecar; NO existing data file opens
+      // for rewrite and none moves (SnapshotOpsSpec pins the byte-level
+      // zero-churn claim), the survivors land additively. At 100 TB this
+      // is the frequent-small-CDC shape: commit cost ~|batch| rows, not
+      // ~|matched files| (u16's copy-on-write trade). The three phases
+      // hash-gate the lifecycle at once: 'final' proves the DV-subtracted
+      // read equals textbook merge semantics, 'pinned_v1' proves time
+      // travel under pending DVs (the deleted rows still read at v1), and
+      // 'purged' proves purgeDeletes materializes the vectors file-grain
+      // without changing content (same aggregate, DV-free table after).
+      import graft.core.{Num, SnapshotOps, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u24_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val v1 = Snapshots.publishPartitions(s, root, bloomCols = Seq("event_id"))(
+        stage => ev.write.partitionBy("event_type").parquet(stage))
+      val deletes = ev.filter(col("event_type") === "signup")
+        .withColumn("op", lit("delete"))
+      val moves = ev.filter(col("event_type") === "click" && col("event_id") % 11 === 0)
+        .select(col("event_id"), lit("view").as("event_type"),
+          (col("value") + 100).as("value"), lit("upsert").as("op"))
+      val inserts = ev.filter(col("event_type") === "purchase" && col("event_id") % 13 === 0)
+        .select((col("event_id") + 1000000).as("event_id"),
+          lit("promo").as("event_type"), lit(1.5).as("value"), lit("upsert").as("op"))
+      val v2 = SnapshotOps.mergeOnRead(s, root,
+        deletes.unionByName(moves).unionByName(inserts),
+        keyCols = Seq("event_id"), partitionCol = "event_type")
+      val v3 = SnapshotOps.purgeDeletes(s, root)
+        .getOrElse(sys.error("u24: pending deletion vectors must purge"))
+      def agg(version: Long, phase: String) =
+        Snapshots.readSnapshot(s, root, Some(version))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+          .withColumn("phase", lit(phase))
+      agg(v2, "final").unionByName(agg(v1, "pinned_v1")).unionByName(agg(v3, "purged"))
+        .select("phase", "event_type", "n", "value_sum")
+        .orderBy("phase", "event_type")
+    },
+
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

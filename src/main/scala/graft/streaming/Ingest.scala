@@ -531,4 +531,73 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyMergeBatch(batch, targetPath, keys, partitionCol, opCol, seqCol)
       }
+
+  /** One micro-batch of [[mergeOnReadSink]], exposed for replay specs:
+    * the same in-batch collapse as [[applyMergeBatch]], then
+    * [[graft.core.SnapshotOps.mergeOnRead]] — matched rows die by
+    * deletion vector, survivors append, NO existing data file rewrites.
+    *
+    * Replay safety: a replayed delete finds its positions already dead
+    * (the probe subtracts existing DVs) and merges nothing — `allowNoop`,
+    * no commit; a replayed upsert re-kills the row it just inserted and
+    * re-inserts identical content, so the table converges with at most
+    * one superseded version and one extra dead position per replay —
+    * both reclaimed by the purge tick.
+    */
+  def applyMergeOnReadBatch(
+      batch: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      partitionCol: String,
+      opCol: String = "op",
+      seqCol: String = "seq"): Unit = {
+    if (batch.isEmpty) return
+    val payloadCols = batch.columns
+      .filterNot(keys.contains).filterNot(c => c == seqCol)
+      .sorted.map(col(_).asc)
+    val latest = graft.ops.Joins.dedupKeepFirst(batch, keys,
+        Seq(col(seqCol).desc) ++ payloadCols)
+      .drop(seqCol)
+    graft.core.SnapshotOps.mergeOnRead(batch.sparkSession, targetPath, latest,
+      keys, partitionCol, opCol, allowNoop = true)
+    ()
+  }
+
+  /** Continuous CDC maintenance in MERGE-ON-READ shape: every micro-batch
+    * commits its deletes as deletion vectors and its upserts as additive
+    * files ([[graft.core.SnapshotOps.mergeOnRead]] — per-batch cost
+    * ∝ batch, no data-file rewrites in the hot path: the 100 TB upgrade
+    * over [[mergeSink]] for frequent small batches), and every
+    * `purgeEveryNBatches`-th batch materializes the pending vectors
+    * file-grain plus a retention vacuum — bounding the read-side DV tax
+    * the way [[snapshotMaintainSink]] bounds small files. One sink closes
+    * the loop: hot-path sidecar commits, scheduled rewrite, reclamation.
+    */
+  def mergeOnReadSink(
+      updates: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      partitionCol: String,
+      opCol: String = "op",
+      seqCol: String = "seq",
+      purgeEveryNBatches: Int = 8,
+      keepVersions: Int = 4,
+      vacuumGraceMs: Long = 15L * 60 * 1000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(purgeEveryNBatches >= 1, "purgeEveryNBatches must be >= 1")
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeOnReadBatch(batch, targetPath, keys, partitionCol, opCol, seqCol)
+        if ((batchId + 1) % purgeEveryNBatches == 0 &&
+            graft.core.Snapshots.latestVersion(batch.sparkSession, targetPath).nonEmpty) {
+          graft.core.SnapshotOps.purgeDeletes(batch.sparkSession, targetPath)
+          graft.core.Snapshots.vacuum(
+            batch.sparkSession, targetPath, keepVersions, vacuumGraceMs)
+          ()
+        }
+        ()
+      }
+  }
 }

@@ -724,4 +724,250 @@ class SnapshotOpsSpec extends SparkTestBase {
     val r = Snapshots.readSnapshotEquals(spark, root, "id", lit(10L))
     assert(r.select("v").as[Long].collect().toSeq == Seq(30L))
   }
+
+  // ---- deletion vectors (merge-on-read) --------------------------------
+
+  private def bytesOfFile(root: String, f: String): Seq[Byte] = {
+    val p = new Path(s"$root/$f")
+    val in = fs(root).open(p)
+    try {
+      val len = fs(root).getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len); in.readFully(buf); buf.toSeq
+    } finally in.close()
+  }
+
+  test("mergeOnRead delete commits with ZERO data-file churn; pinned reads and stacking hold") {
+    val root = freshRoot("snap_dv")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    val files1 = Snapshots.manifestFiles(spark, root, v1)
+    val sums1 = files1.map(f => f -> bytesOfFile(root, f)).toMap
+    // delete-only batch: ids 0..9 of partition a die by deletion vector
+    val batch = (0L until 10L).map(i => ("a", i, i, "delete")).toDF("part", "id", "v", "op")
+    val v2 = SnapshotOps.mergeOnRead(spark, root, batch, Seq("id", "part"), "part")
+    // the core merge-on-read claim: the manifest's FILE LIST is identical
+    // and every data file is byte-identical — only the sidecar changed
+    assert(Snapshots.manifestFiles(spark, root, v2) == files1,
+      "a DV delete must not add, drop or rename any data file")
+    files1.foreach(f => assert(bytesOfFile(root, f) == sums1(f),
+      s"data file $f must stay byte-identical across a DV delete"))
+    assert(Snapshots.fileDvs(spark, root, v2).nonEmpty, "v2 must carry a DV sidecar")
+    // logical content: the rows are gone at v2, intact pinned at v1
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) ==
+      rowsOf(fixture("a" -> 1, "b" -> 1)).filterNot(r => r._1 == "a" && r._2 < 10))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v1))) ==
+      rowsOf(fixture("a" -> 1, "b" -> 1)))
+    // STACKED second batch: carry ∪ fresh — both generations of deletes apply
+    val v3 = SnapshotOps.mergeOnRead(spark, root,
+      (10L until 15L).map(i => ("a", i, i, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v3))) ==
+      rowsOf(fixture("a" -> 1, "b" -> 1)).filterNot(r => r._1 == "a" && r._2 < 15))
+    // a re-delete of already-dead keys is a no-op under allowNoop
+    assert(SnapshotOps.mergeOnRead(spark, root,
+      (0L until 5L).map(i => ("a", i, i, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part", allowNoop = true) == v3)
+  }
+
+  test("mergeOnRead update moves rows across partitions without rewriting either side") {
+    val root = freshRoot("snap_dv_upd")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    val files1 = Snapshots.manifestFiles(spark, root, v1).toSet
+    // update a/id0 in place, MOVE a/id1 to partition c, insert d/id99
+    val src = Seq(
+      ("a", 0L, 777L, "upsert"),
+      ("c", 1L, 888L, "upsert"),
+      ("d", 99L, 1L, "upsert")).toDF("part", "id", "v", "op")
+    // key is id ALONE so the move matches its old row in partition a
+    val v2 = SnapshotOps.mergeOnRead(spark, root, src, Seq("id"), "part")
+    val files2 = Snapshots.manifestFiles(spark, root, v2).toSet
+    assert(files1.subsetOf(files2), "every v1 data file must carry verbatim")
+    assert((files2 -- files1).nonEmpty, "the surviving source rows land additively")
+    val got = rowsOf(Snapshots.readSnapshot(spark, root))
+    val want = (rowsOf(fixture("a" -> 1, "b" -> 1))
+      .filterNot(r => r._2 <= 1L) ++
+      Seq(("a", 0L, 777L), ("c", 1L, 888L), ("d", 99L, 1L))).sortBy(r => (r._1, r._2))
+    assert(got == want, "merge-on-read must equal copy-on-write merge semantics")
+  }
+
+  test("purgeDeletes materializes DVs file-grain and returns the table to the DV-free path") {
+    val root = freshRoot("snap_dv_purge")
+    // two key-clustered files in partition a + one in b: the DV hits only
+    // the low file; purge must rewrite exactly the DV'd file
+    val v1 = Snapshots.publishPartitions(spark, root, bloomCols = Seq("id")) { stage =>
+      val lo = (0L until 40L).map(i => ("a", i, i)).toDF("part", "id", "v")
+      val hi = (100L until 140L).map(i => ("a", i, i)).toDF("part", "id", "v")
+      val b = (200L until 220L).map(i => ("b", i, i)).toDF("part", "id", "v")
+      lo.coalesce(1).unionByName(hi.coalesce(1)).repartitionByRange(2, col("id"))
+        .unionByName(b.coalesce(1)).write.partitionBy("part").parquet(stage)
+    }
+    SnapshotOps.mergeOnRead(spark, root,
+      (0L until 5L).map(i => ("a", i, i, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id"), "part")
+    val before = rowsOf(Snapshots.readSnapshot(spark, root))
+    val dvd = Snapshots.fileDvs(spark, root, Snapshots.latestVersion(spark, root).get)
+      .get.select(col("file")).distinct().as[String].collect().toSet
+    assert(dvd.size == 1, s"the bloom-probed DV must target exactly the lo file: $dvd")
+    val untouched = Snapshots.manifestFiles(spark, root, v1)
+      .filterNot(f => dvd.contains(f))
+    val sums = untouched.map(f => f -> bytesOfFile(root, f)).toMap
+    val v3 = SnapshotOps.purgeDeletes(spark, root)
+      .getOrElse(fail("pending DVs must purge"))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v3))) == before,
+      "purge must be content-preserving")
+    assert(Snapshots.fileDvs(spark, root, v3).isEmpty,
+      "a full purge must return the table to the DV-free fast path")
+    val files3 = Snapshots.manifestFiles(spark, root, v3)
+    untouched.foreach { f =>
+      assert(files3.contains(f) && bytesOfFile(root, f) == sums(f),
+        s"non-DV file $f must carry byte-identical through the purge")
+    }
+    assert(!files3.exists(dvd.contains), "the DV'd file must be replaced")
+    // idle tick: nothing pending -> no commit
+    assert(SnapshotOps.purgeDeletes(spark, root).isEmpty)
+    assert(Snapshots.latestVersion(spark, root).contains(v3))
+  }
+
+  test("purgeDeletes drops a partition whose every row died by DV") {
+    val root = freshRoot("snap_dv_empty")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    SnapshotOps.mergeOnRead(spark, root,
+      (0L until 40L).map(i => ("b", i, i, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    // rows are logically gone but the partition's files still carry
+    assert(Snapshots.readSnapshot(spark, root).filter(col("part") === "b").count() == 0)
+    assert(Snapshots.manifestFiles(spark, root,
+      Snapshots.latestVersion(spark, root).get).exists(_.startsWith("part=b/")))
+    val v3 = SnapshotOps.purgeDeletes(spark, root).get
+    assert(!Snapshots.manifestFiles(spark, root, v3).exists(_.startsWith("part=b/")),
+      "a fully-dead partition must drop from the manifest at purge")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v3))) ==
+      rowsOf(fixture("a" -> 1)))
+  }
+
+  test("snapshotChanges reads DV deltas as removed rows; updates net unchanged rows out") {
+    val root = freshRoot("snap_dv_cdc")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    // batch: delete id0, update id1 -> 999, and carry everything else
+    val v2 = SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 0L, 0L, "delete"), ("a", 1L, 999L, "upsert"))
+        .toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    val ch = Snapshots.snapshotChanges(spark, root, v1, v2)
+      .select(col("change"), col("part"), col("id"), col("v"))
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(ch == Seq(
+      ("added", "a", 1L, 999L),
+      ("removed", "a", 0L, 0L),
+      ("removed", "a", 1L, 1L)),
+      s"DV CDC must emit exactly the churn, got $ch")
+    // purge produces NO logical change: the CDC window across it is empty
+    val v3 = SnapshotOps.purgeDeletes(spark, root).get
+    assert(Snapshots.snapshotChanges(spark, root, v2, v3).count() == 0,
+      "materializing DVs must be invisible to CDC")
+  }
+
+  test("skipping reads and clones subtract deletion vectors") {
+    val root = freshRoot("snap_dv_reads")
+    Snapshots.publishPartitions(spark, root,
+      statsCols = Seq("id"), bloomCols = Seq("id"))(stage =>
+      fixture("a" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 7L, 7L, "delete")).toDF("part", "id", "v", "op"), Seq("id"), "part")
+    // point lookup: the bloom still names the file (stale bits are false
+    // POSITIVES — allowed) but the row must be gone
+    assert(Snapshots.readSnapshotEquals(spark, root, "id", lit(7L)).count() == 0)
+    assert(Snapshots.readSnapshotEquals(spark, root, "id", lit(8L))
+      .select("v").as[Long].collect().toSeq == Seq(8L))
+    // range read subtracts too
+    assert(Snapshots.readSnapshotRange(spark, root, "id", 5.0, 9.0)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 8L, 9L))
+    // a clone must carry the pending deletions (or it resurrects rows)
+    val cloneRoot = freshRoot("snap_dv_clone")
+    Snapshots.cloneTable(spark, root, cloneRoot)
+    assert(rowsOf(Snapshots.readSnapshot(spark, cloneRoot)) ==
+      rowsOf(fixture("a" -> 1)).filterNot(_._2 == 7L))
+  }
+
+  test("deleteWhere commits predicate deletes as DVs with zero data churn, stacks and no-ops") {
+    val root = freshRoot("snap_dv_where")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 2).coalesce(1).write.partitionBy("part").parquet(stage))
+    val files1 = Snapshots.manifestFiles(spark, root, v1)
+    val sums1 = files1.map(f => f -> bytesOfFile(root, f)).toMap
+    val v2 = SnapshotOps.deleteWhere(spark, root, col("v") >= 60L)
+    assert(Snapshots.manifestFiles(spark, root, v2) == files1)
+    files1.foreach(f => assert(bytesOfFile(root, f) == sums1(f),
+      s"deleteWhere must not rewrite $f"))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) ==
+      rowsOf(fixture("a" -> 1, "b" -> 2)).filterNot(_._3 >= 60L))
+    // stacked on the keyed verb: a later mergeOnRead sees only live rows
+    val v3 = SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 1L, 555L, "upsert")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v3))) ==
+      (rowsOf(fixture("a" -> 1, "b" -> 2))
+        .filterNot(_._3 >= 60L).filterNot(r => r._1 == "a" && r._2 == 1L) ++
+        Seq(("a", 1L, 555L))).sortBy(r => (r._1, r._2)))
+    // nothing-matches: loud by default, version-stable under allowNoop
+    intercept[IllegalArgumentException] {
+      SnapshotOps.deleteWhere(spark, root, col("v") === -1L)
+    }
+    assert(SnapshotOps.deleteWhere(spark, root, col("v") === -1L,
+      allowNoop = true) == v3)
+  }
+
+  test("copy-on-write merge over a DV'd table materializes deletes for the files it rewrites") {
+    val root = freshRoot("snap_dv_cow")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 0L, 0L, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    // a copy-on-write merge touching partition a rewrites its file: the
+    // rewrite read subtracts the DV, and the replaced file's DV rows drop
+    val v3 = SnapshotOps.merge(spark, root,
+      Seq(("a", 1L, 777L, "upsert")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    assert(Snapshots.fileDvs(spark, root, v3).isEmpty,
+      "the rewritten file's DV rows must drop with it")
+    val got = rowsOf(Snapshots.readSnapshot(spark, root, Some(v3)))
+    val want = (rowsOf(fixture("a" -> 1, "b" -> 1))
+      .filterNot(r => r._1 == "a" && r._2 <= 1L) ++ Seq(("a", 1L, 777L)))
+      .sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
+  test("publishWithDeletes refuses a stale file target; vacuum reaps old DV sidecars") {
+    val root = freshRoot("snap_dv_guard")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    val bogus = Seq(("part=a/pub-gone-0.snappy.parquet", 0L)).toDF("file", "pos")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.publishWithDeletes(spark, root, bogus)(_ => ())
+    }
+    assert(ex.getMessage.contains("stale file list"))
+    assert(Snapshots.latestVersion(spark, root).contains(1L),
+      "a refused DV publish must not commit (and must release its claim)")
+    // vacuum: DV sidecars of dropped versions reap, survivors keep theirs
+    val v2 = SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 0L, 0L, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    val v3 = SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 1L, 1L, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    val v4 = SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 2L, 2L, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    assert(Seq(v2, v3, v4).forall(v => Snapshots.fileDvs(spark, root, v).nonEmpty))
+    Snapshots.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
+    assert(Snapshots.fileDvs(spark, root, v2).isEmpty, "v2 DV sidecar must be reaped")
+    assert(Snapshots.fileDvs(spark, root, v3).nonEmpty)
+    assert(Snapshots.fileDvs(spark, root, v4).nonEmpty)
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) ==
+      rowsOf(fixture("a" -> 1)).filterNot(_._2 <= 2L))
+  }
 }

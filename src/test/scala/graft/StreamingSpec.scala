@@ -565,6 +565,71 @@ class StreamingSpec extends SparkTestBase {
     assert(afterReplay == replayed, "replayed delete batch changed content")
   }
 
+  test("mergeOnReadSink: DV commits in the hot path, purge tick materializes, replay no-ops") {
+    import graft.core.Snapshots
+    import graft.streaming.Ingest
+    import org.apache.spark.sql.types._
+    val updDir = Files.createTempDirectory("graft-mor-in").toString
+    val target = Files.createTempDirectory("graft-mor-out").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft-mor-ckpt").toString
+    Snapshots.publishPartitions(spark, target) { stage =>
+      Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+        .toDF("k", "part", "v").write.partitionBy("part").parquet(stage)
+    }
+    val seedFiles = Snapshots.manifestFiles(spark, target, 1L).toSet
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("part", StringType), StructField("v", DoubleType),
+      StructField("op", StringType), StructField("seq", LongType)))
+    // batch 1 (batchId 0): update k=1, insert k=4, in-batch supersede
+    Seq((1L, "p1", 11.0, "upsert", 1L), (4L, "p3", 40.0, "upsert", 1L),
+        (4L, "p3", 44.0, "upsert", 2L))
+      .toDF("k", "part", "v", "op", "seq").write.mode("append").parquet(updDir)
+    val q = Ingest.mergeOnReadSink(
+      spark.readStream.schema(schema).parquet(updDir),
+      target, ckpt, Seq("k"), "part", purgeEveryNBatches = 2).start()
+    try {
+      q.processAllAvailable()
+      val after1 = Snapshots.readSnapshot(spark, target)
+        .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+      assert(after1 == Set((1L, "p1", 11.0), (2L, "p1", 20.0),
+        (3L, "p2", 30.0), (4L, "p3", 44.0)))
+      // hot path = merge-on-read: every seed file still in the manifest
+      val v2 = Snapshots.latestVersion(spark, target).get
+      assert(seedFiles.subsetOf(Snapshots.manifestFiles(spark, target, v2).toSet),
+        "the DV hot path must not rewrite seed files")
+      assert(Snapshots.fileDvs(spark, target, v2).nonEmpty,
+        "the update must have committed deletion vectors")
+      // batch 2 (batchId 1): delete k=3 — then the purge tick fires:
+      // vectors materialize, the emptied partition drops, DVs clear
+      Seq((3L, "p2", 30.0, "delete", 1L))
+        .toDF("k", "part", "v", "op", "seq").write.mode("append").parquet(updDir)
+      q.processAllAvailable()
+      val after2 = Snapshots.readSnapshot(spark, target)
+        .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+      assert(after2 == Set((1L, "p1", 11.0), (2L, "p1", 20.0), (4L, "p3", 44.0)))
+      val vP = Snapshots.latestVersion(spark, target).get
+      assert(Snapshots.fileDvs(spark, target, vP).isEmpty,
+        "the purge tick must clear the pending vectors")
+      assert(!Snapshots.manifestFiles(spark, target, vP).exists(_.startsWith("part=p2/")),
+        "the fully-dead partition must drop at the purge tick")
+    } finally q.stop()
+    // at-least-once replays: a replayed delete finds its positions dead
+    // (the probe subtracts DVs) and must not even commit a version
+    val vFinal = Snapshots.latestVersion(spark, target).get
+    Ingest.applyMergeOnReadBatch(
+      Seq((3L, "p2", 30.0, "delete", 1L)).toDF("k", "part", "v", "op", "seq"),
+      target, Seq("k"), "part")
+    assert(Snapshots.latestVersion(spark, target).get == vFinal,
+      "replayed delete-only batch must no-op without committing")
+    // a replayed upsert converges in content (one superseded version ok)
+    Ingest.applyMergeOnReadBatch(
+      Seq((1L, "p1", 11.0, "upsert", 1L)).toDF("k", "part", "v", "op", "seq"),
+      target, Seq("k"), "part")
+    val afterReplay = Snapshots.readSnapshot(spark, target)
+      .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+    assert(afterReplay == Set((1L, "p1", 11.0), (2L, "p1", 20.0), (4L, "p3", 44.0)))
+  }
+
   test("snapshotMaintainSink: publishes stream, optimize tick bounds files, vacuum reclaims") {
     import graft.core.Snapshots
     import graft.streaming.Ingest
