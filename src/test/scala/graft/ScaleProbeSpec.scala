@@ -458,6 +458,47 @@ class ScaleProbeSpec extends SparkTestBase {
       .filter(col("id") < 20 && col("v") >= 1000L).count() == 20)
   }
 
+  test("merge-on-read: fixed CDC batch cost stays flat as the table grows 10x, zero rewrites") {
+    import graft.core.{SnapshotOps, Snapshots}
+    // the DV twin of the merge probe: same fixed 20-key batch, same
+    // bloom-probed candidate discovery, but the commit writes ONLY the
+    // sidecar + the fresh upsert rows — at 10x data the position probe
+    // reads one candidate file either way and no data file rewrites at
+    // either scale (asserted structurally, not just by time)
+    def build(n: Long, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"probe-mor-$tag")
+        .toString + "/tbl"
+      val rows = spark.range(n).select(
+        concat(lit("p"), (col("id") / 2000).cast("long")).as("part"),
+        col("id"), (col("id") % 97).as("v"))
+      Snapshots.publishPartitions(spark, root, bloomCols = Seq("id"))(stage =>
+        rows.write.partitionBy("part").parquet(stage))
+      root
+    }
+    def morOnce(root: String): Long = {
+      import spark.implicits._
+      SnapshotOps.mergeOnRead(spark, root,
+        (0L until 20L).map(i => ("p0", i, 1000L + i, "upsert"))
+          .toDF("part", "id", "v", "op"),
+        Seq("id"), "part")
+    }
+    val small = build(20000L, "small")
+    val big = build(200000L, "big")
+    morOnce(small) // warm the code paths once
+    val (_, tS) = timed(morOnce(small))
+    val (vB, tB) = timed(morOnce(big))
+    info(f"merge-on-read fixed batch: 20k-table=$tS%.2fs 200k-table=$tB%.2fs")
+    assert(tB <= math.max(tS, 0.5) * 4 + 2.0,
+      f"fixed-batch merge-on-read grew ${tB / math.max(tS, 0.3)}%.1fx on a 10x " +
+        "table — the probe or sidecar write is scanning the table")
+    // structural zero-churn at the big scale: every v1 file still pinned
+    val v1Files = Snapshots.manifestFiles(spark, big, 1L).toSet
+    assert(v1Files.subsetOf(Snapshots.manifestFiles(spark, big, vB).toSet),
+      "a DV commit must carry every previous data file verbatim")
+    assert(Snapshots.readSnapshot(spark, big)
+      .filter(col("id") < 20 && col("v") >= 1000L).count() == 20)
+  }
+
   test("kCorePeel: 10x edges within linear time") {
     // hash-derived sparse graph: ~4 edges per node, non-trivial peel
     def edges(n: Long): DataFrame =

@@ -941,6 +941,62 @@ class SnapshotOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("incremental view maintenance stays exact across a merge-on-read batch") {
+    val root = freshRoot("snap_dv_ivm")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 2).coalesce(1).write.partitionBy("part").parquet(stage))
+    val v2 = SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 0L, 0L, "delete"), ("a", 1L, 500L, "upsert"),
+        ("c", 99L, 9L, "upsert")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    // view(v1) ⊕ signed Δ(v1→v2) must equal the full v2 recompute — the
+    // u19 identity, now with the delta carried by DELETION VECTORS (the
+    // removed rows come from the DV delta path, not file churn)
+    val base = Snapshots.readSnapshot(spark, root, Some(v1))
+      .groupBy("part").agg(count(lit(1)).as("n"), sum(col("v")).as("vs"))
+    val delta = Snapshots.snapshotChanges(spark, root, v1, v2)
+      .withColumn("sgn", when(col("change") === "added", 1L).otherwise(-1L))
+      .groupBy("part")
+      .agg(sum(col("sgn")).as("n"), sum(col("v") * col("sgn")).as("vs"))
+    val maintained = graft.ops.Aggregates.mergePartialAggs(Seq(base, delta),
+        Seq("part"), Seq("n", "vs"))
+      .filter(col("n") > 0)
+      .select("part", "n", "vs").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val full = Snapshots.readSnapshot(spark, root, Some(v2))
+      .groupBy("part").agg(count(lit(1)).as("n"), sum(col("v")).as("vs"))
+      .select("part", "n", "vs").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(maintained == full, s"IVM drifted: $maintained vs $full")
+  }
+
+  test("optimize across a DV'd table materializes rewritten files' vectors, carries the rest") {
+    val root = freshRoot("snap_dv_opt")
+    // partition a: fragmented (12 files, will compact); partition b: one
+    // file (won't qualify) — DVs land in BOTH
+    Snapshots.publishPartitions(spark, root) { stage =>
+      fixture("a" -> 1).repartition(12).write.partitionBy("part").parquet(stage)
+      fixture("b" -> 2).coalesce(1).write.mode("append")
+        .partitionBy("part").parquet(stage)
+    }
+    SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 3L, 3L, "delete"), ("b", 5L, 10L, "delete"))
+        .toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    val before = rowsOf(Snapshots.readSnapshot(spark, root))
+    val v3 = SnapshotOps.optimize(spark, root, targetFileBytes = 1L << 30)
+      .getOrElse(fail("the fragmented partition must qualify"))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v3))) == before,
+      "optimize over a DV'd table must preserve the DV-subtracted content")
+    // partition a's rewrite subtracted its DV (rows drop with the files);
+    // partition b's file was untouched, so its DV row must carry
+    val dv3 = Snapshots.fileDvs(spark, root, v3)
+      .getOrElse(fail("the untouched partition's vector must survive"))
+    val dvFiles = dv3.select(col("file")).distinct().as[String].collect().toSeq
+    assert(dvFiles.forall(_.startsWith("part=b/")),
+      s"only the untouched partition's vectors may remain: $dvFiles")
+  }
+
   test("publishWithDeletes refuses a stale file target; vacuum reaps old DV sidecars") {
     val root = freshRoot("snap_dv_guard")
     Snapshots.publishPartitions(spark, root)(stage =>
