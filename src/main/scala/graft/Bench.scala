@@ -84,6 +84,7 @@ object Bench {
     "u22_table_constraints", // persisted-constraint enforcement on publish
     "u23_rename_evolve",  // metadata rename + two-generation mapped read
     "u24_deletion_vectors", // merge-on-read DV commit + subtracting read + purge
+    "u25_listing_count",  // manifest-only COUNT(*) incl. a DV subtraction
     "ev_holt",            // Holt level+trend fold over the daily series
     "dd_phonetic"         // phonetic keying + block-size window
   )

@@ -105,7 +105,7 @@ object Snapshots {
     * `prev` the predecessor version the commit carried over from (the
     * ancestry chain the post-commit shadow check walks).
     */
-  private val ReservedMetaKeys = Set("stat", "committed_at", "prev")
+  private val ReservedMetaKeys = Set("stat", "rows", "committed_at", "prev")
 
   /** TABLE-LEVEL meta keys that persist across publishes: once set, every
     * subsequent publish carries them into its manifest unless the caller
@@ -396,6 +396,104 @@ object Snapshots {
       c <- statsCols
       (mn, mx) <- footerRange(fs, rootP, f, c)
     } yield statLine((f, c, mn, mx))
+
+  /** Per-file ROW COUNTS a version records (`#rows=<file>|<n>` header
+    * lines, footer-derived at publish like [[fileStats]]) — what makes
+    * [[snapshotRowCount]] a LISTING-cost verb: COUNT(*) on a 100 TB
+    * snapshot opens zero data files. Files published before this header
+    * existed are simply absent (the count verb footer-reads them once).
+    */
+  def fileRows(spark: SparkSession, root: String, version: Long): Seq[(String, Long)] =
+    manifestLines(spark, root, version)
+      .filter(_.startsWith("#rows="))
+      .flatMap { l =>
+        l.stripPrefix("#rows=").split('|') match {
+          case Array(f, n) => scala.util.Try(f -> n.toLong).toOption
+          case _ => None
+        }
+      }
+
+  private def rowsLine(f: String, n: Long): String = s"#rows=$f|$n"
+
+  /** A parquet file's exact row count, from the FOOTER only. */
+  private def footerRowCount(fs: FileSystem, full: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(full, fs.getConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally r.close()
+  }
+
+  private def rowsLines(fs: FileSystem, rootP: Path, files: Seq[String]): Seq[String] =
+    files.map(f => rowsLine(f, footerRowCount(fs, new Path(rootP, f))))
+
+  /** EXACT COUNT(*) of a pinned version at LISTING cost: the sum of the
+    * manifest's recorded per-file row counts, minus the version's pending
+    * deletion-vector positions (each kept file's positions are distinct
+    * and ≤ its rows by construction). Files whose publish predates the
+    * `#rows=` header footer-read once here — still zero data IO. The
+    * verb a 100 TB table answers "how many rows?" with: no scan, no
+    * shuffle, one manifest read (+ one small sidecar count when deletes
+    * are pending).
+    */
+  def snapshotRowCount(
+      spark: SparkSession,
+      root: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshotRowCount: no published version under $root"))
+    val files = manifestFiles(spark, root, v)
+    val recorded = fileRows(spark, root, v).toMap
+    val fs = fsOf(spark, new Path(root))
+    val total = files.map { f =>
+      recorded.getOrElse(relSuffix(f),
+        footerRowCount(fs, new Path(resolveLine(root, f)._2)))
+    }.sum
+    val dead = fileDvs(spark, root, v).fold(0L)(_.count())
+    total - dead
+  }
+
+  /** One row of DESCRIBE-DETAIL facts about a version (default latest),
+    * all at listing cost: version, commit instant, file/byte/row counts,
+    * pending DV positions, constraints, column mapping, caller meta.
+    */
+  final case class TableDetail(
+      version: Long,
+      committedAt: Long,
+      numFiles: Int,
+      totalBytes: Long,
+      numRows: Long,
+      pendingDeletes: Long,
+      constraints: Seq[(String, String)],
+      renames: Seq[(String, String)],
+      droppedColumns: Seq[String],
+      meta: Map[String, String])
+
+  def tableDetail(
+      spark: SparkSession,
+      root: String,
+      version: Option[Long] = None): TableDetail = {
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"tableDetail: no published version under $root"))
+    val fs = fsOf(spark, new Path(root))
+    val files = manifestFiles(spark, root, v)
+    val bytes = files
+      .map(f => fs.getFileStatus(new Path(resolveLine(root, f)._2)).getLen).sum
+    val committedAt = manifestLines(spark, root, v)
+      .find(_.startsWith("#committed_at="))
+      .map(_.stripPrefix("#committed_at=").toLong).getOrElse(0L)
+    val dead = fileDvs(spark, root, v).fold(0L)(_.count())
+    val meta = manifestMeta(spark, root, v)
+    val (renames, drops) = columnMapping(meta)
+    TableDetail(v, committedAt, files.size, bytes,
+      snapshotRowCount(spark, root, Some(v)), dead,
+      meta.toSeq.collect { case (k, e) if k.startsWith("constraint.") =>
+        (k.stripPrefix("constraint."), e) }.sortBy(_._1),
+      renames, drops,
+      meta.filterNot(kv => isPersistentMetaKey(kv._1)))
+  }
 
   private def bloomDirPath(root: String, v: Long): Path =
     new Path(f"$root/$BloomDir/v$v%012d")
@@ -1186,13 +1284,17 @@ object Snapshots {
         s"publish under $root would pin an EMPTY file set (every partition " +
           "dropped and nothing staged) — an empty table has no readable " +
           "schema; keep at least one row or drop the table instead")
-      // carried-over files keep their recorded stats; fresh files get
-      // footer-derived stats for the requested columns
+      // carried-over files keep their recorded stats and row counts;
+      // fresh files get footer-derived ones
       val keptRel = kept.map(relSuffix).toSet
       val keptStats = prevV.toSeq
         .flatMap(pv => fileStats(spark, root, pv))
         .filter(s => keptRel.contains(s._1))
         .map(statLine)
+      val keptRows = prevV.toSeq
+        .flatMap(pv => fileRows(spark, root, pv))
+        .filter(r => keptRel.contains(r._1))
+        .map(r => rowsLine(r._1, r._2))
       writeBloomSidecar(spark, root, v, prevV, fresh, keptRel, bloomCols)
       // a DV delete must target a file this version KEEPS — a suffix not
       // in the kept set means the caller's read is stale (the file was
@@ -1212,6 +1314,7 @@ object Snapshots {
       // from the previous version; an explicit caller key overrides
       metaHeader(persistentMeta(spark, root, prevV) ++ meta ++ consMeta) ++
         keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
+        keptRows ++ rowsLines(fs, rootP, fresh) ++
         (kept ++ fresh).sorted
     }
   }
@@ -1311,9 +1414,10 @@ object Snapshots {
         s"metadata commit under $root lost its base version"))
       val files = manifestFiles(spark, root, base)
       val stats = fileStats(spark, root, base).map(statLine)
+      val rows = fileRows(spark, root, base).map(r => rowsLine(r._1, r._2))
       writeBloomSidecar(spark, root, v, Some(base), Nil, files.map(relSuffix).toSet, Nil)
       writeDvSidecar(spark, root, v, Some(base), files.map(relSuffix).toSet)
-      metaHeader(transform(manifestMeta(spark, root, base))) ++ stats ++ files.sorted
+      metaHeader(transform(manifestMeta(spark, root, base))) ++ stats ++ rows ++ files.sorted
     }
   }
 
@@ -1423,11 +1527,16 @@ object Snapshots {
         .flatMap(pv => fileStats(spark, root, pv))
         .filter(s => baseRel.contains(s._1))
         .map(statLine)
+      val keptRows = prevV.toSeq
+        .flatMap(pv => fileRows(spark, root, pv))
+        .filter(r => baseRel.contains(r._1))
+        .map(r => rowsLine(r._1, r._2))
       writeBloomSidecar(spark, root, v, prevV,
         files.filterNot(baseSet.contains), baseRel, Nil)
       writeDvSidecar(spark, root, v, prevV, baseRel)
       metaHeader(persistentMeta(spark, root, prevV)) ++ keptStats ++
-        statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++ body
+        statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++
+        keptRows ++ rowsLines(fs, rootP, files.filterNot(baseSet.contains)) ++ body
     }
   }
 
@@ -1465,8 +1574,9 @@ object Snapshots {
           s"were vacuumed (first: ${gone.headOption.getOrElse("")}) — the version " +
           "is past the retention horizon and cannot be restored")
       val stats = fileStats(spark, root, toVersion).map(statLine)
+      val rows = fileRows(spark, root, toVersion).map(r => rowsLine(r._1, r._2))
       val meta = manifestMeta(spark, root, toVersion) + ("rollback_of" -> toVersion.toString)
-      metaHeader(meta) ++ stats ++ files.sorted
+      metaHeader(meta) ++ stats ++ rows ++ files.sorted
     }
   }
 
@@ -1502,6 +1612,7 @@ object Snapshots {
     val absLines = manifestFiles(spark, srcRoot, sv)
       .map(f => resolveLine(srcRoot, f)._2)
     val stats = fileStats(spark, srcRoot, sv).map(statLine)
+    val rows = fileRows(spark, srcRoot, sv).map(r => rowsLine(r._1, r._2))
     val meta = manifestMeta(spark, srcRoot, sv) +
       ("clone_of" -> s"$srcRoot@$sv")
     claimAndCommit(spark, dstRoot) { (v, _) =>
@@ -1533,7 +1644,7 @@ object Snapshots {
         require(fs.rename(tmp, dvDirPath(dstRoot, v)),
           s"cloneTable: deletion-vector sidecar rename failed for version $v")
       }
-      metaHeader(meta) ++ stats ++ absLines.sorted
+      metaHeader(meta) ++ stats ++ rows ++ absLines.sorted
     }
   }
 

@@ -1440,6 +1440,40 @@ object Analytics {
         .orderBy("phase", "event_type")
     },
 
+    Q("u25_listing_count",
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL)
+        |SELECT 'v1' AS phase, CAST(COUNT(*) AS BIGINT) AS n FROM e
+        |UNION ALL
+        |SELECT 'v2', CAST(COUNT(*) AS BIGINT) FROM e WHERE event_type <> 'signup'
+        |ORDER BY phase""".stripMargin) { (s, d) =>
+      // LISTING-COST COUNT(*): every publish records per-file footer row
+      // counts in the manifest (#rows= headers), so snapshotRowCount
+      // answers an exact COUNT over any pinned version by summing the
+      // listing and subtracting pending deletion-vector positions — zero
+      // data files open, no scan, no shuffle; at 100 TB the difference
+      // between a metadata lookup and a cluster-wide job. The two phases
+      // gate both paths at once: v1 (plain listing sum) and v2 (the same
+      // sum minus a DV delete's positions, proving count and vectors
+      // stay consistent); the oracle recomputes both from the raw rows.
+      import graft.core.{SnapshotOps, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u25_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val v1 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      val v2 = SnapshotOps.mergeOnRead(s, root,
+        ev.filter(col("event_type") === "signup").withColumn("op", lit("delete")),
+        keyCols = Seq("event_id"), partitionCol = "event_type")
+      import s.implicits._
+      Seq(("v1", Snapshots.snapshotRowCount(s, root, Some(v1))),
+        ("v2", Snapshots.snapshotRowCount(s, root, Some(v2))))
+        .toDF("phase", "n").orderBy("phase")
+    },
+
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

@@ -997,6 +997,46 @@ class SnapshotOpsSpec extends SparkTestBase {
       s"only the untouched partition's vectors may remain: $dvFiles")
   }
 
+  test("snapshotRowCount answers COUNT(*) from the manifest across every verb") {
+    val root = freshRoot("snap_rows")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 2).coalesce(1).write.partitionBy("part").parquet(stage))
+    def scanCount(v: Long): Long = Snapshots.readSnapshot(spark, root, Some(v)).count()
+    assert(Snapshots.snapshotRowCount(spark, root, Some(v1)) == scanCount(v1))
+    // DV delete: listing count subtracts the pending positions
+    val v2 = SnapshotOps.mergeOnRead(spark, root,
+      (0L until 7L).map(i => ("a", i, i, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    assert(Snapshots.snapshotRowCount(spark, root, Some(v2)) == scanCount(v2))
+    val det = Snapshots.tableDetail(spark, root)
+    assert(det.version == v2 && det.numRows == scanCount(v2) && det.pendingDeletes == 7L)
+    // copy-on-write merge: replaced file re-records, fresh file records
+    val v3 = SnapshotOps.merge(spark, root,
+      Seq(("b", 50L, 1L, "upsert")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    assert(Snapshots.snapshotRowCount(spark, root, Some(v3)) == scanCount(v3))
+    // purge + rollback + clone all stay listing-exact
+    SnapshotOps.purgeDeletes(spark, root).foreach { vp =>
+      assert(Snapshots.snapshotRowCount(spark, root, Some(vp)) == scanCount(vp))
+    }
+    val vr = Snapshots.rollbackTo(spark, root, v2)
+    assert(Snapshots.snapshotRowCount(spark, root, Some(vr)) == scanCount(vr))
+    val cloneRoot = freshRoot("snap_rows_clone")
+    Snapshots.cloneTable(spark, root, cloneRoot)
+    assert(Snapshots.snapshotRowCount(spark, cloneRoot) ==
+      Snapshots.readSnapshot(spark, cloneRoot).count())
+    // LEGACY manifest (published before the #rows header): strip the
+    // header lines in place — the verb must footer-read the gap, same
+    // answer, still zero data IO
+    val mf = new Path(s"$root/_manifests/" + f"v$vr%012d.manifest")
+    val lines = scala.io.Source.fromInputStream(fs(root).open(mf), "UTF-8")
+      .getLines().filterNot(_.startsWith("#rows=")).toList
+    val out = fs(root).create(mf, true)
+    out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+    assert(Snapshots.fileRows(spark, root, vr).isEmpty, "fixture must be rows-free")
+    assert(Snapshots.snapshotRowCount(spark, root, Some(vr)) == scanCount(vr))
+  }
+
   test("publishWithDeletes refuses a stale file target; vacuum reaps old DV sidecars") {
     val root = freshRoot("snap_dv_guard")
     Snapshots.publishPartitions(spark, root)(stage =>
