@@ -348,37 +348,6 @@ object Snapshots {
         }
       }
 
-  /** (min, max) of a numeric column across a parquet file's row groups,
-    * read from the FOOTER only. None when the column is absent,
-    * non-numeric, or statless — the file then never skips.
-    */
-  private def footerRange(
-      fs: FileSystem,
-      rootP: Path,
-      file: String,
-      column: String): Option[(Double, Double)] = {
-    import scala.jdk.CollectionConverters._
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new Path(rootP, file), fs.getConf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val ranges = r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
-        b.getColumns.asScala.filter(_.getPath.toDotString == column).flatMap { c =>
-          // the wildcarded Statistics[_] is an existential — bind it
-          // explicitly rather than enable the language feature globally
-          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
-          if (st == null || !st.hasNonNullValue) None
-          else (st.genericGetMin, st.genericGetMax) match {
-            case (mn: Number, mx: Number) => Some((mn.doubleValue(), mx.doubleValue()))
-            case _ => None
-          }
-        }
-      }
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
-    } finally r.close()
-  }
-
   /** The one serializer for a `#stat=` manifest line — every writer path
     * (publish, additive publish, rollback) goes through it, so the
     * format [[fileStats]] parses can never fork.
@@ -386,16 +355,60 @@ object Snapshots {
   private def statLine(s: (String, String, Double, Double)): String =
     s"#stat=${s._1}|${s._2}|${s._3}|${s._4}"
 
-  private def statLines(
+  /** The `#stat=` and `#rows=` header lines of freshly published files:
+    * ONE footer open per file (stats for every requested column AND the
+    * row count from the same footer), fanned out over a bounded IO pool —
+    * a file-heavy publish (an IVF index commit lands one file per cell;
+    * a 100 TB table's rewrite lands thousands) must not serialize
+    * ~10 ms-per-open driver-side reads on its commit critical path.
+    * Output order is deterministic (per-file, stats before rows).
+    * BEST-EFFORT per file: an unparsable footer (an externally-staged
+    * file, a crash-replay placeholder) yields no header lines — the
+    * conservative stance stats always had (no stat = never skips; no
+    * rows = footer-read at count time), never a failed commit.
+    */
+  private def footerHeaderLines(
       fs: FileSystem,
       rootP: Path,
       files: Seq[String],
-      statsCols: Seq[String]): Seq[String] =
-    for {
-      f <- files
-      c <- statsCols
-      (mn, mx) <- footerRange(fs, rootP, f, c)
-    } yield statLine((f, c, mn, mx))
+      statsCols: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      val futs = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          override def call(): Seq[String] = scala.util.Try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(rootP, f), fs.getConf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val blocks = r.getFooter.getBlocks.asScala.toSeq
+              val stats = statsCols.flatMap { c =>
+                val ranges = blocks.flatMap { b =>
+                  b.getColumns.asScala.filter(_.getPath.toDotString == c).flatMap { cc =>
+                    val st: org.apache.parquet.column.statistics.Statistics[_] =
+                      cc.getStatistics
+                    if (st == null || !st.hasNonNullValue) None
+                    else (st.genericGetMin, st.genericGetMax) match {
+                      case (mn: Number, mx: Number) =>
+                        Some((mn.doubleValue(), mx.doubleValue()))
+                      case _ => None
+                    }
+                  }
+                }
+                if (ranges.isEmpty) None
+                else Some(statLine((f, c, ranges.map(_._1).min, ranges.map(_._2).max)))
+              }
+              stats :+ rowsLine(f, blocks.map(_.getRowCount).sum)
+            } finally r.close()
+          }.getOrElse(Seq.empty)
+        })
+      }
+      futs.flatMap(_.get())
+    } finally pool.shutdown()
+  }
 
   /** Per-file ROW COUNTS a version records (`#rows=<file>|<n>` header
     * lines, footer-derived at publish like [[fileStats]]) — what makes
@@ -423,9 +436,6 @@ object Snapshots {
     try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     finally r.close()
   }
-
-  private def rowsLines(fs: FileSystem, rootP: Path, files: Seq[String]): Seq[String] =
-    files.map(f => rowsLine(f, footerRowCount(fs, new Path(rootP, f))))
 
   /** EXACT COUNT(*) of a pinned version at LISTING cost: the sum of the
     * manifest's recorded per-file row counts, minus the version's pending
@@ -1313,8 +1323,7 @@ object Snapshots {
       // table-level persistent keys (constraints, column mapping) carry
       // from the previous version; an explicit caller key overrides
       metaHeader(persistentMeta(spark, root, prevV) ++ meta ++ consMeta) ++
-        keptStats ++ statLines(fs, rootP, fresh, statsCols) ++
-        keptRows ++ rowsLines(fs, rootP, fresh) ++
+        keptStats ++ keptRows ++ footerHeaderLines(fs, rootP, fresh, statsCols) ++
         (kept ++ fresh).sorted
     }
   }
@@ -1534,9 +1543,9 @@ object Snapshots {
       writeBloomSidecar(spark, root, v, prevV,
         files.filterNot(baseSet.contains), baseRel, Nil)
       writeDvSidecar(spark, root, v, prevV, baseRel)
-      metaHeader(persistentMeta(spark, root, prevV)) ++ keptStats ++
-        statLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++
-        keptRows ++ rowsLines(fs, rootP, files.filterNot(baseSet.contains)) ++ body
+      metaHeader(persistentMeta(spark, root, prevV)) ++ keptStats ++ keptRows ++
+        footerHeaderLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++
+        body
     }
   }
 

@@ -1415,7 +1415,11 @@ object Analytics {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val ev = events(s, d).filter(col("value").isNotNull)
         .select("event_id", "event_type", "value")
-      val v1 = Snapshots.publishPartitions(s, root, bloomCols = Seq("event_id"))(
+      // no bloom index here ON PURPOSE: this batch's keys land in every
+      // file (signups spread uniformly), so candidate pruning cannot
+      // bite and the sidecar build would only pad the timing — the
+      // bloom-pruned DV path is pinned in SnapshotOpsSpec instead
+      val v1 = Snapshots.publishPartitions(s, root)(
         stage => ev.write.partitionBy("event_type").parquet(stage))
       val deletes = ev.filter(col("event_type") === "signup")
         .withColumn("op", lit("delete"))
