@@ -85,6 +85,7 @@ object Bench {
     "u23_rename_evolve",  // metadata rename + two-generation mapped read
     "u24_deletion_vectors", // merge-on-read DV commit + subtracting read + purge
     "u25_listing_count",  // manifest-only COUNT(*) incl. a DV subtraction
+    "ml_rouge2",          // clipped-bigram multiset intersection per doc
     "ev_holt",            // Holt level+trend fold over the daily series
     "dd_phonetic"         // phonetic keying + block-size window
   )

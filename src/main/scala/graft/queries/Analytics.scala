@@ -2470,6 +2470,63 @@ object Analytics {
               (col("tn") + col("fp")) * (col("tn") + col("fn"))).cast("double")))
             .as("mcc"))
     },
+    Q("ml_rouge2",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |big AS (SELECT doc_id, w FROM toks WHERE len(w) >= 60),
+        |cg0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, 25), i -> array_to_string(w[i:i+1], ' '))) AS g
+        |  FROM big),
+        |rg0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(26, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS g
+        |  FROM big),
+        |cg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM cg0 GROUP BY 1, 2),
+        |rg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM rg0 GROUP BY 1, 2),
+        |ov AS (SELECT cg.doc_id, CAST(SUM(LEAST(cg.c, rg.c)) AS BIGINT) AS o
+        |  FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g GROUP BY cg.doc_id)
+        |SELECT b.doc_id, CAST(COALESCE(ov.o, 0) AS BIGINT) AS overlap,
+        |  CAST(floor(COALESCE(ov.o, 0) * 1000000.0 / 24.0) AS BIGINT) AS p_micro,
+        |  CAST(floor(COALESCE(ov.o, 0) * 1000000.0
+        |    / CAST(len(w) - 26 AS DOUBLE)) AS BIGINT) AS r_micro,
+        |  CAST(floor(2.0 * COALESCE(ov.o, 0) * 1000000.0
+        |    / CAST(len(w) - 2 AS DOUBLE)) AS BIGINT) AS f1_micro
+        |FROM big b LEFT JOIN ov ON ov.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      // ROUGE-2 (clipped bigram overlap, the summarization-eval metric)
+      // as a distributed multiset intersection: per side, bigrams count
+      // by (doc, gram); the clipped overlap is Σ min(count_cand,
+      // count_ref) over the gram join — never a cross join, one shuffle
+      // per side on (doc, gram). The fixture is the LEAD-BIAS shape a
+      // training-data pipeline actually runs (candidate = a doc's first
+      // 25 tokens, reference = its body): high ROUGE = the lead repeats
+      // the body. Precision denominator is the candidate's 24 bigrams,
+      // recall the body's len(w)-26, and F1 = 2o/(tc+tr) exactly —
+      // all floored to integer micro-units, so the oracle compare is
+      // bit-exact (the float division chains are shape-identical).
+      val toks = documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 60)
+      def grams(c: org.apache.spark.sql.Column) =
+        explode(TextFns.strictWordShingles(c, 2)).as("g")
+      val cg = toks.select(col("doc_id"), grams(slice(col("w"), 1, 25)))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
+      val rg = toks.select(col("doc_id"), grams(expr("slice(w, 26, size(w))")))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("rc"))
+      val ov = cg.join(rg, Seq("doc_id", "g"))
+        .groupBy("doc_id").agg(sum(least(col("cc"), col("rc"))).as("o"))
+      toks.select(col("doc_id"), (size(col("w")) - 26).cast("long").as("tr"))
+        .join(ov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("o"), lit(0L)).as("overlap"),
+          floor(coalesce(col("o"), lit(0L)) * lit(1000000.0) / lit(24.0))
+            .as("p_micro"),
+          floor(coalesce(col("o"), lit(0L)) * lit(1000000.0)
+            / col("tr").cast("double")).as("r_micro"),
+          floor(lit(2.0) * coalesce(col("o"), lit(0L)) * lit(1000000.0)
+            / (col("tr") + 24L).cast("double")).as("f1_micro"))
+        .orderBy("doc_id")
+    },
     Q("pf_topk_coverage",
       """WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM orders GROUP BY o_custkey),
