@@ -487,6 +487,49 @@ object SnapshotOps {
       expectedPrev = Some(v))(_ => ())
   }
 
+  /** Row-level UPDATE by arbitrary predicate, merge-on-read: the matching
+    * LIVE rows die by deletion vector and their transformed versions
+    * (`set` columns replaced, all others carried) land as one additive
+    * fresh file set — `UPDATE t SET c = expr WHERE p` without rewriting
+    * any existing data file. One row-identity scan finds the victims;
+    * the same scan's rows (full width this time) feed the re-insert, so
+    * the verb costs one table pass + ~|matched| rows of write — the
+    * copy-on-write alternative rewrites every matched FILE. Updating the
+    * partition column moves rows across partitions (the DV kills the old
+    * position; the staged write lands the new dir). Returns the committed
+    * version; no match is loud unless `allowNoop`.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      set: Map[String, Column],
+      partitionCol: String,
+      allowNoop: Boolean = false): Long = {
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    val v = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"updateWhere: no published version under $root"))
+    val files = Snapshots.manifestFiles(spark, root, v)
+    val scan0 = Snapshots.readMappedWithPos(spark, root, v, files)
+    val scan = Snapshots.fileDvs(spark, root, v).fold(scan0)(dv =>
+      scan0.join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti"))
+    val matched = scan.filter(predicate).localCheckpoint(true)
+    if (matched.isEmpty) {
+      if (allowNoop) return v
+      require(requirement = false, s"updateWhere: no live row matches under $root")
+    }
+    val d = matched.select(col("__file").as("file"), col("__pos").as("pos"))
+    val updated = set.foldLeft(matched.drop("__file", "__pos")) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }
+    Snapshots.publishWithDeletes(spark, root, d,
+      meta = Map("update_where" -> predicate.toString.replace('\n', ' ')),
+      expectedPrev = Some(v)) { stage =>
+      updated.write.partitionBy(partitionCol).parquet(stage)
+    }
+  }
+
   /** Materialize pending deletion vectors: rewrite ONLY the files the
     * latest version's `_dv` sidecar lists (each file's survivors land as
     * fresh files; siblings carry verbatim), clearing the sidecar — the

@@ -920,6 +920,94 @@ class SnapshotOpsSpec extends SparkTestBase {
       allowNoop = true) == v3)
   }
 
+  test("updateWhere transforms matching rows via DV + re-insert, moves across partitions") {
+    val root = freshRoot("snap_dv_updw")
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 2).coalesce(1).write.partitionBy("part").parquet(stage))
+    val files1 = Snapshots.manifestFiles(spark, root, v1).toSet
+    // bump v for a's low ids AND move them to partition c — an update
+    // that rewrites values and crosses partitions in one commit
+    val v2 = SnapshotOps.updateWhere(spark, root,
+      col("part") === "a" && col("id") < 5L,
+      Map("v" -> (col("v") + 1000L), "part" -> lit("c")), "part")
+    assert(files1.subsetOf(Snapshots.manifestFiles(spark, root, v2).toSet),
+      "updateWhere must not rewrite any existing data file")
+    val got = rowsOf(Snapshots.readSnapshot(spark, root))
+    val want = (rowsOf(fixture("a" -> 1, "b" -> 2))
+      .filterNot(r => r._1 == "a" && r._2 < 5L) ++
+      (0L until 5L).map(i => ("c", i, i + 1000L))).sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // an update touching already-updated rows stacks (DV carry + fresh)
+    val v3 = SnapshotOps.updateWhere(spark, root,
+      col("part") === "c", Map("v" -> (col("v") * 2L)), "part")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v3)))
+      .filter(_._1 == "c").map(_._3).sorted ==
+      (0L until 5L).map(i => (i + 1000L) * 2L).sorted)
+    // no-match: loud by default, quiet under allowNoop
+    intercept[IllegalArgumentException] {
+      SnapshotOps.updateWhere(spark, root, col("id") === -5L,
+        Map("v" -> lit(0L)), "part")
+    }
+    assert(SnapshotOps.updateWhere(spark, root, col("id") === -5L,
+      Map("v" -> lit(0L)), "part", allowNoop = true) == v3)
+  }
+
+  test("change feed: bootstrap, incremental windows, idle ticks, crash replay, horizon") {
+    import graft.core.ChangeFeed
+    val root = freshRoot("snap_feed")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    // bootstrap: full snapshot as 'added'
+    var seen = Seq.empty[(String, String, Long, Long)]
+    def collect(df: org.apache.spark.sql.DataFrame): Unit =
+      seen = df.select(col("change"), col("part"), col("id"), col("v"))
+        .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val w1 = ChangeFeed.consume(spark, root, "idx")(collect)
+    assert(w1.exists(_._2 == 1L) && seen.size == 40 && seen.forall(_._1 == "added"))
+    // caught up: idle tick is a no-op, callback not invoked
+    seen = Seq.empty
+    assert(ChangeFeed.consume(spark, root, "idx")(collect).isEmpty && seen.isEmpty)
+    // two commits, one consume: the window spans both
+    SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 0L, 0L, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 99L, 9L, "upsert")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    val w2 = ChangeFeed.consume(spark, root, "idx")(collect)
+    assert(w2.exists(w => w._1 == 1L && w._2 == 3L))
+    assert(seen == Seq(("added", "a", 99L, 9L), ("removed", "a", 0L, 0L)))
+    // crash replay: a callback that throws must NOT advance the cursor
+    SnapshotOps.mergeOnRead(spark, root,
+      Seq(("a", 1L, 1L, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    intercept[RuntimeException] {
+      ChangeFeed.consume(spark, root, "idx")(_ => throw new RuntimeException("boom"))
+    }
+    assert(ChangeFeed.currentOffset(spark, root, "idx").contains(3L))
+    val w3 = ChangeFeed.consume(spark, root, "idx")(collect)
+    assert(w3.nonEmpty && seen == Seq(("removed", "a", 1L, 1L)),
+      "the crashed window must replay in full")
+    // a second consumer has its own cursor; startAtLatest skips history
+    seen = Seq.empty
+    assert(ChangeFeed.consume(spark, root, "ship", startAtLatest = true)(collect).isEmpty
+      && seen.isEmpty)
+    // behind the vacuum horizon: loud, with the re-bootstrap instruction
+    ChangeFeed.resetOffset(spark, root, "ship")
+    ChangeFeed.consume(spark, root, "ship", startAtLatest = true)(collect)
+    // rewind the cursor artificially to a version vacuum will drop
+    (1 to 3).foreach { _ =>
+      SnapshotOps.mergeOnRead(spark, root,
+        Seq(("a", 77L, 7L, "upsert")).toDF("part", "id", "v", "op"),
+        Seq("id", "part"), "part")
+    }
+    Snapshots.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
+    val ex = intercept[IllegalStateException] {
+      ChangeFeed.consume(spark, root, "ship")(collect)
+    }
+    assert(ex.getMessage.contains("vacuum"))
+  }
+
   test("copy-on-write merge over a DV'd table materializes deletes for the files it rewrites") {
     val root = freshRoot("snap_dv_cow")
     Snapshots.publishPartitions(spark, root)(stage =>
