@@ -86,6 +86,7 @@ object Bench {
     "u24_deletion_vectors", // merge-on-read DV commit + subtracting read + purge
     "u25_listing_count",  // manifest-only COUNT(*) incl. a DV subtraction
     "ml_rouge2",          // clipped-bigram multiset intersection per doc
+    "u26_change_feed",    // cursor bootstrap + DV-delta window consumption
     "ev_holt",            // Holt level+trend fold over the daily series
     "dd_phonetic"         // phonetic keying + block-size window
   )

@@ -1239,6 +1239,16 @@ object Snapshots {
     // step 2: move staged files into the live partition dirs under fresh
     // names — additive only, so every earlier manifest stays readable
     val fresh = stagedParts.flatMap { pd =>
+      // the layer's layout contract is ONE partition column; a caller who
+      // staged partitionBy("a", "b") produced nested dirs whose files the
+      // flat rename below would skip — the partition would be REPLACED
+      // with nothing, a silent data loss. Refuse loudly instead.
+      val nested = fs.listStatus(pd).filter(_.isDirectory).map(_.getPath.getName)
+      require(nested.isEmpty,
+        s"publish under $root: staged partition dir ${pd.getName} contains " +
+          s"sub-directories (${nested.take(3).mkString(", ")}) — the snapshot " +
+          "layer's layout contract is a SINGLE partition column; stage " +
+          "partitionBy(<one col>) (encode composite partitions into one value)")
       val tgt = new Path(rootP, pd.getName)
       fs.mkdirs(tgt)
       fs.listStatus(pd).map(_.getPath)

@@ -1478,6 +1478,70 @@ object Analytics {
         .toDF("phase", "n").orderBy("phase")
     },
 
+    Q("u26_change_feed",
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |src AS (
+        |  SELECT event_id, 'signup' AS event_type, value, 'delete' AS op
+        |  FROM e WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT event_id, 'view', value + 100, 'upsert'
+        |  FROM e WHERE event_type = 'click' AND event_id % 11 = 0),
+        |final AS (
+        |  SELECT e.event_id, e.event_type, e.value FROM e
+        |  WHERE e.event_id NOT IN (SELECT event_id FROM src)
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM src WHERE op <> 'delete')
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // CHANGE-FEED consumption end to end: a downstream aggregate is
+      // built from the feed's BOOTSTRAP (full snapshot as 'added'), then
+      // advanced by ONE incremental window spanning a merge-on-read CDC
+      // commit (deletes arrive as DELETION-VECTOR deltas — no file churn
+      // to diff — and moves as DV-remove + additive-add). Each window
+      // becomes signed partials merged a16-style; the oracle is the full
+      // recompute, so a hash match proves bootstrap ⊕ window == final
+      // exactly — the at-least-once consumer loop (ChangeFeed.consume:
+      // durable cursor, advance-after-success) a 100 TB downstream
+      // materialization runs on every tick, reading only the churn.
+      import graft.core.{ChangeFeed, Num, SnapshotOps, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u26_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      val dec = "decimal(30,6)"
+      var downstream: org.apache.spark.sql.DataFrame = null
+      def fold(changes: org.apache.spark.sql.DataFrame): Unit = {
+        val partial = changes
+          .withColumn("sgn", when(col("change") === "added", 1L).otherwise(-1L))
+          .groupBy("event_type")
+          .agg(sum(col("sgn")).as("n"),
+            sum(col("value").cast(dec) * col("sgn")).as("vs"))
+        downstream =
+          if (downstream == null) partial.localCheckpoint(true)
+          else graft.ops.Aggregates.mergePartialAggs(Seq(downstream, partial),
+            Seq("event_type"), Seq("n", "vs")).localCheckpoint(true)
+      }
+      ChangeFeed.consume(s, root, "u26")(fold)
+      val deletes = ev.filter(col("event_type") === "signup")
+        .withColumn("op", lit("delete"))
+      val moves = ev.filter(col("event_type") === "click" && col("event_id") % 11 === 0)
+        .select(col("event_id"), lit("view").as("event_type"),
+          (col("value") + 100).as("value"), lit("upsert").as("op"))
+      SnapshotOps.mergeOnRead(s, root, deletes.unionByName(moves),
+        keyCols = Seq("event_id"), partitionCol = "event_type")
+      ChangeFeed.consume(s, root, "u26")(fold)
+      downstream.filter(col("n") > 0)
+        .select(col("event_type"), col("n"),
+          col("vs").cast("double").as("value_sum"))
+        .orderBy("event_type")
+    },
+
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

@@ -920,6 +920,23 @@ class SnapshotOpsSpec extends SparkTestBase {
       allowNoop = true) == v3)
   }
 
+  test("a multi-column partitionBy stage refuses loudly instead of silently losing data") {
+    val root = freshRoot("snap_multipart")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
+    // staging partitionBy(part, id) nests dirs the flat rename would
+    // skip — before the guard this REPLACED partition a with nothing
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.publishPartitions(spark, root)(stage =>
+        fixture("a" -> 2).coalesce(1).write.partitionBy("part", "id").parquet(stage))
+    }
+    assert(ex.getMessage.contains("SINGLE partition column"))
+    assert(Snapshots.latestVersion(spark, root).contains(1L),
+      "the refused publish must not commit")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) == rowsOf(fixture("a" -> 1)),
+      "content must be untouched by the refusal")
+  }
+
   test("updateWhere transforms matching rows via DV + re-insert, moves across partitions") {
     val root = freshRoot("snap_dv_updw")
     val v1 = Snapshots.publishPartitions(spark, root)(stage =>
