@@ -753,8 +753,15 @@ class SnapshotOpsSpec extends SparkTestBase {
       s"data file $f must stay byte-identical across a DV delete"))
     assert(Snapshots.fileDvs(spark, root, v2).nonEmpty, "v2 must carry a DV sidecar")
     // logical content: the rows are gone at v2, intact pinned at v1
-    assert(rowsOf(Snapshots.readSnapshot(spark, root)) ==
+    val atV2 = Snapshots.readSnapshot(spark, root)
+    assert(rowsOf(atV2) ==
       rowsOf(fixture("a" -> 1, "b" -> 1)).filterNot(r => r._1 == "a" && r._2 < 10))
+    // plan shape: a small sidecar must resolve to a BROADCAST anti join
+    // (AQE finalizes after the action above) — a shuffled subtraction on
+    // a 10-row DV would be the wrong plan at any scale
+    val plan = atV2.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"small DV subtraction must be a broadcast anti join, got:\n${plan.take(2000)}")
     assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v1))) ==
       rowsOf(fixture("a" -> 1, "b" -> 1)))
     // STACKED second batch: carry ∪ fresh — both generations of deletes apply
