@@ -51,6 +51,51 @@ class Scale100Spec extends SparkTestBase {
   private def exchanges(df: DataFrame): Int =
     "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
 
+  test("merge-on-read at 100x: fixed CDC batch cost stays flat, zero rewrites") {
+    optIn()
+    import graft.core.{SnapshotOps, Snapshots}
+    // rows-per-partition FIXED (2k), so the 2M-row table has 1000
+    // partitions — a fixed 20-key DV merge must cost the bloom probe +
+    // one candidate file's position scan + the sidecar write at EITHER
+    // scale; the gate is far below linear (100x data in <= 6x time; the
+    // residual is the manifest/sidecar listing, never data IO), and the
+    // zero-rewrite claim is asserted structurally on the 2M table.
+    def build(n: Long, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"probe100-mor-$tag")
+        .toString + "/tbl"
+      val rows = spark.range(n).select(
+        concat(lit("p"), (col("id") / 2000).cast("long")).as("part"),
+        col("id"), (col("id") % 97).as("v"))
+      Snapshots.publishPartitions(spark, root, bloomCols = Seq("id"))(stage =>
+        rows.write.partitionBy("part").parquet(stage))
+      root
+    }
+    def morOnce(root: String): Long = {
+      import spark.implicits._
+      SnapshotOps.mergeOnRead(spark, root,
+        (0L until 20L).map(i => ("p0", i, 1000L + i, "upsert"))
+          .toDF("part", "id", "v", "op"),
+        Seq("id"), "part")
+    }
+    val small = build(20000L, "small")
+    val big = build(2000000L, "big")
+    morOnce(small) // warm the code paths
+    val (_, tS) = timed(morOnce(small))
+    val (vB, tB) = timed(morOnce(big))
+    info(f"merge-on-read fixed batch: 20k-table=$tS%.2fs 2M-table=$tB%.2fs " +
+      f"(${tB / math.max(tS, 0.3)}%.1fx for 100x data)")
+    assert(tB <= math.max(tS, 0.5) * 6 + 3.0,
+      f"fixed-batch merge-on-read grew ${tB / math.max(tS, 0.3)}%.1fx on a 100x " +
+        "table — something in the probe or commit scans the table")
+    val v1Files = Snapshots.manifestFiles(spark, big, 1L).toSet
+    assert(v1Files.subsetOf(Snapshots.manifestFiles(spark, big, vB).toSet),
+      "a DV commit must carry every previous data file verbatim")
+    assert(Snapshots.readSnapshot(spark, big)
+      .filter(col("id") < 20 && col("v") >= 1000L).count() == 20)
+    // listing-cost COUNT holds at 2M: recorded rows minus DV positions
+    assert(Snapshots.snapshotRowCount(spark, big) == 2000000L)
+  }
+
   test("sm_corpus_prep: 100x docs within linear time, same exchange count") {
     optIn()
     val n = 50000L
