@@ -87,6 +87,7 @@ object Bench {
     "u25_listing_count",  // manifest-only COUNT(*) incl. a DV subtraction
     "ml_rouge2",          // clipped-bigram multiset intersection per doc
     "u26_change_feed",    // cursor bootstrap + DV-delta window consumption
+    "u27_dml_where",      // predicate DELETE + UPDATE as sidecar commits
     "ev_holt",            // Holt level+trend fold over the daily series
     "dd_phonetic"         // phonetic keying + block-size window
   )

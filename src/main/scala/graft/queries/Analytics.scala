@@ -1542,6 +1542,46 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    Q("u27_dml_where",
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |afterdel AS (SELECT * FROM e WHERE NOT (value > 400)),
+        |afterupd AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+        |  FROM afterdel)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM afterupd GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Predicate DML in merge-on-read shape: DELETE FROM t WHERE
+      // value > 400 (SnapshotOps.deleteWhere — matching live rows die as
+      // deletion vectors, zero data files rewritten), then UPDATE t SET
+      // value = value * 2 WHERE event_type = 'click' (updateWhere — the
+      // clicks' old positions die by DV, their doubled versions land as
+      // ONE additive file set). The oracle states the same two
+      // statements as relational algebra; the hash gates sequencing too
+      // (the update must see the post-delete state: a click deleted by
+      // statement 1 must not resurrect doubled). The SQL-DML surface a
+      // warehouse user expects, at sidecar cost on a 100 TB table.
+      import graft.core.{Num, SnapshotOps, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_u27_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type").parquet(stage))
+      SnapshotOps.deleteWhere(s, root, col("value") > 400)
+      val v3 = SnapshotOps.updateWhere(s, root,
+        col("event_type") === "click",
+        Map("value" -> (col("value") * 2)), "event_type")
+      Snapshots.readSnapshot(s, root, Some(v3))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    },
+
     // ---- incremental aggregate maintenance (materialized-view merge) ---
     Q("a16_incremental_agg",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
