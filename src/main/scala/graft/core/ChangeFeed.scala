@@ -106,8 +106,7 @@ object ChangeFeed {
         if (startAtLatest) None else Some((0L, latest))
       case Some(off) if off >= latest => None
       case Some(off) =>
-        val fromP = new Path(f"$root/_manifests/v$off%012d.manifest")
-        if (!fsOf(spark, fromP).exists(fromP))
+        if (!Snapshots.manifestExists(spark, root, off))
           throw new IllegalStateException(
             s"change feed consumer '$consumerId' is pinned at version $off, which " +
               s"vacuum has already dropped under $root — the gap's removed rows are " +

@@ -61,6 +61,31 @@ object SnapshotOps {
     (stats, blooms)
   }
 
+  /** Refuse a batch whose NEW rows violate the persisted table
+    * constraints — the loud pre-gate of verbs that mix new rows into a
+    * content-preserving rewrite (merge) or pair them with deletion
+    * vectors (mergeOnRead/updateWhere). Quarantining inside the commit
+    * would silently turn an update into a DELETE (the vector lands, the
+    * replacement doesn't), so these statements are all-or-nothing; the
+    * rewrite side then publishes with gateConstraints = false (re-gating
+    * rows that were gated when they ENTERED the table would let a
+    * maintenance rewrite delete long-committed rows that predate a
+    * constraint — setConstraints documents no retro-scan).
+    */
+  private def requireConstraintsClean(
+      spark: SparkSession, root: String, rows: DataFrame, verb: String): Unit = {
+    val cons = Snapshots.tableConstraints(spark, root)
+    if (cons.nonEmpty) {
+      val bad = rows.filter(
+        cons.map(c => not(coalesce(expr(c._2), lit(false)))).reduce(_ || _)).count()
+      require(bad == 0,
+        s"$verb under $root: $bad row(s) of the batch violate the table " +
+          s"constraints (${cons.map(_._1).mkString(", ")}) — refusing the whole " +
+          "statement (partial application would corrupt update semantics); " +
+          "fix the batch or the constraints")
+    }
+  }
+
   /** Partition dir names and their (fileCount, totalBytes) in a pinned
     * version — listing-scale (one getFileStatus per manifest entry).
     */
@@ -150,7 +175,7 @@ object SnapshotOps {
     Some(Snapshots.publishPartitions(spark, root,
       meta = Map("optimize_of" -> v.toString),
       statsCols = statsAuto, bloomCols = bloomAuto,
-      expectedPrev = Some(v)) { stage =>
+      expectedPrev = Some(v), gateConstraints = false) { stage =>
       // range-shuffle on (partition, bin): every (part, bin) pair owns
       // its task, so a partition's file count lands at exactly its bin
       // count — a plain hash repartition could collapse distinct bins
@@ -205,7 +230,7 @@ object SnapshotOps {
       meta = Map("zorder_of" -> v.toString,
         "zorder_by" -> s"${zCols._1},${zCols._2}"),
       statsCols = statsAuto, bloomCols = bloomAuto,
-      expectedPrev = Some(v)) { stage =>
+      expectedPrev = Some(v), gateConstraints = false) { stage =>
       src
         .withColumn("__z",
           graft.functions.Layout.zValue(col(zCols._1), col(zCols._2)))
@@ -287,6 +312,9 @@ object SnapshotOps {
       if (allowNoop) return v
       require(requirement = false, "merge: source matches nothing and inserts nothing")
     }
+    // new rows pre-gate loudly; the rewrite publishes ungated (re-staged
+    // old rows were gated when they entered — see requireConstraintsClean)
+    requireConstraintsClean(spark, root, survivors, "merge")
     // the replaced files' new content: their rows not superseded by a
     // source key, plus ALL surviving (insert/update) source rows —
     // staged additively into their partitions. Materialized once: the
@@ -317,7 +345,8 @@ object SnapshotOps {
       replaceFiles = candidateFiles,
       meta = Map("merge_into" -> v.toString),
       statsCols = statCols, bloomCols = bloomColsOf,
-      dropPartitions = emptied, expectedPrev = Some(v)) { stage =>
+      dropPartitions = emptied, expectedPrev = Some(v),
+      gateConstraints = false) { stage =>
       if (still.nonEmpty)
         merged.write.partitionBy(partitionCol).parquet(stage)
     }
@@ -432,6 +461,10 @@ object SnapshotOps {
       if (allowNoop) return v
       require(requirement = false, "mergeOnRead: source matches nothing and inserts nothing")
     }
+    // all-or-nothing: a violating upsert must fail HERE, before the DV
+    // lands — quarantining the replacement mid-commit would silently
+    // turn the update into a delete
+    if (hasSurv) requireConstraintsClean(spark, root, surv, "mergeOnRead")
     val (statCols, bloomColsOf) = inheritedCols(spark, root, v, Nil, Nil)
     deletes match {
       case None =>
@@ -439,14 +472,14 @@ object SnapshotOps {
         Snapshots.publishFileReplacement(spark, root, replaceFiles = Nil,
           meta = Map("merge_into" -> v.toString),
           statsCols = statCols, bloomCols = bloomColsOf,
-          expectedPrev = Some(v)) { stage =>
+          expectedPrev = Some(v), gateConstraints = false) { stage =>
           surv.write.partitionBy(partitionCol).parquet(stage)
         }
       case Some(d) =>
         Snapshots.publishWithDeletes(spark, root, d,
           meta = Map("merge_into" -> v.toString),
           statsCols = statCols, bloomCols = bloomColsOf,
-          expectedPrev = Some(v)) { stage =>
+          expectedPrev = Some(v), gateConstraints = false) { stage =>
           if (hasSurv) surv.write.partitionBy(partitionCol).parquet(stage)
         }
     }
@@ -484,7 +517,7 @@ object SnapshotOps {
     }
     Snapshots.publishWithDeletes(spark, root, d,
       meta = Map("delete_where" -> predicate.toString.replace('\n', ' ')),
-      expectedPrev = Some(v))(_ => ())
+      expectedPrev = Some(v), gateConstraints = false)(_ => ())
   }
 
   /** Row-level UPDATE by arbitrary predicate, merge-on-read: the matching
@@ -523,9 +556,12 @@ object SnapshotOps {
     val updated = set.foldLeft(matched.drop("__file", "__pos")) {
       case (df, (c, e)) => df.withColumn(c, e)
     }
+    // the transformed rows must satisfy the constraints BEFORE the old
+    // positions die — otherwise the update silently becomes a delete
+    requireConstraintsClean(spark, root, updated, "updateWhere")
     Snapshots.publishWithDeletes(spark, root, d,
       meta = Map("update_where" -> predicate.toString.replace('\n', ' ')),
-      expectedPrev = Some(v)) { stage =>
+      expectedPrev = Some(v), gateConstraints = false) { stage =>
       updated.write.partitionBy(partitionCol).parquet(stage)
     }
   }
@@ -565,7 +601,8 @@ object SnapshotOps {
       replaceFiles = files,
       meta = Map("purge_of" -> v.toString),
       statsCols = statCols, bloomCols = bloomColsOf,
-      dropPartitions = emptied, expectedPrev = Some(v)) { stage =>
+      dropPartitions = emptied, expectedPrev = Some(v),
+      gateConstraints = false) { stage =>
       if (still.nonEmpty)
         survivors.write.partitionBy(partCol).parquet(stage)
     })

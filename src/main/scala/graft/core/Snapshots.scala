@@ -143,6 +143,15 @@ object Snapshots {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     listVersions(fsOf(spark, new Path(root)), root).lastOption.map(_._1)
 
+  /** Whether `version`'s manifest still exists (false once vacuum drops
+    * it) — the retention-horizon probe [[ChangeFeed]] uses, going through
+    * the one manifest-name serializer instead of duplicating the format.
+    */
+  private[core] def manifestExists(spark: SparkSession, root: String, version: Long): Boolean = {
+    val p = manifestPath(root, version)
+    fsOf(spark, p).exists(p)
+  }
+
   private def manifestLines(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val p = manifestPath(root, version)
     val fs = fsOf(spark, p)
@@ -362,10 +371,12 @@ object Snapshots {
     * a 100 TB table's rewrite lands thousands) must not serialize
     * ~10 ms-per-open driver-side reads on its commit critical path.
     * Output order is deterministic (per-file, stats before rows).
-    * BEST-EFFORT per file: an unparsable footer (an externally-staged
-    * file, a crash-replay placeholder) yields no header lines — the
-    * conservative stance stats always had (no stat = never skips; no
-    * rows = footer-read at count time), never a failed commit.
+    * UNPARSABLE footers (an externally-staged file, a crash-replay
+    * placeholder — surfacing as RuntimeException) yield no header lines:
+    * the conservative stance stats always had (no stat = never skips; no
+    * rows = footer-read at count time). TRANSIENT IO errors
+    * (IOException) fail the commit loudly instead — a retryable storage
+    * hiccup must not silently decay coverage forever.
     */
   private def footerHeaderLines(
       fs: FileSystem,
@@ -379,7 +390,7 @@ object Snapshots {
     try {
       val futs = files.map { f =>
         pool.submit(new java.util.concurrent.Callable[Seq[String]] {
-          override def call(): Seq[String] = scala.util.Try {
+          override def call(): Seq[String] = try {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(new Path(rootP, f), fs.getConf)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -403,7 +414,11 @@ object Snapshots {
               }
               stats :+ rowsLine(f, blocks.map(_.getRowCount).sum)
             } finally r.close()
-          }.getOrElse(Seq.empty)
+          } catch {
+            // not-a-parquet-file and friends: skip coverage, keep the
+            // commit; IOException propagates and fails the publish
+            case _: RuntimeException => Seq.empty
+          }
         })
       }
       futs.flatMap(_.get())
@@ -1104,9 +1119,10 @@ object Snapshots {
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       dropPartitions: Seq[String] = Nil,
-      expectedPrev: Option[Long] = None)(write: String => Unit): Long =
+      expectedPrev: Option[Long] = None,
+      gateConstraints: Boolean = true)(write: String => Unit): Long =
     publishImpl(spark, root, full = false, meta, statsCols, bloomCols,
-      dropPartitions, expectedPrev)(write)
+      dropPartitions, expectedPrev, gateConstraints = gateConstraints)(write)
 
   /** Publish a FULL replacement of the table as one atomic version: the
     * new manifest pins only the freshly staged files — nothing carries
@@ -1144,9 +1160,11 @@ object Snapshots {
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       dropPartitions: Seq[String] = Nil,
-      expectedPrev: Option[Long] = None)(write: String => Unit): Long =
+      expectedPrev: Option[Long] = None,
+      gateConstraints: Boolean = true)(write: String => Unit): Long =
     publishImpl(spark, root, full = false, meta, statsCols, bloomCols,
-      dropPartitions, expectedPrev, replaceFiles, fileGrain = true)(write)
+      dropPartitions, expectedPrev, replaceFiles, fileGrain = true,
+      gateConstraints = gateConstraints)(write)
 
   /** Publish a MERGE-ON-READ commit: `deletes` — a (file, pos) DataFrame
     * keyed by manifest rel suffix and parquet row index — joins the
@@ -1165,12 +1183,14 @@ object Snapshots {
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      expectedPrev: Option[Long] = None)(write: String => Unit): Long = {
+      expectedPrev: Option[Long] = None,
+      gateConstraints: Boolean = true)(write: String => Unit): Long = {
     require(latestVersion(spark, root).nonEmpty,
       s"publishWithDeletes: $root has no published version — deletion vectors " +
         "only apply to snapshot-managed tables")
     publishImpl(spark, root, full = false, meta, statsCols, bloomCols,
-      Nil, expectedPrev, Nil, fileGrain = true, dvAdd = Some(deletes))(write)
+      Nil, expectedPrev, Nil, fileGrain = true, dvAdd = Some(deletes),
+      gateConstraints = gateConstraints)(write)
   }
 
   /** `dropPartitions`: partition dir names (e.g. `"cell=7"`) to replace
@@ -1199,7 +1219,8 @@ object Snapshots {
       expectedPrev: Option[Long] = None,
       replaceFiles: Seq[String] = Nil,
       fileGrain: Boolean = false,
-      dvAdd: Option[DataFrame] = None)(write: String => Unit): Long = {
+      dvAdd: Option[DataFrame] = None,
+      gateConstraints: Boolean = true)(write: String => Unit): Long = {
     validateMeta(meta) // refuse BEFORE staging — no residue on bad meta
     require(dropPartitions.forall(_.contains("=")),
       s"dropPartitions must be <col>=<value> dir names, got: $dropPartitions")
@@ -1210,14 +1231,22 @@ object Snapshots {
     val stage = new Path(s"$root/$StageDir/$uuid")
     write(stage.toString)
 
-    // persisted CHECK constraints gate EVERY publish verb: violating
-    // staged rows quarantine (never poison, never vanish) and the staged
-    // tree rewrites to its survivors — one aggregate scan of the BATCH
-    // when clean, never the table; carried-over files were gated when
-    // their rows entered. Resolved from the latest committed version
-    // (pre-claim; constraint changes serialize with writers like any
-    // read-modify-write).
-    val consMeta = enforceConstraints(spark, root, fs, stage)
+    // persisted CHECK constraints gate BATCH-loading publish verbs:
+    // violating staged rows quarantine (never poison, never vanish) and
+    // the staged tree rewrites to its survivors — a scan of the BATCH,
+    // never the table. gateConstraints=false is the CONTENT-PRESERVING
+    // rewrite path (optimize, zorder, purge, merge's re-staged old rows):
+    // those rows were gated when they ENTERED the table, and
+    // setConstraints documents that existing content is not retro-
+    // scanned — re-gating a maintenance tick would silently DELETE
+    // long-committed rows that predate a constraint. Verbs that mix new
+    // rows into a rewrite (merge/mergeOnRead/updateWhere) pre-gate their
+    // NEW rows loudly before staging. Resolved from the latest committed
+    // version (pre-claim; constraint changes serialize with writers like
+    // any read-modify-write).
+    val consMeta =
+      if (gateConstraints) enforceConstraints(spark, root, fs, stage)
+      else Map.empty[String, String]
 
     // staged partitions and their files (a pure-drop publish may stage
     // nothing at all — its write callback is free to be a no-op)
@@ -1372,6 +1401,25 @@ object Snapshots {
     }
   }
 
+  /** Persisted constraints whose predicate references `column` (parsed,
+    * not substring-matched; an unparsable predicate counts conservatively)
+    * — [[renameColumn]]/[[dropColumn]] must refuse while any exist: the
+    * mapping is applied at READ time, but constraints evaluate against
+    * STAGED trees, so a stale predicate would wedge every later publish
+    * with an unresolved-column error instead of failing here with a
+    * actionable message.
+    */
+  private def constraintsReferencing(
+      spark: SparkSession, root: String, column: String): Seq[String] =
+    tableConstraints(spark, root).collect {
+      case (n, e) if scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(e).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last
+          }).getOrElse(Seq(column))
+        .exists(_.equalsIgnoreCase(column)) => n
+    }
+
   /** RENAME a column as a metadata-only commit: old generations' files
     * keep their physical column and re-map at read ([[applyColumnMapping]]
     * through the `colmap` chain); publishes after the rename write the
@@ -1384,6 +1432,17 @@ object Snapshots {
   def renameColumn(spark: SparkSession, root: String, from: String, to: String): Long = {
     val v = latestVersion(spark, root).getOrElse(throw new IllegalArgumentException(
       s"renameColumn: no published version under $root"))
+    // the mapping serializes as 'old>new;old2>new2' — a name carrying a
+    // separator would corrupt the meta and brick every later read
+    Seq(from, to).foreach(n => require(
+      !n.exists(c => c == '>' || c == ';' || c == ',' || c == '=' || c == '\n'),
+      s"renameColumn: column name '$n' contains a mapping-separator character"))
+    val consRef = constraintsReferencing(spark, root, from)
+    require(consRef.isEmpty,
+      s"renameColumn: persisted constraint(s) ${consRef.mkString(", ")} reference " +
+        s"'$from' — their predicates evaluate against staged trees under the NEW " +
+        "names and would wedge every later publish; setConstraints with updated " +
+        "predicates first")
     val logical = readSnapshot(spark, root, Some(v), mergeSchema = true).columns.toSet
     require(logical.contains(from), s"renameColumn: no column '$from' (have: $logical)")
     require(!logical.contains(to), s"renameColumn: column '$to' already exists")
@@ -1409,6 +1468,13 @@ object Snapshots {
   def dropColumn(spark: SparkSession, root: String, name: String): Long = {
     val v = latestVersion(spark, root).getOrElse(throw new IllegalArgumentException(
       s"dropColumn: no published version under $root"))
+    require(!name.exists(c => c == '>' || c == ';' || c == ',' || c == '=' || c == '\n'),
+      s"dropColumn: column name '$name' contains a mapping-separator character")
+    val consRef = constraintsReferencing(spark, root, name)
+    require(consRef.isEmpty,
+      s"dropColumn: persisted constraint(s) ${consRef.mkString(", ")} reference " +
+        s"'$name' — dropping it would wedge every later publish; setConstraints " +
+        "without those predicates first")
     val logical = readSnapshot(spark, root, Some(v), mergeSchema = true).columns.toSet
     require(logical.contains(name), s"dropColumn: no column '$name' (have: $logical)")
     val partCol = manifestFiles(spark, root, v).headOption
@@ -1441,12 +1507,23 @@ object Snapshots {
   }
 
   /** Enforce [[tableConstraints]] on a freshly staged tree (see
-    * [[publishImpl]]): no-op without constraints; otherwise one scan
-    * flags rows, violators land in `_quarantine/qc-*` with a `violated`
-    * column naming the failed constraints, and the stage rewrites to the
-    * clean rows. Returns the audit meta for the manifest. A batch whose
-    * EVERY row violates refuses the publish (an empty rewrite would be
-    * indistinguishable from a no-op batch).
+    * [[publishImpl]]): no-op without constraints; otherwise violators
+    * land in `_quarantine/qc-*` with a `violated` column naming the
+    * failed constraints, and the stage rewrites to the clean rows.
+    * Returns the audit meta for the manifest.
+    *
+    * The check runs PER STAGED PARTITION DIR, with the partition value
+    * taken from the dir name as a string literal — never through Spark's
+    * partition-type inference, which would round-trip the value (a
+    * string partition "01" re-infers as int 1 and the rewrite would
+    * land dir k=1 while publishImpl replaces k=01: duplicated rows; a
+    * null-only stage infers VOID and crashes the write). Dir names are
+    * preserved verbatim through the rewrite.
+    *
+    * A partition whose EVERY row violates refuses the whole publish:
+    * silently dropping the dir would remove it from the replaced set and
+    * carry the OLD generation's rows — the committed version would be
+    * neither the old state nor the intended one.
     */
   private def enforceConstraints(
       spark: SparkSession,
@@ -1456,34 +1533,67 @@ object Snapshots {
     import org.apache.spark.sql.functions._
     val cons = tableConstraints(spark, root)
     if (cons.isEmpty || !fs.exists(stage)) return Map.empty
-    val staged = spark.read.parquet(stage.toString)
+    val dirs = fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath).sortBy(_.getName)
+    if (dirs.isEmpty) return Map.empty
     val named = cons.map { case (n, e) =>
       when(not(coalesce(expr(e), lit(false))), lit(n))
     }
-    val flagged = staged.withColumn("violated",
-      concat_ws(",", array_compact(array(named: _*))))
-    val nQuar = flagged.filter(col("violated") =!= "").count()
-    if (nQuar == 0) return Map.empty
-    val clean = flagged.filter(col("violated") === "").drop("violated")
-    val nClean = clean.count()
-    require(nClean > 0,
-      s"publish under $root: every staged row violates the table constraints " +
-        s"(${cons.map(_._1).mkString(", ")}) — refusing; fix the batch or the constraints")
-    val partCol = fs.listStatus(stage)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(_.getPath.getName.takeWhile(_ != '=')).headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"constraint enforcement: staged tree under $stage has no partition dirs"))
     val quarName = s"qc-${java.util.UUID.randomUUID().toString.take(12)}"
-    flagged.filter(col("violated") =!= "").write.mode("errorifexists")
-      .parquet(s"$root/$QuarantineDir/$quarName")
-    // rewrite the stage to its survivors through a sibling tree + rename
-    // (the stage path itself must stay stable for the caller's renames)
     val cleanStage = new Path(stage.getParent, s"${stage.getName}-clean")
-    clean.write.partitionBy(partCol).parquet(cleanStage.toString)
-    fs.delete(stage, true)
-    require(fs.rename(cleanStage, stage),
-      s"constraint enforcement: clean-stage rename failed under $stage")
+    var nQuar = 0L
+    var nClean = 0L
+    for (pd <- dirs) {
+      val dirName = pd.getName
+      val partCol = dirName.takeWhile(_ != '=')
+      val rawVal = dirName.dropWhile(_ != '=').drop(1)
+      val partVal: org.apache.spark.sql.Column =
+        if (rawVal == "__HIVE_DEFAULT_PARTITION__") lit(null).cast("string")
+        else lit(unescapePartValue(rawVal))
+      val files = fs.listStatus(pd).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      if (files.nonEmpty) {
+        // files read WITHOUT the stage as basePath: the partition column
+        // attaches as the dir-name string (predicates against numerics
+        // coerce), so the value survives the round trip bit-identically
+        val flagged = spark.read.parquet(files: _*)
+          .withColumn(partCol, partVal)
+          .withColumn("violated",
+            concat_ws(",", array_compact(array(named: _*))))
+          .localCheckpoint(true)
+        val bad = flagged.filter(col("violated") =!= "")
+        val good = flagged.filter(col("violated") === "").drop("violated", partCol)
+        val nBad = bad.count()
+        val nGood = good.count()
+        require(nBad == 0 || nGood > 0,
+          s"publish under $root: EVERY staged row of partition $dirName violates " +
+            s"the table constraints (${cons.map(_._1).mkString(", ")}) — refusing " +
+            "the publish: silently dropping the partition from the staged set " +
+            "would carry its old generation's rows; fix the batch, or express " +
+            "an intentional empty replacement with dropPartitions")
+        if (nBad > 0) {
+          bad.write.mode("append").parquet(s"$root/$QuarantineDir/$quarName")
+          good.write.parquet(new Path(cleanStage, dirName).toString)
+        }
+        nQuar += nBad
+        nClean += nGood
+      }
+    }
+    if (nQuar == 0) {
+      fs.delete(cleanStage, true)
+      return Map.empty
+    }
+    // swap only the dirs that were rewritten; untouched dirs stay
+    for (pd <- dirs) {
+      val rewritten = new Path(cleanStage, pd.getName)
+      if (fs.exists(rewritten)) {
+        fs.delete(pd, true)
+        require(fs.rename(rewritten, pd),
+          s"constraint enforcement: clean-dir rename failed for ${pd.getName}")
+      }
+    }
+    fs.delete(cleanStage, true)
     Map(
       "constraint_quarantine_dir" -> quarName,
       "constraint_quarantined" -> nQuar.toString,

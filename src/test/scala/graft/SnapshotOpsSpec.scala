@@ -559,14 +559,22 @@ class SnapshotOpsSpec extends SparkTestBase {
       .select("id", "violated").as[(Long, String)].collect().toMap
     assert(quar == Map(4L -> "v_nonneg", 5L -> "v_cap"))
     // constraints CARRY across versions (v2 was a plain publish, not a
-    // setConstraints) and gate MERGE too
-    val v3 = SnapshotOps.merge(spark, root,
-      Seq(("a", 9L, -1L, "upsert"), ("a", 10L, 40L, "upsert"))
-        .toDF("part", "id", "v", "op"), Seq("id"), "part")
-    val after = rowsOf(Snapshots.readSnapshot(spark, root))
-    assert(after.contains(("a", 10L, 40L)) && !after.exists(_._3 < 0),
-      s"merge must quarantine the violating upsert: $after")
-    assert(Snapshots.manifestMeta(spark, root, v3)("constraint_quarantined") == "1")
+    // setConstraints) and gate MERGE too — ALL-OR-NOTHING: a violating
+    // upsert fails the whole statement before any rewrite (quarantining
+    // mid-merge would silently drop the matched rows' replacements)
+    val preMerge = rowsOf(Snapshots.readSnapshot(spark, root))
+    val exm = intercept[IllegalArgumentException] {
+      SnapshotOps.merge(spark, root,
+        Seq(("a", 9L, -1L, "upsert"), ("a", 10L, 40L, "upsert"))
+          .toDF("part", "id", "v", "op"), Seq("id"), "part")
+    }
+    assert(exm.getMessage.contains("violate"), exm.getMessage)
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) == preMerge,
+      "a refused merge must leave the table untouched")
+    // the clean remainder merges fine
+    SnapshotOps.merge(spark, root,
+      Seq(("a", 10L, 40L, "upsert")).toDF("part", "id", "v", "op"), Seq("id"), "part")
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)).contains(("a", 10L, 40L)))
     // additive file commits REFUSE (cannot quarantine already-live files)
     val d = new Path(s"$root/part=a")
     Seq(("a", 99L, -77L)).toDF("part", "id", "v").coalesce(1)
@@ -590,6 +598,104 @@ class SnapshotOpsSpec extends SparkTestBase {
         .write.partitionBy("part").parquet(stage))
     assert(rowsOf(Snapshots.readSnapshot(spark, root)).contains(("c", 50L, -1L)))
     assert(vc == 2L, "setConstraints must be one metadata-only commit")
+  }
+
+  test("constraints never corrupt DV updates or re-gate maintenance rewrites") {
+    val root = freshRoot("snap_cons_dv")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      Seq(("a", 1L, 300L), ("a", 2L, 500L), ("b", 3L, 10L)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage))
+    // constraint set AFTER the 500-row entered: documented no retro-scan
+    Snapshots.setConstraints(spark, root, Seq("v_cap" -> "v <= 400"))
+    val before = rowsOf(Snapshots.readSnapshot(spark, root))
+    // (1) an update whose replacement VIOLATES must refuse the whole
+    // statement — the old position must NOT die (update != delete)
+    val ex1 = intercept[IllegalArgumentException] {
+      SnapshotOps.updateWhere(spark, root, col("id") === 1L,
+        Map("v" -> (col("v") + 200L)), "part")
+    }
+    assert(ex1.getMessage.contains("violate"))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) == before,
+      "a refused updateWhere must leave every row live")
+    // same for a mergeOnRead upsert whose new image violates
+    val ex2 = intercept[IllegalArgumentException] {
+      SnapshotOps.mergeOnRead(spark, root,
+        Seq(("a", 1L, 999L, "upsert")).toDF("part", "id", "v", "op"),
+        Seq("id", "part"), "part")
+    }
+    assert(ex2.getMessage.contains("violate"))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)) == before)
+    // (2) maintenance rewrites carry the PRE-CONSTRAINT 500-row instead
+    // of silently deleting it: DV-delete something, then purge — the
+    // rewrite re-stages the 500-row and must keep it
+    SnapshotOps.mergeOnRead(spark, root,
+      Seq(("b", 3L, 10L, "delete")).toDF("part", "id", "v", "op"),
+      Seq("id", "part"), "part")
+    val vp = SnapshotOps.purgeDeletes(spark, root).get
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(vp))) ==
+      before.filterNot(_._2 == 3L),
+      "purge must stay content-preserving for rows that predate a constraint")
+    // optimize over a fragmented pre-constraint partition too
+    Snapshots.setConstraints(spark, root, Nil)
+    Snapshots.publishPartitions(spark, root)(stage =>
+      (0L until 40L).map(i => ("c", 100L + i, 500L)).toDF("part", "id", "v")
+        .repartition(12).write.partitionBy("part").parquet(stage))
+    Snapshots.setConstraints(spark, root, Seq("v_cap" -> "v <= 400"))
+    val preOpt = rowsOf(Snapshots.readSnapshot(spark, root))
+    val vo = SnapshotOps.optimize(spark, root, targetFileBytes = 1L << 30)
+      .getOrElse(fail("fragmented partition must qualify"))
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(vo))) == preOpt,
+      "optimize must not re-gate committed rows")
+  }
+
+  test("constraint rewrite preserves string partition dirs verbatim; evolution guards hold") {
+    val root = freshRoot("snap_cons_part")
+    // string partition value "01": a type-inferring rewrite would land
+    // k=1 and leave the old k=01 files carried — duplicated rows
+    Snapshots.publishPartitions(spark, root)(stage =>
+      Seq(("01", 1L, 10L)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage))
+    Snapshots.setConstraints(spark, root, Seq("v_cap" -> "v <= 400"))
+    val v2 = Snapshots.publishPartitions(spark, root)(stage =>
+      Seq(("01", 2L, 20L), ("01", 3L, 999L)).toDF("part", "id", "v")
+        .coalesce(1).write.partitionBy("part").parquet(stage))
+    assert(Snapshots.manifestMeta(spark, root, v2)("constraint_quarantined") == "1")
+    assert(Snapshots.manifestFiles(spark, root, v2).forall(_.startsWith("part=01/")),
+      "the rewrite must preserve the dir name verbatim, never re-infer '01' as 1")
+    // read-side partition-TYPE inference may render "01" as 1 (standard
+    // hive behavior, same for an unconstrained table) — what must hold
+    // is the replacement semantics: exactly the one clean row, the old
+    // generation gone, nothing duplicated
+    assert(rowsOf(Snapshots.readSnapshot(spark, root)).map(r => (r._2, r._3)) ==
+      Seq((2L, 20L)),
+      "partition 01 must be replaced exactly once (no resurrected old rows)")
+    // an ALL-violating partition refuses the whole publish (silently
+    // dropping its dir would carry the old generation)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.publishPartitions(spark, root)(stage =>
+        Seq(("01", 9L, 999L), ("02", 10L, 5L)).toDF("part", "id", "v")
+          .coalesce(1).write.partitionBy("part").parquet(stage))
+    }
+    assert(ex.getMessage.contains("EVERY staged row of partition"))
+    // rename/drop of a constrained column refuses instead of wedging
+    // every later publish with an unresolved-column error
+    val exR = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, root, "v", "amount")
+    }
+    assert(exR.getMessage.contains("constraint"))
+    val exD = intercept[IllegalArgumentException] {
+      Snapshots.dropColumn(spark, root, "v")
+    }
+    assert(exD.getMessage.contains("constraint"))
+    // separator characters in a rename would corrupt the colmap meta
+    Snapshots.setConstraints(spark, root, Nil)
+    val exS = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, root, "v", "a>b")
+    }
+    assert(exS.getMessage.contains("separator"))
+    // with constraints cleared the rename goes through
+    Snapshots.renameColumn(spark, root, "v", "amount")
+    assert(Snapshots.readSnapshot(spark, root).columns.contains("amount"))
   }
 
   test("renameColumn/dropColumn: metadata-only evolution, old generations re-map at read") {
