@@ -1572,10 +1572,13 @@ object Analytics {
         .select("event_id", "event_type", "value")
       Snapshots.publishPartitions(s, root)(stage =>
         ev.write.partitionBy("event_type").parquet(stage))
-      SnapshotOps.deleteWhere(s, root, col("value") > 400)
+      // allowNoop: at sf0.001 no event clears 400, so the delete is a
+      // legitimate no-match — the oracle removes nothing there either,
+      // so the phases stay consistent at every scale factor
+      SnapshotOps.deleteWhere(s, root, col("value") > 400, allowNoop = true)
       val v3 = SnapshotOps.updateWhere(s, root,
         col("event_type") === "click",
-        Map("value" -> (col("value") * 2)), "event_type")
+        Map("value" -> (col("value") * 2)), "event_type", allowNoop = true)
       Snapshots.readSnapshot(s, root, Some(v3))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
