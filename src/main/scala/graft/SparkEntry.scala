@@ -14,7 +14,7 @@ object SparkEntry {
   private[graft] def catalog: Seq[Q] =
     Relational.queries ++ graft.queries.TextData.queries ++
       graft.queries.Analytics.queries ++ graft.queries.Advanced.queries ++
-      graft.queries.Extensions.queries
+      graft.queries.Extensions.queries ++ graft.queries.PipelineQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join (lineitem⋈orders⋈customer⋈nation⋈region: two broadcastable

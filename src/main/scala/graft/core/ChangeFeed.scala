@@ -29,48 +29,93 @@ object ChangeFeed {
 
   private val FeedDir = "_feeds"
 
-  private def offsetPath(root: String, consumerId: String): Path = {
+  private def requireConsumerId(consumerId: String): Unit =
     require(consumerId.nonEmpty && consumerId.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_'),
       s"consumer id must be [A-Za-z0-9_-]+: '$consumerId'")
-    new Path(s"$root/$FeedDir/$consumerId.offset")
-  }
+
+  private def feedDir(root: String): Path = new Path(s"$root/$FeedDir")
+
+  /** Pre-r13 single-file cursor (`<consumer>.offset`) — still READ as a
+    * fallback so existing consumers upgrade in place; the first advance
+    * rewrites them into the monotonic scheme and GCs the legacy file.
+    */
+  private def legacyOffsetPath(root: String, consumerId: String): Path =
+    new Path(feedDir(root), s"$consumerId.offset")
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The monotonic cursor files of a consumer: `<consumer>.<v>.offset`.
+    * The consumer id charset excludes '.', so the parse is unambiguous.
+    */
+  private def offsetFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      consumerId: String): Seq[(Long, Path)] = {
+    val dir = feedDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(s"$consumerId.") && n.endsWith(".offset")) {
+        val mid = n.stripPrefix(s"$consumerId.").stripSuffix(".offset")
+        mid.toLongOption.map(_ -> st.getPath)
+      } else None
+    }
+  }
+
   /** The consumer's persisted cursor: the newest version it has fully
     * processed. None before the first [[consume]].
+    *
+    * Cursor files are MONOTONICALLY NAMED (`<consumer>.<v>.offset`, max
+    * wins, older ones GC'd after the new one is durable) — there is no
+    * delete-then-rename window in which a crash drops the cursor and a
+    * signed-aggregate consumer re-bootstraps the full snapshot as
+    * 'added', double-counting the table (ADVICE r12). Any single-file
+    * crash leaves either the old max or both; both is just a pending GC.
     */
   def currentOffset(spark: SparkSession, root: String, consumerId: String): Option[Long] = {
-    val p = offsetPath(root, consumerId)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .next().trim.toLong)
-      finally in.close()
+    requireConsumerId(consumerId)
+    val fs = fsOf(spark, feedDir(root))
+    val monotonic = offsetFiles(fs, root, consumerId).map(_._1).maxOption
+    monotonic.orElse {
+      val p = legacyOffsetPath(root, consumerId)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .next().trim.toLong)
+        finally in.close()
+      }
     }
   }
 
   private def writeOffset(
       spark: SparkSession, root: String, consumerId: String, v: Long): Unit = {
-    val p = offsetPath(root, consumerId)
-    val fs = fsOf(spark, p)
-    fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val dir = feedDir(root)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val p = new Path(dir, s"$consumerId.$v.offset")
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false) // rename-over is not portable; cursor loss just replays
-    require(fs.rename(tmp, p), s"change feed: cursor commit failed for $consumerId")
+    if (fs.exists(p)) fs.delete(tmp, false) // same cursor already durable
+    else require(fs.rename(tmp, p), s"change feed: cursor commit failed for $consumerId")
+    // GC strictly AFTER the new cursor is durable: a crash anywhere in
+    // this loop leaves extra older files, and max() still reads the
+    // committed cursor — never a silent re-bootstrap
+    offsetFiles(fs, root, consumerId).filter(_._1 < v)
+      .foreach { case (_, old) => fs.delete(old, false) }
+    fs.delete(legacyOffsetPath(root, consumerId), false)
+    ()
   }
 
   /** Drop a consumer's cursor — the explicit re-bootstrap verb. */
   def resetOffset(spark: SparkSession, root: String, consumerId: String): Unit = {
-    val p = offsetPath(root, consumerId)
-    fsOf(spark, p).delete(p, false)
+    requireConsumerId(consumerId)
+    val fs = fsOf(spark, feedDir(root))
+    offsetFiles(fs, root, consumerId).foreach { case (_, p) => fs.delete(p, false) }
+    fs.delete(legacyOffsetPath(root, consumerId), false)
     ()
   }
 

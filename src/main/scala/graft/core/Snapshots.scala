@@ -371,12 +371,13 @@ object Snapshots {
     * a 100 TB table's rewrite lands thousands) must not serialize
     * ~10 ms-per-open driver-side reads on its commit critical path.
     * Output order is deterministic (per-file, stats before rows).
-    * UNPARSABLE footers (an externally-staged file, a crash-replay
-    * placeholder — surfacing as RuntimeException) yield no header lines:
-    * the conservative stance stats always had (no stat = never skips; no
-    * rows = footer-read at count time). TRANSIENT IO errors
-    * (IOException) fail the commit loudly instead — a retryable storage
-    * hiccup must not silently decay coverage forever.
+    * NOT-A-PARQUET files (wrong magic: an externally-staged placeholder,
+    * a crash-replay artifact) yield no header lines — the conservative
+    * stance stats always had (no stat = never skips; no rows =
+    * footer-read at count time). EVERY other failure — truncated
+    * footers, IO errors, decode bugs — fails the commit loudly: a
+    * retryable storage hiccup or a corrupt stage must not silently decay
+    * coverage forever.
     */
   private def footerHeaderLines(
       fs: FileSystem,
@@ -415,9 +416,20 @@ object Snapshots {
               stats :+ rowsLine(f, blocks.map(_.getRowCount).sum)
             } finally r.close()
           } catch {
-            // not-a-parquet-file and friends: skip coverage, keep the
-            // commit; IOException propagates and fails the publish
-            case _: RuntimeException => Seq.empty
+            // ONLY the explicit "not a parquet file" shapes skip coverage
+            // (an externally-staged placeholder, a crash-replay artifact):
+            // those files were never readable as parquet, so conservative
+            // no-stat/no-rows planning is the right degradation. Anything
+            // else — a TRUNCATED footer, a decode bug, a transient storage
+            // error surfacing as RuntimeException — fails the publish
+            // loudly like the pre-r12 footerRange did: a corrupt staged
+            // file must not commit with permanently decayed skip coverage
+            // (ADVICE r12).
+            case e: RuntimeException
+                if e.getMessage != null &&
+                  (e.getMessage.contains("is not a Parquet file") ||
+                    e.getMessage.contains("Expected magic number")) =>
+              Seq.empty
           }
         })
       }
@@ -1222,6 +1234,13 @@ object Snapshots {
       dvAdd: Option[DataFrame] = None,
       gateConstraints: Boolean = true)(write: String => Unit): Long = {
     validateMeta(meta) // refuse BEFORE staging — no residue on bad meta
+    // pin the deletes ONCE: the frame is evaluated twice below (kept-file
+    // validation collect, then the sidecar write) and a non-deterministic
+    // caller source could otherwise validate one file set and persist
+    // another, slipping past the stale-target guard (ADVICE r12). Deletes
+    // are sidecar-scale by contract, so the eager copy is cheap even when
+    // an internal caller already checkpointed.
+    val dvPinned = dvAdd.map(_.localCheckpoint(true))
     require(dropPartitions.forall(_.contains("=")),
       s"dropPartitions must be <col>=<value> dir names, got: $dropPartitions")
     val rootP = new Path(root)
@@ -1349,7 +1368,7 @@ object Snapshots {
       // in the kept set means the caller's read is stale (the file was
       // replaced since): committing would orphan positions that silently
       // never subtract
-      dvAdd.foreach { dv =>
+      dvPinned.foreach { dv =>
         val tgt = dv.select(org.apache.spark.sql.functions.col("file"))
           .distinct().collect().map(_.getString(0)).toSet
         val missing = tgt -- keptRel
@@ -1358,7 +1377,7 @@ object Snapshots {
             s"not kept by this version (first: ${missing.headOption.getOrElse("")}) — " +
             "stale file list; re-read and retry")
       }
-      writeDvSidecar(spark, root, v, prevV, keptRel, dvAdd)
+      writeDvSidecar(spark, root, v, prevV, keptRel, dvPinned)
       // table-level persistent keys (constraints, column mapping) carry
       // from the previous version; an explicit caller key overrides
       metaHeader(persistentMeta(spark, root, prevV) ++ meta ++ consMeta) ++

