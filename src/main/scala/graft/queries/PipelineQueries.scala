@@ -85,7 +85,7 @@ object PipelineQueries {
        |    'Price|Carbon' AS variable, 'US$$2010/t CO2' AS unit,
        |    2015 + 5 * y.i AS year,
        |    CASE WHEN (s.k + y.i) % 4 = 0 THEN NULL
-       |         ELSE (s.k + 1) * (10 + y.i) * 0.25 END AS v
+       |         ELSE CAST((s.k + 1) * (10 + y.i) * 0.25 AS DOUBLE) END AS v
        |  FROM scen s CROSS JOIN (SELECT unnest(range(18)) AS i) y),
        |injected AS (
        |  SELECT 'no_carbon_tax' AS model, 'no_carbon_tax' AS scenario, 'Global' AS scenario_geography,
@@ -102,8 +102,8 @@ object PipelineQueries {
        |  UNION ALL
        |  SELECT 'independent_increasing_carbon_tax_50', 'independent_increasing_carbon_tax_50',
        |    'Global', 'Price|Carbon', 'US$$2010/t CO2', 2015 + 5 * i,
-       |    [0.0, 0.0, 50.0, 60.83, 74.01, 90.05, 109.56, 133.29, 162.17, 197.30,
-       |     240.05, 292.06, 355.33, 432.32, 525.98, 639.94, 778.58, 947.26][CAST(i AS INT) + 1]
+       |    CAST([0.0, 0.0, 50.0, 60.83, 74.01, 90.05, 109.56, 133.29, 162.17, 197.30,
+       |     240.05, 292.06, 355.33, 432.32, 525.98, 639.94, 778.58, 947.26][CAST(i AS INT) + 1] AS DOUBLE)
        |  FROM (SELECT unnest(range(18)) AS i)),
        |edited AS (
        |  SELECT model, scenario, scenario_geography, variable, unit, year,
@@ -316,7 +316,7 @@ object PipelineQueries {
        |    CASE WHEN (k // 3) % 2 = 0 THEN 'STEPS' ELSE 'SDS' END AS scenario,
        |    CASE WHEN (k // 6) % 2 = 0 THEN 'EU' ELSE 'US' END AS geo,
        |    2020 + 5 * y.i AS year,
-       |    (k + 2) * (3 + y.i) * 0.25 AS price
+       |    CAST((k + 2) * (3 + y.i) * 0.25 AS DOUBLE) AS price
        |  FROM f0 CROSS JOIN (SELECT unnest(range(5)) AS i) y),
        |fossilr AS (
        |  SELECT 'WEO2021' AS source, scenario, geo AS scenario_geography,
@@ -346,7 +346,7 @@ object PipelineQueries {
        |    CASE WHEN (k // 8) % 2 = 0 THEN 'EU' ELSE 'US' END AS geo,
        |    2020 + 5 * y.i AS year,
        |    CASE WHEN y.i > 0 AND (k + y.i) % 5 = 0 THEN NULL
-       |         ELSE (k + 1) * (4 + y.i) * 0.5 END AS price
+       |         ELSE CAST((k + 1) * (4 + y.i) * 0.5 AS DOUBLE) END AS price
        |  FROM p0 CROSS JOIN (SELECT unnest(range(5)) AS i) y),
        |power1 AS (
        |  SELECT 'WEO2021' AS source, scenario, geo AS scenario_geography,
