@@ -89,7 +89,17 @@ object Bench {
     "u26_change_feed",    // cursor bootstrap + DV-delta window consumption
     "u27_dml_where",      // predicate DELETE + UPDATE as sidecar commits
     "ev_holt",            // Holt level+trend fold over the daily series
-    "dd_phonetic"         // phonetic keying + block-size window
+    "dd_phonetic",        // phonetic keying + block-size window
+    // round-13 additions: the six reference output pipelines, timed from
+    // birth — each is a composed DAG (completion grids, interpolation
+    // windows, tiered joins), so a regression in the chain machinery
+    // shows up here even when the per-operator entries stay flat
+    "pipe_scenarios",     // interpolate + market shares + P4I + perimeter rules
+    "pipe_prices",        // fossil+LCOE legs, global means, global-range interp
+    "pipe_capacity_factors", // wide agg + TWh->GW + cf ratio + scenario clones
+    "pipe_carbon_price",  // injection + point edits + conditional interp to 2100
+    "pipe_abcd",          // outer match + fills + EF ratio + MW/MWh + asset ids
+    "pipe_financial"      // median tiers + closest parent + provenance ratios
   )
 
   def main(args: Array[String]): Unit = {

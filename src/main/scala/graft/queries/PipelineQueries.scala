@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.pipelines.{CapacityFactors, CarbonPrice, Prices}
+import graft.pipelines.{Abcd, CapacityFactors, CarbonPrice, Financial, Prices, ScenarioData}
 
 /** End-to-end oracle entries for the reference's OUTPUT PIPELINES — the
   * composed DAGs behind the six deliverable tables
@@ -400,7 +400,527 @@ object PipelineQueries {
        |ORDER BY source, scenario, scenario_geography, sector, technology, indicator,
        |  unit, year""".stripMargin
 
+  // ---- pipe_scenarios -------------------------------------------------
+
+  /** Long P4I-style scenario frame (nation k 0..15): a complete Coal
+    * sector (1 tech), an INCOMPLETE Oil&Gas (1 of 2 — dropped by the
+    * sector-completeness rule), a complete Power (all 6 lookup techs,
+    * including the green ones that switch FairSharePerc to smsp), two
+    * scenarios, years 2020/2024/2028 (gap-4 so every interpolated value
+    * stays dyadic-exact) with interior (i=1, k%3) holes, plus one
+    * null-value EU row that trips the NA-perimeter removal.
+    */
+  private def scenariosFixture(s: SparkSession, d: String): DataFrame = {
+    val sectors = Seq("Coal", "Oil&Gas", "Power", "Power", "Power", "Power", "Power", "Power")
+    val techs = Seq("Coal", "Oil", "CoalCap", "GasCap", "HydroCap", "NuclearCap",
+      "OilCap", "RenewablesCap")
+    val base = nation(s, d).filter(col("n_nationkey") < 16)
+      .select(col("n_nationkey").cast("int").as("k"))
+      .withColumn("sector", element_at(typedLit(sectors), col("k") % 8 + 1))
+      .withColumn("technology", element_at(typedLit(techs), col("k") % 8 + 1))
+      .withColumn("scenario", when(floor(col("k") / 8) === 0, "STEPS").otherwise("SDS"))
+      .withColumn("scenario_geography", lit("Global"))
+      .withColumn("source", lit("WEO2021"))
+      .withColumn("units",
+        when(col("sector") === "Coal", "t")
+          .when(col("sector") === "Oil&Gas", "GJ").otherwise("GW"))
+      .withColumn("indicator",
+        when(col("sector") === "Power", "Capacity").otherwise("Production"))
+    val long = base.withColumn("i", explode(typedLit(Seq(0, 1, 2))))
+      .withColumn("year", lit(2020) + col("i") * 4)
+      .withColumn("value",
+        when(col("i") === 1 && col("k") % 3 === 0, lit(null).cast("double"))
+          .otherwise((col("k") + 1) * (lit(5) + col("i")) * lit(0.25)))
+      .drop("k", "i")
+    val plant = nation(s, d).filter(col("n_nationkey") === 16)
+      .select(lit("WEO2021").as("source"), lit("STEPS").as("scenario"),
+        lit("EU").as("scenario_geography"), lit("Coal").as("sector"),
+        lit("Coal").as("technology"), lit("t").as("units"),
+        lit("Production").as("indicator"), lit(2020).as("year"),
+        lit(null).cast("double").as("value"))
+    long.unionByName(plant)
+  }
+
+  private val scKeys7 =
+    "source, scenario, scenario_geography, sector, technology, units, indicator"
+
+  private val scenariosOracle: String = {
+    val greens = "'HydroCap','NuclearCap','RenewablesCap'"
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 16),
+       |pairs AS (
+       |  SELECT k,
+       |    ['Coal','Oil&Gas','Power','Power','Power','Power','Power','Power'][k % 8 + 1] AS sector,
+       |    ['Coal','Oil','CoalCap','GasCap','HydroCap','NuclearCap','OilCap','RenewablesCap'][k % 8 + 1] AS technology,
+       |    CASE WHEN k // 8 = 0 THEN 'STEPS' ELSE 'SDS' END AS scenario
+       |  FROM b),
+       |cells AS (
+       |  SELECT 'WEO2021' AS source, scenario, 'Global' AS scenario_geography, sector,
+       |    technology,
+       |    CASE sector WHEN 'Coal' THEN 't' WHEN 'Oil&Gas' THEN 'GJ' ELSE 'GW' END AS units,
+       |    CASE WHEN sector = 'Power' THEN 'Capacity' ELSE 'Production' END AS indicator,
+       |    2020 + 4 * y.i AS year,
+       |    CASE WHEN y.i = 1 AND k % 3 = 0 THEN NULL
+       |         ELSE CAST((k + 1) * (5 + y.i) * 0.25 AS DOUBLE) END AS value
+       |  FROM pairs CROSS JOIN (SELECT unnest(range(3)) AS i) y
+       |  UNION ALL
+       |  SELECT 'WEO2021', 'STEPS', 'EU', 'Coal', 'Coal', 't', 'Production', 2020, NULL),
+       |grp AS (SELECT $scKeys7, MIN(year) AS lo, MAX(year) AS hi
+       |  FROM cells GROUP BY $scKeys7),
+       |grid0 AS (SELECT $scKeys7, unnest(range(lo, hi + 1)) AS year FROM grp),
+       |gridj AS (
+       |  SELECT g.source, g.scenario, g.scenario_geography, g.sector, g.technology,
+       |    g.units, g.indicator, CAST(g.year AS INT) AS year, c.value
+       |  FROM grid0 g LEFT JOIN cells c
+       |    ON c.source = g.source AND c.scenario = g.scenario
+       |   AND c.scenario_geography = g.scenario_geography AND c.sector = g.sector
+       |   AND c.technology = g.technology AND c.units = g.units
+       |   AND c.indicator = g.indicator AND c.year = g.year),
+       |wi AS (SELECT *, ${naApproxSql(scKeys7, "year", "value")} FROM gridj),
+       |interp AS (SELECT source, scenario, scenario_geography, sector, technology, units,
+       |    indicator, year, ${interpSql("year", "value")} AS value
+       |  FROM wi),
+       |tot AS (SELECT *, CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+       |      PARTITION BY scenario, sector, scenario_geography, year) AS DOUBLE) AS __stot
+       |  FROM interp WHERE year >= 2020),
+       |shares AS (
+       |  SELECT *, first_value(value) OVER wt AS __first,
+       |    first_value(__stot) OVER wt AS __stot0
+       |  FROM tot
+       |  WINDOW wt AS (PARTITION BY scenario, sector, scenario_geography, technology
+       |    ORDER BY year ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ms AS (SELECT *, (value - __first) / __first AS tmsr,
+       |    (value - __first) / __stot0 AS smsp FROM shares),
+       |p4 AS (
+       |  SELECT source, scenario_geography, 'WEO2021_' || scenario AS scenario,
+       |    sector AS ald_sector, technology, units, year,
+       |    CASE WHEN technology IN ($greens) THEN 'increasing'
+       |         ELSE 'declining' END AS direction,
+       |    CASE WHEN technology IN ($greens) THEN smsp ELSE tmsr END AS fair_share_perc,
+       |    value AS scenario_pathway
+       |  FROM ms),
+       |nageo AS (
+       |  SELECT DISTINCT source, scenario_geography, ald_sector FROM p4
+       |  WHERE scenario IN ('WEO2021_STEPS', 'WEO2021_SDS')
+       |    AND (scenario_pathway IS NULL OR fair_share_perc IS NULL)),
+       |kept AS (
+       |  SELECT p.* FROM p4 p LEFT JOIN nageo n
+       |    ON p.source = n.source AND p.scenario_geography = n.scenario_geography
+       |   AND p.ald_sector = n.ald_sector
+       |  WHERE n.source IS NULL),
+       |expected AS (SELECT * FROM (VALUES ('Coal', 1), ('Oil&Gas', 2), ('Power', 6))
+       |  t(ald_sector, n_exp)),
+       |present AS (SELECT scenario, scenario_geography, ald_sector,
+       |    COUNT(DISTINCT technology) AS n_pres
+       |  FROM kept GROUP BY scenario, scenario_geography, ald_sector),
+       |incomplete AS (SELECT p.scenario, p.scenario_geography, p.ald_sector
+       |  FROM present p JOIN expected e USING (ald_sector) WHERE p.n_pres < e.n_exp)
+       |SELECT k.scenario_geography, k.scenario, k.ald_sector, k.units,
+       |  k.technology AS ald_business_unit, k.year, k.direction, k.fair_share_perc,
+       |  k.scenario_pathway,
+       |  CASE WHEN k.scenario = 'WEO2021_STEPS' THEN 'baseline' ELSE 'shock' END AS scenario_type
+       |FROM kept k LEFT JOIN incomplete i
+       |  ON k.scenario = i.scenario AND k.scenario_geography = i.scenario_geography
+       | AND k.ald_sector = i.ald_sector
+       |WHERE i.ald_sector IS NULL
+       |ORDER BY k.scenario, k.ald_sector, ald_business_unit, k.year""".stripMargin
+  }
+
+  // ---- pipe_abcd ------------------------------------------------------
+
+  /** Wide `Equity Ownership` frames from nation keys 0..15 exercising
+    * every prepare_abcd_data branch: a duplicated row (k=6,
+    * sum-or-all-null), a NULL-location row (k=5, dropped), an
+    * emissions-only company (k=10, full-outer orphan), a no-emissions
+    * company (k=9, EF unknown), MW+MWh twin rows for every Power company
+    * with an all-zero MW producer (k=8, empty-key drop) and an all-zero
+    * MWh producer (k=4, 0/0 EF -> sector-average fill that SURFACES on
+    * production>0 rows), a second location (k=13, asset numbering) and a
+    * Steel company per cycle (sector-list filter). Emission values are
+    * dyadic multiples of the production values, so every surviving EF
+    * ratio, interpolation and group mean is bit-exact cross-engine.
+    */
+  private val abcdSectors = Seq("Power", "Oil&Gas", "Coal", "Steel")
+  private val abcdBus = Seq("CoalCap", "Oil", "Coal", "Steel")
+  private val abcdUnits = Seq("MW", "GJ", "t", "t")
+  private val abcdLocs = Seq("DE", "FR", "US")
+
+  private def abcdDims(df: DataFrame): DataFrame = df
+    .withColumn("ald_sector", element_at(typedLit(abcdSectors), col("k") % 4 + 1))
+    .withColumn("ald_business_unit", element_at(typedLit(abcdBus), col("k") % 4 + 1))
+    .withColumn("activity_unit", element_at(typedLit(abcdUnits), col("k") % 4 + 1))
+    .withColumn("ald_location", element_at(typedLit(abcdLocs), col("k") % 3 + 1))
+    .withColumn("company_name", concat(lit("company-"), col("k").cast("string")))
+    .withColumn("company_id", col("k"))
+
+  private def abcdYearCols(df: DataFrame)(v: (org.apache.spark.sql.Column, Int) =>
+      org.apache.spark.sql.Column): DataFrame =
+    (0 until 4).foldLeft(df)((acc, i) =>
+      acc.withColumn(s"Equity Ownership ${2022 + i}", v(col("k"), i)))
+
+  private def abcdK(s: SparkSession, d: String, pred: org.apache.spark.sql.Column): DataFrame =
+    nation(s, d).filter(pred).select(col("n_nationkey").cast("int").as("k"))
+
+  private def abcdActV(k: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    when(k === 8, lit(0.0))
+      .when(lit(i) >= 1 && lit(i) <= 2 && (k + i) % 5 === 0, lit(null).cast("double"))
+      .otherwise((k + 1) * (2 + i) * lit(0.25))
+
+  private def abcdActivitiesFixture(s: SparkSession, d: String): DataFrame = {
+    val base = abcdYearCols(abcdDims(
+      abcdK(s, d, col("n_nationkey") < 16 && col("n_nationkey") =!= 10)))(abcdActV)
+    val dup = base.filter(col("k") === 6)
+    val mwh = abcdYearCols(
+      abcdDims(abcdK(s, d, col("n_nationkey") < 16 && col("n_nationkey") % 4 === 0))
+        .withColumn("activity_unit", lit("MWh"))) { (k, i) =>
+      when(k === 4, lit(0.0)).otherwise((k + 2) * (1 + i) * lit(0.25))
+    }
+    val extraLoc = abcdYearCols(abcdDims(abcdK(s, d, col("n_nationkey") === 13))
+      .withColumn("ald_location", lit("BR")))(abcdActV)
+    val nullLoc = abcdYearCols(abcdDims(abcdK(s, d, col("n_nationkey") === 5))
+      .withColumn("ald_location", lit(null).cast("string")))(abcdActV)
+    base.unionByName(dup).unionByName(mwh).unionByName(extraLoc).unionByName(nullLoc)
+      .drop("k")
+  }
+
+  private def abcdEmissionsFixture(s: SparkSession, d: String): DataFrame =
+    abcdYearCols(
+      abcdDims(abcdK(s, d, col("n_nationkey") < 16 && col("n_nationkey") =!= 9))
+        .withColumn("activity_unit", lit("tCO2"))) { (k, i) =>
+      when(k % 4 === 0,
+        when(k === 4, lit(0.0)).otherwise((k + 2) * (1 + i) * lit(0.125)))
+        .when(lit(i) >= 1 && lit(i) <= 2 && (k + i) % 5 === 0, lit(null).cast("double"))
+        .otherwise((k + 1) * (2 + i) * lit(0.25) *
+          when(k % 2 === 0, lit(0.5)).otherwise(lit(0.25)))
+    }.drop("k")
+
+  private val abcdFillKeys = "k, sector, bu, loc, ef_unit, prod_unit"
+
+  private val abcdOracle: String =
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 16),
+       |dims AS (SELECT k,
+       |    ['Power','Oil&Gas','Coal','Steel'][k % 4 + 1] AS sector,
+       |    ['CoalCap','Oil','Coal','Steel'][k % 4 + 1] AS bu,
+       |    ['MW','GJ','t','t'][k % 4 + 1] AS unit,
+       |    ['DE','FR','US'][k % 3 + 1] AS loc
+       |  FROM b),
+       |years AS (SELECT CAST(unnest(range(4)) AS INT) AS i),
+       |actrows AS (
+       |  SELECT k, sector, bu, loc, unit, i,
+       |    CASE WHEN k = 8 THEN 0.0
+       |         WHEN i BETWEEN 1 AND 2 AND (k + i) % 5 = 0 THEN NULL
+       |         ELSE CAST((k+1)*(2+i)*0.25 AS DOUBLE) END AS v
+       |  FROM dims CROSS JOIN years WHERE k <> 10
+       |  UNION ALL
+       |  SELECT k, sector, bu, loc, unit, i,
+       |    CASE WHEN i BETWEEN 1 AND 2 AND (k + i) % 5 = 0 THEN NULL
+       |         ELSE CAST((k+1)*(2+i)*0.25 AS DOUBLE) END
+       |  FROM dims CROSS JOIN years WHERE k = 6
+       |  UNION ALL
+       |  SELECT k, sector, bu, loc, 'MWh', i,
+       |    CASE WHEN k = 4 THEN 0.0 ELSE CAST((k+2)*(1+i)*0.25 AS DOUBLE) END
+       |  FROM dims CROSS JOIN years WHERE k % 4 = 0
+       |  UNION ALL
+       |  SELECT k, sector, bu, 'BR', unit, i,
+       |    CASE WHEN i BETWEEN 1 AND 2 AND (k + i) % 5 = 0 THEN NULL
+       |         ELSE CAST((k+1)*(2+i)*0.25 AS DOUBLE) END
+       |  FROM dims CROSS JOIN years WHERE k = 13),
+       |act AS (
+       |  SELECT k, sector, bu, loc, unit, 2022 + i AS year,
+       |    CASE WHEN COUNT(v) = 0 THEN NULL ELSE SUM(v) END AS prod
+       |  FROM actrows GROUP BY k, sector, bu, loc, unit, i),
+       |emisrows AS (
+       |  SELECT k, sector, bu, loc, i,
+       |    CASE WHEN k % 4 = 0 THEN
+       |           (CASE WHEN k = 4 THEN 0.0 ELSE CAST((k+2)*(1+i)*0.125 AS DOUBLE) END)
+       |         WHEN i BETWEEN 1 AND 2 AND (k + i) % 5 = 0 THEN NULL
+       |         ELSE CAST((k+1)*(2+i)*0.25 *
+       |           (CASE WHEN k % 2 = 0 THEN 0.5 ELSE 0.25 END) AS DOUBLE) END AS v
+       |  FROM dims CROSS JOIN years WHERE k <> 9),
+       |emis AS (
+       |  SELECT k, sector, bu, loc, 2022 + i AS year,
+       |    CASE WHEN COUNT(v) = 0 THEN NULL ELSE SUM(v) END AS ef
+       |  FROM emisrows GROUP BY k, sector, bu, loc, i),
+       |oj AS (
+       |  SELECT COALESCE(a.k, e.k) AS k, COALESCE(a.sector, e.sector) AS sector,
+       |    COALESCE(a.bu, e.bu) AS bu, COALESCE(a.loc, e.loc) AS loc,
+       |    COALESCE(a.year, e.year) AS year,
+       |    a.unit AS prod_unit, a.prod,
+       |    CASE WHEN e.k IS NOT NULL THEN 'tCO2' END AS ef_unit, e.ef
+       |  FROM act a FULL JOIN emis e
+       |    ON a.k = e.k AND a.sector = e.sector AND a.bu = e.bu AND a.loc = e.loc
+       |   AND a.year = e.year),
+       |agg2 AS (
+       |  SELECT k, sector, bu, loc, year, prod_unit, ef_unit,
+       |    CASE WHEN COUNT(prod) = 0 THEN NULL ELSE SUM(prod) END AS prod,
+       |    CASE WHEN COUNT(ef) = 0 THEN NULL ELSE SUM(ef) END AS ef
+       |  FROM oj WHERE loc IS NOT NULL
+       |  GROUP BY k, sector, bu, loc, year, prod_unit, ef_unit),
+       |grid AS (
+       |  SELECT kk.k, kk.sector, kk.bu, kk.loc, kk.prod_unit, kk.ef_unit,
+       |    CAST(y2.year AS INT) AS year, a2.prod, a2.ef
+       |  FROM (SELECT DISTINCT k, sector, bu, loc, prod_unit, ef_unit FROM agg2) kk
+       |  CROSS JOIN (SELECT unnest(range(2022, 2026)) AS year) y2
+       |  LEFT JOIN agg2 a2 ON a2.k = kk.k AND a2.sector = kk.sector AND a2.bu = kk.bu
+       |    AND a2.loc = kk.loc AND a2.year = y2.year
+       |    AND a2.prod_unit IS NOT DISTINCT FROM kk.prod_unit
+       |    AND a2.ef_unit IS NOT DISTINCT FROM kk.ef_unit),
+       |w1 AS (SELECT *,
+       |    ${naApproxSql(abcdFillKeys, "year", "prod", "_p")},
+       |    ${naApproxSql(abcdFillKeys, "year", "ef", "_e")}
+       |  FROM grid),
+       |f1 AS (SELECT k, sector, bu, loc, prod_unit, ef_unit, year,
+       |    ${interpSql("year", "prod", "_p")} AS prod,
+       |    ${interpSql("year", "ef", "_e")} AS ef
+       |  FROM w1),
+       |w2 AS (SELECT *,
+       |    last_value(prod IGNORE NULLS) OVER fw AS __fp,
+       |    last_value(ef IGNORE NULLS) OVER fw AS __fe
+       |  FROM f1
+       |  WINDOW fw AS (PARTITION BY $abcdFillKeys ORDER BY year
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |f2 AS (SELECT k, sector, bu, loc, prod_unit, ef_unit, year,
+       |    COALESCE(prod, __fp, 0.0) AS prod, COALESCE(ef, __fe, 0.0) AS ef FROM w2),
+       |r1 AS (SELECT k, sector, bu, loc, prod_unit, year, prod,
+       |    ef / prod AS ef_ratio,
+       |    CASE WHEN ef_unit IS NULL THEN 'unknown'
+       |         WHEN prod_unit IS NULL THEN ef_unit
+       |         ELSE ef_unit || '/' || prod_unit END AS ef_unit
+       |  FROM f2),
+       |mwprod AS (SELECT DISTINCT k, sector, bu, loc, year, prod, prod_unit
+       |  FROM r1 WHERE prod_unit = 'MW'),
+       |mwhef AS (SELECT DISTINCT k, sector, bu, loc, year, ef_ratio, ef_unit
+       |  FROM r1 WHERE prod_unit = 'MWh'),
+       |mwjoin AS (SELECT p.k, p.sector, p.bu, p.loc, p.year, p.prod, p.prod_unit,
+       |    e.ef_ratio, e.ef_unit
+       |  FROM mwprod p JOIN mwhef e ON e.k = p.k AND e.sector = p.sector
+       |    AND e.bu = p.bu AND e.loc = p.loc AND e.year = p.year),
+       |ab AS (SELECT k, sector, bu, loc, year, prod, prod_unit, ef_ratio, ef_unit
+       |    FROM r1 WHERE prod_unit NOT IN ('MW', 'MWh')
+       |  UNION ALL SELECT k, sector, bu, loc, year, prod, prod_unit, ef_ratio, ef_unit
+       |    FROM mwjoin),
+       |avgef AS (SELECT sector, bu, ef_unit,
+       |    AVG(CASE WHEN isnan(ef_ratio) THEN NULL ELSE ef_ratio END) AS avg_ef
+       |  FROM ab GROUP BY sector, bu, ef_unit),
+       |missing AS (
+       |  SELECT m.k, m.sector, m.bu, m.loc, m.year, m.prod, m.prod_unit,
+       |    a.ef_unit,
+       |    COALESCE(CASE WHEN isnan(a.avg_ef) THEN NULL ELSE a.avg_ef END, 0.0) AS ef_ratio
+       |  FROM (SELECT * FROM ab WHERE ef_ratio IS NULL OR isnan(ef_ratio)) m
+       |  LEFT JOIN avgef a ON a.sector = m.sector AND a.bu = m.bu),
+       |ab2 AS (SELECT k, sector, bu, loc, year, prod, prod_unit, ef_ratio, ef_unit
+       |    FROM ab WHERE NOT (ef_ratio IS NULL OR isnan(ef_ratio))
+       |  UNION ALL SELECT k, sector, bu, loc, year, prod, prod_unit, ef_ratio, ef_unit
+       |    FROM missing),
+       |ab3 AS (SELECT k, sector, bu, loc, year, prod, prod_unit,
+       |    CASE WHEN prod = 0 THEN 0.0 ELSE ef_ratio END AS ef_ratio, ef_unit
+       |  FROM ab2),
+       |empty AS (SELECT k, sector, bu, loc, prod_unit, ef_unit FROM ab3
+       |  GROUP BY k, sector, bu, loc, prod_unit, ef_unit
+       |  HAVING COUNT(prod) = 0 OR SUM(prod) = 0),
+       |ab4 AS (SELECT a.* FROM ab3 a LEFT JOIN empty e
+       |    ON a.k = e.k AND a.sector = e.sector AND a.bu = e.bu AND a.loc = e.loc
+       |   AND a.prod_unit = e.prod_unit AND a.ef_unit = e.ef_unit
+       |  WHERE e.k IS NULL),
+       |ab5 AS (SELECT * FROM ab4
+       |  WHERE sector IN ('Power','Oil&Gas','Coal') AND year BETWEEN 2022 AND 2025),
+       |assets AS (SELECT k, loc, bu,
+       |    CAST(k AS VARCHAR) || '_' || CAST(row_number() OVER (
+       |      PARTITION BY k ORDER BY loc, bu) AS VARCHAR) AS asset_id
+       |  FROM (SELECT DISTINCT k, loc, bu FROM ab5))
+       |SELECT a5.k AS company_id,
+       |  'company-' || CAST(a5.k AS VARCHAR) AS company_name,
+       |  a5.sector AS ald_sector, a5.bu AS ald_business_unit,
+       |  a5.loc AS country_iso2, a5.prod_unit AS ald_production_unit,
+       |  a5.ef_unit AS emissions_factor_unit, a5.year,
+       |  a5.prod AS plan_tech_prod, a5.ef_ratio AS plan_emission_factor,
+       |  a.asset_id, 'Global' AS scenario_geography
+       |FROM ab5 a5 JOIN assets a
+       |  ON a.k = a5.k AND a.loc = a5.loc AND a.bu = a5.bu
+       |ORDER BY company_id, asset_id, year""".stripMargin
+
+  // ---- pipe_financial -------------------------------------------------
+
+  /** Eleven companies (nation k 0..10) through prepare_financial_data:
+    * k 0..5 have two Eikon rows each (exact two-value medians), k=3's
+    * implausible npm (median 1.625 > 1) is nulled and tier-filled, k 6..9
+    * are missing companies resolved through the ownership tree (k=7 has
+    * two tree levels — rank picks the closest; k=8 has none — parent is
+    * itself, so all indicators tier-fill; k=9's parent carries real
+    * values), and k=10 is a Coal company no average tier covers except
+    * the global one. Locations DE/US split the bridge regions so the
+    * sector x region, sector, and global tiers are all exercised. All
+    * values are dyadic — medians (1-2 values) and tier fills are
+    * bit-exact cross-engine.
+    */
+  private def finCompaniesFixture(s: SparkSession, d: String): DataFrame =
+    nation(s, d).filter(col("n_nationkey") < 11)
+      .select(col("n_nationkey").cast("int").as("company_id"))
+      .withColumn("ald_sector",
+        when(col("company_id") === 10, "Coal")
+          .otherwise(element_at(typedLit(Seq("Power", "Oil&Gas")),
+            (floor(col("company_id") / 2) % 2).cast("int") + 1)))
+      .withColumn("ald_location",
+        element_at(typedLit(Seq("DE", "US")), col("company_id") % 2 + 1))
+
+  private def finEikonFixture(s: SparkSession, d: String): DataFrame =
+    nation(s, d).filter(col("n_nationkey") < 6)
+      .select(col("n_nationkey").cast("int").as("company_id"))
+      .withColumn("ald_location",
+        element_at(typedLit(Seq("DE", "US")), col("company_id") % 2 + 1))
+      .withColumn("j", explode(typedLit(Seq(0, 1))))
+      .withColumn("pd", (col("company_id") + 1 + col("j")) * lit(0.03125))
+      .withColumn("net_profit_margin",
+        when(col("company_id") === 3, lit(1.5) + col("j") * lit(0.25))
+          .otherwise((col("company_id") + 2 + col("j")) * lit(0.0625)))
+      .withColumn("debt_equity_ratio", (col("company_id") + 1 + col("j")) * lit(0.25))
+      .withColumn("volatility", (col("company_id") + 1 + col("j")) * lit(0.125))
+      .drop("j")
+
+  private def finTreeFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((2, 6, 0.5, 1), (3, 7, 0.5, 1), (5, 7, 0.5, 2), (5, 9, 0.5, 1))
+      .toDF("parent_company_id", "subsidiary_company_id", "linking_stake", "ownership_level")
+  }
+
+  private val finMedians =
+    """quantile_cont(pd, 0.5) AS a_pd, quantile_cont(npm, 0.5) AS a_npm,
+      |quantile_cont(der, 0.5) AS a_der, quantile_cont(vol, 0.5) AS a_vol""".stripMargin
+
+  private val finGate =
+    """a_pd IS NOT NULL AND a_npm IS NOT NULL AND a_der IS NOT NULL
+      |AND a_vol IS NOT NULL AND a_npm BETWEEN 0.0 AND 1.0""".stripMargin
+
+  private val financialOracle: String =
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 11),
+       |comp AS (SELECT k AS company_id,
+       |    CASE WHEN k = 10 THEN 'Coal'
+       |         ELSE ['Power','Oil&Gas'][CAST((k // 2) % 2 AS INT) + 1] END AS sector,
+       |    ['Europe & Central Asia','North America'][k % 2 + 1] AS region
+       |  FROM b),
+       |finrows AS (
+       |  SELECT c.company_id, c.sector, c.region,
+       |    CAST((c.company_id + 1 + j.j) * 0.03125 AS DOUBLE) AS pd,
+       |    CASE WHEN c.company_id = 3 THEN CAST(1.5 + j.j * 0.25 AS DOUBLE)
+       |         ELSE CAST((c.company_id + 2 + j.j) * 0.0625 AS DOUBLE) END AS npm,
+       |    CAST((c.company_id + 1 + j.j) * 0.25 AS DOUBLE) AS der,
+       |    CAST((c.company_id + 1 + j.j) * 0.125 AS DOUBLE) AS vol
+       |  FROM comp c CROSS JOIN (SELECT unnest(range(2)) AS j) j
+       |  WHERE c.company_id < 6),
+       |fin1 AS (SELECT company_id, sector, region,
+       |    quantile_cont(pd, 0.5) AS pd, quantile_cont(npm, 0.5) AS npm,
+       |    quantile_cont(der, 0.5) AS der, quantile_cont(vol, 0.5) AS vol
+       |  FROM finrows GROUP BY company_id, sector, region),
+       |fin2 AS (SELECT company_id, sector, region, pd,
+       |    CASE WHEN npm <= 0 OR npm > 1 THEN NULL ELSE npm END AS npm, der, vol
+       |  FROM fin1),
+       |tree AS (SELECT * FROM (VALUES (2, 6, 1), (3, 7, 1), (5, 7, 2), (5, 9, 1))
+       |  t(parent, sub, lvl)),
+       |missing0 AS (SELECT company_id, sector, region FROM comp WHERE company_id >= 6),
+       |mj AS (SELECT m.company_id, m.sector, m.region,
+       |    COALESCE(t.parent, m.company_id) AS parent, COALESCE(t.lvl, 0) AS lvl
+       |  FROM missing0 m LEFT JOIN tree t ON t.sub = m.company_id),
+       |closest AS (SELECT company_id, sector, region, parent FROM (
+       |    SELECT *, rank() OVER (PARTITION BY company_id, sector, region
+       |      ORDER BY lvl) AS rk FROM mj) WHERE rk = 1),
+       |miss AS (SELECT c.company_id, c.sector, c.region, p.pd, p.npm, p.der, p.vol
+       |  FROM closest c LEFT JOIN fin2 p ON p.company_id = c.parent
+       |    AND p.region = c.region AND p.sector = c.sector),
+       |srg0 AS (SELECT sector, region, $finMedians, COUNT(*) AS n
+       |  FROM fin2 WHERE sector IS NOT NULL AND region IS NOT NULL
+       |  GROUP BY sector, region),
+       |srgg AS (SELECT sector, region, a_pd, a_npm, a_der, a_vol,
+       |    'bics_subgroup_region' AS avg_type
+       |  FROM srg0 WHERE n > 1 AND $finGate),
+       |sg0 AS (SELECT sector, $finMedians, COUNT(*) AS n
+       |  FROM fin2 WHERE sector IS NOT NULL GROUP BY sector),
+       |sgg AS (SELECT sector, a_pd, a_npm, a_der, a_vol, 'bics_subgroup' AS avg_type
+       |  FROM sg0 WHERE n > 1 AND $finGate),
+       |gg0 AS (SELECT $finMedians, COUNT(*) AS n FROM fin2),
+       |gg AS (SELECT a_pd, a_npm, a_der, a_vol, 'global' AS avg_type
+       |  FROM gg0 WHERE n > 1 AND $finGate),
+       |allc AS (SELECT * FROM fin2 UNION ALL SELECT * FROM miss),
+       |tier1 AS (SELECT a.company_id, a.pd, a.npm, a.der, a.vol,
+       |    s.a_pd, s.a_npm, s.a_der, s.a_vol, s.avg_type
+       |  FROM allc a JOIN srgg s ON s.sector = a.sector AND s.region = a.region),
+       |rest1 AS (SELECT a.* FROM allc a WHERE NOT EXISTS (
+       |    SELECT 1 FROM srgg s WHERE s.sector = a.sector AND s.region = a.region)),
+       |tier2 AS (SELECT a.company_id, a.pd, a.npm, a.der, a.vol,
+       |    s.a_pd, s.a_npm, s.a_der, s.a_vol, s.avg_type
+       |  FROM rest1 a JOIN sgg s ON s.sector = a.sector),
+       |rest2 AS (SELECT a.* FROM rest1 a WHERE NOT EXISTS (
+       |    SELECT 1 FROM sgg s WHERE s.sector = a.sector)),
+       |tier3 AS (SELECT a.company_id, a.pd, a.npm, a.der, a.vol,
+       |    g.a_pd, g.a_npm, g.a_der, g.a_vol, g.avg_type FROM rest2 a CROSS JOIN gg g),
+       |tiers AS (SELECT * FROM tier1 UNION ALL SELECT * FROM tier2
+       |  UNION ALL SELECT * FROM tier3),
+       |sel0 AS (SELECT company_id,
+       |    CASE WHEN npm IS NOT NULL THEN 'Eikon' ELSE avg_type || ' average' END AS t_npm,
+       |    CASE WHEN der IS NOT NULL THEN 'Eikon' ELSE avg_type || ' average' END AS t_der,
+       |    CASE WHEN vol IS NOT NULL THEN 'Eikon' ELSE avg_type || ' average' END AS t_vol,
+       |    COALESCE(pd, a_pd) AS f_pd, COALESCE(npm, a_npm) AS f_npm,
+       |    COALESCE(der, a_der) AS f_der, COALESCE(vol, a_vol) AS f_vol
+       |  FROM tiers),
+       |clevel AS (SELECT company_id, quantile_cont(f_pd, 0.5) AS pd,
+       |    quantile_cont(f_npm, 0.5) AS net_profit_margin,
+       |    quantile_cont(f_der, 0.5) AS debt_equity_ratio,
+       |    quantile_cont(f_vol, 0.5) AS volatility
+       |  FROM sel0 GROUP BY company_id),
+       |cnt AS (SELECT company_id,
+       |    SUM(CASE WHEN t_npm = 'Eikon' THEN 1 ELSE 0 END) / COUNT(*)
+       |      AS net_profit_margin_rawdata_ratio,
+       |    SUM(CASE WHEN t_der = 'Eikon' THEN 1 ELSE 0 END) / COUNT(*)
+       |      AS debt_equity_ratio_rawdata_ratio,
+       |    SUM(CASE WHEN t_vol = 'Eikon' THEN 1 ELSE 0 END) / COUNT(*)
+       |      AS volatility_rawdata_ratio
+       |  FROM sel0 GROUP BY company_id)
+       |SELECT c.company_id, c.pd, c.net_profit_margin, c.debt_equity_ratio,
+       |  c.volatility, n.net_profit_margin_rawdata_ratio,
+       |  n.debt_equity_ratio_rawdata_ratio, n.volatility_rawdata_ratio
+       |FROM clevel c JOIN cnt n USING (company_id)
+       |ORDER BY company_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("pipe_financial", financialOracle) { (s, d) =>
+      // The prewrangled_financial_data_stress_test deliverable
+      // (outputs_structure.dbml:14-22) end-to-end: per-ISIN medians with
+      // NaN-skip, implausible-npm nulling, closest-parent resolution over
+      // the ownership tree, the three-tier average attach (sector x
+      // region -> sector -> global) with sample-size and npm-range gates,
+      // provenance labels + pivot counts, company-level medians and
+      // rawdata ratios, under the reference's no-null assertion — the
+      // full prepare_financial_data DAG.
+      Financial.prepareFinancialData(s,
+        finEikonFixture(s, d), finCompaniesFixture(s, d), Some(finTreeFixture(s)),
+        minimumSampleSize = 1.0, minimumRatioSample = 2.0,
+        allowedRangeNpm = (0.0, 1.0))
+        .orderBy("company_id")
+    },
+    Q("pipe_abcd", abcdOracle) { (s, d) =>
+      // The abcd_stress_test_input deliverable (outputs_structure.dbml:
+      // 40-54) end-to-end: wide unpivot + sum-or-all-null dedup, the
+      // activities/emissions full outer match, completion +
+      // interpolation + fill-down + zero-coalesce, the EF ratio with
+      // MW/MWh matching, sector-average EF fill, empty-production key
+      // drop, sector/year filters and deterministic asset ids — the
+      // full prepare_abcd_data DAG under the hash gate.
+      Abcd.prepareAbcdData(
+        abcdActivitiesFixture(s, d), abcdEmissionsFixture(s, d),
+        startYear = 2022, timeHorizon = 3,
+        sectorList = Seq("Power", "Oil&Gas", "Coal"))
+        .orderBy("company_id", "asset_id", "year")
+    },
+    Q("pipe_scenarios", scenariosOracle) { (s, d) =>
+      // The Scenarios_AnalysisInput deliverable (outputs_structure.dbml:
+      // 1-13) end-to-end through the FULL stage runner: per-group
+      // completion + interpolation, tmsr/smsp market shares, P4I
+      // formatting with green-tech directions, the WEO2021 scenario
+      // filters + renames + prefixing, NA-perimeter removal, sector
+      // completeness, baseline/shock typing, ald_business_unit rename —
+      // run_prepare_Scenarios_AnalysisInput.R as one plan.
+      ScenarioData.prepareScenariosAnalysisInput(
+        ScenarioData.ScenarioInputs(weoGeco = Some(scenariosFixture(s, d))), 2020)
+        .orderBy("scenario", "ald_sector", "ald_business_unit", "year")
+    },
     Q("pipe_prices", pricesOracle) { (s, d) =>
       // The price_data_long deliverable (outputs_structure.dbml:23-31)
       // end-to-end: fossil unit conversions (barrel/Mbtu->GJ), technology
