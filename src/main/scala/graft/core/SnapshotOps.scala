@@ -86,6 +86,21 @@ object SnapshotOps {
     }
   }
 
+
+  /** Partition-REWRITE maintenance verbs reconstruct dir names from a
+    * single partition column; on a nested layout (`a=1/b=2`, r13) that
+    * parse would silently target the wrong dirs, so they refuse loudly.
+    * File-grain verbs (mergeOnRead, publishFileReplacement, DV commits)
+    * fully support nested tables — route maintenance through them.
+    */
+  private def requireSingleLevel(parts: Iterable[String], verb: String): Unit =
+    parts.find(_.contains("/")).foreach { nested =>
+      throw new UnsupportedOperationException(
+        s"$verb: table uses a nested partition layout ($nested) — " +
+          "partition-rewrite maintenance currently supports single-level " +
+          "layouts; use the file-grain verbs on nested tables")
+    }
+
   /** Partition dir names and their (fileCount, totalBytes) in a pinned
     * version — listing-scale (one getFileStatus per manifest entry).
     */
@@ -95,7 +110,7 @@ object SnapshotOps {
       version: Long): Map[String, (Int, Long)] = {
     val fs = fsOf(spark, new Path(root))
     Snapshots.manifestFiles(spark, root, version)
-      .groupBy(f => Snapshots.relSuffix(f).takeWhile(_ != '/'))
+      .groupBy(f => Snapshots.partitionOf(f))
       .map { case (part, files) =>
         val bytes = files
           .map(f => fs.getFileStatus(new Path(Snapshots.resolveLine(root, f)._2)).getLen)
@@ -147,10 +162,11 @@ object SnapshotOps {
     val profile = partitionProfile(spark, root, v)
     def bins(bytes: Long): Int =
       math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    requireSingleLevel(profile.keys, "optimize")
     val frag = profile.filter { case (_, (n, bytes)) => n >= bins(bytes) + minWaste }
     if (frag.isEmpty) return None
     val files = Snapshots.manifestFiles(spark, root, v)
-      .filter(f => frag.contains(Snapshots.relSuffix(f).takeWhile(_ != '/')))
+      .filter(f => frag.contains(Snapshots.partitionOf(f)))
     val partCol = frag.keysIterator.next().takeWhile(_ != '=')
     // mapping-aware read: a table compacted after a renameColumn spans
     // physical generations — the rewrite reads the LOGICAL schema and
@@ -221,6 +237,7 @@ object SnapshotOps {
     val (stats0, bloomAuto) = inheritedCols(spark, root, v, statsCols, bloomCols)
     val statsAuto = (stats0 ++ Seq(zCols._1, zCols._2)).distinct
     val profile = partitionProfile(spark, root, v)
+    requireSingleLevel(profile.keys, "optimizeZorder")
     val partCol = profile.keysIterator.next().takeWhile(_ != '=')
     val totalBytes = profile.valuesIterator.map(_._2).sum
     val bins = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -305,6 +322,7 @@ object SnapshotOps {
     val srcKeys = source.select(keyCols.map(k =>
       col(k).cast(tgtSchema(k).dataType).as(k)): _*).distinct()
     val allFiles = Snapshots.manifestFiles(spark, root, v)
+    requireSingleLevel(allFiles.map(Snapshots.partitionOf), "merge")
     val candidateFiles =
       candidateKeyFiles(spark, root, v, srcKeys, keyCols, allFiles)
     val survivors = source.filter(not(col(opCol) === "delete")).drop(opCol)
@@ -332,7 +350,7 @@ object SnapshotOps {
       .distinct().collect().map(_.getString(0)).toSet
     val candSet = candidateFiles.toSet
     val emptied = allFiles
-      .groupBy(f => Snapshots.relSuffix(f).takeWhile(_ != '/'))
+      .groupBy(f => Snapshots.partitionOf(f))
       .collect { case (dir, fls) if fls.forall(candSet.contains) &&
           !still.contains(Snapshots.unescapePartValue(
             dir.dropWhile(_ != '=').drop(1))) => dir }
@@ -434,6 +452,7 @@ object SnapshotOps {
     val srcKeys = source.select(keyCols.map(k =>
       col(k).cast(tgtSchema(k).dataType).as(k)): _*).distinct()
     val allFiles = Snapshots.manifestFiles(spark, root, v)
+    requireSingleLevel(allFiles.map(Snapshots.partitionOf), "merge")
     val candidateFiles =
       candidateKeyFiles(spark, root, v, srcKeys, keyCols, allFiles)
     // every matched LIVE target position within the candidate files —
@@ -585,13 +604,14 @@ object SnapshotOps {
     val files = Snapshots.manifestFiles(spark, root, v)
       .filter(f => dvFiles.contains(Snapshots.relSuffix(f)))
     if (files.isEmpty) return None
+    requireSingleLevel(files.map(Snapshots.partitionOf), "purgeDeletes")
     val partCol = Snapshots.relSuffix(files.head).takeWhile(_ != '=')
     val survivors = Snapshots.readMapped(spark, root, v, files).localCheckpoint(true)
     val still = survivors.select(partKey(col(partCol)).as("__pk"))
       .distinct().collect().map(_.getString(0)).toSet
     val candSet = files.toSet
     val emptied = Snapshots.manifestFiles(spark, root, v)
-      .groupBy(f => Snapshots.relSuffix(f).takeWhile(_ != '/'))
+      .groupBy(f => Snapshots.partitionOf(f))
       .collect { case (dir, fls) if fls.forall(candSet.contains) &&
           !still.contains(Snapshots.unescapePartValue(
             dir.dropWhile(_ != '=').drop(1))) => dir }

@@ -1,0 +1,84 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.types.StructType
+
+/** SQL surface for the snapshot layer (VERDICT r12 #7): `spark.read
+  * .format("graft").option("versionAsOf", n).load(root)` — and plain
+  * `spark.sql` over `CREATE TEMPORARY VIEW t USING graft OPTIONS (path
+  * '<root>', versionAsOf '<n>')` — read a pinned snapshot version
+  * without touching the programmatic [[Snapshots]] API.
+  *
+  * Two execution shapes, chosen per version:
+  *
+  *  - FAST PATH (no deletion vectors, no column mapping, no cross-root
+  *    clone entries): the manifest's exact file list plans as a native
+  *    [[HadoopFsRelation]] — the same vectorized parquet scan, partition
+  *    pruning and filter pushdown a direct `spark.read.parquet` gets,
+  *    with the file set pinned by the manifest instead of a directory
+  *    listing. At 100 TB this is the operative property: `WHERE k = v`
+  *    over a partitioned snapshot opens only that partition's manifest
+  *    files (SnapshotSourceSpec pins the pruned scan).
+  *  - SEMANTIC PATH (DVs pending, renamed/dropped columns, clones): the
+  *    relation wraps [[Snapshots.readSnapshot]]'s full plan — row-level
+  *    DV subtraction and the logical-schema re-map are not expressible
+  *    as a bare file scan, and correctness outranks scan shape exactly
+  *    where the version carries row-level state (cost stays proportional
+  *    to the PENDING deletes by the readWithDv contract; a purge tick
+  *    returns the table to the fast path).
+  */
+final class SnapshotSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    def opt(k: String): Option[String] =
+      parameters.get(k).orElse(parameters.get(k.toLowerCase))
+    val root = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft source: 'path' option (the snapshot table root) is required"))
+    val version = opt("versionAsOf").map(_.trim.toLong)
+      .orElse(Snapshots.latestVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft source: no published version under $root"))
+    require(Snapshots.manifestExists(spark, root, version),
+      s"graft source: version $version does not exist under $root")
+
+    val files = Snapshots.manifestFiles(spark, root, version)
+    val meta = Snapshots.manifestMeta(spark, root, version)
+    val (renames, drops) = Snapshots.columnMapping(meta)
+    val hasDv = Snapshots.fileDvs(spark, root, version).isDefined
+    val crossRoot = files.exists(f => Snapshots.resolveLine(root, f)._1 != root)
+
+    if (!hasDv && renames.isEmpty && drops.isEmpty && !crossRoot) {
+      val paths = files.map(f => new Path(Snapshots.resolveLine(root, f)._2))
+      val index = new InMemoryFileIndex(
+        spark, paths, Map("basePath" -> root), userSpecifiedSchema = None)
+      val dataSchema = new ParquetFileFormat().inferSchema(
+        spark, Map.empty[String, String], index.allFiles()).getOrElse(
+        throw new IllegalStateException(
+          s"graft source: could not infer schema of version $version under $root"))
+      HadoopFsRelation(index, index.partitionSchema, dataSchema,
+        bucketSpec = None, new ParquetFileFormat(),
+        Map("basePath" -> root))(spark)
+    } else {
+      val df = Snapshots.readSnapshot(spark, root, Some(version))
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = spark.sqlContext
+        override def schema: StructType = df.schema
+        // toRdd hands back InternalRows; declaring needConversion=false
+        // keeps them unconverted — the standard plan-wrapping shape
+        override def needConversion: Boolean = false
+        override def buildScan(): RDD[Row] =
+          df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }
+  }
+}

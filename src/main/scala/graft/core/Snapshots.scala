@@ -178,7 +178,32 @@ object Snapshots {
     * so suffixes never collide across bases).
     */
   private[core] def relSuffix(f: String): String =
-    if (isAbsoluteLine(f)) f.split('/').takeRight(2).mkString("/") else f
+    if (!isAbsoluteLine(f)) f
+    else {
+      // file name + every trailing <col>=<value> dir above it — a nested
+      // layout (a=1/b=2/file.parquet) keeps its FULL partition path as
+      // identity, not just the innermost level (r13 multi-column support)
+      val segs = f.split('/')
+      var j = segs.length - 2
+      while (j >= 0 && segs(j).contains("=")) j -= 1
+      segs.drop(j + 1).mkString("/")
+    }
+
+  /** Partition identity of a manifest line: every dir segment of its rel
+    * suffix — `k=1/file` -> `k=1`, `a=1/b=2/file` -> `a=1/b=2`.
+    */
+  private[graft] def partitionOf(f: String): String = {
+    val rel = relSuffix(f)
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Does `part` fall under the replaced-set entry `r`? Exact match, or
+    * `r` names an ANCESTOR level of a nested layout (dropping `a=1`
+    * drops every `a=1/b=...` leaf).
+    */
+  private[core] def partitionCovered(part: String, r: String): Boolean =
+    part == r || part.startsWith(r + "/")
 
   /** Spark's hive partition-dir escaping (':' → '%3A' etc.) — dir names
     * and DATA VALUES must never compare raw: a value Spark escapes on
@@ -197,7 +222,7 @@ object Snapshots {
     * the source table's root — which partition-value inference needs.
     */
   private[core] def resolveLine(root: String, f: String): (String, String) =
-    if (isAbsoluteLine(f)) (f.split('/').dropRight(2).mkString("/"), f)
+    if (isAbsoluteLine(f)) (f.dropRight(relSuffix(f).length + 1), f)
     else (root, s"$root/$f")
 
   /** Plan a set of manifest lines as ONE DataFrame, grouping by base so
@@ -329,15 +354,18 @@ object Snapshots {
     * `<part>=<v>/<file>.parquet`. The bootstrap manifest of a legacy
     * table (first publish snapshots what exists).
     */
-  private def listDataFiles(fs: FileSystem, root: Path): Seq[String] =
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .flatMap { pd =>
-        fs.listStatus(pd.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"${pd.getPath.getName}/${f.getPath.getName}")
+  private def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    def walk(dir: Path, prefix: String): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          walk(st.getPath, if (prefix.isEmpty) name else s"$prefix/$name")
+        else if (st.isFile && name.endsWith(".parquet") && prefix.nonEmpty)
+          Seq(s"$prefix/$name")
+        else Seq.empty
       }
-      .sorted.toSeq
+    walk(root, "").sorted
+  }
 
   /** Per-file column statistics a version records (`#stat=` header
     * lines): (file, column, min, max) — collected from PARQUET FOOTERS
@@ -1241,8 +1269,9 @@ object Snapshots {
     // are sidecar-scale by contract, so the eager copy is cheap even when
     // an internal caller already checkpointed.
     val dvPinned = dvAdd.map(_.localCheckpoint(true))
-    require(dropPartitions.forall(_.contains("=")),
-      s"dropPartitions must be <col>=<value> dir names, got: $dropPartitions")
+    require(dropPartitions.forall(_.split('/').forall(_.contains("="))),
+      s"dropPartitions must be <col>=<value> dir paths (each level hive-shaped), " +
+        s"got: $dropPartitions")
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     fs.mkdirs(rootP)
@@ -1267,12 +1296,32 @@ object Snapshots {
       if (gateConstraints) enforceConstraints(spark, root, fs, stage)
       else Map.empty[String, String]
 
-    // staged partitions and their files (a pure-drop publish may stage
-    // nothing at all — its write callback is free to be a no-op)
-    val stagedParts = (if (fs.exists(stage)) fs.listStatus(stage)
-                       else Array.empty[org.apache.hadoop.fs.FileStatus])
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(_.getPath).sortBy(_.getName)
+    // staged LEAF partition dirs with their full relative paths (a pure-
+    // drop publish may stage nothing at all — its write callback is free
+    // to be a no-op). Nested layouts (partitionBy("a", "b")) walk to the
+    // innermost level; a dir holding both parquet files and deeper
+    // partition dirs is malformed and refuses loudly.
+    val stagedParts: Seq[(String, Path)] = {
+      def leaves(base: Path, prefix: String): Seq[(String, Path)] =
+        fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .sortBy(_.getPath.getName)
+          .flatMap { st =>
+            val rel = if (prefix.isEmpty) st.getPath.getName
+                      else s"$prefix/${st.getPath.getName}"
+            val sub = leaves(st.getPath, rel)
+            if (sub.isEmpty) Seq(rel -> st.getPath)
+            else {
+              val files = fs.listStatus(st.getPath)
+                .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              require(files.isEmpty,
+                s"publish under $root: staged dir $rel holds BOTH data files and " +
+                  "deeper partition dirs — mixed-depth layouts are unreadable")
+              sub
+            }
+          }
+      if (fs.exists(stage)) leaves(stage, "") else Seq.empty
+    }
     require(stagedParts.nonEmpty || dropPartitions.nonEmpty || replaceFiles.nonEmpty ||
       dvAdd.nonEmpty,
       s"publishPartitions: the staged tree under $stage has no <col>=<value> partition dirs")
@@ -1282,22 +1331,12 @@ object Snapshots {
     // file-grain commit (nothing to replace, fresh rows staged) must not
     // silently degrade to whole-partition replacement
     val replaced = dropPartitions.toSet ++
-      (if (fileGrain) Set.empty else stagedParts.map(_.getName).toSet)
+      (if (fileGrain) Set.empty else stagedParts.map(_._1).toSet)
 
     // step 2: move staged files into the live partition dirs under fresh
     // names — additive only, so every earlier manifest stays readable
-    val fresh = stagedParts.flatMap { pd =>
-      // the layer's layout contract is ONE partition column; a caller who
-      // staged partitionBy("a", "b") produced nested dirs whose files the
-      // flat rename below would skip — the partition would be REPLACED
-      // with nothing, a silent data loss. Refuse loudly instead.
-      val nested = fs.listStatus(pd).filter(_.isDirectory).map(_.getPath.getName)
-      require(nested.isEmpty,
-        s"publish under $root: staged partition dir ${pd.getName} contains " +
-          s"sub-directories (${nested.take(3).mkString(", ")}) — the snapshot " +
-          "layer's layout contract is a SINGLE partition column; stage " +
-          "partitionBy(<one col>) (encode composite partitions into one value)")
-      val tgt = new Path(rootP, pd.getName)
+    val fresh = stagedParts.flatMap { case (rel, pd) =>
+      val tgt = new Path(rootP, rel)
       fs.mkdirs(tgt)
       fs.listStatus(pd).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
@@ -1305,7 +1344,7 @@ object Snapshots {
           val name = s"pub-$uuid-$i.snappy.parquet"
           require(fs.rename(src, new Path(tgt, name)),
             s"publishPartitions: rename of $src into $tgt failed")
-          s"${pd.getName}/$name"
+          s"$rel/$name"
         }
     }.toSeq
     fs.delete(stage, true)
@@ -1341,7 +1380,7 @@ object Snapshots {
         if (full) Seq.empty
         // partition identity via relSuffix: replacing a partition also
         // drops a clone's absolute entries for it (copy-on-write)
-        else prev.filterNot(f => replaced.contains(relSuffix(f).takeWhile(_ != '/')) ||
+        else prev.filterNot(f => replaced.exists(partitionCovered(partitionOf(f), _)) ||
           replaceSet.contains(relSuffix(f)))
       // a zero-file manifest would brick every reader (readSnapshot has
       // no schema source without files) — refuse loudly instead of
@@ -1531,13 +1570,19 @@ object Snapshots {
     * failed constraints, and the stage rewrites to the clean rows.
     * Returns the audit meta for the manifest.
     *
-    * The check runs PER STAGED PARTITION DIR, with the partition value
-    * taken from the dir name as a string literal — never through Spark's
-    * partition-type inference, which would round-trip the value (a
-    * string partition "01" re-infers as int 1 and the rewrite would
-    * land dir k=1 while publishImpl replaces k=01: duplicated rows; a
-    * null-only stage infers VOID and crashes the write). Dir names are
-    * preserved verbatim through the rewrite.
+    * Partition values attach from the dir names as STRING literals —
+    * never through Spark's partition-type inference, which would
+    * round-trip the value (a string partition "01" re-infers as int 1
+    * and the rewrite would land dir k=1 while publishImpl replaces
+    * k=01: duplicated rows; a null-only stage infers VOID and crashes
+    * the write). Dir paths are preserved verbatim through the rewrite;
+    * nested layouts attach one column per level.
+    *
+    * Cost shape (ADVICE r12): the whole staged batch is flagged and
+    * counted in ONE scan — a file->partition broadcast map carries the
+    * verbatim dir identity, so a constrained publish staging hundreds
+    * of partitions pays one Spark job, not one per dir; only dirs that
+    * actually hold violations pay a rewrite.
     *
     * A partition whose EVERY row violates refuses the whole publish:
     * silently dropping the dir would remove it from the replaced set and
@@ -1552,65 +1597,86 @@ object Snapshots {
     import org.apache.spark.sql.functions._
     val cons = tableConstraints(spark, root)
     if (cons.isEmpty || !fs.exists(stage)) return Map.empty
-    val dirs = fs.listStatus(stage)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(_.getPath).sortBy(_.getName)
+    def leaves(base: Path, prefix: String): Seq[(String, Path)] =
+      fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .sortBy(_.getPath.getName)
+        .flatMap { st =>
+          val rel = if (prefix.isEmpty) st.getPath.getName
+                    else s"$prefix/${st.getPath.getName}"
+          val sub = leaves(st.getPath, rel)
+          if (sub.isEmpty) Seq(rel -> st.getPath) else sub
+        }
+    val dirs = leaves(stage, "").map { case (rel, p) =>
+      val files = fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      (rel, p, files)
+    }.filter(_._3.nonEmpty)
     if (dirs.isEmpty) return Map.empty
+    val partCols = dirs.head._1.split('/').toSeq.map(_.takeWhile(_ != '='))
+    require(dirs.forall(_._1.split('/').toSeq.map(_.takeWhile(_ != '=')) == partCols),
+      s"publish under $root: staged partition dirs disagree on their column layout")
+    def valuesOf(rel: String): Seq[String] = rel.split('/').toSeq.map { seg =>
+      val rv = seg.dropWhile(_ != '=').drop(1)
+      if (rv == "__HIVE_DEFAULT_PARTITION__") null else unescapePartValue(rv)
+    }
+    // file -> (dir, partition values) broadcast map, joined on the
+    // scheme-normalized path so the one scan below needs no per-dir read
+    val mapSchema = org.apache.spark.sql.types.StructType(
+      (Seq("__graft_file", "__graft_dir") ++ partCols).map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    val mapRows = dirs.flatMap { case (rel, _, files) =>
+      val vals = valuesOf(rel)
+      files.map(f => org.apache.spark.sql.Row.fromSeq(
+        Seq(f.toUri.getPath, rel) ++ vals))
+    }
+    val mapDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(mapRows).asJava), mapSchema)
     val named = cons.map { case (n, e) =>
       when(not(coalesce(expr(e), lit(false))), lit(n))
     }
+    val allFiles = dirs.flatMap(_._3).map(_.toString)
+    val flaggedAll = spark.read.parquet(allFiles: _*)
+      .withColumn("__graft_file",
+        regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(broadcast(mapDf), Seq("__graft_file"))
+      .withColumn("violated", concat_ws(",", array_compact(array(named: _*))))
+    // ONE count job for the whole batch (bounded collect: one row per dir)
+    val counts = flaggedAll.groupBy(col("__graft_dir"))
+      .agg(count(when(col("violated") =!= "", lit(1))).as("bad"),
+        count(when(col("violated") === "", lit(1))).as("good"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((dirRel, nBad, nGood) <- counts)
+      require(nBad == 0 || nGood > 0,
+        s"publish under $root: EVERY staged row of partition $dirRel violates " +
+          s"the table constraints (${cons.map(_._1).mkString(", ")}) — refusing " +
+          "the publish: silently dropping the partition from the staged set " +
+          "would carry its old generation's rows; fix the batch, or express " +
+          "an intentional empty replacement with dropPartitions")
+    val nQuar = counts.map(_._2).sum
+    val nClean = counts.map(_._3).sum
+    if (nQuar == 0) return Map.empty
     val quarName = s"qc-${java.util.UUID.randomUUID().toString.take(12)}"
     val cleanStage = new Path(stage.getParent, s"${stage.getName}-clean")
-    var nQuar = 0L
-    var nClean = 0L
-    for (pd <- dirs) {
-      val dirName = pd.getName
-      val partCol = dirName.takeWhile(_ != '=')
-      val rawVal = dirName.dropWhile(_ != '=').drop(1)
-      val partVal: org.apache.spark.sql.Column =
-        if (rawVal == "__HIVE_DEFAULT_PARTITION__") lit(null).cast("string")
-        else lit(unescapePartValue(rawVal))
-      val files = fs.listStatus(pd).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).map(_.toString)
-      if (files.nonEmpty) {
-        // files read WITHOUT the stage as basePath: the partition column
-        // attaches as the dir-name string (predicates against numerics
-        // coerce), so the value survives the round trip bit-identically
-        val flagged = spark.read.parquet(files: _*)
-          .withColumn(partCol, partVal)
-          .withColumn("violated",
-            concat_ws(",", array_compact(array(named: _*))))
-          .localCheckpoint(true)
-        val bad = flagged.filter(col("violated") =!= "")
-        val good = flagged.filter(col("violated") === "").drop("violated", partCol)
-        val nBad = bad.count()
-        val nGood = good.count()
-        require(nBad == 0 || nGood > 0,
-          s"publish under $root: EVERY staged row of partition $dirName violates " +
-            s"the table constraints (${cons.map(_._1).mkString(", ")}) — refusing " +
-            "the publish: silently dropping the partition from the staged set " +
-            "would carry its old generation's rows; fix the batch, or express " +
-            "an intentional empty replacement with dropPartitions")
-        if (nBad > 0) {
-          bad.write.mode("append").parquet(s"$root/$QuarantineDir/$quarName")
-          good.write.parquet(new Path(cleanStage, dirName).toString)
-        }
-        nQuar += nBad
-        nClean += nGood
-      }
-    }
-    if (nQuar == 0) {
-      fs.delete(cleanStage, true)
-      return Map.empty
-    }
-    // swap only the dirs that were rewritten; untouched dirs stay
-    for (pd <- dirs) {
-      val rewritten = new Path(cleanStage, pd.getName)
-      if (fs.exists(rewritten)) {
-        fs.delete(pd, true)
-        require(fs.rename(rewritten, pd),
-          s"constraint enforcement: clean-dir rename failed for ${pd.getName}")
-      }
+    // rewrite path: pin the flagged batch once, quarantine ALL bad rows in
+    // one write, rewrite only the dirs that actually hold violations
+    val flagged = flaggedAll.localCheckpoint(true)
+    val badDirs = counts.collect { case (dirRel, bad, _) if bad > 0 => dirRel }
+    flagged.filter(col("violated") =!= "" &&
+        col("__graft_dir").isin(badDirs: _*))
+      .drop("__graft_file", "__graft_dir")
+      .write.parquet(s"$root/$QuarantineDir/$quarName")
+    for (dirRel <- badDirs) {
+      flagged.filter(col("__graft_dir") === dirRel && col("violated") === "")
+        .drop("violated", "__graft_file", "__graft_dir").drop(partCols: _*)
+        .write.parquet(new Path(cleanStage, dirRel).toString)
+      val live = new Path(stage, dirRel)
+      fs.delete(live, true)
+      require(fs.rename(new Path(cleanStage, dirRel), live),
+        s"constraint enforcement: clean-dir rename failed for $dirRel")
     }
     fs.delete(cleanStage, true)
     Map(

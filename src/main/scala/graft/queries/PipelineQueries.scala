@@ -880,6 +880,59 @@ object PipelineQueries {
        |ORDER BY company_id""".stripMargin
 
   def queries: Seq[Q] = Seq(
+    Q("s21_multi_partition",
+      """WITH e AS (SELECT event_type, event_id % 3 AS b, value FROM events
+        |  WHERE value IS NOT NULL),
+        |v1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY event_type),
+        |v2r AS (SELECT event_type,
+        |    CASE WHEN event_type = 'click' AND b = 1 THEN value * 2 ELSE value END AS value
+        |  FROM e),
+        |v2 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM v2r GROUP BY event_type),
+        |v3 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |  FROM v2r WHERE event_type <> 'view' GROUP BY event_type)
+        |SELECT CAST(1 AS INT) AS version, event_type, n, value_sum FROM v1
+        |UNION ALL SELECT CAST(2 AS INT), event_type, n, value_sum FROM v2
+        |UNION ALL SELECT CAST(3 AS INT), event_type, n, value_sum FROM v3
+        |ORDER BY version, event_type""".stripMargin) { (s, d) =>
+      // MULTI-COLUMN partitioned snapshot publishes (VERDICT r12 #6):
+      // v1 lands the events table as a NESTED event_type=*/b=* layout
+      // (15 leaf partitions), v2 replaces exactly ONE leaf
+      // (click/b=1, values doubled) — every sibling leaf and every other
+      // event_type's leaves carry over verbatim — and v3 drops the
+      // whole event_type=view ANCESTOR level via dropPartitions prefix
+      // coverage (all three of its leaves leave the manifest, no data
+      // file moves). Reading all three versions after v3 landed proves
+      // pinned reads, leaf-grain replacement and ancestor-grain drops
+      // on the nested layout. SnapshotSpec pins the file-level locality.
+      import graft.core.{Num, Snapshots}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s21_${graft.core.Tables.pathKey(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"),
+          pmod(col("event_id"), lit(3)).cast("int").as("b"))
+      val v1 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.write.partitionBy("event_type", "b").parquet(stage))
+      val v2 = Snapshots.publishPartitions(s, root)(stage =>
+        ev.filter(col("event_type") === "click" && col("b") === 1)
+          .withColumn("value", col("value") * 2)
+          .write.partitionBy("event_type", "b").parquet(stage))
+      val v3 = Snapshots.publishPartitions(s, root,
+        dropPartitions = Seq("event_type=view"))(_ => ())
+      def agg(v: Long) = Snapshots.readSnapshot(s, root, Some(v))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("value_sum"))
+        .withColumn("version", lit(v).cast("int"))
+      agg(v1).unionByName(agg(v2)).unionByName(agg(v3))
+        .select("version", "event_type", "n", "value_sum")
+        .orderBy("version", "event_type")
+    },
     Q("pipe_financial", financialOracle) { (s, d) =>
       // The prewrangled_financial_data_stress_test deliverable
       // (outputs_structure.dbml:14-22) end-to-end: per-ISIN medians with

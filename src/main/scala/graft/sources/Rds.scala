@@ -39,12 +39,24 @@ object Rds {
     * DataFrame with the declared schema; columns are matched by name,
     * absent names yield nulls, values cast from their R type.
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readVia(spark, path, schema, parseDataFrame)
+
+  /** Read the NAMED data.frame out of every `.rda` workspace under `path`
+    * — the reference's shipped package fixtures (the rda files under `data/`), same
+    * executor-distributed binaryFile shape as [[read]].
+    */
+  def readRda(spark: SparkSession, path: String, objectName: String,
+      schema: StructType): DataFrame =
+    readVia(spark, path, schema, b => parseRdaDataFrame(b, objectName))
+
+  private def readVia(spark: SparkSession, path: String, schema: StructType,
+      parseFn: Array[Byte] => (Seq[String], Seq[IndexedSeq[String]])): DataFrame = {
     val raw = StructType(schema.fields.map(f => StructField(f.name, StringType, nullable = true)))
     val wanted = schema.fieldNames.toSeq
     val bin = spark.read.format("binaryFile").load(path).select(col("content"))
     val rows = bin.flatMap { r =>
-      val (names, cols) = parseDataFrame(r.getAs[Array[Byte]](0))
+      val (names, cols) = parseFn(r.getAs[Array[Byte]](0))
       val idx = names.zipWithIndex.toMap
       val take = wanted.map(n => idx.getOrElse(n, -1))
       val nRows = if (cols.isEmpty) 0 else cols.head.length
@@ -59,8 +71,22 @@ object Rds {
     * cells with null = NA). Factors are decoded to level strings. Exposed
     * for tests.
     */
-  def parseDataFrame(bytes: Array[Byte]): (Seq[String], Seq[IndexedSeq[String]]) = {
-    val obj = parse(bytes)
+  def parseDataFrame(bytes: Array[Byte]): (Seq[String], Seq[IndexedSeq[String]]) =
+    dataFrameOf(parse(bytes))
+
+  /** [[parseDataFrame]] for one named object of an RDA workspace. */
+  def parseRdaDataFrame(bytes: Array[Byte], objectName: String): (Seq[String], Seq[IndexedSeq[String]]) = {
+    val objs = parseWorkspace(bytes)
+    val obj = objs.collectFirst { case (n, o) if n == objectName => o }.getOrElse(
+      throw new IllegalArgumentException(
+        s"object '$objectName' not in workspace (has: ${objs.map(_._1).mkString(", ")})"))
+    dataFrameOf(obj)
+  }
+
+  /** Every object name a workspace binds (for discovery/specs). */
+  def rdaObjectNames(bytes: Array[Byte]): Seq[String] = parseWorkspace(bytes).map(_._1)
+
+  private def dataFrameOf(obj: RObj): (Seq[String], Seq[IndexedSeq[String]]) = {
     val df = obj match {
       case v: RVec => v
       case other => throw new IllegalArgumentException(
@@ -112,15 +138,66 @@ object Rds {
   private[sources] case class RVec(items: IndexedSeq[RObj],
       override val attrs: Map[String, RObj] = Map.empty) extends RObj
 
+  /** Decompress by MAGIC, not extension: gzip (saveRDS default), bzip2
+    * (the R package-data default save(..., compress = "bzip2") — every
+    * reference rda fixture ships this way), xz, or plain. bzip2/xz decode
+    * via commons-compress/xz, both on Spark's runtime classpath.
+    */
+  private[sources] def decompressed(bytes: Array[Byte]): java.io.InputStream = {
+    val raw = new ByteArrayInputStream(bytes)
+    def b(i: Int) = bytes(i) & 0xff
+    if (bytes.length >= 2 && b(0) == 0x1f && b(1) == 0x8b) new GZIPInputStream(raw)
+    else if (bytes.length >= 3 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h')
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(raw)
+    else if (bytes.length >= 6 && b(0) == 0xfd && b(1) == '7' && b(2) == 'z' &&
+      b(3) == 'X' && b(4) == 'Z' && b(5) == 0)
+      new org.tukaani.xz.XZInputStream(raw)
+    else raw
+  }
+
   private[sources] def parse(bytes: Array[Byte]): RObj = {
-    val stream0 = new ByteArrayInputStream(bytes)
-    val in0 = if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-      new GZIPInputStream(stream0) else stream0
-    val in = new DataInputStream(new java.io.BufferedInputStream(in0))
+    val in = new DataInputStream(new java.io.BufferedInputStream(decompressed(bytes)))
     val m1 = in.read(); val m2 = in.read()
     require(m1 == 'X' && m2 == '\n',
       s"unsupported RDS stream (expected XDR 'X\\n' header, got ${m1.toChar}${m2.toChar}; " +
-        "ascii/binary-native formats and bzip2/xz compression are not supported)")
+        "ascii/binary-native formats are not supported)")
+    val res = parseStream(in)
+    in.close()
+    res
+  }
+
+  /** Parse an RDA WORKSPACE envelope (`save()` output — `RDX2\n`/`RDX3\n`
+    * magic around the same XDR stream, top object a symbol-tagged
+    * pairlist of bindings) into its named objects. This is how the
+    * reference ships its package fixtures (the rda files under `data/`, R/data.R:7-27).
+    */
+  private[sources] def parseWorkspace(bytes: Array[Byte]): Seq[(String, RObj)] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(decompressed(bytes)))
+    val magic = new Array[Byte](5)
+    in.readFully(magic)
+    val ms = new String(magic, "US-ASCII")
+    require(ms == "RDX2\n" || ms == "RDX3\n",
+      s"not an RData workspace (expected RDX2/RDX3 magic, got ${ms.trim})")
+    val m1 = in.read(); val m2 = in.read()
+    require(m1 == 'X' && m2 == '\n', "unsupported RData stream (XDR only)")
+    val top = parseStream(in)
+    in.close()
+    // bindings pairlist: (attr, tag=RSym(name), car=value, cdr=rest)
+    val out = Seq.newBuilder[(String, RObj)]
+    var node = top
+    var done = false
+    while (!done) node match {
+      case RNull() => done = true
+      case RVec(IndexedSeq(_, RSym(nm), car, cdr), _) =>
+        out += (nm -> car)
+        node = cdr
+      case other =>
+        throw new IllegalArgumentException(s"malformed workspace pairlist: $other")
+    }
+    out.result()
+  }
+
+  private def parseStream(in: DataInputStream): RObj = {
     val version = in.readInt()
     in.readInt() // writer R version
     in.readInt() // minimal reader version
@@ -277,9 +354,7 @@ object Rds {
       if (!has) Map.empty
       else pairlistToMap(readItem())
 
-    val res = readItem()
-    in.close()
-    res
+    readItem()
   }
 
   // --------------------------------------------------------------- write

@@ -260,4 +260,94 @@ class Scale100Spec extends SparkTestBase {
     info(f"dd_corpus_dedup 100x: small=$tSmall%.1fs big=$tBig%.1fs ratio=$ratio%.1fx")
     assert(ratio <= 250.0, f"grew $ratio%.1fx on 100x data (linear = 100x)")
   }
+
+  test("u26 change feed at 100x: windowed consume costs the churn, never the table") {
+    optIn()
+    import graft.core.{ChangeFeed, SnapshotOps, Snapshots}
+    import spark.implicits._
+    // same 2k-rows-per-partition layout as the merge-on-read probe: the
+    // 2M table has 1000 partitions. A consumer pinned at latest, then a
+    // FIXED 20-key DV merge, then consume: the window the callback sees
+    // is the churn (20 upserts + their 20 removals), and the consume cost
+    // must stay flat across 100x — IO proportional to the manifest diff
+    // + one file's DV positions (VERDICT r12 #8).
+    def build(n: Long, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"probe100-feed-$tag")
+        .toString + "/tbl"
+      val rows = spark.range(n).select(
+        concat(lit("p"), (col("id") / 2000).cast("long")).as("part"),
+        col("id"), (col("id") % 97).as("v"))
+      Snapshots.publishPartitions(spark, root, bloomCols = Seq("id"))(stage =>
+        rows.write.partitionBy("part").parquet(stage))
+      root
+    }
+    def probe(root: String): (Double, Long) = {
+      ChangeFeed.consume(spark, root, "c100", startAtLatest = true)(_ => ())
+      SnapshotOps.mergeOnRead(spark, root,
+        (0L until 20L).map(i => ("p0", i, 5000L + i, "upsert"))
+          .toDF("part", "id", "v", "op"),
+        Seq("id"), "part")
+      var seen = -1L
+      val t0 = System.nanoTime()
+      val win = ChangeFeed.consume(spark, root, "c100")(df => seen = df.count())
+      val t = (System.nanoTime() - t0) / 1e9
+      assert(win.isDefined, "consume must process the committed window")
+      (t, seen)
+    }
+    val small = build(20000L, "small")
+    val big = build(2000000L, "big")
+    probe(small) // warm code paths (second consume on small is a no-op tick)
+    val (tS, seenS) = probe(build(20000L, "small2"))
+    val (tB, seenB) = probe(big)
+    info(f"change-feed consume: 20k-table=$tS%.2fs 2M-table=$tB%.2fs " +
+      f"window rows small=$seenS big=$seenB")
+    // the callback's window is churn-sized at BOTH scales (20 upserted
+    // rows surface as adds + their superseded versions as removes)
+    assert(seenS > 0 && seenS <= 60, s"window rows $seenS not churn-sized")
+    assert(seenB > 0 && seenB <= 60, s"window rows $seenB not churn-sized")
+    assert(tB <= math.max(tS, 0.5) * 6 + 3.0,
+      f"windowed consume grew ${tB / math.max(tS, 0.3)}%.1fx on a 100x table " +
+        "— something in the diff scans the table")
+  }
+
+  test("u22 constraints on a 1000-partition staged publish: one flag pass, not one per dir") {
+    optIn()
+    import graft.core.Snapshots
+    // the batched enforcement (ADVICE r12): a CLEAN constrained publish
+    // staging 1000 partitions must pay ONE flag+count job over the batch
+    // — the old per-dir loop paid an eager localCheckpoint plus two
+    // counts per dir (>= 3000 jobs here). The listener bound is generous
+    // (stage write + enforcement + commit machinery) but 200x under the
+    // per-dir floor, so a regression to per-dir scanning trips it hard.
+    val root = java.nio.file.Files.createTempDirectory("probe100-cons")
+      .toString + "/tbl"
+    val rows = spark.range(2000000L).select(
+      concat(lit("p"), (col("id") / 2000).cast("long")).as("part"),
+      col("id"), (col("id") % 97).as("v"))
+    Snapshots.publishPartitions(spark, root)(stage =>
+      rows.filter(col("id") < 2000).write.partitionBy("part").parquet(stage))
+    Snapshots.setConstraints(spark, root, Seq("v_nonneg" -> "v >= 0"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (v2, t) = try {
+      val t0 = System.nanoTime()
+      val v = Snapshots.publishPartitions(spark, root)(stage =>
+        rows.write.partitionBy("part").parquet(stage))
+      Thread.sleep(1000) // drain listener queue
+      (v, (System.nanoTime() - t0) / 1e9)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(f"constrained 1000-partition publish: $t%.1fs, ${jobs.get()} Spark jobs")
+    assert(jobs.get() <= 15,
+      s"gated publish ran ${jobs.get()} jobs over 1000 staged dirs — " +
+        "enforcement is scanning per dir again")
+    assert(Snapshots.manifestMeta(spark, root, v2).get("constraint_quarantined").isEmpty,
+      "clean publish must record no quarantine")
+    assert(Snapshots.snapshotRowCount(spark, root) == 2000000L)
+  }
 }

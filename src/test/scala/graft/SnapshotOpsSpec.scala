@@ -1033,21 +1033,27 @@ class SnapshotOpsSpec extends SparkTestBase {
       allowNoop = true) == v3)
   }
 
-  test("a multi-column partitionBy stage refuses loudly instead of silently losing data") {
+  test("a multi-column partitionBy stage commits leaf partitions (r13 nested layouts)") {
+    // r12 refused nested stages; r13 supports them as first-class leaf
+    // partitions (NestedPartitionSpec holds the locality proofs). This
+    // pins the LAYOUT-UPGRADE path: re-partitioning a flat table to a
+    // nested layout goes through a FULL publish (one consistent depth
+    // per version — Spark's partition inference cannot read mixed
+    // depths under one base), and the flat version stays pinned-readable.
     val root = freshRoot("snap_multipart")
-    Snapshots.publishPartitions(spark, root)(stage =>
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
       fixture("a" -> 1).coalesce(1).write.partitionBy("part").parquet(stage))
-    // staging partitionBy(part, id) nests dirs the flat rename would
-    // skip — before the guard this REPLACED partition a with nothing
-    val ex = intercept[IllegalArgumentException] {
-      Snapshots.publishPartitions(spark, root)(stage =>
-        fixture("a" -> 2).coalesce(1).write.partitionBy("part", "id").parquet(stage))
-    }
-    assert(ex.getMessage.contains("SINGLE partition column"))
-    assert(Snapshots.latestVersion(spark, root).contains(1L),
-      "the refused publish must not commit")
-    assert(rowsOf(Snapshots.readSnapshot(spark, root)) == rowsOf(fixture("a" -> 1)),
-      "content must be untouched by the refusal")
+    val v2 = Snapshots.publishFull(spark, root)(stage =>
+      fixture("a" -> 1).coalesce(1).write.partitionBy("part", "id").parquet(stage))
+    val parts = Snapshots.manifestFiles(spark, root, v2)
+      .map(Snapshots.partitionOf).toSet
+    assert(parts.nonEmpty && parts.forall(_.startsWith("part=a/id=")),
+      s"nested leaves expected, got $parts")
+    assert(Snapshots.readSnapshot(spark, root, Some(v2)).count() ==
+      fixture("a" -> 1).count())
+    // time travel to the flat generation still works
+    assert(rowsOf(Snapshots.readSnapshot(spark, root, Some(v1))) ==
+      rowsOf(fixture("a" -> 1)))
   }
 
   test("updateWhere transforms matching rows via DV + re-insert, moves across partitions") {
