@@ -2,10 +2,10 @@ package graft.core
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 
 /** SQL surface for the snapshot layer (VERDICT r12 #7): `spark.read
@@ -32,9 +32,52 @@ import org.apache.spark.sql.types.StructType
   *    to the PENDING deletes by the readWithDv contract; a purge tick
   *    returns the table to the fast path).
   */
-final class SnapshotSource extends RelationProvider with DataSourceRegister {
+final class SnapshotSource
+    extends RelationProvider with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").option("partitionBy", "a,b").save(root)` —
+    * an ATOMIC snapshot publish (one new pinned version; readers never
+    * see a half-written state). SaveMode maps onto the layer's verbs:
+    * Append/ErrorIfExists publish partition-grain replacement of the
+    * staged partitions (the layer's additive-file model — ErrorIfExists
+    * additionally requires a fresh table), Overwrite publishes FULL (the
+    * new version pins only this write's files), Ignore no-ops when a
+    * version exists. `partitionBy` is an option because the DataFrame
+    * writer's own partitionBy is not surfaced to V1 CreatableRelation
+    * providers.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    def opt(k: String): Option[String] =
+      parameters.get(k).orElse(parameters.get(k.toLowerCase))
+    val root = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft sink: 'path' option (the snapshot table root) is required"))
+    val partCols = opt("partitionBy").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    require(partCols.nonEmpty,
+      "graft sink: 'partitionBy' option is required (the snapshot layer " +
+        "is hive-partitioned; pass a comma-separated column list)")
+    val existing = Snapshots.latestVersion(spark, root)
+    mode match {
+      case SaveMode.Ignore if existing.isDefined => ()
+      case SaveMode.ErrorIfExists if existing.isDefined =>
+        throw new IllegalStateException(
+          s"graft sink: $root already has published versions (SaveMode.ErrorIfExists)")
+      case SaveMode.Overwrite =>
+        Snapshots.publishFull(spark, root)(stage =>
+          data.write.partitionBy(partCols: _*).parquet(stage))
+      case _ =>
+        Snapshots.publishPartitions(spark, root)(stage =>
+          data.write.partitionBy(partCols: _*).parquet(stage))
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -118,6 +118,32 @@ class SnapshotSourceSpec extends SparkTestBase {
     spark.sql("DROP VIEW graft_snap")
   }
 
+  test("write path: format(\"graft\") save modes map onto the publish verbs") {
+    val root = freshRoot("write")
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format("graft").mode(mode)
+        .option("partitionBy", "part").save(root)
+    write(fixture(), "append") // first publish
+    assert(Snapshots.latestVersion(spark, root).contains(1L))
+    assert(rowsOf(formatRead(root)) == rowsOf(fixture()))
+    // partition-grain replacement: only part=b restaged
+    write(fixture(bump = 100).filter(col("part") === "b"), "append")
+    assert(formatRead(root).filter(col("v") >= 100).count() == 10)
+    assert(formatRead(root).count() == 30)
+    // overwrite = FULL publish: the new version pins only this write
+    write(fixture(bump = 500).filter(col("part") === "a"), "overwrite")
+    assert(formatRead(root).count() == 10)
+    // but the previous versions stay pinned-readable
+    assert(formatRead(root, Some(2L)).count() == 30)
+    // ignore no-ops on an existing table
+    write(fixture(bump = 900), "ignore")
+    assert(formatRead(root).count() == 10)
+    // errorifexists refuses on an existing table
+    intercept[IllegalStateException] {
+      write(fixture(), "errorifexists")
+    }
+  }
+
   test("time travel via option pins pre-replace content") {
     val root = freshRoot("tt")
     val v1 = Snapshots.publishPartitions(spark, root)(stage =>
