@@ -93,6 +93,19 @@ object Abcd {
         when(col("emissions_factor_unit").isNotNull,
           concat_ws("/", col("emissions_factor_unit"), col("ald_production_unit")))
           .otherwise("unknown"))
+    // JUNCTION BARRIER (SURVEY §7.4 pt 7): from here the frame fans out
+    // into mwProd + mwhEmis + the non-MW/MWh filter — three consumers,
+    // each of which the later stages reference again. Without a LINEAGE
+    // barrier the final output's logical tree contains ~36 copies of
+    // everything above this line (measured: 9-42 s of pure Catalyst time
+    // per run on a 1.3k-row fixture; .cache() does NOT help — the tree
+    // still carries the full subtree and CacheManager canonicalization
+    // walks it per consumer). localCheckpoint truncates the plan to a
+    // materialized leaf: downstream analysis/optimization see a scan. At
+    // 100 TB the same math holds harder — one extra pass over the data
+    // beats recomputing the fill chain per branch (swap for a reliable
+    // checkpoint() on clusters where executor loss must be survivable).
+    abcd = abcd.localCheckpoint(true)
     // MW production matched to MWh-derived emission factors (reference :193-207)
     val mwProd = abcd.filter(col("ald_production_unit") === "MW")
       .drop("emissions_factor_unit", "emissions_factor").distinct()
@@ -103,6 +116,8 @@ object Abcd {
       .select(abcd.columns.map(col): _*)
     abcd = abcd.filter(!col("ald_production_unit").isin("MW", "MWh"))
       .unionByName(mwJoined)
+      // junction: avgEf + missingEf + the not-missing filter all re-read
+      .localCheckpoint(true)
 
     // reference :130-168 fill_missing_emission_factor
     val avgEf = abcd
@@ -116,6 +131,8 @@ object Abcd {
       .unionByName(missingEf.select(abcd.columns.map(col): _*))
     abcd = abcd.withColumn("emissions_factor",
       when(col("ald_production") === 0, 0.0).otherwise(col("emissions_factor")))
+      // junction: emptyKeys probe + anti join + assetIds + final join
+      .localCheckpoint(true)
 
     // reference :216-237 drop keys whose production is all-null-or-zero
     val emptyKeys = groupAllExcept(abcd, Seq("year", "ald_production", "emissions_factor"))(

@@ -160,6 +160,13 @@ object Financial {
     financial = financial.withColumn("net_profit_margin",
       when(col("net_profit_margin") <= 0 || col("net_profit_margin") > 1, lit(null))
         .otherwise(col("net_profit_margin")))
+    // JUNCTION BARRIER (SURVEY §7.4 pt 7): `financial` is re-read by the
+    // missing-company anti join, the parent-values projection, all three
+    // average legs and the final union — six consumers. localCheckpoint
+    // truncates the lineage so the downstream Catalyst trees carry a leaf
+    // instead of six copies of the median aggregation (and at scale, six
+    // scans of the aggregated company table become one materialization).
+    financial = financial.localCheckpoint(true)
 
     // reference :546-556 — companies in production but not in financials
     var missing = companiesData.select("company_id", "ald_sector", "ald_location").distinct()
@@ -189,6 +196,8 @@ object Financial {
     val all = financial.unionByName(missing.select(financial.columns.map(col): _*),
         allowMissingColumns = true)
       .filter(col("company_id").isNotNull)
+      // junction: the three attachAverages tiers + two anti probes re-read it
+      .localCheckpoint(true)
     // cache before the mid-pipeline check: the assertion action populates
     // the cache the downstream plan then reads, so the subtree executes
     // once instead of once per consumer (DataChecks scaladoc pattern)
@@ -208,6 +217,8 @@ object Financial {
     fin = fin.select((Seq("company_id", "ald_region", "ald_sector").map(col) ++
       indicators.map(i => col(s"final_$i").as(i)) ++
       provenanceFeatures.map(i => col(s"indicator_type_$i"))): _*)
+      // junction: company-level medians + one pivot per provenance feature
+      .localCheckpoint(true)
 
     // reference :586-596 — aggregate to company level + provenance counts
     val companyLevel = aggregateIndicators(fin, Seq("company_id"))
