@@ -87,19 +87,35 @@ object SnapshotOps {
   }
 
 
-  /** Partition-REWRITE maintenance verbs reconstruct dir names from a
-    * single partition column; on a nested layout (`a=1/b=2`, r13) that
-    * parse would silently target the wrong dirs, so they refuse loudly.
-    * File-grain verbs (mergeOnRead, publishFileReplacement, DV commits)
-    * fully support nested tables — route maintenance through them.
+  /** Layout helpers for NESTED partition identities (`a=1/b=2`, r13):
+    * the rewrite verbs derive the table's true partition-column sequence
+    * from the manifest (never from caller arguments), compare partitions
+    * in raw-value space via a NUL-joined composite key (partition values
+    * cannot carry NUL — hive dir names are path segments), and write
+    * with the full `partitionBy(cols...)` list, so optimize / zorder /
+    * merge / purge work identically on flat and nested tables.
     */
-  private def requireSingleLevel(parts: Iterable[String], verb: String): Unit =
-    parts.find(_.contains("/")).foreach { nested =>
-      throw new UnsupportedOperationException(
-        s"$verb: table uses a nested partition layout ($nested) — " +
-          "partition-rewrite maintenance currently supports single-level " +
-          "layouts; use the file-grain verbs on nested tables")
-    }
+  private def partColsOf(part: String): Seq[String] =
+    part.split('/').toSeq.map(_.takeWhile(_ != '='))
+
+  private def layoutOf(parts: Iterable[String], verb: String): Seq[String] = {
+    val all = parts.map(partColsOf).toSet
+    require(all.size == 1,
+      s"$verb: partitions disagree on their column layout: " +
+        all.take(3).map(_.mkString("/")).mkString(" vs "))
+    all.head
+  }
+
+  /** A partition identity's raw values as one composite key (null
+    * partition level -> the reserved default name, matching [[partKey]]).
+    */
+  private def partValuesKey(part: String): String =
+    part.split('/').toSeq.map(seg =>
+      Snapshots.unescapePartValue(seg.dropWhile(_ != '=').drop(1))).mkString("\u0000")
+
+  /** Row-side composite key matching [[partValuesKey]]. */
+  private def partKeyExpr(of: String => Column, cols: Seq[String]): Column =
+    concat_ws("\u0000", cols.map(c => partKey(of(c))): _*)
 
   /** Partition dir names and their (fileCount, totalBytes) in a pinned
     * version — listing-scale (one getFileStatus per manifest entry).
@@ -162,46 +178,57 @@ object SnapshotOps {
     val profile = partitionProfile(spark, root, v)
     def bins(bytes: Long): Int =
       math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    requireSingleLevel(profile.keys, "optimize")
     val frag = profile.filter { case (_, (n, bytes)) => n >= bins(bytes) + minWaste }
     if (frag.isEmpty) return None
     val files = Snapshots.manifestFiles(spark, root, v)
       .filter(f => frag.contains(Snapshots.partitionOf(f)))
-    val partCol = frag.keysIterator.next().takeWhile(_ != '=')
+    val partCols = layoutOf(frag.keys, "optimize")
     // mapping-aware read: a table compacted after a renameColumn spans
     // physical generations — the rewrite reads the LOGICAL schema and
     // its fresh files land under the current names
     val src0 = Snapshots.readMapped(spark, root, v, files)
     // a fragmented subset may cover ONLY the null partition, whose
     // dir-value inference degrades the partition column to VOID — restore
-    // the table's type from the full-version schema before the
+    // the table's types from the full-version schema before the
     // partitioned write (schema-only read: no data job)
-    val partType = Snapshots.readSnapshot(spark, root, Some(v)).schema(partCol).dataType
-    val src = src0.withColumn(partCol, col(partCol).cast(partType))
-    import spark.implicits._
+    val fullSchema = Snapshots.readSnapshot(spark, root, Some(v)).schema
+    val src = partCols.foldLeft(src0)((d, c) =>
+      d.withColumn(c, col(c).cast(fullSchema(c).dataType)))
     // dir names are hive-ESCAPED and a null value writes the reserved
-    // default dir; the join compares in dir-key space via partKey, so
-    // ':' partitions compact and null-partition rows are never dropped
-    val binsDf = frag.toSeq
-      .map { case (p, (_, bytes)) =>
-        (Snapshots.unescapePartValue(p.dropWhile(_ != '=').drop(1)), bins(bytes))
-      }
-      .toDF("__pv", "__bins")
+    // default dir; the join compares in dir-key space via partKey per
+    // LEVEL, so ':' partitions compact and null-partition rows are never
+    // dropped — one row per fragmented leaf, broadcast
+    val binSchema = org.apache.spark.sql.types.StructType(
+      partCols.indices.map(i => org.apache.spark.sql.types.StructField(
+        s"__pv_$i", org.apache.spark.sql.types.StringType, nullable = true)) :+
+        org.apache.spark.sql.types.StructField("__bins",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    val binRows = frag.toSeq.map { case (p, (_, bytes)) =>
+      org.apache.spark.sql.Row.fromSeq(
+        p.split('/').toSeq.map(seg =>
+          Snapshots.unescapePartValue(seg.dropWhile(_ != '=').drop(1))) :+ bins(bytes))
+    }
+    val binsDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(binRows).asJava), binSchema)
+    val joinCond = partCols.zipWithIndex
+      .map { case (c, i) => partKey(src(c)) === col(s"__pv_$i") }
+      .reduce(_ && _)
     val totalBins = frag.valuesIterator.map { case (_, bytes) => bins(bytes) }.sum
     Some(Snapshots.publishPartitions(spark, root,
       meta = Map("optimize_of" -> v.toString),
       statsCols = statsAuto, bloomCols = bloomAuto,
       expectedPrev = Some(v), gateConstraints = false) { stage =>
-      // range-shuffle on (partition, bin): every (part, bin) pair owns
-      // its task, so a partition's file count lands at exactly its bin
-      // count — a plain hash repartition could collapse distinct bins
+      // range-shuffle on (partition levels, bin): every (leaf, bin) pair
+      // owns its task, so a partition's file count lands at exactly its
+      // bin count — a plain hash repartition could collapse distinct bins
       // into one writer task (or worse, one file)
-      src.join(broadcast(binsDf), partKey(src(partCol)) === col("__pv"))
+      src.join(broadcast(binsDf), joinCond)
         .withColumn("__bin",
           pmod(xxhash64(src.columns.map(col): _*), col("__bins")))
-        .repartitionByRange(totalBins, col(partCol), col("__bin"))
-        .drop("__pv", "__bins", "__bin")
-        .write.partitionBy(partCol).parquet(stage)
+        .repartitionByRange(totalBins, (partCols.map(col) :+ col("__bin")): _*)
+        .drop(partCols.indices.map(i => s"__pv_$i") :+ "__bins" :+ "__bin": _*)
+        .write.partitionBy(partCols: _*).parquet(stage)
     })
   }
 
@@ -237,8 +264,7 @@ object SnapshotOps {
     val (stats0, bloomAuto) = inheritedCols(spark, root, v, statsCols, bloomCols)
     val statsAuto = (stats0 ++ Seq(zCols._1, zCols._2)).distinct
     val profile = partitionProfile(spark, root, v)
-    requireSingleLevel(profile.keys, "optimizeZorder")
-    val partCol = profile.keysIterator.next().takeWhile(_ != '=')
+    val partCols = layoutOf(profile.keys, "optimizeZorder")
     val totalBytes = profile.valuesIterator.map(_._2).sum
     val bins = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val src = Snapshots.readMapped(spark, root, v,
@@ -251,10 +277,10 @@ object SnapshotOps {
       src
         .withColumn("__z",
           graft.functions.Layout.zValue(col(zCols._1), col(zCols._2)))
-        .repartitionByRange(bins, col(partCol), col("__z"))
-        .sortWithinPartitions(col(partCol), col("__z"))
+        .repartitionByRange(bins, (partCols.map(col) :+ col("__z")): _*)
+        .sortWithinPartitions((partCols.map(col) :+ col("__z")): _*)
         .drop("__z")
-        .write.partitionBy(partCol).parquet(stage)
+        .write.partitionBy(partCols: _*).parquet(stage)
     }
   }
 
@@ -322,7 +348,13 @@ object SnapshotOps {
     val srcKeys = source.select(keyCols.map(k =>
       col(k).cast(tgtSchema(k).dataType).as(k)): _*).distinct()
     val allFiles = Snapshots.manifestFiles(spark, root, v)
-    requireSingleLevel(allFiles.map(Snapshots.partitionOf), "merge")
+    // the table's TRUE layout comes from the manifest: on a nested table
+    // `partitionCol` names the first level and the staged write carries
+    // every level (the source must hold the full schema anyway)
+    val partCols = layoutOf(allFiles.map(Snapshots.partitionOf), "merge")
+    require(partCols.head == partitionCol,
+      s"merge: partitionCol '$partitionCol' does not match the table layout " +
+        s"(${partCols.mkString("/")})")
     val candidateFiles =
       candidateKeyFiles(spark, root, v, srcKeys, keyCols, allFiles)
     val survivors = source.filter(not(col(opCol) === "delete")).drop(opCol)
@@ -345,15 +377,15 @@ object SnapshotOps {
     val merged = rewritten.localCheckpoint(true)
     // partitions whose every file is replaced and which no merged row
     // re-populates drop from the manifest (dir names are hive-escaped;
-    // `still` lives in raw-value space via partKey)
-    val still = merged.select(partKey(col(partitionCol)).as("__pk"))
+    // `still` lives in raw-value space via the composite partition key,
+    // one segment per layout level)
+    val still = merged.select(partKeyExpr(col, partCols).as("__pk"))
       .distinct().collect().map(_.getString(0)).toSet
     val candSet = candidateFiles.toSet
     val emptied = allFiles
       .groupBy(f => Snapshots.partitionOf(f))
       .collect { case (dir, fls) if fls.forall(candSet.contains) &&
-          !still.contains(Snapshots.unescapePartValue(
-            dir.dropWhile(_ != '=').drop(1))) => dir }
+          !still.contains(partValuesKey(dir)) => dir }
       .toSeq.sorted
     // keep the table's stat/bloom coverage: fresh files re-index the
     // same columns (unindexed fresh files would stay exact but decay
@@ -366,7 +398,7 @@ object SnapshotOps {
       dropPartitions = emptied, expectedPrev = Some(v),
       gateConstraints = false) { stage =>
       if (still.nonEmpty)
-        merged.write.partitionBy(partitionCol).parquet(stage)
+        merged.write.partitionBy(partCols: _*).parquet(stage)
     }
   }
 
@@ -452,7 +484,13 @@ object SnapshotOps {
     val srcKeys = source.select(keyCols.map(k =>
       col(k).cast(tgtSchema(k).dataType).as(k)): _*).distinct()
     val allFiles = Snapshots.manifestFiles(spark, root, v)
-    requireSingleLevel(allFiles.map(Snapshots.partitionOf), "merge")
+    // the table's TRUE layout comes from the manifest: on a nested table
+    // `partitionCol` names the first level and the staged write carries
+    // every level (the source must hold the full schema anyway)
+    val partCols = layoutOf(allFiles.map(Snapshots.partitionOf), "merge")
+    require(partCols.head == partitionCol,
+      s"merge: partitionCol '$partitionCol' does not match the table layout " +
+        s"(${partCols.mkString("/")})")
     val candidateFiles =
       candidateKeyFiles(spark, root, v, srcKeys, keyCols, allFiles)
     // every matched LIVE target position within the candidate files —
@@ -604,17 +642,15 @@ object SnapshotOps {
     val files = Snapshots.manifestFiles(spark, root, v)
       .filter(f => dvFiles.contains(Snapshots.relSuffix(f)))
     if (files.isEmpty) return None
-    requireSingleLevel(files.map(Snapshots.partitionOf), "purgeDeletes")
-    val partCol = Snapshots.relSuffix(files.head).takeWhile(_ != '=')
+    val partCols = layoutOf(files.map(Snapshots.partitionOf), "purgeDeletes")
     val survivors = Snapshots.readMapped(spark, root, v, files).localCheckpoint(true)
-    val still = survivors.select(partKey(col(partCol)).as("__pk"))
+    val still = survivors.select(partKeyExpr(col, partCols).as("__pk"))
       .distinct().collect().map(_.getString(0)).toSet
     val candSet = files.toSet
     val emptied = Snapshots.manifestFiles(spark, root, v)
       .groupBy(f => Snapshots.partitionOf(f))
       .collect { case (dir, fls) if fls.forall(candSet.contains) &&
-          !still.contains(Snapshots.unescapePartValue(
-            dir.dropWhile(_ != '=').drop(1))) => dir }
+          !still.contains(partValuesKey(dir)) => dir }
       .toSeq.sorted
     val (statCols, bloomColsOf) = inheritedCols(spark, root, v, Nil, Nil)
     Some(Snapshots.publishFileReplacement(spark, root,
@@ -624,7 +660,7 @@ object SnapshotOps {
       dropPartitions = emptied, expectedPrev = Some(v),
       gateConstraints = false) { stage =>
       if (still.nonEmpty)
-        survivors.write.partitionBy(partCol).parquet(stage)
+        survivors.write.partitionBy(partCols: _*).parquet(stage)
     })
   }
 

@@ -652,7 +652,9 @@ object Snapshots {
         val df = spark.read.option("basePath", root)
           .parquet(freshFiles.map(f => s"$root/$f"): _*)
           .withColumn("__suffix",
-            regexp_extract(input_file_name(), "([^/]+=[^/]+/[^/]+)$", 1))
+            // every trailing <k>=<v> dir + file name: nested layouts (r13)
+            // keep their FULL partition path as the manifest suffix
+            regexp_extract(input_file_name(), "((?:[^/]+=[^/]+/)+[^/]+)$", 1))
           .join(broadcast(lutDf), col("__suffix") === col("__variant"), "left")
           .withColumn("file", coalesce(col("__mfile"), col("__suffix")))
           .drop("__suffix", "__variant", "__mfile")
@@ -780,8 +782,8 @@ object Snapshots {
         .parquet(fs.map(_._2): _*)
         .select(col("*"),
           col("_metadata.row_index").as("__pos"),
-          regexp_extract(col("_metadata.file_path"), "([^/]+=[^/]+/[^/]+)$", 1)
-            .as("__sfx"))
+          regexp_extract(col("_metadata.file_path"),
+            "((?:[^/]+=[^/]+/)+[^/]+)$", 1).as("__sfx"))
     }
     dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
       .join(broadcast(lutDf), col("__sfx") === col("__variant"), "left")
@@ -1262,6 +1264,12 @@ object Snapshots {
       dvAdd: Option[DataFrame] = None,
       gateConstraints: Boolean = true)(write: String => Unit): Long = {
     validateMeta(meta) // refuse BEFORE staging — no residue on bad meta
+    // the scan-side suffix extraction walks TRAILING <k>=<v> path segments
+    // (nested layouts, r13); a table root itself named like a partition
+    // dir would leak into every suffix and silently decay bloom/DV
+    // keying — refuse loudly up front
+    require(!new Path(root).getName.contains("="),
+      s"snapshot table root '$root' must not itself be named <col>=<value>")
     // pin the deletes ONCE: the frame is evaluated twice below (kept-file
     // validation collect, then the sidecar write) and a non-deterministic
     // caller source could otherwise validate one file set and persist

@@ -146,13 +146,73 @@ class NestedPartitionSpec extends SparkTestBase {
     assert(Snapshots.readSnapshot(spark, root, Some(v2)).count() == 15)
   }
 
-  test("partition-rewrite maintenance refuses loudly on nested layouts") {
-    val root = freshRoot("refuse")
+  test("optimize on a nested layout: only the fragmented leaf rewrites") {
+    val root = freshRoot("opt")
+    // fragment ONE leaf into 4 files; every other leaf lands as 1
+    val frag = base().filter(col("k1") === "a" && col("k2") === 0).repartition(4)
+    val rest = base().filter(!(col("k1") === "a" && col("k2") === 0)).coalesce(1)
+    val v1 = Snapshots.publishPartitions(spark, root)(stage =>
+      frag.unionByName(rest).write.partitionBy("k1", "k2").parquet(stage))
+    val before = Snapshots.manifestFiles(spark, root, v1)
+    val fragBefore = before.filter(f => Snapshots.partitionOf(f) == "k1=a/k2=0")
+    assert(fragBefore.size >= 3, s"fixture should fragment: $fragBefore")
+    val v2 = graft.core.SnapshotOps.optimize(spark, root, minWaste = 1)
+    assert(v2.isDefined)
+    val after = Snapshots.manifestFiles(spark, root, v2.get)
+    // compacted leaf: one file; every sibling leaf carried verbatim
+    assert(after.count(f => Snapshots.partitionOf(f) == "k1=a/k2=0") == 1)
+    assert(after.filterNot(f => Snapshots.partitionOf(f) == "k1=a/k2=0").toSet ==
+      before.filterNot(f => Snapshots.partitionOf(f) == "k1=a/k2=0").toSet)
+    // content identical
+    assert(Snapshots.readSnapshot(spark, root, Some(v2.get))
+      .agg(sum("v")).collect()(0).getDouble(0) ==
+      base().agg(sum("v")).collect()(0).getDouble(0))
+  }
+
+  test("merge on a nested layout: keyed upsert + leaf-emptying delete") {
+    import spark.implicits._
+    val root = freshRoot("merge")
     Snapshots.publishPartitions(spark, root)(stage =>
-      base().write.partitionBy("k1", "k2").parquet(stage))
-    val e = intercept[UnsupportedOperationException] {
-      graft.core.SnapshotOps.optimize(spark, root, targetFileBytes = 1, minWaste = 0)
-    }
-    assert(e.getMessage.contains("nested"))
+      base().coalesce(1).write.partitionBy("k1", "k2").parquet(stage))
+    // delete EVERY row of leaf b/1, update one row of a/0, insert into a/1
+    val src = (
+      (1 to 5).map(i => ("b", 1, i.toLong, 0.0, "delete")) ++
+      Seq(("a", 0, 1L, 999.0, "upsert"), ("a", 1, 77L, 7.0, "upsert"))
+    ).toDF("k1", "k2", "id", "v", "op")
+    val v2 = graft.core.SnapshotOps.merge(spark, root, src,
+      keyCols = Seq("k1", "k2", "id"), partitionCol = "k1")
+    val got = Snapshots.readSnapshot(spark, root, Some(v2))
+    assert(got.count() == 20 - 5 + 1) // 5 deleted, 1 inserted
+    // the emptied LEAF left the manifest; its sibling under the same k1 stayed
+    val parts = Snapshots.manifestFiles(spark, root, v2)
+      .map(Snapshots.partitionOf).toSet
+    assert(!parts.contains("k1=b/k2=1"), s"emptied leaf still present: $parts")
+    assert(parts.contains("k1=b/k2=0"))
+    assert(got.filter(col("id") === 1 && col("k1") === "a" && col("k2") === 0)
+      .select("v").collect()(0).getDouble(0) == 999.0)
+    assert(got.filter(col("id") === 77).count() == 1)
+  }
+
+  test("DV purge on a nested layout rewrites only the DV'd files") {
+    val root = freshRoot("purge")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      base().coalesce(1).write.partitionBy("k1", "k2").parquet(stage))
+    // deleteWhere empties leaf a/1 entirely and nicks one row of b/0
+    val v2 = graft.core.SnapshotOps.deleteWhere(spark, root,
+      (col("k1") === "a" && col("k2") === 1) ||
+        (col("k1") === "b" && col("k2") === 0 && col("id") === 1))
+    assert(Snapshots.readSnapshot(spark, root, Some(v2)).count() == 14)
+    val before = Snapshots.manifestFiles(spark, root, v2)
+    val v3 = graft.core.SnapshotOps.purgeDeletes(spark, root)
+    assert(v3.isDefined)
+    val after = Snapshots.manifestFiles(spark, root, v3.get)
+    val parts = after.map(Snapshots.partitionOf).toSet
+    assert(!parts.contains("k1=a/k2=1"), "fully-deleted leaf must drop")
+    // untouched leaves carry their exact files
+    for (p <- Seq("k1=a/k2=0", "k1=b/k2=1"))
+      assert(after.filter(f => Snapshots.partitionOf(f) == p).toSet ==
+        before.filter(f => Snapshots.partitionOf(f) == p).toSet, p)
+    assert(Snapshots.readSnapshot(spark, root, Some(v3.get)).count() == 14)
+    assert(Snapshots.fileDvs(spark, root, v3.get).isEmpty)
   }
 }
