@@ -1629,15 +1629,23 @@ object Snapshots {
       if (rv == "__HIVE_DEFAULT_PARTITION__") null else unescapePartValue(rv)
     }
     // file -> (dir, partition values) broadcast map, joined on the
-    // scheme-normalized path so the one scan below needs no per-dir read
+    // scheme-normalized path. BOTH the raw and the URI-quoted variant of
+    // each path are mapped (the suffixLookup discipline): the runtime's
+    // file_path column may re-quote hive-escaped dir names ('a%3A1' ->
+    // 'a%253A1'), and a silent join miss here would be a constraint
+    // BYPASS, not a wrong answer — the left-join null check below makes
+    // any remaining encoding surprise loud.
     val mapSchema = org.apache.spark.sql.types.StructType(
       (Seq("__graft_file", "__graft_dir") ++ partCols).map(n =>
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.StringType, nullable = true)))
     val mapRows = dirs.flatMap { case (rel, _, files) =>
       val vals = valuesOf(rel)
-      files.map(f => org.apache.spark.sql.Row.fromSeq(
-        Seq(f.toUri.getPath, rel) ++ vals))
+      files.flatMap { f =>
+        val raw = f.toUri.getPath
+        Set(raw, "/" + uriQuoted(raw.stripPrefix("/")))
+          .map(v => org.apache.spark.sql.Row.fromSeq(Seq(v, rel) ++ vals))
+      }
     }
     val mapDf = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -1649,14 +1657,20 @@ object Snapshots {
     val flaggedAll = spark.read.parquet(allFiles: _*)
       .withColumn("__graft_file",
         regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
-      .join(broadcast(mapDf), Seq("__graft_file"))
+      .join(broadcast(mapDf), Seq("__graft_file"), "left")
       .withColumn("violated", concat_ws(",", array_compact(array(named: _*))))
     // ONE count job for the whole batch (bounded collect: one row per dir)
-    val counts = flaggedAll.groupBy(col("__graft_dir"))
+    val countsRaw = flaggedAll.groupBy(col("__graft_dir"))
       .agg(count(when(col("violated") =!= "", lit(1))).as("bad"),
         count(when(col("violated") === "", lit(1))).as("good"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a scanned row that matched NO mapped path would silently escape the
+    // gate — refuse instead (unknown path encoding is a bug, never a pass)
+    require(!countsRaw.exists(_.isNullAt(0)),
+      s"publish under $root: staged rows could not be keyed back to their " +
+        "partition dir (unexpected file-path encoding) — refusing the " +
+        "constrained publish")
+    val counts = countsRaw.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     for ((dirRel, nBad, nGood) <- counts)
       require(nBad == 0 || nGood > 0,
         s"publish under $root: EVERY staged row of partition $dirRel violates " +

@@ -146,6 +146,27 @@ class NestedPartitionSpec extends SparkTestBase {
     assert(Snapshots.readSnapshot(spark, root, Some(v2)).count() == 15)
   }
 
+  test("constraints gate hive-ESCAPED partition dirs (no silent join-miss bypass)") {
+    import spark.implicits._
+    val root = freshRoot("consesc")
+    // ':' in the partition value -> dir 'k=a%3A1'; the runtime's file_path
+    // column may re-quote the '%' — a join miss here would let violating
+    // rows COMMIT ungated (the bypass the variant map + null check close)
+    val df = Seq(("a:1", 1L, 5.0), ("a:1", 2L, -1.0), ("b", 3L, 7.0))
+      .toDF("k", "id", "v")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      df.filter(col("id") === 3).write.partitionBy("k").parquet(stage))
+    Snapshots.setConstraints(spark, root, Seq("v_pos" -> "v > 0"))
+    val v2 = Snapshots.publishPartitions(spark, root)(stage =>
+      df.filter(col("k") === "a:1").write.partitionBy("k").parquet(stage))
+    val meta = Snapshots.manifestMeta(spark, root, v2)
+    assert(meta("constraint_quarantined").toLong == 1,
+      s"escaped-dir violation must quarantine, got $meta")
+    val got = Snapshots.readSnapshot(spark, root, Some(v2))
+    assert(got.count() == 2) // id=2 quarantined, id=1 + carried id=3 committed
+    assert(got.filter(col("k") === "a:1").count() == 1)
+  }
+
   test("optimize on a nested layout: only the fragmented leaf rewrites") {
     val root = freshRoot("opt")
     // fragment ONE leaf into 4 files; every other leaf lands as 1
