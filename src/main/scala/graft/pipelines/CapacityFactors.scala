@@ -43,6 +43,11 @@ object CapacityFactors {
     d = d.groupBy(grp.map(col): _*)
       .agg(sum(col(yearCols.head)).as(yearCols.head),
         yearCols.tail.map(c => sum(col(c)).as(c)): _*)
+      // JUNCTION BARRIER (the Abcd.scala:108 treatment): the aggregate
+      // feeds BOTH indicator slices, and the Capacity/Generation join below
+      // therefore carries the whole subtree twice before completeGrid
+      // triples it again — one materialization pass collapses all of it.
+      .localCheckpoint(true)
 
     // reference :69-103 — split indicator frames, unpivot, unit-convert
     def longSide(indicator: String, valueName: String): DataFrame =
@@ -60,6 +65,9 @@ object CapacityFactors {
     var cf = generation.select((joinKeys :+ "generation").map(col): _*)
       .join(capacity.select((joinKeys :+ "capacity").map(col): _*), joinKeys)
       .distinct()
+      // junction: completeGrid reads the joined frame twice (distinct keys
+      // + join side)
+      .localCheckpoint(true)
 
     // reference :110-135 — complete to [startYear, endYear], interpolate
     val nesting = joinKeys.filterNot(_ == "year")
@@ -92,6 +100,9 @@ object CapacityFactors {
     DataChecks.assertBetween(cf, "capacity_factor", 0.0, 1.0)
 
     cf = cf.select("scenario", "scenario_geography", "technology", "year", "capacity_factor")
+      // junction: the two relabelSlice clones below each re-read the frame
+      // (slice + union base), stacking the interpolation subtree 4x
+      .localCheckpoint(true)
 
     // reference :213-237 — scenario prefix + relabel slices (U5)
     cf = cf.withColumn("scenario", concat_ws("_", lit("WEO2021"), col("scenario")))
@@ -203,6 +214,9 @@ object CapacityFactors {
     val groupCols = d.columns.filterNot(Set("year", "value")).toSeq
     d = ScenarioData.interpolateYearly(d, groupCols)
       .filter(col("year") >= startYear)
+      // junction: the interpolated frame feeds the generation AND capacity
+      // slices of the full outer join
+      .localCheckpoint(true)
     // :445-467 — EJ→GW (1 EJ/yr = 31.68808781 GW), wide split, full join on
     // the shared perimeter (units align because generation is restated GW)
     val generation = d.filter(col("category_a") === "Secondary Energy")
@@ -265,6 +279,9 @@ object CapacityFactors {
       .select(col("__scenario").as("scenario"), col("scenario_geography"), col("ald_sector"),
         col("technology"), col("Variable_class").as("Category"), col("Units").as("units"),
         col("year"), col("value"))
+      // junction: d feeds the renewables aggregate, the union base and the
+      // Capacity/Generation slices
+      .localCheckpoint(true)
     // :700-712 — RenewablesCap added per Category; components KEPT
     val renewSrc = Seq("OffWindCap", "OnWindCap", "SolarCap", "BiomassCap")
     val renew = d.filter(col("technology").isin(renewSrc: _*))
@@ -316,6 +333,9 @@ object CapacityFactors {
         when(col("scenario") === "WEO2021_SDS", "Oxford2021_fast")
           .when(col("scenario") === "WEO2021_STEPS", "Oxford2021_base")
           .otherwise(col("scenario")))
+      // junction: d feeds the extension grid, the union base AND the 2040
+      // anchor lookup — three consumers
+      .localCheckpoint(true)
     val extension = d.select("scenario_geography", "technology", "scenario").distinct()
       .withColumn("year", explode(sequence(lit(2041), lit(2100))))
       .withColumn("capacity_factor", lit(null).cast("double"))
@@ -343,6 +363,8 @@ object CapacityFactors {
       .withColumn("scenario_geography", lit("Global"))
       .withColumn("technology",
         when(col("technology") === "BOF Steel", "BOF").otherwise(col("technology")))
+      // junction: d feeds six technology fan-out slices AND the union base
+      .localCheckpoint(true)
     def slice(from: String, to: String) =
       d.filter(col("technology") === from).withColumn("technology", lit(to))
     d = d.filter(!col("technology").isin("EAF Steel", "DRI"))

@@ -41,6 +41,13 @@ object Prices {
         Map("Crude oil" -> "Oil", "IEA crude oil" -> "Oil", "Natural gas" -> "Gas"))
       .withColumn("sector", when(col("technology") === "Coal", "Coal").otherwise("Oil&Gas"))
       .withColumn("indicator", lit("price"))
+      // JUNCTION BARRIER (the Abcd.scala:108 treatment): fossil fans into
+      // the Global aggregate AND the union, and the union then enters the
+      // complete-grid (which consumes its input three times: range agg,
+      // distinct keys, join side) — without a barrier the unpivot subtree
+      // appears ~6x in the final logical tree and Catalyst re-analyzes it
+      // per consumer. One materialization pass beats that at any scale.
+      .localCheckpoint(true)
     val fossilGlobal = fossil
       .filter(col("technology").isin("Gas", "Coal"))
       .groupBy("source", "scenario", "sector", "technology", "year", "unit", "indicator")
@@ -52,7 +59,10 @@ object Prices {
     val power = powerLcoeLong(powerWide, firstYear)
 
     // ---- union + complete + interpolate (reference :190-231) -----------
+    // junction: completeGridGlobalRange reads the union three times (the
+    // global min/max agg, the distinct-keys grid and the join side)
     var data = fossil.unionByName(power.select(fossil.columns.map(col): _*))
+      .localCheckpoint(true)
     data = TimeSeries.completeGridGlobalRange(data, keyCols, "year")
     data = TimeSeries.naApprox(data, keyCols, "year", "price", "price")
 
@@ -85,6 +95,8 @@ object Prices {
       .withColumn("sector", lit("Power"))
       .groupBy((keyCols :+ "year").map(col): _*)
       .agg(avg(col("price")).as("price")) // multiple wind/solar rows -> one
+      // junction: the aggregate feeds the placeholder slice AND the union
+      .localCheckpoint(true)
     // placeholder OilCap/HydroCap from GasCap/RenewablesCap (reference :144-158)
     val placeholders = power
       .filter(col("technology").isin("GasCap", "RenewablesCap"))
@@ -92,6 +104,8 @@ object Prices {
         when(col("technology") === "GasCap", "OilCap").otherwise("HydroCap"))
     power = power.unionByName(placeholders)
     power = TimeSeries.fillDown(power, keyCols.filterNot(_ == "year"), "year", "price", "price")
+      // junction: the filled frame feeds the Global aggregate AND the union
+      .localCheckpoint(true)
     val powerGlobal = power
       .groupBy("source", "scenario", "year", "sector", "technology", "unit", "indicator")
       .agg(avg(col("price")).as("price"))
@@ -194,6 +208,9 @@ object Prices {
       .select(col("__scenario").as("scenario"), col("Region").as("scenario_geography"),
         col("Units").as("unit"), col("Variable_class"), col("technology"), col("sector"),
         col("year"), col("value").as("price"))
+      // junction: d feeds the coal, gas and oil global aggregates — three
+      // consumers
+      .localCheckpoint(true)
     // :413-447 — three global aggregates from partial regional coverage
     val coalGlobal = d.filter(col("technology") === "Coal")
       .groupBy("scenario", "Variable_class", "year")
@@ -322,14 +339,17 @@ object Prices {
       keys: Seq[String],
       averageNpm: Double,
       startYear: Int): DataFrame = {
-    val implied = lcoeRows.filter(col("year") === startYear)
+    // junction: the LCOE slice feeds the one-row-per-group implied side AND
+    // the windowed series side
+    val lcoe = lcoeRows.localCheckpoint(true)
+    val implied = lcoe.filter(col("year") === startYear)
       .withColumn("implied_price", col("price") / (1 - averageNpm))
       .select((keys.map(col) :+ col("implied_price")): _*)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("year"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lcoeRows
+    lcoe
       .withColumn("cost_factor", first(col("price")).over(w) / col("price"))
       .join(broadcast(implied), keys)
       .withColumn("price", col("implied_price") * col("cost_factor"))
@@ -342,7 +362,8 @@ object Prices {
     * by the cost factor lcoe_t0 / lcoe_t.
     */
   def lcoeAdjustedPrices(input: DataFrame, averageNpmPower: Double, startYear: Int): DataFrame = {
-    val unadjusted = input.filter(col("year") >= startYear)
+    // junction: the filtered frame feeds the LCOE slice AND its complement
+    val unadjusted = input.filter(col("year") >= startYear).localCheckpoint(true)
     val lcoe = unadjusted.filter(col("sector") === "Power" && col("indicator") === "LCOE")
     val adjusted = impliedPriceAdjust(lcoe,
         Seq("source", "scenario", "scenario_geography", "sector", "technology", "unit"),
@@ -387,6 +408,9 @@ object Prices {
       .select(col("__scenario").as("scenario"), col("scenario_geography"),
         col("Sector").as("sector"), col("technology"), col("unit"),
         col("Year").as("year"), col("LCOE").as("price"))
+      // junction: d feeds the OilCap clone, the RenewablesCap collapse AND
+      // the complement filter — three consumers
+      .localCheckpoint(true)
     // :119-132 — OilCap clone + RenewablesCap mean-collapse (window mean +
     // distinct mirrors the reference's grouped mutate + unique)
     val oilCap = d.filter(col("technology") === "GasCap")
@@ -400,6 +424,9 @@ object Prices {
     d = impliedPriceAdjust(d,
       Seq("scenario", "scenario_geography", "sector", "technology", "unit"),
       averageNpmPower, startYear)
+    // junction: the adjusted frame feeds the extension's distinct-keys grid
+    // AND the union
+    d = d.localCheckpoint(true)
     // :174-195 — extension rows 2070-2100 (the reference also fabricates
     // slow-transition rows here, but every downstream branch filters them
     // back out, so only the two live scenarios are extended)
@@ -424,7 +451,8 @@ object Prices {
       input: DataFrame,
       averageNpmPower: Double,
       startYear: Int): DataFrame = {
-    val unadjusted = input.filter(col("year") >= startYear)
+    // junction: the filtered frame feeds the LCOE slice AND its complement
+    val unadjusted = input.filter(col("year") >= startYear).localCheckpoint(true)
     val lcoe = unadjusted.filter(col("sector") === "Power" && col("indicator") === "LCOE")
     val adjusted = impliedPriceAdjust(lcoe,
         Seq("source", "scenario", "scenario_geography", "sector", "technology", "unit"),
@@ -434,6 +462,8 @@ object Prices {
         unadjusted.filter(!(col("sector") === "Power" && col("indicator") === "LCOE")))
       .filter(col("scenario_geography") === "Global")
     val sds = adjusted.filter(col("scenario") === "SDS")
+      // junction: the SDS slice is duplicated under two labels
+      .localCheckpoint(true)
     sds.withColumn("scenario", lit("IPR2023_FPS"))
       .unionByName(sds.withColumn("scenario", lit("IPR2023_RPS")))
   }
@@ -456,6 +486,8 @@ object Prices {
         when(col("technology") === "Avg BF-BOF", "BF-BOF")
           .when(col("technology") === "DRI-Melt-BOF", "DRI-BOF")
           .otherwise(col("technology")))
+      // junction: d feeds three technology fan-out slices AND the union base
+      .localCheckpoint(true)
     def slice(from: String, to: String) =
       d.filter(col("technology") === from).withColumn("technology", lit(to))
     d = d.unionByName(slice("EAF", "BF-EAF"))
@@ -509,7 +541,10 @@ object Prices {
     * transition paths out to NGFS (model x scenario) labels (R9 as a
     * crossJoin, not a pivot_longer of label columns).
     */
-  def fanOutNgfsScenarios(pricesAdjusted: DataFrame, ngfsVintage: String): DataFrame = {
+  def fanOutNgfsScenarios(pricesAdjustedIn: DataFrame, ngfsVintage: String): DataFrame = {
+    // junction: the adjusted frame feeds the fast slice, the slow slice AND
+    // the Oxford relabel — three consumers
+    val pricesAdjusted = pricesAdjustedIn.localCheckpoint(true)
     val spark = pricesAdjusted.sparkSession
     import spark.implicits._
     val models = Seq("GCAM", "REMIND", "MESSAGE").toDF("model")
