@@ -56,6 +56,10 @@ object Workflow {
       .withColumn("plant_age_years", lit(null).cast("double"))
       .withColumn("workforce_size", lit(null).cast("double"))
       .withColumn("technology", col("ald_business_unit"))
+      // junction barrier (the Abcd.scala:108 treatment): the frame feeds
+      // the asset-id distinct + join-back AND the capacity window — without
+      // it the whole upstream abcd DAG re-analyzes per consumer
+      .localCheckpoint(true)
     if (!assets.columns.contains("asset_id")) {
       val ids = assets.select("company_id", "technology", "country_iso2").distinct()
         .withColumn("asset_id", concat_ws("_", col("company_id").cast("string"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.pipelines.{Abcd, CapacityFactors, CarbonPrice, Financial, Prices, ScenarioData}
+import graft.pipelines.{Abcd, CapacityFactors, CarbonPrice, Financial, Prices, ScenarioData, Workflow}
 
 /** End-to-end oracle entries for the reference's OUTPUT PIPELINES — the
   * composed DAGs behind the six deliverable tables
@@ -410,7 +410,14 @@ object PipelineQueries {
     * stays dyadic-exact) with interior (i=1, k%3) holes, plus one
     * null-value EU row that trips the NA-perimeter removal.
     */
-  private def scenariosFixture(s: SparkSession, d: String): DataFrame = {
+  /** `geos` = (scenario_geography, dyadic value multiplier) pairs the base
+    * 16-key lattice is replicated across — the default is the original
+    * Global-only shape; the TRISK-v2 reshape entry adds a US slice so the
+    * bench-region country-list attach is exercised non-trivially.
+    */
+  private def scenariosFixture(
+      s: SparkSession, d: String,
+      geos: Seq[(String, Int)] = Seq(("Global", 1))): DataFrame = {
     val sectors = Seq("Coal", "Oil&Gas", "Power", "Power", "Power", "Power", "Power", "Power")
     val techs = Seq("Coal", "Oil", "CoalCap", "GasCap", "HydroCap", "NuclearCap",
       "OilCap", "RenewablesCap")
@@ -419,7 +426,10 @@ object PipelineQueries {
       .withColumn("sector", element_at(typedLit(sectors), col("k") % 8 + 1))
       .withColumn("technology", element_at(typedLit(techs), col("k") % 8 + 1))
       .withColumn("scenario", when(floor(col("k") / 8) === 0, "STEPS").otherwise("SDS"))
-      .withColumn("scenario_geography", lit("Global"))
+      .withColumn("__g", explode(typedLit(geos)))
+      .withColumn("scenario_geography", col("__g._1"))
+      .withColumn("__m", col("__g._2"))
+      .drop("__g")
       .withColumn("source", lit("WEO2021"))
       .withColumn("units",
         when(col("sector") === "Coal", "t")
@@ -430,8 +440,8 @@ object PipelineQueries {
       .withColumn("year", lit(2020) + col("i") * 4)
       .withColumn("value",
         when(col("i") === 1 && col("k") % 3 === 0, lit(null).cast("double"))
-          .otherwise((col("k") + 1) * (lit(5) + col("i")) * lit(0.25)))
-      .drop("k", "i")
+          .otherwise((col("k") + 1) * (lit(5) + col("i")) * lit(0.25) * col("__m")))
+      .drop("k", "i", "__m")
     val plant = nation(s, d).filter(col("n_nationkey") === 16)
       .select(lit("WEO2021").as("source"), lit("STEPS").as("scenario"),
         lit("EU").as("scenario_geography"), lit("Coal").as("sector"),
@@ -444,8 +454,9 @@ object PipelineQueries {
   private val scKeys7 =
     "source, scenario, scenario_geography, sector, technology, units, indicator"
 
-  private val scenariosOracle: String = {
+  private def scenariosOracleFor(geos: Seq[(String, Int)]): String = {
     val greens = "'HydroCap','NuclearCap','RenewablesCap'"
+    val geoValues = geos.map { case (g, m) => s"('$g', $m)" }.mkString(", ")
     s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 16),
        |pairs AS (
        |  SELECT k,
@@ -454,14 +465,16 @@ object PipelineQueries {
        |    CASE WHEN k // 8 = 0 THEN 'STEPS' ELSE 'SDS' END AS scenario
        |  FROM b),
        |cells AS (
-       |  SELECT 'WEO2021' AS source, scenario, 'Global' AS scenario_geography, sector,
+       |  SELECT 'WEO2021' AS source, scenario, g.geo AS scenario_geography, sector,
        |    technology,
        |    CASE sector WHEN 'Coal' THEN 't' WHEN 'Oil&Gas' THEN 'GJ' ELSE 'GW' END AS units,
        |    CASE WHEN sector = 'Power' THEN 'Capacity' ELSE 'Production' END AS indicator,
        |    2020 + 4 * y.i AS year,
        |    CASE WHEN y.i = 1 AND k % 3 = 0 THEN NULL
-       |         ELSE CAST((k + 1) * (5 + y.i) * 0.25 AS DOUBLE) END AS value
-       |  FROM pairs CROSS JOIN (SELECT unnest(range(3)) AS i) y
+       |         ELSE CAST((k + 1) * (5 + y.i) * 0.25 * g.m AS DOUBLE) END AS value
+       |  FROM pairs
+       |  CROSS JOIN (SELECT * FROM (VALUES $geoValues) t(geo, m)) g
+       |  CROSS JOIN (SELECT unnest(range(3)) AS i) y
        |  UNION ALL
        |  SELECT 'WEO2021', 'STEPS', 'EU', 'Coal', 'Coal', 't', 'Production', 2020, NULL),
        |grp AS (SELECT $scKeys7, MIN(year) AS lo, MAX(year) AS hi
@@ -522,8 +535,10 @@ object PipelineQueries {
        |  ON k.scenario = i.scenario AND k.scenario_geography = i.scenario_geography
        | AND k.ald_sector = i.ald_sector
        |WHERE i.ald_sector IS NULL
-       |ORDER BY k.scenario, k.ald_sector, ald_business_unit, k.year""".stripMargin
+       |ORDER BY k.scenario, k.scenario_geography, k.ald_sector, ald_business_unit, k.year""".stripMargin
   }
+
+  private val scenariosOracle: String = scenariosOracleFor(Seq(("Global", 1)))
 
   // ---- pipe_abcd ------------------------------------------------------
 
@@ -879,6 +894,112 @@ object PipelineQueries {
        |FROM clevel c JOIN cnt n USING (company_id)
        |ORDER BY company_id""".stripMargin
 
+  // ---- pipe_workflow_* — the TRISK-v2 reshape (run_workflow.R:98-272) ---
+
+  /** The workflow-scenarios fixture replicates the 16-key scenario lattice
+    * across Global and a doubled-value US slice, so the bench-region
+    * country-list attach (run_workflow.R:186-194) joins non-trivially
+    * (Global is excluded from the aggregate by the reference itself).
+    */
+  private val workflowGeos = Seq(("Global", 1), ("US", 2))
+
+  /** bench_regions shape (scenario_geography_newname, country_iso): three
+    * countries under US, three under Global (the reference's
+    * bench_regions.rds after run_rename_geographies.R).
+    */
+  private def benchRegionsFixture(s: SparkSession, d: String): DataFrame =
+    nation(s, d).filter(col("n_nationkey") < 6)
+      .select(col("n_nationkey").cast("int").as("k"))
+      .withColumn("scenario_geography_newname", when(col("k") < 3, "US").otherwise("Global"))
+      .withColumn("country_iso", concat(lit("C"), col("k").cast("string")))
+      .drop("k")
+
+  /** run_workflow.R:264-267 — financial_features.csv is a plain projection
+    * of the financial deliverable, so the oracle projects the full
+    * prepare_financial_data restatement.
+    */
+  private val workflowFinancialOracle: String =
+    s"""SELECT company_id, pd, net_profit_margin, debt_equity_ratio, volatility
+       |FROM ($financialOracle)
+       |ORDER BY company_id""".stripMargin
+
+  /** run_workflow.R:112-177 — assets.csv from the abcd deliverable: the
+    * asset-id synthesis branch (row_number per company over (technology,
+    * country) at :125-136), capacity = max production per asset (:149-158),
+    * the renames and placeholder columns. The abcd chain is the
+    * [[abcdOracle]] restatement nested as a subquery.
+    */
+  private val workflowAssetsOracle: String =
+    s"""WITH abcd AS (SELECT * FROM ($abcdOracle)),
+       |ids AS (
+       |  SELECT company_id, technology, country_iso2,
+       |    CAST(company_id AS VARCHAR) || '_' || CAST(row_number() OVER (
+       |      PARTITION BY company_id ORDER BY technology, country_iso2) AS VARCHAR) AS asset_id
+       |  FROM (SELECT DISTINCT company_id, ald_business_unit AS technology, country_iso2
+       |        FROM abcd)),
+       |joined AS (
+       |  SELECT d.*, i.asset_id AS new_asset_id FROM abcd d JOIN ids i
+       |    ON i.company_id = d.company_id AND i.technology = d.ald_business_unit
+       |   AND i.country_iso2 = d.country_iso2),
+       |cap AS (SELECT *, MAX(plan_tech_prod) OVER (PARTITION BY new_asset_id) AS capacity
+       |  FROM joined)
+       |SELECT new_asset_id AS asset_id, company_name AS asset_name, company_id, company_name,
+       |  country_iso2, CAST(NULL AS VARCHAR) AS country_name,
+       |  ald_business_unit AS technology, ald_sector AS sector,
+       |  CAST(NULL AS DOUBLE) AS plant_age_years, CAST(NULL AS DOUBLE) AS workforce_size,
+       |  plan_tech_prod / capacity AS capacity_factor, capacity,
+       |  year AS production_year, ald_production_unit AS production_unit,
+       |  plan_emission_factor AS emission_factor
+       |FROM cap
+       |ORDER BY asset_id, production_year""".stripMargin
+
+  /** run_workflow.R:186-256 — scenarios.csv: the scenario pathways joined
+    * with capacity factors (left, NA->1), Global prices (inner — Power
+    * CoalCap has no price row and drops, like any uncovered technology in
+    * the reference) and the per-geography country list, then the recodes
+    * and renames. All three upstream deliverable restatements nest as
+    * subqueries; the price leg applies the runner's vintage prefix +
+    * source drop + Global write filter (run_prepare_price_data_long.R:
+    * 357-360) the same way the Spark wiring does.
+    */
+  private val workflowScenariosOracle: String =
+    s"""WITH scen AS (SELECT * FROM (${scenariosOracleFor(workflowGeos)})),
+       |cfz AS (SELECT * FROM ($capacityFactorsOracle)),
+       |prz AS (SELECT * FROM ($pricesOracle)),
+       |przg AS (
+       |  SELECT DISTINCT 'WEO2021_' || scenario AS scenario, sector AS ald_sector,
+       |    technology AS ald_business_unit, indicator, unit, year, price
+       |  FROM prz WHERE scenario_geography = 'Global'),
+       |bk AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 6),
+       |bagg AS (
+       |  SELECT CASE WHEN k < 3 THEN 'US' ELSE 'Global' END AS geo,
+       |    string_agg(DISTINCT 'C' || CAST(k AS VARCHAR), ',' ORDER BY 'C' || CAST(k AS VARCHAR))
+       |      AS country_iso2_list
+       |  FROM bk GROUP BY 1),
+       |bagg2 AS (SELECT * FROM bagg WHERE geo <> 'Global'),
+       |j AS (
+       |  SELECT s.scenario, s.scenario_geography, s.ald_sector, s.ald_business_unit,
+       |    s.units, s.year, s.direction, s.scenario_pathway, s.scenario_type,
+       |    c.capacity_factor, p.unit, p.price, b.country_iso2_list
+       |  FROM scen s
+       |  LEFT JOIN cfz c ON c.scenario_geography = s.scenario_geography
+       |    AND c.scenario = s.scenario AND c.technology = s.ald_business_unit
+       |    AND c.year = s.year
+       |  JOIN przg p ON p.scenario = s.scenario AND p.ald_sector = s.ald_sector
+       |    AND p.ald_business_unit = s.ald_business_unit AND p.year = s.year
+       |  LEFT JOIN bagg2 b ON b.geo = s.scenario_geography)
+       |SELECT scenario, regexp_extract(scenario, '^[^_]+', 0) AS scenario_provider,
+       |  CASE WHEN scenario_type = 'shock' THEN 'target' ELSE scenario_type END AS scenario_type,
+       |  scenario_geography, ald_sector AS sector, ald_business_unit AS technology,
+       |  year AS scenario_year, unit AS price_unit, price AS scenario_price,
+       |  COALESCE(capacity_factor, 1.0) AS scenario_capacity_factor,
+       |  units AS pathway_unit, scenario_pathway,
+       |  CASE WHEN direction = 'declining' THEN 'carbontech' ELSE 'greentech' END
+       |    AS technology_type,
+       |  country_iso2_list
+       |FROM j
+       |ORDER BY scenario, scenario_geography, sector, technology, scenario_year""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("s21_multi_partition",
       """WITH e AS (SELECT event_type, event_id % 3 AS b, value FROM events
@@ -996,6 +1117,55 @@ object PipelineQueries {
       // prepare_prewrangled_capacity_factors_WEO2021 DAG.
       CapacityFactors.prepareCapacityFactorsWeo2021(capacityFactorsFixture(s, d), 2020)
         .orderBy("scenario", "scenario_geography", "technology", "year")
+    },
+    Q("pipe_workflow_financial", workflowFinancialOracle) { (s, d) =>
+      // The TRISK-v2 financial_features.csv deliverable (run_workflow.R:
+      // 264-267): the full prepare_financial_data DAG projected to the v2
+      // feature schema — the last reshape stage of the reference workflow
+      // under the hash gate.
+      Workflow.triskV2FinancialFeatures(
+        Financial.prepareFinancialData(s,
+          finEikonFixture(s, d), finCompaniesFixture(s, d), Some(finTreeFixture(s)),
+          minimumSampleSize = 1.0, minimumRatioSample = 2.0,
+          allowedRangeNpm = (0.0, 1.0)))
+        .orderBy("company_id")
+    },
+    Q("pipe_workflow_assets", workflowAssetsOracle) { (s, d) =>
+      // The TRISK-v2 assets.csv deliverable (run_workflow.R:112-177):
+      // prepare_abcd_data composed with the reshape — asset_id dropped
+      // first so the row_number synthesis branch (:125-136) is the path
+      // under test, capacity = max production per asset with
+      // capacity_factor = prod/capacity (:149-158), placeholder columns
+      // and renames, full 15-column v2 schema.
+      val abcd = Abcd.prepareAbcdData(
+        abcdActivitiesFixture(s, d), abcdEmissionsFixture(s, d),
+        startYear = 2022, timeHorizon = 3,
+        sectorList = Seq("Power", "Oil&Gas", "Coal"))
+      Workflow.triskV2Assets(abcd.drop("asset_id"))
+        .orderBy("asset_id", "production_year")
+    },
+    Q("pipe_workflow_scenarios", workflowScenariosOracle) { (s, d) =>
+      // The TRISK-v2 scenarios.csv deliverable (run_workflow.R:186-256):
+      // the scenario pipeline (replicated across Global + a doubled US
+      // slice), the capacity-factor pipeline (left join, NA -> 1.0), the
+      // price pipeline under the runner's vintage prefix + Global write
+      // filter (inner join — Power CoalCap carries no price and drops),
+      // and the bench-region country list, reshaped to the 14-column v2
+      // schema with provider-prefix extraction and type recodes.
+      val scen = ScenarioData.prepareScenariosAnalysisInput(
+        ScenarioData.ScenarioInputs(
+          weoGeco = Some(scenariosFixture(s, d, workflowGeos))), 2020)
+      val cf = CapacityFactors.prepareCapacityFactorsWeo2021(capacityFactorsFixture(s, d), 2020)
+        .withColumnRenamed("technology", "ald_business_unit")
+      val prices = Prices.preparePriceDataLongWeo2021(
+          pricesFossilFixture(s, d), pricesPowerFixture(s, d))
+        .withColumn("scenario", concat(lit("WEO2021_"), col("scenario")))
+        .drop("source")
+        .filter(col("scenario_geography") === "Global")
+        .withColumnRenamed("sector", "ald_sector")
+        .withColumnRenamed("technology", "ald_business_unit")
+      Workflow.triskV2Scenarios(scen, cf, prices, benchRegionsFixture(s, d))
+        .orderBy("scenario", "scenario_geography", "sector", "technology", "scenario_year")
     },
     Q("pipe_carbon_price", carbonPriceOracle) { (s, d) =>
       // The NGFS carbon-price deliverable (`ngfs_carbon_price`,
