@@ -105,7 +105,10 @@ object Bench {
     // birth; scenarios composes three upstream pipelines in one plan
     "pipe_workflow_assets",    // abcd + id synthesis + per-asset capacity window
     "pipe_workflow_scenarios", // scen x cf x prices x bench regions reshape
-    "pipe_workflow_financial"  // financial DAG + v2 feature projection
+    "pipe_workflow_financial", // financial DAG + v2 feature projection
+    "pipe_lcoe_weo",           // implied-price adjust over the WEO price DAG
+    "pipe_lcoe_oxford",        // Oxford wrangle + OLS extension + NGFS fan-out
+    "pipe_lcoe_steel"          // steel LC wrangle + implied-price adjust
   )
 
   def main(args: Array[String]): Unit = {

@@ -1000,6 +1000,264 @@ object PipelineQueries {
        |FROM j
        |ORDER BY scenario, scenario_geography, sector, technology, scenario_year""".stripMargin
 
+  // ---- pipe_lcoe_* — the LCOE-adjusted price variants ------------------
+  // (reference R/prepare_LCOE_adjusted_price_data.R; port Prices.scala)
+
+  /** The implied-price adjustment restated over a frame: implied start-year
+    * market price = lcoe_t0 / (1 - npm), scaled by cost factor
+    * lcoe_t0 / lcoe_t (reference :18-71). `keys` comma-joined; `npmExpr`
+    * written as the same arithmetic expression the Scala side evaluates so
+    * both engines derive the identical double divisor.
+    */
+  private def impliedAdjustSql(rel: String, keys: String, npmExpr: String,
+      startYear: Int, outCols: String): String =
+    s"""SELECT $outCols,
+       |    i.implied_price * (first_value(l.price) OVER (PARTITION BY ${keys.split(", ").map("l." + _).mkString(", ")}
+       |      ORDER BY l.year ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / l.price) AS price,
+       |    'price' AS indicator
+       |  FROM $rel l JOIN (
+       |    SELECT ${keys.split(", ").mkString(", ")}, price / (1 - $npmExpr) AS implied_price
+       |    FROM $rel WHERE year = $startYear) i
+       |  ON ${keys.split(", ").map(k => s"i.$k = l.$k").mkString(" AND ")}""".stripMargin
+
+  /** The W9 closed-form OLS fit restated (the w9_ols_extrapolate oracle
+    * pattern): decimal-exact sums, slope/intercept in the same expression
+    * shape Regression.olsFit evaluates.
+    */
+  private def olsFitSql(rel: String, keys: String, fitLo: Int, fitHi: Int): String =
+    s"""SELECT $keys,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+       |  FROM (SELECT $keys,
+       |      CAST(COUNT(price) AS DOUBLE) AS n,
+       |      CAST(SUM(CAST(CAST(year AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+       |      CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+       |      CAST(SUM(CAST(CAST(year AS DOUBLE) * price AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+       |      CAST(SUM(CAST(CAST(year AS DOUBLE) * CAST(year AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+       |    FROM $rel WHERE year BETWEEN $fitLo AND $fitHi AND price IS NOT NULL
+       |    GROUP BY $keys)""".stripMargin
+
+  /** reference :18-71 applied to the real WEO2021 price output — the
+    * adjustedWeoPrices leg of the vintage merge. Power LCOE rows become
+    * implied market prices; everything else passes through.
+    */
+  private val lcoeWeoKeys = "source, scenario, scenario_geography, sector, technology, unit"
+
+  private val lcoeWeoOracle: String =
+    s"""WITH prz AS (SELECT * FROM ($pricesOracle)),
+       |lc AS (SELECT * FROM prz WHERE sector = 'Power' AND indicator = 'LCOE'),
+       |adj AS (
+       |  ${impliedAdjustSql("lc", lcoeWeoKeys, "0.115", 2020,
+             "l.source, l.scenario, l.scenario_geography, l.sector, l.technology, l.unit, l.year")})
+       |SELECT source, scenario, scenario_geography, sector, technology, indicator, unit,
+       |  year, price
+       |FROM (
+       |  SELECT source, scenario, scenario_geography, sector, technology, indicator, unit,
+       |    year, price FROM adj
+       |  UNION ALL
+       |  SELECT source, scenario, scenario_geography, sector, technology, indicator, unit,
+       |    year, price
+       |  FROM prz WHERE NOT (sector = 'Power' AND indicator = 'LCOE'))
+       |ORDER BY source, scenario, scenario_geography, sector, technology, indicator,
+       |  unit, year""".stripMargin
+
+  /** Oxford LCOE wide fixture (nation k 0..11 × 2 regions × 5 years):
+    * every technology-recode branch (Natural gas/Coal/Nuclear, Renewables
+    * with Solar+Wind mean-collapse, Hydro promotion), both live Oxford
+    * scenarios; junk rows exercise the Sector/scenario-rlike/slow/startYear
+    * filters. Years reach the 2049-2069 OLS fit window so the 2070-2100
+    * extension predicts from three observations per (technology, scenario).
+    */
+  private val oxfTechs = Seq("Natural gas", "Coal", "Nuclear", "Renewables",
+    "Renewables", "Renewables")
+  private val oxfSubs: Seq[String] = Seq(null, null, null, "Solar", "Wind", "Hydro")
+  private val oxfYears = Seq(2021, 2033, 2049, 2057, 2069)
+
+  private def oxfordLcoeFixture(s: SparkSession, d: String): DataFrame = {
+    val base = nation(s, d).filter(col("n_nationkey") < 12)
+      .select(col("n_nationkey").cast("int").as("k"))
+      .withColumn("Sector", lit("Power"))
+      .withColumn("Technology", element_at(typedLit(oxfTechs), col("k") % 6 + 1))
+      .withColumn("Sub_Technology", element_at(typedLit(oxfSubs), col("k") % 6 + 1))
+      .withColumn("Scenario",
+        when(floor(col("k") / 6) === 0, "Oxford - fast_transition")
+          .otherwise("Oxford - no_transition"))
+      .withColumn("__m", explode(typedLit(Seq(1, 2))))
+      .withColumn("Region", when(col("__m") === 1, "World").otherwise("EU"))
+      .withColumn("__i", explode(typedLit(Seq(0, 1, 2, 3, 4))))
+      .withColumn("Year", element_at(typedLit(oxfYears), col("__i") + 1))
+      .withColumn("LCOE", (col("k") + 1) * (lit(3) + col("__i")) * lit(0.25) * col("__m"))
+      .drop("k", "__m", "__i")
+    // filter fodder: wrong sector, non-Oxford scenario, the dropped slow
+    // path, pre-startYear year — each must leave no trace in the output
+    def junk(key: Int, sector: String, scenario: String, year: Int) =
+      nation(s, d).filter(col("n_nationkey") === key).select(
+        lit(sector).as("Sector"), element_at(typedLit(oxfTechs), lit(1)).as("Technology"),
+        lit(null).cast("string").as("Sub_Technology"), lit(scenario).as("Scenario"),
+        lit("World").as("Region"), lit(year).as("Year"), lit(9.25).as("LCOE"))
+    base
+      .unionByName(junk(12, "Coal", "Oxford - fast_transition", 2021))
+      .unionByName(junk(13, "Power", "GCAM NZ2050", 2021))
+      .unionByName(junk(14, "Power", "Oxford - slow_transition", 2021))
+      .unionByName(junk(15, "Power", "Oxford - fast_transition", 2019))
+  }
+
+  private val oxfKeys = "scenario, scenario_geography, sector, technology, unit"
+
+  private val lcoeOxfordOracle: String = {
+    val years = oxfYears.mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 12),
+       |raw AS (
+       |  SELECT k,
+       |    ['Natural gas','Coal','Nuclear','Renewables','Renewables','Renewables'][k % 6 + 1] AS tech0,
+       |    [NULL,NULL,NULL,'Solar','Wind','Hydro'][k % 6 + 1] AS sub0,
+       |    CASE WHEN k // 6 = 0 THEN 'fast_transition_oxford'
+       |         ELSE 'no_transition_oxford' END AS scenario,
+       |    CASE WHEN m.m = 1 THEN 'Global' ELSE 'EU' END AS scenario_geography,
+       |    $years[y.i + 1] AS year,
+       |    CAST((k + 1) * (3 + y.i) * 0.25 * m.m AS DOUBLE) AS price
+       |  FROM b CROSS JOIN (SELECT unnest([1, 2]) AS m) m
+       |  CROSS JOIN (SELECT CAST(unnest(range(5)) AS INT) AS i) y),
+       |rec AS (
+       |  SELECT scenario, scenario_geography, 'Power' AS sector,
+       |    CASE WHEN tech0 = 'Natural gas' THEN 'GasCap'
+       |         WHEN tech0 = 'Coal' THEN 'CoalCap'
+       |         WHEN sub0 = 'Hydro' THEN 'HydroCap'
+       |         WHEN tech0 = 'Nuclear' THEN 'NuclearCap'
+       |         WHEN tech0 = 'Renewables' AND sub0 <> 'HydroCap' THEN 'RenewablesCap'
+       |         ELSE tech0 END AS technology,
+       |    '$$/MWh' AS unit, year, price
+       |  FROM raw),
+       |renewd AS (SELECT DISTINCT * FROM (
+       |  SELECT scenario, scenario_geography, sector, technology, unit, year,
+       |    AVG(price) OVER (PARTITION BY scenario, scenario_geography, sector, year,
+       |      technology) AS price
+       |  FROM rec WHERE technology = 'RenewablesCap')),
+       |d0 AS (SELECT DISTINCT * FROM (
+       |  SELECT * FROM rec WHERE technology <> 'RenewablesCap'
+       |  UNION ALL SELECT * FROM renewd
+       |  UNION ALL SELECT scenario, scenario_geography, sector, 'OilCap', unit, year, price
+       |  FROM rec WHERE technology = 'GasCap')),
+       |adj AS (
+       |  ${impliedAdjustSql("d0", oxfKeys, "0.115", 2021,
+             "l.scenario, l.scenario_geography, l.sector, l.technology, l.unit, l.year")}),
+       |extr AS (
+       |  SELECT e.scenario, e.scenario_geography, e.sector, e.technology, e.unit,
+       |    CAST(y.year AS INT) AS year, CAST(NULL AS DOUBLE) AS price, e.indicator
+       |  FROM (SELECT DISTINCT sector, scenario_geography, technology, unit, indicator,
+       |        scenario FROM adj) e
+       |  CROSS JOIN (SELECT unnest(range(2070, 2101)) AS year) y),
+       |full0 AS (
+       |  SELECT scenario, scenario_geography, sector, technology, unit, year, price,
+       |    indicator FROM adj
+       |  UNION ALL SELECT * FROM extr),
+       |fit AS (
+       |  ${olsFitSql("full0", "technology, scenario", 2049, 2069)}),
+       |pred AS (
+       |  SELECT d.scenario, d.scenario_geography, d.sector, d.technology, d.unit, d.year,
+       |    CASE WHEN d.price IS NULL AND d.year BETWEEN 2021 AND 2100
+       |          AND ft.slope IS NOT NULL
+       |         THEN ft.intercept + ft.slope * CAST(d.year AS DOUBLE)
+       |         ELSE d.price END AS price, d.indicator
+       |  FROM full0 d LEFT JOIN fit ft
+       |    ON ft.technology = d.technology AND ft.scenario = d.scenario),
+       |ngfs AS (
+       |  SELECT 'NGFS2023' || m.model || '_' || n.ngfs AS scenario, p.scenario_geography,
+       |    p.sector, p.technology, p.unit, p.year, p.price, p.indicator
+       |  FROM pred p
+       |  CROSS JOIN (SELECT unnest(['GCAM','REMIND','MESSAGE']) AS model) m
+       |  CROSS JOIN (SELECT unnest(['NZ2050','LD','B2DS','DT']) AS ngfs) n
+       |  WHERE p.scenario = 'fast_transition_oxford'
+       |  UNION ALL
+       |  SELECT 'NGFS2023' || m.model || '_' || n.ngfs, p.scenario_geography,
+       |    p.sector, p.technology, p.unit, p.year, p.price, p.indicator
+       |  FROM pred p
+       |  CROSS JOIN (SELECT unnest(['GCAM','REMIND','MESSAGE']) AS model) m
+       |  CROSS JOIN (SELECT unnest(['NDC','FW','CP']) AS ngfs) n
+       |  WHERE p.scenario = 'no_transition_oxford'),
+       |oxf AS (
+       |  SELECT CASE scenario WHEN 'fast_transition_oxford' THEN 'Oxford2021_fast'
+       |      WHEN 'no_transition_oxford' THEN 'Oxford2021_base' ELSE scenario END AS scenario,
+       |    scenario_geography, sector, technology, unit, year, price, indicator
+       |  FROM pred)
+       |SELECT scenario, scenario_geography, sector, technology, unit, year, price, indicator
+       |FROM (SELECT * FROM ngfs UNION ALL SELECT * FROM oxf)
+       |ORDER BY scenario, scenario_geography, technology, year""".stripMargin
+  }
+
+  /** Mission-Possible steel levelized-cost fixture (nation k 0..7 × 2
+    * regions × 3 years): all four kept source technologies across both
+    * scenarios; junk technology/scenario rows exercise the filters. The
+    * Global leg is the mean over the two regions.
+    */
+  private def steelLcFixture(s: SparkSession, d: String): DataFrame = {
+    val base = nation(s, d).filter(col("n_nationkey") < 8)
+      .select(col("n_nationkey").cast("int").as("k"))
+      .withColumn("technology",
+        element_at(typedLit(Seq("Avg BF-BOF", "DRI-Melt-BOF", "EAF", "DRI-EAF")),
+          col("k") % 4 + 1))
+      .withColumn("scenario",
+        when(floor(col("k") / 4) === 0, "baseline").otherwise("carbon_cost"))
+      .withColumn("__m", explode(typedLit(Seq(1, 2))))
+      .withColumn("region", when(col("__m") === 1, "R1").otherwise("R2"))
+      .withColumn("__i", explode(typedLit(Seq(0, 1, 2))))
+      .withColumn("year", element_at(typedLit(Seq(2022, 2030, 2040)), col("__i") + 1))
+      .withColumn("levelized_cost",
+        (col("k") + 1) * (lit(2) + col("__i")) * lit(0.25) * col("__m"))
+      .drop("k", "__m", "__i")
+    def junk(key: Int, tech: String, scenario: String) =
+      nation(s, d).filter(col("n_nationkey") === key).select(
+        lit(tech).as("technology"), lit(scenario).as("scenario"), lit("R1").as("region"),
+        lit(2022).as("year"), lit(7.5).as("levelized_cost"))
+    base
+      .unionByName(junk(8, "Scrap steel", "baseline"))
+      .unionByName(junk(9, "EAF", "high_ambition"))
+  }
+
+  private val steelKeys = "source, scenario, scenario_geography, sector, technology, unit"
+
+  private val lcoeSteelOracle: String =
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 8),
+       |raw AS (
+       |  SELECT k,
+       |    ['Avg BF-BOF','DRI-Melt-BOF','EAF','DRI-EAF'][k % 4 + 1] AS technology,
+       |    CASE WHEN k // 4 = 0 THEN 'baseline' ELSE 'carbon_cost' END AS scenario,
+       |    CASE WHEN m.m = 1 THEN 'R1' ELSE 'R2' END AS region,
+       |    [2022, 2030, 2040][y.i + 1] AS year,
+       |    CAST((k + 1) * (2 + y.i) * 0.25 * m.m AS DOUBLE) AS lc
+       |  FROM b CROSS JOIN (SELECT unnest([1, 2]) AS m) m
+       |  CROSS JOIN (SELECT CAST(unnest(range(3)) AS INT) AS i) y),
+       |gmean AS (SELECT technology, scenario, 'Global' AS region, year, AVG(lc) AS lc
+       |  FROM raw GROUP BY technology, scenario, year),
+       |u AS (SELECT technology, scenario, region AS scenario_geography, year, lc AS price
+       |    FROM raw
+       |  UNION ALL SELECT technology, scenario, region, year, lc FROM gmean),
+       |flt AS (
+       |  SELECT CASE technology WHEN 'Avg BF-BOF' THEN 'BF-BOF'
+       |      WHEN 'DRI-Melt-BOF' THEN 'DRI-BOF' ELSE technology END AS technology,
+       |    scenario, scenario_geography, year, price
+       |  FROM u WHERE technology IN ('Avg BF-BOF','DRI-Melt-BOF','EAF','DRI-EAF')
+       |    AND scenario IN ('baseline','carbon_cost')),
+       |stl AS (
+       |  SELECT technology, scenario, scenario_geography, year, price,
+       |    'Steel' AS sector, 'Levelized Cost' AS indicator,
+       |    'Mission Possible' AS source, '$$/ton' AS unit
+       |  FROM (SELECT * FROM flt
+       |    UNION ALL SELECT 'BF-EAF', scenario, scenario_geography, year, price
+       |      FROM flt WHERE technology = 'EAF'
+       |    UNION ALL SELECT 'BOF', scenario, scenario_geography, year, price
+       |      FROM flt WHERE technology = 'BF-BOF'
+       |    UNION ALL SELECT 'BF-OHF', scenario, scenario_geography, year, price
+       |      FROM flt WHERE technology = 'BF-BOF')),
+       |adj AS (
+       |  ${impliedAdjustSql("stl", steelKeys, "0.06866203", 2022,
+             "l.scenario, l.year, l.technology, l.scenario_geography, l.sector, l.unit")})
+       |SELECT CASE WHEN scenario = 'baseline' THEN 'Steel_baseline'
+       |    WHEN scenario = 'carbon_cost' THEN 'Steel_NZ' ELSE scenario END AS scenario,
+       |  year, technology, scenario_geography, price, sector, indicator, unit
+       |FROM adj
+       |ORDER BY scenario, scenario_geography, technology, year""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("s21_multi_partition",
       """WITH e AS (SELECT event_type, event_id % 3 AS b, value FROM events
@@ -1116,6 +1374,40 @@ object PipelineQueries {
       // STEPS->APS scenario clones — the full
       // prepare_prewrangled_capacity_factors_WEO2021 DAG.
       CapacityFactors.prepareCapacityFactorsWeo2021(capacityFactorsFixture(s, d), 2020)
+        .orderBy("scenario", "scenario_geography", "technology", "year")
+    },
+    Q("pipe_lcoe_weo", lcoeWeoOracle) { (s, d) =>
+      // The LCOE implied-price adjustment (prepare_LCOE_adjusted_price_
+      // data.R:18-71) over the REAL WEO2021 price pipeline output — the
+      // adjustedWeoPrices leg every vintage merge starts from: Power LCOE
+      // rows become implied market prices (lcoe_t0/(1-npm) scaled by the
+      // cost factor), everything else passes through unchanged.
+      Prices.lcoeAdjustedPrices(
+        Prices.preparePriceDataLongWeo2021(
+          pricesFossilFixture(s, d), pricesPowerFixture(s, d)),
+        averageNpmPower = 0.115, startYear = 2020)
+        .orderBy("source", "scenario", "scenario_geography", "sector", "technology",
+          "indicator", "unit", "year")
+    },
+    Q("pipe_lcoe_oxford", lcoeOxfordOracle) { (s, d) =>
+      // prepare_lcoe_adjusted_price_data_oxford2022 (reference :81-258)
+      // end-to-end: Oxford wrangle (recode branches, RenewablesCap
+      // mean-collapse, OilCap clone), implied-price adjustment, 2070-2100
+      // extension filled by the 2049-2069 closed-form OLS fit, and the
+      // NGFS model x scenario fan-out merged with the Oxford relabels.
+      Prices.prepareLcoeAdjustedPriceDataOxford2022(
+        oxfordLcoeFixture(s, d), averageNpmPower = 0.115, startYear = 2021,
+        ngfsVintage = "2023")
+        .orderBy("scenario", "scenario_geography", "technology", "year")
+    },
+    Q("pipe_lcoe_steel", lcoeSteelOracle) { (s, d) =>
+      // MP_LC_steel_wrangling + prepare_lc_adjusted_price_data_steel
+      // (reference :333-448): Global mean over regions, technology
+      // fan-outs (EAF->BF-EAF, BF-BOF->{BOF, BF-OHF}), the implied-price
+      // adjustment under the steel npm, scenario relabels.
+      Prices.prepareLcAdjustedPriceDataSteel(
+        Prices.mpLcSteelWrangling(steelLcFixture(s, d)),
+        averageNpmSteel = 0.06866203, startYear = 2022)
         .orderBy("scenario", "scenario_geography", "technology", "year")
     },
     Q("pipe_workflow_financial", workflowFinancialOracle) { (s, d) =>
