@@ -31,7 +31,12 @@ class WindowSweepSpec extends SparkTestBase {
         case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
         case _: BaseAggregateExec => ()
         case _: LocalTableScanExec => ()
-        case _: RDDScanExec => ()
+        // NOT RDDScanExec: localCheckpoint output scans as RDDScanExec, so
+        // accepting it wholesale would let a global window over a barriered
+        // 100 TB frame pass the police unflagged (VERDICT r13 wrong #3).
+        // The driver-local <=256-row offset frames (ops/Stats.scala) are
+        // built via createDataFrame on collected rows and plan as
+        // LocalTableScanExec, which stays accepted above.
       }.isDefined
     }
 
@@ -67,6 +72,24 @@ class WindowSweepSpec extends SparkTestBase {
         .withColumn("rn", row_number().over(Window.orderBy(col("l_orderkey"))))
       assert(offendingWindows(bad).nonEmpty,
         "checker failed to flag a single-reducer window over the raw table")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("the sweep DOES flag a global window over a barriered frame (r13 hole)") {
+    // localCheckpoint output scans as RDDScanExec; the r13 allowlist
+    // accepted any RDDScanExec as bounded, so a single-reducer window
+    // placed OVER a lineage barrier slipped the police. The barrier does
+    // not bound cardinality — at 100 TB the checkpointed frame is still
+    // 100 TB.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val bad = graft.core.Tables.nation(spark, sfDir)
+        .localCheckpoint(true)
+        .withColumn("rn", row_number().over(Window.orderBy(col("n_nationkey"))))
+      assert(offendingWindows(bad).nonEmpty,
+        "checker failed to flag a single-reducer window over a localCheckpoint barrier")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
