@@ -5,7 +5,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 /** SQL surface for the snapshot layer (VERDICT r12 #7): `spark.read
@@ -39,14 +40,23 @@ final class SnapshotSource
 
   /** `df.write.format("graft").option("partitionBy", "a,b").save(root)` —
     * an ATOMIC snapshot publish (one new pinned version; readers never
-    * see a half-written state). SaveMode maps onto the layer's verbs:
-    * Append/ErrorIfExists publish partition-grain replacement of the
-    * staged partitions (the layer's additive-file model — ErrorIfExists
-    * additionally requires a fresh table), Overwrite publishes FULL (the
-    * new version pins only this write's files), Ignore no-ops when a
-    * version exists. `partitionBy` is an option because the DataFrame
-    * writer's own partitionBy is not surfaced to V1 CreatableRelation
-    * providers.
+    * see a half-written state). SaveMode maps onto the layer's verbs
+    * with the UNIVERSAL Spark semantics (ADVICE r13: Append used to
+    * silently REPLACE the staged partitions):
+    *
+    *  - Append = TRUE row append ([[Snapshots.publishRowAppend]] —
+    *    existing rows all survive; first write creates the table);
+    *  - Overwrite = FULL publish (the new version pins only this
+    *    write's files) — unless `partitionOverwriteMode` is `dynamic`
+    *    (option, falling back to the session's
+    *    `spark.sql.sources.partitionOverwriteMode`), which publishes
+    *    partition-grain replacement of exactly the staged partitions,
+    *    Spark's own dynamic-overwrite contract;
+    *  - ErrorIfExists requires a fresh table; Ignore no-ops when a
+    *    version exists.
+    *
+    * `partitionBy` is an option because the DataFrame writer's own
+    * partitionBy is not surfaced to V1 CreatableRelation providers.
     */
   override def createRelation(
       sqlContext: SQLContext,
@@ -64,17 +74,23 @@ final class SnapshotSource
       "graft sink: 'partitionBy' option is required (the snapshot layer " +
         "is hive-partitioned; pass a comma-separated column list)")
     val existing = Snapshots.latestVersion(spark, root)
+    def writeStage(stage: String): Unit =
+      data.write.partitionBy(partCols: _*).parquet(stage)
     mode match {
       case SaveMode.Ignore if existing.isDefined => ()
       case SaveMode.ErrorIfExists if existing.isDefined =>
         throw new IllegalStateException(
           s"graft sink: $root already has published versions (SaveMode.ErrorIfExists)")
       case SaveMode.Overwrite =>
-        Snapshots.publishFull(spark, root)(stage =>
-          data.write.partitionBy(partCols: _*).parquet(stage))
-      case _ =>
-        Snapshots.publishPartitions(spark, root)(stage =>
-          data.write.partitionBy(partCols: _*).parquet(stage))
+        val dynamic = opt("partitionOverwriteMode")
+          .getOrElse(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static"))
+          .equalsIgnoreCase("dynamic")
+        if (dynamic) Snapshots.publishPartitions(spark, root)(writeStage)
+        else Snapshots.publishFull(spark, root)(writeStage)
+      case SaveMode.Append =>
+        Snapshots.publishRowAppend(spark, root)(writeStage)
+      case _ => // ErrorIfExists / Ignore on a fresh table: the initial publish
+        Snapshots.publishPartitions(spark, root)(writeStage)
     }
     createRelation(sqlContext, parameters)
   }
@@ -113,15 +129,63 @@ final class SnapshotSource
         Map("basePath" -> root))(spark)
     } else {
       val df = Snapshots.readSnapshot(spark, root, Some(version))
-      new BaseRelation with TableScan {
+      // PrunedFilteredScan, not TableScan (VERDICT r13 #6): a WHERE over a
+      // DV-carrying or column-mapped version must not scan the whole
+      // table. The pushed predicates and the column projection are
+      // applied INSIDE readSnapshot's plan, where Catalyst pushes them
+      // past the DV anti-join down to the parquet scan (PushedFilters /
+      // pruned ReadSchema — SnapshotSourceSpec pins both). Untranslatable
+      // filters are simply not pushed; Spark re-applies every filter on
+      // top regardless (the PrunedFilteredScan contract), so pushdown
+      // here is pure scan savings, never a correctness dependency.
+      new BaseRelation with PrunedFilteredScan {
         override def sqlContext: SQLContext = spark.sqlContext
         override def schema: StructType = df.schema
         // toRdd hands back InternalRows; declaring needConversion=false
         // keeps them unconverted — the standard plan-wrapping shape
         override def needConversion: Boolean = false
-        override def buildScan(): RDD[Row] =
-          df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+          val filtered = filters.flatMap(SnapshotSource.filterToColumn(_))
+            .foldLeft(df)((d, c) => d.filter(c))
+          // column order must match requiredColumns (an empty projection —
+          // a COUNT(*) — selects zero columns)
+          val pruned = filtered.select(
+            requiredColumns.toIndexedSeq.map(n => org.apache.spark.sql.functions.col(
+              s"`${n.replace("`", "``")}`")): _*)
+          pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        }
       }
     }
+  }
+}
+
+object SnapshotSource {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def c(name: String): Column = col(s"`${name.replace("`", "``")}`")
+
+  /** Best-effort V1 Filter -> Column translation. None = not pushable;
+    * Spark re-applies every filter above the scan either way.
+    */
+  private[core] def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(c(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(c(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(c(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+    case sources.In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(c(a).isNull)
+    case sources.IsNotNull(a) => Some(c(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(c(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(c(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(c(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case sources.Not(inner) => filterToColumn(inner).map(!_)
+    case _ => None
   }
 }

@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.regexp_replace
 
 /** Atomic multi-partition publish with snapshot-pinned reads — the
   * manifest-commit generalization of the IVF `_ingest_commits`
@@ -197,6 +198,20 @@ object Snapshots {
     val i = rel.lastIndexOf('/')
     if (i < 0) "" else rel.substring(0, i)
   }
+
+  /** Normalize a URI-shaped file path column to the authority-less
+    * absolute path `Path.toUri.getPath` yields on the driver side: strip
+    * `scheme://authority` (hdfs://nn:8020/p, s3a://bucket/p, file:///p)
+    * and the authority-less `scheme:/p` form alike. The constraint gate
+    * keys scanned rows back to staged dirs through this — stripping only
+    * the scheme would leave '/authority/path' on any filesystem with an
+    * authority and miss the whole join (ADVICE r13: every constrained
+    * publish on hdfs/s3a would refuse).
+    */
+  private[graft] def schemeAuthorityStripped(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Does `part` fall under the replaced-set entry `r`? Exact match, or
     * `r` names an ANCESTOR level of a nested layout (dropping `a=1`
@@ -407,6 +422,28 @@ object Snapshots {
     * retryable storage hiccup or a corrupt stage must not silently decay
     * coverage forever.
     */
+  /** True when the file PROVABLY is not a parquet file: shorter than the
+    * minimum (magic + footer length + magic) or missing the PAR1 bytes at
+    * either end. A probe that cannot read the file returns false — "not
+    * confirmed benign" keeps the caller on the loud path.
+    */
+  private def lacksParquetMagic(fs: FileSystem, p: Path): Boolean =
+    try {
+      val len = fs.getFileStatus(p).getLen
+      if (len < 12) true
+      else {
+        val in = fs.open(p)
+        try {
+          val head = new Array[Byte](4)
+          val tail = new Array[Byte](4)
+          in.readFully(0, head)
+          in.readFully(len - 4, tail)
+          val magic = "PAR1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          !(java.util.Arrays.equals(head, magic) && java.util.Arrays.equals(tail, magic))
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => false }
+
   private def footerHeaderLines(
       fs: FileSystem,
       rootP: Path,
@@ -444,19 +481,18 @@ object Snapshots {
               stats :+ rowsLine(f, blocks.map(_.getRowCount).sum)
             } finally r.close()
           } catch {
-            // ONLY the explicit "not a parquet file" shapes skip coverage
-            // (an externally-staged placeholder, a crash-replay artifact):
-            // those files were never readable as parquet, so conservative
-            // no-stat/no-rows planning is the right degradation. Anything
-            // else — a TRUNCATED footer, a decode bug, a transient storage
-            // error surfacing as RuntimeException — fails the publish
-            // loudly like the pre-r12 footerRange did: a corrupt staged
-            // file must not commit with permanently decayed skip coverage
-            // (ADVICE r12).
-            case e: RuntimeException
-                if e.getMessage != null &&
-                  (e.getMessage.contains("is not a Parquet file") ||
-                    e.getMessage.contains("Expected magic number")) =>
+            // ONLY files that provably lack the parquet magic skip
+            // coverage (an externally-staged placeholder, a crash-replay
+            // artifact): those were never readable as parquet, so
+            // conservative no-stat/no-rows planning is the right
+            // degradation. The classification probes the PAR1 head/tail
+            // bytes directly instead of matching parquet-mr message
+            // wording, which varies across releases (ADVICE r13). A
+            // decode bug or transient storage error on a file whose
+            // magic IS intact still fails the publish loudly: a corrupt
+            // staged file must not commit with permanently decayed skip
+            // coverage (ADVICE r12).
+            case _: RuntimeException if lacksParquetMagic(fs, new Path(rootP, f)) =>
               Seq.empty
           }
         })
@@ -1655,8 +1691,7 @@ object Snapshots {
     }
     val allFiles = dirs.flatMap(_._3).map(_.toString)
     val flaggedAll = spark.read.parquet(allFiles: _*)
-      .withColumn("__graft_file",
-        regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .withColumn("__graft_file", schemeAuthorityStripped(col("_metadata.file_path")))
       .join(broadcast(mapDf), Seq("__graft_file"), "left")
       .withColumn("violated", concat_ws(",", array_compact(array(named: _*))))
     // ONE count job for the whole batch (bounded collect: one row per dir)
@@ -1776,6 +1811,72 @@ object Snapshots {
     }
   }
 
+  /** TRUE ROW APPEND — the universal `mode("append")` contract: add this
+    * write's rows, keep every existing row (ADVICE r13: the sink's old
+    * Append->publishPartitions mapping silently REPLACED the staged
+    * partitions). Stages the write, gates it against the table's
+    * persisted constraints BEFORE any live mutation (refusal leaves only
+    * the stage dir, which is swept), renames the staged data files into
+    * the live layout under their writer-unique names, and commits them
+    * through [[publishAddedFiles]] (manifest = previous ∪ staged — no
+    * partition is replaced). First write on an un-published root
+    * degenerates to the initial publish.
+    *
+    * Crash window: files renamed live but not yet committed are
+    * invisible to every manifest reader (data files are manifest-pinned)
+    * — orphaned bytes, never phantom rows.
+    */
+  def publishRowAppend(spark: SparkSession, root: String)(write: String => Unit): Long = {
+    if (latestVersion(spark, root).isEmpty)
+      return publishPartitions(spark, root)(write)
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val stage = new Path(s"$root/$StageDir/append-$uuid")
+    write(stage.toString)
+    def walk(dir: Path, rel: String): Seq[(Path, String)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.endsWith(".parquet")) Seq((st.getPath, rel))
+        else Seq.empty
+      }
+    val staged = walk(stage, "")
+    require(staged.nonEmpty,
+      s"publishRowAppend under $root: the staged write produced no data files")
+    // pre-gate constraints on the STAGE (publishAddedFiles re-checks, but
+    // by then the files would already be renamed live — refusing here
+    // leaves zero residue outside the swept stage dir)
+    val cons = tableConstraints(spark, root)
+    if (cons.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val bad = spark.read.option("basePath", stage.toString)
+        .parquet(staged.map(_._1.toString): _*)
+        .filter(cons.map(c => not(coalesce(expr(c._2), lit(false)))).reduce(_ || _))
+        .count()
+      if (bad > 0) {
+        fs.delete(stage, true)
+        throw new IllegalStateException(
+          s"publishRowAppend under $root: $bad row(s) violate the table " +
+            s"constraints (${cons.map(_._1).mkString(", ")}) — append commits " +
+            "do not quarantine; fix the batch or route it through a " +
+            "partition-grain publish verb")
+      }
+    }
+    val renamed = staged.map { case (src, rel) =>
+      val tgtDir = if (rel.isEmpty) rootP else new Path(rootP, rel)
+      fs.mkdirs(tgtDir)
+      val tgt = new Path(tgtDir, src.getName)
+      // writer part-file names embed a task UUID — a collision means two
+      // appends staged the same name, which must refuse, not overwrite
+      require(!fs.exists(tgt), s"publishRowAppend: target $tgt already exists")
+      require(fs.rename(src, tgt), s"publishRowAppend: rename of $src into $tgt failed")
+      if (rel.isEmpty) src.getName else s"$rel/${src.getName}"
+    }
+    fs.delete(stage, true)
+    publishAddedFiles(spark, root, renamed)
+  }
+
   /** ROLL BACK to an earlier committed version — as a FORWARD commit: a
     * new version whose manifest is a byte-level copy of `toVersion`'s
     * file list, stats and metadata, plus a `rollback_of` header marking
@@ -1844,6 +1945,16 @@ object Snapshots {
         s"cloneTable: no published version under $srcRoot"))
     require(latestVersion(spark, dstRoot).isEmpty,
       s"cloneTable: $dstRoot already has published versions")
+    // the clone's manifest lines are ABSOLUTE paths into the source
+    // layout, and partition identity is inferred from their trailing
+    // <col>=<value> segments — a source ROOT itself named like a
+    // partition dir would be absorbed into every suffix and silently
+    // shift partition identity (ADVICE r13: publishImpl's guard protects
+    // roots published after it, not pre-existing roots referenced here)
+    require(!new Path(srcRoot).getName.contains("="),
+      s"cloneTable: source table root '$srcRoot' must not itself be named " +
+        "<col>=<value> — its name would be absorbed into the clone's " +
+        "partition-identity suffixes")
     val fs = fsOf(spark, new Path(dstRoot))
     val absLines = manifestFiles(spark, srcRoot, sv)
       .map(f => resolveLine(srcRoot, f)._2)

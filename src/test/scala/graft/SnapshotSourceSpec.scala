@@ -120,21 +120,33 @@ class SnapshotSourceSpec extends SparkTestBase {
 
   test("write path: format(\"graft\") save modes map onto the publish verbs") {
     val root = freshRoot("write")
-    def write(df: DataFrame, mode: String): Unit =
-      df.write.format("graft").mode(mode)
-        .option("partitionBy", "part").save(root)
-    write(fixture(), "append") // first publish
+    def write(df: DataFrame, mode: String, opts: Map[String, String] = Map.empty): Unit = {
+      val w = df.write.format("graft").mode(mode).option("partitionBy", "part")
+      opts.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save(root)
+    }
+    write(fixture(), "append") // first publish = table creation
     assert(Snapshots.latestVersion(spark, root).contains(1L))
     assert(rowsOf(formatRead(root)) == rowsOf(fixture()))
-    // partition-grain replacement: only part=b restaged
+    // TRUE ROW APPEND (ADVICE r13): every pre-existing row survives; the
+    // appended part=b rows land NEXT TO the original part=b rows
     write(fixture(bump = 100).filter(col("part") === "b"), "append")
+    assert(formatRead(root).count() == 40)
+    assert(formatRead(root).filter(col("part") === "b").count() == 20)
     assert(formatRead(root).filter(col("v") >= 100).count() == 10)
+    // ...and the pre-append version stays pinned-readable
+    assert(formatRead(root, Some(1L)).count() == 30)
+    // overwrite + dynamic partitionOverwriteMode = partition-grain
+    // replacement of exactly the staged partitions (Spark's own contract)
+    write(fixture(bump = 300).filter(col("part") === "b"), "overwrite",
+      Map("partitionOverwriteMode" -> "dynamic"))
     assert(formatRead(root).count() == 30)
-    // overwrite = FULL publish: the new version pins only this write
+    assert(formatRead(root).filter(col("part") === "b").count() == 10)
+    assert(formatRead(root).filter(col("v") >= 300).count() == 10)
+    // overwrite (static) = FULL publish: the new version pins only this write
     write(fixture(bump = 500).filter(col("part") === "a"), "overwrite")
     assert(formatRead(root).count() == 10)
     // but the previous versions stay pinned-readable
-    assert(formatRead(root, Some(2L)).count() == 30)
+    assert(formatRead(root, Some(2L)).count() == 40)
     // ignore no-ops on an existing table
     write(fixture(bump = 900), "ignore")
     assert(formatRead(root).count() == 10)
@@ -143,6 +155,47 @@ class SnapshotSourceSpec extends SparkTestBase {
       write(fixture(), "errorifexists")
     }
   }
+
+  test("row append refuses a constraint-violating batch with zero live residue") {
+    val root = freshRoot("appendcons")
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format("graft").mode(mode).option("partitionBy", "part").save(root)
+    write(fixture(), "append")
+    Snapshots.setConstraints(spark, root, Seq("v_nonneg" -> "v >= 0"))
+    val before = rowsOf(formatRead(root))
+    intercept[IllegalStateException] {
+      write(fixture(bump = -1000).filter(col("part") === "a"), "append")
+    }
+    assert(rowsOf(formatRead(root)) == before, "refused append must not mutate the table")
+    // a clean batch still appends under the constraint
+    write(fixture(bump = 50).filter(col("part") === "a"), "append")
+    assert(formatRead(root).count() == 40)
+  }
+
+  test("semantic path: predicates and projection push into the DV-carrying read") {
+    val root = freshRoot("dvpush")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture().write.partitionBy("part").parquet(stage))
+    val v2 = SnapshotOps.deleteWhere(spark, root, col("id") <= 3)
+    // the relation is the semantic (plan-wrapping) path: no bare
+    // FileSourceScanExec at the top, but the filter/projection must reach
+    // the parquet scans INSIDE the wrapped plan
+    val q = formatRead(root, Some(v2)).filter(col("id") > 5).select("part", "id")
+    assert(q.count() == 15)
+    assert(rowsOf2(q) == rowsOf2(
+      Snapshots.readSnapshot(spark, root, Some(v2))
+        .filter(col("id") > 5).select("part", "id")))
+    // plan pin: the V1 relation's buildScan received the pushed filter +
+    // pruned columns — the inner scans read only (part, id) and carry the
+    // id pushdown; v (never required) must not be read
+    val inner = q.queryExecution.executedPlan.toString
+    assert(inner.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(id,5\\).*\\].*"),
+      inner.take(1200))
+    assert(!inner.matches("(?s).*ReadSchema: [^\\n]*\\bv\\b.*"), inner.take(1200))
+  }
+
+  private def rowsOf2(df: DataFrame): Seq[(String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
 
   test("time travel via option pins pre-replace content") {
     val root = freshRoot("tt")

@@ -494,4 +494,55 @@ class SnapshotSpec extends SparkTestBase {
       Snapshots.rollbackTo(spark, root2, w1))
     assert(err2.getMessage.contains("vacuumed"), err2.getMessage)
   }
+
+  test("constraint-gate path keying strips scheme AND authority (ADVICE r13)") {
+    // the gate joins _metadata.file_path (a qualified URI) against
+    // Path.toUri.getPath (no scheme, no authority) — both sides must
+    // normalize to the same absolute path on EVERY filesystem shape
+    import spark.implicits._
+    val got = Seq(
+      "hdfs://nn:8020/warehouse/t/part=a/f.parquet", // scheme + host:port authority
+      "s3a://bucket/t/part=a/f.parquet",             // scheme + bucket authority
+      "file:///tmp/t/part=a/f.parquet",              // scheme + EMPTY authority
+      "file:/tmp/t/part=a/f.parquet",                // scheme, no authority
+      "/tmp/t/part=a/f.parquet")                     // already bare
+      .toDF("p")
+      .select(Snapshots.schemeAuthorityStripped(org.apache.spark.sql.functions.col("p")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "/warehouse/t/part=a/f.parquet",
+      "/t/part=a/f.parquet",
+      "/tmp/t/part=a/f.parquet",
+      "/tmp/t/part=a/f.parquet",
+      "/tmp/t/part=a/f.parquet"), got)
+  }
+
+  test("constrained publish succeeds end-to-end (path keying round-trips)") {
+    val root = freshRoot("snap_consroundtrip")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    Snapshots.setConstraints(spark, root, Seq("v_nonneg" -> "v >= 0"))
+    // a clean batch must publish (a keying miss would refuse EVERY
+    // constrained publish — the ADVICE r13 failure mode on authority FSs)
+    val v = Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("b" -> 2).write.partitionBy("part").parquet(stage))
+    assert(Snapshots.readSnapshot(spark, root, Some(v)).count() > 0)
+  }
+
+  test("cloneTable refuses a source root named like a partition dir (ADVICE r13)") {
+    // publishImpl's r13 guard refuses NEW roots named <col>=<value>; a
+    // PRE-EXISTING table can still sit under one (manifest lines are
+    // root-relative, so a directory rename is transparent) — and a clone
+    // FROM it would bake the root name into absolute partition suffixes
+    val legacy = freshRoot("snap_cloneguard_src")
+    Snapshots.publishPartitions(spark, legacy)(stage =>
+      fixture("a" -> 1).write.partitionBy("part").parquet(stage))
+    val renamed = new Path(new Path(legacy).getParent, "tbl=1")
+    fs(legacy).delete(renamed, true)
+    assert(fs(legacy).rename(new Path(legacy), renamed))
+    val err = intercept[IllegalArgumentException](
+      Snapshots.cloneTable(spark, renamed.toString, freshRoot("snap_clonedst")))
+    assert(err.getMessage.contains("must not itself be named"), err.getMessage)
+    fs(legacy).delete(renamed, true)
+  }
 }
