@@ -153,13 +153,41 @@ object Snapshots {
     fsOf(spark, p).exists(p)
   }
 
+  /** SCOPED manifest-read memo (VERDICT r13 #5): a publish verb's commit
+    * sequence reads its base manifest four-plus times (file list, stats,
+    * rows, meta) and a snapshot read three times — each a full
+    * open+checksum+parse on the driver, ~100 ms of pure FS overhead per
+    * commit on the bench box, multiplied by the several commits a
+    * lifecycle entry makes. Manifests are immutable once committed (the
+    * rename IS the commit), so within one verb the re-reads are provably
+    * identical — but a JVM-lifetime cache could serve a deleted+recreated
+    * test root stale, so the memo lives only inside an explicit
+    * [[withManifestMemo]] scope (commit bodies, snapshot reads) and dies
+    * with it. Nested scopes share the outermost memo.
+    */
+  private val linesMemo =
+    new ThreadLocal[scala.collection.mutable.Map[(String, Long), Seq[String]]]
+
+  private def withManifestMemo[T](f: => T): T = {
+    if (linesMemo.get() != null) f // nested: reuse the outer scope
+    else {
+      linesMemo.set(scala.collection.mutable.Map.empty)
+      try f finally linesMemo.remove()
+    }
+  }
+
   private def manifestLines(spark: SparkSession, root: String, version: Long): Seq[String] = {
-    val p = manifestPath(root, version)
-    val fs = fsOf(spark, p)
-    require(fs.exists(p), s"no manifest for version $version under $root")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    def read(): Seq[String] = {
+      val p = manifestPath(root, version)
+      val fs = fsOf(spark, p)
+      require(fs.exists(p), s"no manifest for version $version under $root")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    val memo = linesMemo.get()
+    if (memo == null) read()
+    else memo.getOrElseUpdate((root, version), read())
   }
 
   /** The data-file list (paths relative to `root`) a version pins. */
@@ -1116,7 +1144,9 @@ object Snapshots {
       // is contiguous: any manifest committed before this writer claimed
       // is visible, and no in-flight lower claim can be skipped over
       val prevV = awaitPredecessor(spark, fs, root, v)
-      val body = bodyFor(v, prevV)
+      // commit-scoped memo: the body re-reads its (immutable, committed)
+      // base manifests several times — serve one parse per (root, version)
+      val body = withManifestMemo { bodyFor(v, prevV) }
       val tmp = new Path(
         s"$root/$ManifestDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
       val out = fs.create(tmp, true)
@@ -2041,7 +2071,7 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       version: Option[Long] = None,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false): DataFrame = withManifestMemo {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(
         s"readSnapshot: no published version under $root"))
