@@ -616,6 +616,58 @@ class ScaleProbeSpec extends SparkTestBase {
         "IO must be manifest-diff-bounded, never table-bounded")
   }
 
+  test("pipe_financial: the composed reference pipeline holds linear at 10x companies") {
+    // VERDICT r13 #8: the pipe_* oracle fixtures are deliberately flat
+    // (25-row nation lattice at every SF) — they gate chain MACHINERY,
+    // not throughput. This probe pushes a data-scaled synthetic company
+    // universe through the REAL prepareFinancialData DAG (per-company
+    // medians, implausible-npm nulling, closest-parent ownership
+    // resolution, three-tier average attach, provenance ratios) and
+    // gates linear growth + plan-shape stability.
+    import graft.pipelines.Financial
+    val locs = typedLit(Seq("DE", "US")) // bridge-covered regions
+    def companies(n: Long): DataFrame = spark.range(n).select(
+      col("id").cast("int").as("company_id"),
+      element_at(typedLit(Seq("Power", "Oil&Gas", "Coal", "Automotive")),
+        pmod(col("id"), lit(4)).cast("int") + 1).as("ald_sector"),
+      element_at(locs, pmod(col("id"), lit(2)).cast("int") + 1).as("ald_location"))
+    def eikon(n: Long): DataFrame = spark.range(n)
+      .filter(pmod(col("id"), lit(10)) < 8) // 80% carry raw indicator rows
+      .select(col("id").cast("int").as("company_id"),
+        element_at(locs, pmod(col("id"), lit(2)).cast("int") + 1).as("ald_location"))
+      .withColumn("j", explode(typedLit(Seq(0, 1))))
+      .withColumn("pd", (pmod(col("company_id") + col("j"), lit(97)) + 1) / 100.0)
+      .withColumn("net_profit_margin",
+        (pmod(col("company_id") * 7 + col("j"), lit(89)) + 1) / 100.0)
+      .withColumn("debt_equity_ratio",
+        (pmod(col("company_id") * 11 + col("j"), lit(83)) + 1) / 10.0)
+      .withColumn("volatility",
+        (pmod(col("company_id") * 13 + col("j"), lit(79)) + 1) / 100.0)
+      .drop("j")
+    def tree(n: Long): DataFrame = spark.range(n)
+      .filter(pmod(col("id"), lit(10)) >= 8) // the raw-less 20% resolve via parents
+      .select((col("id") / 2).cast("int").as("parent_company_id"),
+        col("id").cast("int").as("subsidiary_company_id"),
+        lit(0.5).as("linking_stake"), lit(1).as("ownership_level"))
+    def run(n: Long): (DataFrame, Long, Double) = {
+      val df = Financial.prepareFinancialData(spark, eikon(n), companies(n), Some(tree(n)),
+        minimumSampleSize = 50, minimumRatioSample = 1.0 / 3,
+        allowedRangeNpm = (0.0, 1.0))
+      val (c, t) = timed(df.count())
+      (df, c, t)
+    }
+    run(2000L) // untimed warm pass (codegen/JIT)
+    val (dfS, cS, tS) = run(nVecs)
+    val (dfB, cB, tB) = run(nVecs * 10)
+    assert(cS == nVecs && cB == nVecs * 10,
+      s"every company must emit exactly one financial row: $cS / $cB")
+    assertLinear("pipe_financial", tS, tB)
+    // the failure mode is a plan that shuffles MORE as data grows; fewer
+    // exchanges at 10x (a broadcast threshold flipping a join) is fine
+    assert(exchanges(dfB) <= exchanges(dfS),
+      s"pipe_financial re-shuffles more at 10x: ${exchanges(dfS)} -> ${exchanges(dfB)}")
+  }
+
   test("bfsDistances: 10x nodes within linear time, logarithmic diameter covered") {
     import graft.operators.Graph
     // ring + doubling chords: diameter O(log n), every node reachable
