@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.pipelines.{Abcd, CapacityFactors, CarbonPrice, Financial, Prices, ScenarioData, Workflow}
+import graft.pipelines.{Abcd, CapacityFactors, CarbonPrice, Financial, Prices, ScenarioData, ToyData, Workflow}
 
 /** End-to-end oracle entries for the reference's OUTPUT PIPELINES — the
   * composed DAGs behind the six deliverable tables
@@ -1258,7 +1258,84 @@ object PipelineQueries {
        |FROM adj
        |ORDER BY scenario, scenario_geography, technology, year""".stripMargin
 
+  // ---- sm_toy_sample — the toy-data subsetting workflow ----------------
+
+  /** abcd-shaped universe from nation keys 0..23: eight companies whose
+    * market coverage varies 1-3 business units (the diversity weight
+    * base), with company 6's only series CONSTANT (dropped by rule 1).
+    */
+  private def toyAbcdFixture(s: SparkSession, d: String): DataFrame =
+    nation(s, d).filter(col("n_nationkey") < 24)
+      .select(col("n_nationkey").cast("int").as("k"))
+      .withColumn("company_id", col("k") % 8)
+      .withColumn("bui", floor(col("k") / 8).cast("int"))
+      .filter(col("bui") <= col("company_id") % 3)
+      .withColumn("ald_sector", element_at(typedLit(Seq("Power", "Coal", "Oil&Gas")), col("bui") + 1))
+      .withColumn("ald_business_unit", element_at(typedLit(Seq("CoalCap", "Coal", "Oil")), col("bui") + 1))
+      .withColumn("ald_production_unit", element_at(typedLit(Seq("MW", "t", "GJ")), col("bui") + 1))
+      .withColumn("i", explode(typedLit(Seq(0, 1, 2, 3))))
+      .withColumn("year", lit(2022) + col("i"))
+      .withColumn("plan_tech_prod",
+        when(col("company_id") === 6, lit(2.0))
+          .otherwise((col("k") + 1) * (col("i") + 1) * lit(0.25)))
+      .withColumn("plan_emission_factor", (col("k") + 1) * lit(0.125))
+      .drop("k", "bui", "i")
+
+  private val toyKeys = "company_id, ald_sector, ald_business_unit, ald_production_unit"
+
+  private val toySampleOracle: String =
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 24),
+       |r0 AS (SELECT k, CAST(k % 8 AS INT) AS company_id, CAST(k // 8 AS INT) AS bui
+       |  FROM b WHERE k // 8 <= (k % 8) % 3),
+       |dims AS (SELECT k, company_id,
+       |    ['Power','Coal','Oil&Gas'][bui + 1] AS ald_sector,
+       |    ['CoalCap','Coal','Oil'][bui + 1] AS ald_business_unit,
+       |    ['MW','t','GJ'][bui + 1] AS ald_production_unit
+       |  FROM r0),
+       |cells AS (SELECT d.company_id, d.ald_sector, d.ald_business_unit,
+       |    d.ald_production_unit, 2022 + y.i AS year,
+       |    CASE WHEN d.company_id = 6 THEN 2.0
+       |         ELSE CAST((d.k + 1) * (y.i + 1) * 0.25 AS DOUBLE) END AS plan_tech_prod,
+       |    CAST((d.k + 1) * 0.125 AS DOUBLE) AS plan_emission_factor
+       |  FROM dims d CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS i) y),
+       |nonconst AS (SELECT $toyKeys
+       |  FROM cells GROUP BY $toyKeys HAVING COUNT(DISTINCT plan_tech_prod) > 1),
+       |clean AS (SELECT c.* FROM cells c
+       |  JOIN nonconst n USING (company_id, ald_sector, ald_business_unit, ald_production_unit)),
+       |div AS (SELECT company_id, CAST(COUNT(*) AS BIGINT) AS n_bu FROM
+       |    (SELECT DISTINCT company_id, ald_sector, ald_business_unit FROM clean)
+       |  GROUP BY company_id),
+       |cand AS (SELECT DISTINCT ald_sector, ald_business_unit, company_id FROM clean),
+       |tick AS (SELECT c.ald_sector, c.ald_business_unit, c.company_id,
+       |    CAST(CAST(concat('0x', substr(md5(
+       |      c.ald_sector || '|' || c.ald_business_unit || '|' ||
+       |      CAST(c.company_id AS VARCHAR) || '|' || CAST(t.t AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 1000000 AS BIGINT) AS bkt
+       |  FROM cand c JOIN div d USING (company_id),
+       |    unnest(generate_series(1, d.n_bu * d.n_bu * d.n_bu)) AS t(t)),
+       |keyed AS (SELECT ald_sector, ald_business_unit, company_id, MIN(bkt) AS minb
+       |  FROM tick GROUP BY 1, 2, 3),
+       |sel AS (SELECT ald_sector, ald_business_unit, company_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ald_sector, ald_business_unit
+       |      ORDER BY minb, company_id) AS rk FROM keyed) WHERE rk <= 2)
+       |SELECT c.company_id, c.ald_sector, c.ald_business_unit, c.ald_production_unit,
+       |  c.year, c.plan_tech_prod, c.plan_emission_factor
+       |FROM clean c JOIN sel s USING (ald_sector, ald_business_unit, company_id)
+       |ORDER BY c.ald_sector, c.ald_business_unit, c.company_id, c.year""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("sm_toy_sample", toySampleOracle) { (s, d) =>
+      // The toy-data subsetting workflow (reference data-raw/
+      // sampling_scripts/create-toy-data.Rmd, "to_share" path):
+      // constant-production series dropped, then per (sector, business
+      // unit) TWO companies drawn without replacement with diversity
+      // weight n_bu^3 — the weighted draw as integer ticket-minimum
+      // order statistics over the md5 uniform, so the oracle replays
+      // the exact subset (no cross-engine pow/ln ulp risk).
+      ToyData.sampleNCompaniesWeighted(
+        ToyData.removeConstantProductions(toyAbcdFixture(s, d)), n = 2)
+        .orderBy("ald_sector", "ald_business_unit", "company_id", "year")
+    },
     Q("s21_multi_partition",
       """WITH e AS (SELECT event_type, event_id % 3 AS b, value FROM events
         |  WHERE value IS NOT NULL),
