@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 /** SQL surface for the snapshot layer (VERDICT r12 #7): `spark.read
@@ -55,8 +55,9 @@ final class SnapshotSource
     *  - ErrorIfExists requires a fresh table; Ignore no-ops when a
     *    version exists.
     *
-    * `partitionBy` is an option because the DataFrame writer's own
-    * partitionBy is not surfaced to V1 CreatableRelation providers.
+    * Partition columns come from the writer's own `partitionBy(...)`
+    * (surfaced to V1 providers as the `__partition_columns` JSON option)
+    * or, as a fallback, the legacy `partitionBy` option string.
     */
   override def createRelation(
       sqlContext: SQLContext,
@@ -68,11 +69,18 @@ final class SnapshotSource
       parameters.get(k).orElse(parameters.get(k.toLowerCase))
     val root = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft sink: 'path' option (the snapshot table root) is required"))
-    val partCols = opt("partitionBy").toSeq
-      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    // the writer's OWN partitionBy arrives as the __partition_columns
+    // option (a JSON string array — how DataFrameWriter smuggles
+    // partitioning to V1 relation providers); it wins over the legacy
+    // 'partitionBy' option (VERDICT r13 #7)
+    val writerCols = parameters.get("__partition_columns")
+      .map(SnapshotSource.decodeJsonStringArray).filter(_.nonEmpty)
+    val partCols = writerCols.getOrElse(opt("partitionBy").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
     require(partCols.nonEmpty,
-      "graft sink: 'partitionBy' option is required (the snapshot layer " +
-        "is hive-partitioned; pass a comma-separated column list)")
+      "graft sink: partition columns are required (the snapshot layer is " +
+        "hive-partitioned) — use df.write.partitionBy(...) or the " +
+        "'partitionBy' option (comma-separated column list)")
     val existing = Snapshots.latestVersion(spark, root)
     def writeStage(stage: String): Unit =
       data.write.partitionBy(partCols: _*).parquet(stage)
@@ -115,8 +123,15 @@ final class SnapshotSource
     val (renames, drops) = Snapshots.columnMapping(meta)
     val hasDv = Snapshots.fileDvs(spark, root, version).isDefined
     val crossRoot = files.exists(f => Snapshots.resolveLine(root, f)._1 != root)
+    // `insertable 'true'` opts a USING-view into INSERT INTO support: the
+    // relation must implement InsertableRelation, which the native
+    // HadoopFsRelation fast path cannot — the plan-wrapping shape trades
+    // outer scan fusion for the insert verb. Reads stay pinned at the
+    // view's creation version (the V1 temp-view contract); re-create the
+    // view (or read via format()) to observe rows inserted after it.
+    val insertable = opt("insertable").exists(_.equalsIgnoreCase("true"))
 
-    if (!hasDv && renames.isEmpty && drops.isEmpty && !crossRoot) {
+    if (!hasDv && renames.isEmpty && drops.isEmpty && !crossRoot && !insertable) {
       val paths = files.map(f => new Path(Snapshots.resolveLine(root, f)._2))
       val index = new InMemoryFileIndex(
         spark, paths, Map("basePath" -> root), userSpecifiedSchema = None)
@@ -138,7 +153,11 @@ final class SnapshotSource
       // filters are simply not pushed; Spark re-applies every filter on
       // top regardless (the PrunedFilteredScan contract), so pushdown
       // here is pure scan savings, never a correctness dependency.
-      new BaseRelation with PrunedFilteredScan {
+      //
+      // InsertableRelation makes `INSERT INTO <graft view>` the snapshot
+      // verbs: overwrite = full publish, plain INSERT = true row append —
+      // staged under the table's OWN partition layout (from the manifest).
+      new BaseRelation with PrunedFilteredScan with InsertableRelation {
         override def sqlContext: SQLContext = spark.sqlContext
         override def schema: StructType = df.schema
         // toRdd hands back InternalRows; declaring needConversion=false
@@ -154,6 +173,14 @@ final class SnapshotSource
               s"`${n.replace("`", "``")}`")): _*)
           pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
         }
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val partCols = Snapshots.tablePartitionColumns(spark, root)
+          def writeStage(stage: String): Unit =
+            if (partCols.isEmpty) data.write.parquet(stage)
+            else data.write.partitionBy(partCols: _*).parquet(stage)
+          if (overwrite) Snapshots.publishFull(spark, root)(writeStage)
+          else Snapshots.publishRowAppend(spark, root)(writeStage)
+        }
       }
     }
   }
@@ -162,6 +189,14 @@ final class SnapshotSource
 object SnapshotSource {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
+
+  /** The `__partition_columns` writer option is a JSON string array. */
+  private[core] def decodeJsonStringArray(s: String): Seq[String] = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: DefaultFormats.type = DefaultFormats
+    JsonMethods.parse(s).extract[Seq[String]]
+  }
 
   private def c(name: String): Column = col(s"`${name.replace("`", "``")}`")
 

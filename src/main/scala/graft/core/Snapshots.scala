@@ -218,6 +218,20 @@ object Snapshots {
       segs.drop(j + 1).mkString("/")
     }
 
+  /** The table's partition COLUMN NAMES, read off the latest version's
+    * manifest layout (`a=1/b=2/file` -> Seq(a, b)); empty for an
+    * unpartitioned table. What an INSERT INTO must stage under — the
+    * writer has no schema-level partitioning to consult on a V1 view.
+    */
+  private[graft] def tablePartitionColumns(spark: SparkSession, root: String): Seq[String] = {
+    val v = latestVersion(spark, root).getOrElse(return Nil)
+    manifestFiles(spark, root, v).headOption.map { f =>
+      val part = partitionOf(f)
+      if (part.isEmpty) Nil
+      else part.split('/').toSeq.map(seg => unescapePartValue(seg.takeWhile(_ != '=')))
+    }.getOrElse(Nil)
+  }
+
   /** Partition identity of a manifest line: every dir segment of its rel
     * suffix — `k=1/file` -> `k=1`, `a=1/b=2/file` -> `a=1/b=2`.
     */
