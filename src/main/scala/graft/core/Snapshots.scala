@@ -1888,6 +1888,23 @@ object Snapshots {
     val staged = walk(stage, "")
     require(staged.nonEmpty,
       s"publishRowAppend under $root: the staged write produced no data files")
+    // the staged layout must speak the TABLE's partition columns: an
+    // append written with a different partitionBy would commit a mixed
+    // layout whose partition-schema inference breaks every later read —
+    // silently, and only at read time. Refuse before any live mutation.
+    val tableCols = tablePartitionColumns(spark, root)
+    val stagedCols = staged.map { case (_, rel) =>
+      if (rel.isEmpty) Nil
+      else rel.split('/').toSeq.map(seg => unescapePartValue(seg.takeWhile(_ != '=')))
+    }.distinct
+    if (!(stagedCols.size == 1 && stagedCols.head == tableCols)) {
+      fs.delete(stage, true)
+      throw new IllegalArgumentException(
+        s"publishRowAppend under $root: the staged layout's partition columns " +
+          s"(${stagedCols.map(_.mkString("/")).mkString(", ")}) do not match the " +
+          s"table's (${tableCols.mkString("/")}) — an append must use the table's " +
+          "own partitionBy")
+    }
     // pre-gate constraints on the STAGE (publishAddedFiles re-checks, but
     // by then the files would already be renamed live — refusing here
     // leaves zero residue outside the swept stage dir)

@@ -203,6 +203,24 @@ class SnapshotSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP VIEW graft_ins")
   }
 
+  test("row append refuses a partition-layout mismatch before any live mutation") {
+    val root = freshRoot("appendlayout")
+    fixture().write.format("graft").mode("overwrite").partitionBy("part").save(root)
+    val before = rowsOf(formatRead(root))
+    // wrong partition column: would commit a mixed layout that breaks reads
+    val err = intercept[IllegalArgumentException] {
+      fixture(bump = 10).withColumn("other", col("part"))
+        .write.format("graft").mode("append").partitionBy("other").save(root)
+    }
+    assert(err.getMessage.contains("do not match the table's"), err.getMessage)
+    assert(rowsOf(formatRead(root)) == before)
+    // no orphaned staged/live residue outside the manifest dirs
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = fs.listStatus(new Path(root))
+      .map(_.getPath.getName).filter(n => !n.startsWith("_") && !n.startsWith("part="))
+    assert(stray.isEmpty, stray.mkString(", "))
+  }
+
   test("row append refuses a constraint-violating batch with zero live residue") {
     val root = freshRoot("appendcons")
     def write(df: DataFrame, mode: String): Unit =
