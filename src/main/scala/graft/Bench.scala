@@ -108,7 +108,8 @@ object Bench {
     "pipe_workflow_financial", // financial DAG + v2 feature projection
     "pipe_lcoe_weo",           // implied-price adjust over the WEO price DAG
     "pipe_lcoe_oxford",        // Oxford wrangle + OLS extension + NGFS fan-out
-    "pipe_lcoe_steel"          // steel LC wrangle + implied-price adjust
+    "pipe_lcoe_steel",         // steel LC wrangle + implied-price adjust
+    "pipe_geographies"         // set-overlap regroup + rename + containment
   )
 
   def main(args: Array[String]): Unit = {

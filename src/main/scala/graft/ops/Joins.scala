@@ -206,6 +206,10 @@ object Joins {
     val sets = df
       .groupBy(col(groupCol))
       .agg(collect_set(col(itemCol)).as("__items"))
+      // junction: the per-group sets feed BOTH sides of the pair cross
+      // join — one row per group, so the eager barrier is tiny at any
+      // scale while the upstream aggregate would otherwise run twice
+      .localCheckpoint(true)
     val a = sets.select(col(groupCol).as("g_x"), col("__items").as("items_x"))
     val b = sets.select(col(groupCol).as("g_y"), col("__items").as("items_y"))
     a.crossJoin(b)

@@ -157,9 +157,13 @@ object Geographies {
     * Returns (bench_regions with scenario_geography_newname, renamed inputs).
     */
   def regroupAndRenameGeographies(
-      benchRegions: DataFrame,
+      benchRegionsIn: DataFrame,
       triskInputs: Seq[DataFrame],
       matchingTol: Double = 1.0): (DataFrame, Seq[DataFrame]) = {
+    // junction barrier (the Abcd.scala:108 treatment): the bench frame
+    // feeds the uniqueness assert, the overlap grouping AND the newname
+    // copy — three consumers of the caller's (possibly deep) plan
+    val benchRegions = benchRegionsIn.localCheckpoint(true)
     DataChecks.assertUniqueKeys(benchRegions, Seq("scenario_geography", "country_iso"))
     var bench = benchRegions
       .withColumn("scenario_geography_newname", col("scenario_geography"))
@@ -167,6 +171,9 @@ object Geographies {
     bench = applyGeographyMapping(bench, "scenario_geography_newname", mapper)
     bench = bench.withColumn("scenario_geography_newname",
       standardizeGeographyName(col("scenario_geography_newname")))
+      // junction: the standardized frame feeds the per-input rename
+      // mapping, the containment check AND the caller's return
+      .localCheckpoint(true)
     val renamed = renameStressTestInputs(bench, triskInputs)
     // closing containment check (:264-265)
     val known = bench.select(col("scenario_geography_newname").as("scenario_geography"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.pipelines.{Abcd, CapacityFactors, CarbonPrice, Financial, Prices, ScenarioData, ToyData, Workflow}
+import graft.pipelines.{Abcd, CapacityFactors, CarbonPrice, Financial, Geographies, Prices, ScenarioData, ToyData, Workflow}
 
 /** End-to-end oracle entries for the reference's OUTPUT PIPELINES — the
   * composed DAGs behind the six deliverable tables
@@ -1258,6 +1258,106 @@ object PipelineQueries {
        |FROM adj
        |ORDER BY scenario, scenario_geography, technology, year""".stripMargin
 
+  // ---- pipe_geographies — the stage-5 regroup/rename --------------------
+
+  /** Five geographies: three with IDENTICAL country sets (the grouping +
+    * transitive-chain prune: EU -> Euro Area -> European Union (R5), the
+    * longest name winning), one with '&' and spaces (the full
+    * standardization chain), one Global singleton-ish set overlapping EU
+    * below tolerance.
+    */
+  private val geoNames = Seq("EU", "Euro Area", "European Union (R5)",
+    "Latin America & Carib", "Global")
+
+  private def geoBenchFixture(s: SparkSession, d: String): DataFrame =
+    nation(s, d).filter(col("n_nationkey") < 20)
+      .select(col("n_nationkey").cast("int").as("k"))
+      .withColumn("gi",
+        when(col("k") < 5, 0).when(col("k") < 10, 1)
+          .when(col("k") < 15, 2).when(col("k") < 18, 3).otherwise(4))
+      .withColumn("scenario_geography", element_at(typedLit(geoNames), col("gi") + 1))
+      .withColumn("ci",
+        when(col("gi") === 0, col("k"))
+          .when(col("gi") === 1, col("k") - 5)
+          .when(col("gi") === 2, col("k") - 10)
+          .when(col("gi") === 3, col("k") - 5)
+          .otherwise(when(col("k") === 18, 0).otherwise(10)))
+      .withColumn("country_iso", concat(lit("C"), col("ci").cast("string")))
+      .select("scenario_geography", "country_iso")
+
+  private def geoInputFixture(s: SparkSession, d: String): DataFrame =
+    nation(s, d).filter(col("n_nationkey") < 10)
+      .select(col("n_nationkey").cast("int").as("k"))
+      .withColumn("scenario_geography", element_at(typedLit(geoNames), col("k") % 5 + 1))
+      .withColumn("v", (col("k") + 1) * lit(0.25))
+      .drop("k")
+
+  /** The standardization chain (rename_geographies.R:144-176) in DuckDB:
+    * '&' -> ' and ', title-case multi-word names (initcap replicated as a
+    * per-word upper-first/lower-rest lambda — DuckDB has no initcap),
+    * strip spaces, strip '(R5)' case-insensitively.
+    */
+  private def geoStdSql(x: String): String =
+    s"""regexp_replace(replace(
+       |  CASE WHEN contains(replace($x, '&', ' and '), ' ')
+       |       THEN array_to_string(list_transform(
+       |              string_split(replace($x, '&', ' and '), ' '),
+       |              w -> upper(w[1]) || lower(w[2:])), ' ')
+       |       ELSE replace($x, '&', ' and ') END,
+       |  ' ', ''), '(?i)\\(r5\\)', '')""".stripMargin
+
+  private val geographiesOracle: String =
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 20),
+       |lab AS (SELECT k,
+       |    CASE WHEN k < 5 THEN 0 WHEN k < 10 THEN 1 WHEN k < 15 THEN 2
+       |         WHEN k < 18 THEN 3 ELSE 4 END AS gi
+       |  FROM b),
+       |bench AS (SELECT
+       |    ['EU','Euro Area','European Union (R5)','Latin America & Carib','Global'][gi + 1]
+       |      AS scenario_geography,
+       |    'C' || CAST(CASE gi WHEN 0 THEN k WHEN 1 THEN k - 5 WHEN 2 THEN k - 10
+       |        WHEN 3 THEN k - 5 ELSE (CASE WHEN k = 18 THEN 0 ELSE 10 END) END
+       |      AS VARCHAR) AS country_iso
+       |  FROM lab),
+       |cnt AS (SELECT scenario_geography AS g, COUNT(*) AS n FROM bench GROUP BY 1),
+       |inter AS (SELECT a.scenario_geography AS g_x, bb.scenario_geography AS g_y,
+       |    COUNT(*) AS c
+       |  FROM bench a JOIN bench bb ON a.country_iso = bb.country_iso
+       |    AND a.scenario_geography <> bb.scenario_geography
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT i.g_x, i.g_y FROM inter i JOIN cnt cx ON i.g_x = cx.g
+       |  WHERE CAST(i.c AS DOUBLE) / cx.n >= 1.0),
+       |dedup AS (SELECT *, row_number() OVER (
+       |    PARTITION BY LEAST(g_x, g_y), GREATEST(g_x, g_y) ORDER BY g_x, g_y) AS rn
+       |  FROM pairs),
+       |nd AS (SELECT DISTINCT
+       |    CASE WHEN length(g_x) >= length(g_y) THEN g_y ELSE g_x END AS shortest_name,
+       |    CASE WHEN length(g_x) >= length(g_y) THEN g_x ELSE g_y END AS longest_name
+       |  FROM dedup WHERE rn = 1),
+       |pruned AS (SELECT n.* FROM nd n
+       |  LEFT JOIN (SELECT DISTINCT shortest_name AS mid FROM nd) m
+       |    ON n.longest_name = m.mid
+       |  WHERE m.mid IS NULL),
+       |std AS (SELECT bench.scenario_geography, bench.country_iso,
+       |    ${geoStdSql("COALESCE(p.longest_name, bench.scenario_geography)")} AS newname
+       |  FROM bench LEFT JOIN pruned p ON bench.scenario_geography = p.shortest_name),
+       |mapping AS (SELECT DISTINCT scenario_geography AS old, newname FROM std),
+       |input0 AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 10),
+       |input AS (SELECT
+       |    ['EU','Euro Area','European Union (R5)','Latin America & Carib','Global'][k % 5 + 1]
+       |      AS scenario_geography
+       |  FROM input0),
+       |ren AS (SELECT COALESCE(m.newname, i.scenario_geography) AS g
+       |  FROM input i LEFT JOIN mapping m ON i.scenario_geography = m.old),
+       |icounts AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_input_rows FROM ren GROUP BY g),
+       |agg AS (SELECT scenario_geography, newname AS scenario_geography_newname,
+       |    CAST(COUNT(*) AS BIGINT) AS n_countries
+       |  FROM std GROUP BY 1, 2)
+       |SELECT a.scenario_geography, a.scenario_geography_newname, a.n_countries,
+       |  i.n_input_rows
+       |FROM agg a LEFT JOIN icounts i ON i.g = a.scenario_geography_newname
+       |ORDER BY a.scenario_geography""".stripMargin
+
   // ---- sm_toy_sample — the toy-data subsetting workflow ----------------
 
   /** abcd-shaped universe from nation keys 0..23: eight companies whose
@@ -1324,6 +1424,26 @@ object PipelineQueries {
        |ORDER BY c.ald_sector, c.ald_business_unit, c.company_id, c.year""".stripMargin
 
   def queries: Seq[Q] = Seq(
+    Q("pipe_geographies", geographiesOracle) { (s, d) =>
+      // The stage-5 geography regroup/rename (run_workflow.R:24-25,
+      // rename_geographies.R:216-268) under the hash gate: set-overlap
+      // grouping at tolerance 1, transitive-chain pruning (EU ->
+      // Euro Area -> European Union (R5): the middle mapping dies), name
+      // standardization ('&' -> ' and ', title-case, space strip, (R5)
+      // strip), the mapping rewrite over an input frame, and the closing
+      // containment check — one relation carrying the old -> new mapping,
+      // per-geography country counts and the renamed input's row counts.
+      val (benchOut, renamed) = Geographies.regroupAndRenameGeographies(
+        geoBenchFixture(s, d), Seq(geoInputFixture(s, d)))
+      val counts = renamed.head
+        .groupBy(col("scenario_geography").as("__g"))
+        .agg(count(lit(1)).as("n_input_rows"))
+      benchOut.groupBy("scenario_geography", "scenario_geography_newname")
+        .agg(count(lit(1)).as("n_countries"))
+        .join(counts, col("scenario_geography_newname") === col("__g"), "left")
+        .drop("__g")
+        .orderBy("scenario_geography")
+    },
     Q("sm_toy_sample", toySampleOracle) { (s, d) =>
       // The toy-data subsetting workflow (reference data-raw/
       // sampling_scripts/create-toy-data.Rmd, "to_share" path):
