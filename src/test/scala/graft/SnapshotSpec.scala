@@ -495,6 +495,34 @@ class SnapshotSpec extends SparkTestBase {
     assert(err2.getMessage.contains("vacuumed"), err2.getMessage)
   }
 
+  test("publishRowAppend: programmatic append on partitioned and unpartitioned tables") {
+    import spark.implicits._
+    // partitioned: rows add next to existing rows, partition dirs shared
+    val root = freshRoot("snap_rowappend")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture("a" -> 1, "b" -> 2).write.partitionBy("part").parquet(stage))
+    val v2 = Snapshots.publishRowAppend(spark, root)(stage =>
+      fixture("a" -> 10).write.partitionBy("part").parquet(stage))
+    val got = Snapshots.readSnapshot(spark, root, Some(v2))
+    assert(got.count() ==
+      fixture("a" -> 1, "b" -> 2).count() + fixture("a" -> 10).count())
+    // the appended files live IN the existing partition dirs, additively
+    val files = Snapshots.manifestFiles(spark, root, v2)
+    assert(files.count(_.startsWith("part=a/")) > files.count(_.startsWith("part=b/")))
+    // (the layer refuses unpartitioned staging at publish time by design,
+    // so the append's flat-layout branch is defensive-only — no live path)
+  }
+
+  test("tablePartitionColumns reads the layout off the manifest, nested and flat") {
+    import spark.implicits._
+    val root = freshRoot("snap_tpc")
+    (for (a <- Seq("x", "y"); b <- 0 to 1; i <- 1 to 2) yield (a, b, i.toLong))
+      .toDF("a", "b", "id")
+      .write.format("graft").mode("overwrite").partitionBy("a", "b").save(root)
+    assert(Snapshots.tablePartitionColumns(spark, root) == Seq("a", "b"))
+    assert(Snapshots.tablePartitionColumns(spark, freshRoot("snap_tpc_none")).isEmpty)
+  }
+
   test("constraint-gate path keying strips scheme AND authority (ADVICE r13)") {
     // the gate joins _metadata.file_path (a qualified URI) against
     // Path.toUri.getPath (no scheme, no authority) — both sides must
