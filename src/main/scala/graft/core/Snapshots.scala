@@ -933,7 +933,7 @@ object Snapshots {
       root: String,
       column: String,
       value: org.apache.spark.sql.Column,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame = withManifestMemo {
     import org.apache.spark.sql.functions.col
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(
@@ -2134,7 +2134,7 @@ object Snapshots {
       column: String,
       lo: Double,
       hi: Double,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame = withManifestMemo {
     import org.apache.spark.sql.functions.col
     require(lo <= hi, s"empty range [$lo, $hi]")
     val v = version.orElse(latestVersion(spark, root))
