@@ -127,6 +127,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Logs.quietBoundedWindowWarn()
     // Warm up the JVM before timing: first-query cost is dominated by
     // classloading + JIT of the shuffle/codegen/parquet machinery, not by
     // the engine. A small scan+join+agg+window+sort pass over the tiny
@@ -244,7 +245,13 @@ object Bench {
       val q = steadyOk.map(k => s"\"" + k + "\":" + r(steady(k))).mkString("{", ",", "}")
       s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$q,"value_steady":${r(totalSteady)},"steady_protocol":"min-of-3","errors":$errs,"sf":"$sfDir"}"""
     }
-    val line = Seq(3, 2, 1).map(compactLine).find(_.length <= 1900).getOrElse(compactLine(1))
+    // final fallback (ADVICE r14): if even 1 decimal overflows the window
+    // (catalog growth), drop the per-query map entirely — a totals-only
+    // line stays parseable where an oversized line loses its head in the
+    // tail capture; the full per-query maps live in BENCH_SELF.json.
+    val totalsOnly =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"value_steady":${ms(totalSteady)},"steady_protocol":"min-of-3","errors":$errs,"sf":"$sfDir"}"""
+    val line = Seq(3, 2, 1).map(compactLine).find(_.length <= 1900).getOrElse(totalsOnly)
     println(line)
     // belt-and-braces: persist the full artifact where a truncated stdout
     // capture can't lose it (the judge reads the repo). The path follows

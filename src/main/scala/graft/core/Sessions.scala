@@ -23,6 +23,7 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBoundedWindowWarn()
     graft.plans.Sketches.ensureRegistered(spark)
     spark
   }

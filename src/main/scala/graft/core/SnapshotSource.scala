@@ -34,9 +34,56 @@ import org.apache.spark.sql.types.StructType
   *    returns the table to the fast path).
   */
 final class SnapshotSource
-    extends RelationProvider with CreatableRelationProvider with DataSourceRegister {
+    extends RelationProvider with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- DataSource V2 (TableProvider) ----------------------------------
+  // Reads dispatch through [[GraftTable]]: the fast path advertises
+  // BATCH_READ and plans Spark's native V2 parquet scan over the
+  // manifest-pinned file index; every semantic shape (DVs, column
+  // mapping, clones, insertable views, un-published roots) advertises
+  // nothing, and Spark's own loadV2Source falls back to the V1 relation
+  // below. Writes never advertise BATCH_WRITE — the V1 publish verbs
+  // keep all four SaveModes' universal semantics (the V2 path-based
+  // write refuses ErrorIfExists/Ignore).
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def activeSpark: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).getOrElse(
+      throw new IllegalStateException("graft source: no active SparkSession"))
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
+    GraftTable.resolve(activeSpark, options).map(_.schema()).getOrElse(new StructType())
+
+  override def inferPartitioning(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    GraftTable.resolve(activeSpark, options).map(_.partitioning())
+      .getOrElse(Array.empty)
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val options = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    val fallbackSchema = schema
+    GraftTable.resolve(activeSpark, options).getOrElse(
+      // un-published root (or an empty version): advertise nothing so both
+      // reads and writes fall back to the V1 paths and their clear errors
+      new org.apache.spark.sql.connector.catalog.Table {
+        override def name(): String =
+          s"graft:${Option(options.get("path")).getOrElse("?")}"
+        override def schema(): StructType = fallbackSchema
+        override def capabilities()
+            : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+          java.util.Collections.emptySet()
+      })
+  }
 
   /** `df.write.format("graft").option("partitionBy", "a,b").save(root)` —
     * an ATOMIC snapshot publish (one new pinned version; readers never
@@ -126,9 +173,10 @@ final class SnapshotSource
     // `insertable 'true'` opts a USING-view into INSERT INTO support: the
     // relation must implement InsertableRelation, which the native
     // HadoopFsRelation fast path cannot — the plan-wrapping shape trades
-    // outer scan fusion for the insert verb. Reads stay pinned at the
-    // view's creation version (the V1 temp-view contract); re-create the
-    // view (or read via format()) to observe rows inserted after it.
+    // outer scan fusion for the insert verb. Without an explicit
+    // versionAsOf the view resolves its version at SCAN time (ADVICE r14:
+    // `INSERT INTO v ...; SELECT * FROM v` reads its own writes, the SQL
+    // expectation); an explicit versionAsOf pins, like any other view.
     val insertable = opt("insertable").exists(_.equalsIgnoreCase("true"))
 
     if (!hasDv && renames.isEmpty && drops.isEmpty && !crossRoot && !insertable) {
@@ -164,8 +212,21 @@ final class SnapshotSource
         // keeps them unconverted — the standard plan-wrapping shape
         override def needConversion: Boolean = false
         override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+          // ADVICE r14: an insertable view WITHOUT an explicit versionAsOf
+          // resolves the version at SCAN time — `INSERT INTO v ...;
+          // SELECT * FROM v` reads its own writes like SQL expects. An
+          // explicit versionAsOf stays pinned (the user asked for that
+          // version); so do non-insertable views (the V1 temp-view
+          // contract, and their fast path has no insert to observe).
+          val scanDf =
+            if (insertable && opt("versionAsOf").isEmpty)
+              Snapshots.latestVersion(spark, root)
+                .filter(_ != version)
+                .map(vNow => Snapshots.readSnapshot(spark, root, Some(vNow)))
+                .getOrElse(df)
+            else df
           val filtered = filters.flatMap(SnapshotSource.filterToColumn(_))
-            .foldLeft(df)((d, c) => d.filter(c))
+            .foldLeft(scanDf)((d, c) => d.filter(c))
           // column order must match requiredColumns (an empty projection —
           // a COUNT(*) — selects zero columns)
           val pruned = filtered.select(

@@ -225,11 +225,16 @@ object Snapshots {
     */
   private[graft] def tablePartitionColumns(spark: SparkSession, root: String): Seq[String] = {
     val v = latestVersion(spark, root).getOrElse(return Nil)
-    manifestFiles(spark, root, v).headOption.map { f =>
-      val part = partitionOf(f)
-      if (part.isEmpty) Nil
-      else part.split('/').toSeq.map(seg => unescapePartValue(seg.takeWhile(_ != '=')))
-    }.getOrElse(Nil)
+    manifestFiles(spark, root, v).headOption.map(layoutColsOf).getOrElse(Nil)
+  }
+
+  /** The partition-COLUMN list a manifest line's layout speaks:
+    * `a=1/b=2/file` -> Seq(a, b); an unpartitioned line -> Nil.
+    */
+  private[graft] def layoutColsOf(f: String): Seq[String] = {
+    val part = partitionOf(f)
+    if (part.isEmpty) Nil
+    else part.split('/').toSeq.map(seg => unescapePartValue(seg.takeWhile(_ != '=')))
   }
 
   /** Partition identity of a manifest line: every dir segment of its rel
@@ -1807,7 +1812,8 @@ object Snapshots {
       root: String,
       files: Seq[String],
       replacingFilePrefix: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     require(files.nonEmpty, "publishAddedFiles: no files")
     require(latestVersion(spark, root).nonEmpty,
       s"publishAddedFiles: $root has no published version — additive commits " +
@@ -1832,6 +1838,22 @@ object Snapshots {
     }
     claimAndCommit(spark, root) { (v, prevV) =>
       val prev = prevV.map(pv => manifestFiles(spark, root, pv)).getOrElse(Seq.empty)
+      // ADVICE r14 #1: every caller's layout pre-gate ran against the table
+      // state BEFORE this claim — a concurrent overwrite/publishFull can
+      // change the partition layout in between, and committing the append
+      // anyway would persist exactly the mixed layout the gate refuses.
+      // Re-verify against the CLAIMED predecessor: the body throw releases
+      // the claim (the designed refusal path), nothing mutates.
+      if (prev.nonEmpty) {
+        val prevCols = layoutColsOf(prev.head)
+        val addCols = files.map(layoutColsOf).distinct
+        if (!(addCols.size == 1 && addCols.head == prevCols))
+          throw new java.util.ConcurrentModificationException(
+            s"publishAddedFiles under $root: the added files' partition columns " +
+              s"(${addCols.map(_.mkString("/")).mkString(", ")}) do not match the " +
+              s"predecessor manifest's layout (${prevCols.mkString("/")}) — the " +
+              "table layout changed between staging and commit; re-stage the batch")
+      }
       def dropped(f: String): Boolean =
         replacingFilePrefix.exists(p => f.drop(f.indexOf('/') + 1).startsWith(p))
       val base = prev.filterNot(dropped)
@@ -1847,7 +1869,7 @@ object Snapshots {
         .filter(r => baseRel.contains(r._1))
         .map(r => rowsLine(r._1, r._2))
       writeBloomSidecar(spark, root, v, prevV,
-        files.filterNot(baseSet.contains), baseRel, Nil)
+        files.filterNot(baseSet.contains), baseRel, bloomCols)
       writeDvSidecar(spark, root, v, prevV, baseRel)
       metaHeader(persistentMeta(spark, root, prevV)) ++ keptStats ++ keptRows ++
         footerHeaderLines(fs, rootP, files.filterNot(baseSet.contains), statsCols) ++
@@ -1935,7 +1957,21 @@ object Snapshots {
       if (rel.isEmpty) src.getName else s"$rel/${src.getName}"
     }
     fs.delete(stage, true)
-    publishAddedFiles(spark, root, renamed)
+    // ADVICE r14 #2: appended files must not silently decay skip coverage —
+    // derive the stats/bloom column sets from the PREVIOUS version's
+    // coverage so a table published with statsCols/bloomCols keeps its
+    // min-max and bloom skipping across appends (reads were always exact
+    // either way — conservative inclusion — but range/point skipping on an
+    // append-heavy table would otherwise degrade toward full scans).
+    val coverageV = latestVersion(spark, root)
+    val prevStatsCols = coverageV
+      .map(pv => fileStats(spark, root, pv).map(_._2).distinct).getOrElse(Nil)
+    val prevBloomCols = coverageV
+      .flatMap(pv => fileBlooms(spark, root, pv))
+      .map(_.select("col").distinct().collect().map(_.getString(0)).toSeq)
+      .getOrElse(Nil)
+    publishAddedFiles(spark, root, renamed,
+      statsCols = prevStatsCols, bloomCols = prevBloomCols)
   }
 
   /** ROLL BACK to an earlier committed version — as a FORWARD commit: a

@@ -254,7 +254,7 @@ object Dedup {
     */
   def keepBest(df: DataFrame, cluster: Seq[String], score: Column, tie: Seq[Column]): DataFrame = {
     val rn = graft.core.Cols.fresh(df, "__rn")
-    val w = Window.partitionBy(cluster.map(col): _*)
+    val w = Window.partitionBy(graft.ops.Windows.keysOrConstant(cluster.map(col)): _*)
       .orderBy((score.desc +: tie.map(_.asc)): _*)
     df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }

@@ -162,7 +162,7 @@ object Sampling {
       budgetTokens: Long,
       out: String = "shard"): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    val w = Window.partitionBy(graft.ops.Windows.keysOrConstant(partitionCols.map(col)): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val before = coalesce(sum(tokens.cast("long")).over(w), lit(0L))
     // values are non-negative, so cast-truncation of the double division
@@ -199,7 +199,7 @@ object Sampling {
       "tok_len", "pos_in_example").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input columns collide with the output contract: ${reserved.mkString(", ")}")
-    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    val w = Window.partitionBy(graft.ops.Windows.keysOrConstant(partitionCols.map(col)): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val L = lit(exampleTokens.toLong)
     // offsets are computed over ALL rows (zero-token docs contribute 0),
@@ -328,7 +328,7 @@ object Sampling {
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], k: Int, order: Seq[Column]): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    val w = Window.partitionBy(graft.ops.Windows.keysOrConstant(groupCols.map(col)): _*).orderBy(order: _*)
     // collision-free temp name: an input that already carries "__rn" must
     // not be silently overwritten and dropped
     val rn = graft.core.Cols.fresh(df, "__rn")

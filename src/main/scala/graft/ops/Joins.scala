@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Barriers.BarrierOps
 
 /** Join-shaped operators (SURVEY §2.3). Plain equi-joins use the DataFrame
   * API directly; this module holds the composite ones.
@@ -209,7 +210,7 @@ object Joins {
       // junction: the per-group sets feed BOTH sides of the pair cross
       // join — one row per group, so the eager barrier is tiny at any
       // scale while the upstream aggregate would otherwise run twice
-      .localCheckpoint(true)
+      .planBarrier()
     val a = sets.select(col(groupCol).as("g_x"), col("__items").as("items_x"))
     val b = sets.select(col(groupCol).as("g_y"), col("__items").as("items_y"))
     a.crossJoin(b)
@@ -243,7 +244,7 @@ object Joins {
     * for oracle parity) pin the survivor with an explicit order.
     */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val w = Window.partitionBy(Windows.keysOrConstant(keys.map(col)): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -300,7 +301,7 @@ object Joins {
       .withColumn(side, lit(sideRight))
       .select((leftCols.map(c => (if (keys.contains(c)) col(c) else lit(null).as(c)): Column)
         ++ rightVals.map(col) :+ col(t) :+ col(side)): _*)
-    val w0 = Window.partitionBy(keys.map(col): _*).orderBy(col(t), col(side))
+    val w0 = Window.partitionBy(Windows.keysOrConstant(keys.map(col)): _*).orderBy(col(t), col(side))
     val filled = rightVals.map { v =>
       val c =
         if (direction == "backward")

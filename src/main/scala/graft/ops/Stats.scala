@@ -169,10 +169,10 @@ object Stats {
     // The probe only runs when no hint was supplied.
     val nGroups = knownGroups.getOrElse(df.select(gkey.as(kN)).distinct().count())
     if (nGroups * buckets > maxDriverRows) {
-      val pw = Window.partitionBy(groupKeys.map(col): _*).orderBy(value +: tie: _*)
+      val pw = Window.partitionBy(Windows.keysOrConstant(groupKeys.map(col)): _*).orderBy(value +: tie: _*)
       val ranked = df.withColumn(out, row_number().over(pw).cast("long"))
       return nOut.fold(ranked)(nn => ranked.withColumn(nn,
-        count(lit(1)).over(Window.partitionBy(groupKeys.map(col): _*))))
+        count(lit(1)).over(Window.partitionBy(Windows.keysOrConstant(groupKeys.map(col)): _*))))
     }
     val base = df.withColumn(vN, value.cast("double")).withColumn(kN, gkey)
     val stats = base.groupBy(col(kN)).agg(min(col(vN)).as(mnN), max(col(vN)).as(mxN))
@@ -267,7 +267,7 @@ object Stats {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
     require(lookback >= 1, s"lookback >= 1, got $lookback")
     require(keys.nonEmpty, "ewma needs partition keys (a global window cannot scale)")
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy(Windows.keysOrConstant(keys.map(col)): _*)
       .orderBy(order.map(col): _*)
       .rowsBetween(-(lookback - 1), Window.currentRow)
     val lst = collect_list(col(value).cast("double")).over(w)
@@ -314,7 +314,7 @@ object Stats {
     require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
     require(lookback >= 1, s"lookback >= 1, got $lookback")
     require(keys.nonEmpty, "holt needs partition keys (a global window cannot scale)")
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy(Windows.keysOrConstant(keys.map(col)): _*)
       .orderBy(order.map(col): _*)
       .rowsBetween(-(lookback - 1), Window.currentRow)
     val lst = collect_list(col(value).cast("double")).over(w)
@@ -401,7 +401,7 @@ object Stats {
       .orderBy(col("true_n").desc, col(key))
       .limit(topK)
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("true_n").desc, col(key))))
+        graft.ops.Windows.boundedGlobal(col("true_n").desc, col(key))))
       .select(col(key), col("true_n"), col("cms_n"),
         (col("cms_n") - col("true_n")).as("overcount"), col("rk"))
   }
@@ -479,8 +479,8 @@ object Stats {
     // the post-limit windows are global but run on ≤ k rows — bounded by
     // construction, the same k-row footprint the limit already created
     val ranked = sample
-      .withColumn("n_sample", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("vrk", row_number().over(Window.orderBy(col("v"), col("pri"))))
+      .withColumn("n_sample", count(lit(1)).over(graft.ops.Windows.boundedAll))
+      .withColumn("vrk", row_number().over(graft.ops.Windows.boundedGlobal(col("v"), col("pri"))))
     // index ⌊(n−1)·q⌋ is exact integer math once q is a ratio of ints:
     // q = num/100 → idx = ((n−1)·num) DIV 100 (qs constrained to percent)
     val picks = qs.map { q =>

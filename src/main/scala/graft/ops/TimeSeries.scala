@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   private def w(keys: Seq[String], x: String) =
-    Window.partitionBy(keys.map(col): _*).orderBy(col(x))
+    Window.partitionBy(Windows.keysOrConstant(keys.map(col)): _*).orderBy(col(x))
 
   /** R4: complete the integer grid [lo, hi] for every distinct key combo,
     * left-joining original values (missing rows get null value columns).
@@ -155,7 +155,7 @@ object TimeSeries {
     */
   def zeroAfterLastObs(df: DataFrame, keys: Seq[String], x: String, v: String, out: String): DataFrame = {
     val lastObsX = max(when(col(v).isNotNull, col(x)))
-      .over(Window.partitionBy(keys.map(col): _*))
+      .over(Window.partitionBy(Windows.keysOrConstant(keys.map(col)): _*))
     df.withColumn(
       out,
       when(col(v).isNull && (lastObsX.isNull || col(x) > lastObsX), lit(0.0))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.DataChecks
 import graft.ops.{Aggregates, Reshape, TimeSeries}
+import graft.core.Barriers.BarrierOps
 
 /** ABCD stress-test input pipeline — the Spark re-expression of
   * `prepare_abcd_data` (reference R/prepare_abcd_stress_test_input.R:
@@ -105,7 +106,7 @@ object Abcd {
     // 100 TB the same math holds harder — one extra pass over the data
     // beats recomputing the fill chain per branch (swap for a reliable
     // checkpoint() on clusters where executor loss must be survivable).
-    abcd = abcd.localCheckpoint(true)
+    abcd = abcd.planBarrier()
     // MW production matched to MWh-derived emission factors (reference :193-207)
     val mwProd = abcd.filter(col("ald_production_unit") === "MW")
       .drop("emissions_factor_unit", "emissions_factor").distinct()
@@ -117,7 +118,7 @@ object Abcd {
     abcd = abcd.filter(!col("ald_production_unit").isin("MW", "MWh"))
       .unionByName(mwJoined)
       // junction: avgEf + missingEf + the not-missing filter all re-read
-      .localCheckpoint(true)
+      .planBarrier()
 
     // reference :130-168 fill_missing_emission_factor
     val avgEf = abcd
@@ -132,7 +133,7 @@ object Abcd {
     abcd = abcd.withColumn("emissions_factor",
       when(col("ald_production") === 0, 0.0).otherwise(col("emissions_factor")))
       // junction: emptyKeys probe + anti join + assetIds + final join
-      .localCheckpoint(true)
+      .planBarrier()
 
     // reference :216-237 drop keys whose production is all-null-or-zero
     val emptyKeys = groupAllExcept(abcd, Seq("year", "ald_production", "emissions_factor"))(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.DataChecks
 import graft.ops.{Reshape, TimeSeries}
+import graft.core.Barriers.BarrierOps
 
 /** Capacity-factor pipeline — Spark re-expression of
   * `prepare_prewrangled_capacity_factors_WEO2021` (reference
@@ -47,7 +48,7 @@ object CapacityFactors {
       // feeds BOTH indicator slices, and the Capacity/Generation join below
       // therefore carries the whole subtree twice before completeGrid
       // triples it again — one materialization pass collapses all of it.
-      .localCheckpoint(true)
+      .planBarrier()
 
     // reference :69-103 — split indicator frames, unpivot, unit-convert
     def longSide(indicator: String, valueName: String): DataFrame =
@@ -67,7 +68,7 @@ object CapacityFactors {
       .distinct()
       // junction: completeGrid reads the joined frame twice (distinct keys
       // + join side)
-      .localCheckpoint(true)
+      .planBarrier()
 
     // reference :110-135 — complete to [startYear, endYear], interpolate
     val nesting = joinKeys.filterNot(_ == "year")
@@ -102,7 +103,7 @@ object CapacityFactors {
     cf = cf.select("scenario", "scenario_geography", "technology", "year", "capacity_factor")
       // junction: the two relabelSlice clones below each re-read the frame
       // (slice + union base), stacking the interpolation subtree 4x
-      .localCheckpoint(true)
+      .planBarrier()
 
     // reference :213-237 — scenario prefix + relabel slices (U5)
     cf = cf.withColumn("scenario", concat_ws("_", lit("WEO2021"), col("scenario")))
@@ -216,7 +217,7 @@ object CapacityFactors {
       .filter(col("year") >= startYear)
       // junction: the interpolated frame feeds the generation AND capacity
       // slices of the full outer join
-      .localCheckpoint(true)
+      .planBarrier()
     // :445-467 — EJ→GW (1 EJ/yr = 31.68808781 GW), wide split, full join on
     // the shared perimeter (units align because generation is restated GW)
     val generation = d.filter(col("category_a") === "Secondary Energy")
@@ -281,7 +282,7 @@ object CapacityFactors {
         col("year"), col("value"))
       // junction: d feeds the renewables aggregate, the union base and the
       // Capacity/Generation slices
-      .localCheckpoint(true)
+      .planBarrier()
     // :700-712 — RenewablesCap added per Category; components KEPT
     val renewSrc = Seq("OffWindCap", "OnWindCap", "SolarCap", "BiomassCap")
     val renew = d.filter(col("technology").isin(renewSrc: _*))
@@ -335,7 +336,7 @@ object CapacityFactors {
           .otherwise(col("scenario")))
       // junction: d feeds the extension grid, the union base AND the 2040
       // anchor lookup — three consumers
-      .localCheckpoint(true)
+      .planBarrier()
     val extension = d.select("scenario_geography", "technology", "scenario").distinct()
       .withColumn("year", explode(sequence(lit(2041), lit(2100))))
       .withColumn("capacity_factor", lit(null).cast("double"))
@@ -364,7 +365,7 @@ object CapacityFactors {
       .withColumn("technology",
         when(col("technology") === "BOF Steel", "BOF").otherwise(col("technology")))
       // junction: d feeds six technology fan-out slices AND the union base
-      .localCheckpoint(true)
+      .planBarrier()
     def slice(from: String, to: String) =
       d.filter(col("technology") === from).withColumn("technology", lit(to))
     d = d.filter(!col("technology").isin("EAF Steel", "DRI"))

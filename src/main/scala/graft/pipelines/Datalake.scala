@@ -209,9 +209,11 @@ object Datalake {
   def attachAdditionalIsins(ids: DataFrame, newIdIsins: DataFrame): DataFrame = {
     val unknown = newIdIsins.select("company_id", "isin").distinct()
       .join(ids.select("isin").distinct(), Seq("isin"), "left_anti")
+    // reference :310 left_join: an externally supplied company_id absent
+    // from the ids table still lands (attrs null), it is not dropped
     val idAttrs = ids.drop("isin", "trustworthy").distinct()
     val enhanced = unknown
-      .join(idAttrs, Seq("company_id"))
+      .join(idAttrs, Seq("company_id"), "left")
       .withColumn("trustworthy", lit(true))
     ids.unionByName(enhanced.select(ids.columns.map(col): _*))
   }

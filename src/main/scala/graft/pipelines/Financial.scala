@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.DataChecks
+import graft.core.Barriers.BarrierOps
 
 /** Financial-data preparation pipeline — Spark re-expression of
   * `prepare_financial_data` (reference R/prepare_prewrangled_financial_
@@ -166,7 +167,7 @@ object Financial {
     // truncates the lineage so the downstream Catalyst trees carry a leaf
     // instead of six copies of the median aggregation (and at scale, six
     // scans of the aggregated company table become one materialization).
-    financial = financial.localCheckpoint(true)
+    financial = financial.planBarrier()
 
     // reference :546-556 — companies in production but not in financials
     var missing = companiesData.select("company_id", "ald_sector", "ald_location").distinct()
@@ -197,7 +198,7 @@ object Financial {
         allowMissingColumns = true)
       .filter(col("company_id").isNotNull)
       // junction: the three attachAverages tiers + two anti probes re-read it
-      .localCheckpoint(true)
+      .planBarrier()
     // cache before the mid-pipeline check: the assertion action populates
     // the cache the downstream plan then reads, so the subtree executes
     // once instead of once per consumer (DataChecks scaladoc pattern)
@@ -218,7 +219,7 @@ object Financial {
       indicators.map(i => col(s"final_$i").as(i)) ++
       provenanceFeatures.map(i => col(s"indicator_type_$i"))): _*)
       // junction: company-level medians + one pivot per provenance feature
-      .localCheckpoint(true)
+      .planBarrier()
 
     // reference :586-596 — aggregate to company level + provenance counts
     val companyLevel = aggregateIndicators(fin, Seq("company_id"))

@@ -4,23 +4,45 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.DataChecks
 import graft.ops.Joins
+import graft.core.Barriers.BarrierOps
 
 /** Geography grouping/renaming — Spark re-expression of
   * R/rename_geographies.R:46-176.
   */
 object Geographies {
 
-  /** reference :51-107 group_identical_geographies: geographies whose
-    * country sets overlap >= tol are grouped; each maps to the longest
-    * name of its pair; chains are pruned (a name that is itself mapped
-    * away never appears as a target).
+  /** reference :51-107 group_identical_geographies: geographies with
+    * IDENTICAL country sets are grouped; each maps to the longest name of
+    * its pair; chains are pruned (a name that is itself mapped away never
+    * appears as a target).
+    *
+    * Fidelity note (found by the real-data run): the R metric
+    * `length(x[x %in% y]) / length(x)` runs on LIST-columns, where `%in%`
+    * compares the whole country VECTOR as one element — it evaluates to 1
+    * exactly when the two geographies' country lists are identical, and 0
+    * otherwise. It is NOT a containment ratio: a one-sided
+    * |x∩y|/|x| >= tol reading groups every subset geography into its
+    * superset and on the real bench maps `Global` away into a longer
+    * name. Equality-grouping recomputes the shipped bench_regions.csv
+    * newname column 106/106 geographies exactly.
+    *
+    * Spark shape: one aggregate to a sorted country-set per geography,
+    * then an equi-join on the set (hash-partitioned — no cross join, no
+    * all-pairs work at any geography count).
     *
     * Returns a mapping DataFrame (shortest_name, longest_name).
+    * `matchingTol` gates like the reference's: any tol in (0, 1] keeps
+    * the 0/1 equality matches; tol > 1 matches nothing.
     */
   def groupIdenticalGeographies(benchRegions: DataFrame, matchingTol: Double): DataFrame = {
-    val pairs = Joins.setOverlapPairs(
-      benchRegions.select(col("scenario_geography").as("g"), col("country_iso").as("item")),
-      "g", "item", matchingTol)
+    val sets = graft.core.Barriers.barrier(
+      benchRegions
+        .groupBy(col("scenario_geography"))
+        .agg(sort_array(collect_set(col("country_iso"))).as("__items")))
+    val pairs = sets.select(col("scenario_geography").as("g_x"), col("__items").as("items_x"))
+      .join(sets.select(col("scenario_geography").as("g_y"), col("__items").as("items_y")),
+        col("items_x") === col("items_y") && col("g_x") =!= col("g_y"))
+      .filter(lit(1.0) >= matchingTol)
     val named = pairs
       .withColumn("longest_name",
         when(length(col("g_x")) >= length(col("g_y")), col("g_x")).otherwise(col("g_y")))
@@ -163,7 +185,7 @@ object Geographies {
     // junction barrier (the Abcd.scala:108 treatment): the bench frame
     // feeds the uniqueness assert, the overlap grouping AND the newname
     // copy — three consumers of the caller's (possibly deep) plan
-    val benchRegions = benchRegionsIn.localCheckpoint(true)
+    val benchRegions = benchRegionsIn.planBarrier()
     DataChecks.assertUniqueKeys(benchRegions, Seq("scenario_geography", "country_iso"))
     var bench = benchRegions
       .withColumn("scenario_geography_newname", col("scenario_geography"))
@@ -173,17 +195,19 @@ object Geographies {
       standardizeGeographyName(col("scenario_geography_newname")))
       // junction: the standardized frame feeds the per-input rename
       // mapping, the containment check AND the caller's return
-      .localCheckpoint(true)
+      .planBarrier()
     val renamed = renameStressTestInputs(bench, triskInputs)
     // closing containment check (:264-265)
     val known = bench.select(col("scenario_geography_newname").as("scenario_geography"))
       .distinct()
     val unknown = getAllUniqueGeographies(renamed)
       .join(known, Seq("scenario_geography"), "left_anti")
-      .count()
-    if (unknown > 0)
+      .limit(21).collect().map(_.getString(0))
+    if (unknown.nonEmpty)
       throw DataChecks.CheckFailed(
-        s"$unknown input geographies missing from renamed bench_regions")
+        s"input geographies missing from renamed bench_regions: " +
+          unknown.take(20).mkString(", ") +
+          (if (unknown.length > 20) ", …" else ""))
     (bench, renamed)
   }
 }

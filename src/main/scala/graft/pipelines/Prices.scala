@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.DataChecks
 import graft.ops.{Regression, Reshape, TimeSeries}
+import graft.core.Barriers.BarrierOps
 
 /** Price pipeline — Spark re-expression of prepare_price_data_long_WEO2021
   * and the LCOE price adjustment (reference R/prepare_price_data_long.R:
@@ -47,7 +48,7 @@ object Prices {
       // distinct keys, join side) — without a barrier the unpivot subtree
       // appears ~6x in the final logical tree and Catalyst re-analyzes it
       // per consumer. One materialization pass beats that at any scale.
-      .localCheckpoint(true)
+      .planBarrier()
     val fossilGlobal = fossil
       .filter(col("technology").isin("Gas", "Coal"))
       .groupBy("source", "scenario", "sector", "technology", "year", "unit", "indicator")
@@ -62,7 +63,7 @@ object Prices {
     // junction: completeGridGlobalRange reads the union three times (the
     // global min/max agg, the distinct-keys grid and the join side)
     var data = fossil.unionByName(power.select(fossil.columns.map(col): _*))
-      .localCheckpoint(true)
+      .planBarrier()
     data = TimeSeries.completeGridGlobalRange(data, keyCols, "year")
     data = TimeSeries.naApprox(data, keyCols, "year", "price", "price")
 
@@ -96,7 +97,7 @@ object Prices {
       .groupBy((keyCols :+ "year").map(col): _*)
       .agg(avg(col("price")).as("price")) // multiple wind/solar rows -> one
       // junction: the aggregate feeds the placeholder slice AND the union
-      .localCheckpoint(true)
+      .planBarrier()
     // placeholder OilCap/HydroCap from GasCap/RenewablesCap (reference :144-158)
     val placeholders = power
       .filter(col("technology").isin("GasCap", "RenewablesCap"))
@@ -105,7 +106,7 @@ object Prices {
     power = power.unionByName(placeholders)
     power = TimeSeries.fillDown(power, keyCols.filterNot(_ == "year"), "year", "price", "price")
       // junction: the filled frame feeds the Global aggregate AND the union
-      .localCheckpoint(true)
+      .planBarrier()
     val powerGlobal = power
       .groupBy("source", "scenario", "year", "sector", "technology", "unit", "indicator")
       .agg(avg(col("price")).as("price"))
@@ -210,7 +211,7 @@ object Prices {
         col("year"), col("value").as("price"))
       // junction: d feeds the coal, gas and oil global aggregates — three
       // consumers
-      .localCheckpoint(true)
+      .planBarrier()
     // :413-447 — three global aggregates from partial regional coverage
     val coalGlobal = d.filter(col("technology") === "Coal")
       .groupBy("scenario", "Variable_class", "year")
@@ -341,7 +342,7 @@ object Prices {
       startYear: Int): DataFrame = {
     // junction: the LCOE slice feeds the one-row-per-group implied side AND
     // the windowed series side
-    val lcoe = lcoeRows.localCheckpoint(true)
+    val lcoe = lcoeRows.planBarrier()
     val implied = lcoe.filter(col("year") === startYear)
       .withColumn("implied_price", col("price") / (1 - averageNpm))
       .select((keys.map(col) :+ col("implied_price")): _*)
@@ -363,7 +364,7 @@ object Prices {
     */
   def lcoeAdjustedPrices(input: DataFrame, averageNpmPower: Double, startYear: Int): DataFrame = {
     // junction: the filtered frame feeds the LCOE slice AND its complement
-    val unadjusted = input.filter(col("year") >= startYear).localCheckpoint(true)
+    val unadjusted = input.filter(col("year") >= startYear).planBarrier()
     val lcoe = unadjusted.filter(col("sector") === "Power" && col("indicator") === "LCOE")
     val adjusted = impliedPriceAdjust(lcoe,
         Seq("source", "scenario", "scenario_geography", "sector", "technology", "unit"),
@@ -410,7 +411,7 @@ object Prices {
         col("Year").as("year"), col("LCOE").as("price"))
       // junction: d feeds the OilCap clone, the RenewablesCap collapse AND
       // the complement filter — three consumers
-      .localCheckpoint(true)
+      .planBarrier()
     // :119-132 — OilCap clone + RenewablesCap mean-collapse (window mean +
     // distinct mirrors the reference's grouped mutate + unique)
     val oilCap = d.filter(col("technology") === "GasCap")
@@ -426,7 +427,7 @@ object Prices {
       averageNpmPower, startYear)
     // junction: the adjusted frame feeds the extension's distinct-keys grid
     // AND the union
-    d = d.localCheckpoint(true)
+    d = d.planBarrier()
     // :174-195 — extension rows 2070-2100 (the reference also fabricates
     // slow-transition rows here, but every downstream branch filters them
     // back out, so only the two live scenarios are extended)
@@ -452,7 +453,7 @@ object Prices {
       averageNpmPower: Double,
       startYear: Int): DataFrame = {
     // junction: the filtered frame feeds the LCOE slice AND its complement
-    val unadjusted = input.filter(col("year") >= startYear).localCheckpoint(true)
+    val unadjusted = input.filter(col("year") >= startYear).planBarrier()
     val lcoe = unadjusted.filter(col("sector") === "Power" && col("indicator") === "LCOE")
     val adjusted = impliedPriceAdjust(lcoe,
         Seq("source", "scenario", "scenario_geography", "sector", "technology", "unit"),
@@ -463,7 +464,7 @@ object Prices {
       .filter(col("scenario_geography") === "Global")
     val sds = adjusted.filter(col("scenario") === "SDS")
       // junction: the SDS slice is duplicated under two labels
-      .localCheckpoint(true)
+      .planBarrier()
     sds.withColumn("scenario", lit("IPR2023_FPS"))
       .unionByName(sds.withColumn("scenario", lit("IPR2023_RPS")))
   }
@@ -487,7 +488,7 @@ object Prices {
           .when(col("technology") === "DRI-Melt-BOF", "DRI-BOF")
           .otherwise(col("technology")))
       // junction: d feeds three technology fan-out slices AND the union base
-      .localCheckpoint(true)
+      .planBarrier()
     def slice(from: String, to: String) =
       d.filter(col("technology") === from).withColumn("technology", lit(to))
     d = d.unionByName(slice("EAF", "BF-EAF"))
@@ -544,7 +545,7 @@ object Prices {
   def fanOutNgfsScenarios(pricesAdjustedIn: DataFrame, ngfsVintage: String): DataFrame = {
     // junction: the adjusted frame feeds the fast slice, the slow slice AND
     // the Oxford relabel — three consumers
-    val pricesAdjusted = pricesAdjustedIn.localCheckpoint(true)
+    val pricesAdjusted = pricesAdjustedIn.planBarrier()
     val spark = pricesAdjusted.sparkSession
     import spark.implicits._
     val models = Seq("GCAM", "REMIND", "MESSAGE").toDF("model")

@@ -233,6 +233,13 @@ object RunWorkflow {
         .withColumn("source", lit("synthetic"))
         .withColumn("year", col("year").cast("int"))
         .withColumn("price", col("price").cast("double"))
+        // the reference's Global write filter (run_prepare_price_data_long
+        // .R:360) applies AFTER auto_prices are bound — autos fan out over
+        // the scenario table's FULL geography set, and without this filter
+        // every non-Global automotive row leaks into the price deliverable
+        // (exposed by the real-data run; the dyadic fixtures are
+        // Global-only so the r13/r14 gates never saw it)
+        .filter(col("scenario_geography") === "Global")
       prices = prices.unionByName(auto, allowMissingColumns = true)
     }
 

@@ -3,6 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Barriers.BarrierOps
 import graft.core.DataChecks
 import graft.ops.{Shares, TimeSeries}
 
@@ -450,48 +451,39 @@ object ScenarioData {
       .withColumn("technology", element_at(split(col("Annual energy"), "_"), 1))
       .withColumn("ald_sector", element_at(split(col("Annual energy"), "_"), 2))
       .drop("Annual energy")
-    // :846-861 — the reference reassigns the two columns in sequence; each
-    // line sees the previous line's result, so the order is semantic
+    // :846-861 — the reference reassigns the two columns over 18 SEQUENTIAL
+    // lines, each seeing the previous line's result. Replaying that
+    // literally as 18 stacked withColumns is semantically right but
+    // catastrophically un-plannable: each level embeds the previous
+    // technology expression ~2x plus the sector cascade, so Catalyst's
+    // Project collapse (PhysicalOperation alias substitution) grows
+    // ~3^18 nodes and planning alone takes minutes. The cascade collapses
+    // EXACTLY into two levels, because the conditions only test the RAW
+    // values (no later line ever matches an earlier line's output:
+    // "electricity"->Power is the only sector rewrite before the "final"
+    // tests, and tech outputs like CoalCap are never re-tested):
+    //  - sector' from (raw tech, raw sector)
+    //  - tech'   from (raw tech, sector')
     d = d
       .withColumn("ald_sector",
-        when(col("ald_sector") === "electricity", "Power").otherwise(col("ald_sector")))
-      .withColumn("ald_sector",
-        when(col("technology") === "coal" && col("ald_sector") === "final", "Coal")
-          .otherwise(col("ald_sector")))
-      .withColumn("ald_sector",
-        when(col("technology") === "gas" && col("ald_sector") === "final", "Oil&Gas")
-          .otherwise(col("ald_sector")))
-      .withColumn("ald_sector",
-        when(col("technology") === "oil" && col("ald_sector") === "final", "Oil&Gas")
+        when(col("ald_sector") === "electricity", "Power")
+          .when(col("technology") === "coal" && col("ald_sector") === "final", "Coal")
+          .when(col("technology").isin("gas", "oil") && col("ald_sector") === "final",
+            "Oil&Gas")
           .otherwise(col("ald_sector")))
       .withColumn("technology",
         when(col("technology") === "coal" && col("ald_sector") === "Power", "CoalCap")
+          .when(col("technology") === "gas" && col("ald_sector") === "Power", "GasCap")
+          .when(col("technology") === "oil" && col("ald_sector") === "Power", "OilCap")
+          .when(col("technology") === "coal" && col("ald_sector") === "Coal", "Coal")
+          .when(col("technology") === "gas" && col("ald_sector") === "Oil&Gas", "Gas")
+          .when(col("technology") === "oil" && col("ald_sector") === "Oil&Gas", "Oil")
+          .when(col("technology") === "solar", "SolarCap")
+          .when(col("technology") === "wind", "WindCap")
+          .when(col("technology") === "nuclear", "NuclearCap")
+          .when(col("technology") === "hydro", "HydroCap")
+          .when(col("technology") === "bioenergy", "BiomassCap")
           .otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "gas" && col("ald_sector") === "Power", "GasCap")
-          .otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "oil" && col("ald_sector") === "Power", "OilCap")
-          .otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "coal" && col("ald_sector") === "Coal", "Coal")
-          .otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "gas" && col("ald_sector") === "Oil&Gas", "Gas")
-          .otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "oil" && col("ald_sector") === "Oil&Gas", "Oil")
-          .otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "solar", "SolarCap").otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "wind", "WindCap").otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "nuclear", "NuclearCap").otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "hydro", "HydroCap").otherwise(col("technology")))
-      .withColumn("technology",
-        when(col("technology") === "bioenergy", "BiomassCap").otherwise(col("technology")))
     val renewSrc = Seq("WindCap", "SolarCap", "BiomassCap")
     val renew = d.filter(col("technology").isin(renewSrc: _*))
       .groupBy("scenario_geography", "scenario", "ald_sector", "units", "year")
@@ -598,7 +590,15 @@ object ScenarioData {
       d: DataFrame, startYear: Int, greens: Seq[String]): DataFrame =
     formatP4i(
       addMarketShareColumns(
-        interpolateYearly(d, interpolationGroups).filter(col("year") >= startYear),
+        // JUNCTION BARRIER (the Abcd.scala:104 treatment): the completion
+        // grid reads its input twice and every downstream prepare reads
+        // ITS result several more times (NA-perimeter anti-join,
+        // incomplete-sector prune) — across the 8-vintage merge those
+        // multiplications compound EXPONENTIALLY and Catalyst analysis of
+        // the un-barriered real-data tree dominates wall-clock (observed:
+        // minutes of pure driver plan-transform on the shipped vintages)
+        interpolateYearly(d, interpolationGroups).filter(col("year") >= startYear)
+          .planBarrier(),
         startYear),
       greens)
 
@@ -652,9 +652,12 @@ object ScenarioData {
     * technology renamed to ald_business_unit.
     */
   def prepareScenariosAnalysisInput(in: ScenarioInputs, startYear: Int): DataFrame = {
-    // :83-90 — WEO2021+GECO2021
+    // :83-90 — WEO2021+GECO2021. Barriered: it feeds the 8-vintage union
+    // AND the IPR baseline relabel below (two consumers of the deepest
+    // vintage chain).
     val preparedData = in.weoGeco.map(d =>
-      prepareScenarioData(interpolateSharesFormat(d, startYear, greenTechs)))
+      prepareScenarioData(interpolateSharesFormat(d, startYear, greenTechs))
+        .planBarrier())
     // :94-124 — WEO2023
     val preparedWeo23 = in.weo23.map(d =>
       prepareScenarioDataWeo23(interpolateSharesFormat(d, startYear, greenTechs)))
@@ -694,9 +697,16 @@ object ScenarioData {
     // :330-348 — steel
     val preparedSteel = in.steel.map(d => prepareSteelScenarioData(d, startYear))
 
-    // :350-356 — merge all vintages (full_join with no keys = union-dedup)
+    // :350-356 — merge all vintages (full_join with no keys = union-dedup).
+    // Each vintage is barriered before the union: collapsing eight
+    // recode-cascade Project chains in ONE plan makes Catalyst's
+    // alias-substitution (PhysicalOperation.collectProjectsAndFilters)
+    // super-linear in the combined tree — the un-barriered real-data merge
+    // spent minutes in pure planning at the cache materialization below.
+    // Per-vintage barriers keep each collapse at single-vintage size.
     val frames = Seq(preparedData, preparedNgfs, preparedIpr, preparedOxf,
-      preparedGeco23, preparedSteel, preparedWeo23, preparedNgfsV5).flatten
+      preparedGeco23, preparedSteel, preparedWeo23, preparedNgfsV5)
+      .flatten.map(_.planBarrier())
     require(frames.nonEmpty, "at least one scenario vintage input is required")
     val combined = frames
       .reduce(_.unionByName(_, allowMissingColumns = true))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Sampling
+import graft.core.Barriers.BarrierOps
 
 /** Toy-data subsetting workflow — Spark re-expression of the reference's
   * sampling scripts (data-raw/sampling_scripts/create-toy-data.Rmd and
@@ -130,18 +131,18 @@ object ToyData {
       .join(div, Seq("company_id"))
       .withColumn("n_bu", if (useWeighting) col("n_bu") else lit(1L))
       // re-used once per attempt — pin it
-      .localCheckpoint(true)
+      .planBarrier()
     val nTotal = companies.count()
-    val pinned = abcd.localCheckpoint(true)
+    val pinned = abcd.planBarrier()
     def totalVolume(df: DataFrame): DataFrame =
       df.groupBy(groupCols.map(col): _*).agg(sum(col("plan_tech_prod")).as("__tot"))
     def yearlyVolume(df: DataFrame): DataFrame =
       df.groupBy((("year" +: groupCols).map(col)): _*)
         .agg(sum(col("plan_tech_prod")).as("__yv"))
     val fullTotal = totalVolume(pinned).withColumnRenamed("__tot", "__tot_full")
-      .localCheckpoint(true)
+      .planBarrier()
     val fullYearly = yearlyVolume(pinned).withColumnRenamed("__yv", "__yv_full")
-      .localCheckpoint(true)
+      .planBarrier()
 
     var best: Option[DataFrame] = None
     var bestRatioDiff = Double.PositiveInfinity

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.DataChecks
+import graft.core.Barriers.BarrierOps
 
 /** Cross-dataset alignment + TRISK-v2 reshaping — Spark re-expression of
   * data-raw/run_workflow.R:28-72 and :98-272.
@@ -59,7 +60,7 @@ object Workflow {
       // junction barrier (the Abcd.scala:108 treatment): the frame feeds
       // the asset-id distinct + join-back AND the capacity window — without
       // it the whole upstream abcd DAG re-analyzes per consumer
-      .localCheckpoint(true)
+      .planBarrier()
     if (!assets.columns.contains("asset_id")) {
       val ids = assets.select("company_id", "technology", "country_iso2").distinct()
         .withColumn("asset_id", concat_ws("_", col("company_id").cast("string"),

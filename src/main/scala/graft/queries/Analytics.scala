@@ -332,7 +332,7 @@ object Analytics {
       val lex = bm25Scores(s, d)
         .orderBy(col("bm25_micro").desc, col("doc_id")).limit(50)
         .withColumn("lex_rank",
-          row_number().over(Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+          row_number().over(graft.ops.Windows.boundedGlobal(col("bm25_micro").desc, col("doc_id"))))
         .select("doc_id", "lex_rank")
       val ev = embeddings(s, d).filter(col("vec_id") < 500)
       val q = ev.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -340,7 +340,7 @@ object Analytics {
         .withColumn("cosine", graft.functions.VectorFns.cosine(col("embedding"), col("qv")))
         .orderBy(col("cosine").desc, col("vec_id")).limit(50)
         .withColumn("vec_rank",
-          row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+          row_number().over(graft.ops.Windows.boundedGlobal(col("cosine").desc, col("vec_id"))))
         .select(col("vec_id").as("doc_id"), col("vec_rank"))
       lex.join(vtop, Seq("doc_id"), "full_outer")
         .withColumn("rrf",
@@ -2136,7 +2136,7 @@ object Analytics {
           maxApexDegree = 12, minCommon = 2L)
         .orderBy(col("cn").desc, col("a"), col("b")).limit(20)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("cn").desc, col("a"), col("b"))))
+          graft.ops.Windows.boundedGlobal(col("cn").desc, col("a"), col("b"))))
         .select("rk", "a", "b", "cn", "deg_a", "deg_b", "jaccard")
         .orderBy("rk")
     },
@@ -2662,8 +2662,8 @@ object Analytics {
       val tot = cnt.agg(sum(col("n")).as("total"))
       val top = cnt.orderBy(col("n").desc, col("key")).limit(20)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("key"))))
-      val w = Window.orderBy("rank")
+          graft.ops.Windows.boundedGlobal(col("n").desc, col("key"))))
+      val w = graft.ops.Windows.boundedGlobal(col("rank"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       top.crossJoin(broadcast(tot))
         .withColumn("cum_n", sum(col("n")).over(w))

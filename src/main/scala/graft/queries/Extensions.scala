@@ -483,9 +483,9 @@ object Extensions {
       val dt = p.join(v, Seq("user_id"))
         .select(col("user_id"), (col("first_purchase") - col("first_view")).as("delta_us"))
       val r = dt
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("n", count(lit(1)).over(graft.ops.Windows.boundedAll))
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("delta_us"), col("user_id"))))
+          graft.ops.Windows.boundedGlobal(col("delta_us"), col("user_id"))))
       val mid = when(col("n") % 2 === 1 && col("rk") === (col("n") + 1) / 2,
           col("delta_us").cast("double"))
         .when(col("n") % 2 === 0 &&
@@ -596,7 +596,7 @@ object Extensions {
       firstSeen.groupBy(col("first_day").as("day"))
         .agg(count(lit(1)).as("new_users"))
         .withColumn("cum_users",
-          sum(col("new_users")).over(Window.orderBy(col("day"))))
+          sum(col("new_users")).over(graft.ops.Windows.boundedGlobal(col("day"))))
         .orderBy("day")
     },
     Q("ev_dau_wau",
@@ -1012,7 +1012,7 @@ object Extensions {
         .filter(col("n_risk") > 0)
       // ≤ 5 calendar-bounded rows: the unpartitioned ordered window and
       // the in-order decimal fold are exact and trivially single-task
-      val wnd = Window.orderBy("week")
+      val wnd = graft.ops.Windows.boundedGlobal(col("week"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val one = lit(1).cast("decimal(38,0)")
       b.withColumn("snum",

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.pipelines.{Abcd, CapacityFactors, CarbonPrice, Financial, Geographies, Prices, ScenarioData, ToyData, Workflow}
+import graft.pipelines.{Abcd, AssetImpact, CapacityFactors, CarbonPrice, Datalake, Financial, Geographies, Prices, ScenarioData, ToyData, Workflow}
 
 /** End-to-end oracle entries for the reference's OUTPUT PIPELINES — the
   * composed DAGs behind the six deliverable tables
@@ -1000,6 +1000,471 @@ object PipelineQueries {
        |FROM j
        |ORDER BY scenario, scenario_geography, sector, technology, scenario_year""".stripMargin
 
+  /** run_workflow.R:39-72 — the stage-6 cross-dataset alignment: the
+    * (scenario, scenario_geography) perimeter complete across scenario,
+    * price and capacity-factor data (inner-join scenario x price, anti-join
+    * the Power combos missing a capacity factor, semi-filter all three
+    * frames). The scenario leg is post-filtered to a deliberate coverage
+    * mix so the alignment is non-trivial: OilCap dropped everywhere (its
+    * placeholder price exists but no capacity factor — it would wipe every
+    * perimeter), GasCap only in (STEPS, US) (kills that perimeter: the cf
+    * fixture has no GasCap), NuclearCap only in SDS (kills both SDS
+    * perimeters) — leaving exactly (WEO2021_STEPS, Global) complete. The
+    * result relation is the per-frame surviving-perimeter census:
+    * (frame, scenario, scenario_geography, ald_business_unit, n_rows).
+    */
+  private val workflowAlignOracle: String =
+    s"""WITH scen0 AS (SELECT * FROM (${scenariosOracleFor(workflowGeos)})),
+       |scen AS (SELECT * FROM scen0
+       |  WHERE ald_business_unit <> 'OilCap'
+       |    AND (ald_business_unit <> 'GasCap'
+       |         OR (scenario = 'WEO2021_STEPS' AND scenario_geography = 'US'))
+       |    AND (ald_business_unit <> 'NuclearCap' OR scenario = 'WEO2021_SDS')),
+       |cfz AS (SELECT * FROM ($capacityFactorsOracle)),
+       |prz AS (SELECT * FROM ($pricesOracle)),
+       |przg AS (
+       |  SELECT 'WEO2021_' || scenario AS scenario, scenario_geography,
+       |    sector AS ald_sector, technology AS ald_business_unit, indicator, unit,
+       |    year, price
+       |  FROM prz WHERE scenario_geography = 'Global'),
+       |przd AS (SELECT DISTINCT scenario, ald_sector, ald_business_unit, year FROM przg),
+       |sp AS (
+       |  SELECT s.scenario, s.scenario_geography, s.ald_sector, s.ald_business_unit
+       |  FROM scen s JOIN przd p ON p.scenario = s.scenario
+       |    AND p.ald_sector = s.ald_sector
+       |    AND p.ald_business_unit = s.ald_business_unit AND p.year = s.year),
+       |notin AS (
+       |  SELECT DISTINCT s.scenario, s.scenario_geography FROM sp s
+       |  WHERE s.ald_sector = 'Power' AND NOT EXISTS (
+       |    SELECT 1 FROM cfz c WHERE c.scenario_geography = s.scenario_geography
+       |      AND c.scenario = s.scenario AND c.technology = s.ald_business_unit)),
+       |avail AS (
+       |  SELECT DISTINCT scenario, scenario_geography FROM sp
+       |  EXCEPT SELECT scenario, scenario_geography FROM notin),
+       |scens AS (SELECT DISTINCT scenario FROM avail)
+       |SELECT frame, scenario, scenario_geography, ald_business_unit, n_rows FROM (
+       |  SELECT 'scenarios' AS frame, s.scenario, s.scenario_geography,
+       |    s.ald_business_unit, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM scen s JOIN avail a ON a.scenario = s.scenario
+       |    AND a.scenario_geography = s.scenario_geography
+       |  GROUP BY s.scenario, s.scenario_geography, s.ald_business_unit
+       |  UNION ALL
+       |  SELECT 'prices', p.scenario, p.scenario_geography, p.ald_business_unit,
+       |    CAST(COUNT(*) AS BIGINT)
+       |  FROM przg p JOIN scens x ON x.scenario = p.scenario
+       |  GROUP BY p.scenario, p.scenario_geography, p.ald_business_unit
+       |  UNION ALL
+       |  SELECT 'capacity_factors', c.scenario, c.scenario_geography, c.technology,
+       |    CAST(COUNT(*) AS BIGINT)
+       |  FROM cfz c JOIN scens x ON x.scenario = c.scenario
+       |  GROUP BY c.scenario, c.scenario_geography, c.technology)
+       |ORDER BY frame, scenario, scenario_geography, ald_business_unit""".stripMargin
+
+  // ---- pipe_datalake — the DB-assembly prep (data-raw/prep_datalake.R) --
+
+  /** ISIN generator shared by the eikon and ids fixtures: a 2-letter
+    * country prefix (the :113 ald_location derivation reads it back) over a
+    * 6-isin universe, so the 12-row new feed folds 2 rows into each isin's
+    * median.
+    */
+  private def dlIsin(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(element_at(typedLit(Seq("US", "DE", "FR")), (k % 3) + 1),
+      lit("00"), (k % 6).cast("string"))
+
+  private def dlK(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    nation(s, d).filter(pred).select(col("n_nationkey").cast("int").as("k"))
+
+  /** Current-feed eikon rows (k 0..11): two rows per isin, percent-scaled
+    * indicator columns in exact quarter/eighth steps so the per-isin median
+    * (mean of two) is bit-exact cross-engine.
+    */
+  private def dlEikonNewFixture(s: SparkSession, d: String): DataFrame =
+    dlK(s, d, col("n_nationkey") < 12)
+      .withColumn("isin", dlIsin(col("k")))
+      .withColumn("ticker_symbol", concat(lit("T"), col("k").cast("string")))
+      .withColumn("credit_structural_pd_percent", (col("k") + 1) * lit(25.0))
+      .withColumn("credit_structural_leverage", (col("k") + 2) * lit(0.5))
+      .withColumn("net_profit_margin_percent", (col("k") + 1) * lit(12.5))
+      .withColumn("credit_structural_asset_volatility_percent", (col("k") + 2) * lit(25.0))
+      .withColumn("credit_structural_asset_drift_percent", (col("k") + 3) * lit(12.5))
+      .withColumn("trbc_industry_name", lit("IND"))
+      .drop("k")
+
+  /** Archived-feed rows (k 12..19): k<15 overlap the new feed (the vintage
+    * merge drops them), 15..18 are GB-only survivors hitting all four
+    * npm-repair-ladder clamp branches, k=19 has a null isin (the :63
+    * not-null filter).
+    */
+  private def dlEikonOldFixture(s: SparkSession, d: String): DataFrame =
+    dlK(s, d, col("n_nationkey").between(12, 19))
+      .withColumn("isin",
+        when(col("k") < 15, dlIsin(col("k")))
+          .when(col("k") <= 18, concat(lit("GB00"), col("k").cast("string"))))
+      .withColumn("structural", concat(lit("S"), col("k").cast("string")))
+      .withColumn("identifier_ric", concat(lit("R"), col("k").cast("string")))
+      .withColumn("credit_smart_ratios_net_profit_margin_percent_ltm_s_avg",
+        when(col("k").isin(15, 16), lit(-0.5))
+          .when(col("k").isin(17, 18), lit(1.5)).otherwise(lit(0.5)))
+      .withColumn("net_profit_margin_percent_0d_ltm_1_s_avg",
+        when(col("k").isin(15, 17), lit(0.5))
+          .when(col("k") === 16, lit(-1.0))
+          .when(col("k") === 18, lit(2.0)).otherwise(lit(0.25)))
+      .withColumn("x4", (col("k") + 1) * lit(0.25))
+      .withColumn("leverage_s_avg", (col("k") + 2) * lit(0.5))
+      .withColumn("asset_volatility_s_avg", (col("k") + 1) * lit(0.5))
+      .withColumn("asset_drift_s_avg", (col("k") + 2) * lit(0.25))
+      .withColumn("gics_sub_industry_name", lit("G"))
+      .drop("k")
+
+  /** DB_ids shape: six isin-bearing companies, company 0 with an EXTRA
+    * null-isin row (the :348 consistency gate drops it), company 20 with
+    * ONLY a null-isin row (kept), four GB companies matching the archived
+    * eikon survivors.
+    */
+  private def dlIdsFixture(s: SparkSession, d: String): DataFrame = {
+    val sixCompanies = dlK(s, d, col("n_nationkey") < 6)
+      .withColumn("company_id", col("k"))
+      .withColumn("company_name", concat(lit("N"), col("k").cast("string")))
+      .withColumn("isin", dlIsin(col("k")))
+      .withColumn("trustworthy", col("k") % 2 === 0)
+    val nullRows = dlK(s, d, col("n_nationkey").isin(6, 7))
+      .withColumn("company_id", when(col("k") === 6, 0).otherwise(20))
+      .withColumn("company_name",
+        when(col("k") === 6, "N0").otherwise("N20"))
+      .withColumn("isin", lit(null).cast("string"))
+      .withColumn("trustworthy", col("k") === 6)
+    val gbCompanies = dlK(s, d, col("n_nationkey").between(15, 18))
+      .withColumn("company_id", col("k") - 5)
+      .withColumn("company_name", concat(lit("N"), (col("k") - 5).cast("string")))
+      .withColumn("isin", concat(lit("GB00"), col("k").cast("string")))
+      .withColumn("trustworthy", col("k") % 2 === 0)
+    sixCompanies.unionByName(nullRows).unionByName(gbCompanies).drop("k")
+  }
+
+  /** :296-327 get_additional_isins input: one already-known pair (dropped),
+    * one unknown isin for a known company (attrs attach), one for a company
+    * absent from the ids table (the left-join keeps it with null attrs).
+    */
+  private def dlNewIdIsinsFixture(s: SparkSession, d: String): DataFrame =
+    dlK(s, d, col("n_nationkey").isin(0, 10, 21))
+      .withColumn("company_id",
+        when(col("k") === 0, 0).when(col("k") === 10, 10).otherwise(21))
+      .withColumn("isin",
+        when(col("k") === 0, "US000")
+          .when(col("k") === 10, "JP0001").otherwise("JP0002"))
+      .select("company_id", "isin")
+
+  /** Ownership rows: per-company level-1 parents, a stake tie (company 1 —
+    * rank keeps both, the keep-first pin takes the lower target id), a
+    * negative-level row (filtered), a null stake (-> 100, beating the 60),
+    * and a level-2 row (excluded from the level-1 parent attach).
+    */
+  private def dlTreeFixture(s: SparkSession, d: String): DataFrame =
+    dlK(s, d, col("n_nationkey") < 11)
+      .withColumn("company_id",
+        when(col("k") < 6, col("k"))
+          .when(col("k").isin(6, 7), 1)
+          .when(col("k") === 8, 2)
+          .when(col("k") === 9, 3).otherwise(4))
+      .withColumn("target_company_id",
+        when(col("k") < 6, col("k") + 100)
+          .when(col("k") === 6, 201)
+          .when(col("k") === 7, 101)
+          .when(col("k") === 8, 999)
+          .when(col("k") === 9, 300).otherwise(400))
+      .withColumn("ownership_level",
+        when(col("k") === 8, -1).when(col("k") === 10, 2).otherwise(1))
+      .withColumn("linking_stake",
+        when(col("k") < 6, lit(60.0))
+          .when(col("k").isin(6, 7), lit(80.0))
+          .when(col("k") === 8, lit(90.0))
+          .when(col("k") === 9, lit(null).cast("double")).otherwise(lit(70.0)))
+      .select("company_id", "target_company_id", "ownership_level", "linking_stake")
+
+  /** prep_datalake.R composed: the per-isin eikon median collapse (:97-107),
+    * the npm repair ladder of the archived wrangle (:27-65), the
+    * new-vintage-wins merge + isin-country ald_location (:109-115), the
+    * trustworthiness attach for externally supplied isins (:296-327), the
+    * null-isin consistency gate (:339-361) and the ownership-tree
+    * majority-parent prewrangle (:235-283) — assembled into the one
+    * per-id-row relation the financial runner consumes.
+    */
+  private val datalakeOracle: String =
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 25),
+       |enew AS (
+       |  -- every indicator CAST AS DOUBLE: DuckDB's median over DECIMAL
+       |  -- takes the lower element instead of interpolating (Catalog.scala
+       |  -- parity rules), and (k+2)*0.5 is DECIMAL-typed there
+       |  SELECT ['US','DE','FR'][(k % 3) + 1] || '00' || CAST(k % 6 AS VARCHAR) AS isin,
+       |    CAST((k+1)*25.0/100 AS DOUBLE) AS pd,
+       |    CAST((k+1)*12.5/100 AS DOUBLE) AS net_profit_margin,
+       |    CAST((k+2)*0.5 AS DOUBLE) AS debt_equity_ratio,
+       |    CAST((k+2)*25.0/100 AS DOUBLE) AS volatility,
+       |    CAST((k+3)*12.5/100 AS DOUBLE) AS asset_drift
+       |  FROM b WHERE k < 12),
+       |emed AS (
+       |  SELECT isin, median(pd) AS pd, median(net_profit_margin) AS net_profit_margin,
+       |    median(debt_equity_ratio) AS debt_equity_ratio,
+       |    median(volatility) AS volatility, median(asset_drift) AS asset_drift
+       |  FROM enew GROUP BY isin),
+       |eoldraw AS (
+       |  SELECT k,
+       |    CASE WHEN k < 15 THEN ['US','DE','FR'][(k % 3) + 1] || '00' || CAST(k % 6 AS VARCHAR)
+       |         WHEN k <= 18 THEN 'GB00' || CAST(k AS VARCHAR) END AS isin,
+       |    CASE WHEN k IN (15, 16) THEN -0.5 WHEN k IN (17, 18) THEN 1.5 ELSE 0.5 END AS csr,
+       |    CASE WHEN k IN (15, 17) THEN 0.5 WHEN k = 16 THEN -1.0
+       |         WHEN k = 18 THEN 2.0 ELSE 0.25 END AS ltm,
+       |    (k+1)*0.25 AS pd, (k+2)*0.5 AS debt_equity_ratio,
+       |    (k+1)*0.5 AS volatility, (k+2)*0.25 AS asset_drift
+       |  FROM b WHERE k BETWEEN 12 AND 19),
+       |eold AS (
+       |  SELECT isin, pd,
+       |    CASE WHEN csr < 0 AND ltm BETWEEN 0 AND 1 THEN ltm
+       |         WHEN csr < 0 AND ltm < 0 THEN 0.0
+       |         WHEN csr < 0 AND ltm > 1 THEN 0.0
+       |         WHEN csr > 1 AND ltm BETWEEN 0 AND 1 THEN ltm
+       |         WHEN csr > 1 AND ltm > 1 THEN 1.0
+       |         WHEN csr > 1 AND ltm < 0 THEN 1.0
+       |         ELSE csr END AS net_profit_margin,
+       |    debt_equity_ratio, volatility, asset_drift
+       |  FROM eoldraw WHERE isin IS NOT NULL),
+       |emerged AS (
+       |  SELECT isin, pd, net_profit_margin, debt_equity_ratio, volatility, asset_drift
+       |  FROM eold WHERE isin NOT IN (SELECT isin FROM emed)
+       |  UNION ALL
+       |  SELECT isin, pd, net_profit_margin, debt_equity_ratio, volatility, asset_drift
+       |  FROM emed),
+       |eikon AS (SELECT *, substr(isin, 1, 2) AS ald_location FROM emerged),
+       |ids0 AS (
+       |  SELECT k AS company_id, 'N' || CAST(k AS VARCHAR) AS company_name,
+       |    ['US','DE','FR'][(k % 3) + 1] || '00' || CAST(k % 6 AS VARCHAR) AS isin,
+       |    k % 2 = 0 AS trustworthy
+       |  FROM b WHERE k < 6
+       |  UNION ALL SELECT 0, 'N0', NULL, true FROM b WHERE k = 6
+       |  UNION ALL SELECT 20, 'N20', NULL, false FROM b WHERE k = 7
+       |  UNION ALL SELECT k - 5, 'N' || CAST(k - 5 AS VARCHAR),
+       |    'GB00' || CAST(k AS VARCHAR), k % 2 = 0 FROM b WHERE k BETWEEN 15 AND 18),
+       |newisins AS (
+       |  SELECT 0 AS company_id, 'US000' AS isin FROM b WHERE k = 0
+       |  UNION ALL SELECT 10, 'JP0001' FROM b WHERE k = 10
+       |  UNION ALL SELECT 21, 'JP0002' FROM b WHERE k = 21),
+       |unknown AS (
+       |  SELECT DISTINCT company_id, isin FROM newisins
+       |  WHERE isin NOT IN (SELECT isin FROM ids0 WHERE isin IS NOT NULL)),
+       |idattrs AS (SELECT DISTINCT company_id, company_name FROM ids0),
+       |enhanced AS (
+       |  SELECT u.company_id, a.company_name, u.isin, true AS trustworthy
+       |  FROM unknown u LEFT JOIN idattrs a USING (company_id)),
+       |ids1 AS (SELECT * FROM ids0 UNION ALL SELECT * FROM enhanced),
+       |withisin AS (SELECT * FROM ids1 WHERE isin IS NOT NULL),
+       |nullonly AS (SELECT * FROM ids1 WHERE isin IS NULL
+       |  AND company_id NOT IN (SELECT company_id FROM withisin)),
+       |ids AS (SELECT * FROM withisin UNION ALL SELECT * FROM nullonly),
+       |tree0 AS (
+       |  SELECT k AS company_id, k + 100 AS target, 1 AS lvl, 60.0 AS stake
+       |  FROM b WHERE k < 6
+       |  UNION ALL SELECT 1, 201, 1, 80.0 FROM b WHERE k = 6
+       |  UNION ALL SELECT 1, 101, 1, 80.0 FROM b WHERE k = 7
+       |  UNION ALL SELECT 2, 999, -1, 90.0 FROM b WHERE k = 8
+       |  UNION ALL SELECT 3, 300, 1, NULL FROM b WHERE k = 9
+       |  UNION ALL SELECT 4, 400, 2, 70.0 FROM b WHERE k = 10),
+       |tree1 AS (
+       |  SELECT DISTINCT company_id, target, lvl, COALESCE(stake, 100.0) AS stake
+       |  FROM tree0 WHERE lvl >= 0),
+       |ranked AS (
+       |  SELECT *, rank() OVER (PARTITION BY company_id, lvl ORDER BY stake DESC) AS rk
+       |  FROM tree1),
+       |major AS (
+       |  SELECT company_id, lvl, target, stake FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY company_id, lvl ORDER BY target) AS rn
+       |    FROM ranked WHERE rk = 1) WHERE rn = 1),
+       |parents AS (
+       |  SELECT company_id AS sub_id, target AS parent_company_id,
+       |    stake AS linking_stake
+       |  FROM major WHERE lvl = 1)
+       |SELECT i.company_id, i.company_name, i.isin, i.trustworthy, e.ald_location,
+       |  e.pd, e.net_profit_margin, e.debt_equity_ratio, e.volatility, e.asset_drift,
+       |  p.parent_company_id, p.linking_stake
+       |FROM ids i LEFT JOIN eikon e ON e.isin = i.isin
+       |LEFT JOIN parents p ON p.sub_id = i.company_id
+       |ORDER BY i.company_id, i.isin NULLS FIRST""".stripMargin
+
+  // ---- pipe_asset_impact — the AR cleanup (R/prepare_asset_impact_data.R)
+
+  private val aiSectors = Seq("Upstream", "Upstream", "LDV", "LDV", "LDV", "LDV",
+    "Steel", "Coal")
+  private val aiUnits = Seq("GJ", "GJ", "#", "#", "#", "#", "t", "t")
+  private val aiTechA = Seq("Natural Gas Liquids", "Oil and Condensate", "ICE Diesel",
+    "ICE Gasoline", "Hybrid No-Plug", "Fuel Cell", "Electric Arc Furnace",
+    "Lignite Mining")
+  private val aiTechB = Seq("Gas", "Oil and Condensate", "ICE Gasoline", "ICE CNG",
+    "Hybrid Plug-In", "Fuel Cell", "Basic Oxygen Furnace", "Hard Coal")
+
+  /** Two raw-vintage blocks per company (k and k+8 -> company k%8): the
+    * pre-recode technology names differ between blocks but recode to the
+    * same label (exercising the :47-80 fuel/vehicle maps), so the :111-120
+    * technology_type aggregate folds them; company 6 is the exception —
+    * its blocks hit EAF-MM and BOF-BF in the steel matrix and stay two
+    * rows. k=16 rides along for the per-frame extra case (Unknown Owner /
+    * proportion emissions).
+    */
+  private def aiBase(s: SparkSession, d: String): DataFrame =
+    dlK(s, d, col("n_nationkey") < 17)
+      .withColumn("idx", col("k") % 8)
+      .withColumn("blk", floor(col("k") / 8).cast("int"))
+      .withColumn("company_id", col("idx"))
+      .withColumn("company_name", concat(lit("company-"), col("idx").cast("string")))
+      .withColumn("ald_sector", element_at(typedLit(aiSectors), col("idx") + 1))
+      .withColumn("activity_unit", element_at(typedLit(aiUnits), col("idx") + 1))
+      .withColumn("ald_location",
+        element_at(typedLit(Seq("DE", "FR", "US")), (col("idx") % 3) + 1))
+      .withColumn("region", concat(lit("R"), (col("idx") % 2).cast("string")))
+      .withColumn("technology",
+        when(col("blk") === 0, element_at(typedLit(aiTechA), col("idx") + 1))
+          .otherwise(element_at(typedLit(aiTechB), col("idx") + 1)))
+      .withColumn("technology_type",
+        when(col("idx") === 6,
+          when(col("blk") === 0, "Mini-Mill").otherwise("Integrated Blast Furnace"))
+          .otherwise(when(col("blk") === 0, "TA").otherwise("TB")))
+
+  /** Activities: quarter-step ownership values with one both-blocks-null
+    * cell (company 1, 2023 — the A6 all-null branch) and one single-block
+    * null (company 3, 2024 — summed around); k=16 is an "Unknown Owner"
+    * row the :86-90 filter must drop whole.
+    */
+  private def aiActivitiesFixture(s: SparkSession, d: String): DataFrame =
+    (0 until 4).foldLeft(
+      aiBase(s, d).withColumn("company_name",
+        when(col("k") === 16, "Unknown Owner").otherwise(col("company_name")))
+    ) { (acc, i) =>
+      acc.withColumn(s"Equity Ownership ${2022 + i}",
+        when(col("blk") === 0,
+          when(col("k") === 1 && lit(i) === 1, lit(null).cast("double"))
+            .otherwise((col("k") + 1) * (i + 1) * lit(0.25)))
+          .otherwise(
+            when((col("k") === 9 && lit(i) === 1) || (col("k") === 11 && lit(i) === 2),
+              lit(null).cast("double"))
+              .otherwise((col("k") + 1) * (i + 2) * lit(0.25))))
+    }.drop("k", "idx", "blk")
+
+  /** Emissions: eighth-step values under tCO2/tCO2e units (tCO2e on the
+    * steel rows), one single-block null (company 4, 2022); k=16 is a
+    * proportion-unit row the :128-141 filter must drop AFTER the
+    * aggregate.
+    */
+  private def aiEmissionsFixture(s: SparkSession, d: String): DataFrame =
+    (0 until 4).foldLeft(
+      aiBase(s, d).withColumn("activity_unit",
+        when(col("k") === 16, "CO2 proportion")
+          .when(col("idx") === 6, "tCO2e").otherwise("tCO2"))
+    ) { (acc, i) =>
+      acc.withColumn(s"Equity Ownership ${2022 + i}",
+        when(col("blk") === 0, (col("k") + 1) * (i + 1) * lit(0.125))
+          .otherwise(
+            when(col("k") === 12 && lit(i) === 0, lit(null).cast("double"))
+              .otherwise((col("k") + 2) * (i + 1) * lit(0.125))))
+    }.drop("k", "idx", "blk")
+
+  /** R/prepare_asset_impact_data.R:205-244 restated: both vintage blocks
+    * built, the technology recodes (:47-80 incl. the steel matrix), the
+    * Unknown-Owner drop (:86-90 — the oracle simply never generates k=16's
+    * activities row; a Spark-side filter regression surfaces as an extra
+    * company), the LDV/tech sector realignment (:96-108), the
+    * sum-or-all-null technology_type aggregate (:111-120) and the
+    * proportion-emissions drop (:128-141), emitted as one tagged relation
+    * over both cleaned frames.
+    */
+  private val assetImpactOracle: String = {
+    val recodeSql =
+      """CASE WHEN sector0 = 'Coal' THEN 'Coal'
+        |         WHEN tech0 IN ('Gas', 'Natural Gas Liquids') THEN 'Gas'
+        |         WHEN tech0 = 'Oil and Condensate' THEN 'Oil'
+        |         WHEN tech0 IN ('ICE Diesel', 'ICE Gasoline', 'ICE CNG') THEN 'ICE'
+        |         WHEN tech0 IN ('Hybrid No-Plug', 'Hybrid Plug-In') THEN 'Hybrid'
+        |         WHEN tech0 = 'Fuel Cell' THEN 'FuelCell'
+        |         WHEN tech0 = 'Basic Oxygen Furnace'
+        |           AND ttype = 'Integrated Blast Furnace' THEN 'BOF-BF'
+        |         WHEN tech0 = 'Electric Arc Furnace'
+        |           AND ttype = 'Mini-Mill' THEN 'EAF-MM'
+        |         ELSE tech0 END""".stripMargin
+    def wideSql(rel: String): String =
+      s"""SELECT company_id, company_name, ald_sector, ald_business_unit,
+         |    activity_unit, ald_location,
+         |    MAX(CASE WHEN i = 0 THEN v END) AS eo_2022,
+         |    MAX(CASE WHEN i = 1 THEN v END) AS eo_2023,
+         |    MAX(CASE WHEN i = 2 THEN v END) AS eo_2024,
+         |    MAX(CASE WHEN i = 3 THEN v END) AS eo_2025
+         |  FROM $rel
+         |  GROUP BY company_id, company_name, ald_sector, ald_business_unit,
+         |    activity_unit, ald_location""".stripMargin
+    s"""WITH b AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation WHERE n_nationkey < 16),
+       |dims AS (
+       |  SELECT k, k % 8 AS idx, k // 8 AS blk, k % 8 AS c,
+       |    ['Upstream','Upstream','LDV','LDV','LDV','LDV','Steel','Coal'][k % 8 + 1] AS sector0,
+       |    ['GJ','GJ','#','#','#','#','t','t'][k % 8 + 1] AS unit0,
+       |    ['DE','FR','US'][(k % 8) % 3 + 1] AS loc
+       |  FROM b),
+       |techd AS (
+       |  SELECT *,
+       |    CASE WHEN blk = 0 THEN ['Natural Gas Liquids','Oil and Condensate','ICE Diesel','ICE Gasoline','Hybrid No-Plug','Fuel Cell','Electric Arc Furnace','Lignite Mining'][idx + 1]
+       |         ELSE ['Gas','Oil and Condensate','ICE Gasoline','ICE CNG','Hybrid Plug-In','Fuel Cell','Basic Oxygen Furnace','Hard Coal'][idx + 1] END AS tech0,
+       |    CASE WHEN blk = 0 THEN (CASE WHEN idx = 6 THEN 'Mini-Mill' ELSE 'TA' END)
+       |         ELSE (CASE WHEN idx = 6 THEN 'Integrated Blast Furnace' ELSE 'TB' END)
+       |         END AS ttype
+       |  FROM dims),
+       |rec AS (
+       |  SELECT *, $recodeSql AS tech
+       |  FROM techd),
+       |sec AS (
+       |  SELECT *,
+       |    CASE WHEN tech = 'Coal' THEN 'Coal'
+       |         WHEN tech IN ('Gas', 'Oil') THEN 'Oil&Gas'
+       |         WHEN sector0 = 'LDV' THEN 'Automotive'
+       |         ELSE sector0 END AS sector
+       |  FROM rec),
+       |years AS (SELECT CAST(unnest(range(4)) AS INT) AS i),
+       |avals AS (
+       |  SELECT c AS company_id, 'company-' || CAST(c AS VARCHAR) AS company_name,
+       |    sector AS ald_sector, tech AS ald_business_unit, unit0 AS activity_unit,
+       |    loc AS ald_location, i,
+       |    CASE WHEN blk = 0 THEN
+       |           (CASE WHEN k = 1 AND i = 1 THEN NULL
+       |                 ELSE CAST((k+1)*(i+1)*0.25 AS DOUBLE) END)
+       |         ELSE (CASE WHEN (k = 9 AND i = 1) OR (k = 11 AND i = 2) THEN NULL
+       |                    ELSE CAST((k+1)*(i+2)*0.25 AS DOUBLE) END) END AS v0
+       |  FROM sec CROSS JOIN years),
+       |aagg AS (
+       |  SELECT company_id, company_name, ald_sector, ald_business_unit,
+       |    activity_unit, ald_location, i,
+       |    CASE WHEN COUNT(v0) = 0 THEN NULL ELSE SUM(v0) END AS v
+       |  FROM avals GROUP BY company_id, company_name, ald_sector,
+       |    ald_business_unit, activity_unit, ald_location, i),
+       |awide AS (${wideSql("aagg")}),
+       |evals AS (
+       |  SELECT c AS company_id, 'company-' || CAST(c AS VARCHAR) AS company_name,
+       |    sector AS ald_sector, tech AS ald_business_unit,
+       |    CASE WHEN idx = 6 THEN 'tCO2e' ELSE 'tCO2' END AS activity_unit,
+       |    loc AS ald_location, i,
+       |    CASE WHEN blk = 0 THEN CAST((k+1)*(i+1)*0.125 AS DOUBLE)
+       |         ELSE (CASE WHEN k = 12 AND i = 0 THEN NULL
+       |                    ELSE CAST((k+2)*(i+1)*0.125 AS DOUBLE) END) END AS v0
+       |  FROM sec CROSS JOIN years),
+       |eagg AS (
+       |  SELECT company_id, company_name, ald_sector, ald_business_unit,
+       |    activity_unit, ald_location, i,
+       |    CASE WHEN COUNT(v0) = 0 THEN NULL ELSE SUM(v0) END AS v
+       |  FROM evals GROUP BY company_id, company_name, ald_sector,
+       |    ald_business_unit, activity_unit, ald_location, i),
+       |ewide AS (${wideSql("eagg")})
+       |SELECT frame, company_id, company_name, ald_sector, ald_business_unit,
+       |  activity_unit, ald_location, eo_2022, eo_2023, eo_2024, eo_2025 FROM (
+       |  SELECT 'activities' AS frame, * FROM awide
+       |  UNION ALL
+       |  SELECT 'emissions' AS frame, * FROM ewide)
+       |ORDER BY frame, company_id, ald_sector, ald_business_unit, activity_unit""".stripMargin
+  }
+
   // ---- pipe_lcoe_* — the LCOE-adjusted price variants ------------------
   // (reference R/prepare_LCOE_adjusted_price_data.R; port Prices.scala)
 
@@ -1655,6 +2120,95 @@ object PipelineQueries {
         .withColumnRenamed("technology", "ald_business_unit")
       Workflow.triskV2Scenarios(scen, cf, prices, benchRegionsFixture(s, d))
         .orderBy("scenario", "scenario_geography", "sector", "technology", "scenario_year")
+    },
+    Q("pipe_asset_impact", assetImpactOracle) { (s, d) =>
+      // The AR cleanup (R/prepare_asset_impact_data.R:47-244) under the
+      // hash gate: both frames through the full
+      // prepare_asset_impact_data chain — technology recodes (fuel,
+      // vehicle, steel matrix), Unknown-Owner drop, LDV/tech sector
+      // realignment, sum-or-all-null technology_type aggregate,
+      // proportion-emissions drop, ald_business_unit rename + region drop
+      // — emitted as one tagged relation (the wide ownership columns
+      // renamed parquet-safe).
+      val (act, emis) = AssetImpact.prepareAssetImpactData(
+        aiActivitiesFixture(s, d), aiEmissionsFixture(s, d))
+      def tagged(df: DataFrame, frame: String): DataFrame = df
+        .withColumn("frame", lit(frame))
+        .select(col("frame"), col("company_id"), col("company_name"),
+          col("ald_sector"), col("ald_business_unit"), col("activity_unit"),
+          col("ald_location"),
+          col("Equity Ownership 2022").as("eo_2022"),
+          col("Equity Ownership 2023").as("eo_2023"),
+          col("Equity Ownership 2024").as("eo_2024"),
+          col("Equity Ownership 2025").as("eo_2025"))
+      tagged(act, "activities").unionByName(tagged(emis, "emissions"))
+        .orderBy("frame", "company_id", "ald_sector", "ald_business_unit",
+          "activity_unit")
+    },
+    Q("pipe_datalake", datalakeOracle) { (s, d) =>
+      // The datalake prep (data-raw/prep_datalake.R) under the hash gate:
+      // both eikon vintage wrangles (the archived feed's npm repair
+      // ladder), the per-isin median collapse, the new-vintage-wins merge
+      // with isin-country ald_location, the ids trustworthiness attach +
+      // null-isin consistency gate (a throwing check — running it IS the
+      // assertion), and the ownership-tree majority-parent prewrangle,
+      // joined into the one per-id-row relation the financial runner
+      // consumes (eikon indicators by isin, level-1 majority parent by
+      // company).
+      val eikonNew = Datalake.eikonMediansByIsin(
+        Datalake.wrangleEikonNew(dlEikonNewFixture(s, d)))
+      val eikon = Datalake.mergeEikonVintages(
+        Datalake.wrangleEikonOld(dlEikonOldFixture(s, d)), eikonNew)
+      val ids = Datalake.enforceIsinConsistency(
+        Datalake.attachAdditionalIsins(dlIdsFixture(s, d), dlNewIdIsinsFixture(s, d)))
+      val parents = Datalake.prewrangleOwnershipTree(dlTreeFixture(s, d))
+        .filter(col("ownership_level") === 1)
+        .select(col("subsidiary_company_id").as("__sub"),
+          col("parent_company_id"), col("linking_stake"))
+      ids.join(eikon, Seq("isin"), "left")
+        .join(parents, col("company_id") === col("__sub"), "left")
+        .drop("__sub")
+        .select("company_id", "company_name", "isin", "trustworthy", "ald_location",
+          "pd", "net_profit_margin", "debt_equity_ratio", "volatility", "asset_drift",
+          "parent_company_id", "linking_stake")
+        .orderBy(col("company_id"), col("isin"))
+    },
+    Q("pipe_workflow_align", workflowAlignOracle) { (s, d) =>
+      // Stage 6 of run_workflow.R (:39-72) under the hash gate: the
+      // cross-dataset alignment run over the REAL composed pipelines
+      // (scenario prepare, WEO2021 capacity factors, WEO2021 prices under
+      // the runner's vintage prefix + Global filter), with a deliberate
+      // post-prepare coverage mix (see [[workflowAlignOracle]]) so three of
+      // the four perimeters drop and the surviving frames shrink
+      // non-trivially (the cf leg also loses its NZE/APS clones).
+      val scen = ScenarioData.prepareScenariosAnalysisInput(
+        ScenarioData.ScenarioInputs(
+          weoGeco = Some(scenariosFixture(s, d, workflowGeos))), 2020)
+        .filter(col("ald_business_unit") =!= "OilCap" &&
+          (col("ald_business_unit") =!= "GasCap" ||
+            (col("scenario") === "WEO2021_STEPS" && col("scenario_geography") === "US")) &&
+          (col("ald_business_unit") =!= "NuclearCap" || col("scenario") === "WEO2021_SDS"))
+      val cf = CapacityFactors.prepareCapacityFactorsWeo2021(capacityFactorsFixture(s, d), 2020)
+        .withColumnRenamed("technology", "ald_business_unit")
+      val prices = Prices.preparePriceDataLongWeo2021(
+          pricesFossilFixture(s, d), pricesPowerFixture(s, d))
+        .withColumn("scenario", concat(lit("WEO2021_"), col("scenario")))
+        .drop("source")
+        .filter(col("scenario_geography") === "Global")
+        .withColumnRenamed("sector", "ald_sector")
+        .withColumnRenamed("technology", "ald_business_unit")
+      val (alignedScen, alignedPrices, alignedCf) =
+        Workflow.alignDatasets(scen, prices, cf)
+      def leg(df: DataFrame, frame: String, bu: String): DataFrame =
+        df.groupBy(col("scenario"), col("scenario_geography"),
+            col(bu).as("ald_business_unit"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("frame", lit(frame))
+      leg(alignedScen, "scenarios", "ald_business_unit")
+        .unionByName(leg(alignedPrices, "prices", "ald_business_unit"))
+        .unionByName(leg(alignedCf, "capacity_factors", "ald_business_unit"))
+        .select("frame", "scenario", "scenario_geography", "ald_business_unit", "n_rows")
+        .orderBy("frame", "scenario", "scenario_geography", "ald_business_unit")
     },
     Q("pipe_carbon_price", carbonPriceOracle) { (s, d) =>
       // The NGFS carbon-price deliverable (`ngfs_carbon_price`,

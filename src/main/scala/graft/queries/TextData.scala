@@ -2526,7 +2526,7 @@ object TextData {
             / (col("n_w1").cast("double") * col("n_w2").cast("double")))
         .orderBy(col("lift").desc, col("bigram")).limit(20)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("lift").desc, col("bigram"))))
+          graft.ops.Windows.boundedGlobal(col("lift").desc, col("bigram"))))
         .select("rk", "bigram", "n_pair", "n_w1", "n_w2", "lift")
         .orderBy("rk")
     },
@@ -2556,8 +2556,7 @@ object TextData {
         .select(explode(TextFns.tokens(col("text"))).as("tok"))
       val counts = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
       val total = counts.agg(sum(col("freq")).cast("long").as("total"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("freq").desc, col("tok"))
+      val w = graft.ops.Windows.boundedGlobal(col("freq").desc, col("tok"))
       counts.orderBy(col("freq").desc, col("tok")).limit(30)
         .withColumn("rank", row_number().over(w))
         .withColumn("cum", sum(col("freq")).over(w))

