@@ -13,16 +13,23 @@ import org.apache.spark.storage.StorageLevel
   * nodes and analysis time dominates execution. A barrier materializes the
   * junction once and replaces the subtree with a leaf.
   *
-  * The default (`eager`, `localCheckpoint(true)`) is the fastest on a
-  * stable cluster but has real costs (ADVICE r14): it runs a job at plan
-  * CONSTRUCTION time even if the result is never consumed, blocks
-  * predicate/projection pushdown across the barrier, and the checkpointed
-  * blocks are NOT fault-tolerant — an executor loss (dynamic allocation,
-  * spot kills) fails the job instead of recomputing. Deployments trade
-  * that off via `spark.graft.planBarrier`:
+  * The default (`eager`, `localCheckpoint(true)`) was A/B-measured against
+  * `lazy` in r15 on the full pipe_* bench family (same build, same subset,
+  * flag flipped): eager won 1.00x vs 1.08x. The reason is the junctions'
+  * defining property — MULTIPLE consumers. A lazily-marked RDD consumed
+  * twice inside one physical plan is scanned twice BEFORE its blocks are
+  * cached, so both scans recompute the junction concurrently; eager pays
+  * one extra job per junction but guarantees every consumer reads cached
+  * blocks. (Single-consumer loop states — the BPE/graph fixpoint rounds —
+  * are the opposite case and use localCheckpoint(false) directly.) The
+  * eager default has real costs (ADVICE r14): it runs a job at plan
+  * CONSTRUCTION time even if the result is never consumed, and the
+  * checkpointed blocks are NOT fault-tolerant — an executor loss (dynamic
+  * allocation, spot kills) fails the job instead of recomputing.
+  * Deployments trade that off via `spark.graft.planBarrier`:
   *
   *  - `eager`   (default): `localCheckpoint(true)` — materialize now,
-  *              lineage cut, fastest repeated analysis; not fault-tolerant.
+  *              lineage cut, fastest multi-consumer reads; not fault-tolerant.
   *  - `lazy`    : `localCheckpoint(false)` — lineage cut on first action,
   *              nothing runs at construction; not fault-tolerant.
   *  - `persist` : `persist(MEMORY_AND_DISK)` — lazy, RECOMPUTABLE on

@@ -97,7 +97,11 @@ object BpeTokenizer {
     */
   def train(spark: SparkSession, words: DataFrame, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, "nMerges >= 1")
-    var st = charState(words).localCheckpoint()
+    // LAZY checkpoints throughout the loop: the logical plan is cut either
+    // way, but lazy folds each round's state materialization into the
+    // round's own top-pair collect — one Spark job per round instead of
+    // two (measured r15: tx_bpe_train ~0.6x), bit-identical results.
+    var st = charState(words).localCheckpoint(false)
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
@@ -115,7 +119,7 @@ object BpeTokenizer {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(step, l, r, c)
-        st = applyMerge(st, Seq("word"), l, r).localCheckpoint()
+        st = applyMerge(st, Seq("word"), l, r).localCheckpoint(false)
         step += 1
       }
     }
@@ -147,9 +151,13 @@ object BpeTokenizer {
     val other = base.select(col(id), (col("n_toks") - col("n_alpha")).as("n_other"))
     val words = base
       .select(col(id), posexplode(col("words")).as(Seq("widx", "word")))
-    var st = charState(words).localCheckpoint()
+    // lazy checkpoints: each round's plan is cut to a leaf immediately
+    // (bounded Catalyst trees), but NOTHING runs until the caller's one
+    // action — the whole 12-round encode chain executes as a single job
+    // instead of one materialization job per round
+    var st = charState(words).localCheckpoint(false)
     merges.foreach { m =>
-      st = applyMerge(st, Seq(id, "widx"), m.left_sym, m.right_sym).localCheckpoint()
+      st = applyMerge(st, Seq(id, "widx"), m.left_sym, m.right_sym).localCheckpoint(false)
     }
     val bpeCounts = st.groupBy(col(id)).agg(count(lit(1)).as("n_bpe_sym"))
     other

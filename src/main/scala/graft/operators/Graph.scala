@@ -251,36 +251,43 @@ object Graph {
     var e = clean
       .select(greatest(col("src"), col("dst")).as("a"), least(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var n = e.count()
     var converged = false
     var round = 0
+    import org.apache.spark.sql.expressions.Window
     while (!converged && round < maxRounds) {
       val nbr = e.select(col("a").as("x"), col("b").as("y"))
         .unionAll(e.select(col("b").as("x"), col("a").as("y")))
-      val mins = nbr.groupBy("x").agg(min(col("y")).as("mn"))
-        .select(col("x"), least(col("mn"), col("x")).as("m"))
-      // no dedup on the large-star output: duplicates cannot change
-      // small-star's min aggregate, and the round's final distinct
-      // dedups the edge set — one fewer shuffle per round
-      val ls = nbr.join(mins, "x")
+      // large-star: m(x) = min(Γ(x) ∪ {x}) attached as a WINDOW min over
+      // the x-partition — one exchange, no aggregate table and no join
+      // back (r15: the groupBy+join spelling paid a second pass over nbr
+      // plus a broadcast build per round). Duplicates in the large-star
+      // output still cannot change small-star's min, and the round's
+      // final distinct dedups the edge set.
+      val ls = nbr
+        .withColumn("m", least(min(col("y")).over(Window.partitionBy(col("x"))), col("x")))
         .filter(col("y") > col("x"))
         .select(col("y").as("a"), col("m").as("b"))
-      val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
-      val ssRaw = ls.join(mins2, "a")
-        .select(col("b").as("x"), col("m"))
-        .unionAll(mins2.select(col("a").as("x"), col("m")))
+      // small-star: same treatment on the a-partition; each input row
+      // (a, b) re-points BOTH b and a at m2(a) — a 2-row explode instead
+      // of the join-back + union of the aggregate table (set-identical
+      // after the filter + distinct: the (a, m2) rows the union spelled
+      // once per distinct a now appear once per input row, and distinct
+      // collapses them)
+      val ssRaw = ls
+        .withColumn("m", min(col("b")).over(Window.partitionBy(col("a"))))
+        .select(explode(array(col("b"), col("a"))).as("x"), col("m"))
         .filter(col("x") =!= col("m"))
         .select(col("x").as("a"), col("m").as("b"))
         .distinct()
-      // checkpoint FIRST (one execution of the round's plan), so the
-      // count reads the materialized rows and the occasional EXCEPT
-      // re-reads them instead of re-running the round — the earlier
-      // count-then-checkpoint order executed every round's plan twice.
+      // LAZY checkpoint + count: the count materializes the round's plan
+      // (one job, where eager checkpoint-then-count paid two), the
+      // occasional EXCEPT and the next round read the cached blocks.
       // The fixpoint loop needs per-round materialization anyway, so
       // checkpointEvery > 1 would only deepen the next round's lineage
       // without saving a job; cadence 1 is the operating point.
-      val ss = ssRaw.localCheckpoint()
+      val ss = ssRaw.localCheckpoint(false)
       val n2 = ss.count()
       converged = n2 == n && ss.except(e).isEmpty
       e = ss
@@ -337,13 +344,13 @@ object Graph {
     val und = clean
       .unionAll(clean.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint() // reused every round — materialize once
+      .localCheckpoint(false) // reused every round — cached on first use
     var settled = sources.select(col("v"))
       .filter(col("v").isNotNull) // same hygiene as the edge cleaning —
       // a null seed would otherwise surface as a phantom (null, 0) row
       .distinct()
       .select(col("v"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var frontier = settled
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
@@ -351,9 +358,11 @@ object Graph {
         .join(frontier.select(col("v").as("src"), col("dist")), Seq("src"))
         .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
         .groupBy("v").agg(min(col("dist")).as("dist"))
+      // lazy: the loop's own emptiness check materializes the frontier —
+      // one job per round instead of a checkpoint job + an isEmpty job
       frontier = expanded
         .join(settled, Seq("v"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       settled = settled.unionAll(frontier)
       round += 1
     }
@@ -398,13 +407,13 @@ object Graph {
             "the frontier-relaxation termination bound)")).as("__nonneg"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst") && col("w").isNotNull)
-      .localCheckpoint() // reused every round
+      .localCheckpoint(false) // reused every round — cached on first use
       .drop("__nonneg")
     var dist = sources.select(col("v"))
       .filter(col("v").isNotNull)
       .distinct()
       .select(col("v"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var frontier = dist
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
@@ -416,10 +425,10 @@ object Graph {
         .join(dist, Seq("v"), "left")
         .filter(col("dist").isNull || col("nd") < col("dist"))
         .select(col("v"), col("nd").as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       dist = dist.join(improved, Seq("v"), "left_anti")
         .unionAll(improved)
-        .localCheckpoint()
+        .localCheckpoint(false)
       frontier = improved
       round += 1
     }
