@@ -111,9 +111,18 @@ object RunWorkflow {
     else renamed
   }
 
-  /** bind_rows semantics: column union, absent columns null-filled. */
-  private def bindRows(parts: Seq[DataFrame]): DataFrame =
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  /** bind_rows semantics: column union, absent columns null-filled.
+    * Every leg is barriered first (the ScenarioData.scala:709 treatment):
+    * without it the 7-vintage price/capacity-factor merges compose into
+    * ONE physical plan with >150 whole-stage-codegen units whose task
+    * binary serializes at ~176 MiB per stage (measured on the real-data
+    * run, r15) — per-leg materialization bounds any single job's plan to
+    * one vintage's tail.
+    */
+  private def bindRows(parts: Seq[DataFrame]): DataFrame = {
+    import graft.core.Barriers.BarrierOps
+    parts.map(_.planBarrier()).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Multi-vintage capacity-factor merge in the reference's combine order
     * (run_prepare_prewrangled_capacity_factors.R:175-183: WEO2021, NGFS2023,
@@ -148,11 +157,17 @@ object RunWorkflow {
     */
   private def adjustedWeoPrices(
       fossilWide: DataFrame, powerWide: DataFrame,
-      vintage: String, npm: Double, startYear: Int): DataFrame =
+      vintage: String, npm: Double, startYear: Int): DataFrame = {
+    import graft.core.Barriers.BarrierOps
     Prices.lcoeAdjustedPrices(
         Prices.preparePriceDataLongWeo2021(fossilWide, powerWide), npm, startYear)
       .withColumn("scenario", concat(lit(vintage + "_"), col("scenario")))
       .drop("source")
+      // junction: the WEO2021 instance feeds BOTH the main union and the
+      // IPR2023 baseline clone (mergePriceVintages) — barrier once instead
+      // of computing the adjusted-price DAG per consumer
+      .planBarrier()
+  }
 
   /** Multi-vintage price merge (run_prepare_price_data_long.R:345-361):
     * WEO2021, WEO2023, NGFS2023(+Oxford LCOE), NGFS2024(+Oxford LCOE),

@@ -40,7 +40,16 @@ object Workflow {
       scenarioData: DataFrame,
       priceData: DataFrame,
       capacityFactors: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // junction barrier on the perimeter table: `avail` is consumed FOUR
+    // times (three semi joins + the scenario distinct) and its own plan
+    // nests the scen×price join twice — without the barrier every aligned
+    // output frame carries a copy of that subtree, and any DOWNSTREAM
+    // composition over the aligned frames (the v2 reshape, a perimeter
+    // re-check) multiplies plans into the 10k-node range (r15: the
+    // real-data stage-6 fixpoint check serialized >150 MiB task binaries
+    // and OOMed an 8g driver; barriered it is a sub-second leaf join)
     val avail = availableScenarioGeographies(scenarioData, priceData, capacityFactors)
+      .planBarrier()
     val scenarios = avail.select("scenario").distinct()
     (scenarioData.join(avail, Seq("scenario", "scenario_geography"), "left_semi"),
       priceData.join(scenarios, Seq("scenario"), "left_semi"),
