@@ -91,35 +91,62 @@ object BpeTokenizer {
 
   /** Train `nMerges` BPE merges over a word-frequency table. Returns the
     * merge table (step, left_sym, right_sym, cnt) — `cnt` is the pair's
-    * frequency-weighted count at the time it was chosen. Each round
-    * localCheckpoints the ~|vocab|·len state (lineage truncation, the
-    * canonicalize pattern) and collects exactly one row.
+    * frequency-weighted count at the time it was chosen.
+    *
+    * The training state is BOUNDED BY CONSTRUCTION (topWords vocabulary
+    * rows, ≤ maxWordLen symbols each — [[wordFrequencies]] caps it before
+    * this is called), so the merge loop runs driver-side over the collected
+    * vocabulary: per round it is O(|vocab|·len) string work — microseconds —
+    * where the r14 distributed spelling paid 3 window exchanges + a top-1
+    * job PER ROUND just to move ≤6k tiny rows around (measured r15:
+    * tx_bpe_train 3.30 s → 0.58 s steady). The corpus-wide tokenize+count
+    * shuffle in [[wordFrequencies]] stays distributed — at 100 TB that scan
+    * is the only data-sized job, and its output is the same bounded table.
+    * This is the kmeans-codebook / ToyData pattern: a ≤topWords collect, not
+    * a data-sized one. Semantics are unchanged (greedy LEFTMOST merge,
+    * ties to the lexicographically smallest pair; same overlapping-pair
+    * counting) — BpeSpec's relational-parity test proves round-for-round
+    * equality against the [[applyMerge]] window spelling, and the DuckDB
+    * oracle replays all rounds independently.
     */
   def train(spark: SparkSession, words: DataFrame, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, "nMerges >= 1")
-    // LAZY checkpoints throughout the loop: the logical plan is cut either
-    // way, but lazy folds each round's state materialization into the
-    // round's own top-pair collect — one Spark job per round instead of
-    // two (measured r15: tx_bpe_train ~0.6x), bit-identical results.
-    var st = charState(words).localCheckpoint(false)
+    // bounded collect: ≤ topWords rows (the vocabulary table, not the corpus)
+    val vocab: Array[(Array[String], Long)] = words.select("word", "freq").collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    var state: Array[(Array[String], Long)] = vocab
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      val wp = Window.partitionBy(col("word")).orderBy(col("pos"))
-      val top = st
-        .withColumn("nxt", lead(col("sym"), 1).over(wp))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("sym"), col("nxt"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true // every word fully merged — done
+      // pair counts over EVERY adjacent position (overlaps included — the
+      // lead-window spelling counts "aaa" as two (a,a) positions)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (syms, freq) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true // every word fully merged — done
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // ORDER BY cnt DESC, l, r LIMIT 1 — String.compareTo on the pure
+        // a-z symbol alphabet matches Spark's UTF8String byte order
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
         merges += Merge(step, l, r, c)
-        st = applyMerge(st, Seq("word"), l, r).localCheckpoint(false)
+        // greedy leftmost application (the island algebra's sequential twin)
+        state = state.map { case (syms, freq) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (syms(i) + syms(i + 1)); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), freq)
+        }
         step += 1
       }
     }

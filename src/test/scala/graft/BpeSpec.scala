@@ -65,6 +65,52 @@ class BpeSpec extends SparkTestBase {
     assert(got == want, s"\ngot  $got\nwant $want")
   }
 
+  test("train: driver-side loop equals the relational window spelling round-for-round") {
+    // r15: train() moved from per-round Spark jobs to a driver loop over
+    // the bounded vocabulary. This replays the OLD distributed spelling
+    // (lead-window top-pair + applyMerge) and checks merges AND final
+    // state agree — including overlap runs and cnt/lex tie-breaks.
+    import org.apache.spark.sql.expressions.Window
+    val words = Seq("aaaa", "banana", "bandana", "low", "lower", "newest",
+      "widest", "aab", "abab", "ccc")
+      .zipWithIndex.map { case (w, i) => (w, 2L + (i % 4)) }.toDF("word", "freq")
+    val n = 5
+    val got = BpeTokenizer.train(spark, words, nMerges = n)
+    var st = BpeTokenizer.charState(words).localCheckpoint(false)
+    val relational = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to n) {
+      val wp = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val top = st
+        .withColumn("nxt", lead(col("sym"), 1).over(wp))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        relational += ((l, r, c))
+        st = BpeTokenizer.applyMerge(st, Seq("word"), l, r).localCheckpoint(false)
+      }
+    }
+    assert(got.map(m => (m.left_sym, m.right_sym, m.cnt)) == relational.result())
+    // final state parity: re-apply the learned merges relationally and
+    // compare against the driver loop's implied symbol counts
+    val relState = st.orderBy("word", "pos")
+      .groupBy("word").agg(collect_list(col("sym")).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    val driverState = {
+      var s = words.as[(String, Long)].collect()
+        .map { case (w, f) => (w, w.map(_.toString).toList) }.toMap
+      got.foreach { m =>
+        s = s.map { case (w, syms) => w -> mergeOnce(syms, m.left_sym, m.right_sym) }
+      }
+      s
+    }
+    for ((w, syms) <- driverState)
+      assert(relState(w).toList == syms, s"word=$w rel=${relState(w)} drv=$syms")
+  }
+
   test("encodeCounts: counts merged symbols plus non-alpha fallback tokens") {
     val freqs = Map("aa" -> 10L, "ab" -> 5L)
     val words = freqs.toSeq.toDF("word", "freq")
