@@ -36,7 +36,17 @@ object Abcd {
   private def unpivotAndAggregate(wide: DataFrame): DataFrame = {
     val ids = wide.columns.filterNot(_.startsWith("Equity Ownership")).toSeq
     val long = Reshape.unpivotYears(wide, ids, valueName = "equity_ownership")
-    groupAllExcept(long, Seq("equity_ownership"))(
+    // key this dedup-aggregate's ONE exchange on the downstream merge keys
+    // (a strict subset of the grouping keys — clustering by fewer keys
+    // still satisfies the aggregate's required distribution), so the
+    // activities-emissions outer join on exactly these keys reuses the
+    // partitioning instead of re-shuffling BOTH pre-aggregated sides
+    // (guide §2.4 exchange sharing; r15 plan diff: 2 fewer Exchanges).
+    // Trade-off: the explicit repartition lands above the partial
+    // aggregate, so the shuffle moves un-combined rows — duplicates in
+    // the raw feed are rare (the aggregate is a dedup gate, groups are
+    // ~1 row), so map-side combine saved ~nothing here.
+    groupAllExcept(long.repartition(mergeKeys.map(col): _*), Seq("equity_ownership"))(
       Seq(Aggregates.sumOrAllNull(col("equity_ownership")).as("equity_ownership")))
   }
 

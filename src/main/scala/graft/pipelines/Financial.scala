@@ -116,12 +116,19 @@ object Financial {
       sectorRegion: DataFrame,
       sector: DataFrame,
       global: DataFrame): DataFrame = {
+    // tier membership depends ONLY on the broadcast side's keys (tier1 is
+    // an inner join on (sector, region), so a row misses tier1 iff its
+    // (sector, region) is absent from sectorRegion) — probe the tiny
+    // averages tables directly with broadcast anti-joins instead of
+    // materializing each tier's matched keys and shuffle-anti-joining them
+    // back (r15, guide §3.1: 2 distinct-exchanges + 2 shuffled anti-joins
+    // removed; row sets identical by the inner-join membership argument)
     val tier1 = df.join(broadcast(sectorRegion), Seq("ald_sector", "ald_region"))
-    val rest1 = df.join(tier1.select("company_id", "ald_sector", "ald_region").distinct(),
-      Seq("company_id", "ald_sector", "ald_region"), "left_anti")
+    val rest1 = df.join(broadcast(sectorRegion.select("ald_sector", "ald_region")),
+      Seq("ald_sector", "ald_region"), "left_anti")
     val tier2 = rest1.join(broadcast(sector), Seq("ald_sector"))
-    val rest2 = rest1.join(tier2.select("ald_sector", "company_id").distinct(),
-      Seq("ald_sector", "company_id"), "left_anti")
+    val rest2 = rest1.join(broadcast(sector.select("ald_sector")),
+      Seq("ald_sector"), "left_anti")
     val tier3 = rest2.crossJoin(broadcast(global))
     val all = tier1.unionByName(tier2.select(tier1.columns.map(col): _*))
       .unionByName(tier3.select(tier1.columns.map(col): _*))
@@ -218,19 +225,33 @@ object Financial {
     fin = fin.select((Seq("company_id", "ald_region", "ald_sector").map(col) ++
       indicators.map(i => col(s"final_$i").as(i)) ++
       provenanceFeatures.map(i => col(s"indicator_type_$i"))): _*)
-      // junction: company-level medians + one pivot per provenance feature
-      .planBarrier()
+    // (r15: no junction barrier here any more — the merged aggregate below
+    // is this frame's ONLY consumer, so a barrier would just add a job)
 
-    // reference :586-596 — aggregate to company level + provenance counts
-    val companyLevel = aggregateIndicators(fin, Seq("company_id"))
-    var counts = fin.select("company_id")
-    for (ff <- provenanceFeatures) {
-      val p = fin.groupBy("company_id").pivot(s"indicator_type_$ff", averageTypes).count()
-      val renamed = p.select(col("company_id") +:
-        averageTypes.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"indicator_type_${ff}_$t")): _*)
-      counts = counts.distinct().join(renamed, Seq("company_id"))
-    }
-    var out = companyLevel.join(counts, Seq("company_id"))
+    // reference :586-596 — company-level medians AND provenance counts in
+    // ONE keyed aggregate (r15, guide §2.3/§2.4): the former spelling ran
+    // aggregateIndicators + one pivot-count PER provenance feature + a
+    // distinct-join per feature — seven exchanges and three joins, every
+    // one keyed on company_id. A pivot over an explicit value list is just
+    // conditional counts, so all of it folds into the median aggregate:
+    // one exchange, no joins, bit-identical output (count() is 0 when no
+    // row matches, exactly like the pivoted coalesce(_, 0L)).
+    val countAggs = for { ff <- provenanceFeatures; t <- averageTypes }
+      yield count(when(col(s"indicator_type_$ff") === t, lit(1)))
+        .as(s"indicator_type_${ff}_$t")
+    val agged = fin.groupBy(col("company_id")).agg(
+      count(lit(1)).cast("double").as("__size_sample"),
+      (indicators.map(i => rMedian(col(i)).as(s"avg_$i")) ++ countAggs): _*)
+    // same gate as aggregateIndicators (averages with 0/0/(-Inf,Inf)):
+    // the size gate is vacuous, the finite-median filters are not
+    val gatedCompany = agged
+      .filter(indicators.map(i => col(s"avg_$i").isNotNull &&
+        col(s"avg_$i") =!= Double.PositiveInfinity &&
+        col(s"avg_$i") =!= Double.NegativeInfinity).reduce(_ && _))
+      .filter(col("avg_net_profit_margin")
+        .between(Double.NegativeInfinity, Double.PositiveInfinity))
+      .drop("__size_sample")
+    var out = indicators.foldLeft(gatedCompany)((d, i) => d.withColumnRenamed(s"avg_$i", i))
 
     // reference :484-500 identify_indicator_provenance: raw-data ratio per
     // feature — horizontal expression, never a rowwise UDF
