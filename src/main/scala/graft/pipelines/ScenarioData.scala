@@ -654,7 +654,11 @@ object ScenarioData {
   def prepareScenariosAnalysisInput(in: ScenarioInputs, startYear: Int): DataFrame = {
     // :83-90 — WEO2021+GECO2021. Barriered: it feeds the 8-vintage union
     // AND the IPR baseline relabel below (two consumers of the deepest
-    // vintage chain).
+    // vintage chain). (r15 note: an A/B made this conditional on the IPR
+    // input to spare single-vintage calls the eager job; full-run min-of-3
+    // showed no win beyond box noise and the barrier-less plan exposes the
+    // whole recode chain to every downstream analysis (cache fill, orphan
+    // gate, compositions), so the unconditional barrier stays.)
     val preparedData = in.weoGeco.map(d =>
       prepareScenarioData(interpolateSharesFormat(d, startYear, greenTechs))
         .planBarrier())
