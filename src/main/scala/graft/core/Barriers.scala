@@ -50,6 +50,29 @@ object Barriers {
       case _         => df.localCheckpoint(true)
     }
 
+  /** Barrier a set of INDEPENDENT frames, overlapping their eager
+    * materialization jobs (guide §2.6: actions are only sequential because
+    * the driver calls them sequentially — submitting the independent
+    * checkpoint jobs from a small pool lets each job's task tail be
+    * back-filled by the next job's tasks). Only the `eager` mode runs jobs
+    * at construction, so only it benefits; the other modes fall through to
+    * the sequential (job-free) spelling. Callers must pass frames with NO
+    * data dependency on each other (the vintage legs of a merge).
+    */
+  def barrierAll(dfs: Seq[DataFrame]): Seq[DataFrame] =
+    if (dfs.sizeIs <= 1) dfs.map(barrier)
+    else if (dfs.head.sparkSession.conf.get(ModeKey, "eager") != "eager") dfs.map(barrier)
+    else {
+      // 3 jobs in flight is the guide's sweet spot: enough to fill tails,
+      // not enough to thrash the 32-core box
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(3, dfs.size))
+      try {
+        dfs.map(df => pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = df.localCheckpoint(true)
+        })).map(_.get())
+      } finally pool.shutdown()
+    }
+
   /** `df.planBarrier()` chain syntax for the pipeline modules. */
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
     def planBarrier(): DataFrame = barrier(df)

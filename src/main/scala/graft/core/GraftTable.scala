@@ -49,7 +49,7 @@ final class GraftTable(
     version: Long,
     val dataSchema: StructType,
     partitionSchema: StructType,
-    files: Seq[Path],
+    index: InMemoryFileIndex,
     fastPath: Boolean) extends Table with SupportsRead {
 
   override def name(): String = s"graft:$root@v$version"
@@ -65,11 +65,13 @@ final class GraftTable(
     if (fastPath) Set[TableCapability](TableCapability.BATCH_READ).asJava
     else Collections.emptySet()
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val index = new InMemoryFileIndex(
-      spark, files, Map("basePath" -> root), userSpecifiedSchema = None)
+  // r15: reuse the index `resolve` already built and listed — the first
+  // spelling constructed a SECOND InMemoryFileIndex here, re-listing every
+  // pinned path (a driver pass, or a whole Spark listing job past the
+  // parallel-discovery threshold) once per scan of an already-resolved
+  // table
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(spark, index, schema(), dataSchema, options)
-  }
 }
 
 object GraftTable {
@@ -96,13 +98,20 @@ object GraftTable {
     val insertable = Option(options.get("insertable")).exists(_.equalsIgnoreCase("true"))
     val fast = !hasDv && renames.isEmpty && drops.isEmpty && !crossRoot && !insertable
     val paths = files.map(f => new Path(Snapshots.resolveLine(root, f)._2))
+    // the session's shared FileStatusCache (guide §6: the per-session
+    // listing cache, spark.sql.hive.filesourcePartitionFileCacheSize):
+    // repeated reads of the same pinned version skip the re-listing —
+    // stale entries are impossible because published files are immutable
+    // and every publish lands fresh pub-<uuid> names
     val index = new InMemoryFileIndex(
-      spark, paths, Map("basePath" -> root), userSpecifiedSchema = None)
+      spark, paths, Map("basePath" -> root), userSpecifiedSchema = None,
+      fileStatusCache = org.apache.spark.sql.execution.datasources
+        .FileStatusCache.getOrCreate(spark))
     val dataSchema = new ParquetFileFormat().inferSchema(
       spark, Map.empty[String, String], index.allFiles()).getOrElse(
       throw new IllegalStateException(
         s"graft source: could not infer schema of version $version under $root"))
     Some(new GraftTable(spark, root, version, dataSchema,
-      index.partitionSchema, paths, fast))
+      index.partitionSchema, index, fast))
   }
 }

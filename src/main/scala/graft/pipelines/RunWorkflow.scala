@@ -119,10 +119,9 @@ object RunWorkflow {
     * run, r15) — per-leg materialization bounds any single job's plan to
     * one vintage's tail.
     */
-  private def bindRows(parts: Seq[DataFrame]): DataFrame = {
-    import graft.core.Barriers.BarrierOps
-    parts.map(_.planBarrier()).reduce(_.unionByName(_, allowMissingColumns = true))
-  }
+  private def bindRows(parts: Seq[DataFrame]): DataFrame =
+    graft.core.Barriers.barrierAll(parts)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Multi-vintage capacity-factor merge in the reference's combine order
     * (run_prepare_prewrangled_capacity_factors.R:175-183: WEO2021, NGFS2023,
@@ -131,8 +130,12 @@ object RunWorkflow {
   private def mergeCapacityFactorVintages(
       cfWeo2021: DataFrame, v: VintageInputs, startYear: Int): DataFrame = {
     val ipr = v.ipr2023CapacityFactors.map { raw =>
+      import graft.core.Barriers.BarrierOps
       val p = CapacityFactors.prepareCapacityFactorsIpr2023(raw, startYear)
         .filter(col("scenario_geography") =!= "IND") // :143 duplicated India geography
+        // junction (r15): the baseline clone below re-reads the prepared
+        // frame — barrier once instead of running the IPR prepare twice
+        .planBarrier()
       // :146 full_join(prepared, baseline) — a natural full join of
       // equal-schema frames with disjoint scenario labels = union-dedup (J5)
       p.unionByName(CapacityFactors.prepareCapacityFactorsIpr2023Baseline(p)).distinct()
@@ -233,8 +236,16 @@ object RunWorkflow {
     // stages 2-4 of run_workflow.R: carbon price, capacity factors, prices
     val carbonPrice = CarbonPrice.prepareNgfsCarbonPrice(
       spark, in.ngfsCarbonPriceWide, in.startYear)
-    val cfWeo2021 = CapacityFactors.prepareCapacityFactorsWeo2021(
+    // junction (r15): with vintages present, the WEO2021 frame feeds BOTH
+    // its own merge leg and the OXF2021 derivation — barrier it once so
+    // the two legs read a leaf instead of re-running the prepare
+    val cfWeo2021raw = CapacityFactors.prepareCapacityFactorsWeo2021(
       in.weoCapacityFactorsWide, in.startYear)
+    val cfWeo2021 =
+      if (in.vintages.exists(_.includeOxf2021CapacityFactors)) {
+        import graft.core.Barriers.BarrierOps
+        cfWeo2021raw.planBarrier()
+      } else cfWeo2021raw
     val capacityFactors = in.vintages
       .map(mergeCapacityFactorVintages(cfWeo2021, _, in.startYear))
       .getOrElse(cfWeo2021)

@@ -708,9 +708,13 @@ object ScenarioData {
     // super-linear in the combined tree — the un-barriered real-data merge
     // spent minutes in pure planning at the cache materialization below.
     // Per-vintage barriers keep each collapse at single-vintage size.
-    val frames = Seq(preparedData, preparedNgfs, preparedIpr, preparedOxf,
-      preparedGeco23, preparedSteel, preparedWeo23, preparedNgfsV5)
-      .flatten.map(_.planBarrier())
+    // ... and the legs' eager materializations OVERLAP (barrierAll, guide
+    // §2.6): the eight vintage chains are independent given the earlier
+    // preparedData barrier, so their checkpoint jobs back-fill each
+    // other's task tails instead of running strictly one after another
+    val frames = graft.core.Barriers.barrierAll(
+      Seq(preparedData, preparedNgfs, preparedIpr, preparedOxf,
+        preparedGeco23, preparedSteel, preparedWeo23, preparedNgfsV5).flatten)
     require(frames.nonEmpty, "at least one scenario vintage input is required")
     val combined = frames
       .reduce(_.unionByName(_, allowMissingColumns = true))
