@@ -42,8 +42,20 @@ object Barriers {
 
   val ModeKey = "spark.graft.planBarrier"
 
+  /** A frame whose logical plan is already a bare checkpoint leaf
+    * (LogicalRDD is exactly what localCheckpoint returns). Barriering it
+    * again runs one more Spark job to copy already-pinned blocks into a
+    * second set of pinned blocks — pure job-count overhead with no plan
+    * truncation left to gain (the composed pipelines double-barriered the
+    * deepest vintage leg this way: once at its own junction, once in the
+    * merge's barrierAll).
+    */
+  private def alreadyBarriered(df: DataFrame): Boolean =
+    df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   def barrier(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get(ModeKey, "eager") match {
+    if (alreadyBarriered(df)) df
+    else df.sparkSession.conf.get(ModeKey, "eager") match {
       case "off"     => df
       case "lazy"    => df.localCheckpoint(false)
       case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -62,16 +74,14 @@ object Barriers {
   def barrierAll(dfs: Seq[DataFrame]): Seq[DataFrame] =
     if (dfs.sizeIs <= 1) dfs.map(barrier)
     else if (dfs.head.sparkSession.conf.get(ModeKey, "eager") != "eager") dfs.map(barrier)
-    else {
+    else
       // 3 jobs in flight is the guide's sweet spot: enough to fill tails,
-      // not enough to thrash the 32-core box
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(3, dfs.size))
-      try {
-        dfs.map(df => pool.submit(new java.util.concurrent.Callable[DataFrame] {
-          override def call(): DataFrame = df.localCheckpoint(true)
-        })).map(_.get())
-      } finally pool.shutdown()
-    }
+      // not enough to thrash the 32-core box. Pools.mapAll drains every
+      // sibling checkpoint job before propagating a failure — a job left
+      // running would race the session's stop() (the r15 driver-side
+      // RejectedExecutionException flake). Already-checkpointed legs pass
+      // through without a redundant copy job.
+      Pools.mapAll(dfs, 3)(df => if (alreadyBarriered(df)) df else df.localCheckpoint(true))
 
   /** `df.planBarrier()` chain syntax for the pipeline modules. */
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
