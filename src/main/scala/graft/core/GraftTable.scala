@@ -97,16 +97,18 @@ object GraftTable {
     val crossRoot = files.exists(f => Snapshots.resolveLine(root, f)._1 != root)
     val insertable = Option(options.get("insertable")).exists(_.equalsIgnoreCase("true"))
     val fast = !hasDv && renames.isEmpty && drops.isEmpty && !crossRoot && !insertable
-    val paths = files.map(f => new Path(Snapshots.resolveLine(root, f)._2))
-    // the session's shared FileStatusCache (guide §6: the per-session
-    // listing cache, spark.sql.hive.filesourcePartitionFileCacheSize):
-    // repeated reads of the same pinned version skip the re-listing —
+    val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualified like every other pinned read — the shared cache is keyed
+    // by the path AS PASSED
+    val paths = files.map(f => fsys.makeQualified(new Path(Snapshots.resolveLine(root, f)._2)))
+    // the session's SHARED FileStatusCache client (Snapshots.fileStatusCache,
+    // guide §6): repeated reads of the same pinned version skip the
+    // re-listing, and a version the publisher just landed is already warm —
     // stale entries are impossible because published files are immutable
     // and every publish lands fresh pub-<uuid> names
     val index = new InMemoryFileIndex(
       spark, paths, Map("basePath" -> root), userSpecifiedSchema = None,
-      fileStatusCache = org.apache.spark.sql.execution.datasources
-        .FileStatusCache.getOrCreate(spark))
+      fileStatusCache = Snapshots.fileStatusCache(spark))
     val dataSchema = new ParquetFileFormat().inferSchema(
       spark, Map.empty[String, String], index.allFiles()).getOrElse(
       throw new IllegalStateException(

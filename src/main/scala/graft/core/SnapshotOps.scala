@@ -374,7 +374,9 @@ object SnapshotOps {
       else Snapshots.readMapped(spark, root, v, candidateFiles)
         .join(broadcast(srcKeys), keyCols, "left_anti")
         .unionByName(survivors)
-    val merged = rewritten.localCheckpoint(true)
+    // lazy checkpoint: the `still` probe's collect is the first action —
+    // one job materializes AND probes (see purgeDeletes)
+    val merged = rewritten.localCheckpoint(false)
     // partitions whose every file is replaced and which no merged row
     // re-populates drop from the manifest (dir names are hive-escaped;
     // `still` lives in raw-value space via the composite partition key,
@@ -505,15 +507,18 @@ object SnapshotOps {
         val scan = Snapshots.fileDvs(spark, root, v).fold(scan0)(dv =>
           scan0.join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
             Seq("__file", "__pos"), "left_anti"))
+        // lazy checkpoint + count: ONE job materializes the pinned blocks
+        // AND answers the emptiness probe (the eager-checkpoint + isEmpty
+        // spelling ran two)
         val d = scan
           .join(broadcast(srcKeys), keyCols, "left_semi")
           .select(col("__file").as("file"), col("__pos").as("pos"))
-          .localCheckpoint(true)
-        if (d.isEmpty) None else Some(d)
+          .localCheckpoint(false)
+        if (d.count() == 0) None else Some(d)
       }
     val surv = source.filter(not(col(opCol) === "delete")).drop(opCol)
-      .localCheckpoint(true)
-    val hasSurv = !surv.isEmpty
+      .localCheckpoint(false)
+    val hasSurv = surv.count() > 0
     if (deletes.isEmpty && !hasSurv) {
       if (allowNoop) return v
       require(requirement = false, "mergeOnRead: source matches nothing and inserts nothing")
@@ -565,10 +570,11 @@ object SnapshotOps {
     val scan = Snapshots.fileDvs(spark, root, v).fold(scan0)(dv =>
       scan0.join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
         Seq("__file", "__pos"), "left_anti"))
+    // lazy checkpoint + count: one job materializes AND probes emptiness
     val d = scan.filter(predicate)
       .select(col("__file").as("file"), col("__pos").as("pos"))
-      .localCheckpoint(true)
-    if (d.isEmpty) {
+      .localCheckpoint(false)
+    if (d.count() == 0) {
       if (allowNoop) return v
       require(requirement = false, s"deleteWhere: no live row matches under $root")
     }
@@ -604,8 +610,9 @@ object SnapshotOps {
     val scan = Snapshots.fileDvs(spark, root, v).fold(scan0)(dv =>
       scan0.join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
         Seq("__file", "__pos"), "left_anti"))
-    val matched = scan.filter(predicate).localCheckpoint(true)
-    if (matched.isEmpty) {
+    // lazy checkpoint + count: one job materializes AND probes emptiness
+    val matched = scan.filter(predicate).localCheckpoint(false)
+    if (matched.count() == 0) {
       if (allowNoop) return v
       require(requirement = false, s"updateWhere: no live row matches under $root")
     }
@@ -643,7 +650,10 @@ object SnapshotOps {
       .filter(f => dvFiles.contains(Snapshots.relSuffix(f)))
     if (files.isEmpty) return None
     val partCols = layoutOf(files.map(Snapshots.partitionOf), "purgeDeletes")
-    val survivors = Snapshots.readMapped(spark, root, v, files).localCheckpoint(true)
+    // lazy checkpoint: the `still` probe's collect below is the first
+    // action, so ONE job materializes the pinned survivor blocks and
+    // answers the probe (eager spelling ran a separate checkpoint job)
+    val survivors = Snapshots.readMapped(spark, root, v, files).localCheckpoint(false)
     val still = survivors.select(partKeyExpr(col, partCols).as("__pk"))
       .distinct().collect().map(_.getString(0)).toSet
     val candSet = files.toSet
@@ -716,11 +726,18 @@ object SnapshotOps {
               .otherwise(col("violated")))
           .drop("__kn")
     }
-    val cached = flagged.localCheckpoint(true)
+    // lazy checkpoint + ONE aggregate job for both counts (the eager
+    // spelling ran a checkpoint job + two count jobs): the agg is the
+    // first action, so it materializes the pinned blocks the quarantine
+    // and clean writes then read
+    val cached = flagged.localCheckpoint(false)
     val quarantined = cached.filter(col("violated") =!= "")
     val clean = cached.filter(col("violated") === "").drop("violated")
-    val nQuar = quarantined.count()
-    val nClean = clean.count()
+    val counts = cached.agg(
+      count(when(col("violated") =!= "", 1)).as("q"),
+      count(when(col("violated") === "", 1)).as("c")).head()
+    val nQuar = counts.getLong(0)
+    val nClean = counts.getLong(1)
     require(nClean > 0, "publishExpect: every row violated — refusing an empty publish")
     // quarantine BEFORE the commit: a crash between the two must lose
     // the (uncommitted) version, never the dead-letter rows — the

@@ -287,6 +287,120 @@ object Snapshots {
     if (isAbsoluteLine(f)) (f.dropRight(relSuffix(f).length + 1), f)
     else (root, s"$root/$f")
 
+  /** ONE FileStatusCache client per session, shared by every pinned data
+    * read and warmed at publish. `FileStatusCache.getOrCreate` hands out
+    * a FRESH client id per call and entries are invisible across clients
+    * — so the per-call instance `spark.read.parquet` builds internally
+    * can never see warm entries, and every pinned read over more paths
+    * than the parallel-discovery threshold paid a Spark listing job for
+    * files the publisher had just renamed itself (guide §6). Stale
+    * entries are impossible: published files are immutable under fresh
+    * `pub-<uuid>` names.
+    */
+  private val sessionFsCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, org.apache.spark.sql.execution.datasources.FileStatusCache]()
+
+  private[core] def fileStatusCache(
+      spark: SparkSession): org.apache.spark.sql.execution.datasources.FileStatusCache =
+    sessionFsCache.computeIfAbsent(spark,
+      s => org.apache.spark.sql.execution.datasources.FileStatusCache.getOrCreate(s))
+
+  /** Plan an exact pinned file set as one parquet DataFrame through the
+    * session's SHARED FileStatusCache client (the `spark.read.parquet`
+    * spelling builds a fresh throwaway cache client per call): a set the
+    * publisher warmed — or any set read before in this session — plans
+    * with ZERO listing cost, neither a Spark listing job past the
+    * parallel-discovery threshold nor a driver re-stat below it.
+    * Everything else (schema inference, hive partition-value inference
+    * against basePath, `_metadata` columns) rides the same
+    * InMemoryFileIndex + HadoopFsRelation machinery `spark.read` uses.
+    */
+  private[core] def pinnedParquet(
+      spark: SparkSession,
+      base: String,
+      files: Seq[String],
+      mergeSchema: Boolean): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    // spark.read parity: an unset mergeSchema option inherits the session
+    // conf (SnapshotSpec pins that), so the caller's `false` only means
+    // "not forced", never "forced off"
+    val effMerge = mergeSchema || spark.sessionState.conf.isParquetSchemaMergingEnabled
+    val opts = Map("basePath" -> base, "mergeSchema" -> effMerge.toString)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify exactly like the publish-side warm does — the cache is
+    // keyed by the path AS PASSED
+    val paths = files.map(f => fs.makeQualified(new Path(f)))
+    val index = new InMemoryFileIndex(
+      spark, paths, opts, userSpecifiedSchema = None,
+      fileStatusCache = fileStatusCache(spark))
+    // a pinned manifest line that stats to nothing is table corruption
+    // (vacuum honors pinned versions) — fail as loudly as spark.read did
+    val found = index.allFiles()
+    require(found.size == paths.size,
+      s"pinned read under $base: ${paths.size - found.size} of ${paths.size} " +
+        "manifest file(s) missing on storage")
+    val fmt = new ParquetFileFormat()
+    // single-schema sets (every publish writes one schema) infer from ONE
+    // footer on the driver — spark.read's inference launches a whole
+    // mergeSchemasInParallel SPARK JOB even for one file; merged-schema
+    // sets (column-mapped tables span physical generations) keep the
+    // distributed merge, which is the right shape at scale
+    val dataSchema =
+      if (effMerge) fmt.inferSchema(spark, opts, found).getOrElse(
+        throw new IllegalStateException(s"pinned read under $base: no inferable schema"))
+      else driverInferSchema(spark, found.head.getPath)
+    // spark.read parity: DataSource forces the data schema nullable (a
+    // generation missing a later-added column reads nulls, and the
+    // vectorized reader refuses a missing REQUIRED column outright)
+    val nullableSchema = deepNullable(dataSchema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.baseRelationToDataFrame(
+      HadoopFsRelation(index, index.partitionSchema, nullableSchema, None, fmt, opts)(spark))
+  }
+
+  /** DataType.asNullable (private in Spark): every field, element and
+    * value nullable, deeply.
+    */
+  private def deepNullable(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(keyType = deepNullable(m.keyType),
+          valueType = deepNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** The Catalyst schema of a SELF-PUBLISHED parquet file, from its
+    * footer on the driver: prefer the exact schema JSON Spark embeds at
+    * write time (`org.apache.spark.sql.parquet.row.metadata` — what
+    * spark.read's own inference prefers via readSchemaFromFooter), fall
+    * back to footer-type conversion under the session's conf. One ~ms
+    * driver footer open instead of a cluster job.
+    */
+  private def driverInferSchema(
+      spark: SparkSession, file: Path): org.apache.spark.sql.types.StructType = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
+    try {
+      val fmd = r.getFooter.getFileMetaData
+      Option(fmd.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(json => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+        .getOrElse(new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(hconf).convert(fmd.getSchema))
+    } finally r.close()
+  }
+
   /** Plan a set of manifest lines as ONE DataFrame, grouping by base so
     * every scan keeps hive partition-value inference and partition
     * pruning (one group per source table — a non-clone table is exactly
@@ -301,9 +415,7 @@ object Snapshots {
     require(lines.nonEmpty, "readFileGroups: empty file set")
     val groups = lines.map(resolveLine(root, _)).groupBy(_._1).toSeq.sortBy(_._1)
     val dfs = groups.map { case (base, fs) =>
-      val reader = spark.read.option("basePath", base)
-      (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
-        .parquet(fs.map(_._2): _*)
+      pinnedParquet(spark, base, fs.map(_._2), mergeSchema)
     }
     dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
   }
@@ -498,12 +610,9 @@ object Snapshots {
       statsCols: Seq[String]): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     import scala.jdk.CollectionConverters._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, files.size)))
-    try {
-      val futs = files.map { f =>
-        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
-          override def call(): Seq[String] = try {
+    Pools.mapAll(files, 16) { f =>
+      {
+        try {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(new Path(rootP, f), fs.getConf)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -542,10 +651,8 @@ object Snapshots {
             case _: RuntimeException if lacksParquetMagic(fs, new Path(rootP, f)) =>
               Seq.empty
           }
-        })
       }
-      futs.flatMap(_.get())
-    } finally pool.shutdown()
+    }.flatten
   }
 
   /** Per-file ROW COUNTS a version records (`#rows=<file>|<n>` header
@@ -720,7 +827,9 @@ object Snapshots {
       .map { p =>
         import spark.implicits._
         val kept = keptFiles.toSeq.toDF("file")
-        spark.read.parquet(p.toString).join(kept, Seq("file"), "left_semi")
+        // explicit sidecar schema — see fileDvs
+        spark.read.schema("file STRING, col STRING, word_idx BIGINT, word BIGINT")
+          .parquet(p.toString).join(kept, Seq("file"), "left_semi")
       }
     val freshRows =
       if (freshFiles.isEmpty || bloomCols.isEmpty) None
@@ -732,8 +841,10 @@ object Snapshots {
         // file's carried sidecar rows at the next publish's kept-semijoin
         import spark.implicits._
         val lutDf = suffixLookup(freshFiles).toSeq.toDF("__variant", "__mfile")
-        val df = spark.read.option("basePath", root)
-          .parquet(freshFiles.map(f => s"$root/$f"): _*)
+        // pinned read: the publish just warmed these exact files, so the
+        // bloom build pays no listing and no schema-inference job
+        val df = pinnedParquet(spark, root, freshFiles.map(f => s"$root/$f"),
+            mergeSchema = false)
           .withColumn("__suffix",
             // every trailing <k>=<v> dir + file name: nested layouts (r13)
             // keep their FULL partition path as the manifest suffix
@@ -775,7 +886,11 @@ object Snapshots {
     */
   def fileBlooms(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
     val p = bloomDirPath(root, version)
-    if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+    // explicit sidecar schema — see fileDvs
+    if (fsOf(spark, p).exists(p))
+      Some(spark.read.schema("file STRING, col STRING, word_idx BIGINT, word BIGINT")
+        .parquet(p.toString))
+    else None
   }
 
   // ------------------------------------------------------------------
@@ -800,7 +915,12 @@ object Snapshots {
     */
   def fileDvs(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
     val p = dvDirPath(root, version)
-    if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+    // explicit sidecar schema: an unschema'd parquet read launches a
+    // whole schema-inference Spark job per call (and this verb runs on
+    // every DV-aware read path)
+    if (fsOf(spark, p).exists(p))
+      Some(spark.read.schema("file STRING, pos BIGINT").parquet(p.toString))
+    else None
   }
 
   /** Carry the previous version's DV rows for kept files, union the new
@@ -829,10 +949,13 @@ object Snapshots {
     val fresh = newDeletes.map(_.select(
       col("file").cast("string").as("file"), col("pos").cast("long").as("pos")))
     (carried.toSeq ++ fresh.toSeq).reduceOption(_ unionByName _).foreach { all0 =>
-      val all = all0.distinct()
+      // lazy checkpoint + count: one job answers the emptiness gate AND
+      // pins the distinct result the write below re-reads (the bare
+      // isEmpty spelling recomputed the distinct for the write)
+      val all = all0.distinct().localCheckpoint(false)
       // a purge that replaced every DV'd file carries nothing — skip the
       // dir entirely so later reads take the DV-free fast path
-      if (!all.isEmpty) {
+      if (all.count() > 0) {
         val tmp = new Path(
           s"$root/$DvDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         all.coalesce(4).write.parquet(tmp.toString)
@@ -860,9 +983,7 @@ object Snapshots {
     val lutDf = suffixLookup(lines.map(relSuffix)).toSeq.toDF("__variant", "__mfile")
     val groups = lines.map(resolveLine(root, _)).groupBy(_._1).toSeq.sortBy(_._1)
     val dfs = groups.map { case (base, fs) =>
-      val reader = spark.read.option("basePath", base)
-      (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
-        .parquet(fs.map(_._2): _*)
+      pinnedParquet(spark, base, fs.map(_._2), mergeSchema)
         .select(col("*"),
           col("_metadata.row_index").as("__pos"),
           regexp_extract(col("_metadata.file_path"),
@@ -1445,23 +1566,27 @@ object Snapshots {
         }
     }.toSeq
     val fresh: Seq[String] =
-      if (moves.isEmpty) Seq.empty
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, moves.size))
-        try {
-          moves.map { case (src, dst, rel) =>
-            pool.submit(new java.util.concurrent.Callable[String] {
-              override def call(): String = {
-                require(fs.rename(src, dst),
-                  s"publishPartitions: rename of $src into $dst failed")
-                rel
-              }
-            })
-          }.map(_.get())
-        } finally pool.shutdown()
+      Pools.mapAll(moves, 16) { case (src, dst, rel) =>
+        require(fs.rename(src, dst),
+          s"publishPartitions: rename of $src into $dst failed")
+        rel
       }
     fs.delete(stage, true)
+    // warm the session's SHARED FileStatusCache client with the freshly
+    // landed files (one pooled driver stat each — the publisher re-opens
+    // every footer below anyway): without this, the FIRST pinned read of
+    // the new version (the bloom sidecar build, a point read, the DSv2
+    // resolve) pays a whole Spark listing job once the path count exceeds
+    // the parallel-discovery threshold (guide §6). Immutable pub-<uuid>
+    // names make stale entries impossible; a NoopCache session (file
+    // cache disabled by conf) degrades to the old listing behavior.
+    if (moves.nonEmpty) {
+      val cache = fileStatusCache(spark)
+      Pools.mapAll(moves, 16) { case (_, dst, _) =>
+        val q = fs.makeQualified(dst)
+        cache.putLeafFiles(q, Array(fs.getFileStatus(q)))
+      }
+    }
 
     // legacy bootstrap: a table without manifests snapshots its current
     // on-disk listing (minus what this publish just added)
@@ -1848,8 +1973,8 @@ object Snapshots {
     val consAdd = tableConstraints(spark, root)
     if (consAdd.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      val bad = spark.read.option("basePath", root)
-        .parquet(files.map(f => s"$root/$f"): _*)
+      val bad = pinnedParquet(spark, root, files.map(f => s"$root/$f"),
+          mergeSchema = false)
         .filter(consAdd.map(c => not(coalesce(expr(c._2), lit(false)))).reduce(_ || _))
         .count()
       require(bad == 0,
@@ -1954,8 +2079,8 @@ object Snapshots {
     val cons = tableConstraints(spark, root)
     if (cons.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      val bad = spark.read.option("basePath", stage.toString)
-        .parquet(staged.map(_._1.toString): _*)
+      val bad = pinnedParquet(spark, stage.toString, staged.map(_._1.toString),
+          mergeSchema = false)
         .filter(cons.map(c => not(coalesce(expr(c._2), lit(false)))).reduce(_ || _))
         .count()
       if (bad > 0) {
