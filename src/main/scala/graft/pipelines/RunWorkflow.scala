@@ -230,28 +230,50 @@ object RunWorkflow {
     // the caller's write — cache, or each consumer re-runs the full
     // multi-vintage merge (SURVEY §4.1: branch reuse is free in eager R,
     // recomputes the subtree in lazy Spark)
-    val scenariosAnalysisInput = in.scenarios.map(s =>
-      ScenarioData.prepareScenariosAnalysisInput(s, in.startYear).cache())
+    // stages 1-4 of run_workflow.R are mutually independent up to the
+    // automotive-price append (the scenario merge, the capacity-factor
+    // merge and the price merge read disjoint inputs), yet each runs its
+    // own eager barrier/orphan jobs at CONSTRUCTION — strictly
+    // sequentially when built inline. Build the three on the small pool
+    // (guide §2.6) so each stage's construction jobs back-fill the
+    // previous stage's task tails. Results and order are unchanged.
+    val stageThunks: Seq[() => Any] = Seq(
+      // stage 1: the multi-vintage scenario merge; consumed by the
+      // automotive-price fan-out, the alignment rewrite AND the caller's
+      // write — cache, or each consumer re-runs the full merge
+      () => in.scenarios.map(s =>
+        ScenarioData.prepareScenariosAnalysisInput(s, in.startYear).cache()),
+      // stage 3: capacity factors. junction (r15): with vintages present,
+      // the WEO2021 frame feeds BOTH its own merge leg and the OXF2021
+      // derivation — barrier it once so the two legs read a leaf instead
+      // of re-running the prepare
+      () => {
+        val cfWeo2021raw = CapacityFactors.prepareCapacityFactorsWeo2021(
+          in.weoCapacityFactorsWide, in.startYear)
+        val cfWeo2021 =
+          if (in.vintages.exists(_.includeOxf2021CapacityFactors)) {
+            import graft.core.Barriers.BarrierOps
+            cfWeo2021raw.planBarrier()
+          } else cfWeo2021raw
+        in.vintages
+          .map(mergeCapacityFactorVintages(cfWeo2021, _, in.startYear))
+          .getOrElse(cfWeo2021)
+      },
+      // stage 4: prices (the automotive append joins in below, after the
+      // scenario stage is available)
+      () => in.vintages
+        .map(mergePriceVintages(in, _))
+        .getOrElse(
+          Prices.preparePriceDataLongWeo2021(in.fossilFuelPricesWide, in.powerLcoeWide)))
+    val stageResults = graft.core.Pools.mapAll(stageThunks, 3)(_())
+    val scenariosAnalysisInput =
+      stageResults(0).asInstanceOf[Option[org.apache.spark.sql.DataFrame]]
+    val capacityFactors = stageResults(1).asInstanceOf[org.apache.spark.sql.DataFrame]
+    var prices = stageResults(2).asInstanceOf[org.apache.spark.sql.DataFrame]
 
-    // stages 2-4 of run_workflow.R: carbon price, capacity factors, prices
+    // stage 2 of run_workflow.R: carbon price (pure construction, no jobs)
     val carbonPrice = CarbonPrice.prepareNgfsCarbonPrice(
       spark, in.ngfsCarbonPriceWide, in.startYear)
-    // junction (r15): with vintages present, the WEO2021 frame feeds BOTH
-    // its own merge leg and the OXF2021 derivation — barrier it once so
-    // the two legs read a leaf instead of re-running the prepare
-    val cfWeo2021raw = CapacityFactors.prepareCapacityFactorsWeo2021(
-      in.weoCapacityFactorsWide, in.startYear)
-    val cfWeo2021 =
-      if (in.vintages.exists(_.includeOxf2021CapacityFactors)) {
-        import graft.core.Barriers.BarrierOps
-        cfWeo2021raw.planBarrier()
-      } else cfWeo2021raw
-    val capacityFactors = in.vintages
-      .map(mergeCapacityFactorVintages(cfWeo2021, _, in.startYear))
-      .getOrElse(cfWeo2021)
-    var prices = in.vintages
-      .map(mergePriceVintages(in, _))
-      .getOrElse(Prices.preparePriceDataLongWeo2021(in.fossilFuelPricesWide, in.powerLcoeWide))
     // run_workflow.R price stage appends dummy automotive prices wherever
     // the merged scenario set has automotive rows (create_automotive_prices)
     for (scen <- scenariosAnalysisInput) {

@@ -662,44 +662,57 @@ object ScenarioData {
     val preparedData = in.weoGeco.map(d =>
       prepareScenarioData(interpolateSharesFormat(d, startYear, greenTechs))
         .planBarrier())
-    // :94-124 — WEO2023
-    val preparedWeo23 = in.weo23.map(d =>
-      prepareScenarioDataWeo23(interpolateSharesFormat(d, startYear, greenTechs)))
-    // :126-156 — GECO2023
-    val preparedGeco23 = in.geco2023.map(d =>
-      prepareGeco2023(interpolateSharesFormat(d, startYear, greenTechs)))
-    // :158-192 — NGFS Phase IV (degree-sign cleanup upstream of recodes)
-    val preparedNgfs = in.ngfsPhase4.map { d =>
-      val pre = preprepareNgfsScenarioData(
-        d.withColumn("Scenario", regexp_replace(col("Scenario"), "°", " ")), startYear)
-      styleNgfs(interpolateSharesFormat(pre, startYear, greenTechs))
-    }
-    // :195-232 — NGFS Phase V, then fair_share_perc nulls -> 0
-    val preparedNgfsV5 = in.ngfsV5.map { d =>
-      val pre = preprepareNgfsScenarioDataV5(
-        d.withColumn("Scenario", regexp_replace(col("Scenario"), "°", " ")))
-      styleNgfs(interpolateSharesFormat(pre, startYear, greenTechs))
-        .withColumn("fair_share_perc", coalesce(col("fair_share_perc"), lit(0.0)))
-    }
-    // :236-304 — IPR: main + WEO baseline + GECO automotive baseline,
-    // unioned, fair_share_perc nulls -> 0
-    val preparedIpr = in.ipr.map { d =>
-      var ipr = prepareIprScenarioData2023(d, startYear)
-      for (p <- preparedData)
-        ipr = graft.ops.Joins.unionDedup(Seq(
-          ipr, prepareIprBaselineScenario(p).select(ipr.columns.map(col): _*)))
-      for (g <- in.geco2021) {
-        val auto = prepareIprBaselineScenarioAutomotive(
-          interpolateSharesFormat(g, startYear, greenTechsIpr))
-        ipr = ipr.unionByName(auto, allowMissingColumns = true).distinct()
-      }
-      ipr.withColumn("fair_share_perc", coalesce(col("fair_share_perc"), lit(0.0)))
-    }
-    // :306-327 — Oxford (value renamed to scenario_pathway by the runner)
-    val preparedOxf = in.oxf.map(d =>
-      prepareOxfScenarioData(d, startYear).withColumnRenamed("value", "scenario_pathway"))
-    // :330-348 — steel
-    val preparedSteel = in.steel.map(d => prepareSteelScenarioData(d, startYear))
+    // The remaining vintages are independent of each other GIVEN the
+    // preparedData barrier above, yet each runs an eager junction-barrier
+    // job inside its interpolateSharesFormat at CONSTRUCTION — strictly
+    // one after another when built inline. Build them on the small pool
+    // (guide §2.6) so each vintage's construction job back-fills the
+    // previous one's task tail; order and results are unchanged
+    // (Pools.mapAll preserves input order and drains every sibling
+    // before propagating a failure).
+    val vintageThunks: Seq[() => Option[DataFrame]] = Seq(
+      // :94-124 — WEO2023
+      () => in.weo23.map(d =>
+        prepareScenarioDataWeo23(interpolateSharesFormat(d, startYear, greenTechs))),
+      // :126-156 — GECO2023
+      () => in.geco2023.map(d =>
+        prepareGeco2023(interpolateSharesFormat(d, startYear, greenTechs))),
+      // :158-192 — NGFS Phase IV (degree-sign cleanup upstream of recodes)
+      () => in.ngfsPhase4.map { d =>
+        val pre = preprepareNgfsScenarioData(
+          d.withColumn("Scenario", regexp_replace(col("Scenario"), "°", " ")), startYear)
+        styleNgfs(interpolateSharesFormat(pre, startYear, greenTechs))
+      },
+      // :195-232 — NGFS Phase V, then fair_share_perc nulls -> 0
+      () => in.ngfsV5.map { d =>
+        val pre = preprepareNgfsScenarioDataV5(
+          d.withColumn("Scenario", regexp_replace(col("Scenario"), "°", " ")))
+        styleNgfs(interpolateSharesFormat(pre, startYear, greenTechs))
+          .withColumn("fair_share_perc", coalesce(col("fair_share_perc"), lit(0.0)))
+      },
+      // :236-304 — IPR: main + WEO baseline + GECO automotive baseline,
+      // unioned, fair_share_perc nulls -> 0 (reads preparedData's
+      // barriered LEAF — safe across threads)
+      () => in.ipr.map { d =>
+        var ipr = prepareIprScenarioData2023(d, startYear)
+        for (p <- preparedData)
+          ipr = graft.ops.Joins.unionDedup(Seq(
+            ipr, prepareIprBaselineScenario(p).select(ipr.columns.map(col): _*)))
+        for (g <- in.geco2021) {
+          val auto = prepareIprBaselineScenarioAutomotive(
+            interpolateSharesFormat(g, startYear, greenTechsIpr))
+          ipr = ipr.unionByName(auto, allowMissingColumns = true).distinct()
+        }
+        ipr.withColumn("fair_share_perc", coalesce(col("fair_share_perc"), lit(0.0)))
+      },
+      // :306-327 — Oxford (value renamed to scenario_pathway by the runner)
+      () => in.oxf.map(d =>
+        prepareOxfScenarioData(d, startYear).withColumnRenamed("value", "scenario_pathway")),
+      // :330-348 — steel
+      () => in.steel.map(d => prepareSteelScenarioData(d, startYear)))
+    val Seq(preparedWeo23, preparedGeco23, preparedNgfs, preparedNgfsV5,
+      preparedIpr, preparedOxf, preparedSteel) =
+      graft.core.Pools.mapAll(vintageThunks, 3)(_())
 
     // :350-356 — merge all vintages (full_join with no keys = union-dedup).
     // Each vintage is barriered before the union: collapsing eight

@@ -2106,19 +2106,23 @@ object PipelineQueries {
       // filter (inner join — Power CoalCap carries no price and drops),
       // and the bench-region country list, reshaped to the 14-column v2
       // schema with provider-prefix extraction and type recodes.
-      val scen = ScenarioData.prepareScenariosAnalysisInput(
-        ScenarioData.ScenarioInputs(
-          weoGeco = Some(scenariosFixture(s, d, workflowGeos))), 2020)
-      val cf = CapacityFactors.prepareCapacityFactorsWeo2021(capacityFactorsFixture(s, d), 2020)
-        .withColumnRenamed("technology", "ald_business_unit")
-      val prices = Prices.preparePriceDataLongWeo2021(
-          pricesFossilFixture(s, d), pricesPowerFixture(s, d))
-        .withColumn("scenario", concat(lit("WEO2021_"), col("scenario")))
-        .drop("source")
-        .filter(col("scenario_geography") === "Global")
-        .withColumnRenamed("sector", "ald_sector")
-        .withColumnRenamed("technology", "ald_business_unit")
-      Workflow.triskV2Scenarios(scen, cf, prices, benchRegionsFixture(s, d))
+      // the three upstream pipelines are independent; building them on
+      // the small pool overlaps their eager construction jobs (the
+      // RunWorkflow.run treatment, guide §2.6) — same frames, same result
+      val legs = graft.core.Pools.mapAll(Seq[() => org.apache.spark.sql.DataFrame](
+        () => ScenarioData.prepareScenariosAnalysisInput(
+          ScenarioData.ScenarioInputs(
+            weoGeco = Some(scenariosFixture(s, d, workflowGeos))), 2020),
+        () => CapacityFactors.prepareCapacityFactorsWeo2021(capacityFactorsFixture(s, d), 2020)
+          .withColumnRenamed("technology", "ald_business_unit"),
+        () => Prices.preparePriceDataLongWeo2021(
+            pricesFossilFixture(s, d), pricesPowerFixture(s, d))
+          .withColumn("scenario", concat(lit("WEO2021_"), col("scenario")))
+          .drop("source")
+          .filter(col("scenario_geography") === "Global")
+          .withColumnRenamed("sector", "ald_sector")
+          .withColumnRenamed("technology", "ald_business_unit")), 3)(_())
+      Workflow.triskV2Scenarios(legs(0), legs(1), legs(2), benchRegionsFixture(s, d))
         .orderBy("scenario", "scenario_geography", "sector", "technology", "scenario_year")
     },
     Q("pipe_asset_impact", assetImpactOracle) { (s, d) =>
@@ -2181,24 +2185,27 @@ object PipelineQueries {
       // post-prepare coverage mix (see [[workflowAlignOracle]]) so three of
       // the four perimeters drop and the surviving frames shrink
       // non-trivially (the cf leg also loses its NZE/APS clones).
-      val scen = ScenarioData.prepareScenariosAnalysisInput(
-        ScenarioData.ScenarioInputs(
-          weoGeco = Some(scenariosFixture(s, d, workflowGeos))), 2020)
-        .filter(col("ald_business_unit") =!= "OilCap" &&
-          (col("ald_business_unit") =!= "GasCap" ||
-            (col("scenario") === "WEO2021_STEPS" && col("scenario_geography") === "US")) &&
-          (col("ald_business_unit") =!= "NuclearCap" || col("scenario") === "WEO2021_SDS"))
-      val cf = CapacityFactors.prepareCapacityFactorsWeo2021(capacityFactorsFixture(s, d), 2020)
-        .withColumnRenamed("technology", "ald_business_unit")
-      val prices = Prices.preparePriceDataLongWeo2021(
-          pricesFossilFixture(s, d), pricesPowerFixture(s, d))
-        .withColumn("scenario", concat(lit("WEO2021_"), col("scenario")))
-        .drop("source")
-        .filter(col("scenario_geography") === "Global")
-        .withColumnRenamed("sector", "ald_sector")
-        .withColumnRenamed("technology", "ald_business_unit")
+      // independent upstream legs built on the small pool (guide §2.6, the
+      // pipe_workflow_scenarios treatment) — same frames, same result
+      val legs = graft.core.Pools.mapAll(Seq[() => DataFrame](
+        () => ScenarioData.prepareScenariosAnalysisInput(
+          ScenarioData.ScenarioInputs(
+            weoGeco = Some(scenariosFixture(s, d, workflowGeos))), 2020)
+          .filter(col("ald_business_unit") =!= "OilCap" &&
+            (col("ald_business_unit") =!= "GasCap" ||
+              (col("scenario") === "WEO2021_STEPS" && col("scenario_geography") === "US")) &&
+            (col("ald_business_unit") =!= "NuclearCap" || col("scenario") === "WEO2021_SDS")),
+        () => CapacityFactors.prepareCapacityFactorsWeo2021(capacityFactorsFixture(s, d), 2020)
+          .withColumnRenamed("technology", "ald_business_unit"),
+        () => Prices.preparePriceDataLongWeo2021(
+            pricesFossilFixture(s, d), pricesPowerFixture(s, d))
+          .withColumn("scenario", concat(lit("WEO2021_"), col("scenario")))
+          .drop("source")
+          .filter(col("scenario_geography") === "Global")
+          .withColumnRenamed("sector", "ald_sector")
+          .withColumnRenamed("technology", "ald_business_unit")), 3)(_())
       val (alignedScen, alignedPrices, alignedCf) =
-        Workflow.alignDatasets(scen, prices, cf)
+        Workflow.alignDatasets(legs(0), legs(2), legs(1))
       def leg(df: DataFrame, frame: String, bu: String): DataFrame =
         df.groupBy(col("scenario"), col("scenario_geography"),
             col(bu).as("ald_business_unit"))
