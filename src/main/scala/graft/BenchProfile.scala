@@ -55,6 +55,7 @@ object BenchProfile {
 
     (1 to reps).foreach { rep =>
       rows.clear()
+      spark.catalog.clearCache() // match Bench's cache hygiene, outside the timing
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val total = (System.nanoTime() - t0) / 1e9

@@ -1111,15 +1111,20 @@ object Dedup {
     a.join(x, col("__la") === col("__lx") && a("b") === x("b")
         && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "pa", "pb")
-      .distinct() // a pair sharing both its buckets would otherwise double
       // the verify is CPU-bound, not byte-bound: candidate pairs are ~100
       // bytes each, so AQE's size-based coalescing packs the whole stage
       // onto a handful of tasks and serializes millions of Levenshteins
       // (measured 22 s → 2 s at sf0.1). The explicit partition count pins
       // the verify stage's parallelism — AQE respects a user-specified
-      // width — and keys on the pair so the spread is uniform.
+      // width — and keys on the pair so the spread is uniform. Placed
+      // ABOVE the dedup: hash(doc_a, doc_b) clusters every copy of a pair
+      // into one partition, a SUBSET of the distinct's grouping keys, so
+      // the aggregate runs partition-local on top of this one exchange
+      // (the r15 Abcd exchange-sharing trick) — the distinct-then-
+      // repartition spelling shuffled the candidate set twice.
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_a"), col("doc_b"))
+      .distinct() // a pair sharing both its buckets would otherwise double
       // banded threshold form: O(prefixLen·maxDist) per pair instead of
       // O(prefixLen²), exact for every distance ≤ maxDist, -1 above it
       .withColumn("lev", levenshtein(col("pa"), col("pb"), maxDist))

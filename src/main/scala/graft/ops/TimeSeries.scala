@@ -126,6 +126,100 @@ object TimeSeries {
     )
   }
 
+  /** Fused [[completeGridLocal]] + [[naApprox]] for a frame whose ONLY
+    * non-key columns are (x, v): per-group full_seq completion and linear
+    * interpolation computed group-locally over a collected (x, v) array —
+    * ONE exchange (the groupBy) where the relational spelling pays four
+    * (grid aggregate, both join sides, the interpolation window). The
+    * per-group state is the group's own observation list (a bounded year
+    * axis in every caller — tens of rows), so the collect_list is
+    * scale-safe at any group count; pure built-in higher-order functions,
+    * no UDFs.
+    *
+    * Semantics (pinned by ScenarioSpec's equivalence test against the
+    * relational spelling, and by the pipe_* oracles end to end):
+    *  - grid = [min(x), max(x)] over the group's non-null-x rows;
+    *  - observed rows pass through (all duplicates), with a null v
+    *    interpolated exactly like naApprox: pv + (nv−pv)·(x−px)/(nx−px)
+    *    over the nearest non-null neighbors, same operand casts, same
+    *    double arithmetic;
+    *  - grid-only rows carry the interpolated (or null) value;
+    *  - leading/trailing nulls stay null (na.rm=FALSE);
+    *  - null-x rows pass through verbatim (they match no grid row).
+    */
+  def completeInterpolateLocal(
+      df: DataFrame, keys: Seq[String], x: String, v: String): DataFrame = {
+    val agged = groupObservations(df, keys, x, v)
+    val lo = element_at(col("__obs"), 1).getField("x")
+    val hi = element_at(col("__obs"), size(col("__obs"))).getField("x")
+    completeFromObservations(df, agged, keys, x, v, lo, hi)
+  }
+
+  /** Fused [[completeGridGlobalRange]] + [[naApprox]] — the
+    * [[completeInterpolateLocal]] machinery with the grid spanning the
+    * GLOBAL [min(x), max(x)] (a 1-row aggregate broadcast onto every
+    * group) instead of each group's own range: every key combo completes
+    * over the same axis, edge years beyond a group's own observations
+    * stay null (na.rm=FALSE). Two exchanges (group collect + the 1-row
+    * range) where the relational spelling pays five.
+    */
+  def completeInterpolateGlobalRange(
+      df: DataFrame, keys: Seq[String], x: String, v: String): DataFrame = {
+    val mm = df.agg(min(col(x)).as("__lo"), max(col(x)).as("__hi"))
+    val agged = groupObservations(df, keys, x, v).crossJoin(broadcast(mm))
+    completeFromObservations(df, agged, keys, x, v, col("__lo"), col("__hi"))
+  }
+
+  /** One (x asc, v asc)-sorted observation array per key combo; keys whose
+    * rows ALL have null x still surface (empty array) so the global-range
+    * variant grids them like the relational spelling's distinct-keys grid.
+    */
+  private def groupObservations(
+      df: DataFrame, keys: Seq[String], x: String, v: String): DataFrame = {
+    require(df.columns.toSet == (keys :+ x :+ v).toSet,
+      s"fused complete+interpolate needs exactly keys+($x,$v); got ${df.columns.mkString(",")}")
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(  // collect_list skips null structs
+        when(col(x).isNotNull, struct(col(x).as("x"), col(v).as("v"))))).as("__obs"))
+  }
+
+  /** Explode each group's [lo, hi] axis against its observation array:
+    * observed rows pass through (all duplicates), null values interpolate
+    * with naApprox's exact formula and casts, grid-only rows carry the
+    * interpolated (or null) value; null-x input rows pass through
+    * verbatim (they match no grid row in the relational spelling either).
+    */
+  private def completeFromObservations(
+      df: DataFrame, agged: DataFrame, keys: Seq[String], x: String, v: String,
+      lo: Column, hi: Column): DataFrame = {
+    // non-null observations in x order — the interpolation anchors
+    val nn = filter(col("__obs"), o => o.getField("v").isNotNull)
+    // naApprox's exact formula and casts: px/nx are double casts of x
+    def interp(y: Column) = {
+      val p = element_at(filter(nn, o => o.getField("x") < y), -1)
+      val n = element_at(filter(nn, o => o.getField("x") > y), 1)
+      val px = p.getField("x").cast("double")
+      val nx = n.getField("x").cast("double")
+      val pv = p.getField("v")
+      val nv = n.getField("v")
+      when(px.isNotNull && nx.isNotNull && nx =!= px,
+        pv + (nv - pv) * (y.cast("double") - px) / (nx - px))
+    }
+    val rows = flatten(transform(sequence(lo, hi), y => {
+      val matched = filter(col("__obs"), o => o.getField("x") === y)
+      when(size(matched) > 0,
+        transform(matched, o =>
+          struct(y.as("x"), coalesce(o.getField("v"), interp(y)).as("v"))))
+        .otherwise(array(struct(y.as("x"), interp(y).as("v"))))
+    }))
+    val exploded = agged
+      .select((keys.map(col) :+ explode(rows).as("__r")): _*)
+      .select((keys.map(col) :+ col("__r.x").as(x) :+ col("__r.v").as(v)): _*)
+    val nullXRows = df.filter(col(x).isNull)
+    exploded.unionByName(nullXRows.select(exploded.columns.map(col): _*))
+      .select(df.columns.map(col): _*)
+  }
+
   /** W3: fill-down / LOCF (reference tidyr::fill(.direction="down"),
     * R/prepare_price_data_long.R:159-169; R/prepare_abcd_stress_test_input.R:
     * 286-288).

@@ -64,8 +64,10 @@ object Prices {
     // global min/max agg, the distinct-keys grid and the join side)
     var data = fossil.unionByName(power.select(fossil.columns.map(col): _*))
       .planBarrier()
-    data = TimeSeries.completeGridGlobalRange(data, keyCols, "year")
-    data = TimeSeries.naApprox(data, keyCols, "year", "price", "price")
+    // fused complete+interpolate (r16): two exchanges instead of five;
+    // equivalence to the relational spelling pinned by TimeSeriesSpec,
+    // identical interpolation arithmetic
+    data = TimeSeries.completeInterpolateGlobalRange(data, keyCols, "year", "price")
 
     // one aggregate pass for both checks (separate assert* calls would
     // re-execute the upstream plan once per check)
@@ -122,8 +124,10 @@ object Prices {
     */
   def preparePriceDataLongPowerIpr2023(powerWide: DataFrame): DataFrame = {
     var data = powerLcoeLong(powerWide, firstYear = 2020)
-    data = TimeSeries.completeGridGlobalRange(data, keyCols, "year")
-    data = TimeSeries.naApprox(data, keyCols, "year", "price", "price")
+    // fused complete+interpolate (r16): two exchanges instead of five;
+    // equivalence to the relational spelling pinned by TimeSeriesSpec,
+    // identical interpolation arithmetic
+    data = TimeSeries.completeInterpolateGlobalRange(data, keyCols, "year", "price")
     // one aggregate pass for both checks (separate assert* calls would
     // re-execute the upstream plan once per check)
     DataChecks.assertAll(data, Seq(

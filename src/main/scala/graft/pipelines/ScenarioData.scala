@@ -17,10 +17,12 @@ object ScenarioData {
     * na.rm=FALSE (edge nulls stay null). Groups = every column except
     * (year, value).
     */
-  def interpolateYearly(data: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val completed = TimeSeries.completeGridLocal(data, groupCols, "year")
-    TimeSeries.naApprox(completed, groupCols, "year", "value", "value")
-  }
+  def interpolateYearly(data: DataFrame, groupCols: Seq[String]): DataFrame =
+    // fused complete+interpolate: one exchange instead of four (grid
+    // aggregate + both join sides + interpolation window); equivalence to
+    // the relational spelling pinned by ScenarioSpec, same interpolation
+    // arithmetic to the bit
+    TimeSeries.completeInterpolateLocal(data, groupCols, "year", "value")
 
   /** reference :22-72 — tmsr + smsp over the canonical fair-share groups
     * (scenario, sector, scenario_geography) x technology. At the start

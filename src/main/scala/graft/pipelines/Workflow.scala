@@ -47,9 +47,25 @@ object Workflow {
     // composition over the aligned frames (the v2 reshape, a perimeter
     // re-check) multiplies plans into the 10k-node range (r15: the
     // real-data stage-6 fixpoint check serialized >150 MiB task binaries
-    // and OOMed an 8g driver; barriered it is a sub-second leaf join)
-    val avail = availableScenarioGeographies(scenarioData, priceData, capacityFactors)
-      .planBarrier()
+    // and OOMed an 8g driver; barriered it is a sub-second leaf join).
+    //
+    // Runtime bloom-filter injection is OFF for this one query (r16):
+    // Spark injects bloom_filter_agg subqueries on the multi-join's keys,
+    // and the EXECUTED 1 MiB filter literals land duplicated ~30x in the
+    // serialized stage plans — measured 100-120 MiB task binaries per
+    // stage of the avail materialization on the real data (the r15
+    // leftover), driver broadcast pressure with zero pruning value: every
+    // frame here is dimension-scale (scenario pathways), so the filters
+    // can never skip meaningful IO at any table size. The engine's own
+    // bloom sidecars serve the fact-table point-lookup cases explicitly.
+    val sess = scenarioData.sparkSession
+    val bfKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val bfPrev = sess.conf.getOption(bfKey)
+    sess.conf.set(bfKey, "false")
+    val avail =
+      try availableScenarioGeographies(scenarioData, priceData, capacityFactors)
+        .planBarrier()
+      finally bfPrev.fold(sess.conf.unset(bfKey))(sess.conf.set(bfKey, _))
     val scenarios = avail.select("scenario").distinct()
     (scenarioData.join(avail, Seq("scenario", "scenario_geography"), "left_semi"),
       priceData.join(scenarios, Seq("scenario"), "left_semi"),

@@ -83,4 +83,54 @@ class ScenarioSpec extends SparkTestBase {
     assert(out.filter(col("scenario_geography") === "Global" && col("ald_sector") === "Power")
       .count() == 6)
   }
+
+  test("completeInterpolateLocal replays completeGridLocal + naApprox exactly") {
+    // every edge the fused rewrite must preserve: interior holes, leading
+    // and trailing nulls (na.rm=FALSE), an all-null group, a single-row
+    // group, duplicate (key, x) observations, a null-x pass-through row,
+    // and non-dyadic doubles whose interpolation must match to the bit
+    val rows: Seq[(String, Integer, java.lang.Double)] = Seq(
+      ("a", 2020, 1.0), ("a", 2024, null), ("a", 2027, 0.7),   // holes + interior null
+      ("b", 2020, null), ("b", 2022, 3.3), ("b", 2025, null),  // leading+trailing nulls
+      ("c", 2021, null), ("c", 2023, null),                    // all-null group
+      ("d", 2030, 5.5),                                        // single row
+      ("e", 2020, 2.0), ("e", 2022, 2.0), ("e", 2022, 4.0), ("e", 2024, 1.0), // dup x
+      ("f", null, 9.0), ("f", 2020, 1.0), ("f", 2023, null)    // null-x pass-through
+    )
+    val df = rows.toDF("g", "year", "value")
+    val fused = graft.ops.TimeSeries
+      .completeInterpolateLocal(df, Seq("g"), "year", "value")
+    val relational = graft.ops.TimeSeries.naApprox(
+      graft.ops.TimeSeries.completeGridLocal(df, Seq("g"), "year"),
+      Seq("g"), "year", "value", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), Option(r.get(1)).map(_.toString).getOrElse(""),
+        Option(r.get(2)).map(d => java.lang.Double.doubleToLongBits(
+          d.asInstanceOf[Double])).getOrElse(Long.MinValue))
+    val f = fused.collect().map(key).sortBy(identity)
+    val r = relational.collect().map(key).sortBy(identity)
+    assert(f.toSeq === r.toSeq)
+  }
+
+  test("interpolateYearly (fused) matches the relational spelling on a fixture-shaped frame") {
+    val groups = ScenarioData.interpolationGroups
+    val rows: Seq[(String, String, String, String, String, String, String, Int,
+        java.lang.Double)] = Seq(
+      ("WEO2021", "STEPS", "Power", "CoalCap", "Global", "Capacity", "GW", 2020,
+        java.lang.Double.valueOf(1.25)),
+      ("WEO2021", "STEPS", "Power", "CoalCap", "Global", "Capacity", "GW", 2024, null),
+      ("WEO2021", "STEPS", "Power", "CoalCap", "Global", "Capacity", "GW", 2028,
+        java.lang.Double.valueOf(2.75)),
+      ("WEO2021", "SDS", "Coal", "Coal", "EU", "Production", "t", 2020, null))
+    val df = rows
+      .toDF("source", "scenario", "sector", "technology", "scenario_geography",
+        "indicator", "units", "year", "value")
+    val fused = ScenarioData.interpolateYearly(df, groups)
+    val relational = graft.ops.TimeSeries.naApprox(
+      graft.ops.TimeSeries.completeGridLocal(df, groups, "year"),
+      groups, "year", "value", "value")
+    val cols = fused.columns.map(col)
+    assert(fused.select(cols: _*).collect().map(_.toString).sorted.toSeq ===
+      relational.select(cols: _*).collect().map(_.toString).sorted.toSeq)
+  }
 }

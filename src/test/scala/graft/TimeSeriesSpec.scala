@@ -107,4 +107,33 @@ class TimeSeriesSpec extends SparkTestBase {
     val (lvl, tr) = got.last
     assert(tr > 0 && lvl + tr > lvl)
   }
+
+  test("completeInterpolateGlobalRange replays completeGridGlobalRange + naApprox exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // interior holes, group ranges narrower than the global axis (edge
+    // nulls must stay null), an all-null group, duplicate (key, x) rows,
+    // a key whose ONLY row has null x (the distinct-keys grid must still
+    // cover it), and non-dyadic doubles compared to the bit
+    val rows: Seq[(String, Integer, java.lang.Double)] = Seq(
+      ("a", 2020, 1.0), ("a", 2024, null), ("a", 2027, 0.7),
+      ("b", 2022, 3.3), ("b", 2025, null),
+      ("c", 2021, null), ("c", 2023, null),
+      ("d", 2030, 5.5),
+      ("e", 2020, 2.0), ("e", 2022, 2.0), ("e", 2022, 4.0), ("e", 2024, 1.0),
+      ("f", null, 9.0)
+    )
+    val df = rows.toDF("g", "x", "v")
+    val fused = graft.ops.TimeSeries.completeInterpolateGlobalRange(df, Seq("g"), "x", "v")
+    val relational = graft.ops.TimeSeries.naApprox(
+      graft.ops.TimeSeries.completeGridGlobalRange(df, Seq("g"), "x"),
+      Seq("g"), "x", "v", "v")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), Option(r.get(1)).map(_.toString).getOrElse(""),
+        Option(r.get(2)).map(d => java.lang.Double.doubleToLongBits(
+          d.asInstanceOf[Double])).getOrElse(Long.MinValue))
+    val f = fused.collect().map(key).sortBy(identity)
+    val r = relational.collect().map(key).sortBy(identity)
+    assert(f.toSeq == r.toSeq)
+  }
 }
