@@ -27,13 +27,22 @@ object Shares {
       sectorKeys: Seq[String],
       x: String,
       v: String): DataFrame = {
+    require(sectorKeys.nonEmpty && sectorKeys.forall(techKeys.contains),
+      "sectorKeys must be a non-empty subset of techKeys")
+    // ONE exchange for both window families (guide §2.4; probed 2 -> 1):
+    // the sector-total window clusters on (sectorKeys, x) and the tech
+    // windows on techKeys — hash(sectorKeys) satisfies BOTH (a subset of
+    // each), so partitioning once here lets every window below run
+    // exchange-free. Group sizes stay bounded (one sector's technologies
+    // x years), so the coarser key is scale-safe.
+    val pre = df.repartition(sectorKeys.map(col): _*)
     val wTech = Window
       .partitionBy(techKeys.map(col): _*)
       .orderBy(col(x))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSectorYear = Window.partitionBy((sectorKeys :+ x).map(col): _*)
     val firstTech = first(col(v), ignoreNulls = false).over(wTech)
-    val df1 = df
+    val df1 = pre
       .withColumn("__sector_total", Num.dsumOver(col(v), wSectorYear))
     val wSectorFirst = Window
       .partitionBy(techKeys.map(col): _*)

@@ -27,11 +27,12 @@ class PipelinePlanSpec extends SparkTestBase {
       techKeys = Seq("scenario", "sector", "scenario_geography", "technology"),
       sectorKeys = Seq("scenario", "sector", "scenario_geography"),
       x = "year", v = "value")
-    // one exchange for the (keys, year) sector total, one for the per-tech
-    // ordered windows (tmsr + smsp share it) — a third would mean a window
-    // stopped reusing the tech partitioning
+    // ONE exchange for the whole chain (r16): hash(sectorKeys) satisfies
+    // both the (keys, year) sector-total window and the per-tech ordered
+    // windows (sectorKeys is a subset of each clustering) — a second
+    // exchange would mean a window stopped reusing the shared partitioning
     val n = exchanges(out)
-    assert(n == 2, s"tmsr+smsp must cost exactly 2 shuffles, got $n:\n${plan(out)}")
+    assert(n == 1, s"tmsr+smsp must cost exactly 1 shuffle, got $n:\n${plan(out)}")
   }
 
   test("implied-price adjustment broadcasts the 1-row-per-group implied side") {
