@@ -66,10 +66,15 @@ object Workflow {
       try availableScenarioGeographies(scenarioData, priceData, capacityFactors)
         .planBarrier()
       finally bfPrev.fold(sess.conf.unset(bfKey))(sess.conf.set(bfKey, _))
+    // broadcast the perimeter (guide §3.1): `avail` is a few hundred
+    // (scenario, geography) pairs at any table size, but as a barrier
+    // leaf its stats read unknown-huge and the static plan shuffled all
+    // THREE data frames into sort-merge semi joins. Broadcast semi joins
+    // leave the data frames entirely unshuffled.
     val scenarios = avail.select("scenario").distinct()
-    (scenarioData.join(avail, Seq("scenario", "scenario_geography"), "left_semi"),
-      priceData.join(scenarios, Seq("scenario"), "left_semi"),
-      capacityFactors.join(scenarios, Seq("scenario"), "left_semi"))
+    (scenarioData.join(broadcast(avail), Seq("scenario", "scenario_geography"), "left_semi"),
+      priceData.join(broadcast(scenarios), Seq("scenario"), "left_semi"),
+      capacityFactors.join(broadcast(scenarios), Seq("scenario"), "left_semi"))
   }
 
   /** run_workflow.R:112-177 — abcd -> TRISK-v2 assets.csv shape:
@@ -126,10 +131,17 @@ object Workflow {
       .agg(concat_ws(",", sort_array(collect_set(col("country_iso")))).as("country_iso2_list"))
       .filter(col("scenario_geography_newname") =!= "Global")
     val price = priceDataLong.drop("scenario_geography").distinct()
+    // broadcast the cf and price sides deliberately (guide §3.1): both
+    // are scenario-CATALOG-sized by construction (pathways × years —
+    // dimension tables at any fact-data scale), but they arrive as
+    // barrier leaves whose stats Catalyst treats as unknown-huge, so the
+    // static plan picked SortMergeJoin and shuffled+sorted every side —
+    // including the scenario spine, the largest frame here. Broadcast
+    // hints keep the spine entirely unshuffled until the final sort.
     var s = scenariosAnalysisInput
-      .join(capacityFactors,
+      .join(broadcast(capacityFactors),
         Seq("scenario_geography", "scenario", "ald_business_unit", "year"), "left")
-      .join(price, Seq("scenario", "ald_sector", "ald_business_unit", "year"))
+      .join(broadcast(price), Seq("scenario", "ald_sector", "ald_business_unit", "year"))
       .join(broadcast(benchAgg),
         col("scenario_geography") === benchAgg("scenario_geography_newname"), "left")
       .drop("scenario_geography_newname")
